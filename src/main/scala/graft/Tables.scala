@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-provided parquet testdata (TESTDATA.md).
+  * All `SparkEntry.queries` entries take the scale-factor directory and
+  * resolve tables through here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Reads a testdata table. The `events` table stores TIMESTAMP(NANOS)
+    * which Spark's parquet reader rejects; read it as long nanos and
+    * truncate to microsecond timestamps (DuckDB's reader truncates ns→µs
+    * identically, so oracle comparisons agree).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  /** A standard local session for mains/tests. */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .getOrCreate()
+  }
+}
