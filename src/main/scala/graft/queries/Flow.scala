@@ -1,0 +1,224 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queryengine._
+import graft.schema.FlowSchema
+import graft.store.EventFlows
+import graft.filter.FilterCompiler
+
+/** Driver-facing queries exercising the akvorado query engine end-to-end:
+  * filter DSL → table routing (rollups) → top-N → Other folding → aligned
+  * buckets → gap fill → axis unions. Oracles replicate the whole pipeline
+  * in DuckDB SQL over the same `events` mapping.
+  *
+  * Double-valued engine outputs (xps, weights, percents) are converted back
+  * to exact integers in the wrappers (xps*interval = the original integer
+  * sum) so cross-engine comparison is bit-safe.
+  */
+object Flow {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private val schema = FlowSchema.schema
+
+  private def engine(s: SparkSession, dir: String) =
+    (new LineQuery(schema, EventFlows.tables(s, dir)),
+      new SankeyQuery(schema, EventFlows.tables(s, dir)),
+      new Widgets(schema, EventFlows.tables(s, dir)))
+
+  // Flagship: 28 days, 1-day buckets, top-2 interfaces + Other, TCP external.
+  val qLine: Q = (s, dir) => {
+    val (line, _, _) = engine(s, dir)
+    line.build(s, LineInput(
+      start = ts("2024-01-01T00:00:00Z"), end = ts("2024-01-29T00:00:00Z"),
+      points = 28, dimensions = Seq("InIfName"), limit = 2,
+      filter = "InIfBoundary = external AND Proto = 'TCP'", unit = "l3bps"))
+      .select(col("axis"), col("time_s"),
+        array_join(col("dimensions"), ",").as("name"),
+        round(col("xps") * 86400).cast("long").as("bps_sum"))
+  }
+
+  // Bidirectional + previous period: 4 axes.
+  val qLineBidir: Q = (s, dir) => {
+    val (line, _, _) = engine(s, dir)
+    line.build(s, LineInput(
+      start = ts("2024-01-08T00:00:00Z"), end = ts("2024-01-15T00:00:00Z"),
+      points = 7, dimensions = Seq("ExporterName"), limit = 2,
+      filter = "InIfBoundary = external", unit = "pps",
+      bidirectional = true, previousPeriod = true))
+      .select(col("axis"), col("time_s"),
+        array_join(col("dimensions"), ",").as("name"),
+        round(col("xps") * 86400).cast("long").as("pps_sum"))
+  }
+
+  val qSankey: Q = (s, dir) => {
+    val (_, sankey, _) = engine(s, dir)
+    sankey.build(s, SankeyInput(
+      start = ts("2024-01-01T00:00:00Z"), end = ts("2024-01-29T00:00:00Z"),
+      dimensions = Seq("SrcCountry", "DstCountry"), limit = 5, unit = "pps"))
+      .withColumn("w_sum", round(col("weight") * col("span_sec")).cast("long"))
+      .drop("weight", "span_sec")
+  }
+
+  val qWidgetTop: Q = (s, dir) => {
+    val (_, _, widgets) = engine(s, dir)
+    widgets.top(s, ts("2024-01-29T00:00:00Z"), "SrcAS", externalOnly = true)
+      .select(col("name"), floor(col("percent") * 10000).cast("long").as("pct_bp"))
+  }
+
+  val qWidgetRate: Q = (s, dir) => {
+    val (_, _, widgets) = engine(s, dir)
+    widgets.flowRate(s, ts("2024-01-29T00:00:00Z"))
+      .select(round(col("rate") * 300).cast("long").as("flows"))
+  }
+
+  // Filter DSL compiled to a predicate, normal direction.
+  val qFilterDsl: Q = (s, dir) => {
+    val flows = EventFlows.flows(s, dir)
+    val cf = FilterCompiler.compile(schema,
+      "SrcCountry IN ('US', 'FR') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
+        " AND ExporterName LIKE 'exp%'")
+      .fold(e => throw e, identity)
+    flows.where(cf.predicate)
+      .groupBy("SrcCountry")
+      .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
+  }
+
+  // Same filter, reverse direction (Src↔Dst / In↔Out swapped).
+  val qFilterDslRev: Q = (s, dir) => {
+    val flows = EventFlows.flows(s, dir)
+    val cf = FilterCompiler.compile(schema,
+      "SrcCountry IN ('US', 'FR') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
+        " AND ExporterName LIKE 'exp%'")
+      .fold(e => throw e, identity)
+    flows.where(cf.reversePredicate)
+      .groupBy("DstCountry")
+      .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
+  }
+
+  private val F = EventFlows.flowsSql
+
+  val defs: Map[String, Q] = Map(
+    "q_line" -> qLine,
+    "q_line_bidir" -> qLineBidir,
+    "q_sankey" -> qSankey,
+    "q_widget_top" -> qWidgetTop,
+    "q_widget_rate" -> qWidgetRate,
+    "q_filter_dsl" -> qFilterDsl,
+    "q_filter_dsl_rev" -> qFilterDslRev
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_line" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'
+         |    AND InIfBoundary = 'external' AND Proto = 6),
+         |top AS (SELECT InIfName FROM f GROUP BY 1
+         |  ORDER BY sum(Bytes*SamplingRate*8) DESC, InIfName LIMIT 2),
+         |folded AS (SELECT
+         |  1704067200 + (CAST(epoch(TimeReceived) AS BIGINT) - 1704067200) // 86400 * 86400 AS time_s,
+         |  CASE WHEN InIfName IN (SELECT InIfName FROM top) THEN InIfName
+         |       ELSE 'Other' END AS name,
+         |  Bytes*SamplingRate*8 AS w FROM f),
+         |per AS (SELECT time_s, name, CAST(sum(w) AS BIGINT) AS bps_sum
+         |  FROM folded GROUP BY 1, 2),
+         |cal AS (SELECT unnest(range(1704067200, 1704067200 + 28*86400, 86400)) AS time_s)
+         |SELECT 1 AS axis, time_s, name, bps_sum FROM per
+         |UNION ALL
+         |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS bps_sum FROM cal c
+         |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
+    "q_line_bidir" -> {
+      // 4 axes: direct, reverse, previous-direct, previous-reverse.
+      // previous period for a 7-day range shifts back one week.
+      def axis(n: Int, nameCol: String, boundaryCol: String, startS: Long,
+          shift: Long): String =
+        s"""SELECT $n AS axis, time_s + $shift AS time_s, name,
+           |  CAST(sum(w) AS BIGINT) AS pps_sum FROM (
+           |  SELECT $startS + (CAST(epoch(TimeReceived) AS BIGINT) - $startS) // 86400 * 86400 AS time_s,
+           |    CASE WHEN $nameCol IN (
+           |      SELECT $nameCol FROM flows
+           |      WHERE TimeReceived >= to_timestamp($startS)
+           |        AND TimeReceived < to_timestamp(${startS + 7 * 86400})
+           |        AND $boundaryCol = 'external'
+           |      GROUP BY 1 ORDER BY sum(Packets*SamplingRate) DESC, $nameCol LIMIT 2)
+           |      THEN $nameCol ELSE 'Other' END AS name,
+           |    Packets*SamplingRate AS w
+           |  FROM flows
+           |  WHERE TimeReceived >= to_timestamp($startS)
+           |    AND TimeReceived < to_timestamp(${startS + 7 * 86400})
+           |    AND $boundaryCol = 'external') GROUP BY 1, 2, 3
+           |UNION ALL
+           |SELECT $n AS axis, c.time_s + $shift AS time_s, 'Other' AS name, 0 AS pps_sum
+           |FROM (SELECT unnest(range($startS, $startS + 7*86400, 86400)) AS time_s) c
+           |WHERE c.time_s NOT IN (
+           |  SELECT $startS + (CAST(epoch(TimeReceived) AS BIGINT) - $startS) // 86400 * 86400
+           |  FROM flows WHERE TimeReceived >= to_timestamp($startS)
+           |    AND TimeReceived < to_timestamp(${startS + 7 * 86400})
+           |    AND $boundaryCol = 'external')""".stripMargin
+      val w2start = 1704067200L + 7 * 86400 // 2024-01-08
+      val w1start = 1704067200L // 2024-01-01
+      s"""WITH flows AS ($F)
+         |${axis(1, "ExporterName", "InIfBoundary", w2start, 0)}
+         |UNION ALL
+         |${axis(2, "ExporterName", "OutIfBoundary", w2start, 0)}
+         |UNION ALL
+         |${axis(3, "ExporterName", "InIfBoundary", w1start, 7 * 86400)}
+         |UNION ALL
+         |${axis(4, "ExporterName", "OutIfBoundary", w1start, 7 * 86400)}""".stripMargin
+    },
+    "q_sankey" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT date_trunc('hour', TimeReceived) AS TimeReceived,
+         |    SrcCountry, DstCountry, Packets, SamplingRate FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'),
+         |top AS (SELECT SrcCountry, DstCountry FROM f GROUP BY 1, 2
+         |  ORDER BY sum(Packets*SamplingRate) DESC, SrcCountry, DstCountry LIMIT 5),
+         |folded AS (SELECT
+         |  CASE WHEN SrcCountry IN (SELECT SrcCountry FROM top)
+         |    THEN SrcCountry ELSE 'Other' END AS SrcCountry,
+         |  CASE WHEN DstCountry IN (SELECT DstCountry FROM top)
+         |    THEN DstCountry ELSE 'Other' END AS DstCountry,
+         |  Packets*SamplingRate AS w FROM f)
+         |SELECT SrcCountry, DstCountry, CAST(sum(w) AS BIGINT) AS w_sum
+         |FROM folded GROUP BY 1, 2""".stripMargin,
+    "q_widget_top" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'
+         |    AND InIfBoundary = 'external'),
+         |per AS (SELECT SrcAS AS name, CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b
+         |  FROM f GROUP BY 1)
+         |SELECT name,
+         |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
+         |FROM per ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,
+    "q_widget_rate" ->
+      s"""WITH flows AS ($F)
+         |SELECT CAST(count(*) AS BIGINT) AS flows FROM flows
+         |WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
+         |  AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'""".stripMargin,
+    "q_filter_dsl" ->
+      s"""WITH flows AS ($F)
+         |SELECT SrcCountry, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(Bytes) AS BIGINT) AS bytes
+         |FROM flows
+         |WHERE SrcCountry IN ('US', 'FR') AND SrcPort >= 3000
+         |  AND NOT (Proto = 17) AND ExporterName LIKE 'exp%'
+         |GROUP BY 1""".stripMargin,
+    "q_filter_dsl_rev" ->
+      s"""WITH flows AS ($F)
+         |SELECT DstCountry, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(Bytes) AS BIGINT) AS bytes
+         |FROM flows
+         |WHERE DstCountry IN ('US', 'FR') AND DstPort >= 3000
+         |  AND NOT (Proto = 17) AND ExporterName LIKE 'exp%'
+         |GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queryengine
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.filter.{CompiledFilter, FilterCompiler, FilterParseError}
+import graft.schema.Schema
+
+/** Input of the flagship time-series query (reference
+  * `POST /api/v0/console/graph/line`, `console/line.go:21-27`).
+  */
+final case class LineInput(
+    start: Timestamp,
+    end: Timestamp,
+    points: Int,
+    dimensions: Seq[String],
+    limit: Int = 10,
+    limitType: String = "avg", // avg | max | last
+    filter: String = "",
+    unit: String = "l3bps",
+    bidirectional: Boolean = false,
+    previousPeriod: Boolean = false,
+    truncateV4: Int = 32,
+    truncateV6: Int = 128) {
+  require(points >= 5 && points <= 2000, "points must be in 5..2000")
+  require(limit >= 1 && limit <= 50, "limit must be in 1..50")
+}
+
+/** DataFrame pipeline for the line graph: scan routing → filter → top-N →
+  * "Other" folding → aligned time buckets → gap fill → axis union
+  * (reference `console/line.go:107-216`, SURVEY §3.1). Everything stays a
+  * declarative plan: the only driver-side materialization is the bounded
+  * top-N row set (≤ limit rows, as the reference's `rows` CTE).
+  */
+final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
+
+  def build(spark: SparkSession, in: LineInput): DataFrame = {
+    val compiled: Option[CompiledFilter] =
+      if (in.filter.trim.isEmpty) None
+      else FilterCompiler.compile(schema, in.filter) match {
+        case Right(cf) => Some(cf)
+        case Left(e: FilterParseError) => throw e
+      }
+    val mainRequired =
+      compiled.exists(_.mainTableRequired) || in.dimensions.exists(schema.isMainOnly)
+    val resolved = TableResolver.resolve(tables, in.start, in.end, in.points, mainRequired)
+    val interval = resolved.intervalSec
+
+    def axisDf(axis: Int, reverse: Boolean, shiftSec: Long): DataFrame = {
+      val rangeStart = new Timestamp(in.start.getTime - shiftSec * 1000)
+      val rangeEnd = new Timestamp(in.end.getTime - shiftSec * 1000)
+      val pred = compiled.map(cf => if (reverse) cf.reversePredicate else cf.predicate)
+      val dims = if (in.dimensions.isEmpty) Nil
+        else if (reverse) in.dimensions.map(schema.reverseName) else in.dimensions
+      val unit = if (reverse) Unit.fromName(in.unit).reversed else Unit.fromName(in.unit)
+
+      val scan0 = resolved.table.df()
+        .where(col("TimeReceived") >= lit(rangeStart) &&
+          col("TimeReceived") < lit(rangeEnd))
+      val scan1 = pred.fold(scan0)(scan0.where)
+      // IP truncation REPLACE over the source CTE (reference graph.go:44-88)
+      val scan =
+        if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan1
+        else schema.enabled.filter(c => c.truncatableIP && scan1.columns.contains(c.name))
+          .foldLeft(scan1) { (d, c) =>
+            d.withColumn(c.name,
+              graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
+          }
+
+      // aligned bucket: start + floor((t-start)/interval)*interval — same as
+      // the reference's offset-adjusted toStartOfInterval (clickhouse.go:262-268)
+      val startSec = rangeStart.getTime / 1000
+      val bucket = (lit(startSec) +
+        floor((unix_timestamp(col("TimeReceived")) - startSec) / interval) * interval)
+        .cast("long")
+
+      val weighted = scan.groupBy(dims.map(col): _*)
+        .agg(unit.agg.as("w"))
+
+      if (dims.isEmpty) {
+        val perBucket = scan
+          .groupBy(bucket.as("time_s"))
+          .agg((unit.agg / interval).as("xps"))
+        return gapfill(spark, perBucket, rangeStart, rangeEnd, interval, Seq.empty)
+          .select(lit(axis).as("axis"),
+            (col("time_s") + shiftSec).as("time_s"),
+            array().cast("array<string>").as("dimensions"),
+            col("xps"))
+      }
+
+      // top-N selection, 3 modes (reference console/query.go:48-90)
+      val topRows: Array[Seq[String]] = topN(scan, dims, unit, in, bucket)
+      val dimsArray = array(dims.map(col(_).cast("string")): _*)
+      val topLit = topRows.map(r => array(r.map(lit): _*))
+      val folded = (if (topLit.isEmpty) lit(false)
+        else dimsArray.isin(topLit.toIndexedSeq: _*))
+      val withDims = scan.withColumn("dimensions",
+        when(folded, dimsArray)
+          .otherwise(array(dims.map(_ => lit("Other")): _*)))
+
+      val perBucket = withDims
+        .groupBy(bucket.as("time_s"), col("dimensions"))
+        .agg((unit.agg / interval).as("xps"))
+
+      gapfill(spark, perBucket, rangeStart, rangeEnd, interval,
+        in.dimensions.map(_ => "Other"))
+        .select(lit(axis).as("axis"), (col("time_s") + shiftSec).as("time_s"),
+          col("dimensions"), col("xps"))
+    }
+
+    val axes = scala.collection.mutable.ArrayBuffer(axisDf(1, reverse = false, 0))
+    if (in.bidirectional) axes += axisDf(2, reverse = true, 0)
+    if (in.previousPeriod) {
+      val shift = previousPeriodShiftSec(in)
+      axes += axisDf(3, reverse = false, shift)
+      if (in.bidirectional) axes += axisDf(4, reverse = true, shift)
+    }
+    axes.reduce(_ unionAll _)
+  }
+
+  /** Top row-set per limitType; bounded by `limit` ≤ 50, so collecting it is
+    * the same driver-side cardinality as the reference's `rows` CTE.
+    */
+  private def topN(scan: DataFrame, dims: Seq[String], unit: Unit, in: LineInput,
+      bucket: Column): Array[Seq[String]] = {
+    val dimCols = dims.map(col)
+    val ranked = in.limitType match {
+      case "avg" =>
+        scan.groupBy(dimCols: _*).agg(unit.agg.as("w"))
+      case "max" =>
+        scan.groupBy(bucket.as("b") +: dimCols: _*).agg(unit.agg.as("wb"))
+          .groupBy(dims.map(col): _*).agg(max("wb").as("w"))
+      case "last" =>
+        val lastStart = new Timestamp(in.end.getTime -
+          math.max(1L, (in.end.getTime - in.start.getTime) / math.max(1, in.points)))
+        scan.where(col("TimeReceived") >= lit(lastStart))
+          .groupBy(dimCols: _*).agg(unit.agg.as("w"))
+      case other => throw new IllegalArgumentException(s"unknown limitType $other")
+    }
+    ranked
+      .orderBy(desc("w") +: dims.map(asc): _*)
+      .limit(in.limit)
+      .select(dims.map(col(_).cast("string")): _*)
+      .collect()
+      .map(r => dims.indices.map(i => Option(r.getString(i)).getOrElse("")))
+  }
+
+  /** WITH FILL + INTERPOLATE (reference `console/line.go:159-163`): dense
+    * calendar left-join, zero-filled values, missing dimensions = 'Other'.
+    */
+  private def gapfill(spark: SparkSession, perBucket: DataFrame, start: Timestamp,
+      end: Timestamp, intervalSec: Long, otherDims: Seq[String]): DataFrame = {
+    val startSec = start.getTime / 1000
+    val endSec = (end.getTime / 1000 - 1).max(startSec)
+    val calendar = spark.range(1).select(
+      explode(sequence(lit(startSec), lit(endSec), lit(intervalSec))).as("time_s"))
+    if (otherDims.isEmpty) {
+      calendar.join(perBucket, Seq("time_s"), "left")
+        .select(col("time_s"), coalesce(col("xps"), lit(0.0)).as("xps"))
+    } else {
+      // fill rows carry the 'Other' dimension tuple, matching INTERPOLATE
+      // (dimensions AS ['Other',...])
+      val existing = perBucket.select(col("time_s")).distinct()
+      val missing = calendar.join(existing, Seq("time_s"), "left_anti")
+        .select(col("time_s"),
+          array(otherDims.map(lit): _*).as("dimensions"),
+          lit(0.0).as("xps"))
+      perBucket.select("time_s", "dimensions", "xps").unionAll(missing)
+    }
+  }
+
+  /** Shift distance for the previous-period axis (reference `nearestPeriod`,
+    * `console/line.go:59-96`): hour/day/week/4-weeks/year by range length.
+    */
+  private def previousPeriodShiftSec(in: LineInput): Long = {
+    val rangeSec = (in.end.getTime - in.start.getTime) / 1000
+    if (rangeSec <= 3600) 3600L
+    else if (rangeSec <= 86400) 86400L
+    else if (rangeSec <= 7 * 86400) 7 * 86400L
+    else if (rangeSec <= 28 * 86400) 28 * 86400L
+    else 365 * 86400L
+  }
+}

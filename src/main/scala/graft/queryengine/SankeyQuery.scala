@@ -1,0 +1,92 @@
+package graft.queryengine
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.filter.FilterCompiler
+import graft.schema.Schema
+
+/** Sankey input (reference `console/sankey.go:127-179`): ≥1 dimension, no
+  * time axis, weight = units ÷ observed time span.
+  */
+final case class SankeyInput(
+    start: Timestamp,
+    end: Timestamp,
+    dimensions: Seq[String],
+    limit: Int = 10,
+    filter: String = "",
+    unit: String = "l3bps") {
+  require(dimensions.nonEmpty, "sankey requires at least one dimension")
+  require(limit >= 1 && limit <= 50, "limit must be in 1..50")
+}
+
+/** Sankey pipeline (reference `console/sankey.go:56-147`): per-dimension
+  * "Other" folding via membership in each column's top set, GROUP BY the
+  * folded dimension tuple, weight = SUM(unit) / (MAX(time)-MIN(time)).
+  */
+final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
+
+  def build(spark: SparkSession, in: SankeyInput): DataFrame = {
+    val compiled = if (in.filter.trim.isEmpty) None
+      else Some(FilterCompiler.compile(schema, in.filter)
+        .fold(e => throw e, identity))
+    val mainRequired = compiled.exists(_.mainTableRequired) ||
+      in.dimensions.exists(schema.isMainOnly)
+    // routing with points fixed at 20 (reference sankey.go:127-134)
+    val resolved = TableResolver.resolve(tables, in.start, in.end, 20, mainRequired)
+
+    val scan0 = resolved.table.df()
+      .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
+    val scan = compiled.map(_.predicate).fold(scan0)(scan0.where)
+    val unit = Unit.fromName(in.unit)
+
+    // top row tuples by weight (the `rows` CTE)
+    val ranked = scan.groupBy(in.dimensions.map(col): _*)
+      .agg(unit.agg.as("w"))
+      .orderBy(desc("w") +: in.dimensions.map(asc): _*)
+      .limit(in.limit)
+      .select(in.dimensions.map(c => col(c).cast("string").as(c)): _*)
+      .collect()
+    // per-column membership sets (reference uses IN (SELECT col FROM rows))
+    val perColumnTop: Seq[Set[String]] = in.dimensions.indices
+      .map(i => ranked.map(r => Option(r.getString(i)).getOrElse("")).toSet)
+
+    // observed span scalar CTE (reference sankey.go:110-118)
+    val spanRow = scan.agg(
+      (unix_timestamp(max(col("TimeReceived"))) -
+        unix_timestamp(min(col("TimeReceived")))).as("span")).collect()
+    val spanSec = if (spanRow.isEmpty || spanRow(0).isNullAt(0)) 1L
+      else math.max(1L, spanRow(0).getLong(0))
+
+    val folded = in.dimensions.zipWithIndex.foldLeft(scan) { case (d, (dim, i)) =>
+      val members = perColumnTop(i)
+      d.withColumn(dim,
+        if (members.isEmpty) lit("Other")
+        else when(col(dim).cast("string").isin(members.toSeq.map(lit): _*),
+          col(dim).cast("string")).otherwise(lit("Other")))
+    }
+    folded
+      .groupBy(in.dimensions.map(col): _*)
+      .agg((unit.agg / spanSec).as("weight"))
+      .withColumn("span_sec", lit(spanSec))
+      .orderBy(desc("weight") +: in.dimensions.map(asc): _*)
+  }
+
+  /** Driver-side node/link construction (reference `sankey.go:197-273`):
+    * consecutive dimension pairs become edges; duplicate edges sum.
+    */
+  def links(df: DataFrame, dimensions: Seq[String]): Seq[((String, String), Double)] = {
+    val rows = df.collect()
+    val acc = scala.collection.mutable.LinkedHashMap[(String, String), Double]()
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      dimensions.sliding(2).foreach {
+        case Seq(a, b) =>
+          val key = (s"$a: ${r.getAs[String](a)}", s"$b: ${r.getAs[String](b)}")
+          acc(key) = acc.getOrElse(key, 0.0) + w
+        case _ =>
+      }
+    }
+    acc.toSeq.sortBy(-_._2)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.store
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queryengine.FlowTable
+
+/** Deterministic mapping of the driver's `events` table onto the flow
+  * schema (TESTDATA.md: "events plays the decoded-flow stream"). All
+  * derivations are integer arithmetic so the DuckDB oracle can replicate
+  * them bit-for-bit.
+  */
+object EventFlows {
+
+  /** events → flow rows (the decoded-flow contract of SURVEY §2.8 I2). */
+  def flows(spark: SparkSession, dir: String): DataFrame = {
+    val ipUdf = udf((v: Long) => {
+      val b = new Array[Byte](16)
+      b(10) = -1; b(11) = -1
+      b(12) = 10
+      b(13) = ((v >> 16) & 0xff).toByte
+      b(14) = ((v >> 8) & 0xff).toByte
+      b(15) = (v & 0xff).toByte
+      b
+    })
+    Tables.load(spark, dir, "events")
+      .select(
+        col("ts").as("TimeReceived"),
+        lit(1000L).as("SamplingRate"),
+        ipUdf(col("user_id") % 8).as("ExporterAddress"),
+        concat(lit("exp"), (col("user_id") % 8).cast("string")).as("ExporterName"),
+        concat(lit("grp"), (col("user_id") % 3).cast("string")).as("ExporterGroup"),
+        lit("edge").as("ExporterRole"),
+        concat(lit("site"), (col("user_id") % 4).cast("string")).as("ExporterSite"),
+        lit("emea").as("ExporterRegion"),
+        lit("tenant0").as("ExporterTenant"),
+        ipUdf(col("user_id")).as("SrcAddr"),
+        ipUdf(col("event_id") % 1024).as("DstAddr"),
+        lit(24).as("SrcNetMask"),
+        lit(24).as("DstNetMask"),
+        (lit(64496L) + col("user_id") % 20).as("SrcAS"),
+        (lit(64496L) + col("event_id") % 32).as("DstAS"),
+        (lit(64496L) + col("event_id") % 32).as("Dst1stAS"),
+        (lit(64497L) + col("event_id") % 32).as("Dst2ndAS"),
+        (lit(64498L) + col("event_id") % 32).as("Dst3rdAS"),
+        array((lit(64496L) + col("event_id") % 32),
+          (lit(64497L) + col("event_id") % 32)).as("DstASPath"),
+        array(shiftleft(lit(64496L), 16) + col("event_id") % 4).as("DstCommunities"),
+        array().cast("array<decimal(38,0)>").as("DstLargeCommunities"),
+        concat(lit("net"), (col("user_id") % 5).cast("string")).as("SrcNetName"),
+        concat(lit("net"), (col("event_id") % 5).cast("string")).as("DstNetName"),
+        lit("cust").as("SrcNetRole"), lit("cust").as("DstNetRole"),
+        lit("s1").as("SrcNetSite"), lit("s1").as("DstNetSite"),
+        lit("r1").as("SrcNetRegion"), lit("r1").as("DstNetRegion"),
+        lit("t1").as("SrcNetTenant"), lit("t1").as("DstNetTenant"),
+        element_at(array(lit("US"), lit("FR"), lit("DE"), lit("JP")),
+          (col("user_id") % 4 + 1).cast("int")).as("SrcCountry"),
+        element_at(array(lit("US"), lit("FR"), lit("DE"), lit("JP")),
+          (col("event_id") % 4 + 1).cast("int")).as("DstCountry"),
+        concat(lit("eth"), (col("event_id") % 4).cast("string")).as("InIfName"),
+        concat(lit("eth"), (col("event_id") % 3).cast("string")).as("OutIfName"),
+        lit("uplink").as("InIfDescription"),
+        lit("downlink").as("OutIfDescription"),
+        lit(1000L).as("InIfSpeed"), lit(1000L).as("OutIfSpeed"),
+        lit("transit").as("InIfConnectivity"), lit("peering").as("OutIfConnectivity"),
+        concat(lit("p"), (col("user_id") % 3).cast("string")).as("InIfProvider"),
+        concat(lit("p"), (col("event_id") % 3).cast("string")).as("OutIfProvider"),
+        when(col("user_id") % 2 === 0, "external").otherwise("internal")
+          .as("InIfBoundary"),
+        when(col("event_id") % 2 === 0, "external").otherwise("internal")
+          .as("OutIfBoundary"),
+        when(col("event_id") % 10 < 8, 2048L).otherwise(34525L).as("EType"),
+        when(col("event_id") % 3 === 0, 6L).when(col("event_id") % 3 === 1, 17L)
+          .otherwise(1L).as("Proto"),
+        (lit(1024) + (col("event_id") % 5000).cast("int")).as("SrcPort"),
+        when(col("event_id") % 4 === 0, 443).when(col("event_id") % 4 === 1, 80)
+          .when(col("event_id") % 4 === 2, 53).otherwise(8080).cast("int")
+          .as("DstPort"),
+        (round(col("value") * 100).cast("long") + 40L).as("Bytes"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10 + 1).as("Packets"),
+        lit(64L).as("ForwardingStatus"),
+        when(col("user_id") % 2 === 0, "ingress").otherwise("egress")
+          .as("FlowDirection"))
+  }
+
+  /** The DuckDB CTE mirroring [[flows]] for oracle SQL (binary address
+    * columns omitted — oracle queries never project them).
+    */
+  val flowsSql: String =
+    """SELECT ts AS TimeReceived, 1000 AS SamplingRate,
+      |  'exp' || CAST(user_id % 8 AS VARCHAR) AS ExporterName,
+      |  'grp' || CAST(user_id % 3 AS VARCHAR) AS ExporterGroup,
+      |  'site' || CAST(user_id % 4 AS VARCHAR) AS ExporterSite,
+      |  64496 + user_id % 20 AS SrcAS, 64496 + event_id % 32 AS DstAS,
+      |  'net' || CAST(user_id % 5 AS VARCHAR) AS SrcNetName,
+      |  'net' || CAST(event_id % 5 AS VARCHAR) AS DstNetName,
+      |  ['US','FR','DE','JP'][CAST(user_id % 4 + 1 AS INT)] AS SrcCountry,
+      |  ['US','FR','DE','JP'][CAST(event_id % 4 + 1 AS INT)] AS DstCountry,
+      |  'eth' || CAST(event_id % 4 AS VARCHAR) AS InIfName,
+      |  'eth' || CAST(event_id % 3 AS VARCHAR) AS OutIfName,
+      |  1000 AS InIfSpeed, 1000 AS OutIfSpeed,
+      |  CASE WHEN user_id % 2 = 0 THEN 'external' ELSE 'internal' END AS InIfBoundary,
+      |  CASE WHEN event_id % 2 = 0 THEN 'external' ELSE 'internal' END AS OutIfBoundary,
+      |  CASE WHEN event_id % 10 < 8 THEN 2048 ELSE 34525 END AS EType,
+      |  CASE WHEN event_id % 3 = 0 THEN 6 WHEN event_id % 3 = 1 THEN 17 ELSE 1 END AS Proto,
+      |  1024 + event_id % 5000 AS SrcPort,
+      |  CASE WHEN event_id % 4 = 0 THEN 443 WHEN event_id % 4 = 1 THEN 80
+      |       WHEN event_id % 4 = 2 THEN 53 ELSE 8080 END AS DstPort,
+      |  CAST(round(value*100) AS BIGINT) + 40 AS Bytes,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 + 1 AS Packets,
+      |  64 AS ForwardingStatus,
+      |  CASE WHEN user_id % 2 = 0 THEN 'ingress' ELSE 'egress' END AS FlowDirection
+      |FROM events""".stripMargin
+
+  /** Registered flow tables: the main table plus 1m/5m/1h rollups built as
+    * SummingMergeTree-equivalent re-aggregations (SURVEY §1.4). The rollup
+    * DataFrames drop main-only columns and sum the measures over all
+    * remaining dimensions, so any query over them re-aggregates
+    * (merge-on-read semantics preserved).
+    */
+  def tables(spark: SparkSession, dir: String): Seq[FlowTable] = {
+    val main = flows(spark, dir)
+    val oldest = Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val mainOnly = graft.schema.FlowSchema.schema.columns
+      .filter(_.mainOnly).map(_.name).toSet
+    def rollup(sec: Long): DataFrame = {
+      val dims = main.columns.filterNot(mainOnly)
+        .filterNot(c => c == "TimeReceived" || c == "Bytes" || c == "Packets")
+      main.groupBy(
+        timestamp_seconds(floor(unix_timestamp(col("TimeReceived")) / sec) * sec)
+          .as("TimeReceived") +: dims.map(col).toIndexedSeq: _*)
+        .agg(sum("Bytes").as("Bytes"), sum("Packets").as("Packets"))
+    }
+    Seq(
+      FlowTable("flows", 0L, oldest, () => main),
+      FlowTable("flows_1m", 60L, oldest, () => rollup(60)),
+      FlowTable("flows_5m", 300L, oldest, () => rollup(300)),
+      FlowTable("flows_1h", 3600L, oldest, () => rollup(3600)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.filter
+
+import graft.SparkSpec
+import graft.schema.FlowSchema
+
+/** Filter-DSL corpus (FIXTURES.md §5, ported from the reference's
+  * `console/filter/parser_test.go` shapes): accept/reject, reverse
+  * direction, mainTableRequired.
+  */
+class FilterSpec extends SparkSpec {
+  private val schema = FlowSchema.schema
+
+  private def compile(s: String) =
+    FilterCompiler.compile(schema, s).fold(e => fail(s"parse failed: $e"), identity)
+
+  test("accepts the representative corpus") {
+    val corpus = Seq(
+      "InIfBoundary = external",
+      "Proto = 'TCP' AND SrcPort >= 1024",
+      "SrcAddr << 10.0.0.0/8 OR DstAddr !<< 2001:db8::/32",
+      "SrcAddr IN (192.0.2.1, 198.51.100.0/24)",
+      "DstASPath = AS65000 AND DstCommunities = 65000:100",
+      "DstCommunities = 65000:100:200",
+      "ExporterName LIKE 'edge%' AND InIfDescription IUNLIKE '%backup%'",
+      "SrcNetPrefix = 192.0.2.0/27",
+      "EType = IPv4 AND FlowDirection = ingress",
+      "NOT (SrcCountry = 'FR' OR DstCountry = 'FR')",
+      "SrcAS IN (AS64501, 64502)",
+      "ForwardingStatus >= 128 -- comment\n AND Proto = 6",
+      "Proto = 6 /* block */ AND SrcAS != AS65000")
+    corpus.foreach(c => compile(c))
+  }
+
+  test("rejects malformed input with expected sets") {
+    val bad = Seq(
+      "NoSuchColumn = 1",
+      "SrcAddr = ",
+      "Proto = 'NOTAPROTO'",
+      "InIfBoundary = outside",
+      "SrcPort LIKE 'x'", // LIKE not valid on uint
+      "SrcAddr << banana")
+    bad.foreach { c =>
+      assert(FilterCompiler.compile(schema, c).isLeft, s"should reject: $c")
+    }
+  }
+
+  test("mainTableRequired set for main-only columns") {
+    assert(compile("SrcAddr << 10.0.0.0/8").mainTableRequired)
+    assert(compile("SrcPort = 443").mainTableRequired)
+    assert(!compile("SrcAS = 64500 AND InIfBoundary = external").mainTableRequired)
+  }
+
+  test("reverse predicate swaps Src/Dst and In/Out") {
+    val cf = compile("SrcCountry = 'US' AND InIfBoundary = external")
+    assert(cf.predicate.toString.contains("SrcCountry"))
+    assert(cf.reversePredicate.toString.contains("DstCountry"))
+    assert(cf.reversePredicate.toString.contains("OutIfBoundary"))
+  }
+
+  test("predicates evaluate on real rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (graft.functions.Ip.parse("10.1.1.1"), 6L, 443, "external", "US"),
+      (graft.functions.Ip.parse("192.0.2.7"), 17L, 53, "internal", "FR"))
+      .toDF("SrcAddr", "Proto", "SrcPort", "InIfBoundary", "SrcCountry")
+    val cf = compile("SrcAddr << 10.0.0.0/8 AND Proto = 'TCP'")
+    assert(df.where(cf.predicate).count() == 1)
+    val in = compile("SrcAddr IN (192.0.2.7, 10.0.0.0/8)")
+    assert(df.where(in.predicate).count() == 2)
+    val boundary = compile("InIfBoundary = external")
+    assert(df.where(boundary.predicate).count() == 1)
+  }
+
+  test("community filters hit packed values") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq((65000L << 16) | 100L), Seq.empty[java.math.BigDecimal]),
+      (Seq((64999L << 16) | 1L), Seq.empty[java.math.BigDecimal]))
+      .toDF("DstCommunities", "DstLargeCommunities")
+    val cf = compile("DstCommunities = 65000:100")
+    assert(df.where(cf.predicate).count() == 1)
+  }
+
+  test("expected tokens power completion") {
+    val exp = FilterParser.expectedAt(schema, "SrcPort ")
+    assert(exp.exists(Set("=", "!=", ">=", "IN")))
+  }
+}

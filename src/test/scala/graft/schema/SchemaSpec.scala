@@ -1,0 +1,58 @@
+package graft.schema
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SchemaSpec extends SparkSpec {
+  private val s = FlowSchema.schema
+
+  test("Src columns expand to Dst, InIf to OutIf") {
+    assert(s.byName.contains("SrcAddr") && s.byName.contains("DstAddr"))
+    assert(s.byName.contains("InIfBoundary") && s.byName.contains("OutIfBoundary"))
+    assert(s.byName("DstAddr").mainOnly && s.byName("DstAddr").truncatableIP)
+  }
+
+  test("reverseName flips direction and is an involution") {
+    assert(s.reverseName("SrcAS") == "DstAS")
+    assert(s.reverseName("OutIfName") == "InIfName")
+    assert(s.reverseName("ExporterName") == "ExporterName")
+    s.columns.map(_.name).foreach { n =>
+      assert(s.reverseName(s.reverseName(n)) == n, s"not involutive for $n")
+    }
+  }
+
+  test("rollup schema drops main-only columns") {
+    val roll = s.rollupStructType.fieldNames.toSet
+    assert(!roll.contains("SrcAddr"))
+    assert(!roll.contains("SrcPort"))
+    assert(!roll.contains("DstASPath"))
+    assert(roll.contains("SrcAS"))
+    assert(roll.contains("InIfName"))
+  }
+
+  test("alias columns compute PacketSize and bucket") {
+    import spark.implicits._
+    val df = Seq((1200L, 2L), (100L, 2L)).toDF("Bytes", "Packets")
+    val out = s.withAliasColumns(df)
+      .select(col("PacketSize"), col("PacketSizeBucket"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((600L, "512-767"), (50L, "0-63")))
+  }
+
+  test("config can enable groups and move columns") {
+    val cfg = SchemaConfig(enabledGroups = Set("L3L4"),
+      notMainTableOnly = Set("SrcAddr"))
+    val s2 = s.withConfig(cfg)
+    assert(s2.enabled.exists(_.name == "TCPFlags"))
+    assert(!s2.byName("SrcAddr").mainOnly)
+    assert(!s2.enabled.exists(_.name == "SrcMAC")) // L2 still off
+  }
+
+  test("structType contains no alias columns") {
+    val st = s.structType
+    assert(!st.fieldNames.contains("PacketSize"))
+    assert(st("TimeReceived").dataType == TimestampType)
+    assert(st("SrcAddr").dataType == BinaryType)
+  }
+}
