@@ -1,0 +1,129 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - [[bruteForce]]: exact top-k by cosine — broadcast the (small) query
+  *    set against the corpus; one pass, no corpus shuffle. The baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket the corpus once by a
+  *    b-bit sign sketch, probe only matching buckets, exact re-rank inside.
+  *    The 100 TB path: the corpus sketch is computed in one projection and
+  *    the join volume is corpus/2^b per probe instead of the full corpus.
+  *
+  * All float math is widened to double before multiplying so results are
+  * reproducible across engines, and similarity is quantized to 1e-6 for
+  * deterministic cross-engine ordering (ties broken by id).
+  */
+object CosineSearch {
+
+  private def dots(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** cosine(a, b) over array<double> columns. */
+  def cosine(a: Column, b: Column): Column =
+    dots(a, b) / (sqrt(dots(a, a)) * sqrt(dots(b, b)))
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param queries (qid, embedding float array) — must be small enough to
+    *                broadcast (the per-query top-k is a shuffle on qid only)
+    * @param corpus  (id, embedding float array)
+    * @return (qid, rank, id, sim_e6)
+    */
+  def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      col(embCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("cv"))
+    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+
+  /** Deterministic seeded hyperplanes: `bits` rows of `dim` doubles. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign sketch of an embedding under the given hyperplanes. */
+  def signSketch(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit).toIndexedSeq: _*)
+      when(dots(emb, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (table_id, bucket) pairs for a row under L independent hash tables
+    * (classic multi-table sign-LSH: collision prob for similarity s is
+    * 1−(1−p^bits)^tables with p = 1−θ(s)/π).
+    */
+  private def tableBuckets(emb: Column, dim: Int, bits: Int, tables: Int,
+      seed: Long): Column =
+    array((0 until tables).map { l =>
+      struct(lit(l).as("tbl"),
+        signSketch(emb, hyperplanes(dim, bits, seed + l)).as("bucket"))
+    }: _*)
+
+  /** LSH-bucketed approximate top-k: L independent tables of `bits`-bit
+    * sign sketches; candidates = union of exact-bucket matches across
+    * tables; exact cosine re-rank inside. Join volume per query is
+    * ~ tables·n/2^bits instead of n — the 100 TB scan-avoidance path.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 4,
+      tables: Int = 8, seed: Long = 7L,
+      qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    def bucketed(df: DataFrame, id: String, out: String, vec: String) =
+      df.select(col(id).as(out), col(embCol).cast("array<double>").as(vec))
+        .withColumn("tb", explode(tableBuckets(col(vec), dim, bits, tables, seed)))
+        .select(col(out), col(vec), col("tb.tbl"), col("tb.bucket"))
+    val c = bucketed(corpus, idCol, "id", "cv")
+    val q = bucketed(queries, qidCol, "qid", "qv")
+    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a,b) with sim ≥ threshold
+    * that collide in ≥1 of the L hash tables, exact-verified. High
+    * thresholds make collision near-certain (p ≥ 1−θ/π → p^bits ≈ 1).
+    */
+  def nearDupPairs(corpus: DataFrame, thresholdE6: Long, bits: Int = 8,
+      tables: Int = 4, seed: Long = 7L, idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).first().getInt(0)
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("cv"))
+      .withColumn("tb", explode(tableBuckets(col("cv"), dim, bits, tables, seed)))
+      .select(col("id"), col("cv"), col("tb.tbl"), col("tb.bucket"))
+    val simE6 = round(cosine(col("a.cv"), col("b.cv")) * 1e6).cast("long")
+    c.as("a")
+      .join(c.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        simE6.as("sim_e6"))
+      .distinct()
+      .where(col("sim_e6") >= thresholdE6)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: tokenization,
+  * quality scoring, language identification, and content fingerprinting.
+  * All pure Column expressions (whole-stage codegen; no UDFs), designed to
+  * run as a single projection over a 100 TB documents table.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of a text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Crude BPE-ish subword estimate: whitespace tokens plus intra-word
+    * splits every 6 characters (long words cost extra tokens).
+    */
+  def tokenEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + lit(1L) + (length(t).cast("long") / 6).cast("long"))
+
+  private val stopEn = Seq("the", "and", "of")
+  private val stopDe = Seq("der", "und", "das")
+  private val stopFr = Seq("le", "et", "les")
+  private val stopEs = Seq("el", "los", "por")
+
+  private def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** n-gram/stopword language-ID heuristic: per-language stopword hit
+    * counts, argmax with a fixed priority order on ties.
+    */
+  def langGuess(text: Column): Column = {
+    val en = hitCount(text, stopEn)
+    val de = hitCount(text, stopDe)
+    val fr = hitCount(text, stopFr)
+    val es = hitCount(text, stopEs)
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Per-language stopword hits, exposed for scoring pipelines. */
+  def langScores(text: Column): Seq[(String, Column)] = Seq(
+    "en" -> hitCount(text, stopEn), "de" -> hitCount(text, stopDe),
+    "fr" -> hitCount(text, stopFr), "es" -> hitCount(text, stopEs))
+
+  /** Quality metrics in exact integer per-mille (cross-engine safe:
+    * integer floor division only, no raw ratios).
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val tc = size(tokens(text)).cast("long")
+    val chars = length(text).cast("long")
+    val punct = chars - length(regexp_replace(text, "[.,!?;:]", "")).cast("long")
+    val letters = length(regexp_replace(trim(text), " ", "")).cast("long")
+    val stopHits = hitCount(text, stopEn).cast("long")
+    Seq(
+      "token_count" -> tc,
+      "char_count" -> chars,
+      "punct_count" -> punct,
+      // average word length ×1000 (floor division; exact integers)
+      "avg_word_len_k" -> floor(letters * 1000 / tc).cast("long"),
+      "stopword_pm" -> floor(stopHits * 1000 / tc).cast("long"))
+  }
+
+  /** Bag-of-words document fingerprint: md5 of the sorted distinct token
+    * list. Deterministic, order-insensitive — near-dup docs that permute
+    * words collide (the cheap first pass before MinHash).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word 3-gram shingles (distinct), the unit set for Jaccard similarity.
+    * Documents shorter than 3 tokens yield an empty set.
+    */
+  def shingles(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Convenience: attach all analysis columns to a documents DataFrame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val withQuality = qualityColumns(t).foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    withQuality
+      .withColumn("lang_guess", langGuess(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.dedup.Dedup
+import graft.operators.multimodal.Multimodal
+import graft.operators.similarity.CosineSearch
+import graft.operators.text.TextAnalysis
+
+/** Training-data pipeline operators over the `documents` / `embeddings`
+  * tables: dedup (exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search (brute-force + LSH), text analysis, and
+  * the multimodal decode plumbing. Sketch-based operators have no SQL
+  * oracle (driver records rows-only) but are spec-verified against exact
+  * baselines.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))),
+
+    "q_text_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cols = TextAnalysis.qualityColumns(col("text"))
+      d.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "q_token_estimate" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenEstimate(col("text")).as("tokens_est"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langGuess(col("text")).as("lang_guess"))),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+
+    "q_sim_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      CosineSearch.bruteForce(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("id"), col("embedding")), k = 5)
+    }),
+
+    "q_sim_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      CosineSearch.lshTopK(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("id"), col("embedding")), k = 5)
+    }),
+
+    "q_sim_neardup" -> ((s, dir) =>
+      CosineSearch.nearDupPairs(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        thresholdE6 = 900000L)),
+
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(s, docs(s, dir))).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS dup_count,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+        |  CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_count,
+        |  CAST(length(replace(trim(text), ' ', '')) * 1000
+        |    // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS avg_word_len_k,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'and', 'of'))) * 1000
+        |    // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS stopword_pm
+        |FROM documents""".stripMargin,
+    "q_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'and', 'of'))) AS en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('der', 'und', 'das'))) AS de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('le', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('el', 'los', 'por'))) AS es
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_guess
+        |FROM s""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |sims AS (SELECT qid, id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT) AS sim_e6
+        |  FROM q, c WHERE qid != id)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+        |  SELECT qid, id, sim_e6,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum,
+        |  CAST(16 + ord(substr(text, 1, 1)) % 64 * 16 AS INT) AS width,
+        |  CAST(16 + ord(substr(text, 2, 1)) % 64 * 16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 240 + 1
+        |       ELSE 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.dedup.Dedup
+import graft.operators.multimodal.Multimodal
+import graft.operators.similarity.CosineSearch
+import graft.operators.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and quality metrics") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("token_count") == 4)
+    assert(out(1L).getAs[Long]("char_count") == 19)
+    assert(out(1L).getAs[Long]("avg_word_len_k") == 4000)
+    assert(out(2L).getAs[Long]("token_count") == 1)
+  }
+
+  test("langGuess picks stopword-matching language") {
+    val df = Seq(
+      (1L, "the cat and the dog of war"),
+      (2L, "der hund und das haus"),
+      (3L, "le chat et les chiens")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langGuess(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr")
+  }
+
+  test("fingerprint is word-order insensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("shingles are positional 3-grams") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), TextAnalysis.shingles(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = "spark shuffles data across the cluster when wide dependencies appear"
+    Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base + " sometimes"), // near dup of 1
+      (4L, "completely different content about databases and storage engines here"),
+      (5L, "unrelated short text")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+      .where(col("dup_count") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("dup_count") == 2)
+    assert(groups(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("ngram Jaccard finds exact and near dups") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recall matches exact jaccard on real documents") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccard(real, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(real, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision; banding 128/32 at t=0.5 gives
+    // near-total recall (P[miss] = (1-s⁴)³² ≤ 11% at s=0.5, <0.1% at s≥0.7)
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.size >= exact.size * 7 / 10)
+  }
+
+  test("simhash flags identical token multisets, not distinct docs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L && p._1 != 4L))
+  }
+}
+
+class CosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForce ranks an identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "embedding")
+    val top = CosineSearch.bruteForce(queries, corpus, k = 2).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(4L, 2L)) // self excluded
+    assert(top(0).getAs[Long]("sim_e6") == 1000000L)
+  }
+
+  test("lsh top-k achieves high recall vs brute force on real embeddings") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val c = e.select(col("vec_id").as("id"), col("embedding"))
+    val exact = CosineSearch.bruteForce(q, c, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = CosineSearch.lshTopK(q, c, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("nearDupPairs finds planted duplicate embeddings") {
+    val base = Array.tabulate(16)(i => math.sin(i).toFloat)
+    val corpus = Seq(
+      (1L, base), (2L, base.clone()),
+      (3L, Array.tabulate(16)(i => math.cos(i * 2).toFloat)))
+      .toDF("id", "embedding")
+    val pairs = CosineSearch.nearDupPairs(corpus, thresholdE6 = 990000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("stub decode is deterministic and batch-shaped") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.fromDocuments(spark, docs)
+    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(f => f.byte_len > 0 && f.checksum.length == 32))
+    assert(f1.filter(_.kind == "video").forall(_.n_frames >= 1))
+    assert(f1.filter(_.kind != "video").forall(_.n_frames == 1))
+  }
+
+  test("frame sampling yields stride-spaced frames") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Array.fill(64 * 12)(7.toByte), "src")).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+      .collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 4, 8))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
+  }
+}
