@@ -1,0 +1,144 @@
+package graft.store
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queryengine.FlowTable
+
+/** Physical table layout (SURVEY §1.4 mapped to parquet):
+  *
+  *  - `flows/` main table, partitioned by `p_date` (yyyy-MM-dd of
+  *    TimeReceived) — partition pruning replaces ClickHouse's PARTITION BY
+  *    time bucket, retention = partition drop;
+  *  - `flows_1m/ _5m/ _1h/` rollups: per-batch partial aggregates appended
+  *    (SummingMergeTree semantics: merge-on-read — every reader
+  *    re-aggregates, so late/duplicate buckets are silently correct);
+  *  - `exporters/`: append + ReplacingMergeTree-style dedupe on read
+  *    (latest TimeReceived per (ExporterAddress, IfName)).
+  *
+  * One [[writeBatch]] fans a micro-batch into all tables — the Spark
+  * analogue of the reference's Null-table + materialized views (I9).
+  */
+final class FlowStore(spark: SparkSession, root: String) {
+
+  private val resolutions = Seq("flows_1m" -> 60L, "flows_5m" -> 300L,
+    "flows_1h" -> 3600L)
+
+  private val mainOnly: Set[String] =
+    graft.schema.FlowSchema.schema.columns.filter(_.mainOnly).map(_.name).toSet
+
+  private def withDate(df: DataFrame): DataFrame =
+    df.withColumn("p_date", date_format(col("TimeReceived"), "yyyy-MM-dd"))
+
+  /** Rollup delta of one batch: truncate time, drop main-only columns,
+    * partial-aggregate the measures (map-side combine does most of the
+    * work; the shuffle is only the rolled-up dimensionality).
+    */
+  private def rollupDelta(batch: DataFrame, sec: Long): DataFrame = {
+    val dims = batch.columns
+      .filterNot(mainOnly)
+      .filterNot(Seq("TimeReceived", "Bytes", "Packets").contains)
+    batch.groupBy(
+      timestamp_seconds(floor(unix_timestamp(col("TimeReceived")) / sec) * sec)
+        .as("TimeReceived") +: dims.map(col).toIndexedSeq: _*)
+      .agg(sum("Bytes").as("Bytes"), sum("Packets").as("Packets"))
+  }
+
+  /** Exporters delta: ARRAY JOIN-style unpivot of the In/Out interface
+    * pairs (reference `migrations_helpers.go:277-322`, J7).
+    */
+  private def exportersDelta(batch: DataFrame): DataFrame =
+    batch.select(col("TimeReceived"), col("ExporterAddress"),
+      col("ExporterName"),
+      explode(array(
+        struct(col("InIfName").as("IfName"),
+          col("InIfDescription").as("IfDescription"),
+          col("InIfSpeed").as("IfSpeed"),
+          col("InIfConnectivity").as("IfConnectivity"),
+          col("InIfProvider").as("IfProvider"),
+          col("InIfBoundary").as("IfBoundary")),
+        struct(col("OutIfName").as("IfName"),
+          col("OutIfDescription").as("IfDescription"),
+          col("OutIfSpeed").as("IfSpeed"),
+          col("OutIfConnectivity").as("IfConnectivity"),
+          col("OutIfProvider").as("IfProvider"),
+          col("OutIfBoundary").as("IfBoundary")))).as("i"))
+      .select(col("TimeReceived"), col("ExporterAddress"), col("ExporterName"),
+        col("i.*"))
+
+  /** Fan one batch into main + rollups + exporters (the MV fan-out). */
+  def writeBatch(batch: DataFrame): Unit = {
+    val cached = batch.cache()
+    try {
+      withDate(cached).write.mode(SaveMode.Append)
+        .partitionBy("p_date").parquet(s"$root/flows")
+      resolutions.foreach { case (name, sec) =>
+        withDate(rollupDelta(cached, sec)).write.mode(SaveMode.Append)
+          .partitionBy("p_date").parquet(s"$root/$name")
+      }
+      withDate(exportersDelta(cached)).write.mode(SaveMode.Append)
+        .partitionBy("p_date").parquet(s"$root/exporters")
+    } finally cached.unpersist()
+  }
+
+  private def readTable(name: String): DataFrame =
+    spark.read.parquet(s"$root/$name").drop("p_date")
+
+  /** Exporters with ReplacingMergeTree read semantics: latest row per
+    * (ExporterAddress, IfName).
+    */
+  def exporters: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("ExporterAddress", "IfName")
+      .orderBy(desc("TimeReceived"))
+    readTable("exporters")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Registered tables for the query engine, `oldest` read from data. */
+  def tables(): Seq[FlowTable] = {
+    def oldestOf(name: String): Timestamp = {
+      val r = spark.read.parquet(s"$root/$name")
+        .agg(min("TimeReceived")).collect()(0)
+      if (r.isNullAt(0)) new Timestamp(0) else r.getTimestamp(0)
+    }
+    FlowTable("flows", 0L, oldestOf("flows"), () => readTable("flows")) +:
+      resolutions.map { case (name, sec) =>
+        FlowTable(name, sec, oldestOf(name), () => readTable(name))
+      }
+  }
+
+  /** Retention: drop partitions entirely older than `cutoff` (the parquet
+    * analogue of `TTL ... ttl_only_drop_parts`).
+    */
+  def retention(table: String, cutoff: java.time.LocalDate): Unit = {
+    val dir = new java.io.File(s"$root/$table")
+    if (!dir.isDirectory) return
+    dir.listFiles().filter(_.getName.startsWith("p_date=")).foreach { part =>
+      val date = java.time.LocalDate.parse(part.getName.stripPrefix("p_date="))
+      if (date.isBefore(cutoff)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(part)
+      }
+    }
+  }
+
+  /** Rollup compaction (SummingMergeTree's background merge): re-aggregate
+    * a rollup table's partitions in place to bound append growth. Readers
+    * re-aggregate anyway; this only reduces stored rows.
+    */
+  def compactRollup(name: String): Unit = {
+    val sec = resolutions.toMap.apply(name)
+    val current = readTable(name)
+    val compacted = rollupDelta(current, sec).cache()
+    compacted.count() // materialize before overwrite
+    withDate(compacted).write.mode(SaveMode.Overwrite)
+      .partitionBy("p_date").parquet(s"$root/$name")
+    compacted.unpersist()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Lpm
+
+/** The per-flow enrichment pipeline (SURVEY §2.8 I5–I7; reference
+  * `outlet/core/enricher.go:25-189`): metadata lookup joins, networks LPM
+  * attributes, classifier rules, validation drops.
+  *
+  * Every lookup is a broadcast (stream-static) join or a closure-carried
+  * LPM table — the flow stream itself never shuffles during enrichment.
+  */
+object Enrichment {
+
+  /** Interface metadata dimension: one row per (ExporterAddress, IfIndex)
+    * (reference `outlet/metadata`, J3). Expected columns:
+    * exporter_addr binary, if_index int, exporter_name, if_name, if_desc,
+    * if_speed, if_connectivity, if_provider, if_boundary.
+    */
+  final case class MetadataDim(df: DataFrame)
+
+  /** Classifier rule (reference expr-lang classifiers, I6): when
+    * `condition` holds, assign `outputs` (column → value expression);
+    * first matching rule wins per output. `reject` drops the flow.
+    */
+  final case class Rule(
+      condition: Column,
+      outputs: Map[String, Column] = Map.empty,
+      reject: Boolean = false)
+
+  /** Joins interface metadata for both directions. Flows with no metadata
+    * for the In interface are dropped and counted (reference drops and
+    * bumps a metric, `enricher.go:82-105`).
+    */
+  def withMetadata(flows: DataFrame, metadata: MetadataDim): DataFrame = {
+    def side(df: DataFrame, prefix: String, idxCol: String): DataFrame = {
+      val m = metadata.df.select(
+        col("exporter_addr"), col("if_index"),
+        col("exporter_name").as("m_exporter_name"),
+        col("if_name").as(s"${prefix}Name"),
+        col("if_desc").as(s"${prefix}Description"),
+        col("if_speed").as(s"${prefix}Speed"),
+        col("if_connectivity").as(s"${prefix}Connectivity"),
+        col("if_provider").as(s"${prefix}Provider"),
+        col("if_boundary").as(s"${prefix}Boundary"))
+      val joined = df.join(broadcast(m),
+        df("ExporterAddress") === m("exporter_addr") &&
+          df(idxCol) === m("if_index"),
+        "left")
+        .drop("exporter_addr", "if_index")
+      // ExporterName comes from whichever side matched first
+      (if (joined.columns.contains("ExporterName"))
+        joined.withColumn("ExporterName",
+          coalesce(col("ExporterName"), col("m_exporter_name")))
+      else joined.withColumn("ExporterName", col("m_exporter_name")))
+        .drop("m_exporter_name")
+    }
+    val enriched = side(side(flows, "InIf", "InIfIndex"), "OutIf", "OutIfIndex")
+    enriched.where(col("InIfName").isNotNull || col("OutIfName").isNotNull)
+  }
+
+  /** Networks LPM attributes for Src and Dst addresses (J5): attaches
+    * `<Src|Dst><attr>` for every attribute name in `attrs`, preferring an
+    * existing non-null value (provider precedence = coalesce chain, I5).
+    */
+  def withNetworks(flows: DataFrame, table: Lpm.Table,
+      attrs: Map[String, String]): DataFrame = {
+    Seq("Src", "Dst").foldLeft(flows) { (df, dir) =>
+      attrs.foldLeft(df) { case (d, (attrName, colSuffix)) =>
+        val target = s"$dir$colSuffix"
+        val looked = Lpm.lookupAttr(table, attrName)(col(s"${dir}Addr"))
+        if (d.columns.contains(target))
+          d.withColumn(target, coalesce(col(target), looked))
+        else d.withColumn(target, looked)
+      }
+    }
+  }
+
+  /** Applies classifier rules: rejects first, then first-match-wins
+    * assignments per output column.
+    */
+  def withClassifiers(flows: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rejectPred = rules.filter(_.reject).map(_.condition)
+      .reduceOption(_ || _)
+    val kept = rejectPred.fold(flows)(p => flows.where(!coalesce(p, lit(false))))
+    val outputs = rules.filterNot(_.reject).flatMap(_.outputs.keys).distinct
+    outputs.foldLeft(kept) { (df, out) =>
+      val cases = rules.filterNot(_.reject).flatMap(r =>
+        r.outputs.get(out).map(v => (r.condition, v)))
+      val chain = cases.foldLeft[Column](
+        if (df.columns.contains(out)) col(out) else lit(null)) {
+        case (acc, (cond, value)) => when(cond && acc.isNull, value).otherwise(acc)
+      }
+      df.withColumn(out, chain)
+    }
+  }
+
+  /** Validation (I7): drop flows with no sampling rate or zero packets;
+    * attach named observers so drop causes are countable from the driver
+    * (the Spark analogue of the reference's per-cause metrics).
+    */
+  def validated(flows: DataFrame): DataFrame = {
+    flows
+      .observe("enrichment",
+        count(lit(1)).as("rows"),
+        count(when(col("SamplingRate").isNull || col("SamplingRate") <= 0, 1))
+          .as("dropped_sampling"),
+        count(when(col("Packets").isNull || col("Packets") <= 0, 1))
+          .as("dropped_empty"))
+      .where(col("SamplingRate").isNotNull && col("SamplingRate") > 0 &&
+        col("Packets").isNotNull && col("Packets") > 0)
+  }
+}

@@ -1,0 +1,218 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Instant
+import graft.SparkSpec
+import graft.functions.{Ip, Lpm}
+import graft.store.FlowStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class LpmSpec extends SparkSpec {
+
+  private val table = Lpm.Table.build(Seq(
+    Lpm.PrefixEntry("0.0.0.0/0", Map("tenant" -> "default")),
+    Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "corp", "role" -> "internal")),
+    Lpm.PrefixEntry("10.1.0.0/16", Map("name" -> "corp-eu")),
+    Lpm.PrefixEntry("10.1.2.0/24", Map("site" -> "paris")),
+    Lpm.PrefixEntry("2001:db8::/32", Map("name" -> "v6net"))))
+
+  test("most specific prefix wins with inherited attributes") {
+    val got = table.lookup(Ip.parse("10.1.2.3")).get
+    assert(got("site") == "paris")
+    assert(got("name") == "corp-eu") // inherited from /16, not /8
+    assert(got("role") == "internal") // inherited from /8
+    assert(got("tenant") == "default") // inherited from /0
+  }
+
+  test("sibling prefixes do not leak") {
+    val got = table.lookup(Ip.parse("10.2.0.1")).get
+    assert(got("name") == "corp")
+    assert(!got.contains("site"))
+  }
+
+  test("v6 and default match") {
+    assert(table.lookup(Ip.parse("2001:db8::1")).get("name") == "v6net")
+    assert(table.lookup(Ip.parse("192.0.2.1")).get == Map("tenant" -> "default"))
+  }
+
+  test("lookupAttr column works in a plan") {
+    import spark.implicits._
+    val df = Seq(Ip.parse("10.1.2.3"), Ip.parse("192.0.2.1")).toDF("SrcAddr")
+    val out = df.select(Lpm.lookupAttr(table, "name")(col("SrcAddr")))
+      .as[Option[String]].collect().toSet
+    assert(out == Set(Some("corp-eu"), None))
+  }
+}
+
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metadata = Enrichment.MetadataDim(Seq(
+    (Ip.parse("10.0.0.1"), 1, "edge1", "eth0", "uplink", 1000L, "transit", "p1", "external"),
+    (Ip.parse("10.0.0.1"), 2, "edge1", "eth1", "downlink", 1000L, "customer", "p2", "internal"))
+    .toDF("exporter_addr", "if_index", "exporter_name", "if_name", "if_desc",
+      "if_speed", "if_connectivity", "if_provider", "if_boundary"))
+
+  private def flows = Seq(
+    (Ip.parse("10.0.0.1"), 1, 2, Ip.parse("10.1.2.3"), Ip.parse("192.0.2.9"), 100L, 2L, 1000L),
+    (Ip.parse("10.0.0.1"), 9, 9, Ip.parse("10.9.9.9"), Ip.parse("192.0.2.1"), 50L, 1L, 1000L))
+    .toDF("ExporterAddress", "InIfIndex", "OutIfIndex", "SrcAddr", "DstAddr",
+      "Bytes", "Packets", "SamplingRate")
+
+  test("metadata join attaches interface attrs and drops full misses") {
+    val out = Enrichment.withMetadata(flows, metadata)
+    val rows = out.collect()
+    assert(rows.length == 1) // second flow has no metadata on either side
+    val r = rows(0)
+    assert(r.getAs[String]("InIfName") == "eth0")
+    assert(r.getAs[String]("OutIfName") == "eth1")
+    assert(r.getAs[String]("ExporterName") == "edge1")
+    assert(r.getAs[String]("OutIfBoundary") == "internal")
+  }
+
+  test("networks LPM fills Src/Dst attributes with precedence") {
+    val table = Lpm.Table.build(Seq(
+      Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "corp"))))
+    val out = Enrichment.withNetworks(flows, table,
+      Map("name" -> "NetName"))
+    val byBytes = out.collect().map(r =>
+      r.getAs[Long]("Bytes") -> r).toMap
+    assert(byBytes(100L).getAs[String]("SrcNetName") == "corp")
+    assert(byBytes(100L).getAs[String]("DstNetName") == null)
+    assert(byBytes(50L).getAs[String]("SrcNetName") == "corp")
+  }
+
+  test("classifier rules: reject and first-match-wins") {
+    val rules = Seq(
+      Enrichment.Rule(col("Bytes") < 60, reject = true),
+      Enrichment.Rule(col("Packets") >= 2,
+        outputs = Map("ExporterRole" -> lit("core"))),
+      Enrichment.Rule(lit(true),
+        outputs = Map("ExporterRole" -> lit("edge"))))
+    val out = Enrichment.withClassifiers(flows, rules).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("ExporterRole") == "core")
+  }
+
+  test("validation drops zero sampling/packets and counts causes") {
+    val bad = Seq(
+      (Ip.parse("10.0.0.1"), 100L, 2L, 1000L),
+      (Ip.parse("10.0.0.1"), 100L, 0L, 1000L),
+      (Ip.parse("10.0.0.1"), 100L, 2L, 0L))
+      .toDF("ExporterAddress", "Bytes", "Packets", "SamplingRate")
+    assert(Enrichment.validated(bad).count() == 1)
+  }
+}
+
+class FlowStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.from(Instant.parse(s))
+
+  private def mkFlows(day: String, n: Int) = {
+    (0 until n).map { i =>
+      (Timestamp.from(Instant.parse(s"${day}T00:00:00Z").plusSeconds(i * 40L)),
+        s"exp${i % 2}", "eth0", "eth1", "uplink", "downlink", 1000L, 1000L,
+        "transit", "peering", "p1", "p2", "external", "internal",
+        100L + i, 2L, 1000L)
+    }.toDF("TimeReceived", "ExporterName", "InIfName", "OutIfName",
+      "InIfDescription", "OutIfDescription", "InIfSpeed", "OutIfSpeed",
+      "InIfConnectivity", "OutIfConnectivity", "InIfProvider", "OutIfProvider",
+      "InIfBoundary", "OutIfBoundary", "Bytes", "Packets", "SamplingRate")
+      .withColumn("ExporterAddress",
+        lit(graft.functions.Ip.parse("10.0.0.1")))
+  }
+
+  test("writeBatch fans out, rollups re-aggregate, retention drops") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-03-01", 90))
+    store.writeBatch(mkFlows("2024-03-02", 30))
+
+    val tables = store.tables()
+    assert(tables.map(_.name).toSet ==
+      Set("flows", "flows_1m", "flows_5m", "flows_1h"))
+    val main = tables.find(_.name == "flows").get.df()
+    assert(main.count() == 120)
+
+    // rollup re-aggregation equals main-table aggregation
+    val roll = tables.find(_.name == "flows_1h").get.df()
+    val fromRoll = roll.agg(sum("Bytes")).collect()(0).getLong(0)
+    val fromMain = main.agg(sum("Bytes")).collect()(0).getLong(0)
+    assert(fromRoll == fromMain)
+    // 120 flows collapse to a handful of (hour, exporter) buckets
+    assert(roll.count() <= 8)
+
+    // exporters: replacing semantics — one row per (addr, ifname)
+    val exp = store.exporters
+    assert(exp.count() == 2) // eth0 + eth1 for the single exporter address
+
+    // second batch appended to a second partition; retention drops day 1
+    store.retention("flows", java.time.LocalDate.parse("2024-03-02"))
+    val after = spark.read.parquet(s"$root/flows")
+    assert(after.count() == 30)
+  }
+
+  test("compaction preserves rollup totals") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-03-01", 50))
+    store.writeBatch(mkFlows("2024-03-01", 50))
+    val before = spark.read.parquet(s"$root/flows_1h")
+    val beforeRows = before.count()
+    val beforeSum = before.agg(sum("Bytes")).collect()(0).getLong(0)
+    store.compactRollup("flows_1h")
+    val after = spark.read.parquet(s"$root/flows_1h")
+    assert(after.count() < beforeRows)
+    assert(after.agg(sum("Bytes")).collect()(0).getLong(0) == beforeSum)
+  }
+
+  test("streaming ingest fans batches through foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stream").toString
+    val mem = MemoryStream[(Timestamp, Long, Long, Long)]
+    val stream = mem.toDF()
+      .toDF("TimeReceived", "Bytes", "Packets", "SamplingRate")
+      .withColumn("ExporterAddress", lit(graft.functions.Ip.parse("10.0.0.1")))
+      .withColumn("ExporterName", lit("edge1"))
+      .withColumn("InIfName", lit("eth0"))
+      .withColumn("OutIfName", lit("eth1"))
+      .withColumn("InIfDescription", lit("u")).withColumn("OutIfDescription", lit("d"))
+      .withColumn("InIfSpeed", lit(1000L)).withColumn("OutIfSpeed", lit(1000L))
+      .withColumn("InIfConnectivity", lit("t")).withColumn("OutIfConnectivity", lit("p"))
+      .withColumn("InIfProvider", lit("p1")).withColumn("OutIfProvider", lit("p2"))
+      .withColumn("InIfBoundary", lit("external"))
+      .withColumn("OutIfBoundary", lit("internal"))
+    val store = new FlowStore(spark, root)
+    val q = FlowIngest.start(stream, store,
+      checkpoint = s"$root/_checkpoint", trigger = Trigger.AvailableNow())
+    mem.addData((ts("2024-03-01T00:00:10Z"), 100L, 2L, 1000L),
+      (ts("2024-03-01T00:00:50Z"), 200L, 3L, 1000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$root/flows").count() == 2)
+    assert(spark.read.parquet(s"$root/flows_1m").count() >= 1)
+  }
+
+  test("windowed rollup aggregates with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Long, Long)]
+    val stream = mem.toDF()
+      .toDF("TimeReceived", "ExporterName", "Bytes", "Packets")
+    val agg = FlowIngest.windowedRollup(stream, 60L, "1 minute")
+    val q = agg.writeStream.format("memory").queryName("roll1m")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-03-01T00:00:10Z"), "e1", 100L, 1L),
+      (ts("2024-03-01T00:00:40Z"), "e1", 50L, 1L),
+      (ts("2024-03-01T00:05:00Z"), "e1", 7L, 1L)) // advances watermark
+    q.processAllAvailable()
+    val rows = spark.table("roll1m").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[Long]("Bytes") == 150L))
+  }
+}
