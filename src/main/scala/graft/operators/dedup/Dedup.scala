@@ -71,53 +71,71 @@ object Dedup {
     Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
 
-  def minhashSignature(shingleSet: Column, k: Int = 128, seed: Long = 42L): Column = {
+  /** Per-permutation minima over a pre-materialized hash-array column.
+    * IMPORTANT: `hashesCol` must be a bound column (not an inline
+    * expression) — each of the k min-expressions references it, and an
+    * inline tree would be duplicated k× (codegen blowup, interpreted
+    * fallback).
+    */
+  private def minhashFromHashes(hashesCol: Column, k: Int, seed: Long): Column = {
     val params = hashParams(k, seed)
-    val hashes = transform(shingleSet, s => pmod(xxhash64(s), lit(P)))
     array(params.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+      array_min(transform(hashesCol, h => pmod(h * a + b, lit(P))))
     }: _*)
   }
+
+  def minhashSignature(shingleSet: Column, k: Int = 128, seed: Long = 42L): Column =
+    minhashFromHashes(transform(shingleSet, s => pmod(xxhash64(s), lit(P))), k, seed)
 
   /** MinHash+LSH near-dup pairs: band the k-wide signature into
     * `bands` groups, bucket-join on (band, band-hash), then verify
     * candidates with exact Jaccard. Only same-bucket docs ever meet —
     * the join volume is bounded by bucket sizes, independent of n².
+    * The pipeline is staged into separate projections so shingles and
+    * hashes are computed exactly once per document.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 128, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     val rows = k / bands
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(TextAnalysis.shingles(col("text")), k, seed))
-      .where(size(TextAnalysis.shingles(col("text"))) > 0)
-    val banded = withSig.select(col("id"), col("text"),
+    val shingled = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val hashed = shingled
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => pmod(xxhash64(s), lit(P))).as("hashes"))
+    val withSig = hashed
+      .select(col("id"), col("sh"),
+        minhashFromHashes(col("hashes"), k, seed).as("sig"))
+    val banded = withSig.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(concat_ws("_",
           slice(col("sig"), b * rows + 1, lit(rows)))).as("bh")))).as("bb"))
-      .select(col("id"), col("text"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.text").as("text_a"),
-        col("b.id").as("id_b"), col("b.text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
+        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
       .distinct()
-    // verify: exact Jaccard on the candidate pair's shingle sets
-    val sa = TextAnalysis.shingles(col("text_a"))
-    val sb = TextAnalysis.shingles(col("text_b"))
-    val common = size(array_intersect(sa, sb))
-    val jac = common * lit(1.0) / (size(sa) + size(sb) - common)
-    cand.where(jac >= threshold)
-      .select(col("id_a"), col("id_b"),
-        round(jac * 1000).cast("long").as("jaccard_pm"))
+    // verify: exact Jaccard on the carried shingle sets
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = common * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - common)
+    cand
+      .select(col("id_a"), col("id_b"), common.as("common"),
+        round(jac * 1000).cast("long").as("jaccard_pm"),
+        (jac >= threshold).as("keep"))
+      .where(col("keep"))
+      .select("id_a", "id_b", "jaccard_pm")
   }
 
-  /** 64-bit SimHash over token xxhash64 values: per-bit majority vote. */
-  def simhash(tokenSet: Column): Column = {
-    val hashes = transform(tokenSet, t => xxhash64(t))
+  /** 64-bit SimHash from a pre-materialized hash-array column (see
+    * [[minhashFromHashes]] for why the input must be a bound column).
+    */
+  def simhashFromHashes(hashesCol: Column): Column = {
     val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(hashesCol, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
@@ -125,14 +143,23 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
+  /** 64-bit SimHash over a token/shingle set column. */
+  def simhash(tokenSet: Column): Column =
+    simhashFromHashes(transform(tokenSet, t => xxhash64(t)))
+
   /** SimHash near-dup pairs with banded Hamming blocking: 4×16-bit chunks;
     * pairs agreeing on ≥1 chunk are candidates (catches all pairs with
-    * Hamming distance ≤ 3), verified by exact bit_count.
+    * Hamming distance ≤ 3), verified by exact bit_count. Uses 3-gram
+    * shingles (token sets from a small vocabulary make every document
+    * collide, degenerating the blocking join to n²).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"),
-      simhash(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val withSim = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol)),
+          t => xxhash64(t)).as("hashes"))
+      .select(col("id"), simhashFromHashes(col("hashes")).as("sh"))
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
