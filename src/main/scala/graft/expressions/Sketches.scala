@@ -1,0 +1,221 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass sketch expressions for the dedup operators.
+  *
+  * The composed-`functions._` forms of these sketches are O(k) passes over
+  * the input array (`array_min(transform(...))` × k permutations for
+  * MinHash, one `aggregate(...)` per bit for SimHash), each materializing
+  * an intermediate array — ~128 allocations per row and an expression tree
+  * big enough to fall out of whole-stage codegen. These native expressions
+  * compute the whole signature in a single loop with zero intermediate
+  * allocation, with `doGenCode` so they stay inside codegen.
+  */
+
+/** MinHash signature: for permutation i, min over the input hashes h of
+  * (a(i)·h + b(i)) mod p with p = 2³¹−1 (same math as the reference's
+  * k-permutation MinHash; all products < 2⁶² so no Long overflow).
+  *
+  * Input: `array<long>` of element hashes already reduced mod p.
+  * Output: `array<long>` of length k (nulls never; empty input yields an
+  * empty array — callers filter empty shingle sets first).
+  */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty)
+
+  private val p = (1L << 31) - 1
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * a(j) + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int n = $c.numElements();
+         |int k = $aRef.length;
+         |long[] mins = new long[k];
+         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
+         |for (int i = 0; i < n; i++) {
+         |  long h = $c.getLong(i);
+         |  for (int j = 0; j < k; j++) {
+         |    long v = (h * $aRef[j] + $bRef[j]) % ${p}L;
+         |    if (v < mins[j]) mins[j] = v;
+         |  }
+         |}
+         |${ev.value} = n == 0
+         |  ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0])
+         |  : new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of an `array<long>` of element hashes: bit j of the
+  * result is set iff Σ over hashes of (bit j set ? +1 : −1) is positive.
+  * Single pass, 64 int counters, no intermediate arrays.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) res |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int n = $c.numElements();
+         |int[] counts = new int[64];
+         |for (int i = 0; i < n; i++) {
+         |  long h = $c.getLong(i);
+         |  for (int j = 0; j < 64; j++) {
+         |    if (((h >>> j) & 1L) == 1L) counts[j]++; else counts[j]--;
+         |  }
+         |}
+         |long res = 0L;
+         |for (int j = 0; j < 64; j++) {
+         |  if (counts[j] > 0) res |= 1L << j;
+         |}
+         |${ev.value} = res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a token array, one pass.
+  *
+  * The composed form (`transform(sequence(...), i => concat_ws(" ",
+  * element_at(toks, i), ...))`) re-evaluates the token-array *expression*
+  * inside the lambda — n `element_at`s per shingle each re-running the
+  * upstream regex split, ~3·|tokens| regex splits per row. Here the child
+  * is evaluated exactly once and shingles assemble in a single loop,
+  * first-occurrence order, duplicates dropped.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(input: ArrayData): ArrayData = {
+    val m = input.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = input.getUTF8String(i)
+      i += 1
+    }
+    i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one virtual call per row into [[compute]] — the child (typically a
+    // regex split) is still evaluated exactly once by the surrounding
+    // whole-stage-codegen'd projection
+    val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object Sketches {
+  import GraftBridge.{column, expression}
+
+  /** Column API for [[WordShingles]]. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    column(WordShingles(expression(tokens), n))
+
+  /** Column API for [[MinHashSig]]. */
+  def minhashSig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
+    column(MinHashSig(expression(hashes), a, b))
+
+  /** Column API for [[SimHash64]]. */
+  def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
+}

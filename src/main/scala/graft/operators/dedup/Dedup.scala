@@ -2,16 +2,23 @@ package graft.operators.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expressions.Sketches
 import graft.operators.text.TextAnalysis
 
 /** Deduplication operators for corpus pipelines, scale-first:
   *
   *  - exact: hash-groupBy (one shuffle on a 16-byte key, not the payload);
   *  - n-gram Jaccard: shingle inverted index → pair counting (shuffles
-  *    scale with shingle collisions, not n²);
+  *    scale with shingle collisions, not n²); shingles are hashed to 64-bit
+  *    longs before the join so the shuffle carries 8-byte keys, not strings;
   *  - MinHash+LSH: constant-size signatures, banded bucketing, candidate
   *    verification — the 100 TB path where full pair joins are impossible;
   *  - SimHash: 64-bit sketch with banded Hamming blocking.
+  *
+  * The MinHash/SimHash signatures are native one-pass Catalyst expressions
+  * ([[graft.expressions.MinHashSig]], [[graft.expressions.SimHash64]]) —
+  * the composed `array_min(transform(...))`-per-permutation form is O(k)
+  * passes and O(k) array allocations per row.
   */
 object Dedup {
 
@@ -23,20 +30,22 @@ object Dedup {
       .groupBy("content_hash")
       .agg(count(lit(1)).as("dup_count"), min("id").as("keeper"))
 
-  /** (id, shingle) inverted index, distinct per doc. */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol))).as("s"))
-
   /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle.
     * Returns (id_a, id_b, common, jaccard_pm) for pairs ≥ threshold.
-    * Pair generation is an equi-join on the shingle — cost is Σ c_s² over
-    * shingle frequencies, not n² (salt/stop-shingle cap via `maxShingleDf`).
+    * Pair generation is an equi-join on the hashed shingle — cost is Σ c_s²
+    * over shingle frequencies, not n² (stop-shingle cap via `maxShingleDf`).
+    * Shingle sets are distinct per doc, so |set| = size of the shingle
+    * array — set sizes come from a cheap projection, not the exploded index.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol)
-    // document-frequency cap: drop degenerate stop-shingles (scale guard)
+    val shingled = df
+      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+    // inverted index on 8-byte shingle hashes (64-bit collisions are
+    // negligible and the shuffle no longer carries shingle strings)
+    val idx = shingled.select(col("id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
@@ -44,7 +53,11 @@ object Dedup {
         idx.join(broadcast(hot), Seq("s"), "left_anti")
       case None => idx
     }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    // with a df-cap the denominator must count surviving shingles only
+    val sizes = maxShingleDf match {
+      case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n"))
+      case None => shingled.select(col("id"), size(col("sh")).cast("long").as("n"))
+    }
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -60,92 +73,79 @@ object Dedup {
         round(jac * 1000).cast("long").as("jaccard_pm"))
   }
 
-  /** MinHash signature: k hash functions h_i(x) = (a_i·x + b_i) mod p over
-    * xxhash64 token/shingle hashes. Seeded — deterministic across runs.
+  /** MinHash hash-family parameters h_i(x) = (a_i·x + b_i) mod p over
+    * xxhash64 shingle hashes. Seeded — deterministic across runs.
     * p = 2³¹−1 keeps every product below 2⁶² (no ANSI long overflow).
     */
   private val P = (1L << 31) - 1
 
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private def hashParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    val pairs = Seq.fill(k)(
+      (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
 
-  /** Per-permutation minima over a pre-materialized hash-array column.
-    * IMPORTANT: `hashesCol` must be a bound column (not an inline
-    * expression) — each of the k min-expressions references it, and an
-    * inline tree would be duplicated k× (codegen blowup, interpreted
-    * fallback).
+  /** k-wide MinHash signature of a shingle-set column (one-pass native
+    * expression over the mod-p element hashes).
     */
-  private def minhashFromHashes(hashesCol: Column, k: Int, seed: Long): Column = {
-    val params = hashParams(k, seed)
-    array(params.map { case (a, b) =>
-      array_min(transform(hashesCol, h => pmod(h * a + b, lit(P))))
-    }: _*)
+  def minhashSignature(shingleSet: Column, k: Int = 128, seed: Long = 42L): Column = {
+    val (a, b) = hashParams(k, seed)
+    Sketches.minhashSig(transform(shingleSet, s => pmod(xxhash64(s), lit(P))), a, b)
   }
-
-  def minhashSignature(shingleSet: Column, k: Int = 128, seed: Long = 42L): Column =
-    minhashFromHashes(transform(shingleSet, s => pmod(xxhash64(s), lit(P))), k, seed)
 
   /** MinHash+LSH near-dup pairs: band the k-wide signature into
     * `bands` groups, bucket-join on (band, band-hash), then verify
     * candidates with exact Jaccard. Only same-bucket docs ever meet —
     * the join volume is bounded by bucket sizes, independent of n².
-    * The pipeline is staged into separate projections so shingles and
-    * hashes are computed exactly once per document.
+    *
+    * Scale shape: the banding join carries only (id, band, band-hash) —
+    * 24 bytes/row — never the shingle sets; candidate pairs are reduced
+    * to distinct (id_a, id_b) *before* the shingle sets are joined back
+    * for verification, so payload rows move once per matched pair, not
+    * once per colliding band.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 128, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
     val rows = k / bands
+    val (pa, pb) = hashParams(k, seed)
     val shingled = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-    val hashed = shingled
-      .select(col("id"), col("sh"),
-        transform(col("sh"), s => pmod(xxhash64(s), lit(P))).as("hashes"))
-    val withSig = hashed
-      .select(col("id"), col("sh"),
-        minhashFromHashes(col("hashes"), k, seed).as("sig"))
-    val banded = withSig.select(col("id"), col("sh"),
+    val sig = shingled.select(col("id"),
+      Sketches.minhashSig(
+        transform(col("sh"), s => pmod(xxhash64(s), lit(P))), pa, pb).as("sig"))
+    val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(concat_ws("_",
           slice(col("sig"), b * rows + 1, lit(rows)))).as("bh")))).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
-        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify: exact Jaccard on the carried shingle sets
+    // verify: exact Jaccard on the shingle sets, joined back by id
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = common * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - common)
     cand
-      .select(col("id_a"), col("id_b"), common.as("common"),
+      .join(shingled.select(col("id"), col("sh").as("sh_a")), col("id_a") === col("id"))
+      .drop("id")
+      .join(shingled.select(col("id"), col("sh").as("sh_b")), col("id_b") === col("id"))
+      .select(col("id_a"), col("id_b"),
         round(jac * 1000).cast("long").as("jaccard_pm"),
         (jac >= threshold).as("keep"))
       .where(col("keep"))
       .select("id_a", "id_b", "jaccard_pm")
   }
 
-  /** 64-bit SimHash from a pre-materialized hash-array column (see
-    * [[minhashFromHashes]] for why the input must be a bound column).
+  /** 64-bit SimHash over a token/shingle set column (one-pass native
+    * expression).
     */
-  def simhashFromHashes(hashesCol: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashesCol, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** 64-bit SimHash over a token/shingle set column. */
   def simhash(tokenSet: Column): Column =
-    simhashFromHashes(transform(tokenSet, t => xxhash64(t)))
+    Sketches.simhash64(transform(tokenSet, t => xxhash64(t)))
 
   /** SimHash near-dup pairs with banded Hamming blocking: 4×16-bit chunks;
     * pairs agreeing on ≥1 chunk are candidates (catches all pairs with
@@ -157,9 +157,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val withSim = df
       .select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol)),
-          t => xxhash64(t)).as("hashes"))
-      .select(col("id"), simhashFromHashes(col("hashes")).as("sh"))
+        simhash(TextAnalysis.shingles(col(textCol))).as("sh"))
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

@@ -74,16 +74,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Word 3-gram shingles (distinct), the unit set for Jaccard similarity.
-    * Documents shorter than 3 tokens yield an empty set.
+  /** Word 3-gram shingles (distinct, first-occurrence order), the unit set
+    * for Jaccard similarity. Documents shorter than 3 tokens yield an empty
+    * set. One-pass native expression — the tokenization runs once per row
+    * (see [[graft.expressions.WordShingles]] for why the lambda-composed
+    * form re-splits the text per shingle).
     */
-  def shingles(text: Column): Column = {
-    val w = tokens(text)
-    when(size(w) >= 3,
-      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column): Column =
+    graft.expressions.Sketches.wordShingles(tokens(text), 3)
 
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -1,0 +1,81 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native one-pass sketch expressions must agree exactly with the
+  * composed `functions._` forms they replaced (same hash family, same
+  * tie-breaking), in both interpreted eval and whole-stage codegen.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = (1L << 31) - 1
+
+  test("MinHashSig matches array_min(transform(...)) per permutation") {
+    val a = Array(3L, 7L, 12345L)
+    val b = Array(11L, 0L, 999L)
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x y z"),
+      Seq.empty[String]).toDF("sh")
+    val hashes = transform(col("sh"), s => pmod(xxhash64(s), lit(P)))
+    val composed = array((0 until 3).map { i =>
+      array_min(transform(hashes, h => pmod(h * a(i) + b(i), lit(P))))
+    }: _*)
+    val rows = df.select(
+      Sketches.minhashSig(hashes, a, b).as("native"),
+      composed.as("composed")).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      val comp = r.getSeq[Any](1)
+      if (comp.forall(_ == null)) assert(native.isEmpty) // empty input
+      else assert(native == comp.map(_.asInstanceOf[Long]))
+    }
+  }
+
+  test("SimHash64 matches per-bit aggregate votes") {
+    val df = Seq(
+      Seq("alpha", "beta", "gamma", "alpha"),
+      Seq("one"),
+      Seq.empty[String]).toDF("toks")
+    val hashes = transform(col("toks"), t => xxhash64(t))
+    val composedBits = (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = df.select(
+      Sketches.simhash64(hashes).as("native"),
+      composedBits.as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    val df = spark.range(200).select(
+      array((0 until 16).map(i => xxhash64(col("id") + i)): _*).as("hs"))
+    val a = Array.tabulate(8)(i => 2L * i + 1)
+    val b = Array.tabulate(8)(i => 31L * i)
+    val hashesModP = transform(col("hs"), h => pmod(h, lit(P)))
+    val base = df.select(
+      Sketches.minhashSig(hashesModP, a, b).as("mh"),
+      Sketches.simhash64(col("hs")).as("sh"))
+    val viaCodegen = base.collect()
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interpreted = base.collect()
+      assert(viaCodegen.map(_.toString).toSeq == interpreted.map(_.toString).toSeq)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
