@@ -34,6 +34,8 @@ final case class LineInput(
   */
 final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
 
+  private case class AxisSpec(axis: Int, reverse: Boolean, shiftSec: Long)
+
   def build(spark: SparkSession, in: LineInput): DataFrame = {
     val compiled: Option[CompiledFilter] =
       if (in.filter.trim.isEmpty) None
@@ -46,50 +48,90 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     val resolved = TableResolver.resolve(tables, in.start, in.end, in.points, mainRequired)
     val interval = resolved.intervalSec
 
-    def axisDf(axis: Int, reverse: Boolean, shiftSec: Long): DataFrame = {
-      val rangeStart = new Timestamp(in.start.getTime - shiftSec * 1000)
-      val rangeEnd = new Timestamp(in.end.getTime - shiftSec * 1000)
-      val pred = compiled.map(cf => if (reverse) cf.reversePredicate else cf.predicate)
-      val dims = if (in.dimensions.isEmpty) Nil
-        else if (reverse) in.dimensions.map(schema.reverseName) else in.dimensions
-      val unit = if (reverse) Unit.fromName(in.unit).reversed else Unit.fromName(in.unit)
+    val specs = {
+      val b = scala.collection.mutable.ArrayBuffer(AxisSpec(1, reverse = false, 0))
+      if (in.bidirectional) b += AxisSpec(2, reverse = true, 0)
+      if (in.previousPeriod) {
+        val shift = previousPeriodShiftSec(in)
+        b += AxisSpec(3, reverse = false, shift)
+        if (in.bidirectional) b += AxisSpec(4, reverse = true, shift)
+      }
+      b.toSeq
+    }
 
+    def dimsOf(sp: AxisSpec): Seq[String] =
+      if (in.dimensions.isEmpty) Nil
+      else if (sp.reverse) in.dimensions.map(schema.reverseName) else in.dimensions
+
+    def unitOf(sp: AxisSpec): Unit =
+      if (sp.reverse) Unit.fromName(in.unit).reversed else Unit.fromName(in.unit)
+
+    def scanFor(sp: AxisSpec): DataFrame = {
+      val rangeStart = new Timestamp(in.start.getTime - sp.shiftSec * 1000)
+      val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
+      val pred = compiled.map(cf => if (sp.reverse) cf.reversePredicate else cf.predicate)
       val scan0 = resolved.table.df()
         .where(col("TimeReceived") >= lit(rangeStart) &&
           col("TimeReceived") < lit(rangeEnd))
       val scan1 = pred.fold(scan0)(scan0.where)
       // IP truncation REPLACE over the source CTE (reference graph.go:44-88)
-      val scan =
-        if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan1
-        else schema.enabled.filter(c => c.truncatableIP && scan1.columns.contains(c.name))
-          .foldLeft(scan1) { (d, c) =>
-            d.withColumn(c.name,
-              graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
-          }
+      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan1
+      else schema.enabled.filter(c => c.truncatableIP && scan1.columns.contains(c.name))
+        .foldLeft(scan1) { (d, c) =>
+          d.withColumn(c.name,
+            graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
+        }
+    }
 
-      // aligned bucket: start + floor((t-start)/interval)*interval — same as
-      // the reference's offset-adjusted toStartOfInterval (clickhouse.go:262-268)
-      val startSec = rangeStart.getTime / 1000
-      val bucket = (lit(startSec) +
+    // aligned bucket: start + floor((t-start)/interval)*interval — same as
+    // the reference's offset-adjusted toStartOfInterval (clickhouse.go:262-268)
+    def bucketFor(sp: AxisSpec): Column = {
+      val startSec = (in.start.getTime - sp.shiftSec * 1000) / 1000
+      (lit(startSec) +
         floor((unix_timestamp(col("TimeReceived")) - startSec) / interval) * interval)
         .cast("long")
+    }
 
-      val weighted = scan.groupBy(dims.map(col): _*)
-        .agg(unit.agg.as("w"))
+    // top-N row-sets for ALL axes in ONE collected job (the reference emits
+    // one `rows` CTE per axis inside a single UNION ALL statement); each
+    // branch keeps its own ORDER BY ... LIMIT — order across branches is
+    // irrelevant because the rows only feed a membership test.
+    val topByAxis: Map[Int, Array[Seq[String]]] =
+      if (in.dimensions.isEmpty) Map.empty
+      else {
+        val ranked = specs.map { sp =>
+          val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
+          topNRanked(scanFor(sp), dimsOf(sp), unitOf(sp), in, bucketFor(sp), rangeEnd)
+            .select(lit(sp.axis).as("axis"),
+              array(dimsOf(sp).map(col(_).cast("string")): _*).as("ds"))
+        }.reduce(_ unionAll _)
+        ranked.collect()
+          .groupBy(_.getInt(0))
+          .map { case (axis, rows) =>
+            axis -> rows.map(_.getSeq[String](1).map(v => Option(v).getOrElse("")))
+          }
+      }
+
+    def axisDf(sp: AxisSpec): DataFrame = {
+      val rangeStart = new Timestamp(in.start.getTime - sp.shiftSec * 1000)
+      val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
+      val dims = dimsOf(sp)
+      val unit = unitOf(sp)
+      val scan = scanFor(sp)
+      val bucket = bucketFor(sp)
 
       if (dims.isEmpty) {
         val perBucket = scan
           .groupBy(bucket.as("time_s"))
           .agg((unit.agg / interval).as("xps"))
         return gapfill(spark, perBucket, rangeStart, rangeEnd, interval, Seq.empty)
-          .select(lit(axis).as("axis"),
-            (col("time_s") + shiftSec).as("time_s"),
+          .select(lit(sp.axis).as("axis"),
+            (col("time_s") + sp.shiftSec).as("time_s"),
             array().cast("array<string>").as("dimensions"),
             col("xps"))
       }
 
-      // top-N selection, 3 modes (reference console/query.go:48-90)
-      val topRows: Array[Seq[String]] = topN(scan, dims, unit, in, bucket)
+      val topRows = topByAxis.getOrElse(sp.axis, Array.empty[Seq[String]])
       val dimsArray = array(dims.map(col(_).cast("string")): _*)
       val topLit = topRows.map(r => array(r.map(lit): _*))
       val folded = (if (topLit.isEmpty) lit(false)
@@ -104,25 +146,19 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
 
       gapfill(spark, perBucket, rangeStart, rangeEnd, interval,
         in.dimensions.map(_ => "Other"))
-        .select(lit(axis).as("axis"), (col("time_s") + shiftSec).as("time_s"),
+        .select(lit(sp.axis).as("axis"), (col("time_s") + sp.shiftSec).as("time_s"),
           col("dimensions"), col("xps"))
     }
 
-    val axes = scala.collection.mutable.ArrayBuffer(axisDf(1, reverse = false, 0))
-    if (in.bidirectional) axes += axisDf(2, reverse = true, 0)
-    if (in.previousPeriod) {
-      val shift = previousPeriodShiftSec(in)
-      axes += axisDf(3, reverse = false, shift)
-      if (in.bidirectional) axes += axisDf(4, reverse = true, shift)
-    }
-    axes.reduce(_ unionAll _)
+    specs.map(axisDf).reduce(_ unionAll _)
   }
 
-  /** Top row-set per limitType; bounded by `limit` ≤ 50, so collecting it is
-    * the same driver-side cardinality as the reference's `rows` CTE.
+  /** Ranked-and-limited top rows per limitType; bounded by `limit` ≤ 50, so
+    * collecting it is the same driver-side cardinality as the reference's
+    * `rows` CTE (reference console/query.go:48-90).
     */
-  private def topN(scan: DataFrame, dims: Seq[String], unit: Unit, in: LineInput,
-      bucket: Column): Array[Seq[String]] = {
+  private def topNRanked(scan: DataFrame, dims: Seq[String], unit: Unit,
+      in: LineInput, bucket: Column, rangeEnd: Timestamp): DataFrame = {
     val dimCols = dims.map(col)
     val ranked = in.limitType match {
       case "avg" =>
@@ -131,7 +167,8 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         scan.groupBy(bucket.as("b") +: dimCols: _*).agg(unit.agg.as("wb"))
           .groupBy(dims.map(col): _*).agg(max("wb").as("w"))
       case "last" =>
-        val lastStart = new Timestamp(in.end.getTime -
+        // last bucket of THIS axis's (possibly shifted) range
+        val lastStart = new Timestamp(rangeEnd.getTime -
           math.max(1L, (in.end.getTime - in.start.getTime) / math.max(1, in.points)))
         scan.where(col("TimeReceived") >= lit(lastStart))
           .groupBy(dimCols: _*).agg(unit.agg.as("w"))
@@ -140,9 +177,6 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     ranked
       .orderBy(desc("w") +: dims.map(asc): _*)
       .limit(in.limit)
-      .select(dims.map(col(_).cast("string")): _*)
-      .collect()
-      .map(r => dims.indices.map(i => Option(r.getString(i)).getOrElse("")))
   }
 
   /** WITH FILL + INTERPOLATE (reference `console/line.go:159-163`): dense

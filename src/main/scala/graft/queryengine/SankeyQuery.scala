@@ -40,23 +40,29 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     val scan = compiled.map(_.predicate).fold(scan0)(scan0.where)
     val unit = Unit.fromName(in.unit)
 
-    // top row tuples by weight (the `rows` CTE)
-    val ranked = scan.groupBy(in.dimensions.map(col): _*)
+    // ONE collected job for both driver-side scalars: the top row tuples
+    // (the `rows` CTE) and the observed-span scalar CTE (reference
+    // sankey.go:110-118) union into a single bounded result
+    val rankedPart = scan.groupBy(in.dimensions.map(col): _*)
       .agg(unit.agg.as("w"))
       .orderBy(desc("w") +: in.dimensions.map(asc): _*)
       .limit(in.limit)
-      .select(in.dimensions.map(c => col(c).cast("string").as(c)): _*)
-      .collect()
+      .select(lit(1).as("k"),
+        array(in.dimensions.map(c => col(c).cast("string")): _*).as("ds"),
+        col("w").cast("double").as("w"))
+    val spanPart = scan.agg(
+      (unix_timestamp(max(col("TimeReceived"))) -
+        unix_timestamp(min(col("TimeReceived")))).cast("double").as("w"))
+      .select(lit(0).as("k"), array().cast("array<string>").as("ds"), col("w"))
+    val collected = rankedPart.unionAll(spanPart).collect()
+    val ranked = collected.filter(_.getInt(0) == 1).map(_.getSeq[String](1))
     // per-column membership sets (reference uses IN (SELECT col FROM rows))
     val perColumnTop: Seq[Set[String]] = in.dimensions.indices
-      .map(i => ranked.map(r => Option(r.getString(i)).getOrElse("")).toSet)
-
-    // observed span scalar CTE (reference sankey.go:110-118)
-    val spanRow = scan.agg(
-      (unix_timestamp(max(col("TimeReceived"))) -
-        unix_timestamp(min(col("TimeReceived")))).as("span")).collect()
-    val spanSec = if (spanRow.isEmpty || spanRow(0).isNullAt(0)) 1L
-      else math.max(1L, spanRow(0).getLong(0))
+      .map(i => ranked.map(r => Option(r(i)).getOrElse("")).toSet)
+    val spanSec = collected.find(_.getInt(0) == 0)
+      .filterNot(_.isNullAt(2))
+      .map(r => math.max(1L, r.getDouble(2).toLong))
+      .getOrElse(1L)
 
     val folded = in.dimensions.zipWithIndex.foldLeft(scan) { case (d, (dim, i)) =>
       val members = perColumnTop(i)

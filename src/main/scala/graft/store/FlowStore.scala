@@ -30,6 +30,13 @@ final class FlowStore(spark: SparkSession, root: String) {
   private def withDate(df: DataFrame): DataFrame =
     df.withColumn("p_date", date_format(col("TimeReceived"), "yyyy-MM-dd"))
 
+  /** One shuffle partition per date partition — each `p_date=` directory
+    * gets one file instead of (shuffle.partitions) slivers.
+    */
+  private def writePartitioned(df: DataFrame, name: String): Unit =
+    withDate(df).repartition(col("p_date")).write.mode(SaveMode.Append)
+      .partitionBy("p_date").parquet(s"$root/$name")
+
   /** Rollup delta of one batch: truncate time, drop main-only columns,
     * partial-aggregate the measures (map-side combine does most of the
     * work; the shuffle is only the rolled-up dimensionality).
@@ -70,16 +77,33 @@ final class FlowStore(spark: SparkSession, root: String) {
   def writeBatch(batch: DataFrame): Unit = {
     val cached = batch.cache()
     try {
-      withDate(cached).write.mode(SaveMode.Append)
-        .partitionBy("p_date").parquet(s"$root/flows")
-      resolutions.foreach { case (name, sec) =>
-        withDate(rollupDelta(cached, sec)).write.mode(SaveMode.Append)
-          .partitionBy("p_date").parquet(s"$root/$name")
-      }
-      withDate(exportersDelta(cached)).write.mode(SaveMode.Append)
-        .partitionBy("p_date").parquet(s"$root/exporters")
+      writePartitioned(cached, "flows")
+      writeRollups(cached)
+      writePartitioned(exportersDelta(cached), "exporters")
     } finally cached.unpersist()
   }
+
+  /** Materialize only the rollup tables from a batch. Main-only columns
+    * are projected away *before* any materialization (they never reach a
+    * rollup), and the 5m/1h deltas cascade from the cached 1m delta — the
+    * fact rows are aggregated once, coarser resolutions re-aggregate the
+    * already-small 1m output (resolutions divide evenly: 60 | 300 | 3600).
+    */
+  def writeRollups(batch: DataFrame): Unit = {
+    val r1m = rollupDelta(batch, 60L).cache()
+    try {
+      writePartitioned(r1m, "flows_1m")
+      writePartitioned(rollupDelta(r1m, 300L), "flows_5m")
+      writePartitioned(rollupDelta(r1m, 3600L), "flows_1h")
+    } finally r1m.unpersist()
+  }
+
+  /** Materialize a single rollup resolution from a batch. */
+  def writeRollup(name: String, sec: Long, batch: DataFrame): Unit =
+    writePartitioned(rollupDelta(batch, sec), name)
+
+  /** Scan one stored table (schema without the partition column). */
+  def read(name: String): DataFrame = readTable(name)
 
   private def readTable(name: String): DataFrame =
     spark.read.parquet(s"$root/$name").drop("p_date")
