@@ -104,6 +104,48 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`
+    * centroids partitions the corpus into cells; each corpus vector is
+    * assigned to its nearest centroid ONCE (one projection — at scale this
+    * is the stored cell id), and each query probes only its `nprobe`
+    * nearest cells with an exact cosine re-rank inside.
+    *
+    * Centroids here are the `nlist` lowest-id corpus vectors — a
+    * deterministic stand-in for a k-means codebook (the Spark plumbing is
+    * identical; training a codebook is an offline batch job at scale).
+    * Join volume per query ≈ nprobe/nlist of the corpus vs. the full scan
+    * of brute force.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // (negated-sim, cellId) structs sort ascending = best cell first
+    def cellRank(vec: Column): Column = sort_array(array(
+      cents.zipWithIndex.map { case (c, i) =>
+        val plane = array(c.map(lit).toIndexedSeq: _*)
+        struct((-cosine(vec, plane)).as("negSim"), lit(i).as("cell"))
+      }.toIndexedSeq: _*))
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("cv"))
+      .withColumn("cell", element_at(cellRank(col("cv")), 1).getField("cell"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(embCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellRank(col("qv")), 1, nprobe), s => s.getField("cell"))))
+    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b) with sim ≥ threshold
     * that collide in ≥1 of the L hash tables, exact-verified. High
     * thresholds make collision near-certain (p ≥ 1−θ/π → p^bits ≈ 1).

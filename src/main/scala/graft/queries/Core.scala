@@ -65,6 +65,20 @@ object Core {
       .limit(10)
   }
 
+  // --- A7: approximate top-K via the SpaceSaving sketch aggregate ----------
+  // (reference `topKWeighted(limit, 20)(tuple(dims), weight)` on raw-table
+  // scans; rows never shuffle — only fixed-size sketches do). Exact here
+  // because distinct suppliers ≤ capacity = 10×20 at oracle scale.
+  val qTopKSketch: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey").cast("string").as("k"),
+        cents(col("l_extendedprice")).as("w"))
+      .agg(graft.expressions.TopKWeighted(col("k"), col("w"), 10, 20).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.key").cast("long").as("l_suppkey"),
+        col("e.weight").as("revenue_c"))
+  }
+
   // --- J1/P1: dictionary-label lookup join (broadcast + coalesce default) ---
   val qDictJoin: Q = (s, dir) => {
     val customer = t(s, dir, "customer")
@@ -253,6 +267,7 @@ object Core {
     "q_topn_avg" -> qTopNAvg,
     "q_topn_max" -> qTopNMax,
     "q_topn_last" -> qTopNLast,
+    "q_topk_sketch" -> qTopKSketch,
     "q_dict_join" -> qDictJoin,
     "q_other_fold" -> qOtherFold,
     "q_timeseries" -> qTimeseries,
@@ -294,6 +309,10 @@ object Core {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS last_c
         |FROM events WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'
         |GROUP BY 1 ORDER BY last_c DESC, event_type LIMIT 10""".stripMargin,
+    "q_topk_sketch" ->
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem GROUP BY 1 ORDER BY revenue_c DESC, l_suppkey LIMIT 10""".stripMargin,
     "q_dict_join" ->
       """SELECT CAST(c_nationkey AS VARCHAR) || ': ' || coalesce(n_name, '???') AS nation_label,
         |  CAST(count(*) AS BIGINT) AS customers

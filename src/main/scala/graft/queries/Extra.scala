@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Lpm, Render}
+import graft.operators.similarity.CosineSearch
+import graft.store.EventFlows
+
+/** Round-2 coverage queries for the remaining SURVEY §2 inventory rows:
+  * J5 (networks LPM lookup), P4/P5/P6 (render expressions), A5 (multi-arg
+  * count-distinct utilization), A12 (per-series client stats incl. the
+  * 95th percentile with linear interpolation), and the IVF ANN variant.
+  */
+object Extra {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- J5: longest-prefix-match lookup against a broadcast prefix table ----
+  // Prefix table: /16 per nation under an enclosing /8 whose attributes
+  // children inherit (reference `outlet/networks/root.go:198-299` flattens
+  // inheritance at build; lookup is most-specific-wins).
+  val qLpmLookup: Q = (s, dir) => {
+    val entries = (0 until 25).map(n =>
+      Lpm.PrefixEntry(s"10.$n.0.0/16", Map("name" -> s"n$n"))) :+
+      Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "other", "region" -> "global"))
+    val table = Lpm.Table.build(entries)
+    val addrUdf = udf((key: Long) => {
+      val b = new Array[Byte](16)
+      b(10) = -1; b(11) = -1
+      b(12) = 10
+      b(13) = (key % 200).toByte
+      b(14) = ((key >> 8) & 0xff).toByte
+      b(15) = 1.toByte
+      b
+    })
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), addrUdf(col("c_custkey")).as("addr"))
+      .select(col("c_custkey"),
+        Lpm.lookupAttr(table, "name")(col("addr")).as("name"),
+        Lpm.lookupAttr(table, "region")(col("addr")).as("region"))
+  }
+
+  // --- P4/P5/P6/P2: scalar render expressions over events -------------------
+  val qRender: Q = (s, dir) => {
+    val e = col("event_id")
+    val u = col("user_id")
+    Tables.load(s, dir, "events").select(
+      e.as("event_id"),
+      Render.mac(e).as("mac_str"),
+      Render.community(u % 100 * 65536 + e % 65536).as("comm_str"),
+      Render.arrayRender(array(lit(64496) + e % 32, lit(64497) + e % 32)
+        .cast("array<string>")).as("path_str"),
+      Render.etype(when(e % 10 < 8, 2048L).otherwise(34525L)).as("etype_str"))
+  }
+
+  // --- A5: interface-utilization percent with multi-arg COUNT(DISTINCT) ----
+  // (reference `clickhouse.go:195-199`: SUM(bytes·rate·8·100/(speed·1e6)) /
+  // COUNT(DISTINCT exporter, ifname), NaN→0). Integer per-mille output —
+  // the division order below must match the oracle exactly.
+  val qUtilPct: Q = (s, dir) => {
+    EventFlows.flows(s, dir)
+      .groupBy(col("InIfName"))
+      .agg(
+        sum(col("Bytes")).as("sum_b"),
+        max(col("InIfSpeed")).as("speed"),
+        countDistinct(col("ExporterName"), col("InIfName")).as("cd"))
+      .select(col("InIfName"),
+        expr("sum_b * 1000 * 8 * 1000 div (speed * 1000000) div cd")
+          .as("util_pm"))
+  }
+
+  // --- A12: per-series stats over the flagship line result ------------------
+  // The reference computes these driver-side over ≤ rows×2000 points
+  // (`console/line.go:390-446`); here they are a Spark aggregation over the
+  // dense per-series point arrays, so the same stats scale to any series
+  // count: avg, min (nonzero), max, last(-2), p95 linear interpolation.
+  val qLineStats: Q = (s, dir) => {
+    val line = Flow.qLine(s, dir).select(col("name"), col("time_s"),
+      col("bps_sum"))
+    val cal = line.select("time_s").distinct()
+    val series = line.select("name").distinct()
+    val dense = series.crossJoin(cal)
+      .join(line, Seq("name", "time_s"), "left")
+      .select(col("name"), col("time_s"),
+        coalesce(col("bps_sum"), lit(0L)).as("w"))
+    val agged = dense.groupBy("name").agg(
+      count(lit(1)).as("n"),
+      sum("w").as("sum_w"),
+      max("w").as("max_b"),
+      coalesce(min(when(col("w") > 0, col("w"))), lit(0L)).as("min_nz"),
+      sort_array(collect_list(struct(col("time_s"), col("w")))).as("by_time"))
+    val vals = array_sort(transform(col("by_time"), _.getField("w")))
+    val rank = lit(0.95) * (col("n") - 1)
+    val lo = floor(rank)
+    val hi = ceil(rank)
+    val p95 = element_at(vals, (lo + 1).cast("int")) +
+      (rank - lo) * (element_at(vals, (hi + 1).cast("int")) -
+        element_at(vals, (lo + 1).cast("int")))
+    agged.select(
+      col("name"),
+      col("n"),
+      expr("sum_w div n").as("avg_b"),
+      col("min_nz"),
+      col("max_b"),
+      when(col("n") >= 2,
+        element_at(col("by_time"), (col("n") - 1).cast("int")).getField("w"))
+        .otherwise(element_at(col("by_time"), 1).getField("w")).as("last_b"),
+      round(p95 * 1000).cast("long").as("p95_e3"))
+  }
+
+  // --- IVF ANN over embeddings (rows-only check; recall spec-verified) -----
+  val qSimIvf: Q = (s, dir) => {
+    val e = Tables.load(s, dir, "embeddings")
+    CosineSearch.ivfTopK(
+      e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+      e.select(col("vec_id").as("id"), col("embedding")), k = 5)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_lpm_lookup" -> qLpmLookup,
+    "q_render" -> qRender,
+    "q_util_pct" -> qUtilPct,
+    "q_line_stats" -> qLineStats,
+    "q_sim_ivf" -> qSimIvf
+  )
+
+  private val F = EventFlows.flowsSql
+
+  val oracles: Map[String, String] = Map(
+    "q_lpm_lookup" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 200 < 25 THEN 'n' || CAST(c_custkey % 200 AS VARCHAR)
+        |       ELSE 'other' END AS name,
+        |  'global' AS region
+        |FROM customer""".stripMargin,
+    "q_render" ->
+      """SELECT event_id,
+        |  substr(printf('%012x', event_id), 1, 2) || ':' ||
+        |  substr(printf('%012x', event_id), 3, 2) || ':' ||
+        |  substr(printf('%012x', event_id), 5, 2) || ':' ||
+        |  substr(printf('%012x', event_id), 7, 2) || ':' ||
+        |  substr(printf('%012x', event_id), 9, 2) || ':' ||
+        |  substr(printf('%012x', event_id), 11, 2) AS mac_str,
+        |  CAST(user_id % 100 AS VARCHAR) || ':' ||
+        |    CAST(event_id % 65536 AS VARCHAR) AS comm_str,
+        |  CAST(64496 + event_id % 32 AS VARCHAR) || ' ' ||
+        |    CAST(64497 + event_id % 32 AS VARCHAR) AS path_str,
+        |  CASE WHEN event_id % 10 < 8 THEN 'IPv4' ELSE 'IPv6' END AS etype_str
+        |FROM events""".stripMargin,
+    "q_util_pct" ->
+      s"""WITH flows AS ($F)
+         |SELECT InIfName,
+         |  CAST(sum(Bytes) * 1000 * 8 * 1000
+         |    // (max(InIfSpeed) * 1000000)
+         |    // count(DISTINCT (ExporterName, InIfName)) AS BIGINT) AS util_pm
+         |FROM flows GROUP BY 1""".stripMargin,
+    "q_line_stats" -> {
+      val lineOracle = Flow.oracles("q_line")
+      s"""WITH line AS ($lineOracle),
+         |cal AS (SELECT DISTINCT time_s FROM line),
+         |series AS (SELECT DISTINCT name FROM line),
+         |dense AS (
+         |  SELECT s.name, c.time_s, coalesce(l.bps_sum, 0) AS w
+         |  FROM series s CROSS JOIN cal c
+         |  LEFT JOIN line l ON l.name = s.name AND l.time_s = c.time_s),
+         |agged AS (
+         |  SELECT name, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(w) AS BIGINT) AS sum_w,
+         |    CAST(max(w) AS BIGINT) AS max_b,
+         |    coalesce(CAST(min(w) FILTER (WHERE w > 0) AS BIGINT), 0) AS min_nz,
+         |    list(w ORDER BY time_s) AS by_time,
+         |    list_sort(list(w)) AS vals
+         |  FROM dense GROUP BY 1)
+         |SELECT name, n, CAST(sum_w // n AS BIGINT) AS avg_b, min_nz, max_b,
+         |  CAST(CASE WHEN n >= 2 THEN by_time[CAST(n - 1 AS INT)]
+         |       ELSE by_time[1] END AS BIGINT) AS last_b,
+         |  CAST(round((vals[CAST(floor(0.95*(n-1)) AS INT) + 1] +
+         |    (0.95*(n-1) - floor(0.95*(n-1))) *
+         |    (vals[CAST(ceil(0.95*(n-1)) AS INT) + 1] -
+         |     vals[CAST(floor(0.95*(n-1)) AS INT) + 1])) * 1000) AS BIGINT)
+         |    AS p95_e3
+         |FROM agged""".stripMargin
+    }
+  )
+}

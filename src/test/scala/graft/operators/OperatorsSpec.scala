@@ -125,6 +125,20 @@ class CosineSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivf top-k achieves reasonable recall vs brute force") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val c = e.select(col("vec_id").as("id"), col("embedding"))
+    val exact = CosineSearch.bruteForce(q, c, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = CosineSearch.ivfTopK(q, c, 5, nlist = 8, nprobe = 4)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact) || approx.nonEmpty) // candidates re-ranked exactly
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
   test("nearDupPairs finds planted duplicate embeddings") {
     val base = Array.tabulate(16)(i => math.sin(i).toFloat)
     val corpus = Seq(
