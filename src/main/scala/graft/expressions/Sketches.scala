@@ -147,6 +147,53 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Dot product of two `array<double>` columns in one pass with no
+  * intermediate allocation. The composed `aggregate(zip_with(a, b, _*_),
+  * 0.0, _+_)` form materializes the zipped array per evaluation — per
+  * candidate PAIR in a similarity join. Accumulation order is
+  * left-to-right, identical to the composed form, so results are
+  * bit-for-bit unchanged.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs two array<double>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct word n-gram shingles of a token array, one pass.
   *
   * The composed form (`transform(sequence(...), i => concat_ws(" ",
@@ -211,6 +258,10 @@ object Sketches {
   /** Column API for [[WordShingles]]. */
   def wordShingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+
+  /** Column API for [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   /** Column API for [[MinHashSig]]. */
   def minhashSig(hashes: Column, a: Array[Long], b: Array[Long]): Column =

@@ -3,6 +3,7 @@ package graft.operators.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.expressions.Sketches
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`).
@@ -11,21 +12,41 @@ import org.apache.spark.sql.expressions.Window
   *    set against the corpus; one pass, no corpus shuffle. The baseline.
   *  - [[lshTopK]]: random-hyperplane LSH — bucket the corpus once by a
   *    b-bit sign sketch, probe only matching buckets, exact re-rank inside.
-  *    The 100 TB path: the corpus sketch is computed in one projection and
-  *    the join volume is corpus/2^b per probe instead of the full corpus.
+  *  - [[ivfTopK]]: inverted-file cells with nprobe probing.
   *
   * All float math is widened to double before multiplying so results are
   * reproducible across engines, and similarity is quantized to 1e-6 for
   * deterministic cross-engine ordering (ties broken by id).
+  *
+  * Hot-path shape: dot products run through the one-pass native
+  * [[graft.expressions.DotProduct]] (the `aggregate(zip_with(...))` form
+  * allocates a zipped array per candidate pair), and the L2 norms are
+  * computed in the per-row projections BELOW the join, so per-pair work is
+  * exactly one dot product and one division. FP accumulation order is
+  * unchanged, so scores are bit-identical to the composed form.
   */
 object CosineSearch {
 
-  private def dots(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private def dots(a: Column, b: Column): Column = Sketches.dotProduct(a, b)
 
   /** cosine(a, b) over array<double> columns. */
   def cosine(a: Column, b: Column): Column =
     dots(a, b) / (sqrt(dots(a, a)) * sqrt(dots(b, b)))
+
+  /** (id, vector, norm) projection — norms computed once per row. */
+  private def withNorm(df: DataFrame, idCol: String, idOut: String,
+      embCol: String, vecOut: String): DataFrame =
+    df.select(col(idCol).as(idOut),
+      col(embCol).cast("array<double>").as(vecOut),
+      sqrt(Sketches.dotProduct(col(embCol).cast("array<double>"),
+        col(embCol).cast("array<double>"))).as(s"${vecOut}_n"))
+
+  /** Per-pair cosine from pre-projected vectors and norms: same FP ops as
+    * [[cosine]] (dot / (sqrt·sqrt)), with the sqrts hoisted below the join.
+    */
+  private val pairSimE6: Column =
+    round(dots(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")) * 1e6)
+      .cast("long")
 
   /** Exact top-k neighbors for each query row.
     *
@@ -37,15 +58,12 @@ object CosineSearch {
   def bruteForce(queries: DataFrame, corpus: DataFrame, k: Int,
       qidCol: String = "qid", idCol: String = "id",
       embCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(qidCol).as("qid"),
-      col(embCol).cast("array<double>").as("qv"))
-    val c = corpus.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("cv"))
-    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
+    val q = withNorm(queries, qidCol, "qid", embCol, "qv")
+    val c = withNorm(corpus, idCol, "id", embCol, "cv")
     val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
     c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .select(col("qid"), col("id"), pairSimE6.as("sim_e6"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
@@ -60,8 +78,8 @@ object CosineSearch {
   /** Sign sketch of an embedding under the given hyperplanes. */
   def signSketch(emb: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit).toIndexedSeq: _*)
-      when(dots(emb, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dots(emb, typedLit(p.toSeq)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -88,16 +106,15 @@ object CosineSearch {
       embCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(embCol))).first().getInt(0)
     def bucketed(df: DataFrame, id: String, out: String, vec: String) =
-      df.select(col(id).as(out), col(embCol).cast("array<double>").as(vec))
+      withNorm(df, id, out, embCol, vec)
         .withColumn("tb", explode(tableBuckets(col(vec), dim, bits, tables, seed)))
-        .select(col(out), col(vec), col("tb.tbl"), col("tb.bucket"))
+        .select(col(out), col(vec), col(s"${vec}_n"), col("tb.tbl"), col("tb.bucket"))
     val c = bucketed(corpus, idCol, "id", "cv")
     val q = bucketed(queries, qidCol, "qid", "qv")
-    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
     val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .select(col("qid"), col("id"), pairSimE6.as("sim_e6"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -122,24 +139,23 @@ object CosineSearch {
     val cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(embCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
-    // (negated-sim, cellId) structs sort ascending = best cell first
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // (neg dot/planeNorm, cellId) structs sort ascending = best cell first;
+    // the row's own norm divides out of the argmax, so it is skipped
     def cellRank(vec: Column): Column = sort_array(array(
       cents.zipWithIndex.map { case (c, i) =>
-        val plane = array(c.map(lit).toIndexedSeq: _*)
-        struct((-cosine(vec, plane)).as("negSim"), lit(i).as("cell"))
+        struct((-dots(vec, typedLit(c.toSeq)) / centNorms(i)).as("negSim"),
+          lit(i).as("cell"))
       }.toIndexedSeq: _*))
-    val c = corpus.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("cv"))
+    val c = withNorm(corpus, idCol, "id", embCol, "cv")
       .withColumn("cell", element_at(cellRank(col("cv")), 1).getField("cell"))
-    val q = queries.select(col(qidCol).as("qid"),
-      col(embCol).cast("array<double>").as("qv"))
+    val q = withNorm(queries, qidCol, "qid", embCol, "qv")
       .withColumn("cell", explode(transform(
         slice(cellRank(col("qv")), 1, nprobe), s => s.getField("cell"))))
-    val simE6 = round(cosine(col("qv"), col("cv")) * 1e6).cast("long")
     val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
     c.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .select(col("qid"), col("id"), pairSimE6.as("sim_e6"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -154,11 +170,11 @@ object CosineSearch {
       tables: Int = 4, seed: Long = 7L, idCol: String = "id",
       embCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(embCol))).first().getInt(0)
-    val c = corpus.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("cv"))
+    val c = withNorm(corpus, idCol, "id", embCol, "cv")
       .withColumn("tb", explode(tableBuckets(col("cv"), dim, bits, tables, seed)))
-      .select(col("id"), col("cv"), col("tb.tbl"), col("tb.bucket"))
-    val simE6 = round(cosine(col("a.cv"), col("b.cv")) * 1e6).cast("long")
+      .select(col("id"), col("cv"), col("cv_n"), col("tb.tbl"), col("tb.bucket"))
+    val simE6 = round(dots(col("a.cv"), col("b.cv")) /
+      (col("a.cv_n") * col("b.cv_n")) * 1e6).cast("long")
     c.as("a")
       .join(c.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

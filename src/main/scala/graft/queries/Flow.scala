@@ -55,6 +55,21 @@ object Flow {
         round(col("xps") * 86400).cast("long").as("pps_sum"))
   }
 
+  // Raw-table routing + topKWeighted sketch substitution: the SrcPort
+  // filter is main-table-only, forcing the main table, where the "avg"
+  // limit mode ranks via the SpaceSaving sketch (exact here: 4 interface
+  // names ≪ capacity 2×20).
+  val qLineRaw: Q = (s, dir) => {
+    val (line, _, _) = engine(s, dir)
+    line.build(s, LineInput(
+      start = ts("2024-01-08T00:00:00Z"), end = ts("2024-01-15T00:00:00Z"),
+      points = 7, dimensions = Seq("InIfName"), limit = 2,
+      filter = "SrcPort >= 1024", unit = "pps"))
+      .select(col("axis"), col("time_s"),
+        array_join(col("dimensions"), ",").as("name"),
+        round(col("xps") * 86400).cast("long").as("pps_sum"))
+  }
+
   val qSankey: Q = (s, dir) => {
     val (_, sankey, _) = engine(s, dir)
     sankey.build(s, SankeyInput(
@@ -104,6 +119,7 @@ object Flow {
 
   val defs: Map[String, Q] = Map(
     "q_line" -> qLine,
+    "q_line_raw" -> qLineRaw,
     "q_line_bidir" -> qLineBidir,
     "q_sankey" -> qSankey,
     "q_widget_top" -> qWidgetTop,
@@ -132,6 +148,26 @@ object Flow {
          |SELECT 1 AS axis, time_s, name, bps_sum FROM per
          |UNION ALL
          |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS bps_sum FROM cal c
+         |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
+    "q_line_raw" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-08 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-15 00:00:00'
+         |    AND SrcPort >= 1024),
+         |top AS (SELECT InIfName FROM f GROUP BY 1
+         |  ORDER BY sum(Packets*SamplingRate) DESC, InIfName LIMIT 2),
+         |folded AS (SELECT
+         |  1704672000 + (CAST(epoch(TimeReceived) AS BIGINT) - 1704672000) // 86400 * 86400 AS time_s,
+         |  CASE WHEN InIfName IN (SELECT InIfName FROM top) THEN InIfName
+         |       ELSE 'Other' END AS name,
+         |  Packets*SamplingRate AS w FROM f),
+         |per AS (SELECT time_s, name, CAST(sum(w) AS BIGINT) AS pps_sum
+         |  FROM folded GROUP BY 1, 2),
+         |cal AS (SELECT unnest(range(1704672000, 1704672000 + 7*86400, 86400)) AS time_s)
+         |SELECT 1 AS axis, time_s, name, pps_sum FROM per
+         |UNION ALL
+         |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS pps_sum FROM cal c
          |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
     "q_line_bidir" -> {
       // 4 axes: direct, reverse, previous-direct, previous-reverse.

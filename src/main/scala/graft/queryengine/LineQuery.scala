@@ -99,11 +99,23 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     val topByAxis: Map[Int, Array[Seq[String]]] =
       if (in.dimensions.isEmpty) Map.empty
       else {
+        // approx-for-exact substitution (reference console/query.go:80-90):
+        // on a raw-table scan with a summable unit, rank via the
+        // topKWeighted sketch — rows fold into fixed-size sketches
+        // map-side instead of shuffling the full dimensionality
+        val useSketch = resolved.table.resolutionSec == 0L &&
+          in.limitType == "avg"
         val ranked = specs.map { sp =>
           val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
-          topNRanked(scanFor(sp), dimsOf(sp), unitOf(sp), in, bucketFor(sp), rangeEnd)
-            .select(lit(sp.axis).as("axis"),
-              array(dimsOf(sp).map(col(_).cast("string")): _*).as("ds"))
+          val unit = unitOf(sp)
+          val base = (useSketch, unit.rowWeight) match {
+            case (true, Some(w)) =>
+              topNSketch(scanFor(sp), dimsOf(sp), w, in.limit)
+            case _ =>
+              topNRanked(scanFor(sp), dimsOf(sp), unit, in, bucketFor(sp), rangeEnd)
+          }
+          base.select(lit(sp.axis).as("axis"),
+            array(dimsOf(sp).map(col(_).cast("string")): _*).as("ds"))
         }.reduce(_ unionAll _)
         ranked.collect()
           .groupBy(_.getInt(0))
@@ -151,6 +163,23 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     }
 
     specs.map(axisDf).reduce(_ unionAll _)
+  }
+
+  /** Sketch-ranked top rows: dims pack into a NUL-separated key (rendered
+    * exactly like the exact path: cast to string, null → ''), capacity =
+    * limit × 20 (the reference's load factor, `console/query.go:95`).
+    * Output columns are the dim names, unpacked from the winning keys.
+    */
+  private def topNSketch(scan: DataFrame, dims: Seq[String], weight: Column,
+      limit: Int): DataFrame = {
+    val key = concat_ws("\u0000",
+      dims.map(d => coalesce(col(d).cast("string"), lit(""))): _*)
+    scan.select(key.as("k"), weight.as("w"))
+      .agg(graft.expressions.TopKWeighted(col("k"), col("w"), limit, 20).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(dims.zipWithIndex.map { case (d, i) =>
+        element_at(split(col("e.key"), "\u0000", -1), i + 1).as(d)
+      }: _*)
   }
 
   /** Ranked-and-limited top rows per limitType; bounded by `limit` ≤ 50, so

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
 sealed abstract class Unit(val name: String) {
   /** the aggregate over the scanned rows */
   def agg: Column
+  /** per-row integer weight, when the unit is a plain weighted sum — feeds
+    * the topKWeighted sketch (reference `clickhouse.go:206-213` weight
+    * expressions); None for units the sketch cannot rank (ratios).
+    */
+  def rowWeight: Option[Column] = None
   /** unit for the reverse-direction axis (In↔Out swap for l2% units) */
   def reversed: Unit = this
 }
@@ -16,12 +21,17 @@ sealed abstract class Unit(val name: String) {
 object Unit {
   case object Fps extends Unit("fps") {
     def agg: Column = count(lit(1))
+    override def rowWeight: Option[Column] = Some(lit(1L))
   }
   case object Pps extends Unit("pps") {
     def agg: Column = sum(col("Packets") * col("SamplingRate"))
+    override def rowWeight: Option[Column] =
+      Some((col("Packets") * col("SamplingRate")).cast("long"))
   }
   case object L3Bps extends Unit("l3bps") {
     def agg: Column = sum(col("Bytes") * col("SamplingRate") * 8)
+    override def rowWeight: Option[Column] =
+      Some((col("Bytes") * col("SamplingRate") * 8).cast("long"))
   }
   /** Ethernet overhead model: +38 bytes per packet
     * (reference `clickhouse.go:189-194`).
@@ -29,6 +39,9 @@ object Unit {
   case object L2Bps extends Unit("l2bps") {
     def agg: Column =
       sum((col("Bytes") + lit(38) * col("Packets")) * col("SamplingRate") * 8)
+    override def rowWeight: Option[Column] = Some(
+      ((col("Bytes") + lit(38) * col("Packets")) * col("SamplingRate") * 8)
+        .cast("long"))
   }
   /** percent of interface speed; multi-arg count-distinct, NaN→0
     * (reference `clickhouse.go:195-199`).
