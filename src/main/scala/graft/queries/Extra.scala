@@ -108,6 +108,74 @@ object Extra {
       round(p95 * 1000).cast("long").as("p95_e3"))
   }
 
+  // --- §1.4 exporters table: ARRAY JOIN unpivot + ReplacingMergeTree read --
+  // One row per (exporter, interface): the In/Out interface attribute pairs
+  // unpivot via explode (J7, reference `migrations_helpers.go:277-322`) and
+  // the latest row per key wins (ReplacingMergeTree(TimeReceived) read
+  // semantics). Ties order deterministically over all attributes.
+  val qExporters: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ex = EventFlows.flows(s, dir)
+      .select(col("TimeReceived"), col("ExporterName"),
+        explode(array(
+          struct(col("InIfName").as("IfName"),
+            col("InIfDescription").as("IfDescription"),
+            col("InIfSpeed").as("IfSpeed"),
+            col("InIfProvider").as("IfProvider"),
+            col("InIfBoundary").as("IfBoundary")),
+          struct(col("OutIfName").as("IfName"),
+            col("OutIfDescription").as("IfDescription"),
+            col("OutIfSpeed").as("IfSpeed"),
+            col("OutIfProvider").as("IfProvider"),
+            col("OutIfBoundary").as("IfBoundary")))).as("i"))
+      .select(col("TimeReceived"), col("ExporterName"), col("i.*"))
+    val w = Window.partitionBy("ExporterName", "IfName")
+      .orderBy(desc("TimeReceived"), desc("IfDescription"), desc("IfSpeed"),
+        desc("IfProvider"), desc("IfBoundary"))
+    ex.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("ExporterName"), col("IfName"), col("IfDescription"),
+        col("IfSpeed"), col("IfProvider"), col("IfBoundary"),
+        unix_timestamp(col("TimeReceived")).as("last_seen"))
+  }
+
+  // --- P8: port labeling with protocol-specific service dictionaries -------
+  // `multiIf(Proto=6, concat(port,'/',dictTCP), Proto=17, ...,
+  // toString(port))` + trailing-'/' strip (reference `column.go:163-180`).
+  val qPortLabel: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val tcp = Seq((443, "https"), (80, "http"), (53, "domain"))
+      .toDF("p_tcp", "tcp_name")
+    val udp = Seq((53, "domain")).toDF("p_udp", "udp_name")
+    val flows = EventFlows.flows(s, dir)
+      .join(broadcast(tcp), col("DstPort") === col("p_tcp"), "left")
+      .join(broadcast(udp), col("DstPort") === col("p_udp"), "left")
+    val raw = when(col("Proto") === 6,
+        concat(col("DstPort").cast("string"), lit("/"), coalesce(col("tcp_name"), lit(""))))
+      .when(col("Proto") === 17,
+        concat(col("DstPort").cast("string"), lit("/"), coalesce(col("udp_name"), lit(""))))
+      .otherwise(col("DstPort").cast("string"))
+    flows
+      .select(regexp_replace(raw, "/$", "").as("port_label"))
+      .groupBy("port_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // --- widget graph: single-series gap-filled Gbps (widgets.go:250-292) ----
+  // also the only oracle coverage of the dimensionless LineQuery path
+  val qWidgetGraph: Q = (s, dir) => {
+    import java.sql.Timestamp
+    import java.time.Instant
+    val w = new graft.queryengine.Widgets(
+      graft.schema.FlowSchema.schema, EventFlows.tables(s, dir))
+    w.graph(s,
+      Timestamp.from(Instant.parse("2024-01-15T00:00:00Z")),
+      Timestamp.from(Instant.parse("2024-01-16T00:00:00Z")), points = 24)
+      .select(col("time_s"),
+        round(col("gbps") * 1e9 * 3600).cast("long").as("bits_sum"))
+  }
+
   // --- IVF ANN over embeddings (rows-only check; recall spec-verified) -----
   val qSimIvf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
@@ -121,6 +189,9 @@ object Extra {
     "q_render" -> qRender,
     "q_util_pct" -> qUtilPct,
     "q_line_stats" -> qLineStats,
+    "q_exporters" -> qExporters,
+    "q_port_label" -> qPortLabel,
+    "q_widget_graph" -> qWidgetGraph,
     "q_sim_ivf" -> qSimIvf
   )
 
@@ -154,6 +225,49 @@ object Extra {
          |    // (max(InIfSpeed) * 1000000)
          |    // count(DISTINCT (ExporterName, InIfName)) AS BIGINT) AS util_pm
          |FROM flows GROUP BY 1""".stripMargin,
+    "q_exporters" ->
+      s"""WITH flows AS ($F),
+         |ex AS (
+         |  SELECT TimeReceived, ExporterName, InIfName AS IfName,
+         |    InIfDescription AS IfDescription, InIfSpeed AS IfSpeed,
+         |    InIfProvider AS IfProvider, InIfBoundary AS IfBoundary
+         |  FROM flows
+         |  UNION ALL
+         |  SELECT TimeReceived, ExporterName, OutIfName,
+         |    OutIfDescription, OutIfSpeed, OutIfProvider, OutIfBoundary
+         |  FROM flows),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY ExporterName, IfName
+         |    ORDER BY TimeReceived DESC, IfDescription DESC, IfSpeed DESC,
+         |      IfProvider DESC, IfBoundary DESC) AS rn
+         |  FROM ex)
+         |SELECT ExporterName, IfName, IfDescription,
+         |  CAST(IfSpeed AS BIGINT) AS IfSpeed, IfProvider, IfBoundary,
+         |  CAST(epoch(date_trunc('second', TimeReceived)) AS BIGINT) AS last_seen
+         |FROM r WHERE rn = 1""".stripMargin,
+    "q_port_label" ->
+      s"""WITH flows AS ($F),
+         |lab AS (SELECT regexp_replace(
+         |  CASE WHEN Proto = 6 THEN CAST(DstPort AS VARCHAR) || '/' ||
+         |    coalesce(CASE DstPort WHEN 443 THEN 'https' WHEN 80 THEN 'http'
+         |      WHEN 53 THEN 'domain' END, '')
+         |  WHEN Proto = 17 THEN CAST(DstPort AS VARCHAR) || '/' ||
+         |    coalesce(CASE DstPort WHEN 53 THEN 'domain' END, '')
+         |  ELSE CAST(DstPort AS VARCHAR) END, '/$$', '') AS port_label
+         |  FROM flows)
+         |SELECT port_label, CAST(count(*) AS BIGINT) AS n
+         |FROM lab GROUP BY 1""".stripMargin,
+    "q_widget_graph" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-15 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-16 00:00:00'),
+         |per AS (SELECT CAST(epoch(date_trunc('hour', TimeReceived)) AS BIGINT) AS time_s,
+         |  CAST(sum(Bytes*SamplingRate*8) AS BIGINT) AS bits_sum
+         |  FROM f GROUP BY 1),
+         |cal AS (SELECT unnest(range(1705276800, 1705276800 + 86400, 3600)) AS time_s)
+         |SELECT c.time_s, coalesce(p.bits_sum, 0) AS bits_sum
+         |FROM cal c LEFT JOIN per p ON c.time_s = p.time_s""".stripMargin,
     "q_line_stats" -> {
       val lineOracle = Flow.oracles("q_line")
       s"""WITH line AS ($lineOracle),

@@ -103,6 +103,10 @@ object EventFlows {
       |  ['US','FR','DE','JP'][CAST(event_id % 4 + 1 AS INT)] AS DstCountry,
       |  'eth' || CAST(event_id % 4 AS VARCHAR) AS InIfName,
       |  'eth' || CAST(event_id % 3 AS VARCHAR) AS OutIfName,
+      |  'uplink' AS InIfDescription, 'downlink' AS OutIfDescription,
+      |  'transit' AS InIfConnectivity, 'peering' AS OutIfConnectivity,
+      |  'p' || CAST(user_id % 3 AS VARCHAR) AS InIfProvider,
+      |  'p' || CAST(event_id % 3 AS VARCHAR) AS OutIfProvider,
       |  1000 AS InIfSpeed, 1000 AS OutIfSpeed,
       |  CASE WHEN user_id % 2 = 0 THEN 'external' ELSE 'internal' END AS InIfBoundary,
       |  CASE WHEN event_id % 2 = 0 THEN 'external' ELSE 'internal' END AS OutIfBoundary,
