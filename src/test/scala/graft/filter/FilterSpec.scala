@@ -86,4 +86,71 @@ class FilterSpec extends SparkSpec {
     val exp = FilterParser.expectedAt(schema, "SrcPort ")
     assert(exp.exists(Set("=", "!=", ">=", "IN")))
   }
+
+  // MAC columns are in the L2 feature group, disabled by default like the
+  // reference; enable the group for the MAC cases
+  private val l2Schema = schema.withConfig(
+    graft.schema.SchemaConfig(enabledGroups = Set("L2")))
+
+  private def compileL2(s: String) =
+    FilterCompiler.compile(l2Schema, s).fold(e => fail(s"parse failed: $e"), identity)
+
+  test("mac, column-to-column, NOTIN, direction forms parse and compile") {
+    compileL2("SrcMAC = 00:11:22:33:44:55")
+    compileL2("DstMAC != aa-bb-cc-dd-ee-ff")
+    val corpus = Seq(
+      "InIfName = OutIfName", // column-to-column compare
+      "SrcCountry NOTIN ('US', 'FR')",
+      "SrcAddr NOTIN (192.0.2.1, 10.0.0.0/8)",
+      "FlowDirection = egress",
+      "Proto IN (6, 17)",
+      "EType = 'IPv6'")
+    corpus.foreach(c => compile(c))
+    // and the group gate itself: disabled by default
+    assert(FilterCompiler.compile(schema, "SrcMAC = 00:11:22:33:44:55").isLeft)
+  }
+
+  test("NOTIN and column compare evaluate correctly") {
+    import spark.implicits._
+    val df = Seq(
+      ("US", "eth0", "eth0", 6L),
+      ("FR", "eth0", "eth1", 17L),
+      ("DE", "eth2", "eth2", 1L))
+      .toDF("SrcCountry", "InIfName", "OutIfName", "Proto")
+    assert(df.where(compile("SrcCountry NOTIN ('US', 'FR')").predicate).count() == 1)
+    assert(df.where(compile("InIfName = OutIfName").predicate).count() == 2)
+    assert(df.where(compile("Proto IN (6, 17)").predicate).count() == 2)
+  }
+
+  test("mac filter hits numeric MAC columns") {
+    import spark.implicits._
+    val df = Seq(
+      graft.functions.Render.macToNum("00:11:22:33:44:55"),
+      graft.functions.Render.macToNum("aa:bb:cc:dd:ee:ff"))
+      .toDF("SrcMAC")
+    assert(df.where(compileL2("SrcMAC = 00:11:22:33:44:55").predicate).count() == 1)
+  }
+
+  test("large community filter targets the LargeCommunities column") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val packed = graft.functions.Render.packLargeCommunity(65000L, 100L, 200L)
+    val sch = StructType(Seq(
+      StructField("DstCommunities", ArrayType(LongType)),
+      StructField("DstLargeCommunities", ArrayType(DecimalType(38, 0)))))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(Seq.empty[Long], Seq(packed)),
+        Row(Seq.empty[Long], Seq.empty[java.math.BigDecimal])),
+      sch)
+    val cf = compile("DstCommunities = 65000:100:200")
+    assert(df.where(cf.predicate).count() == 1)
+  }
+
+  test("aspath membership compiles to array_contains") {
+    import spark.implicits._
+    val df = Seq(Seq(64496L, 65000L), Seq(64497L)).toDF("DstASPath")
+    assert(df.where(compile("DstASPath = AS65000").predicate).count() == 1)
+    assert(df.where(compile("DstASPath != 65000").predicate).count() == 1)
+  }
 }
