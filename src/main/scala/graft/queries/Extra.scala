@@ -176,6 +176,24 @@ object Extra {
         round(col("gbps") * 1e9 * 3600).cast("long").as("bits_sum"))
   }
 
+  // --- J2/§1.1: custom-dictionary generated columns -------------------------
+  // A user dictionary keyed on SrcAS generates a SrcASTier column (misses
+  // get the dictGetOrDefault default), which then acts as a normal
+  // dimension: filterable via the DSL after schema registration, groupable
+  // here.
+  val qCustomDict: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val dictSource = (0 until 10).map(i =>
+      (64496L + i, if (i % 2 == 0) "gold" else "silver")).toDF("asn", "tier")
+    val dict = graft.schema.CustomDict("astiers", "SrcAS", "asn",
+      Map("tier" -> "SrcASTier"))
+    graft.streaming.Enrichment
+      .withCustomDict(EventFlows.flows(s, dir), dict, dictSource)
+      .groupBy("SrcASTier")
+      .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
+  }
+
   // --- IVF ANN over embeddings (rows-only check; recall spec-verified) -----
   val qSimIvf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
@@ -192,6 +210,7 @@ object Extra {
     "q_exporters" -> qExporters,
     "q_port_label" -> qPortLabel,
     "q_widget_graph" -> qWidgetGraph,
+    "q_custom_dict" -> qCustomDict,
     "q_sim_ivf" -> qSimIvf
   )
 
@@ -245,6 +264,14 @@ object Extra {
          |  CAST(IfSpeed AS BIGINT) AS IfSpeed, IfProvider, IfBoundary,
          |  CAST(epoch(date_trunc('second', TimeReceived)) AS BIGINT) AS last_seen
          |FROM r WHERE rn = 1""".stripMargin,
+    "q_custom_dict" ->
+      s"""WITH flows AS ($F)
+         |SELECT CASE WHEN SrcAS - 64496 < 10 THEN
+         |    (CASE WHEN (SrcAS - 64496) % 2 = 0 THEN 'gold' ELSE 'silver' END)
+         |  ELSE '???' END AS SrcASTier,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(Bytes) AS BIGINT) AS bytes
+         |FROM flows GROUP BY 1""".stripMargin,
     "q_port_label" ->
       s"""WITH flows AS ($F),
          |lab AS (SELECT regexp_replace(

@@ -97,6 +97,17 @@ final case class Schema(columns: Seq[ColumnSpec]) {
   def dimensions: Seq[String] =
     enabled.filterNot(_.notDimension).map(_.name)
 
+  /** Register a custom dictionary's generated columns (reference
+    * `common/schema/root.go:107-184`: each attribute of a configured
+    * dictionary becomes a generated column `dictGet('custom_dict_X',
+    * 'attr', key)`). The columns become first-class string dimensions —
+    * filterable and groupable; [[graft.streaming.Enrichment.withCustomDict]]
+    * materializes them at ingest like the reference's raw-consumer MV.
+    */
+  def withCustomDict(dict: CustomDict): Schema =
+    Schema(columns ++ dict.attributes.values.map(out =>
+      ColumnSpec(out, StringType, ParserType.Str)))
+
   def withConfig(cfg: SchemaConfig): Schema = {
     val adjusted = columns.map { c =>
       val groupOn = c.group.exists(cfg.enabledGroups.contains)
@@ -109,6 +120,23 @@ final case class Schema(columns: Seq[ColumnSpec]) {
     Schema(adjusted)
   }
 }
+
+/** A user-configured custom dictionary (reference
+  * `common/schema/root.go:107-184`): lookups of `keyColumn` against a small
+  * dimension source generate one flow column per attribute.
+  *
+  * @param name          dictionary name
+  * @param keyColumn     flow column used as the lookup key
+  * @param dictKeyColumn key column in the dictionary source
+  * @param attributes    dict attribute column → generated flow column name
+  * @param default       value when the key misses (dictGetOrDefault)
+  */
+final case class CustomDict(
+    name: String,
+    keyColumn: String,
+    dictKeyColumn: String,
+    attributes: Map[String, String],
+    default: String = "???")
 
 /** Enable/disable/move columns by configuration
   * (reference `common/schema/root.go:38-95`).

@@ -96,6 +96,25 @@ object Enrichment {
     }
   }
 
+  /** Custom-dictionary generated columns (J2, reference
+    * `common/schema/root.go:107-184`): broadcast left join on the dict key,
+    * missing keys get the dictGetOrDefault default. Materialized at ingest
+    * exactly like the reference's raw-consumer MV, so the query plane sees
+    * plain columns.
+    */
+  def withCustomDict(flows: DataFrame, dict: graft.schema.CustomDict,
+      source: DataFrame): DataFrame = {
+    val sel = source.select(
+      col(dict.dictKeyColumn).as("__dict_key") +:
+        dict.attributes.map { case (a, out) => col(a).as(out) }.toSeq: _*)
+    val joined = flows.join(broadcast(sel),
+      flows(dict.keyColumn) === col("__dict_key"), "left")
+      .drop("__dict_key")
+    dict.attributes.values.foldLeft(joined) { (d, out) =>
+      d.withColumn(out, coalesce(col(out), lit(dict.default)))
+    }
+  }
+
   /** Validation (I7): drop flows with no sampling rate or zero packets;
     * attach named observers so drop causes are countable from the driver
     * (the Spark analogue of the reference's per-cause metrics).

@@ -147,6 +147,22 @@ class FilterSpec extends SparkSpec {
     assert(df.where(cf.predicate).count() == 1)
   }
 
+  test("custom-dict generated columns become filterable dimensions") {
+    import spark.implicits._
+    val dictSource = Seq((64496L, "gold"), (64497L, "silver")).toDF("asn", "tier")
+    val dict = graft.schema.CustomDict("astiers", "SrcAS", "asn",
+      Map("tier" -> "SrcASTier"))
+    val extended = schema.withCustomDict(dict)
+    assert(FilterCompiler.compile(schema, "SrcASTier = 'gold'").isLeft)
+    val cf = FilterCompiler.compile(extended, "SrcASTier = 'gold'")
+      .fold(e => fail(s"parse failed: $e"), identity)
+    val flows = Seq((64496L, 1L), (64497L, 2L), (64999L, 3L)).toDF("SrcAS", "Bytes")
+    val enriched = graft.streaming.Enrichment.withCustomDict(flows, dict, dictSource)
+    assert(enriched.where(cf.predicate).count() == 1)
+    assert(enriched.where(org.apache.spark.sql.functions.col("SrcASTier") === "???")
+      .count() == 1)
+  }
+
   test("aspath membership compiles to array_contains") {
     import spark.implicits._
     val df = Seq(Seq(64496L, 65000L), Seq(64497L)).toDF("DstASPath")
