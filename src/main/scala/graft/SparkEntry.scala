@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The line graph exercises the whole stack: filter DSL → table routing →
+    * top-N (+ folding) → aligned buckets → gap fill.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_timeseries")(spark, "/root/testdata/sf0.001")
+    queries("q_line")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -34,6 +34,19 @@ object Ip {
     }
   }
 
+  /** Unsigned lexicographic compare of two 16-byte addresses — the order
+    * BinaryType comparisons use, i.e. uint128 order.
+    */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
   def isV4Mapped(b: Array[Byte]): Boolean =
     b.length == 16 && b.take(10).forall(_ == 0) && b(10) == -1 && b(11) == -1
 
