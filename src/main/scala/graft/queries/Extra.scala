@@ -194,6 +194,17 @@ object Extra {
       .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
   }
 
+  // --- P12: ALIAS (computed-on-read) columns via the schema view layer -----
+  // SrcNetPrefix is never stored: the view attaches
+  // ipToString(SrcAddr)/SrcNetMask at read (reference ALIAS columns,
+  // `definition.go:294-298`); Catalyst prunes it when unused.
+  val qAliasPrefix: Q = (s, dir) => {
+    graft.schema.FlowSchema.schema
+      .withAliasColumns(EventFlows.flows(s, dir))
+      .groupBy("SrcNetPrefix")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // --- IVF ANN over embeddings (rows-only check; recall spec-verified) -----
   val qSimIvf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
@@ -211,6 +222,7 @@ object Extra {
     "q_port_label" -> qPortLabel,
     "q_widget_graph" -> qWidgetGraph,
     "q_custom_dict" -> qCustomDict,
+    "q_alias_prefix" -> qAliasPrefix,
     "q_sim_ivf" -> qSimIvf
   )
 
@@ -264,6 +276,11 @@ object Extra {
          |  CAST(IfSpeed AS BIGINT) AS IfSpeed, IfProvider, IfBoundary,
          |  CAST(epoch(date_trunc('second', TimeReceived)) AS BIGINT) AS last_seen
          |FROM r WHERE rn = 1""".stripMargin,
+    "q_alias_prefix" ->
+      """SELECT '10.0.' || CAST(user_id // 256 AS VARCHAR) || '.' ||
+        |    CAST(user_id % 256 AS VARCHAR) || '/24' AS SrcNetPrefix,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_custom_dict" ->
       s"""WITH flows AS ($F)
          |SELECT CASE WHEN SrcAS - 64496 < 10 THEN
