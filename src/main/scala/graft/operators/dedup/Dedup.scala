@@ -178,4 +178,51 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs via the similarity module's
     * LSH buckets; see [[graft.operators.similarity.CosineSearch]].
     */
+
+  /** Duplicate-cluster formation: connected components over near-dup
+    * pairs via min-label propagation — every document gets the smallest
+    * doc id reachable through the pair graph as its cluster label (the
+    * canonical "keeper").
+    *
+    * Each iteration is one join + two aggregations keyed by node id;
+    * convergence needs `diameter` rounds, and near-dup clusters are
+    * shallow in practice (cap with `maxIter`). Lineage is cut per round
+    * with localCheckpoint so plans stay bounded. For adversarial
+    * long-chain graphs swap in large-star/small-star contraction — the
+    * per-round join shape is the same.
+    *
+    * @param pairs (aCol, bCol) undirected near-dup edges
+    * @return (id, cluster) — cluster = min id of the component
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("cluster").as("n_cluster"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
 }

@@ -50,6 +50,10 @@ object Pipeline {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", threshold = 0.5)),
 
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
@@ -132,6 +136,28 @@ object Pipeline {
         |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    // connected components over the exact ngram pairs; DuckDB recursive CTE
+    // computes min-reachable-id per node over the same edge set
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),

@@ -89,6 +89,19 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || lsh.size >= exact.size * 7 / 10)
   }
 
+  test("connectedComponents labels chains and leaves islands apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain 1-2-3
+      (10L, 11L), // separate pair
+      (7L, 20L), (20L, 8L)) // chain with out-of-order ids
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(7L) == 7L && got(20L) == 7L && got(8L) == 7L)
+  }
+
   test("simhash flags identical token multisets, not distinct docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
