@@ -83,6 +83,34 @@ object TextAnalysis {
   def shingles(text: Column): Column =
     graft.expressions.Sketches.wordShingles(tokens(text), 3)
 
+  /** Rule-based document quality filter (the decision step over the
+    * quality metrics — C4/Gopher-style): keep documents with enough
+    * tokens, sane average word length, and some stopword signal. Returns
+    * the verdict and the first failed rule (for corpus diagnostics).
+    */
+  def qualityVerdict(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
+      minAvgWordLenK: Int = 2000, maxAvgWordLenK: Int = 12000): (Column, Column) = {
+    val tc = size(tokens(text)).cast("long")
+    val letters = length(regexp_replace(trim(text), " ", "")).cast("long")
+    val awlk = floor(letters * 1000 / tc).cast("long")
+    val stops = hitCount(text, stopEn).cast("long")
+    val reason = when(tc < minTokens, "too_short")
+      .when(tc > maxTokens, "too_long")
+      .when(awlk < minAvgWordLenK, "words_too_short")
+      .when(awlk > maxAvgWordLenK, "words_too_long")
+      .when(stops === 0, "no_stopwords")
+      .otherwise("ok")
+    (reason === "ok", reason)
+  }
+
+  /** Deterministic corpus split by content hash: stable across runs,
+    * engines, and partitionings (md5 is engine-portable; the first hex
+    * nibble buckets 0..15). `trainNibbles` of 16 go to train.
+    */
+  def splitLabel(text: Column, trainNibbles: Int = 13): Column =
+    when(conv(substring(md5(text), 1, 1), 16, 10).cast("int") < trainNibbles,
+      "train").otherwise("eval")
+
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -47,6 +47,17 @@ object Pipeline {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
 
+    "q_quality_filter" -> ((s, dir) => {
+      val (keep, reason) = TextAnalysis.qualityVerdict(col("text"))
+      docs(s, dir).select(col("doc_id"), keep.as("keep"), reason.as("reason"))
+    }),
+
+    "q_train_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TextAnalysis.splitLabel(col("text")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", threshold = 0.5)),
 
@@ -136,6 +147,27 @@ object Pipeline {
         |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    "q_quality_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS tc,
+        |  length(replace(trim(text), ' ', '')) AS letters,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'and', 'of'))) AS stops
+        |  FROM documents),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN tc < 5 THEN 'too_short'
+        |       WHEN tc > 100000 THEN 'too_long'
+        |       WHEN letters * 1000 // tc < 2000 THEN 'words_too_short'
+        |       WHEN letters * 1000 // tc > 12000 THEN 'words_too_long'
+        |       WHEN stops = 0 THEN 'no_stopwords'
+        |       ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT doc_id, reason = 'ok' AS keep, reason FROM v""".stripMargin,
+    "q_train_split" ->
+      """SELECT CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train'
+        |  ELSE 'eval' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     // connected components over the exact ngram pairs; DuckDB recursive CTE
     // computes min-reachable-id per node over the same edge set
     "q_dedup_clusters" ->
