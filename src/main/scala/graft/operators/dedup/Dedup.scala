@@ -195,14 +195,47 @@ object Dedup {
     * @return (id, cluster) — cluster = min id of the component
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      bCol: String = "id_b", maxIter: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline exactly once
+    val p0 = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).localCheckpoint()
+    // small graphs resolve on the driver: near-dup edge sets are usually
+    // tiny relative to the corpus, and union-find on ≤1M collected edges
+    // beats N iteration jobs; the distributed loop below is the path for
+    // graphs that don't fit
+    if (p0.count() <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      val seen = scala.collection.mutable.HashSet[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p0.collect().foreach { row =>
+        seen += row.getLong(0); seen += row.getLong(1)
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      return seen.toSeq.map(n => (n, find(n))).toDF("id", "cluster")
+    }
+    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // labels only ever decrease, so Σcluster strictly decreases until the
+    // fixpoint — convergence is one cheap scan of the checkpointed labels,
+    // no old-vs-new join
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("cluster")).first().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -210,17 +243,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("n_cluster"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
             .as("cluster"))
+      // path compression (pointer jumping): cluster(n) ← cluster(cluster(n))
+      // — doubles propagation distance per round, log(diameter) rounds
+      val next = stepped.as("l")
+        .join(stepped.select(col("id").as("cid"), col("cluster").as("cc")).as("p"),
+          col("l.cluster") === col("cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster"), coalesce(col("cc"), col("l.cluster")))
+            .as("cluster"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels

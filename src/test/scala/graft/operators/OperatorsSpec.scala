@@ -102,6 +102,19 @@ class DedupSpec extends SparkSpec {
     assert(got(7L) == 7L && got(20L) == 7L && got(8L) == 7L)
   }
 
+  test("distributed label propagation agrees with driver union-find") {
+    val rnd = new scala.util.Random(7L)
+    val pairs = (1 to 120).map(_ => {
+      val a = rnd.nextInt(60).toLong; val b = a + 1 + rnd.nextInt(10)
+      (a, b)
+    }).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+  }
+
   test("simhash flags identical token multisets, not distinct docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
