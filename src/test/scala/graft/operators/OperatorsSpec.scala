@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || lsh.size >= exact.size * 7 / 10)
   }
 
+  test("maxShingleDf drops hot stop-shingles from pair generation") {
+    // every doc shares the hot prefix "a b c"; only 1&2 share more
+    val hotDocs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      (3L, "a b c x y z"),
+      (4L, "a b c q r s")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(hotDocs, "doc_id", "text", 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 6) // all pairs meet via "a b c"
+    val capped = Dedup.ngramJaccard(hotDocs, "doc_id", "text", 0.0,
+      maxShingleDf = Some(2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // "a b c" (df=4) is dropped; only docs sharing rarer shingles pair up
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((3L, 4L)))
+    assert(capped.size < uncapped.size)
+  }
+
   test("connectedComponents labels chains and leaves islands apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain 1-2-3
