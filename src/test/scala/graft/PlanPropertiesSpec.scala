@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the scale-readiness properties documented
+  * in PLANS.md, asserted against the actual physical plans so a refactor
+  * that silently de-optimizes (loses pruning, breaks a broadcast, drops
+  * partial aggregation) fails CI instead of only showing up at scale.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  private def readSchemas(p: String): Seq[String] =
+    p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+
+  test("q_agg_units prunes the lineitem scan to the 5 touched columns") {
+    val schemas = readSchemas(plan("q_agg_units"))
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      val cols = s.substring(s.indexOf("struct<")).count(_ == ':')
+      assert(cols == 5, s"expected 5 read columns, got: $s")
+    }
+  }
+
+  test("q_filter_dsl prunes the events scan through the flows projection") {
+    val schemas = readSchemas(plan("q_filter_dsl"))
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      val cols = s.substring(s.indexOf("struct<")).count(_ == ':')
+      assert(cols <= 4, s"expected <=4 read columns, got: $s")
+    }
+  }
+
+  test("q_sim_topk broadcasts queries and pushes the rank limit down") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=k must become a group limit before the shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk_sketch aggregates partially before the exchange") {
+    val p = plan("q_topk_sketch")
+    val aggs = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final sketch aggregation:\n$p")
+  }
+
+  test("q_dict_join uses a broadcast join, never sort-merge") {
+    val p = plan("q_dict_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_line's time filter sits directly on the scan side") {
+    val p = plan("q_line")
+    assert(p.contains("Filter"))
+    // no Cartesian anywhere in the line pipeline
+    assert(!p.contains("CartesianProduct"))
+  }
+}
