@@ -205,6 +205,11 @@ object Extra {
       .agg(count(lit(1)).as("n"))
   }
 
+  // --- §3.3 value completion: match-position then frequency ranking --------
+  val qCompletionValues: Q = (s, dir) =>
+    graft.queryengine.Completion.values(
+      Tables.load(s, dir, "customer"), "c_mktsegment", "u", None, 10)
+
   // --- IVF ANN over embeddings (rows-only check; recall spec-verified) -----
   val qSimIvf: Q = (s, dir) => {
     val e = Tables.load(s, dir, "embeddings")
@@ -223,6 +228,7 @@ object Extra {
     "q_widget_graph" -> qWidgetGraph,
     "q_custom_dict" -> qCustomDict,
     "q_alias_prefix" -> qAliasPrefix,
+    "q_completion_values" -> qCompletionValues,
     "q_sim_ivf" -> qSimIvf
   )
 
@@ -276,6 +282,12 @@ object Extra {
          |  CAST(IfSpeed AS BIGINT) AS IfSpeed, IfProvider, IfBoundary,
          |  CAST(epoch(date_trunc('second', TimeReceived)) AS BIGINT) AS last_seen
          |FROM r WHERE rn = 1""".stripMargin,
+    "q_completion_values" ->
+      """WITH vals AS (SELECT c_mktsegment AS v, count(*) AS freq
+        |  FROM customer GROUP BY 1)
+        |SELECT v, CAST(freq AS BIGINT) AS freq FROM vals
+        |WHERE position('u' IN lower(v)) > 0
+        |ORDER BY position('u' IN lower(v)), freq DESC, v LIMIT 10""".stripMargin,
     "q_alias_prefix" ->
       """SELECT '10.0.' || CAST(user_id // 256 AS VARCHAR) || '.' ||
         |    CAST(user_id % 256 AS VARCHAR) || '/24' AS SrcNetPrefix,

@@ -47,6 +47,19 @@ object Pipeline {
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
 
+    // end-to-end corpus pipeline: quality gate → exact-dup keeper → split
+    // counts — the composition a training-data run executes
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (keep, _) = TextAnalysis.qualityVerdict(col("text"))
+      val keepers = Dedup.exact(d, "doc_id", "text").select(col("keeper").as("doc_id"))
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .where(keep)
+        .select(TextAnalysis.splitLabel(col("text")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_quality_filter" -> ((s, dir) => {
       val (keep, reason) = TextAnalysis.qualityVerdict(col("text"))
       docs(s, dir).select(col("doc_id"), keep.as("keep"), reason.as("reason"))
@@ -147,6 +160,23 @@ object Pipeline {
         |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    "q_corpus_pipeline" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |m AS (SELECT doc_id, text,
+        |  len(string_split_regex(trim(text), '\s+')) AS tc,
+        |  length(replace(trim(text), ' ', '')) AS letters,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'and', 'of'))) AS stops
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        |kept AS (SELECT text FROM m
+        |  WHERE tc >= 5 AND tc <= 100000
+        |    AND letters * 1000 // tc >= 2000 AND letters * 1000 // tc <= 12000
+        |    AND stops > 0)
+        |SELECT CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train'
+        |  ELSE 'eval' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM kept GROUP BY 1""".stripMargin,
     "q_quality_filter" ->
       """WITH m AS (SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS tc,
