@@ -1,0 +1,151 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.filter.FilterCompiler
+import graft.queryengine.{Completion, FlowTable, LineInput, LineQuery,
+  LineStats, SankeyInput, SankeyQuery}
+import graft.schema.Schema
+
+/** Thin JSON API mirroring the reference console's endpoints (SURVEY §3,
+  * `console/line.go` / `sankey.go` / `filter.go`):
+  *
+  *   POST /api/v0/console/graph/line    — time series + per-series stats
+  *   POST /api/v0/console/graph/sankey  — folded flows + node links
+  *   POST /api/v0/console/filter/validate
+  *   POST /api/v0/console/filter/complete
+  *
+  * Built on the JDK HttpServer + Spark's bundled Jackson (zero extra
+  * dependencies); the engine itself stays a library — this is the optional
+  * last layer of SURVEY §7.
+  */
+final class ConsoleApi(spark: SparkSession, schema: Schema,
+    tables: Seq[FlowTable], port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def ts(node: JsonNode, field: String): Timestamp =
+    Timestamp.from(Instant.parse(node.get(field).asText()))
+
+  private def handle(path: String)(f: JsonNode => ObjectNode): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val out = try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val resp = f(mapper.readTree(if (body.isEmpty) "{}" else body))
+        (200, mapper.writeValueAsBytes(resp))
+      } catch {
+        case e: Exception =>
+          val err = mapper.createObjectNode()
+          err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+          (400, mapper.writeValueAsBytes(err))
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(out._1, out._2.length)
+      ex.getResponseBody.write(out._2)
+      ex.close()
+    })
+
+  private def strings(node: JsonNode, field: String): Seq[String] =
+    if (node.has(field)) {
+      val it = node.get(field).elements()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) buf += it.next().asText()
+      buf.toSeq
+    } else Nil
+
+  handle("/api/v0/console/graph/line") { req =>
+    val in = LineInput(
+      start = ts(req, "start"),
+      end = ts(req, "end"),
+      points = if (req.has("points")) req.get("points").asInt else 100,
+      dimensions = strings(req, "dimensions"),
+      limit = if (req.has("limit")) req.get("limit").asInt else 10,
+      limitType = if (req.has("limitType")) req.get("limitType").asText else "avg",
+      filter = if (req.has("filter")) req.get("filter").asText else "",
+      unit = if (req.has("units")) req.get("units").asText else "l3bps",
+      bidirectional = req.has("bidirectional") && req.get("bidirectional").asBoolean,
+      previousPeriod = req.has("previous-period") && req.get("previous-period").asBoolean)
+    val df = new LineQuery(schema, tables).build(spark, in)
+    val series = LineStats.collect(df)
+    val resp = mapper.createObjectNode()
+    val rows = resp.putArray("rows")
+    series.foreach { s =>
+      val r = rows.addObject()
+      r.put("axis", s.axis)
+      val dims = r.putArray("dimensions")
+      s.dimensions.foreach(dims.add)
+      val pts = r.putArray("points")
+      s.points.foreach(pts.add)
+      r.put("average", s.average)
+      r.put("min", s.min)
+      r.put("max", s.max)
+      r.put("last", s.last)
+      r.put("95th", s.p95)
+    }
+    resp
+  }
+
+  handle("/api/v0/console/graph/sankey") { req =>
+    val in = SankeyInput(
+      start = ts(req, "start"),
+      end = ts(req, "end"),
+      dimensions = strings(req, "dimensions"),
+      limit = if (req.has("limit")) req.get("limit").asInt else 10,
+      filter = if (req.has("filter")) req.get("filter").asText else "",
+      unit = if (req.has("units")) req.get("units").asText else "l3bps")
+    val q = new SankeyQuery(schema, tables)
+    val df = q.build(spark, in)
+    val links = q.links(df, in.dimensions)
+    val resp = mapper.createObjectNode()
+    val arr: ArrayNode = resp.putArray("links")
+    links.foreach { case ((from, to), w) =>
+      val l = arr.addObject()
+      l.put("source", from)
+      l.put("target", to)
+      l.put("weight", w)
+    }
+    resp
+  }
+
+  handle("/api/v0/console/filter/validate") { req =>
+    val expr = if (req.has("filter")) req.get("filter").asText else ""
+    val resp = mapper.createObjectNode()
+    FilterCompiler.compile(schema, expr) match {
+      case Right(cf) =>
+        resp.put("message", "ok")
+        resp.put("parsed", true)
+        resp.put("mainTableRequired", cf.mainTableRequired)
+      case Left(err) =>
+        resp.put("message", err.getMessage)
+        resp.put("parsed", false)
+        resp.put("at", err.pos)
+    }
+    resp
+  }
+
+  handle("/api/v0/console/filter/complete") { req =>
+    val expr = if (req.has("what")) req.get("what").asText else ""
+    val resp = mapper.createObjectNode()
+    val arr = resp.putArray("completions")
+    Completion.complete(schema, expr).foreach { s =>
+      val c = arr.addObject()
+      c.put("kind", s.kind)
+      c.put("value", s.value)
+    }
+    resp
+  }
+
+  def start(): ConsoleApi = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,84 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import graft.schema.FlowSchema
+import graft.store.EventFlows
+
+class ConsoleApiSpec extends SparkSpec {
+
+  private lazy val api = new ConsoleApi(spark, FlowSchema.schema,
+    EventFlows.tables(spark, "/root/testdata/sf0.001")).start()
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+
+  private def post(path: String, body: String) = {
+    val req = HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), mapper.readTree(resp.body()))
+  }
+
+  test("graph/line returns series with stats") {
+    val (code, json) = post("/api/v0/console/graph/line",
+      """{"start":"2024-01-01T00:00:00Z","end":"2024-01-08T00:00:00Z",
+        |"points":7,"dimensions":["InIfName"],"limit":2,
+        |"filter":"InIfBoundary = external","units":"pps"}""".stripMargin)
+    assert(code == 200)
+    val rows = json.get("rows")
+    assert(rows.size() > 0)
+    val first = rows.get(0)
+    assert(first.get("points").size() == 7)
+    assert(first.has("95th") && first.has("average"))
+    // Other is forced last within its axis
+    val dims = (0 until rows.size()).map(i =>
+      rows.get(i).get("dimensions").get(0).asText())
+    assert(dims.last == "Other" || !dims.contains("Other"))
+  }
+
+  test("graph/sankey returns weighted links") {
+    val (code, json) = post("/api/v0/console/graph/sankey",
+      """{"start":"2024-01-01T00:00:00Z","end":"2024-01-08T00:00:00Z",
+        |"dimensions":["SrcCountry","DstCountry"],"limit":3,
+        |"units":"pps"}""".stripMargin)
+    assert(code == 200)
+    val links = json.get("links")
+    assert(links.size() > 0)
+    assert(links.get(0).get("source").asText().startsWith("SrcCountry: "))
+    assert(links.get(0).get("weight").asDouble() > 0)
+  }
+
+  test("filter/validate reports both outcomes") {
+    val (c1, ok) = post("/api/v0/console/filter/validate",
+      """{"filter":"SrcPort >= 1024 AND Proto = 'TCP'"}""")
+    assert(c1 == 200 && ok.get("parsed").asBoolean)
+    assert(ok.get("mainTableRequired").asBoolean) // SrcPort is main-only
+    val (c2, bad) = post("/api/v0/console/filter/validate",
+      """{"filter":"NoSuchColumn = 1"}""")
+    assert(c2 == 200 && !bad.get("parsed").asBoolean)
+  }
+
+  test("filter/complete suggests operators after a column") {
+    val (code, json) = post("/api/v0/console/filter/complete",
+      """{"what":"SrcAddr "}""")
+    assert(code == 200)
+    val vals = (0 until json.get("completions").size())
+      .map(i => json.get("completions").get(i).get("value").asText()).toSet
+    assert(vals.contains("<<"))
+  }
+
+  test("malformed requests get a 400 with an error body") {
+    val (code, json) = post("/api/v0/console/graph/line", """{"start":"nope"}""")
+    assert(code == 400)
+    assert(json.has("error"))
+  }
+
+  override def afterAll(): Unit = {
+    api.stop()
+    super.afterAll()
+  }
+}
