@@ -12,6 +12,18 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
     tables.find(_.resolutionSec == 0L)
       .getOrElse(throw new IllegalArgumentException("no main table"))
 
+  /** "Now" derived from the data: MAX(TimeReceived) scalar subquery
+    * (reference `widgets.go:53-56` anchors the last-5-minutes windows on
+    * the newest flow, not the wall clock). Returned one second past the
+    * newest flow so the engine's half-open windows include it (the
+    * reference's form has no upper bound at all).
+    */
+  def dataNow(): Timestamp = {
+    val r = main.df().agg(max(col("TimeReceived"))).collect()(0)
+    if (r.isNullAt(0)) new Timestamp(0)
+    else new Timestamp(r.getTimestamp(0).getTime + 1000)
+  }
+
   /** `GET /widget/top/{name}`: top-5 percent-of-total over the last 5
     * minutes before `now`, optional external-boundary filter
     * (reference `widgets.go:139-248`).

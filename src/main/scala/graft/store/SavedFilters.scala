@@ -1,0 +1,37 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Saved-filter store (reference `console/database/`: user-saved filter
+  * texts behind the console). Append-only parquet with
+  * ReplacingMergeTree-style latest-wins reads and tombstone deletes — the
+  * same merge-on-read discipline as the flow tables, so no update-in-place
+  * storage is needed.
+  */
+final class SavedFilters(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  private def append(user: String, description: String, content: String,
+      deleted: Boolean): Unit =
+    Seq((user, description, content, deleted, System.nanoTime()))
+      .toDF("user", "description", "content", "deleted", "seq")
+      .write.mode(SaveMode.Append).parquet(path)
+
+  def save(user: String, description: String, content: String): Unit =
+    append(user, description, content, deleted = false)
+
+  def delete(user: String, description: String): Unit =
+    append(user, description, "", deleted = true)
+
+  /** Latest non-deleted filter per (user, description). */
+  def list(user: String): DataFrame = {
+    val w = Window.partitionBy("user", "description").orderBy(desc("seq"))
+    spark.read.parquet(path)
+      .where(col("user") === user)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("deleted"))
+      .select("user", "description", "content")
+  }
+}
