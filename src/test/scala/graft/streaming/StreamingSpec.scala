@@ -197,6 +197,29 @@ class FlowStoreSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/flows_1m").count() >= 1)
   }
 
+  test("line query runs over the ingested store end to end") {
+    // the full production path: batch ingest → partitioned store →
+    // table routing → line pipeline, values conserved exactly
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-03-01", 90))
+    val line = new graft.queryengine.LineQuery(
+      graft.schema.FlowSchema.schema, store.tables())
+    val out = line.build(spark, graft.queryengine.LineInput(
+      start = ts("2024-03-01T00:00:00Z"), end = ts("2024-03-02T00:00:00Z"),
+      points = 24, dimensions = Seq("ExporterName"), limit = 2,
+      unit = "l3bps"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // Σ xps·interval over all series = Σ Bytes·SamplingRate·8 ingested
+    val total = rows.map(r => math.round(r.getAs[Double]("xps") * 3600)).sum
+    val expected = (0 until 90).map(i => (100L + i) * 1000L * 8L).sum
+    assert(total == expected)
+    // routed to the 1h rollup (interval 3600), whose buckets re-aggregated
+    val nonZero = rows.filter(_.getAs[Double]("xps") > 0)
+    assert(nonZero.forall(_.getAs[Long]("time_s") == 1709251200L)) // 00:00 hour
+  }
+
   test("windowed rollup aggregates with watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
