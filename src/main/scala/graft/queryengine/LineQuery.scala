@@ -92,6 +92,17 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         .cast("long")
     }
 
+    // Multi-axis fast path: ONE scan of the fact table for all axes.
+    // The reference (SQL UNION ALL) scans once per axis; here each row
+    // explodes into (axis, bucket, dims, weight) tuples for the axes whose
+    // range+filter it satisfies — at scale this is axes× fewer scans.
+    // Requires per-row weights (summable units) and "avg" ranking; other
+    // shapes fall back to the per-axis branches below.
+    if (specs.size > 1 && in.limitType == "avg" &&
+        specs.forall(sp => unitOf(sp).rowWeight.isDefined))
+      return buildMultiAxis(spark, in, specs, resolved, interval,
+        compiled, dimsOf, unitOf)
+
     // top-N row-sets for ALL axes in ONE collected job (the reference emits
     // one `rows` CTE per axis inside a single UNION ALL statement); each
     // branch keeps its own ORDER BY ... LIMIT — order across branches is
@@ -163,6 +174,113 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     }
 
     specs.map(axisDf).reduce(_ unionAll _)
+  }
+
+  /** Single-scan multi-axis pipeline: each fact row explodes into the
+    * (axis, bucket, rendered-dims, weight) tuples of every axis whose
+    * range+filter it satisfies; ranking, folding, aggregation and gap fill
+    * then run over the union with `axis` as an ordinary grouping column.
+    * One scan and one windowed top-N job regardless of axis count —
+    * long-integer weight sums keep results bit-identical to the branch
+    * path. Output times carry each axis's overlay shift, so all axes share
+    * the [start, end) output calendar.
+    */
+  private def buildMultiAxis(
+      spark: SparkSession, in: LineInput, specs: Seq[AxisSpec],
+      resolved: ResolvedQuery, interval: Long,
+      compiled: Option[CompiledFilter],
+      dimsOf: AxisSpec => Seq[String],
+      unitOf: AxisSpec => Unit): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val unionStart = new Timestamp(
+      specs.map(sp => in.start.getTime - sp.shiftSec * 1000).min)
+    val unionEnd = new Timestamp(
+      specs.map(sp => in.end.getTime - sp.shiftSec * 1000).max)
+    val base0 = resolved.table.df()
+      .where(col("TimeReceived") >= lit(unionStart) &&
+        col("TimeReceived") < lit(unionEnd))
+    val base =
+      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) base0
+      else schema.enabled.filter(c => c.truncatableIP && base0.columns.contains(c.name))
+        .foldLeft(base0) { (d, c) =>
+          d.withColumn(c.name,
+            graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
+        }
+
+    val axisStructs = specs.map { sp =>
+      val rangeStartMs = in.start.getTime - sp.shiftSec * 1000
+      val rangeEndMs = in.end.getTime - sp.shiftSec * 1000
+      val startSec = rangeStartMs / 1000
+      val inRange = col("TimeReceived") >= lit(new Timestamp(rangeStartMs)) &&
+        col("TimeReceived") < lit(new Timestamp(rangeEndMs))
+      val keep = compiled
+        .map(cf => if (sp.reverse) cf.reversePredicate else cf.predicate)
+        .fold(inRange)(p => inRange && p)
+      val bucketOut = ((lit(startSec) +
+        floor((unix_timestamp(col("TimeReceived")) - startSec) / interval) * interval)
+        .cast("long") + sp.shiftSec)
+      struct(
+        lit(sp.axis).as("axis"),
+        coalesce(keep, lit(false)).as("keep"),
+        bucketOut.as("time_s"),
+        array(dimsOf(sp).map(col(_).cast("string")): _*)
+          .cast("array<string>").as("ds"),
+        unitOf(sp).rowWeight.get.as("w"))
+    }
+    val rows = base
+      .select(explode(array(axisStructs: _*)).as("e"))
+      .where(col("e.keep"))
+      .select(col("e.axis").as("axis"), col("e.time_s").as("time_s"),
+        col("e.ds").as("ds"), col("e.w").as("w"))
+
+    val otherArray = array(in.dimensions.map(_ => lit("Other")): _*)
+
+    val folded: Column =
+      if (in.dimensions.isEmpty) col("ds")
+      else {
+        // one windowed top-N job for all axes ("avg" ranking = total weight)
+        val win = Window.partitionBy("axis").orderBy(desc("tw"), asc("ds"))
+        val topByAxis: Map[Int, Array[Seq[String]]] = rows
+          .groupBy("axis", "ds").agg(sum("w").as("tw"))
+          .withColumn("rn", row_number().over(win))
+          .where(col("rn") <= in.limit)
+          .select("axis", "ds")
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (axis, rs) =>
+            axis -> rs.map(_.getSeq[String](1).map(v => Option(v).getOrElse("")))
+          }
+        specs.foldLeft(when(lit(false), col("ds"))) { (acc, sp) =>
+          val tops = topByAxis.getOrElse(sp.axis, Array.empty[Seq[String]])
+          if (tops.isEmpty) acc
+          else acc.when(col("axis") === sp.axis &&
+            col("ds").isin(tops.map(r => array(r.map(lit): _*)).toIndexedSeq: _*),
+            col("ds"))
+        }.otherwise(otherArray)
+      }
+
+    val perBucket = rows
+      .withColumn("dimensions", folded)
+      .groupBy("axis", "time_s", "dimensions")
+      .agg((sum("w") / interval).as("xps"))
+
+    // shared output calendar across axes (shifts already applied)
+    val startSec = in.start.getTime / 1000
+    val endSec = (in.end.getTime / 1000 - 1).max(startSec)
+    val cal = spark.range(1)
+      .select(explode(sequence(lit(startSec), lit(endSec), lit(interval))).as("time_s"))
+      .select(col("time_s"),
+        explode(array(specs.map(sp => lit(sp.axis)): _*)).as("axis"))
+    val fillDims =
+      if (in.dimensions.isEmpty) array().cast("array<string>") else otherArray
+    val missing = cal
+      .join(perBucket.select("axis", "time_s").distinct(),
+        Seq("axis", "time_s"), "left_anti")
+      .select(col("axis"), col("time_s"), fillDims.as("dimensions"),
+        lit(0.0).as("xps"))
+
+    perBucket.select("axis", "time_s", "dimensions", "xps").unionAll(missing)
   }
 
   /** Sketch-ranked top rows: dims pack into a NUL-separated key (rendered
