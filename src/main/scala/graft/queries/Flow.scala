@@ -79,6 +79,18 @@ object Flow {
       .drop("weight", "span_sec")
   }
 
+  // Bidirectional sankey: reversed columns probe the direct axis's top
+  // sets positionally, merged with an axis literal.
+  val qSankeyBidir: Q = (s, dir) => {
+    val (_, sankey, _) = engine(s, dir)
+    sankey.build(s, SankeyInput(
+      start = ts("2024-01-01T00:00:00Z"), end = ts("2024-01-29T00:00:00Z"),
+      dimensions = Seq("SrcCountry", "DstCountry"), limit = 5, unit = "pps",
+      bidirectional = true))
+      .withColumn("w_sum", round(col("weight") * col("span_sec")).cast("long"))
+      .drop("weight", "span_sec")
+  }
+
   val qWidgetTop: Q = (s, dir) => {
     val (_, _, widgets) = engine(s, dir)
     widgets.top(s, ts("2024-01-29T00:00:00Z"), "SrcAS", externalOnly = true)
@@ -122,6 +134,7 @@ object Flow {
     "q_line_raw" -> qLineRaw,
     "q_line_bidir" -> qLineBidir,
     "q_sankey" -> qSankey,
+    "q_sankey_bidir" -> qSankeyBidir,
     "q_widget_top" -> qWidgetTop,
     "q_widget_rate" -> qWidgetRate,
     "q_filter_dsl" -> qFilterDsl,
@@ -224,6 +237,31 @@ object Flow {
          |  Packets*SamplingRate AS w FROM f)
          |SELECT SrcCountry, DstCountry, CAST(sum(w) AS BIGINT) AS w_sum
          |FROM folded GROUP BY 1, 2""".stripMargin,
+    "q_sankey_bidir" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT date_trunc('hour', TimeReceived) AS TimeReceived,
+         |    SrcCountry, DstCountry, Packets, SamplingRate FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'),
+         |top AS (SELECT SrcCountry, DstCountry FROM f GROUP BY 1, 2
+         |  ORDER BY sum(Packets*SamplingRate) DESC, SrcCountry, DstCountry LIMIT 5),
+         |d AS (SELECT
+         |  CASE WHEN SrcCountry IN (SELECT SrcCountry FROM top)
+         |    THEN SrcCountry ELSE 'Other' END AS SrcCountry,
+         |  CASE WHEN DstCountry IN (SELECT DstCountry FROM top)
+         |    THEN DstCountry ELSE 'Other' END AS DstCountry,
+         |  Packets*SamplingRate AS w FROM f),
+         |r AS (SELECT
+         |  CASE WHEN DstCountry IN (SELECT SrcCountry FROM top)
+         |    THEN DstCountry ELSE 'Other' END AS SrcCountry,
+         |  CASE WHEN SrcCountry IN (SELECT DstCountry FROM top)
+         |    THEN SrcCountry ELSE 'Other' END AS DstCountry,
+         |  Packets*SamplingRate AS w FROM f)
+         |SELECT SrcCountry, DstCountry, 1 AS axis, CAST(sum(w) AS BIGINT) AS w_sum
+         |FROM d GROUP BY 1, 2
+         |UNION ALL
+         |SELECT SrcCountry, DstCountry, 2 AS axis, CAST(sum(w) AS BIGINT) AS w_sum
+         |FROM r GROUP BY 1, 2""".stripMargin,
     "q_widget_top" ->
       s"""WITH flows AS ($F),
          |f AS (SELECT * FROM flows

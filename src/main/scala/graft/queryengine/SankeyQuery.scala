@@ -15,7 +15,8 @@ final case class SankeyInput(
     dimensions: Seq[String],
     limit: Int = 10,
     filter: String = "",
-    unit: String = "l3bps") {
+    unit: String = "l3bps",
+    bidirectional: Boolean = false) {
   require(dimensions.nonEmpty, "sankey requires at least one dimension")
   require(limit >= 1 && limit <= 50, "limit must be in 1..50")
 }
@@ -64,18 +65,40 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
       .map(r => math.max(1L, r.getDouble(2).toLong))
       .getOrElse(1L)
 
-    val folded = in.dimensions.zipWithIndex.foldLeft(scan) { case (d, (dim, i)) =>
-      val members = perColumnTop(i)
-      d.withColumn(dim,
-        if (members.isEmpty) lit("Other")
-        else when(col(dim).cast("string").isin(members.toSeq.map(lit): _*),
-          col(dim).cast("string")).otherwise(lit("Other")))
+    // fold one axis: read `srcCols(i)`, probe the DIRECT axis's membership
+    // set for position i, output under the direct label `in.dimensions(i)`
+    // (reference sankey.go:85-94: the reverse axis probes the same `rows`
+    // CTE positionally)
+    def foldAxis(axisScan: DataFrame, srcCols: Seq[String],
+        axisUnit: Unit): DataFrame = {
+      val folded = srcCols.zipWithIndex.foldLeft(axisScan) {
+        case (d, (srcCol, i)) =>
+          val members = perColumnTop(i)
+          d.withColumn(in.dimensions(i) + "__out",
+            if (members.isEmpty) lit("Other")
+            else when(col(srcCol).cast("string").isin(members.toSeq.map(lit): _*),
+              col(srcCol).cast("string")).otherwise(lit("Other")))
+      }
+      folded
+        .groupBy(in.dimensions.map(d => col(d + "__out").as(d)): _*)
+        .agg((axisUnit.agg / spanSec).as("weight"))
+        .withColumn("span_sec", lit(spanSec))
     }
-    folded
-      .groupBy(in.dimensions.map(col): _*)
-      .agg((unit.agg / spanSec).as("weight"))
-      .withColumn("span_sec", lit(spanSec))
-      .orderBy(desc("weight") +: in.dimensions.map(asc): _*)
+
+    val direct = foldAxis(scan, in.dimensions, unit)
+    if (!in.bidirectional)
+      return direct.orderBy(desc("weight") +: in.dimensions.map(asc): _*)
+
+    // reverse axis: swapped columns + swapped filter over the same range,
+    // merged UNION ALL with an axis literal (reference sankey.go:139-147)
+    val scanRev0 = resolved.table.df()
+      .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
+    val scanRev = compiled.map(_.reversePredicate).fold(scanRev0)(scanRev0.where)
+    val reverse = foldAxis(scanRev,
+      in.dimensions.map(schema.reverseName), unit.reversed)
+    direct.withColumn("axis", lit(1))
+      .unionAll(reverse.withColumn("axis", lit(2)))
+      .orderBy(asc("axis") +: desc("weight") +: in.dimensions.map(asc): _*)
   }
 
   /** Driver-side node/link construction (reference `sankey.go:197-273`):
