@@ -1,0 +1,46 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** P9 display rendering of the canonical 16-byte address: dotted quad for
+  * v4-mapped, RFC 5952-ish for v6 (reference
+  * `replaceRegexpOne(IPv6NumToString(addr),'^::ffff:','')`).
+  *
+  * Native expression instead of a Scala UDF: no row-encoder round trip per
+  * value, stays inside whole-stage codegen (one virtual call per row), and
+  * ALIAS columns built on it prune like any other expression.
+  */
+case class IpToString(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ip_to_string needs binary, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ip_to_string"
+
+  def compute(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(graft.functions.Ip.render(b))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ipRender", this, classOf[IpToString].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IpToString =
+    copy(child = c)
+}
+
+object IpToString {
+  def apply(c: Column): Column =
+    GraftBridge.column(new IpToString(GraftBridge.expression(c)))
+}

@@ -97,7 +97,6 @@ object Ip {
     out
   }
 
-  private val renderUdf = udf((b: Array[Byte]) => render(b))
 
   /** Truncation keeps v4bits for v4-mapped addresses, v6bits otherwise
     * (reference P11: `console/graph.go:44-88`).
@@ -107,8 +106,10 @@ object Ip {
     else if (isV4Mapped(b)) truncate(b, 96 + v4)
     else truncate(b, v6))
 
-  /** Display rendering of a 16-byte address column (P9). */
-  def ipToString(c: Column): Column = renderUdf(c)
+  /** Display rendering of a 16-byte address column (P9) — native
+    * expression, see [[graft.expressions.IpToString]].
+    */
+  def ipToString(c: Column): Column = graft.expressions.IpToString(c)
 
   /** Privacy/aggregation truncation of an address column (P11). */
   def ipTruncate(c: Column, v4bits: Int, v6bits: Int): Column =
