@@ -184,7 +184,26 @@ object Flow {
          |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
     "q_line_bidir" -> {
       // 4 axes: direct, reverse, previous-direct, previous-reverse.
-      // previous period for a 7-day range shifts back one week.
+      // previous period for a 7-day range shifts back one week, and
+      // previous axes are DIMENSIONLESS (reference strips dimensions).
+      def axisNoDim(n: Int, boundaryCol: String, startS: Long,
+          shift: Long): String =
+        s"""SELECT $n AS axis, time_s + $shift AS time_s, '' AS name,
+           |  CAST(sum(w) AS BIGINT) AS pps_sum FROM (
+           |  SELECT $startS + (CAST(epoch(TimeReceived) AS BIGINT) - $startS) // 86400 * 86400 AS time_s,
+           |    Packets*SamplingRate AS w
+           |  FROM flows
+           |  WHERE TimeReceived >= to_timestamp($startS)
+           |    AND TimeReceived < to_timestamp(${startS + 7 * 86400})
+           |    AND $boundaryCol = 'external') GROUP BY 1, 2, 3
+           |UNION ALL
+           |SELECT $n AS axis, c.time_s + $shift AS time_s, '' AS name, 0 AS pps_sum
+           |FROM (SELECT unnest(range($startS, $startS + 7*86400, 86400)) AS time_s) c
+           |WHERE c.time_s NOT IN (
+           |  SELECT $startS + (CAST(epoch(TimeReceived) AS BIGINT) - $startS) // 86400 * 86400
+           |  FROM flows WHERE TimeReceived >= to_timestamp($startS)
+           |    AND TimeReceived < to_timestamp(${startS + 7 * 86400})
+           |    AND $boundaryCol = 'external')""".stripMargin
       def axis(n: Int, nameCol: String, boundaryCol: String, startS: Long,
           shift: Long): String =
         s"""SELECT $n AS axis, time_s + $shift AS time_s, name,
@@ -217,9 +236,9 @@ object Flow {
          |UNION ALL
          |${axis(2, "ExporterName", "OutIfBoundary", w2start, 0)}
          |UNION ALL
-         |${axis(3, "ExporterName", "InIfBoundary", w1start, 7 * 86400)}
+         |${axisNoDim(3, "InIfBoundary", w1start, 7 * 86400)}
          |UNION ALL
-         |${axis(4, "ExporterName", "OutIfBoundary", w1start, 7 * 86400)}""".stripMargin
+         |${axisNoDim(4, "OutIfBoundary", w1start, 7 * 86400)}""".stripMargin
     },
     "q_sankey" ->
       s"""WITH flows AS ($F),

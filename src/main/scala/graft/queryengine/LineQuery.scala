@@ -59,8 +59,10 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       b.toSeq
     }
 
+    // previous-period axes are dimensionless: the overlay is a single
+    // total line (reference line.go:80 strips Dimensions in previousPeriod)
     def dimsOf(sp: AxisSpec): Seq[String] =
-      if (in.dimensions.isEmpty) Nil
+      if (in.dimensions.isEmpty || sp.shiftSec > 0) Nil
       else if (sp.reverse) in.dimensions.map(schema.reverseName) else in.dimensions
 
     def unitOf(sp: AxisSpec): Unit =
@@ -116,7 +118,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         // map-side instead of shuffling the full dimensionality
         val useSketch = resolved.table.resolutionSec == 0L &&
           in.limitType == "avg"
-        val ranked = specs.map { sp =>
+        val ranked = specs.filter(sp => dimsOf(sp).nonEmpty).map { sp =>
           val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
           val unit = unitOf(sp)
           val base = (useSketch, unit.rowWeight) match {
@@ -236,12 +238,16 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
 
     val otherArray = array(in.dimensions.map(_ => lit("Other")): _*)
 
+    val dimful = specs.filter(sp => dimsOf(sp).nonEmpty)
     val folded: Column =
-      if (in.dimensions.isEmpty) col("ds")
+      if (dimful.isEmpty) col("ds")
       else {
-        // one windowed top-N job for all axes ("avg" ranking = total weight)
+        // one windowed top-N job for all dimful axes ("avg" ranking =
+        // total weight); dimensionless (previous-period) axes keep their
+        // empty dims untouched
         val win = Window.partitionBy("axis").orderBy(desc("tw"), asc("ds"))
         val topByAxis: Map[Int, Array[Seq[String]]] = rows
+          .where(col("axis").isin(dimful.map(_.axis): _*))
           .groupBy("axis", "ds").agg(sum("w").as("tw"))
           .withColumn("rn", row_number().over(win))
           .where(col("rn") <= in.limit)
@@ -252,11 +258,14 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
             axis -> rs.map(_.getSeq[String](1).map(v => Option(v).getOrElse("")))
           }
         specs.foldLeft(when(lit(false), col("ds"))) { (acc, sp) =>
-          val tops = topByAxis.getOrElse(sp.axis, Array.empty[Seq[String]])
-          if (tops.isEmpty) acc
-          else acc.when(col("axis") === sp.axis &&
-            col("ds").isin(tops.map(r => array(r.map(lit): _*)).toIndexedSeq: _*),
-            col("ds"))
+          if (dimsOf(sp).isEmpty) acc.when(col("axis") === sp.axis, col("ds"))
+          else {
+            val tops = topByAxis.getOrElse(sp.axis, Array.empty[Seq[String]])
+            if (tops.isEmpty) acc
+            else acc.when(col("axis") === sp.axis &&
+              col("ds").isin(tops.map(r => array(r.map(lit): _*)).toIndexedSeq: _*),
+              col("ds"))
+          }
         }.otherwise(otherArray)
       }
 
@@ -272,8 +281,12 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       .select(explode(sequence(lit(startSec), lit(endSec), lit(interval))).as("time_s"))
       .select(col("time_s"),
         explode(array(specs.map(sp => lit(sp.axis)): _*)).as("axis"))
-    val fillDims =
-      if (in.dimensions.isEmpty) array().cast("array<string>") else otherArray
+    // gap rows carry Other for dimful axes, [] for dimensionless ones
+    val emptyDims = array().cast("array<string>")
+    val fillDims = specs.foldLeft(when(lit(false), emptyDims)) { (acc, sp) =>
+      if (dimsOf(sp).isEmpty) acc.when(col("axis") === sp.axis, emptyDims)
+      else acc
+    }.otherwise(if (in.dimensions.isEmpty) emptyDims else otherArray)
     val missing = cal
       .join(perBucket.select("axis", "time_s").distinct(),
         Seq("axis", "time_s"), "left_anti")
@@ -350,15 +363,21 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     }
   }
 
-  /** Shift distance for the previous-period axis (reference `nearestPeriod`,
-    * `console/line.go:59-96`): hour/day/week/4-weeks/year by range length.
+  /** Shift distance for the previous-period axis (reference `nearestPeriod`
+    * + `previousPeriod`, `console/line.go:55-95`): hour below 2 h, day
+    * below 2 d, week below 2 w, 4 weeks below 8 w, else the calendar year
+    * measured back from the range start (leap-safe: both ends move by the
+    * same amount).
     */
   private def previousPeriodShiftSec(in: LineInput): Long = {
     val rangeSec = (in.end.getTime - in.start.getTime) / 1000
-    if (rangeSec <= 3600) 3600L
-    else if (rangeSec <= 86400) 86400L
-    else if (rangeSec <= 7 * 86400) 7 * 86400L
-    else if (rangeSec <= 28 * 86400) 28 * 86400L
-    else 365 * 86400L
+    if (rangeSec < 2 * 3600) 3600L
+    else if (rangeSec < 2 * 86400) 86400L
+    else if (rangeSec < 2 * 7 * 86400) 7 * 86400L
+    else if (rangeSec < 2 * 4 * 7 * 86400) 4 * 7 * 86400L
+    else {
+      val start = in.start.toInstant.atZone(java.time.ZoneOffset.UTC)
+      java.time.Duration.between(start.minusYears(1), start).getSeconds
+    }
   }
 }
