@@ -125,7 +125,8 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
             case (true, Some(w)) =>
               topNSketch(scanFor(sp), dimsOf(sp), w, in.limit)
             case _ =>
-              topNRanked(scanFor(sp), dimsOf(sp), unit, in, bucketFor(sp), rangeEnd)
+              topNRanked(scanFor(sp), dimsOf(sp), unit, in, bucketFor(sp),
+                rangeEnd, interval)
           }
           base.select(lit(sp.axis).as("axis"),
             array(dimsOf(sp).map(col(_).cast("string")): _*).as("ds"))
@@ -318,7 +319,8 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     * `rows` CTE (reference console/query.go:48-90).
     */
   private def topNRanked(scan: DataFrame, dims: Seq[String], unit: Unit,
-      in: LineInput, bucket: Column, rangeEnd: Timestamp): DataFrame = {
+      in: LineInput, bucket: Column, rangeEnd: Timestamp,
+      intervalSec: Long): DataFrame = {
     val dimCols = dims.map(col)
     val ranked = in.limitType match {
       case "avg" =>
@@ -327,9 +329,9 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         scan.groupBy(bucket.as("b") +: dimCols: _*).agg(unit.agg.as("wb"))
           .groupBy(dims.map(col): _*).agg(max("wb").as("w"))
       case "last" =>
-        // last bucket of THIS axis's (possibly shifted) range
-        val lastStart = new Timestamp(rangeEnd.getTime -
-          math.max(1L, (in.end.getTime - in.start.getTime) / math.max(1, in.points)))
+        // last RESOLVED bucket of this axis's (possibly shifted) range
+        // (reference query.go:76: TimeReceived >= end - r.Interval)
+        val lastStart = new Timestamp(rangeEnd.getTime - intervalSec * 1000)
         scan.where(col("TimeReceived") >= lit(lastStart))
           .groupBy(dimCols: _*).agg(unit.agg.as("w"))
       case other => throw new IllegalArgumentException(s"unknown limitType $other")
