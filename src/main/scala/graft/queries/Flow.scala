@@ -97,6 +97,21 @@ object Flow {
       .select(col("name"), floor(col("percent") * 10000).cast("long").as("pct_bp"))
   }
 
+  // Widget dispatch: protocol widget (dictionary label, no boundary
+  // filter) and dst-port widget (proto/port concat, OutIfBoundary filter,
+  // main table required).
+  val qWidgetProto: Q = (s, dir) => {
+    val (_, _, widgets) = engine(s, dir)
+    widgets.topWidget(s, ts("2024-01-29T00:00:00Z"), "protocol")
+      .select(col("name"), floor(col("percent") * 10000).cast("long").as("pct_bp"))
+  }
+
+  val qWidgetDstPort: Q = (s, dir) => {
+    val (_, _, widgets) = engine(s, dir)
+    widgets.topWidget(s, ts("2024-01-29T00:00:00Z"), "dst-port")
+      .select(col("name"), floor(col("percent") * 10000).cast("long").as("pct_bp"))
+  }
+
   val qWidgetRate: Q = (s, dir) => {
     val (_, _, widgets) = engine(s, dir)
     widgets.flowRate(s, ts("2024-01-29T00:00:00Z"))
@@ -136,6 +151,8 @@ object Flow {
     "q_sankey" -> qSankey,
     "q_sankey_bidir" -> qSankeyBidir,
     "q_widget_top" -> qWidgetTop,
+    "q_widget_proto" -> qWidgetProto,
+    "q_widget_dstport" -> qWidgetDstPort,
     "q_widget_rate" -> qWidgetRate,
     "q_filter_dsl" -> qFilterDsl,
     "q_filter_dsl_rev" -> qFilterDslRev
@@ -292,6 +309,32 @@ object Flow {
          |SELECT name,
          |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
          |FROM per ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,
+    "q_widget_proto" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'),
+         |per AS (SELECT Proto, CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b
+         |  FROM f GROUP BY 1)
+         |SELECT coalesce(CASE Proto WHEN 1 THEN 'ICMP' WHEN 6 THEN 'TCP'
+         |    WHEN 17 THEN 'UDP' END, '???') AS name,
+         |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
+         |FROM per
+         |ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,
+    "q_widget_dstport" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT * FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'
+         |    AND OutIfBoundary = 'external'),
+         |per AS (SELECT Proto, DstPort,
+         |    CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b
+         |  FROM f GROUP BY 1, 2)
+         |SELECT coalesce(CASE Proto WHEN 1 THEN 'ICMP' WHEN 6 THEN 'TCP'
+         |    WHEN 17 THEN 'UDP' END, '???') || '/' || CAST(DstPort AS VARCHAR) AS name,
+         |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
+         |FROM per
+         |ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,
     "q_widget_rate" ->
       s"""WITH flows AS ($F)
          |SELECT CAST(count(*) AS BIGINT) AS flows FROM flows

@@ -45,6 +45,72 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
       .limit(limit)
   }
 
+  /** `GET /widget/top/{name}` with the reference's widget dispatch
+    * (`widgets.go:139-248`): per-widget selector rendering (dictionary
+    * labels for AS/protocol/port, EType if-chain), boundary filter from
+    * the src-/dst- prefix, table routing at 5 points over the last 5
+    * minutes, percent of a scalar total, empty names → "Unknown".
+    * Dictionary joins run on the aggregated (bounded) result, not the
+    * scan.
+    */
+  def topWidget(spark: SparkSession, now: Timestamp, widget: String,
+      asns: Option[DataFrame] = None, limit: Int = 5): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val protoDict = Seq((1L, "ICMP"), (6L, "TCP"), (17L, "UDP"))
+      .toDF("p_proto", "proto_name")
+    val from = new Timestamp(now.getTime - 5 * 60 * 1000)
+    val mainRequired = widget == "src-port" || widget == "dst-port"
+    val resolved = TableResolver.resolve(tables, from, now, 5, mainRequired)
+    val scan0 = resolved.table.df()
+      .where(col("TimeReceived") >= lit(from) && col("TimeReceived") < lit(now))
+    val scan =
+      if (widget.startsWith("src-")) scan0.where(col("InIfBoundary") === "external")
+      else if (widget.startsWith("dst-")) scan0.where(col("OutIfBoundary") === "external")
+      else scan0
+    val groupCols: Seq[String] = widget match {
+      case "src-as" => Seq("SrcAS")
+      case "dst-as" => Seq("DstAS")
+      case "src-country" => Seq("SrcCountry")
+      case "dst-country" => Seq("DstCountry")
+      case "exporter" => Seq("ExporterName")
+      case "protocol" => Seq("Proto")
+      case "etype" => Seq("EType")
+      case "src-port" => Seq("Proto", "SrcPort")
+      case "dst-port" => Seq("Proto", "DstPort")
+      case other => throw new IllegalArgumentException(s"unknown widget $other")
+    }
+    val per = scan.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("Bytes") * col("SamplingRate")).as("b"))
+    val withDicts = widget match {
+      case "src-as" | "dst-as" =>
+        val dict = asns.getOrElse(Seq.empty[(Long, String)].toDF("asn", "asn_name"))
+        per.join(broadcast(dict), col(groupCols.head) === col("asn"), "left")
+          .withColumn("name", concat(col(groupCols.head).cast("string"),
+            lit(": "), coalesce(col("asn_name"), lit("???"))))
+      case "protocol" =>
+        per.join(broadcast(protoDict), col("Proto") === col("p_proto"), "left")
+          .withColumn("name", coalesce(col("proto_name"), lit("???")))
+      case "etype" =>
+        per.withColumn("name",
+          when(col("EType") === 0x86dd, "IPv6")
+            .when(col("EType") === 0x800, "IPv4").otherwise("???"))
+      case "src-port" | "dst-port" =>
+        per.join(broadcast(protoDict), col("Proto") === col("p_proto"), "left")
+          .withColumn("name", concat(coalesce(col("proto_name"), lit("???")),
+            lit("/"), col(groupCols(1)).cast("string")))
+      case _ =>
+        per.withColumn("name", col(groupCols.head).cast("string"))
+    }
+    val total = per.agg(sum("b").as("total"))
+    withDicts.crossJoin(broadcast(total))
+      .select(
+        when(length(col("name")) === 0, "Unknown").otherwise(col("name")).as("name"),
+        (col("b") * 100.0 / col("total")).as("percent"))
+      .orderBy(desc("percent"), asc("name"))
+      .limit(limit)
+  }
+
   /** `GET /widget/flow-rate`: COUNT(*)/300 over the last 5 minutes
     * (reference `widgets.go:95`).
     */
