@@ -44,3 +44,44 @@ object IpToString {
   def apply(c: Column): Column =
     GraftBridge.column(new IpToString(GraftBridge.expression(c)))
 }
+
+/** J5 longest-prefix-match attribute lookup as a native expression: the
+  * prefix table (inheritance pre-flattened) rides along as a task-serialized
+  * reference object — one copy per executor, one virtual call per row, no
+  * UDF encoder round trip. Null on miss or missing attribute.
+  */
+case class LpmLookup(child: Expression, table: graft.functions.Lpm.Table,
+    attr: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lpm_lookup needs binary, got ${t.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lpm_lookup"
+
+  def compute(b: Array[Byte]): UTF8String =
+    table.lookup(b).flatMap(_.get(attr))
+      .map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lpm", this, classOf[LpmLookup].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LpmLookup =
+    copy(child = c)
+}
+
+object LpmLookup {
+  def apply(c: Column, table: graft.functions.Lpm.Table, attr: String): Column =
+    GraftBridge.column(new LpmLookup(GraftBridge.expression(c), table, attr))
+}

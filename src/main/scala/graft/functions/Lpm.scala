@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Longest-prefix-match lookup over a broadcast prefix table (SURVEY §2.4
   * J5; reference `outlet/networks/root.go:198-299`: GeoIP + remote sources
@@ -116,12 +115,10 @@ object Lpm {
   }
 
   /** Column resolving a 16-byte binary address to one attribute (null when
-    * unmatched). The table travels in the UDF closure — broadcast with the
-    * task binary, one copy per executor.
+    * unmatched). Native expression — the table ships as a task-serialized
+    * reference object, one copy per executor
+    * (see [[graft.expressions.LpmLookup]]).
     */
-  def lookupAttr(table: Table, attr: String)(addrCol: Column): Column = {
-    val fn = udf((addr: Array[Byte]) =>
-      table.lookup(addr).flatMap(_.get(attr)).orNull)
-    fn(addrCol)
-  }
+  def lookupAttr(table: Table, attr: String)(addrCol: Column): Column =
+    graft.expressions.LpmLookup(addrCol, table, attr)
 }
