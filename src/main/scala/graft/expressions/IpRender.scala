@@ -45,6 +45,43 @@ object IpToString {
     GraftBridge.column(new IpToString(GraftBridge.expression(c)))
 }
 
+/** P11 privacy/aggregation truncation of the canonical 16-byte address:
+  * keep v4bits for v4-mapped addresses, v6bits otherwise. Native — one
+  * masked copy per row, no UDF encoder round trip.
+  */
+case class IpTruncate(child: Expression, v4bits: Int, v6bits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ip_truncate needs binary, got ${t.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "ip_truncate"
+
+  def compute(b: Array[Byte]): Array[Byte] =
+    if (graft.functions.Ip.isV4Mapped(b))
+      graft.functions.Ip.truncate(b, 96 + v4bits)
+    else graft.functions.Ip.truncate(b, v6bits)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ipTrunc", this, classOf[IpTruncate].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IpTruncate =
+    copy(child = c)
+}
+
+object IpTruncate {
+  def apply(c: Column, v4bits: Int, v6bits: Int): Column =
+    GraftBridge.column(new IpTruncate(GraftBridge.expression(c), v4bits, v6bits))
+}
+
 /** J5 longest-prefix-match attribute lookup as a native expression: the
   * prefix table (inheritance pre-flattened) rides along as a task-serialized
   * reference object — one copy per executor, one virtual call per row, no

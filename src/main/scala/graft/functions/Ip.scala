@@ -98,22 +98,18 @@ object Ip {
   }
 
 
-  /** Truncation keeps v4bits for v4-mapped addresses, v6bits otherwise
-    * (reference P11: `console/graph.go:44-88`).
-    */
-  private val truncateUdf = udf((b: Array[Byte], v4: Int, v6: Int) =>
-    if (b == null) null
-    else if (isV4Mapped(b)) truncate(b, 96 + v4)
-    else truncate(b, v6))
 
   /** Display rendering of a 16-byte address column (P9) — native
     * expression, see [[graft.expressions.IpToString]].
     */
   def ipToString(c: Column): Column = graft.expressions.IpToString(c)
 
-  /** Privacy/aggregation truncation of an address column (P11). */
+  /** Privacy/aggregation truncation of an address column (P11) — native
+    * expression keeping v4bits for v4-mapped, v6bits otherwise (reference
+    * `console/graph.go:44-88`).
+    */
   def ipTruncate(c: Column, v4bits: Int, v6bits: Int): Column =
-    truncateUdf(c, lit(v4bits), lit(v6bits))
+    graft.expressions.IpTruncate(c, v4bits, v6bits)
 
   /** BETWEEN lo AND hi subnet containment over the canonical bytes.
     * BinaryType comparison in Spark is unsigned lexicographic, so 16-byte

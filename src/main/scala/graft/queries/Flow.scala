@@ -70,6 +70,19 @@ object Flow {
         round(col("xps") * 86400).cast("long").as("pps_sum"))
   }
 
+  // IP dimension + truncation: SrcAddr (main-only, binary) is truncated to
+  // /24 by the source REPLACE and rendered dotted by the schema renderer.
+  val qLineIp: Q = (s, dir) => {
+    val (line, _, _) = engine(s, dir)
+    line.build(s, LineInput(
+      start = ts("2024-01-08T00:00:00Z"), end = ts("2024-01-15T00:00:00Z"),
+      points = 7, dimensions = Seq("SrcAddr"), limit = 3,
+      unit = "pps", truncateV4 = 24))
+      .select(col("axis"), col("time_s"),
+        array_join(col("dimensions"), ",").as("name"),
+        round(col("xps") * 86400).cast("long").as("pps_sum"))
+  }
+
   val qSankey: Q = (s, dir) => {
     val (_, sankey, _) = engine(s, dir)
     sankey.build(s, SankeyInput(
@@ -147,6 +160,7 @@ object Flow {
   val defs: Map[String, Q] = Map(
     "q_line" -> qLine,
     "q_line_raw" -> qLineRaw,
+    "q_line_ip" -> qLineIp,
     "q_line_bidir" -> qLineBidir,
     "q_sankey" -> qSankey,
     "q_sankey_bidir" -> qSankeyBidir,
@@ -199,6 +213,28 @@ object Flow {
          |UNION ALL
          |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS pps_sum FROM cal c
          |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
+    "q_line_ip" ->
+      """WITH f AS (SELECT ts AS TimeReceived,
+        |  '10.0.' || CAST(user_id // 256 % 256 AS VARCHAR) || '.0' AS name0,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 + 1 AS Packets,
+        |  1000 AS SamplingRate
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |top AS (SELECT name0 FROM f GROUP BY 1
+        |  ORDER BY sum(Packets*SamplingRate) DESC, name0 LIMIT 3),
+        |folded AS (SELECT
+        |  1704672000 + (CAST(epoch(TimeReceived) AS BIGINT) - 1704672000) // 86400 * 86400 AS time_s,
+        |  CASE WHEN name0 IN (SELECT name0 FROM top) THEN name0
+        |       ELSE 'Other' END AS name,
+        |  Packets*SamplingRate AS w FROM f),
+        |per AS (SELECT time_s, name, CAST(sum(w) AS BIGINT) AS pps_sum
+        |  FROM folded GROUP BY 1, 2),
+        |cal AS (SELECT unnest(range(1704672000, 1704672000 + 7*86400, 86400)) AS time_s)
+        |SELECT 1 AS axis, time_s, name, pps_sum FROM per
+        |UNION ALL
+        |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS pps_sum FROM cal c
+        |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
     "q_line_bidir" -> {
       // 4 axes: direct, reverse, previous-direct, previous-reverse.
       // previous period for a 7-day range shifts back one week, and

@@ -128,8 +128,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
               topNRanked(scanFor(sp), dimsOf(sp), unit, in, bucketFor(sp),
                 rangeEnd, interval)
           }
-          base.select(lit(sp.axis).as("axis"),
-            array(dimsOf(sp).map(col(_).cast("string")): _*).as("ds"))
+          base.select(lit(sp.axis).as("axis"), col("ds"))
         }.reduce(_ unionAll _)
         ranked.collect()
           .groupBy(_.getInt(0))
@@ -158,7 +157,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       }
 
       val topRows = topByAxis.getOrElse(sp.axis, Array.empty[Seq[String]])
-      val dimsArray = array(dims.map(col(_).cast("string")): _*)
+      val dimsArray = array(dims.map(schema.renderDim): _*)
       val topLit = topRows.map(r => array(r.map(lit): _*))
       val folded = (if (topLit.isEmpty) lit(false)
         else dimsArray.isin(topLit.toIndexedSeq: _*))
@@ -227,7 +226,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         lit(sp.axis).as("axis"),
         coalesce(keep, lit(false)).as("keep"),
         bucketOut.as("time_s"),
-        array(dimsOf(sp).map(col(_).cast("string")): _*)
+        array(dimsOf(sp).map(schema.renderDim): _*)
           .cast("array<string>").as("ds"),
         unitOf(sp).rowWeight.get.as("w"))
     }
@@ -300,23 +299,22 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
   /** Sketch-ranked top rows: dims pack into a NUL-separated key (rendered
     * exactly like the exact path: cast to string, null → ''), capacity =
     * limit × 20 (the reference's load factor, `console/query.go:95`).
-    * Output columns are the dim names, unpacked from the winning keys.
+    * Returns a rendered `ds` array per winning key.
     */
   private def topNSketch(scan: DataFrame, dims: Seq[String], weight: Column,
       limit: Int): DataFrame = {
     val key = concat_ws("\u0000",
-      dims.map(d => coalesce(col(d).cast("string"), lit(""))): _*)
+      dims.map(d => coalesce(schema.renderDim(d), lit(""))): _*)
     scan.select(key.as("k"), weight.as("w"))
       .agg(graft.expressions.TopKWeighted(col("k"), col("w"), limit, 20).as("top"))
       .select(explode(col("top")).as("e"))
-      .select(dims.zipWithIndex.map { case (d, i) =>
-        element_at(split(col("e.key"), "\u0000", -1), i + 1).as(d)
-      }: _*)
+      .select(split(col("e.key"), "\u0000", -1).as("ds"))
   }
 
   /** Ranked-and-limited top rows per limitType; bounded by `limit` ≤ 50, so
     * collecting it is the same driver-side cardinality as the reference's
-    * `rows` CTE (reference console/query.go:48-90).
+    * `rows` CTE (reference console/query.go:48-90). Returns a rendered
+    * `ds` array per row.
     */
   private def topNRanked(scan: DataFrame, dims: Seq[String], unit: Unit,
       in: LineInput, bucket: Column, rangeEnd: Timestamp,
@@ -339,6 +337,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     ranked
       .orderBy(desc("w") +: dims.map(asc): _*)
       .limit(in.limit)
+      .select(array(dims.map(schema.renderDim): _*).as("ds"))
   }
 
   /** WITH FILL + INTERPOLATE (reference `console/line.go:159-163`): dense

@@ -49,7 +49,7 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
       .orderBy(desc("w") +: in.dimensions.map(asc): _*)
       .limit(in.limit)
       .select(lit(1).as("k"),
-        array(in.dimensions.map(c => col(c).cast("string")): _*).as("ds"),
+        array(in.dimensions.map(schema.renderDim): _*).as("ds"),
         col("w").cast("double").as("w"))
     val spanPart = scan.agg(
       (unix_timestamp(max(col("TimeReceived"))) -
@@ -76,8 +76,8 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
           val members = perColumnTop(i)
           d.withColumn(in.dimensions(i) + "__out",
             if (members.isEmpty) lit("Other")
-            else when(col(srcCol).cast("string").isin(members.toSeq.map(lit): _*),
-              col(srcCol).cast("string")).otherwise(lit("Other")))
+            else when(schema.renderDim(srcCol).isin(members.toSeq.map(lit): _*),
+              schema.renderDim(srcCol)).otherwise(lit("Other")))
       }
       folded
         .groupBy(in.dimensions.map(d => col(d + "__out").as(d)): _*)

@@ -97,6 +97,24 @@ final case class Schema(columns: Seq[ColumnSpec]) {
   def dimensions: Seq[String] =
     enabled.filterNot(_.notDimension).map(_.name)
 
+  /** Display rendering of a dimension by its column kind (reference
+    * `console/query/column.go:106-194`, P1–P10): IPs render dotted/RFC
+    * 5952, MACs colon-hex, arrays space-joined, communities a:b, EType its
+    * name; everything else casts to string.
+    */
+  def renderDim(name: String): Column = {
+    import graft.functions.{Ip, Render}
+    byName.get(name).map(_.parserType) match {
+      case Some(ParserType.Ip) => Ip.ipToString(col(name))
+      case Some(ParserType.Mac) => Render.mac(col(name))
+      case Some(ParserType.AsPath) | Some(ParserType.ArrayUInt) =>
+        Render.arrayRender(col(name).cast("array<string>"))
+      case Some(ParserType.Community) => Render.communities(col(name))
+      case Some(ParserType.EType) => Render.etype(col(name))
+      case _ => col(name).cast("string")
+    }
+  }
+
   /** Register a custom dictionary's generated columns (reference
     * `common/schema/root.go:107-184`: each attribute of a configured
     * dictionary becomes a generated column `dictGet('custom_dict_X',
