@@ -70,6 +70,20 @@ object Flow {
         round(col("xps") * 86400).cast("long").as("pps_sum"))
   }
 
+  // P1 AS-number labeling: SrcAS dimension renders "num: name" through
+  // the asns dictionary with '???' on miss.
+  val qLineAs: Q = (s, dir) => {
+    val schemaWithDict = FlowSchema.schema.withAsnNames(
+      Map(64496L -> "AS-ZERO", 64497L -> "AS-ONE"))
+    val line = new LineQuery(schemaWithDict, EventFlows.tables(s, dir))
+    line.build(s, LineInput(
+      start = ts("2024-01-08T00:00:00Z"), end = ts("2024-01-15T00:00:00Z"),
+      points = 7, dimensions = Seq("SrcAS"), limit = 3, unit = "pps"))
+      .select(col("axis"), col("time_s"),
+        array_join(col("dimensions"), ",").as("name"),
+        round(col("xps") * 86400).cast("long").as("pps_sum"))
+  }
+
   // IP dimension + truncation: SrcAddr (main-only, binary) is truncated to
   // /24 by the source REPLACE and rendered dotted by the schema renderer.
   val qLineIp: Q = (s, dir) => {
@@ -161,6 +175,7 @@ object Flow {
     "q_line" -> qLine,
     "q_line_raw" -> qLineRaw,
     "q_line_ip" -> qLineIp,
+    "q_line_as" -> qLineAs,
     "q_line_bidir" -> qLineBidir,
     "q_sankey" -> qSankey,
     "q_sankey_bidir" -> qSankeyBidir,
@@ -206,6 +221,30 @@ object Flow {
          |  CASE WHEN InIfName IN (SELECT InIfName FROM top) THEN InIfName
          |       ELSE 'Other' END AS name,
          |  Packets*SamplingRate AS w FROM f),
+         |per AS (SELECT time_s, name, CAST(sum(w) AS BIGINT) AS pps_sum
+         |  FROM folded GROUP BY 1, 2),
+         |cal AS (SELECT unnest(range(1704672000, 1704672000 + 7*86400, 86400)) AS time_s)
+         |SELECT 1 AS axis, time_s, name, pps_sum FROM per
+         |UNION ALL
+         |SELECT 1 AS axis, c.time_s, 'Other' AS name, 0 AS pps_sum FROM cal c
+         |WHERE c.time_s NOT IN (SELECT time_s FROM per)""".stripMargin,
+    "q_line_as" ->
+      s"""WITH flows AS ($F),
+         |f AS (SELECT date_trunc('day', TimeReceived) AS TimeReceived, SrcAS,
+         |    Packets, SamplingRate FROM flows
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-08 00:00:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-15 00:00:00'),
+         |lab AS (SELECT CAST(SrcAS AS VARCHAR) || ': ' ||
+         |    coalesce(CASE SrcAS WHEN 64496 THEN 'AS-ZERO'
+         |      WHEN 64497 THEN 'AS-ONE' END, '???') AS name0,
+         |  TimeReceived, Packets*SamplingRate AS w FROM f),
+         |top AS (SELECT name0 FROM lab GROUP BY 1
+         |  ORDER BY sum(w) DESC, name0 LIMIT 3),
+         |folded AS (SELECT
+         |  1704672000 + (CAST(epoch(TimeReceived) AS BIGINT) - 1704672000) // 86400 * 86400 AS time_s,
+         |  CASE WHEN name0 IN (SELECT name0 FROM top) THEN name0
+         |       ELSE 'Other' END AS name,
+         |  w FROM lab),
          |per AS (SELECT time_s, name, CAST(sum(w) AS BIGINT) AS pps_sum
          |  FROM folded GROUP BY 1, 2),
          |cal AS (SELECT unnest(range(1704672000, 1704672000 + 7*86400, 86400)) AS time_s)

@@ -56,7 +56,8 @@ final case class ColumnSpec(
   * mapping used to flip a whole query (`definition.go:569-595`,
   * `console/query/column.go:78-85`).
   */
-final case class Schema(columns: Seq[ColumnSpec]) {
+final case class Schema(columns: Seq[ColumnSpec],
+    asnNames: Map[Long, String] = Map.empty) {
   val byName: Map[String, ColumnSpec] = columns.map(c => c.name -> c).toMap
 
   def enabled: Seq[ColumnSpec] = columns.filterNot(_.disabled)
@@ -111,9 +112,16 @@ final case class Schema(columns: Seq[ColumnSpec]) {
         Render.arrayRender(col(name).cast("array<string>"))
       case Some(ParserType.Community) => Render.communities(col(name))
       case Some(ParserType.EType) => Render.etype(col(name))
+      case Some(ParserType.Asn) =>
+        // P1: "64496: NAME" via the asns dictionary, '???' on miss
+        concat(col(name).cast("string"), lit(": "),
+          graft.expressions.DictLabel(col(name).cast("long"), asnNames, "???"))
       case _ => col(name).cast("string")
     }
   }
+
+  /** Attach the asns dictionary used by AS-number dimension labels. */
+  def withAsnNames(names: Map[Long, String]): Schema = copy(asnNames = names)
 
   /** Register a custom dictionary's generated columns (reference
     * `common/schema/root.go:107-184`: each attribute of a configured
@@ -123,7 +131,7 @@ final case class Schema(columns: Seq[ColumnSpec]) {
     * materializes them at ingest like the reference's raw-consumer MV.
     */
   def withCustomDict(dict: CustomDict): Schema =
-    Schema(columns ++ dict.attributes.values.map(out =>
+    copy(columns = columns ++ dict.attributes.values.map(out =>
       ColumnSpec(out, StringType, ParserType.Str)))
 
   def withConfig(cfg: SchemaConfig): Schema = {
@@ -135,7 +143,7 @@ final case class Schema(columns: Seq[ColumnSpec]) {
         else if (cfg.notMainTableOnly.contains(c.name)) false else c.mainOnly
       c.copy(disabled = !on, mainOnly = mo)
     }
-    Schema(adjusted)
+    copy(columns = adjusted)
   }
 }
 
