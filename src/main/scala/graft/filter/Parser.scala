@@ -285,12 +285,10 @@ final class FilterParser(schema: Schema, input: String) {
   }
 
   /** IANA protocol names accepted by the proto parser (reference matches by
-    * dictionary name, `helpers.go:237-242`).
+    * dictionary name, `helpers.go:237-242`); shared with dimension
+    * rendering via [[graft.functions.Dictionaries]].
     */
-  private val protoNames = Map(
-    "ICMP" -> 1L, "IGMP" -> 2L, "IPIP" -> 4L, "TCP" -> 6L, "UDP" -> 17L,
-    "GRE" -> 47L, "ESP" -> 50L, "AH" -> 51L, "ICMPV6" -> 58L, "OSPF" -> 89L,
-    "SCTP" -> 132L)
+  private val protoNames = graft.functions.Dictionaries.protocolNumbers
 
   private def protoComparison(col: String): FilterExpr = {
     ws()

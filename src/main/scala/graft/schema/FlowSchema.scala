@@ -116,6 +116,10 @@ final case class Schema(columns: Seq[ColumnSpec],
         // P1: "64496: NAME" via the asns dictionary, '???' on miss
         concat(col(name).cast("string"), lit(": "),
           graft.expressions.DictLabel(col(name).cast("long"), asnNames, "???"))
+      case Some(ParserType.Proto) =>
+        // P3: protocol name via the protocols dictionary
+        graft.expressions.DictLabel(col(name).cast("long"),
+          graft.functions.Dictionaries.protocolNames, "???")
       case _ => col(name).cast("string")
     }
   }

@@ -55,4 +55,26 @@ class SchemaSpec extends SparkSpec {
     assert(st("TimeReceived").dataType == TimestampType)
     assert(st("SrcAddr").dataType == BinaryType)
   }
+
+  test("renderDim renders by column kind") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val sd = s.withAsnNames(Map(64496L -> "EXAMPLE"))
+    val df = Seq((graft.functions.Ip.parse("10.1.2.3"), 64496L, 64999L, 6L, 2048L,
+      Seq(64496L, 64497L)))
+      .toDF("SrcAddr", "SrcAS", "DstAS", "Proto", "EType", "DstASPath")
+    val out = df.select(
+      sd.renderDim("SrcAddr").as("ip"),
+      sd.renderDim("SrcAS").as("asn"),
+      sd.renderDim("DstAS").as("asn_miss"),
+      sd.renderDim("Proto").as("proto"),
+      sd.renderDim("EType").as("etype"),
+      sd.renderDim("DstASPath").as("path")).collect()(0)
+    assert(out.getString(0) == "10.1.2.3")
+    assert(out.getString(1) == "64496: EXAMPLE")
+    assert(out.getString(2) == "64999: ???")
+    assert(out.getString(3) == "TCP")
+    assert(out.getString(4) == "IPv4")
+    assert(out.getString(5) == "64496 64497")
+  }
 }
