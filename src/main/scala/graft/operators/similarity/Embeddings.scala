@@ -1,0 +1,54 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding storage transforms for large corpora.
+  *
+  * Int8 scalar quantization: per-vector symmetric scale (max-abs / 127),
+  * 4× smaller storage and memory-bandwidth-bound scans at 100 TB; the
+  * scale column rides along so dot products dequantize on the fly
+  * (`dot(q_a, q_b) · scale_a · scale_b`). All expressions are pure
+  * `Column` math — deterministic across engines.
+  */
+object Embeddings {
+
+  /** Per-vector symmetric quantization scale: max|x| / 127. */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  /** Quantized vector: round(x / scale) ∈ [-127, 127] (int). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("int"))
+
+  /** Dequantized vector. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x * scale)
+
+  /** Total absolute reconstruction error of the int8 round trip. */
+  def reconstructionError(v: Column, scale: Column): Column =
+    aggregate(
+      zip_with(v, dequantize(quantizeInt8(v, scale), scale),
+        (x, y) => abs(x - y)),
+      lit(0.0), (acc, e) => acc + e)
+}
+
+/** Deterministic per-stratum sampling: the first hex nibble of the
+  * content hash buckets every row into 16 stable slots, and each stratum
+  * keeps `rate16/16` of its rows. Content-hash based — stable across
+  * runs, engines, and partitionings (the class-balancing companion of the
+  * train/eval split).
+  */
+object Sampling {
+
+  /** Keep predicate: hash-nibble(key) < rate16(stratum), default
+    * `defaultRate16` for unlisted strata. Rates are sixteenths.
+    */
+  def stratifiedKeep(key: Column, stratum: Column,
+      rates16: Map[String, Int], defaultRate16: Int = 16): Column = {
+    val nibble = conv(substring(md5(key), 1, 1), 16, 10).cast("int")
+    rates16.foldLeft(when(lit(false), lit(false))) { case (acc, (s, r)) =>
+      acc.when(stratum === s, nibble < r)
+    }.otherwise(nibble < defaultRate16)
+  }
+}

@@ -81,6 +81,28 @@ object Pipeline {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    "q_embed_quant" -> ((s, dir) => {
+      import graft.operators.similarity.Embeddings
+      val v = col("embedding").cast("array<double>")
+      embs(s, dir)
+        .select(col("vec_id"), v.as("v"), Embeddings.int8Scale(v).as("scale"))
+        .where(col("scale") > 0)
+        .select(col("vec_id"),
+          round(Embeddings.reconstructionError(col("v"), col("scale")) * 1e6)
+            .cast("long").as("err_e6"))
+    }),
+
+    "q_stratified" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      val d = docs(s, dir)
+      val lang = TextAnalysis.langGuess(col("text"))
+      d.select(lang.as("lang"), col("text"))
+        .where(Sampling.stratifiedKeep(col("text"), col("lang"),
+          Map("en" -> 4), defaultRate16 = 16))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.bruteForce(
@@ -177,6 +199,34 @@ object Pipeline {
         |  ELSE 'eval' END AS split,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM kept GROUP BY 1""".stripMargin,
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e)
+        |SELECT vec_id,
+        |  CAST(round(list_sum(list_transform(v,
+        |    x -> abs(x - round(x / scale) * scale))) * 1000000) AS BIGINT) AS err_e6
+        |FROM s WHERE scale > 0""".stripMargin,
+    "q_stratified" ->
+      """WITH s AS (SELECT text,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('the', 'and', 'of'))) AS en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('der', 'und', 'das'))) AS de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('le', 'et', 'les'))) AS fr,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    t -> t IN ('el', 'los', 'por'))) AS es
+        |  FROM documents),
+        |l AS (SELECT text,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang
+        |  FROM s)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n FROM l
+        |WHERE CASE WHEN lang = 'en' THEN substr(md5(text), 1, 1) < '4'
+        |      ELSE TRUE END
+        |GROUP BY 1""".stripMargin,
     "q_quality_filter" ->
       """WITH m AS (SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS tc,
