@@ -124,7 +124,13 @@ object Pipeline {
 
     "q_multimodal" -> ((s, dir) =>
       Multimodal.decodeFeatures(
-        Multimodal.fromDocuments(s, docs(s, dir))).toDF())
+        Multimodal.fromDocuments(s, docs(s, dir))).toDF()),
+
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fromDocuments(s, docs(s, dir)), frameBytes = 64, stride = 4)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +287,14 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT media_id, CAST(i*4 AS INT) AS frame_idx,
+        |    substr(text, CAST(i*4*64 + 1 AS INT), 64) AS frame
+        |  FROM m, LATERAL (SELECT unnest(range(0,
+        |    greatest(len // 64 // 4, 1))) AS i) r)
+        |SELECT media_id, frame_idx, md5(frame) AS frame_md5 FROM f""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
