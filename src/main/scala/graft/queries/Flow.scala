@@ -145,6 +145,19 @@ object Flow {
       .select(round(col("rate") * 300).cast("long").as("flows"))
   }
 
+  // J8: arrayJoin/explode of the communities array for completion
+  // frequency counting (reference `console/filter.go:250-258`), rendered
+  // a:b (P5).
+  val qCommunityFreq: Q = (s, dir) => {
+    EventFlows.flows(s, dir)
+      .select(explode(col("DstCommunities")).as("c"))
+      .select(graft.functions.Render.community(col("c")).as("community"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("community"))
+      .limit(10)
+  }
+
   // Filter DSL compiled to a predicate, normal direction.
   val qFilterDsl: Q = (s, dir) => {
     val flows = EventFlows.flows(s, dir)
@@ -183,6 +196,7 @@ object Flow {
     "q_widget_proto" -> qWidgetProto,
     "q_widget_dstport" -> qWidgetDstPort,
     "q_widget_rate" -> qWidgetRate,
+    "q_community_freq" -> qCommunityFreq,
     "q_filter_dsl" -> qFilterDsl,
     "q_filter_dsl_rev" -> qFilterDslRev
   )
@@ -415,6 +429,11 @@ object Flow {
          |SELECT CAST(count(*) AS BIGINT) AS flows FROM flows
          |WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
          |  AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'""".stripMargin,
+    "q_community_freq" ->
+      """SELECT CAST(64496 AS VARCHAR) || ':' ||
+        |    CAST(event_id % 4 AS VARCHAR) AS community,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, community LIMIT 10""".stripMargin,
     "q_filter_dsl" ->
       s"""WITH flows AS ($F)
          |SELECT SrcCountry, CAST(count(*) AS BIGINT) AS n,
