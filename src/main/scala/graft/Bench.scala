@@ -26,7 +26,9 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count()
+      // toRdd.count() materializes EVERY output column — a plain count()
+      // would let Catalyst prune the projections being measured
+      val n = try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
