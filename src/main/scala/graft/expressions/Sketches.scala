@@ -252,6 +252,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** SQL registration for the native expressions whose parameters are
+  * expressible as SQL arguments — after [[GraftFunctions.registerAll]],
+  * `spark.sql("SELECT simhash64(...), word_shingles(..., 3), ...")` works
+  * like any built-in.
+  */
+object GraftFunctions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftBridge.registerFunction(spark, "word_shingles",
+      args => WordShingles(args.head, intLit(args(1), "n")))
+    GraftBridge.registerFunction(spark, "simhash64",
+      args => SimHash64(args.head))
+    GraftBridge.registerFunction(spark, "dot_product",
+      args => DotProduct(args.head, args(1)))
+    GraftBridge.registerFunction(spark, "ip_to_string",
+      args => IpToString(args.head))
+    GraftBridge.registerFunction(spark, "ip_truncate",
+      args => IpTruncate(args.head,
+        intLit(args(1), "v4bits"), intLit(args(2), "v6bits")))
+  }
+}
+
 object Sketches {
   import GraftBridge.{column, expression}
 

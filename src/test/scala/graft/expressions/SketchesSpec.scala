@@ -69,6 +69,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("native expressions are SQL-callable after registration") {
+    GraftFunctions.registerAll(spark)
+    Seq(("the quick brown fox jumps", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("sqldocs")
+    val row = spark.sql("""
+      SELECT word_shingles(split(trim(text), '\\s+'), 3) AS sh,
+             simhash64(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS sim,
+             dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+      FROM sqldocs""").collect()(0)
+    assert(row.getSeq[String](0) == Seq("the quick brown", "quick brown fox",
+      "brown fox jumps"))
+    assert(row.getLong(1) != 0L)
+    assert(row.getDouble(2) == 11.0)
+    val ip = spark.sql(
+      "SELECT ip_to_string(ip_truncate(X'00000000000000000000ffff0a010203', 24, 128))")
+      .collect()(0).getString(0)
+    assert(ip == "10.1.2.0")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
