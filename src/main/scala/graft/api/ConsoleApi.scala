@@ -77,7 +77,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       bidirectional = req.has("bidirectional") && req.get("bidirectional").asBoolean,
       previousPeriod = req.has("previous-period") && req.get("previous-period").asBoolean)
     val df = new LineQuery(schema, tables).build(spark, in)
-    val series = LineStats.collect(df)
+    val series = LineStats.collect(df, in.limitType)
     val resp = mapper.createObjectNode()
     val rows = resp.putArray("rows")
     series.foreach { s =>

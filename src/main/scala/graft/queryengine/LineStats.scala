@@ -22,7 +22,7 @@ final case class LineSeries(
   */
 object LineStats {
 
-  def collect(df: DataFrame): Seq[LineSeries] = {
+  def collect(df: DataFrame, limitType: String = "avg"): Seq[LineSeries] = {
     val rows = df.collect()
     val times = rows.map(_.getAs[Long]("time_s")).distinct.sorted
     val timeIndex = times.zipWithIndex.toMap
@@ -35,8 +35,19 @@ object LineStats {
         build(axis, dims, points.toIndexedSeq)
       }
       .toSeq
-      // "Other" rows forced last, then by average desc (reference line.go:310-330)
-      .sortBy(s => (s.axis, s.dimensions.contains("Other"), -s.average))
+      // "Other" rows (first dimension) forced last, then descending by the
+      // limitType's metric (reference line.go:344-361: sum for avg, max for
+      // max, final point for last)
+      .sortBy { s =>
+        val metric = limitType match {
+          case "max" => s.max
+          // sort metric is the FINAL point (the displayed `last` is the
+          // second-to-last, since the final bucket is usually partial)
+          case "last" => s.points.lastOption.getOrElse(0.0)
+          case _ => s.average
+        }
+        (s.axis, s.dimensions.headOption.contains("Other"), -metric)
+      }
   }
 
   def build(axis: Int, dims: Seq[String], points: Seq[Double]): LineSeries = {
