@@ -80,6 +80,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     val series = LineStats.collect(df, in.limitType)
     val resp = mapper.createObjectNode()
     val rows = resp.putArray("rows")
+    val computeTotal = !in.unit.endsWith("%")
     series.foreach { s =>
       val r = rows.addObject()
       r.put("axis", s.axis)
@@ -92,7 +93,12 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       r.put("max", s.max)
       r.put("last", s.last)
       r.put("95th", s.p95)
+      if (computeTotal) r.put("total", s.total)
     }
+    val rangeSec = (in.end.getTime - in.start.getTime) / 1000
+    val axisNames = resp.putObject("axis-names")
+    series.map(_.axis).distinct.foreach(a =>
+      axisNames.put(a.toString, LineStats.axisName(a, rangeSec)))
     resp
   }
 

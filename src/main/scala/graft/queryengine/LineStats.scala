@@ -13,7 +13,8 @@ final case class LineSeries(
     min: Double,
     max: Double,
     last: Double,
-    p95: Double)
+    p95: Double,
+    total: Double = 0.0)
 
 /** Driver-side stats over the collected points — ≤ rows×2000 values, kept on
   * the driver exactly like the reference (reference `console/line.go:390-446`):
@@ -32,7 +33,10 @@ object LineStats {
         rs.foreach { r =>
           points(timeIndex(r.getAs[Long]("time_s"))) = r.getAs[Double]("xps")
         }
-        build(axis, dims, points.toIndexedSeq)
+        // total = sum x interval, interval derived from the returned time
+        // axis exactly like the reference (line.go:373-375)
+        val intervalSec = if (times.length >= 2) times(1) - times(0) else 0L
+        build(axis, dims, points.toIndexedSeq, intervalSec)
       }
       .toSeq
       // "Other" rows (first dimension) forced last, then descending by the
@@ -50,7 +54,8 @@ object LineStats {
       }
   }
 
-  def build(axis: Int, dims: Seq[String], points: Seq[Double]): LineSeries = {
+  def build(axis: Int, dims: Seq[String], points: Seq[Double],
+      intervalSec: Long = 0L): LineSeries = {
     val n = points.length
     val avg = if (n == 0) 0.0 else points.sum / n
     val nonzero = points.filter(_ != 0.0)
@@ -58,8 +63,27 @@ object LineStats {
     val maxV = if (points.isEmpty) 0.0 else points.max
     // last = points[-2]: the final bucket is usually partial (line.go:436-440)
     val last = if (n >= 2) points(n - 2) else if (n == 1) points(0) else 0.0
-    LineSeries(axis, dims, points, avg, minNz, maxV, last, percentile(points, 0.95))
+    LineSeries(axis, dims, points, avg, minNz, maxV, last,
+      percentile(points, 0.95), points.sum * intervalSec)
   }
+
+  /** Axis display names (reference line.go:449-459): Direct / Reverse /
+    * "Previous <period>" with the period chosen by range length.
+    */
+  def axisName(axis: Int, rangeSec: Long): String = axis match {
+    case 1 => "Direct"
+    case 2 => "Reverse"
+    case _ => "Previous " + periodName(rangeSec)
+  }
+
+  /** nearestPeriod display name (reference line.go:55-72). */
+  def periodName(rangeSec: Long): String =
+    if (rangeSec < 2 * 3600) "hour"
+    else if (rangeSec < 2 * 86400) "day"
+    else if (rangeSec < 2 * 7 * 86400) "week"
+    else if (rangeSec < 2 * 4 * 7 * 86400) "month"
+    else "year"
+
 
   /** 95th percentile with linear interpolation between closest ranks
     * (reference `console/line.go:415-430`).
