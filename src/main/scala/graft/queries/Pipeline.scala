@@ -60,6 +60,18 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // boilerplate detection: sentences repeated across documents (the
+    // paragraph/sentence-level companion of document-level dedup)
+    "q_sentence_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\. ")).as("sent"))
+        .select(col("doc_id"), trim(col("sent")).as("sent"))
+        .where(length(col("sent")) > 0)
+        .groupBy(md5(col("sent")).as("sent_hash"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .where(col("n") > 1)),
+
     "q_quality_filter" -> ((s, dir) => {
       val (keep, reason) = TextAnalysis.qualityVerdict(col("text"))
       docs(s, dir).select(col("doc_id"), keep.as("keep"), reason.as("reason"))
@@ -205,6 +217,14 @@ object Pipeline {
         |  ELSE 'eval' END AS split,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM kept GROUP BY 1""".stripMargin,
+    "q_sentence_dedup" ->
+      """WITH s AS (SELECT doc_id, trim(u.sent) AS sent
+        |  FROM documents, LATERAL (
+        |    SELECT unnest(string_split(text, '. ')) AS sent) u
+        |  WHERE length(trim(u.sent)) > 0)
+        |SELECT md5(sent) AS sent_hash, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS first_doc
+        |FROM s GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
