@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.filter.FilterCompiler
 import graft.queryengine.{Completion, FlowTable, LineInput, LineQuery,
-  LineStats, SankeyInput, SankeyQuery}
+  LineStats, SankeyInput, SankeyQuery, Widgets}
 import graft.schema.Schema
 
 /** Thin JSON API mirroring the reference console's endpoints (SURVEY §3,
@@ -149,6 +149,44 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       c.put("kind", s.kind)
       c.put("value", s.value)
     }
+    resp
+  }
+
+  // GET /api/v0/console/widget/top/{name} — the path suffix picks the
+  // widget; "now" anchors on the newest flow like the reference's scalar
+  // subquery
+  server.createContext("/api/v0/console/widget/top/", (ex: HttpExchange) => {
+    val out = try {
+      val name = ex.getRequestURI.getPath.split("/").last
+      val widgets = new Widgets(schema, tables)
+      val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
+      val resp = mapper.createObjectNode()
+      val arr = resp.putArray("top")
+      rows.foreach { r =>
+        val o = arr.addObject()
+        o.put("name", r.getString(0))
+        o.put("percent", r.getDouble(1))
+      }
+      (200, mapper.writeValueAsBytes(resp))
+    } catch {
+      case e: Exception =>
+        val err = mapper.createObjectNode()
+        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+        (400, mapper.writeValueAsBytes(err))
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(out._1, out._2.length)
+    ex.getResponseBody.write(out._2)
+    ex.close()
+  })
+
+  handle("/api/v0/console/widget/flow-rate") { _ =>
+    val widgets = new Widgets(schema, tables)
+    val rate = widgets.flowRate(spark, widgets.dataNow())
+      .collect()(0).getDouble(0)
+    val resp = mapper.createObjectNode()
+    resp.put("rate", rate)
+    resp.put("period", "second")
     resp
   }
 

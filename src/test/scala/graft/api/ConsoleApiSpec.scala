@@ -71,6 +71,17 @@ class ConsoleApiSpec extends SparkSpec {
     assert(vals.contains("<<"))
   }
 
+  test("widget endpoints serve data-anchored results") {
+    val (c1, top) = post("/api/v0/console/widget/top/protocol", "")
+    assert(c1 == 200)
+    assert(top.get("top").size() > 0)
+    assert(top.get("top").get(0).get("percent").asDouble() > 0)
+    val (c2, rate) = post("/api/v0/console/widget/flow-rate", "")
+    assert(c2 == 200 && rate.get("rate").asDouble() > 0)
+    val (c3, err) = post("/api/v0/console/widget/top/nonsense", "")
+    assert(c3 == 400 && err.has("error"))
+  }
+
   test("malformed requests get a 400 with an error body") {
     val (code, json) = post("/api/v0/console/graph/line", """{"start":"nope"}""")
     assert(code == 400)
