@@ -56,6 +56,23 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_lpm_lookup resolves without any join operator") {
+    val p = plan("q_lpm_lookup")
+    assert(!p.contains("Join"), "LPM is an expression-level lookup, not a join")
+  }
+
+  test("q_custom_dict joins the dictionary by broadcast only") {
+    val p = plan("q_custom_dict")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_dedup_minhash never degenerates to a cartesian product") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_line's time filter sits directly on the scan side") {
     val p = plan("q_line")
     assert(p.contains("Filter"))
