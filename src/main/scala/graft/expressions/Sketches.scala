@@ -63,22 +63,28 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    // freshName for every local: nullSafeCodeGen only brace-scopes the body
+    // when the child is nullable, so fixed names would collide when two
+    // sketch expressions share one codegen'd projection
+    val (n, k, mins, i, h, j, v) = (ctx.freshName("n"), ctx.freshName("k"),
+      ctx.freshName("mins"), ctx.freshName("i"), ctx.freshName("h"),
+      ctx.freshName("j"), ctx.freshName("v"))
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |int n = $c.numElements();
-         |int k = $aRef.length;
-         |long[] mins = new long[k];
-         |java.util.Arrays.fill(mins, Long.MAX_VALUE);
-         |for (int i = 0; i < n; i++) {
-         |  long h = $c.getLong(i);
-         |  for (int j = 0; j < k; j++) {
-         |    long v = (h * $aRef[j] + $bRef[j]) % ${p}L;
-         |    if (v < mins[j]) mins[j] = v;
+         |int $n = $c.numElements();
+         |int $k = $aRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
-         |${ev.value} = n == 0
+         |${ev.value} = $n == 0
          |  ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0])
-         |  : new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+         |  : new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
   }
@@ -124,24 +130,28 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     java.lang.Long.valueOf(res)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, counts, i, h, j, res, j2) = (ctx.freshName("n"),
+      ctx.freshName("counts"), ctx.freshName("i"), ctx.freshName("h"),
+      ctx.freshName("j"), ctx.freshName("res"), ctx.freshName("j2"))
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |int n = $c.numElements();
-         |int[] counts = new int[64];
-         |for (int i = 0; i < n; i++) {
-         |  long h = $c.getLong(i);
-         |  for (int j = 0; j < 64; j++) {
-         |    if (((h >>> j) & 1L) == 1L) counts[j]++; else counts[j]--;
+         |int $n = $c.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
          |  }
          |}
-         |long res = 0L;
-         |for (int j = 0; j < 64; j++) {
-         |  if (counts[j] > 0) res |= 1L << j;
+         |long $res = 0L;
+         |for (int $j2 = 0; $j2 < 64; $j2++) {
+         |  if ($counts[$j2] > 0) $res |= 1L << $j2;
          |}
-         |${ev.value} = res;
+         |${ev.value} = $res;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
@@ -177,17 +187,20 @@ case class DotProduct(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, acc, i) =
+      (ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

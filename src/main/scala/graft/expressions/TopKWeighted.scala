@@ -89,6 +89,18 @@ case class TopKWeighted(
   private val capacity = k * loadFactor
 
   override def children: Seq[Expression] = Seq(key, weight)
+
+  // update() casts straight to UTF8String/Long — reject anything else at
+  // analysis time instead of a ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (key.dataType, weight.dataType) match {
+      case (StringType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (kt, wt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_weighted needs (string, bigint), got (${kt.sql}, ${wt.sql})")
+    }
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("key", StringType), StructField("weight", LongType))),

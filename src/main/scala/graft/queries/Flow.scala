@@ -23,6 +23,14 @@ object Flow {
 
   private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
+  /** DuckDB CASE for the shared protocol dictionary, so widget oracles use
+    * the exact map the engine does (`Dictionaries.protocolNames`).
+    */
+  private val protoCaseSql: String =
+    graft.functions.Dictionaries.protocolNames.toSeq.sorted
+      .map { case (n, name) => s"WHEN $n THEN '$name'" }
+      .mkString("CASE Proto ", " ", " END")
+
   private val schema = FlowSchema.schema
 
   private def engine(s: SparkSession, dir: String) =
@@ -405,8 +413,7 @@ object Flow {
          |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'),
          |per AS (SELECT Proto, CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b
          |  FROM f GROUP BY 1)
-         |SELECT coalesce(CASE Proto WHEN 1 THEN 'ICMP' WHEN 6 THEN 'TCP'
-         |    WHEN 17 THEN 'UDP' END, '???') AS name,
+         |SELECT coalesce($protoCaseSql, '???') AS name,
          |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
          |FROM per
          |ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,
@@ -419,8 +426,7 @@ object Flow {
          |per AS (SELECT Proto, DstPort,
          |    CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b
          |  FROM f GROUP BY 1, 2)
-         |SELECT coalesce(CASE Proto WHEN 1 THEN 'ICMP' WHEN 6 THEN 'TCP'
-         |    WHEN 17 THEN 'UDP' END, '???') || '/' || CAST(DstPort AS VARCHAR) AS name,
+         |SELECT coalesce($protoCaseSql, '???') || '/' || CAST(DstPort AS VARCHAR) AS name,
          |  CAST(floor(b * 100.0 / (SELECT sum(b) FROM per) * 10000) AS BIGINT) AS pct_bp
          |FROM per
          |ORDER BY b * 100.0 / (SELECT sum(b) FROM per) DESC, name LIMIT 5""".stripMargin,

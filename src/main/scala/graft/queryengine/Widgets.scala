@@ -57,7 +57,7 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
       asns: Option[DataFrame] = None, limit: Int = 5): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val protoDict = Seq((1L, "ICMP"), (6L, "TCP"), (17L, "UDP"))
+    val protoDict = graft.functions.Dictionaries.protocolNames.toSeq.sorted
       .toDF("p_proto", "proto_name")
     val from = new Timestamp(now.getTime - 5 * 60 * 1000)
     val mainRequired = widget == "src-port" || widget == "dst-port"

@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
 final class SavedFilters(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  // Wall-clock epoch millis so ordering survives JVM/host restarts
+  // (nanoTime has an arbitrary per-boot origin); a per-JVM counter breaks
+  // same-millisecond ties. 20 bits of counter leaves millis * 2^20 well
+  // inside Long range until year ~292473.
+  private val tiebreak = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextSeq(): Long =
+    (System.currentTimeMillis() << 20) | (tiebreak.getAndIncrement() & 0xfffffL)
+
   private def append(user: String, description: String, content: String,
       deleted: Boolean): Unit =
-    Seq((user, description, content, deleted, System.nanoTime()))
+    Seq((user, description, content, deleted, nextSeq()))
       .toDF("user", "description", "content", "deleted", "seq")
       .write.mode(SaveMode.Append).parquet(path)
 

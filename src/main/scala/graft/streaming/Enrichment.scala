@@ -104,9 +104,13 @@ object Enrichment {
     */
   def withCustomDict(flows: DataFrame, dict: graft.schema.CustomDict,
       source: DataFrame): DataFrame = {
+    // exactly one row per key: duplicate dict rows would fan out flow rows
+    // and inflate every downstream aggregate, whereas the reference's
+    // dictGetOrDefault always returns a single value per key
     val sel = source.select(
       col(dict.dictKeyColumn).as("__dict_key") +:
         dict.attributes.map { case (a, out) => col(a).as(out) }.toSeq: _*)
+      .dropDuplicates("__dict_key")
     val joined = flows.join(broadcast(sel),
       flows(dict.keyColumn) === col("__dict_key"), "left")
       .drop("__dict_key")
