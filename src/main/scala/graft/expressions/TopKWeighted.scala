@@ -83,23 +83,19 @@ case class TopKWeighted(
     loadFactor: Int = 20,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SpaceSaving] {
+  extends TypedImperativeAggregate[SpaceSaving]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(k >= 1 && loadFactor >= 1)
 
   private val capacity = k * loadFactor
 
   override def children: Seq[Expression] = Seq(key, weight)
 
-  // update() casts straight to UTF8String/Long — reject anything else at
-  // analysis time instead of a ClassCastException mid-job
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    (key.dataType, weight.dataType) match {
-      case (StringType, LongType) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (kt, wt) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"topk_weighted needs (string, bigint), got (${kt.sql}, ${wt.sql})")
-    }
+  // update() casts straight to UTF8String/Long — declare the input types so
+  // the analyzer coerces int weights to long (and rejects what it can't)
+  // instead of a ClassCastException mid-job.
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(StringType, LongType)
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -14,12 +14,15 @@ final class SavedFilters(spark: SparkSession, path: String) {
   import spark.implicits._
 
   // Wall-clock epoch millis so ordering survives JVM/host restarts
-  // (nanoTime has an arbitrary per-boot origin); a per-JVM counter breaks
-  // same-millisecond ties. 20 bits of counter leaves millis * 2^20 well
-  // inside Long range until year ~292473.
+  // (nanoTime has an arbitrary per-boot origin). The low 20 bits break
+  // same-millisecond ties: 8 random bits fixed per instance separate
+  // concurrent writer processes, 12 counter bits order writes within one.
+  // millis << 20 stays below the Long sign bit until year ~2248.
+  private val nonce = (new java.security.SecureRandom().nextInt(256)).toLong
   private val tiebreak = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextSeq(): Long =
-    (System.currentTimeMillis() << 20) | (tiebreak.getAndIncrement() & 0xfffffL)
+    (System.currentTimeMillis() << 20) | (nonce << 12) |
+      (tiebreak.getAndIncrement() & 0xfffL)
 
   private def append(user: String, description: String, content: String,
       deleted: Boolean): Unit =

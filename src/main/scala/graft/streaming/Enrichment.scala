@@ -106,11 +106,17 @@ object Enrichment {
       source: DataFrame): DataFrame = {
     // exactly one row per key: duplicate dict rows would fan out flow rows
     // and inflate every downstream aggregate, whereas the reference's
-    // dictGetOrDefault always returns a single value per key
+    // dictGetOrDefault always returns a single value per key. min(struct)
+    // picks the surviving attribute tuple deterministically (lexicographic
+    // over the attributes), independent of partitioning.
+    val attrOut = dict.attributes.values.toSeq
     val sel = source.select(
       col(dict.dictKeyColumn).as("__dict_key") +:
         dict.attributes.map { case (a, out) => col(a).as(out) }.toSeq: _*)
-      .dropDuplicates("__dict_key")
+      .groupBy("__dict_key")
+      .agg(min(struct(attrOut.map(col): _*)).as("__attrs"))
+      .select(col("__dict_key") +:
+        attrOut.map(a => col(s"__attrs.`$a`").as(a)): _*)
     val joined = flows.join(broadcast(sel),
       flows(dict.keyColumn) === col("__dict_key"), "left")
       .drop("__dict_key")

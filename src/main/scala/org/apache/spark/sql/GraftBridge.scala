@@ -11,6 +11,11 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]`; expose it so expressions outside
+    * this package can declare `inputTypes` for implicit input coercion.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a native expression under a SQL-callable name (the runtime
     * counterpart of `SparkSessionExtensions.injectFunction`).
     */

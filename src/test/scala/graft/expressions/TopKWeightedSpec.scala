@@ -37,6 +37,15 @@ class TopKWeightedSpec extends SparkSpec {
     assert(top.head._2 >= 10000L && top.head._2 <= 10000L + n / 20)
   }
 
+  test("int weights coerce to long via implicit input casting") {
+    val df = Seq(("a", 5), ("a", 2), ("b", 3)).toDF("k", "w") // w is IntegerType
+    val top = df.agg(TopKWeighted(col("k"), col("w"), 3, 20).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.key"), col("e.weight"))
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 7L), ("b", 3L)))
+  }
+
   test("null keys and weights are ignored") {
     val df = Seq(
       (Some("a"), Some(5L)), (None, Some(9L)), (Some("a"), None),

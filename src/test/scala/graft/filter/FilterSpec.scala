@@ -163,6 +163,21 @@ class FilterSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("custom-dict duplicate keys resolve deterministically") {
+    import spark.implicits._
+    // two rows for the same key, shuffled across partitions: the surviving
+    // attribute tuple must be the lexicographic min regardless of layout
+    val dictSource = Seq((64496L, "silver"), (64496L, "gold"), (64497L, "iron"))
+      .toDF("asn", "tier").repartition(5)
+    val dict = graft.schema.CustomDict("astiers", "SrcAS", "asn",
+      Map("tier" -> "SrcASTier"))
+    val flows = Seq((64496L, 1L), (64497L, 2L)).toDF("SrcAS", "Bytes")
+    val out = graft.streaming.Enrichment.withCustomDict(flows, dict, dictSource)
+      .select("SrcAS", "SrcASTier").as[(Long, String)].collect().toMap
+    assert(out == Map(64496L -> "gold", 64497L -> "iron"))
+    assert(out.size == 2) // no fan-out from the duplicate key
+  }
+
   test("aspath membership compiles to array_contains") {
     import spark.implicits._
     val df = Seq(Seq(64496L, 65000L), Seq(64497L)).toDF("DstASPath")
