@@ -16,16 +16,23 @@ object Tables {
     * truncate to microsecond timestamps (DuckDB's reader truncates ns→µs
     * identically, so oracle comparisons agree).
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case (d, _) => d
-    }
-  }
+  // Memoized per (session, path): re-resolving the same parquet source
+  // re-lists files and re-reads footers on every query — the reused
+  // DataFrame shares one InMemoryFileIndex + analyzed schema instead.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(path)
+      df.schema.fields.foldLeft(df) {
+        case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+          d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case (d, _) => d
+      }
+    })
 
   /** A standard local session for mains/tests. */
   def session(appName: String): SparkSession = {

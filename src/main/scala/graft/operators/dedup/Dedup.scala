@@ -33,15 +33,27 @@ object Dedup {
   /** Exact word-3-gram Jaccard over all pairs sharing ≥1 shingle.
     * Returns (id_a, id_b, common, jaccard_pm) for pairs ≥ threshold.
     * Pair generation is an equi-join on the hashed shingle — cost is Σ c_s²
-    * over shingle frequencies, not n² (stop-shingle cap via `maxShingleDf`).
+    * over shingle frequencies, not n²; `maxShingleDf` caps hot-shingle
+    * (skew) blowup by dropping shingles above a document frequency.
     * Shingle sets are distinct per doc, so |set| = size of the shingle
     * array — set sizes come from a cheap projection, not the exploded index.
+    *
+    * (A PPJoin-style sorted-hash prefix filter — index only the first
+    * |A|−⌈t·|A|⌉+1 shingles, verify candidates with array_intersect — was
+    * measured here and lost: the extra distinct + verify-join stages cost
+    * more than the ~(1−t)² pair reduction saves until per-shingle
+    * frequencies are far hotter than 3-gram sets produce. The df-cap is
+    * the skew guard that matters at scale.)
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    // materialize the tokenize+shingle pass once (lazy local checkpoint):
+    // the self-join and both size branches would otherwise re-run the
+    // regex tokenizer up to 8× per document (Filter+Project × 4 subtrees)
     val shingled = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint(false)
     // inverted index on 8-byte shingle hashes (64-bit collisions are
     // negligible and the shuffle no longer carries shingle strings)
     val idx = shingled.select(col("id"),
@@ -110,9 +122,11 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rows = k / bands
     val (pa, pb) = hashParams(k, seed)
+    // one tokenize+shingle pass, reused by signature and verification
     val shingled = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
+      .localCheckpoint(false)
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
         transform(col("sh"), s => pmod(xxhash64(s), lit(P))), pa, pb).as("sig"))
@@ -155,9 +169,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // one tokenize+shingle+simhash pass; the blocking self-join reuses it
     val withSim = df
       .select(col(idCol).as("id"),
         simhash(TextAnalysis.shingles(col(textCol))).as("sh"))
+      .localCheckpoint(false)
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
