@@ -111,6 +111,58 @@ object TextAnalysis {
     when(conv(substring(md5(text), 1, 1), 16, 10).cast("int") < trainNibbles,
       "train").otherwise("eval")
 
+  /** PII patterns: email addresses and a NANP-style phone shape. Plain
+    * character-class regexes only (no lookaround/backreferences), so Java
+    * regex (Spark) and RE2 (DuckDB oracle) match identically.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+1 555 [0-9]{4}"
+
+  /** PII detection + redaction columns: match counts per pattern and the
+    * text with every match replaced by a placeholder (scrubbing pass of a
+    * training-data pipeline). Pure regexp expressions — one codegen'd
+    * projection over the corpus, no UDFs.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val redacted = regexp_replace(
+      regexp_replace(text, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+    Seq(
+      "emails" -> regexp_count(text, lit(emailRe)).cast("long"),
+      "phones" -> regexp_count(text, lit(phoneRe)).cast("long"),
+      "redacted_md5" -> md5(redacted))
+  }
+
+  /** Within-document repetition (Gopher-style repetition signal):
+    * sentence count, distinct-sentence count, and the duplicate fraction
+    * in exact integer per-mille.
+    */
+  def sentenceStats(text: Column): Seq[(String, Column)] = {
+    val sents = filter(transform(split(text, "\\. "), s => trim(s)),
+      s => length(s) > 0)
+    val total = size(sents).cast("long")
+    val distinctN = size(array_distinct(sents)).cast("long")
+    Seq(
+      "sentences" -> total,
+      "distinct_sentences" -> distinctN,
+      "dup_pm" -> when(total > 0, floor((total - distinctN) * 1000 / total))
+        .otherwise(0L).cast("long"))
+  }
+
+  /** Within-document n-gram repetition (the Gopher duplicate-n-gram
+    * fraction): total n-gram count, distinct n-gram count, duplicate
+    * fraction in exact integer per-mille.
+    */
+  def ngramRepetition(text: Column, n: Int = 3): Seq[(String, Column)] = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(0)).cast("long")
+    val dist = size(graft.expressions.Sketches.wordShingles(tokens(text), n))
+      .cast("long")
+    Seq(
+      "gram_total" -> total,
+      "gram_distinct" -> dist,
+      "dup_pm" -> when(total > 0, floor((total - dist) * 1000 / total))
+        .otherwise(0L).cast("long"))
+  }
+
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -6,7 +6,7 @@ import graft.Tables
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
 import graft.operators.similarity.CosineSearch
-import graft.operators.text.TextAnalysis
+import graft.operators.text.{Decontamination, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: dedup (exact, fingerprint, n-gram Jaccard, MinHash+LSH,
@@ -133,6 +133,44 @@ object Pipeline {
       CosineSearch.nearDupPairs(
         embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
         thresholdE6 = 900000L)),
+
+    // PII scrub: the testdata corpus carries no natural PII, so synthetic
+    // contact strings are appended deterministically (same construction in
+    // the oracle) — the detection/redaction regexes are what's under test
+    "q_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 "),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      val cols = TextAnalysis.piiColumns(aug)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      val cols = TextAnalysis.ngramRepetition(col("text"), n = 3)
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // decontamination: every ~97th document plays the benchmark set
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontamination.overlap(
+        d.where(col("doc_id") % 97 =!= 0),
+        d.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q_seq_pack" -> ((s, dir) => {
+      import graft.operators.pack.SequencePacking
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenEstimate(col("text")).as("toks"))
+      SequencePacking.pack(d, "doc_id", "toks",
+        windowTokens = 2048, shardSize = 512)
+        .withColumnRenamed("id", "doc_id")
+    }),
 
     "q_multimodal" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -315,6 +353,55 @@ object Pipeline {
         |  FROM m, LATERAL (SELECT unnest(range(0,
         |    greatest(len // 64 // 4, 1))) AS i) r)
         |SELECT media_id, frame_idx, md5(frame) AS frame_md5 FROM f""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || doc_id || '@example.com or +1 555 '
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE '' END AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+        |  CAST(len(regexp_extract_all(t, '\+1 555 [0-9]{4}')) AS BIGINT) AS phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+1 555 [0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM aug""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total,
+        |  len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    for i in range(1, len(w) - 1)])) AS dist
+        |  FROM t)
+        |SELECT doc_id, CAST(total AS BIGINT) AS gram_total,
+        |  CAST(dist AS BIGINT) AS gram_distinct,
+        |  CAST(CASE WHEN total > 0 THEN (total - dist) * 1000 // total
+        |       ELSE 0 END AS BIGINT) AS dup_pm
+        |FROM m""".stripMargin,
+    "q_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT doc_id AS bench_id, s FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, s FROM g WHERE doc_id % 97 != 0)
+        |SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS hit_docs,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS hit_ngrams
+        |FROM corp JOIN bench USING (s) GROUP BY 1""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> 1 + length(t) // 6)) AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  sum(toks) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(start_tok // 2048 AS BIGINT) AS window_id,
+        |  (start_tok + toks - 1) // 2048 != start_tok // 2048 AS spans_boundary
+        |FROM c""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,

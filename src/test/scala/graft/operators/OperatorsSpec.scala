@@ -219,3 +219,81 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
   }
 }
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii columns count and redact emails and phones") {
+    val df = Seq(
+      (1L, "write to a.smith+x@mail.example.org or call +1 555 0199 now"),
+      (2L, "no contact info here"),
+      (3L, "two mails: a@b.io c@d.co and +1 555 0000")).toDF("doc_id", "text")
+    val cols = TextAnalysis.piiColumns(col("text"))
+    val out = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
+    // redaction removes every match: re-scanning the redacted text of doc 1
+    val redacted = df.where(col("doc_id") === 1)
+      .select(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.emailRe, "[EMAIL]"), TextAnalysis.phoneRe, "[PHONE]"))
+      .as[String].head()
+    assert(redacted == "write to [EMAIL] or call [PHONE] now")
+  }
+
+  test("sentence stats measure within-doc repetition") {
+    val df = Seq(
+      (1L, "the cat sat. the dog ran. the cat sat. all done"),
+      (2L, "unique one. unique two")).toDF("doc_id", "text")
+    val cols = TextAnalysis.sentenceStats(col("text"))
+    val out = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 4L, 3L, 250L), (2L, 2L, 2L, 0L)))
+  }
+
+  test("ngram repetition flags repeated phrases") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // 7 3-grams, 3 distinct
+      (2L, "all words differ here now"), // 3 3-grams, all distinct
+      (3L, "tiny doc")).toDF("doc_id", "text") // < 3 tokens
+    val cols = TextAnalysis.ngramRepetition(col("text"))
+    val out = df.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 7L, 3L, 571L), (2L, 3L, 3L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("decontamination flags corpus docs overlapping the benchmark") {
+    import graft.operators.text.Decontamination
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"), // shares "alpha beta gamma" with bench 1
+      (11L, "nothing in common at all"),
+      (12L, "omega alpha beta gamma")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma epsilon"),
+      (2L, "separate benchmark text entirely")).toDF("doc_id", "text")
+    val out = Decontamination.overlap(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((10L, 1L, 1L), (12L, 1L, 1L)))
+  }
+
+  test("sequence packing matches a single-pass cumulative sum") {
+    import graft.operators.pack.SequencePacking
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 1000L).map(i => (i, 1L + rnd.nextInt(900)))
+    val df = docs.toDF("doc_id", "toks")
+    // small shards force many shard-offset hops; result must equal the
+    // naive global cumsum
+    val out = SequencePacking.pack(df, "doc_id", "toks",
+        windowTokens = 2048, shardSize = 16)
+      .select("id", "start_tok", "window_id", "spans_boundary")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    var cum = 0L
+    docs.zip(out).foreach { case ((id, toks), (oid, start, win, spans)) =>
+      assert(oid == id)
+      assert(start == cum, s"doc $id start")
+      assert(win == start / 2048)
+      assert(spans == ((start + toks - 1) / 2048 != win))
+      cum += toks
+    }
+  }
+}
