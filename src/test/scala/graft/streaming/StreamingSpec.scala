@@ -239,3 +239,62 @@ class FlowStoreSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("Bytes") == 150L))
   }
 }
+
+class TemplateCacheSpec extends SparkSpec {
+  import TemplateCache._
+
+  test("data records decode only after their template arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[RawRecord]
+    val decoded = decode(mem.toDS())
+    val q = decoded.writeStream
+      .format("memory").queryName("tcache")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+
+    // batch 1: exporter A learns template 5; one decodable data record,
+    // one record for unknown template 9 (dropped + counted)
+    mem.addData(
+      RawRecord("expA", "template", 5, "SrcAddr,DstAddr,Bytes"),
+      RawRecord("expA", "data", 5, "10.0.0.1,10.0.0.2,100"),
+      RawRecord("expA", "data", 9, "x,y"))
+    q.processAllAvailable()
+
+    // batch 2: template 9 arrives — state persisted across batches, so
+    // new template-9 data decodes; exporter B has its own empty state
+    val q2 = decoded.writeStream
+      .format("memory").queryName("tcache")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      RawRecord("expA", "template", 9, "Proto,Port"),
+      RawRecord("expA", "data", 9, "6,443"),
+      RawRecord("expB", "data", 5, "1,2,3"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.table("tcache").as[DecodedRecord].collect()
+    val byTemplate = rows.groupBy(_.templateId)
+    assert(rows.length == 2) // expB's record never decodes
+    assert(byTemplate(5).head.fields ==
+      Map("SrcAddr" -> "10.0.0.1", "DstAddr" -> "10.0.0.2", "Bytes" -> "100"))
+    assert(byTemplate(9).head.fields == Map("Proto" -> "6", "Port" -> "443"))
+    // the unknown-template drop from batch 1 is visible in the counter
+    assert(byTemplate(9).head.misses == 1)
+  }
+
+  test("template refresh replaces field names") {
+    import spark.implicits._
+    // batch Dataset path: same operator, no stream needed
+    val ds = Seq(
+      RawRecord("e", "template", 1, "A,B"),
+      RawRecord("e", "data", 1, "1,2"),
+      RawRecord("e", "template", 1, "X,Y"),
+      RawRecord("e", "data", 1, "3,4")).toDS()
+    val out = decode(ds).collect().sortBy(_.fields.values.min)
+    assert(out.length == 2)
+    assert(out(0).fields == Map("A" -> "1", "B" -> "2"))
+    assert(out(1).fields == Map("X" -> "3", "Y" -> "4"))
+  }
+}
