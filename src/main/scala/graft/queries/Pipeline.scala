@@ -129,6 +129,18 @@ object Pipeline {
         e.select(col("vec_id").as("id"), col("embedding")), k = 5)
     }),
 
+    // k-means assignment step (the IVF codebook path): 8 deterministic
+    // seed centroids, cosine argmax, occupancy per cell
+    "q_kmeans_assign" -> ((s, dir) => {
+      import graft.operators.similarity.KMeans
+      val e = embs(s, dir)
+      val cents = e.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      KMeans.assign(e.select(col("vec_id").as("id"), col("embedding")), cents)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+    }),
+
     "q_sim_neardup" -> ((s, dir) =>
       CosineSearch.nearDupPairs(
         embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
@@ -345,6 +357,18 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |s AS (SELECT vec_id, cell,
+        |  CAST(round(list_cosine_similarity(ev, cv) * 1000000) AS BIGINT) AS sim
+        |  FROM v, c),
+        |r AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |  FROM s)
+        |SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n
+        |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |  octet_length(encode(text)) AS len FROM documents),

@@ -297,3 +297,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 }
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.similarity.KMeans
+
+  // three well-separated directions with small jitter
+  private def planted = {
+    val rnd = new scala.util.Random(3)
+    val axes = Seq(
+      Array(1.0f, 0f, 0f, 0f), Array(0f, 1.0f, 0f, 0f), Array(0f, 0f, 1.0f, 0f))
+    (0L until 90L).map { i =>
+      val a = axes((i % 3).toInt)
+      (i, a.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("id", "embedding")
+  }
+
+  test("lloyd iterations recover planted clusters") {
+    val (cents, assigned) = KMeans.fit(planted, k = 3, iters = 3)
+    assert(cents.length == 3)
+    // every planted group lands in a single cell
+    val cells = assigned.select("id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1 % 3).map { case (g, rows) => g -> rows.map(_._2).toSet }
+    assert(cells.values.forall(_.size == 1), s"mixed cells: $cells")
+    // and the three groups occupy three distinct cells
+    assert(cells.values.flatten.toSet.size == 3)
+  }
+
+  test("assignment is deterministic with ties broken by cell id") {
+    val df = Seq((1L, Array(1.0f, 0f))).toDF("id", "embedding")
+    // two identical centroids: the lower cell id must win
+    val out = KMeans.assign(df, Array(Array(1.0, 0.0), Array(1.0, 0.0)))
+      .select("cell").as[Int].head()
+    assert(out == 0)
+  }
+}
