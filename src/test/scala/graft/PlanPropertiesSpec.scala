@@ -79,4 +79,39 @@ class PlanPropertiesSpec extends SparkSpec {
     // no Cartesian anywhere in the line pipeline
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_decontam probes the benchmark side as a broadcast") {
+    val p = plan("q_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the corpus must probe a broadcast benchmark, not shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_seq_pack never sorts the corpus through one partition") {
+    val p = plan("q_seq_pack")
+    // phase-1 window partitions by shard; only the per-shard totals (one
+    // row per shard) may pass through a single-partition exchange
+    val globalSorts = p.linesIterator
+      .filter(_.contains("Sort "))
+      .count(_.contains("[id")) // a global sort keyed by the raw doc id
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "two-phase prefix sum uses windows")
+    assert(globalSorts == 0 || p.contains("partitionBy"),
+      s"corpus-wide single-partition sort detected:\n$p")
+  }
+
+  test("q_kmeans_assign is a joinless single-pass projection") {
+    val p = plan("q_kmeans_assign")
+    assert(!p.contains("Join"), "assignment must not join the centroids")
+    // one physical scan (formatted mode lists it in the tree + details)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q_pii_scrub and q_repetition stay joinless and exchange-free") {
+    Seq("q_pii_scrub", "q_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be a pure projection")
+      assert(!p.contains("Exchange"), s"$q must not shuffle")
+    }
+  }
 }
