@@ -28,7 +28,8 @@ import graft.schema.Schema
   * last layer of SURVEY §7.
   */
 final class ConsoleApi(spark: SparkSession, schema: Schema,
-    tables: Seq[FlowTable], port: Int = 0) {
+    tables: Seq[FlowTable], port: Int = 0,
+    savedFilters: Option[graft.store.SavedFilters] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -188,6 +189,59 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp.put("rate", rate)
     resp.put("period", "second")
     resp
+  }
+
+  // Saved-filter CRUD (reference `console/filter.go` + `console/database/`):
+  // GET ?user=… lists, POST {user,description,content} saves (the filter
+  // must parse, as the reference validates on save), DELETE
+  // {user,description} tombstones.
+  savedFilters.foreach { sf =>
+    server.createContext("/api/v0/console/filter/saved", (ex: HttpExchange) => {
+      val out = try {
+        val resp = mapper.createObjectNode()
+        ex.getRequestMethod match {
+          case "GET" =>
+            val user = Option(ex.getRequestURI.getQuery).toSeq
+              .flatMap(_.split("&")).find(_.startsWith("user="))
+              .map(_.drop(5)).getOrElse("")
+            val arr = resp.putArray("filters")
+            sf.list(user).collect().foreach { r =>
+              val o = arr.addObject()
+              o.put("description", r.getAs[String]("description"))
+              o.put("content", r.getAs[String]("content"))
+            }
+          case "POST" =>
+            val body = mapper.readTree(new String(
+              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+            val content = body.get("content").asText()
+            FilterCompiler.compile(schema, content) match {
+              case Right(_) =>
+                sf.save(body.get("user").asText(),
+                  body.get("description").asText(), content)
+                resp.put("message", "ok")
+              case Left(err) =>
+                throw new IllegalArgumentException(
+                  s"invalid filter: ${err.getMessage}")
+            }
+          case "DELETE" =>
+            val body = mapper.readTree(new String(
+              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+            sf.delete(body.get("user").asText(), body.get("description").asText())
+            resp.put("message", "ok")
+          case m => throw new IllegalArgumentException(s"unsupported method $m")
+        }
+        (200, mapper.writeValueAsBytes(resp))
+      } catch {
+        case e: Exception =>
+          val err = mapper.createObjectNode()
+          err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
+          (400, mapper.writeValueAsBytes(err))
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(out._1, out._2.length)
+      ex.getResponseBody.write(out._2)
+      ex.close()
+    })
   }
 
   def start(): ConsoleApi = { server.start(); this }

@@ -121,4 +121,40 @@ object Lpm {
     */
   def lookupAttr(table: Table, attr: String)(addrCol: Column): Column =
     graft.expressions.LpmLookup(addrCol, table, attr)
+
+  /** Periodically refreshed prefix sources (SURVEY S8; reference
+    * `outlet/networks/root.go:170-196` + `common/remotedatasource/`): merge
+    * several loaders — GeoIP snapshots, remote prefix lists, static
+    * config — in precedence order (later overrides earlier per prefix, as
+    * [[Table.build]] merges), diff against the previous pull, and rebuild
+    * the lookup table only when the merged entries actually changed.
+    * Re-enrichment picks up the new [[table]] on its next batch — the
+    * stream-static refresh pattern.
+    */
+  final class RefreshingTable(sources: Seq[() => Seq[PrefixEntry]]) {
+    @volatile private var state: (Seq[PrefixEntry], Table) = (null, null)
+    refresh()
+
+    def table: Table = state._2
+
+    /** Re-pulls every source; rebuilds on change. Returns true if rebuilt. */
+    def refresh(): Boolean = {
+      val merged = sources.flatMap(_())
+      if (state._1 == merged) false
+      else { state = (merged, Table.build(merged)); true }
+    }
+  }
+
+  /** Loads prefix entries from a headered CSV with a `prefix` column; every
+    * other column becomes an attribute (nulls skipped) — the shape of the
+    * reference orchestrator's dictionary CSVs (S7) and remote source lists.
+    */
+  def fromCsv(spark: org.apache.spark.sql.SparkSession, path: String): Seq[PrefixEntry] = {
+    val df = spark.read.option("header", "true").csv(path)
+    val attrCols = df.columns.filterNot(_ == "prefix")
+    df.collect().toSeq.map { r =>
+      PrefixEntry(r.getAs[String]("prefix"),
+        attrCols.flatMap(c => Option(r.getAs[String](c)).map(c -> _)).toMap)
+    }
+  }
 }

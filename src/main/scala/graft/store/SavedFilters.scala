@@ -36,10 +36,16 @@ final class SavedFilters(spark: SparkSession, path: String) {
   def delete(user: String, description: String): Unit =
     append(user, description, "", deleted = true)
 
-  /** Latest non-deleted filter per (user, description). */
+  /** Latest non-deleted filter per (user, description). Empty before the
+    * first save (no parquet files yet).
+    */
   def list(user: String): DataFrame = {
+    val stored = scala.util.Try(spark.read.parquet(path)).getOrElse(
+      spark.emptyDataFrame
+        .select(lit("").as("user"), lit("").as("description"),
+          lit("").as("content"), lit(false).as("deleted"), lit(0L).as("seq")))
     val w = Window.partitionBy("user", "description").orderBy(desc("seq"))
-    spark.read.parquet(path)
+    stored
       .where(col("user") === user)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && !col("deleted"))

@@ -11,17 +11,22 @@ import graft.store.EventFlows
 class ConsoleApiSpec extends SparkSpec {
 
   private lazy val api = new ConsoleApi(spark, FlowSchema.schema,
-    EventFlows.tables(spark, "/root/testdata/sf0.001")).start()
+    EventFlows.tables(spark, "/root/testdata/sf0.001"),
+    savedFilters = Some(new graft.store.SavedFilters(spark,
+      java.nio.file.Files.createTempDirectory("savedf").toString + "/sf")))
+    .start()
   private val client = HttpClient.newHttpClient()
   private val mapper = new ObjectMapper()
 
-  private def post(path: String, body: String) = {
+  private def send(method: String, path: String, body: String) = {
     val req = HttpRequest.newBuilder(
       URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
-      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      .method(method, HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), mapper.readTree(resp.body()))
   }
+
+  private def post(path: String, body: String) = send("POST", path, body)
 
   test("graph/line returns series with stats") {
     val (code, json) = post("/api/v0/console/graph/line",
@@ -80,6 +85,27 @@ class ConsoleApiSpec extends SparkSpec {
     assert(c2 == 200 && rate.get("rate").asDouble() > 0)
     val (c3, err) = post("/api/v0/console/widget/top/nonsense", "")
     assert(c3 == 400 && err.has("error"))
+  }
+
+  test("saved filters round-trip through the API") {
+    val (c0, empty) = send("GET", "/api/v0/console/filter/saved?user=alice", "")
+    assert(c0 == 200 && empty.get("filters").size() == 0)
+    // invalid filters are rejected on save like the reference
+    val (cBad, bad) = post("/api/v0/console/filter/saved",
+      """{"user":"alice","description":"broken","content":"NoSuchColumn = 1"}""")
+    assert(cBad == 400 && bad.has("error"))
+    val (c1, _) = post("/api/v0/console/filter/saved",
+      """{"user":"alice","description":"ext","content":"InIfBoundary = external"}""")
+    assert(c1 == 200)
+    val (c2, one) = send("GET", "/api/v0/console/filter/saved?user=alice", "")
+    assert(c2 == 200 && one.get("filters").size() == 1)
+    assert(one.get("filters").get(0).get("content").asText()
+      == "InIfBoundary = external")
+    val (c3, _) = send("DELETE", "/api/v0/console/filter/saved",
+      """{"user":"alice","description":"ext"}""")
+    assert(c3 == 200)
+    val (c4, gone) = send("GET", "/api/v0/console/filter/saved?user=alice", "")
+    assert(c4 == 200 && gone.get("filters").size() == 0)
   }
 
   test("malformed requests get a 400 with an error body") {

@@ -44,6 +44,38 @@ class LpmSpec extends SparkSpec {
       .as[Option[String]].collect().toSet
     assert(out == Set(Some("corp-eu"), None))
   }
+
+  test("refreshing table rebuilds only when a source changes") {
+    // static config + a mutable "remote" source, merged in precedence order
+    var remote = Seq(Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "remote-a")))
+    val rt = new Lpm.RefreshingTable(Seq(
+      () => Seq(Lpm.PrefixEntry("10.0.0.0/8", Map("role" -> "static"))),
+      () => remote))
+    val t0 = rt.table
+    assert(t0.lookup(Ip.parse("10.1.1.1")).get ==
+      Map("role" -> "static", "name" -> "remote-a"))
+    // unchanged pull: same table instance, no rebuild
+    assert(!rt.refresh())
+    assert(rt.table eq t0)
+    // remote list changes: rebuild picks it up, static attrs survive
+    remote = Seq(Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "remote-b")))
+    assert(rt.refresh())
+    assert(rt.table.lookup(Ip.parse("10.1.1.1")).get ==
+      Map("role" -> "static", "name" -> "remote-b"))
+  }
+
+  test("csv prefix source loads attributes") {
+    val dir = java.nio.file.Files.createTempDirectory("csv")
+    val f = dir.resolve("nets.csv")
+    java.nio.file.Files.writeString(f,
+      "prefix,name,tenant\n10.0.0.0/8,corp,\n192.0.2.0/24,doc,acme\n")
+    val entries = Lpm.fromCsv(spark, f.toString)
+    assert(entries.toSet == Set(
+      Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "corp")),
+      Lpm.PrefixEntry("192.0.2.0/24", Map("name" -> "doc", "tenant" -> "acme"))))
+    val t = Lpm.Table.build(entries)
+    assert(t.lookup(Ip.parse("192.0.2.7")).get("tenant") == "acme")
+  }
 }
 
 class EnrichmentSpec extends SparkSpec {
