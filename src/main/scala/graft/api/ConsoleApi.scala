@@ -191,6 +191,29 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
+  handle("/api/v0/console/widget/flow-last") { _ =>
+    val widgets = new Widgets(schema, tables)
+    val rows = widgets.flowLast(spark, widgets.dataNow()).collect()
+    val resp = mapper.createObjectNode()
+    rows.headOption.foreach { r =>
+      r.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(i)) resp.put(f.name, r.get(i) match {
+          case s: scala.collection.Seq[_] => s.mkString(" ")
+          case x => String.valueOf(x)
+        })
+      }
+    }
+    resp
+  }
+
+  handle("/api/v0/console/widget/exporters") { _ =>
+    val widgets = new Widgets(schema, tables)
+    val resp = mapper.createObjectNode()
+    val arr = resp.putArray("exporters")
+    widgets.exporterList(spark).collect().foreach(r => arr.add(r.getString(0)))
+    resp
+  }
+
   // Saved-filter CRUD (reference `console/filter.go` + `console/database/`):
   // GET ?user=… lists, POST {user,description,content} saves (the filter
   // must parse, as the reference validates on save), DELETE

@@ -90,6 +90,19 @@ object Pipeline {
       Dedup.connectedComponents(
         Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))),
 
+    // end-to-end near-dup purge: cluster the ngram pairs, drop every
+    // non-keeper (id != cluster min), count survivors per language — the
+    // step that actually shrinks a corpus after dedup analysis
+    "q_dedup_purge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5))
+      val losers = clusters.where(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
@@ -346,6 +359,29 @@ object Pipeline {
         |  UNION
         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
         |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1""".stripMargin,
+    "q_dedup_purge" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |losers AS (SELECT id FROM clusters WHERE id != cluster)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1""".stripMargin,
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 10),

@@ -131,4 +131,40 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
       limit = 1, unit = "l3bps"))
       .select(col("time_s"), (col("xps") / 1e9).as("gbps"))
   }
+
+  /** `GET /widget/flow-last` (reference `widgets.go:20-60`): the newest
+    * flow row with columns that are unreadable as stored replaced by
+    * display renders — the SELECT * EXCEPT/REPLACE shape (P13). Here the
+    * binary addresses and community arrays get rendered; everything else
+    * passes through.
+    */
+  def flowLast(spark: SparkSession, now: Timestamp): DataFrame = {
+    import graft.functions.{Ip, Render}
+    val renders: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
+      "ExporterAddress" -> (c => Ip.ipToString(c)),
+      "SrcAddr" -> (c => Ip.ipToString(c)),
+      "DstAddr" -> (c => Ip.ipToString(c)),
+      "SrcCommunities" -> (c => Render.communities(c)),
+      "DstCommunities" -> (c => Render.communities(c)),
+      "SrcMAC" -> (c => Render.mac(c)),
+      "DstMAC" -> (c => Render.mac(c)),
+      "SrcLargeCommunities" ->
+        (c => array_join(transform(c, x => Render.largeCommunity(x)), " ")),
+      "DstLargeCommunities" ->
+        (c => array_join(transform(c, x => Render.largeCommunity(x)), " ")))
+    // the reference anchors on a MAX(TimeReceived) scalar subquery; `now`
+    // is dataNow()'s half-open upper bound (newest flow + 1s)
+    val in = main.df().where(col("TimeReceived") < lit(now))
+    val maxTs = in.agg(max("TimeReceived")).collect()(0).getTimestamp(0)
+    val df = in.where(col("TimeReceived") === lit(maxTs)).limit(1)
+    renders.foldLeft(df) { case (d, (name, f)) =>
+      if (d.columns.contains(name)) d.withColumn(name, f(col(name))) else d
+    }
+  }
+
+  /** `GET /widget/exporters` (reference `widgets.go:111-135`): the sorted
+    * distinct exporter list.
+    */
+  def exporterList(spark: SparkSession): DataFrame =
+    main.df().select("ExporterName").distinct().orderBy("ExporterName")
 }

@@ -87,6 +87,21 @@ class ConsoleApiSpec extends SparkSpec {
     assert(c3 == 400 && err.has("error"))
   }
 
+  test("flow-last and exporters widgets serve rendered data") {
+    val (c1, last) = post("/api/v0/console/widget/flow-last", "")
+    assert(c1 == 200)
+    // binary addresses come back rendered, not raw bytes
+    assert(last.get("SrcAddr").asText().startsWith("10."))
+    assert(last.get("DstCommunities").asText().matches("\\d+:\\d+.*"))
+    assert(last.has("Bytes") && last.has("Proto"))
+    val (c2, exps) = post("/api/v0/console/widget/exporters", "")
+    assert(c2 == 200)
+    val names = (0 until exps.get("exporters").size())
+      .map(i => exps.get("exporters").get(i).asText())
+    assert(names.nonEmpty && names == names.sorted)
+    assert(names.forall(_.startsWith("exp")))
+  }
+
   test("saved filters round-trip through the API") {
     val (c0, empty) = send("GET", "/api/v0/console/filter/saved?user=alice", "")
     assert(c0 == 200 && empty.get("filters").size() == 0)
