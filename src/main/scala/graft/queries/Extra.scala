@@ -218,7 +218,22 @@ object Extra {
       e.select(col("vec_id").as("id"), col("embedding")), k = 5)
   }
 
+  // --- I6: classifier rules (reference expr-lang classifiers compiled to
+  // Column predicates): reject first, then first-match-wins assignment ---
+  val qClassifier: Q = (s, dir) => {
+    import graft.streaming.Enrichment
+    val rules = Seq(
+      Enrichment.Rule(col("Proto") === 1, reject = true),
+      Enrichment.Rule(col("DstPort") === 443,
+        Map("FlowTenant" -> lit("secure"))),
+      Enrichment.Rule(col("DstPort") === 53, Map("FlowTenant" -> lit("dns"))),
+      Enrichment.Rule(lit(true), Map("FlowTenant" -> lit("default"))))
+    Enrichment.withClassifiers(EventFlows.flows(s, dir), rules)
+      .groupBy("FlowTenant").agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
     "q_render" -> qRender,
     "q_util_pct" -> qUtilPct,
@@ -235,6 +250,13 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    "q_classifier" ->
+      s"""WITH flows AS ($F)
+         |SELECT CASE WHEN DstPort = 443 THEN 'secure'
+         |            WHEN DstPort = 53 THEN 'dns'
+         |            ELSE 'default' END AS FlowTenant,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM flows WHERE NOT (Proto = 1) GROUP BY 1""".stripMargin,
     "q_lpm_lookup" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 200 < 25 THEN 'n' || CAST(c_custkey % 200 AS VARCHAR)
