@@ -24,10 +24,14 @@ object TemplateCache {
 
   /** One wire record: a template definition (`kind = "template"`,
     * payload = comma-separated field names) or a data record
-    * (`kind = "data"`, payload = comma-separated values).
+    * (`kind = "data"`, payload = comma-separated values). `seq` is the
+    * exporter's packet sequence number (NetFlow carries one): rows within
+    * a micro-batch are processed in `seq` order, since Spark does not
+    * guarantee row order within a group.
     */
   final case class RawRecord(
-      exporter: String, kind: String, templateId: Int, payload: String)
+      exporter: String, kind: String, templateId: Int, payload: String,
+      seq: Long = 0L)
 
   /** A decoded data record: field name → value per its template. */
   final case class DecodedRecord(
@@ -44,7 +48,7 @@ object TemplateCache {
       state: GroupState[ExporterState]): Iterator[DecodedRecord] = {
     var st = state.getOption.getOrElse(ExporterState(Map.empty, 0L))
     val out = scala.collection.mutable.ArrayBuffer[DecodedRecord]()
-    rows.foreach { r =>
+    rows.toSeq.sortBy(_.seq).foreach { r =>
       r.kind match {
         case "template" =>
           st = st.copy(templates =

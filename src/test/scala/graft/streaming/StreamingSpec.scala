@@ -319,11 +319,12 @@ class TemplateCacheSpec extends SparkSpec {
   test("template refresh replaces field names") {
     import spark.implicits._
     // batch Dataset path: same operator, no stream needed
+    // sequence numbers pin the order; partition order is irrelevant
     val ds = Seq(
-      RawRecord("e", "template", 1, "A,B"),
-      RawRecord("e", "data", 1, "1,2"),
-      RawRecord("e", "template", 1, "X,Y"),
-      RawRecord("e", "data", 1, "3,4")).toDS()
+      RawRecord("e", "data", 1, "3,4", seq = 4),
+      RawRecord("e", "template", 1, "A,B", seq = 1),
+      RawRecord("e", "data", 1, "1,2", seq = 2),
+      RawRecord("e", "template", 1, "X,Y", seq = 3)).toDS().repartition(4)
     val out = decode(ds).collect().sortBy(_.fields.values.min)
     assert(out.length == 2)
     assert(out(0).fields == Map("A" -> "1", "B" -> "2"))
