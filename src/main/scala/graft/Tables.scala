@@ -19,8 +19,14 @@ object Tables {
   // Memoized per (session, path): re-resolving the same parquet source
   // re-lists files and re-reads footers on every query — the reused
   // DataFrame shares one InMemoryFileIndex + analyzed schema instead.
+  // Sound ONLY because the driver testdata is immutable for a session's
+  // lifetime; mutable production tables go through FlowStore, not here.
+  // Entries pin their session — call clear() if cycling many sessions in
+  // one JVM.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clear(): Unit = cache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>

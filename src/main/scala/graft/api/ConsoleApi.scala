@@ -39,11 +39,35 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   private def ts(node: JsonNode, field: String): Timestamp =
     Timestamp.from(Instant.parse(node.get(field).asText()))
 
-  private def handle(path: String)(f: JsonNode => ObjectNode): Unit =
+  /** One request envelope for every endpoint: JSON in/out, errors as
+    * `{"error": …}` with status 400. The callback sees the HTTP method,
+    * the URL-decoded query parameters, and the parsed body (`{}` when
+    * empty).
+    */
+  /** A request as the endpoint callbacks see it: HTTP method, full request
+    * path, URL-decoded query parameters, parsed JSON body (`{}` if empty).
+    */
+  private final case class Req(method: String, path: String,
+      params: Map[String, String], body: JsonNode)
+
+  /** One request envelope for every endpoint: JSON in/out, errors as
+    * `{"error": …}` with status 400.
+    */
+  private def context(path: String)(f: Req => ObjectNode): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val out = try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val resp = f(mapper.readTree(if (body.isEmpty) "{}" else body))
+        val params = Option(ex.getRequestURI.getRawQuery).toSeq
+          .flatMap(_.split("&")).flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some(
+                java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+                  java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+              case _ => None
+            }
+          }.toMap
+        val resp = f(Req(ex.getRequestMethod, ex.getRequestURI.getPath, params,
+          mapper.readTree(if (body.isEmpty) "{}" else body)))
         (200, mapper.writeValueAsBytes(resp))
       } catch {
         case e: Exception =>
@@ -56,6 +80,9 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       ex.getResponseBody.write(out._2)
       ex.close()
     })
+
+  private def handle(path: String)(f: JsonNode => ObjectNode): Unit =
+    context(path)(r => f(r.body))
 
   private def strings(node: JsonNode, field: String): Seq[String] =
     if (node.has(field)) {
@@ -156,30 +183,19 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // GET /api/v0/console/widget/top/{name} — the path suffix picks the
   // widget; "now" anchors on the newest flow like the reference's scalar
   // subquery
-  server.createContext("/api/v0/console/widget/top/", (ex: HttpExchange) => {
-    val out = try {
-      val name = ex.getRequestURI.getPath.split("/").last
-      val widgets = new Widgets(schema, tables)
-      val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
-      val resp = mapper.createObjectNode()
-      val arr = resp.putArray("top")
-      rows.foreach { r =>
-        val o = arr.addObject()
-        o.put("name", r.getString(0))
-        o.put("percent", r.getDouble(1))
-      }
-      (200, mapper.writeValueAsBytes(resp))
-    } catch {
-      case e: Exception =>
-        val err = mapper.createObjectNode()
-        err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
-        (400, mapper.writeValueAsBytes(err))
+  context("/api/v0/console/widget/top/") { req =>
+    val name = req.path.split("/").last
+    val widgets = new Widgets(schema, tables)
+    val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
+    val resp = mapper.createObjectNode()
+    val arr = resp.putArray("top")
+    rows.foreach { r =>
+      val o = arr.addObject()
+      o.put("name", r.getString(0))
+      o.put("percent", r.getDouble(1))
     }
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(out._1, out._2.length)
-    ex.getResponseBody.write(out._2)
-    ex.close()
-  })
+    resp
+  }
 
   handle("/api/v0/console/widget/flow-rate") { _ =>
     val widgets = new Widgets(schema, tables)
@@ -219,52 +235,35 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // must parse, as the reference validates on save), DELETE
   // {user,description} tombstones.
   savedFilters.foreach { sf =>
-    server.createContext("/api/v0/console/filter/saved", (ex: HttpExchange) => {
-      val out = try {
-        val resp = mapper.createObjectNode()
-        ex.getRequestMethod match {
-          case "GET" =>
-            val user = Option(ex.getRequestURI.getQuery).toSeq
-              .flatMap(_.split("&")).find(_.startsWith("user="))
-              .map(_.drop(5)).getOrElse("")
-            val arr = resp.putArray("filters")
-            sf.list(user).collect().foreach { r =>
-              val o = arr.addObject()
-              o.put("description", r.getAs[String]("description"))
-              o.put("content", r.getAs[String]("content"))
-            }
-          case "POST" =>
-            val body = mapper.readTree(new String(
-              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-            val content = body.get("content").asText()
-            FilterCompiler.compile(schema, content) match {
-              case Right(_) =>
-                sf.save(body.get("user").asText(),
-                  body.get("description").asText(), content)
-                resp.put("message", "ok")
-              case Left(err) =>
-                throw new IllegalArgumentException(
-                  s"invalid filter: ${err.getMessage}")
-            }
-          case "DELETE" =>
-            val body = mapper.readTree(new String(
-              ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-            sf.delete(body.get("user").asText(), body.get("description").asText())
-            resp.put("message", "ok")
-          case m => throw new IllegalArgumentException(s"unsupported method $m")
-        }
-        (200, mapper.writeValueAsBytes(resp))
-      } catch {
-        case e: Exception =>
-          val err = mapper.createObjectNode()
-          err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
-          (400, mapper.writeValueAsBytes(err))
+    context("/api/v0/console/filter/saved") { req =>
+      val resp = mapper.createObjectNode()
+      req.method match {
+        case "GET" =>
+          val arr = resp.putArray("filters")
+          sf.list(req.params.getOrElse("user", "")).collect().foreach { r =>
+            val o = arr.addObject()
+            o.put("description", r.getAs[String]("description"))
+            o.put("content", r.getAs[String]("content"))
+          }
+        case "POST" =>
+          val content = req.body.get("content").asText()
+          FilterCompiler.compile(schema, content) match {
+            case Right(_) =>
+              sf.save(req.body.get("user").asText(),
+                req.body.get("description").asText(), content)
+              resp.put("message", "ok")
+            case Left(err) =>
+              throw new IllegalArgumentException(
+                s"invalid filter: ${err.getMessage}")
+          }
+        case "DELETE" =>
+          sf.delete(req.body.get("user").asText(),
+            req.body.get("description").asText())
+          resp.put("message", "ok")
+        case m => throw new IllegalArgumentException(s"unsupported method $m")
       }
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(out._1, out._2.length)
-      ex.getResponseBody.write(out._2)
-      ex.close()
-    })
+      resp
+    }
   }
 
   def start(): ConsoleApi = { server.start(); this }

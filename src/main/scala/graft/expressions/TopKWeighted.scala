@@ -83,19 +83,24 @@ case class TopKWeighted(
     loadFactor: Int = 20,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[SpaceSaving]
-  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  extends TypedImperativeAggregate[SpaceSaving] {
   require(k >= 1 && loadFactor >= 1)
 
   private val capacity = k * loadFactor
 
   override def children: Seq[Expression] = Seq(key, weight)
 
-  // update() casts straight to UTF8String/Long — declare the input types so
-  // the analyzer coerces int weights to long (and rejects what it can't)
-  // instead of a ClassCastException mid-job.
-  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
-    Seq(StringType, LongType)
+  // Accept any integral weight and widen in update() — blanket implicit
+  // casting would also truncate fractional weights and even stringify a
+  // swapped key argument silently; reject those at analysis time instead.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (key.dataType, weight.dataType) match {
+      case (StringType, ByteType | ShortType | IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (kt, wt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"topk_weighted needs (string, integral), got (${kt.sql}, ${wt.sql})")
+    }
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -109,7 +114,8 @@ case class TopKWeighted(
     val kv = key.eval(input)
     if (kv != null) {
       val wv = weight.eval(input)
-      if (wv != null) buf.add(kv.asInstanceOf[UTF8String], wv.asInstanceOf[Long])
+      if (wv != null)
+        buf.add(kv.asInstanceOf[UTF8String], wv.asInstanceOf[Number].longValue())
     }
     buf
   }

@@ -32,9 +32,12 @@ object SequencePacking {
   def pack(df: DataFrame, idCol: String, tokensCol: String,
       windowTokens: Int, shardSize: Long = 4096L): DataFrame = {
     require(windowTokens > 0 && shardSize > 0)
+    // materialize once: the window branch and the shard-totals branch both
+    // consume this (possibly expensive) upstream projection
     val base = df.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("toks"))
       .withColumn("shard", expr(s"id div $shardSize"))
+      .localCheckpoint(false)
     // phase 1: per-shard inclusive cumsum (parallel across shards)
     val wLocal = Window.partitionBy("shard").orderBy("id")
     val local = base.withColumn("local_end", sum("toks").over(wLocal))

@@ -17,40 +17,45 @@ import graft.expressions.Sketches
   */
 object KMeans {
 
-  /** Cosine argmax cell assignment against fixed centroids. Similarity is
-    * quantized to 1e-6 with ties broken by the lower cell id, so
-    * assignments are deterministic and engine-portable.
+  /** The cosine-argmax cell expression over an `array<double>` vector
+    * column: similarity quantized to 1e-6 with ties broken by the lower
+    * cell id, so assignments are deterministic and engine-portable.
+    * Returns the winning (negSim, cell) struct.
     */
-  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
-      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    require(centroids.nonEmpty)
+  private def bestCell(v: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
     val centNorms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
-    val v = col(embCol).cast("array<double>")
     val vn = sqrt(Sketches.dotProduct(v, v))
-    // (−sim_e6, cell) structs sort ascending → best cell first; the row's
-    // own norm divides out of the argmax but is kept so sim_e6 is a true
-    // quantized cosine (portable across engines)
-    val ranked = sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+    // (−sim_e6, cell) structs sort ascending → best cell first
+    element_at(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         (-round(Sketches.dotProduct(v, typedLit(c.toSeq)) /
           (vn * centNorms(i)) * 1e6)).cast("long").as("negSim"),
         lit(i).as("cell"))
-    }.toIndexedSeq: _*))
+    }.toIndexedSeq: _*)), 1)
+  }
+
+  /** Cosine argmax cell assignment against fixed centroids. */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty)
+    val best = bestCell(col(embCol).cast("array<double>"), centroids)
     corpus.select(col(idCol).as("id"),
-      element_at(ranked, 1).getField("cell").as("cell"),
-      (-element_at(ranked, 1).getField("negSim")).as("sim_e6"))
+      best.getField("cell").as("cell"),
+      (-best.getField("negSim")).as("sim_e6"))
   }
 
   /** One Lloyd update: mean vector per cell of the current assignment.
     * Returns the new centroids (cells losing every member keep their old
-    * centroid). The aggregation is (cell, dim)-keyed — k·dim result rows.
+    * centroid). One corpus scan — assignment and vector ride the same
+    * projection (no join) — then a (cell, dim)-keyed aggregation of
+    * k·dim result rows.
     */
   def lloydStep(corpus: DataFrame, centroids: Array[Array[Double]],
       idCol: String = "id", embCol: String = "embedding"): Array[Array[Double]] = {
-    val assigned = assign(corpus, centroids, idCol, embCol)
-      .join(corpus.select(col(idCol).as("id"),
-        col(embCol).cast("array<double>").as("v")), Seq("id"))
-    val means = assigned
+    val v = col(embCol).cast("array<double>")
+    val means = corpus
+      .select(bestCell(v, centroids).getField("cell").as("cell"), v.as("v"))
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg("x").as("m"))
       .collect()
@@ -61,15 +66,20 @@ object KMeans {
     next
   }
 
+  /** Deterministic seed centroids: the k lowest-id vectors. */
+  def seedCentroids(corpus: DataFrame, k: Int, idCol: String = "id",
+      embCol: String = "embedding"): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
   /** Runs `iters` Lloyd iterations from deterministic seeds (the k
     * lowest-id vectors). Returns (centroids, final assignment).
     */
   def fit(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "id", embCol: String = "embedding")
       : (Array[Array[Double]], DataFrame) = {
-    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(embCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    var cents = seedCentroids(corpus, k, idCol, embCol)
     (0 until iters).foreach { _ =>
       cents = lloydStep(corpus, cents, idCol, embCol)
     }

@@ -256,7 +256,7 @@ object Extra {
          |            WHEN DstPort = 53 THEN 'dns'
          |            ELSE 'default' END AS FlowTenant,
          |  CAST(count(*) AS BIGINT) AS n
-         |FROM flows WHERE NOT (Proto = 1) GROUP BY 1""".stripMargin,
+         |FROM flows WHERE (Proto = 1) IS NOT TRUE GROUP BY 1""".stripMargin,
     "q_lpm_lookup" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 200 < 25 THEN 'n' || CAST(c_custkey % 200 AS VARCHAR)

@@ -146,11 +146,8 @@ object Pipeline {
     // seed centroids, cosine argmax, occupancy per cell
     "q_kmeans_assign" -> ((s, dir) => {
       import graft.operators.similarity.KMeans
-      val e = embs(s, dir)
-      val cents = e.orderBy("vec_id").limit(8)
-        .select(col("embedding").cast("array<double>")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      KMeans.assign(e.select(col("vec_id").as("id"), col("embedding")), cents)
+      val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      KMeans.assign(e, KMeans.seedCentroids(e, 8))
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 

@@ -152,11 +152,10 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
         (c => array_join(transform(c, x => Render.largeCommunity(x)), " ")),
       "DstLargeCommunities" ->
         (c => array_join(transform(c, x => Render.largeCommunity(x)), " ")))
-    // the reference anchors on a MAX(TimeReceived) scalar subquery; `now`
-    // is dataNow()'s half-open upper bound (newest flow + 1s)
-    val in = main.df().where(col("TimeReceived") < lit(now))
-    val maxTs = in.agg(max("TimeReceived")).collect()(0).getTimestamp(0)
-    val df = in.where(col("TimeReceived") === lit(maxTs)).limit(1)
+    // one pass: top-1 by TimeReceived (same newest-row semantics as the
+    // reference's MAX-scalar subquery + LIMIT 1, without the extra jobs)
+    val df = main.df().where(col("TimeReceived") < lit(now))
+      .orderBy(desc("TimeReceived")).limit(1)
     renders.foldLeft(df) { case (d, (name, f)) =>
       if (d.columns.contains(name)) d.withColumn(name, f(col(name))) else d
     }

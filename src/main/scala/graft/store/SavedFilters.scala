@@ -40,10 +40,15 @@ final class SavedFilters(spark: SparkSession, path: String) {
     * first save (no parquet files yet).
     */
   def list(user: String): DataFrame = {
-    val stored = scala.util.Try(spark.read.parquet(path)).getOrElse(
-      spark.emptyDataFrame
-        .select(lit("").as("user"), lit("").as("description"),
-          lit("").as("content"), lit(false).as("deleted"), lit(0L).as("seq")))
+    // only a missing path means "no filters yet" — corruption, permission,
+    // or IO failures must surface, not read as an empty store
+    val stored = try spark.read.parquet(path) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.emptyDataFrame
+          .select(lit("").as("user"), lit("").as("description"),
+            lit("").as("content"), lit(false).as("deleted"), lit(0L).as("seq"))
+    }
     val w = Window.partitionBy("user", "description").orderBy(desc("seq"))
     stored
       .where(col("user") === user)

@@ -37,13 +37,22 @@ class TopKWeightedSpec extends SparkSpec {
     assert(top.head._2 >= 10000L && top.head._2 <= 10000L + n / 20)
   }
 
-  test("int weights coerce to long via implicit input casting") {
+  test("integral weights widen; fractional and swapped args are rejected") {
     val df = Seq(("a", 5), ("a", 2), ("b", 3)).toDF("k", "w") // w is IntegerType
     val top = df.agg(TopKWeighted(col("k"), col("w"), 3, 20).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.key"), col("e.weight"))
       .as[(String, Long)].collect().toSeq
     assert(top == Seq(("a", 7L), ("b", 3L)))
+    // a double weight would truncate silently — must fail analysis
+    val dbl = Seq(("a", 2.9)).toDF("k", "w")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      dbl.agg(TopKWeighted(col("k"), col("w"), 3, 20)).collect()
+    }
+    // swapped arguments must fail analysis, not stringify the key
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.agg(TopKWeighted(col("w"), col("k"), 3, 20)).collect()
+    }
   }
 
   test("null keys and weights are ignored") {
