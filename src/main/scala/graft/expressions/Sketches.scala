@@ -282,6 +282,8 @@ object GraftFunctions {
       args => WordShingles(args.head, intLit(args(1), "n")))
     GraftBridge.registerFunction(spark, "simhash64",
       args => SimHash64(args.head))
+    GraftBridge.registerFunction(spark, "rolling_hash64",
+      args => RollingHash64(args.head))
     GraftBridge.registerFunction(spark, "dot_product",
       args => DotProduct(args.head, args(1)))
     GraftBridge.registerFunction(spark, "ip_to_string",
@@ -290,6 +292,52 @@ object GraftFunctions {
       args => IpTruncate(args.head,
         intLit(args(1), "v4bits"), intLit(args(2), "v6bits")))
   }
+}
+
+/** Polynomial rolling hash (Rabin–Karp) over a string's UTF-8 bytes:
+  * acc = (acc·B + byte) mod M with B = 131, M = 2³¹−1 — every
+  * intermediate stays under 2³⁹, so plain Long arithmetic is exact and
+  * the DuckDB oracle reproduces it with integer list folding. One pass,
+  * zero allocation, codegen'd. Empty strings hash to 0.
+  */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash64 needs string, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 131 + (bytes(i) & 0xff)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (bytes, acc, i) =
+      (ctx.freshName("bytes"), ctx.freshName("acc"), ctx.freshName("i"))
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 131 + ($bytes[$i] & 0xff)) % 2147483647L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 =
+    copy(child = c)
 }
 
 object Sketches {
@@ -309,4 +357,8 @@ object Sketches {
 
   /** Column API for [[SimHash64]]. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
+
+  /** Column API for [[RollingHash64]]. */
+  def rollingHash64(text: Column): Column =
+    column(RollingHash64(expression(text)))
 }

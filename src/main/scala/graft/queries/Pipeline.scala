@@ -40,6 +40,23 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenEstimate(col("text")).as("tokens_est"))),
 
+    // Rabin–Karp rolling-hash fingerprint (one-pass native expression) +
+    // dup grouping on it — the order-sensitive cousin of q_doc_fingerprint
+    "q_rolling_fp" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.expressions.Sketches.rollingHash64(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))),
+
+    // corpus vocabulary: exact top-20 tokens by frequency
+    "q_vocab_top" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok")).limit(20)),
+
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langGuess(col("text")).as("lang_guess"))),
@@ -231,6 +248,21 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
         |FROM documents""".stripMargin,
+    "q_rolling_fp" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ord(substr(text, i, 1)) AS BIGINT)
+        |     for i in range(1, length(text)+1)]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper
+        |FROM f GROUP BY 1""".stripMargin,
+    "q_vocab_top" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
+        |WHERE length(tok) > 0
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'),

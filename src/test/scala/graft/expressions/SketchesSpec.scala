@@ -98,3 +98,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 }
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("matches the reference polynomial over UTF-8 bytes") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L)
+    val inputs = Seq("key agg row", "", "a", "the quick brown fox")
+    val got = inputs.toDF("t")
+      .select(graft.expressions.Sketches.rollingHash64(col("t")))
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(ref))
+  }
+
+  test("order-sensitive unlike the bag-of-words fingerprint") {
+    val df = Seq("alpha beta", "beta alpha").toDF("t")
+    val fps = df.select(graft.expressions.Sketches.rollingHash64(col("t")))
+      .as[Long].collect().toSet
+    assert(fps.size == 2)
+  }
+}
