@@ -51,4 +51,21 @@ object Sampling {
       acc.when(stratum === s, nibble < r)
     }.otherwise(nibble < defaultRate16)
   }
+
+  /** Deterministic per-stratum reservoir: exactly min(k, |stratum|) rows
+    * per group, selected by content-hash order — the balanced-subsample
+    * step of corpus construction, reproducible across runs, engines, and
+    * partitionings (unlike a seeded random reservoir, whose output depends
+    * on row order). One shuffle keyed by the stratum; `WindowGroupLimit`
+    * caps each group's rows before the exchange at scale.
+    *
+    * @return the input rows that survive, plus a `sample_rank` column
+    */
+  def reservoirPerGroup(df: org.apache.spark.sql.DataFrame, stratum: Column,
+      key: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(md5(key), key)
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
 }

@@ -145,6 +145,15 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // balanced subsample: 20 docs per language, hash-ordered (deterministic
+    // reservoir), then per-language survivor count + checksum
+    "q_reservoir" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      Sampling.reservoirPerGroup(docs(s, dir), col("lang"), col("text"), 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(md5(col("text"))).as("min_hash"))
+    }),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.bruteForce(
@@ -422,6 +431,12 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "q_reservoir" ->
+      """WITH r AS (SELECT lang, text, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), text) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n, min(md5(text)) AS min_hash
+        |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings WHERE vec_id < 8),
