@@ -107,6 +107,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
   }
 
+  test("q_reservoir caps each group before the shuffle") {
+    val p = plan("q_reservoir")
+    // partial WindowGroupLimit below the Exchange: only <=k rows per
+    // stratum per map partition ever shuffle
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final group limit:\n$p")
+  }
+
   test("q_pii_scrub and q_repetition stay joinless and exchange-free") {
     Seq("q_pii_scrub", "q_repetition").foreach { q =>
       val p = plan(q)
