@@ -105,6 +105,55 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       return buildMultiAxis(spark, in, specs, resolved, interval,
         compiled, dimsOf, unitOf)
 
+    // Aggregate-first fast path (single axis, rollup scan, summable unit,
+    // avg/max ranking): ONE fact scan builds the (bucket, dims) partial
+    // aggregate — bounded, because the rollup already reduced row
+    // cardinality — and ranking, folding, and the final series all derive
+    // from that checkpointed partial. The reference (and the branch below)
+    // scans the fact table twice: once for the `rows` CTE, once for the
+    // series; at 100 TB this halves the IO for the most common query.
+    // Exact: row weights are integer sums, so sum-of-partial-sums is
+    // bit-identical to the one-shot aggregation. Raw-table scans keep the
+    // sketch path (their (bucket, dims) cardinality is unreduced), "last"
+    // keeps the reference's tail-window semantics on the raw rows.
+    if (specs.size == 1 && in.dimensions.nonEmpty &&
+        resolved.table.resolutionSec > 0L &&
+        (in.limitType == "avg" || in.limitType == "max") &&
+        unitOf(specs.head).rowWeight.isDefined) {
+      val sp = specs.head
+      val dims = dimsOf(sp)
+      val w = unitOf(sp).rowWeight.get
+      val rangeStart = new Timestamp(in.start.getTime - sp.shiftSec * 1000)
+      val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
+      val perBD = scanFor(sp)
+        .groupBy(bucketFor(sp).as("time_s") +: dims.map(col): _*)
+        .agg(sum(w).as("w"))
+        .localCheckpoint(false)
+      val ranked = (in.limitType match {
+        case "avg" => perBD.groupBy(dims.map(col): _*).agg(sum("w").as("tw"))
+        case _ => perBD.groupBy(dims.map(col): _*).agg(max("w").as("tw"))
+      })
+        .orderBy(desc("tw") +: dims.map(asc): _*)
+        .limit(in.limit)
+        .select(array(dims.map(schema.renderDim): _*).as("ds"))
+      val topRows = ranked.collect()
+        .map(_.getSeq[String](0).map(v => Option(v).getOrElse("")))
+      val dimsArray = array(dims.map(schema.renderDim): _*)
+      val topLit = topRows.map(r => array(r.map(lit): _*))
+      val folded = (if (topLit.isEmpty) lit(false)
+        else dimsArray.isin(topLit.toIndexedSeq: _*))
+      val perBucket = perBD
+        .withColumn("dimensions", when(folded, dimsArray)
+          .otherwise(array(dims.map(_ => lit("Other")): _*)))
+        .groupBy(col("time_s"), col("dimensions"))
+        .agg((sum("w") / interval).as("xps"))
+      return gapfill(spark, perBucket, rangeStart, rangeEnd, interval,
+        in.dimensions.map(_ => "Other"))
+        .select(lit(sp.axis).as("axis"),
+          (col("time_s") + sp.shiftSec).as("time_s"),
+          col("dimensions"), col("xps"))
+    }
+
     // top-N row-sets for ALL axes in ONE collected job (the reference emits
     // one `rows` CTE per axis inside a single UNION ALL statement); each
     // branch keeps its own ORDER BY ... LIMIT — order across branches is
