@@ -41,20 +41,38 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     val scan = compiled.map(_.predicate).fold(scan0)(scan0.where)
     val unit = Unit.fromName(in.unit)
 
+    // Aggregate-first (summable units): ONE fact scan builds the raw-dims
+    // partial aggregate carrying the weight sum and the time extrema;
+    // ranking, the span scalar, and the folded direct axis all derive from
+    // the checkpointed partial instead of re-scanning (integer weights, so
+    // sum-of-partials is exact). Ratio units keep the two-scan shape.
+    val perDims = unit.rowWeight.map { w =>
+      scan.groupBy(in.dimensions.map(col): _*)
+        .agg(sum(w).as("w"),
+          max(col("TimeReceived")).as("tmax"), min(col("TimeReceived")).as("tmin"))
+        .localCheckpoint(false)
+    }
+
     // ONE collected job for both driver-side scalars: the top row tuples
     // (the `rows` CTE) and the observed-span scalar CTE (reference
     // sankey.go:110-118) union into a single bounded result
-    val rankedPart = scan.groupBy(in.dimensions.map(col): _*)
-      .agg(unit.agg.as("w"))
+    val rankedPart = perDims.getOrElse(
+        scan.groupBy(in.dimensions.map(col): _*).agg(unit.agg.as("w")))
       .orderBy(desc("w") +: in.dimensions.map(asc): _*)
       .limit(in.limit)
       .select(lit(1).as("k"),
         array(in.dimensions.map(schema.renderDim): _*).as("ds"),
         col("w").cast("double").as("w"))
-    val spanPart = scan.agg(
-      (unix_timestamp(max(col("TimeReceived"))) -
-        unix_timestamp(min(col("TimeReceived")))).cast("double").as("w"))
-      .select(lit(0).as("k"), array().cast("array<string>").as("ds"), col("w"))
+    val spanPart = perDims match {
+      case Some(p) => p.agg(
+          (unix_timestamp(max(col("tmax"))) -
+            unix_timestamp(min(col("tmin")))).cast("double").as("w"))
+        .select(lit(0).as("k"), array().cast("array<string>").as("ds"), col("w"))
+      case None => scan.agg(
+          (unix_timestamp(max(col("TimeReceived"))) -
+            unix_timestamp(min(col("TimeReceived")))).cast("double").as("w"))
+        .select(lit(0).as("k"), array().cast("array<string>").as("ds"), col("w"))
+    }
     val collected = rankedPart.unionAll(spanPart).collect()
     val ranked = collected.filter(_.getInt(0) == 1).map(_.getSeq[String](1))
     // per-column membership sets (reference uses IN (SELECT col FROM rows))
@@ -70,7 +88,7 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // (reference sankey.go:85-94: the reverse axis probes the same `rows`
     // CTE positionally)
     def foldAxis(axisScan: DataFrame, srcCols: Seq[String],
-        axisUnit: Unit): DataFrame = {
+        aggExpr: org.apache.spark.sql.Column): DataFrame = {
       val folded = srcCols.zipWithIndex.foldLeft(axisScan) {
         case (d, (srcCol, i)) =>
           val members = perColumnTop(i)
@@ -81,11 +99,14 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
       }
       folded
         .groupBy(in.dimensions.map(d => col(d + "__out").as(d)): _*)
-        .agg((axisUnit.agg / spanSec).as("weight"))
+        .agg((aggExpr / spanSec).as("weight"))
         .withColumn("span_sec", lit(spanSec))
     }
 
-    val direct = foldAxis(scan, in.dimensions, unit)
+    val direct = perDims match {
+      case Some(p) => foldAxis(p, in.dimensions, sum(col("w")))
+      case None => foldAxis(scan, in.dimensions, unit.agg)
+    }
     if (!in.bidirectional)
       return direct.orderBy(desc("weight") +: in.dimensions.map(asc): _*)
 
@@ -95,7 +116,7 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
     val scanRev = compiled.map(_.reversePredicate).fold(scanRev0)(scanRev0.where)
     val reverse = foldAxis(scanRev,
-      in.dimensions.map(schema.reverseName), unit.reversed)
+      in.dimensions.map(schema.reverseName), unit.reversed.agg)
     direct.withColumn("axis", lit(1))
       .unionAll(reverse.withColumn("axis", lit(2)))
       .orderBy(asc("axis") +: desc("weight") +: in.dimensions.map(asc): _*)
