@@ -135,10 +135,13 @@ object CosineSearch {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, qidCol: String = "qid", idCol: String = "id",
-      embCol: String = "embedding"): DataFrame = {
-    val cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(embCol).cast("array<double>")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      embCol: String = "embedding",
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    // codebook: a trained quantizer (e.g. KMeans.fit) balances the cells;
+    // the default lowest-id stand-in keeps the operator deterministic
+    // without a training pass
+    val cents: Array[Array[Double]] = codebook.getOrElse(
+      KMeans.seedCentroids(corpus, nlist, idCol, embCol))
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // (neg dot/planeNorm, cellId) structs sort ascending = best cell first;
     // the row's own norm divides out of the argmax, so it is skipped

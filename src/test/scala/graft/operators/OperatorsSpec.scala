@@ -184,6 +184,27 @@ class CosineSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("ivf with a trained codebook matches or beats the seed quantizer") {
+    import graft.operators.similarity.KMeans
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val c = e.select(col("vec_id").as("id"), col("embedding"))
+    val exact = CosineSearch.bruteForce(q, c, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val seeded = recall(CosineSearch.ivfTopK(q, c, 5, nlist = 8, nprobe = 4))
+    val (cents, _) = KMeans.fit(c, k = 8, iters = 3)
+    val trained = recall(CosineSearch.ivfTopK(q, c, 5, nlist = 8, nprobe = 4,
+      codebook = Some(cents)))
+    assert(trained >= seeded - 0.1,
+      s"trained codebook recall $trained collapsed vs seeded $seeded")
+    assert(trained >= 0.4)
+  }
+
   test("nearDupPairs finds planted duplicate embeddings") {
     val base = Array.tabulate(16)(i => math.sin(i).toFloat)
     val corpus = Seq(

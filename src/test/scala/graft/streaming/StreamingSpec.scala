@@ -331,3 +331,38 @@ class TemplateCacheSpec extends SparkSpec {
     assert(out(1).fields == Map("X" -> "3", "Y" -> "4"))
   }
 }
+
+class StreamDedupSpec extends SparkSpec {
+
+  test("duplicates within the watermark drop; state stays hash-keyed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = StreamDedup.exactWithinWatermark(
+      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      (ts("2024-03-01T00:00:00Z"), 1L, "alpha"),
+      (ts("2024-03-01T00:00:10Z"), 2L, "alpha"), // dup within batch
+      (ts("2024-03-01T00:00:20Z"), 3L, "beta"))
+    q.processAllAvailable()
+    val q2 = deduped.writeStream
+      .format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    mem.addData(
+      (ts("2024-03-01T00:01:00Z"), 4L, "alpha"), // dup across batches
+      (ts("2024-03-01T00:01:10Z"), 5L, "gamma"))
+    q2.processAllAvailable()
+    q2.stop()
+    val survivors = spark.table("sdedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 5L))
+    // the hash helper column does not leak into the output
+    assert(!spark.table("sdedup").columns.contains("__content_hash"))
+  }
+}
