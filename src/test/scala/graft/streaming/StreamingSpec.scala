@@ -279,11 +279,11 @@ class TemplateCacheSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[RawRecord]
-    val decoded = decode(mem.toDS())
-    val q = decoded.writeStream
+    // one continuous query, two micro-batches: per-exporter state persists
+    // in the state store between batches
+    val q = decode(mem.toDS()).writeStream
       .format("memory").queryName("tcache")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
 
     // batch 1: exporter A learns template 5; one decodable data record,
     // one record for unknown template 9 (dropped + counted)
@@ -292,28 +292,25 @@ class TemplateCacheSpec extends SparkSpec {
       RawRecord("expA", "data", 5, "10.0.0.1,10.0.0.2,100"),
       RawRecord("expA", "data", 9, "x,y"))
     q.processAllAvailable()
+    val b1 = spark.table("tcache").as[DecodedRecord].collect()
+    assert(b1.length == 1)
+    assert(b1.head.fields ==
+      Map("SrcAddr" -> "10.0.0.1", "DstAddr" -> "10.0.0.2", "Bytes" -> "100"))
 
-    // batch 2: template 9 arrives — state persisted across batches, so
-    // new template-9 data decodes; exporter B has its own empty state
-    val q2 = decoded.writeStream
-      .format("memory").queryName("tcache")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+    // batch 2: template 9 arrives and decodes against the retained state;
+    // exporter B has its own (empty) template set
     mem.addData(
       RawRecord("expA", "template", 9, "Proto,Port"),
       RawRecord("expA", "data", 9, "6,443"),
       RawRecord("expB", "data", 5, "1,2,3"))
-    q2.processAllAvailable()
-    q2.stop()
-
+    q.processAllAvailable()
+    q.stop()
     val rows = spark.table("tcache").as[DecodedRecord].collect()
-    val byTemplate = rows.groupBy(_.templateId)
     assert(rows.length == 2) // expB's record never decodes
-    assert(byTemplate(5).head.fields ==
-      Map("SrcAddr" -> "10.0.0.1", "DstAddr" -> "10.0.0.2", "Bytes" -> "100"))
-    assert(byTemplate(9).head.fields == Map("Proto" -> "6", "Port" -> "443"))
-    // the unknown-template drop from batch 1 is visible in the counter
-    assert(byTemplate(9).head.misses == 1)
+    val t9 = rows.find(_.templateId == 9).get
+    assert(t9.fields == Map("Proto" -> "6", "Port" -> "443"))
+    // the unknown-template drop from batch 1 shows in the counter
+    assert(t9.misses == 1)
   }
 
   test("template refresh replaces field names") {
@@ -334,34 +331,32 @@ class TemplateCacheSpec extends SparkSpec {
 
 class StreamDedupSpec extends SparkSpec {
 
-  test("duplicates within the watermark drop; state stays hash-keyed") {
+  test("duplicates within the watermark drop, within and across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
-    val deduped = StreamDedup.exactWithinWatermark(
-      mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
-    val q = deduped.writeStream
+    // one continuous query, two micro-batches: dedup state persists in
+    // the state store between batches
+    val q = StreamDedup.exactWithinWatermark(
+        mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+      .writeStream
       .format("memory").queryName("sdedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
     mem.addData(
       (ts("2024-03-01T00:00:00Z"), 1L, "alpha"),
       (ts("2024-03-01T00:00:10Z"), 2L, "alpha"), // dup within batch
       (ts("2024-03-01T00:00:20Z"), 3L, "beta"))
     q.processAllAvailable()
-    val q2 = deduped.writeStream
-      .format("memory").queryName("sdedup")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
+    assert(spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L))
     mem.addData(
       (ts("2024-03-01T00:01:00Z"), 4L, "alpha"), // dup across batches
       (ts("2024-03-01T00:01:10Z"), 5L, "gamma"))
-    q2.processAllAvailable()
-    q2.stop()
-    val survivors = spark.table("sdedup")
-      .select("doc_id").as[Long].collect().toSet
-    assert(survivors == Set(1L, 3L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 3L, 5L))
     // the hash helper column does not leak into the output
     assert(!spark.table("sdedup").columns.contains("__content_hash"))
   }
