@@ -279,11 +279,17 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
           .cast("array<string>").as("ds"),
         unitOf(sp).rowWeight.get.as("w"))
     }
+    // ONE fact scan: the exploded axis tuples reduce straight to the
+    // (axis, bucket, dims) partial aggregate, checkpointed so the ranking
+    // job and the final series derive from it without re-scanning (integer
+    // weights — sum-of-partials is exact)
     val rows = base
       .select(explode(array(axisStructs: _*)).as("e"))
       .where(col("e.keep"))
-      .select(col("e.axis").as("axis"), col("e.time_s").as("time_s"),
-        col("e.ds").as("ds"), col("e.w").as("w"))
+      .groupBy(col("e.axis").as("axis"), col("e.time_s").as("time_s"),
+        col("e.ds").as("ds"))
+      .agg(sum(col("e.w")).as("w"))
+      .localCheckpoint(false)
 
     val otherArray = array(in.dimensions.map(_ => lit("Other")): _*)
 
