@@ -137,8 +137,12 @@ object Lpm {
 
     def table: Table = state._2
 
-    /** Re-pulls every source; rebuilds on change. Returns true if rebuilt. */
-    def refresh(): Boolean = {
+    /** Re-pulls every source; rebuilds on change. Returns true if rebuilt.
+      * Synchronized: compare-and-rebuild must be atomic or two concurrent
+      * refreshes can double-build or lose an update (cheap control-path
+      * call — a lock here costs nothing).
+      */
+    def refresh(): Boolean = synchronized {
       val merged = sources.flatMap(_())
       if (state._1 == merged) false
       else { state = (merged, Table.build(merged)); true }

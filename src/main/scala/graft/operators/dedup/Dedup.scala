@@ -2,6 +2,7 @@ package graft.operators.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.expressions.Sketches
 import graft.operators.text.TextAnalysis
 
@@ -47,13 +48,13 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    // materialize the tokenize+shingle pass once (lazy local checkpoint):
+    // materialize the tokenize+shingle pass once (MEMORY_AND_DISK persist):
     // the self-join and both size branches would otherwise re-run the
     // regex tokenizer up to 8× per document (Filter+Project × 4 subtrees)
     val shingled = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // inverted index on 8-byte shingle hashes (64-bit collisions are
     // negligible and the shuffle no longer carries shingle strings)
     val idx = shingled.select(col("id"),
@@ -126,7 +127,7 @@ object Dedup {
     val shingled = df
       .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
         transform(col("sh"), s => pmod(xxhash64(s), lit(P))), pa, pb).as("sig"))
@@ -173,7 +174,7 @@ object Dedup {
     val withSim = df
       .select(col(idCol).as("id"),
         simhash(TextAnalysis.shingles(col(textCol))).as("sh"))
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),

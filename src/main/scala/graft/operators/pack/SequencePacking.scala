@@ -3,6 +3,7 @@ package graft.operators.pack
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Concat-and-chunk sequence packing: documents are laid end-to-end in a
   * deterministic order and cut into fixed-size token windows — the
@@ -37,7 +38,7 @@ object SequencePacking {
     val base = df.select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("toks"))
       .withColumn("shard", expr(s"id div $shardSize"))
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-shard inclusive cumsum (parallel across shards)
     val wLocal = Window.partitionBy("shard").orderBy("id")
     val local = base.withColumn("local_end", sum("toks").over(wLocal))

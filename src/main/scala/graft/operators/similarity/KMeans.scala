@@ -21,6 +21,12 @@ object KMeans {
     * column: similarity quantized to 1e-6 with ties broken by the lower
     * cell id, so assignments are deterministic and engine-portable.
     * Returns the winning (negSim, cell) struct.
+    *
+    * The denominator is floored at 1e-12: a zero-norm vector (or all-zero
+    * centroid) has dot product 0 against everything, so the guarded ratio
+    * is exactly 0 for every cell and the id tiebreak assigns it to cell 0
+    * deterministically — instead of NaN similarity casting to 0 and
+    * outranking negative-cosine cells arbitrarily.
     */
   private def bestCell(v: org.apache.spark.sql.Column,
       centroids: Array[Array[Double]]): org.apache.spark.sql.Column = {
@@ -30,7 +36,7 @@ object KMeans {
     element_at(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         (-round(Sketches.dotProduct(v, typedLit(c.toSeq)) /
-          (vn * centNorms(i)) * 1e6)).cast("long").as("negSim"),
+          greatest(vn * centNorms(i), lit(1e-12)) * 1e6)).cast("long").as("negSim"),
         lit(i).as("cell"))
     }.toIndexedSeq: _*)), 1)
   }

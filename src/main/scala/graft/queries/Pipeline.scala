@@ -257,13 +257,19 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
         |FROM documents""".stripMargin,
+    // Byte-exact oracle: folds over hex(encode(text)) byte pairs so the
+    // DuckDB side hashes the same UTF-8 bytes as the Spark expression
+    // (a per-character ord() fold would diverge on non-ASCII text), with
+    // HUGEINT arithmetic carrying the 61-bit-modulus intermediates.
     "q_rolling_fp" ->
-      """WITH f AS (SELECT doc_id,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    [CAST(ord(substr(text, i, 1)) AS BIGINT)
-        |     for i in range(1, length(text)+1)]),
-        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS BIGINT) AS fp
-        |  FROM documents)
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    [CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+        |     for i in range(1, length(hx)//2 + 1)]),
+        |    (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS BIGINT) AS fp
+        |  FROM h)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper
         |FROM f GROUP BY 1""".stripMargin,
     "q_vocab_top" ->

@@ -3,6 +3,7 @@ package graft.queryengine
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.filter.{CompiledFilter, FilterCompiler, FilterParseError}
 import graft.schema.Schema
 
@@ -109,7 +110,9 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     // avg/max ranking): ONE fact scan builds the (bucket, dims) partial
     // aggregate — bounded, because the rollup already reduced row
     // cardinality — and ranking, folding, and the final series all derive
-    // from that checkpointed partial. The reference (and the branch below)
+    // from that persisted partial (MEMORY_AND_DISK: lineage stays live, so an
+    // executor loss recomputes instead of failing). The reference (and the
+    // branch below)
     // scans the fact table twice: once for the `rows` CTE, once for the
     // series; at 100 TB this halves the IO for the most common query.
     // Exact: row weights are integer sums, so sum-of-partial-sums is
@@ -128,7 +131,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       val perBD = scanFor(sp)
         .groupBy(bucketFor(sp).as("time_s") +: dims.map(col): _*)
         .agg(sum(w).as("w"))
-        .localCheckpoint(false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val ranked = (in.limitType match {
         case "avg" => perBD.groupBy(dims.map(col): _*).agg(sum("w").as("tw"))
         case _ => perBD.groupBy(dims.map(col): _*).agg(max("w").as("tw"))
@@ -280,7 +283,8 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
         unitOf(sp).rowWeight.get.as("w"))
     }
     // ONE fact scan: the exploded axis tuples reduce straight to the
-    // (axis, bucket, dims) partial aggregate, checkpointed so the ranking
+    // (axis, bucket, dims) partial aggregate, persisted (recomputable
+    // lineage) so the ranking
     // job and the final series derive from it without re-scanning (integer
     // weights — sum-of-partials is exact)
     val rows = base
@@ -289,7 +293,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       .groupBy(col("e.axis").as("axis"), col("e.time_s").as("time_s"),
         col("e.ds").as("ds"))
       .agg(sum(col("e.w")).as("w"))
-      .localCheckpoint(false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val otherArray = array(in.dimensions.map(_ => lit("Other")): _*)
 

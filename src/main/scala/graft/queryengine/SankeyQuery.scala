@@ -3,6 +3,7 @@ package graft.queryengine
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.filter.FilterCompiler
 import graft.schema.Schema
 
@@ -44,13 +45,14 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // Aggregate-first (summable units): ONE fact scan builds the raw-dims
     // partial aggregate carrying the weight sum and the time extrema;
     // ranking, the span scalar, and the folded direct axis all derive from
-    // the checkpointed partial instead of re-scanning (integer weights, so
+    // the persisted partial (recomputable lineage) instead of re-scanning
+    // (integer weights, so
     // sum-of-partials is exact). Ratio units keep the two-scan shape.
     val perDims = unit.rowWeight.map { w =>
       scan.groupBy(in.dimensions.map(col): _*)
         .agg(sum(w).as("w"),
           max(col("TimeReceived")).as("tmax"), min(col("TimeReceived")).as("tmin"))
-        .localCheckpoint(false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
     // ONE collected job for both driver-side scalars: the top row tuples

@@ -104,13 +104,26 @@ class RollingHashSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
   test("matches the reference polynomial over UTF-8 bytes") {
+    // BigInt reference: (acc·131 + byte) mod 2⁶¹−1, no overflow tricks —
+    // checks the multiplyHigh/Mersenne reduction in the expression.
     def ref(s: String): Long =
-      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L)
-    val inputs = Seq("key agg row", "", "a", "the quick brown fox")
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((a, b) =>
+        (a * 131 + (b & 0xff)) % ((BigInt(1) << 61) - 1)).toLong
+    val inputs = Seq("key agg row", "", "a", "the quick brown fox",
+      "aé漢字", "x" * 5000)
     val got = inputs.toDF("t")
       .select(graft.expressions.Sketches.rollingHash64(col("t")))
       .as[Long].collect().toSeq
     assert(got == inputs.map(ref))
+  }
+
+  test("output exercises the full 61-bit range") {
+    val fps = (1 to 64).map(i => s"doc $i body " + ("w" * i)).toDF("t")
+      .select(graft.expressions.Sketches.rollingHash64(col("t")))
+      .as[Long].collect()
+    assert(fps.forall(fp => fp >= 0 && fp < ((1L << 61) - 1)))
+    // with a 61-bit space, some hash of 64 random-ish docs should exceed 2³¹
+    assert(fps.exists(_ > (1L << 31)))
   }
 
   test("order-sensitive unlike the bag-of-words fingerprint") {

@@ -352,4 +352,22 @@ class KMeansSpec extends SparkSpec {
       .select("cell").as[Int].head()
     assert(out == 0)
   }
+
+  test("zero-norm vectors assign deterministically to cell 0") {
+    val df = Seq((1L, Array(0f, 0f)), (2L, Array(0.1f, 0.9f))).toDF("id", "embedding")
+    // centroids with negative cosine to each other; an unguarded NaN
+    // similarity would make the zero vector's cell arbitrary
+    val cents = Array(Array(-1.0, -1.0), Array(1.0, 1.0))
+    val out = KMeans.assign(df, cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0) // degenerate vector: similarity 0 everywhere → cell 0
+    assert(out(2L) == 1) // regular vector still picks the cosine argmax
+  }
+
+  test("all-zero centroid never produces NaN-driven assignments") {
+    val df = Seq((1L, Array(1.0f, 0f))).toDF("id", "embedding")
+    val out = KMeans.assign(df, Array(Array(0.0, 0.0), Array(1.0, 0.0)))
+      .select("cell").as[Int].head()
+    assert(out == 1) // real centroid (sim 1) beats the zero centroid (sim 0)
+  }
 }
