@@ -48,17 +48,19 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    // materialize the tokenize+shingle pass once (MEMORY_AND_DISK persist):
-    // the self-join and both size branches would otherwise re-run the
-    // regex tokenizer up to 8× per document (Filter+Project × 4 subtrees)
+    // materialize the tokenize+shingle+hash pass once (MEMORY_AND_DISK
+    // persist): the self-join and both size branches would otherwise
+    // re-run the regex tokenizer up to 8× per document. The persisted
+    // rows carry only the 8-byte shingle hashes (64-bit collisions are
+    // negligible), not the shingle strings — ~20× less cached/shuffled
+    // payload per document
     val shingled = df
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // inverted index on 8-byte shingle hashes (64-bit collisions are
-    // negligible and the shuffle no longer carries shingle strings)
-    val idx = shingled.select(col("id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
+    // inverted index on the hashed shingles
+    val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
@@ -123,18 +125,24 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rows = k / bands
     val (pa, pb) = hashParams(k, seed)
-    // one tokenize+shingle pass, reused by signature and verification
+    // one tokenize+shingle+hash pass, reused by signature and
+    // verification; the persisted rows carry 8-byte shingle hashes, not
+    // strings (64-bit collisions are negligible for both the signature
+    // and the verification intersect)
     val shingled = df
-      .select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
-        transform(col("sh"), s => pmod(xxhash64(s), lit(P))), pa, pb).as("sig"))
+        transform(col("sh"), s => pmod(s, lit(P))), pa, pb).as("sig"))
+    // band hash = xxhash64 of the long slice directly (hashing the array
+    // value) — no long→string render + concat per band
     val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(concat_ws("_",
-          slice(col("sig"), b * rows + 1, lit(rows)))).as("bh")))).as("bb"))
+        struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
     val cand = banded.as("a")
       .join(banded.as("b"),
