@@ -68,4 +68,26 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }
+
+  /** Deterministic corpus shuffle for training export: every row gets a
+    * stable (shard, pos) — shard from the first `hexChars` nibbles of the
+    * salted content hash (16^hexChars shards), pos by hash order within
+    * the shard. (shard asc, pos asc) is a total order that needs NO
+    * global sort: the shard assignment is a projection and the in-shard
+    * ranking is a window partitioned by shard, so every shard ranks in
+    * parallel and a writer emits one file per shard. Re-salting reshuffles
+    * the corpus reproducibly (epoch = salt), independent of input
+    * partitioning or engine.
+    */
+  def shuffleShards(df: org.apache.spark.sql.DataFrame, key: Column,
+      salt: String, hexChars: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_shuffle_h"), key)
+    df.withColumn("_shuffle_h", md5(concat(key.cast("string"), lit(salt))))
+      .withColumn("shard",
+        conv(substring(col("_shuffle_h"), 1, hexChars), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_shuffle_h")
+  }
 }

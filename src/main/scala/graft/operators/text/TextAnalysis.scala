@@ -163,6 +163,41 @@ object TextAnalysis {
         .otherwise(0L).cast("long"))
   }
 
+  /** Per-document top-k terms by tf-idf.
+    *
+    * Weighting is tf·(N/df) in exact integer arithmetic (`score_ppm =
+    * tf·N·1e6 div df`): the linear inverse-document-frequency keeps every
+    * score engine-portable (a log idf diverges between engines at float
+    * rounding boundaries); substitute `tf * ln(N/df)` for the classic
+    * weighting when cross-engine exactness is not required — the pipeline
+    * shape is identical.
+    *
+    * Scale shape: term frequencies reduce map-side before the (doc, tok)
+    * shuffle; the document-frequency table is vocabulary-sized (≪ corpus)
+    * and broadcasts; the corpus size N is a 1-row broadcast cross join;
+    * ranking is a per-document window, parallel across documents, and the
+    * `rank <= k` predicate lets Spark's WindowGroupLimit cap rows before
+    * the final exchange.
+    */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score_ppm"), asc("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm", expr("tf * n_docs * 1000000 div df_t"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df_t"),
+        col("score_ppm"), col("rnk"))
+  }
+
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

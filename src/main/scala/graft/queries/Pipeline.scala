@@ -154,6 +154,19 @@ object Pipeline {
         .agg(count(lit(1)).as("n"), min(md5(col("text"))).as("min_hash"))
     }),
 
+    // deterministic shuffle-shard export layout: stable (shard, pos) per
+    // document from a salted content hash — the epoch-reshufflable global
+    // training order that needs no global sort
+    "q_corpus_shuffle" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      Sampling.shuffleShards(docs(s, dir), col("doc_id"), salt = "s42", hexChars = 2)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
+    // per-document top-3 tf-idf terms (integer-exact linear idf)
+    "q_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfidfTop(docs(s, dir), "doc_id", "text", k = 3)),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.bruteForce(
@@ -278,6 +291,28 @@ object Pipeline {
         |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
         |WHERE length(tok) > 0
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "q_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || 's42') AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |  CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*16
+        |     + (strpos('0123456789abcdef', substr(h,2,1))-1) AS BIGINT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE length(tok) > 0 GROUP BY 1, 2),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.tok, tf, df_t,
+        |        CAST(tf * n_docs * 1000000 // df_t AS BIGINT) AS score_ppm
+        |      FROM tf, d, n WHERE tf.tok = d.tok)
+        |SELECT doc_id, tok, tf, df_t, score_ppm, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_ppm DESC, tok) AS rnk FROM s)
+        |WHERE rnk <= 3""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -297,6 +297,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((10L, 1L, 1L), (12L, 1L, 1L)))
   }
 
+  test("tfidf top-k ranks distinctive terms above common ones") {
+    val df = Seq(
+      (1L, "apple apple apple shared"),
+      (2L, "banana banana shared shared"),
+      (3L, "cherry shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop(df, "doc_id", "text", k = 1)
+      .select("doc_id", "tok", "tf", "df_t", "rnk")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the doc-unique term always outscores "shared" (df_t = 3)
+    assert(out == Seq((1L, "apple", 3L, 1L, 1L),
+      (2L, "banana", 2L, 1L, 1L), (3L, "cherry", 1L, 1L, 1L)))
+  }
+
+  test("shuffle shards give a stable total order that re-salts") {
+    import graft.operators.similarity.Sampling
+    val df = (0L until 300L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = Sampling.shuffleShards(df, col("doc_id"), salt = "e1", hexChars = 1)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    // (shard, pos) is a bijection onto the corpus: every slot distinct,
+    // pos dense 1..n(shard) within each shard
+    assert(a.map(r => (r._2, r._3)).distinct.length == 300)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    assert(a.forall(r => r._2 >= 0 && r._2 < 16))
+    // determinism: same salt reproduces, a new salt reorders
+    val b = Sampling.shuffleShards(df, col("doc_id"), salt = "e1", hexChars = 1)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val c = Sampling.shuffleShards(df, col("doc_id"), salt = "e2", hexChars = 1)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
   test("sequence packing matches a single-pass cumulative sum") {
     import graft.operators.pack.SequencePacking
     val rnd = new scala.util.Random(7)
