@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep stdout machine-parseable for the bench driver: Bench prints ONE
+// JSON line and a trailing "[success] Total time ..." would otherwise be
+// the last stdout line a last-line JSON parse sees.
+Global / showSuccess := false
+// ... and un-prefixed: route the forked JVM's stdout/stderr straight
+// through instead of the "[info] ..." logger wrapper.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
