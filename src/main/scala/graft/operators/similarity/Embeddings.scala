@@ -90,4 +90,33 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_shuffle_h")
   }
+
+  /** Deterministic mixture weighting (data mixing): how many copies of a
+    * row its stratum's weight produces. A weight of `w` ppm (1e6 = keep
+    * exactly once) yields `floor(w/1e6)` guaranteed copies plus one more
+    * when the row's salted content hash falls below the fractional part —
+    * so a 2.3e6-ppm stratum is up-sampled 2.3× in expectation with a
+    * per-row choice that is deterministic across runs, engines, and
+    * partitionings. Weights < 1e6 down-sample the same way. All the
+    * arithmetic is integer (24-bit hash slice vs ppm threshold), so an SQL
+    * oracle reproduces it bit-exactly. Re-salting redraws the fractional
+    * choices (epoch = salt). Pure projection — no shuffle; pair with
+    * `explode(sequence(1, copies))` to materialize the weighted corpus.
+    */
+  def mixtureCopies(key: Column, stratum: Column,
+      weightsPpm: Map[String, Long], defaultPpm: Long = 1000000L,
+      salt: String = ""): Column = {
+    require((weightsPpm.values ++ Seq(defaultPpm)).forall(w => w >= 0L),
+      "weights must be non-negative")
+    // 24-bit hash slice: compare h/2^24 < frac by cross-multiplying into
+    // exact integer space (h·1e6 < frac_ppm·2^24)
+    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long")
+    val w = weightsPpm.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s, p)) => acc.when(stratum === s, lit(p))
+    }.otherwise(lit(defaultPpm))
+    (floor(w / 1000000L).cast("long") +
+      when(h * 1000000L < (w % 1000000L) * 16777216L, 1L).otherwise(0L))
+      .cast("long")
+  }
 }

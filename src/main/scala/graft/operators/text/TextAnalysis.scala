@@ -198,6 +198,34 @@ object TextAnalysis {
         col("score_ppm"), col("rnk"))
   }
 
+  /** Corpus-duplicate n-gram fraction per document (the RefinedWeb-style
+    * cross-document repetition signal, complementing the *within*-document
+    * [[ngramRepetition]]): for each document, how many of its distinct
+    * 3-grams also appear in at least one OTHER document. High fractions
+    * flag boilerplate/templated text that exact and near dedup both miss.
+    * Set semantics per document ([[shingles]] dedups in its one pass);
+    * within-document multiplicity is [[ngramRepetition]]'s signal.
+    *
+    * Scale shape: the (doc, gram) set is built in one corpus scan; the
+    * corpus-wide document frequency is a self-aggregation of that same
+    * set, and the dup test is a `df_docs > 1` predicate — the corpus is
+    * never joined against itself row-wise. Grams key by xxhash64 (8-byte
+    * shuffle keys; 64-bit collisions negligible — the repo-wide
+    * convention, see [[graft.operators.dedup.Dedup]]). The fraction is
+    * integer ppm, so an SQL oracle matches bit-exactly.
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // distinct by construction: WordShingles drops within-doc duplicates
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(transform(shingles(col(textCol)), g => xxhash64(g))).as("g"))
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df_docs"))
+    grams.join(docFreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("grams"),
+        sum(when(col("df_docs") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac_ppm", expr("dup_grams * 1000000 div grams"))
+  }
+
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

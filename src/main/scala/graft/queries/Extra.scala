@@ -232,7 +232,17 @@ object Extra {
       .groupBy("FlowTenant").agg(count(lit(1)).as("n"))
   }
 
+  // --- sessionization: per-user inactivity-gap sessions (window-only) ------
+  val qSessionize: Q = (s, dir) => {
+    import graft.operators.session.Sessionize
+    Sessionize.sessionStats(
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      "user_id", "ts", "event_id", gapSec = 3600)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
     "q_render" -> qRender,
@@ -250,6 +260,22 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |m AS (SELECT user_id, es, event_id,
+        |    CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 3600
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |sx AS (SELECT user_id, es, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(es) AS BIGINT) AS start_s, CAST(max(es) AS BIGINT) AS end_s,
+        |  CAST(max(es) - min(es) AS BIGINT) AS duration_s
+        |FROM sx GROUP BY 1, 2""".stripMargin,
     "q_classifier" ->
       s"""WITH flows AS ($F)
          |SELECT CASE WHEN DstPort = 443 THEN 'secure'

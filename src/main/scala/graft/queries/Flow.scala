@@ -192,7 +192,25 @@ object Flow {
 
   private val F = EventFlows.flowsSql
 
+  // --- destination-port diversity per exporter (scan-detection signal):
+  // Gini impurity of the port distribution, exact integer ppm (the
+  // entropy-style concentration measure, kept rational so engines agree
+  // bit-for-bit; substitute -Σp·ln p when exactness is not required).
+  // Two-level aggregation — both shuffles carry counts, never rows.
+  val qPortDiversity: Q = (s, dir) => {
+    EventFlows.flows(s, dir)
+      .groupBy(col("ExporterName"), col("DstPort"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("ExporterName")
+      .agg(sum("c").as("n_flows"), count(lit(1)).as("n_ports"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .select(col("ExporterName"), col("n_flows"), col("n_ports"),
+        expr("(n_flows * n_flows - sumsq) * 1000000 div (n_flows * n_flows)")
+          .as("gini_ppm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_port_diversity" -> qPortDiversity,
     "q_line" -> qLine,
     "q_line_raw" -> qLineRaw,
     "q_line_ip" -> qLineIp,
@@ -210,6 +228,18 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_port_diversity" ->
+      s"""WITH flows AS ($F),
+         |per AS (SELECT ExporterName, DstPort, count(*) AS c
+         |  FROM flows GROUP BY 1, 2),
+         |agg AS (SELECT ExporterName, sum(c) AS n_flows, count(*) AS n_ports,
+         |    sum(c*c) AS sumsq
+         |  FROM per GROUP BY 1)
+         |SELECT ExporterName, CAST(n_flows AS BIGINT) AS n_flows,
+         |  CAST(n_ports AS BIGINT) AS n_ports,
+         |  CAST((n_flows*n_flows - sumsq) * 1000000 // (n_flows*n_flows)
+         |    AS BIGINT) AS gini_ppm
+         |FROM agg""".stripMargin,
     "q_line" ->
       s"""WITH flows AS ($F),
          |f AS (SELECT * FROM flows

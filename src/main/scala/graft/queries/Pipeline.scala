@@ -167,6 +167,35 @@ object Pipeline {
     "q_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfidfTop(docs(s, dir), "doc_id", "text", k = 3)),
 
+    // deterministic mixture weighting (data mixing): src0 down-sampled
+    // 0.5×, src1 up-sampled 2.3×, everything else kept — per-source input
+    // and weighted-output counts
+    "q_mix_sample" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      val copies = Sampling.mixtureCopies(col("doc_id"), col("source"),
+        Map("src0" -> 500000L, "src1" -> 2300000L),
+        defaultPpm = 1000000L, salt = "m1")
+      docs(s, dir).select(col("source"), copies.as("copies"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"), sum("copies").as("n_out"))
+    }),
+
+    // corpus-duplicate 3-gram fraction per document (cross-document
+    // repetition signal; within-document is q_repetition)
+    "q_dup_ngram_frac" -> ((s, dir) =>
+      TextAnalysis.dupNgramStats(docs(s, dir), "doc_id", "text")),
+
+    // exact per-language length percentiles (corpus profiling); ×1000
+    // fixed-point keeps the interpolated quantiles engine-comparable
+    "q_length_pct" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ps"))
+        .select(col("lang"), col("n_docs"),
+          round(element_at(col("ps"), 1) * 1000).cast("long").as("p50_e3"),
+          round(element_at(col("ps"), 2) * 1000).cast("long").as("p90_e3"),
+          round(element_at(col("ps"), 3) * 1000).cast("long").as("p99_e3"))),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.bruteForce(
@@ -313,6 +342,42 @@ object Pipeline {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score_ppm DESC, tok) AS rnk FROM s)
         |WHERE rnk <= 3""".stripMargin,
+    "q_mix_sample" ->
+      """WITH h AS (SELECT source,
+        |    md5(CAST(doc_id AS VARCHAR) || 'm1') AS h FROM documents),
+        |v AS (SELECT source,
+        |    CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*1048576
+        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*65536
+        |      + (strpos('0123456789abcdef', substr(h,3,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(h,4,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(h,5,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(h,6,1))-1) AS BIGINT) AS hv,
+        |    CAST(CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 2300000
+        |      ELSE 1000000 END AS BIGINT) AS w
+        |  FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(w // 1000000 +
+        |    CASE WHEN hv * 1000000 < (w % 1000000) * 16777216 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_out
+        |FROM v GROUP BY 1""".stripMargin,
+    "q_dup_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |df AS (SELECT s, count(*) AS df_docs FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS grams,
+        |  CAST(sum(CASE WHEN df_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  CAST(sum(CASE WHEN df_docs > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |    AS BIGINT) AS dup_frac_ppm
+        |FROM sh JOIN df USING (s) GROUP BY 1""".stripMargin,
+    "q_length_pct" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(round(quantile_cont(n_chars, 0.5) * 1000) AS BIGINT) AS p50_e3,
+        |  CAST(round(quantile_cont(n_chars, 0.9) * 1000) AS BIGINT) AS p90_e3,
+        |  CAST(round(quantile_cont(n_chars, 0.99) * 1000) AS BIGINT) AS p99_e3
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -330,6 +330,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
   }
 
+  test("mixture copies up- and down-sample by stratum weight") {
+    import graft.operators.similarity.Sampling
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "src")
+    val out = df.select(col("src"),
+        Sampling.mixtureCopies(col("id"), col("src"),
+          Map("a" -> 500000L, "b" -> 2300000L), salt = "t").as("copies"))
+      .groupBy("src").agg(sum("copies").as("n"), count(lit(1)).as("n_in"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // a: ~0.5×1000, b: 2×1000 guaranteed + ~0.3×1000, c: exactly 1000
+    assert(out("c")._1 == 1000L)
+    assert(out("a")._1 > 350 && out("a")._1 < 650, s"a=${out("a")}")
+    assert(out("b")._1 > 2150 && out("b")._1 < 2450, s"b=${out("b")}")
+    // deterministic: same salt, same counts
+    val again = df.select(Sampling.mixtureCopies(col("id"), col("src"),
+        Map("a" -> 500000L, "b" -> 2300000L), salt = "t").as("copies"))
+      .agg(sum("copies")).as[Long].head()
+    assert(again == out.values.map(_._1).sum)
+  }
+
+  test("sessionize splits user streams at inactivity gaps") {
+    import graft.operators.session.Sessionize
+    val base = 1700000000L
+    val rows = Seq(
+      // user 1: events at +0, +10, +4000 (gap>3600 → new session), +4005
+      (1L, base, 1L), (1L, base + 10, 2L), (1L, base + 4000, 3L),
+      (1L, base + 4005, 4L),
+      // user 2: single event
+      (2L, base + 100, 5L))
+    val df = rows.toDF("user_id", "es", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("es")).as("ts"), col("event_id"))
+    val out = Sessionize.sessionStats(df, "user_id", "ts", "event_id", 3600)
+      .select("user_id", "session_idx", "n_events", "start_s", "duration_s")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, base, 10L),
+      (1L, 2L, 2L, base + 4000, 5L),
+      (2L, 1L, 1L, base + 100, 0L)))
+  }
+
+  test("dup ngram stats measure cross-document gram sharing") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // grams: abc(abg? no..) — 2 grams
+      (2L, "alpha beta gamma epsilon"), // shares "alpha beta gamma" with 1
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramStats(df, "doc_id", "text")
+      .select("doc_id", "grams", "dup_grams", "dup_frac_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 500000L), // "alpha beta gamma" shared, "beta gamma delta" not
+      (2L, 2L, 1L, 500000L),
+      (3L, 2L, 0L, 0L)))
+  }
+
   test("sequence packing matches a single-pass cumulative sum") {
     import graft.operators.pack.SequencePacking
     val rnd = new scala.util.Random(7)
