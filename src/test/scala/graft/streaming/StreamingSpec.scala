@@ -329,6 +329,43 @@ class TemplateCacheSpec extends SparkSpec {
   }
 }
 
+class StreamSessionSpec extends SparkSpec {
+  import StreamSession._
+
+  test("sessions close inline on gap and by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = 1700000000L
+    def ev(u: Long, s: Long, id: Long) =
+      SessionEvent(u, new java.sql.Timestamp(s * 1000L), id)
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamSession.sessionize(
+        mem.toDS().withWatermark("ts", "0 seconds"), gapSec = 3600)
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    // batch 1: one open session for user 1 (two events, 10 s apart)
+    mem.addData(ev(1L, base, 1L), ev(1L, base + 10, 2L))
+    q.processAllAvailable()
+    assert(spark.table("ssess").isEmpty) // still open, nothing emitted
+    // batch 2: a user-1 event past the gap closes session 1 inline
+    mem.addData(ev(1L, base + 5000, 3L))
+    q.processAllAvailable()
+    val afterInline = spark.table("ssess").as[ClosedSession].collect().toSet
+    assert(afterInline == Set(ClosedSession(1L, base, base + 10, 2L, 10L)))
+    // batch 3+4: another user far in the future advances the watermark
+    // past user 1's gap horizon → the open session closes by timeout
+    // (watermark advances at batch END, so a second batch fires it)
+    mem.addData(ev(2L, base + 20000, 4L))
+    q.processAllAvailable()
+    mem.addData(ev(2L, base + 20001, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ssess").as[ClosedSession].collect().toSet
+    assert(all.contains(ClosedSession(1L, base + 5000, base + 5000, 1L, 0L)),
+      s"timeout close missing: $all")
+  }
+}
+
 class StreamDedupSpec extends SparkSpec {
 
   test("duplicates within the watermark drop, within and across batches") {
