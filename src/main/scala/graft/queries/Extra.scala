@@ -241,7 +241,31 @@ object Extra {
       "user_id", "ts", "event_id", gapSec = 3600)
   }
 
+  // --- funnel analysis: view → click → purchase, first-touch, 7-day windows.
+  // Each stage joins the (user-count-bounded, broadcast) previous-stage
+  // frontier against a type-pruned scan; the fact table never self-joins.
+  val qFunnel: Q = (s, dir) => {
+    val win = 604800L
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("v_es"))
+    val c = e.where(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .where(col("es") >= col("v_es") && col("es") <= col("v_es") + win)
+      .groupBy("user_id").agg(min("es").as("c_es"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .where(col("es") >= col("c_es") && col("es") <= col("c_es") + win)
+      .groupBy("user_id").agg(min("es").as("p_es"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
@@ -260,6 +284,20 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |v AS (SELECT user_id, min(es) AS v_es FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(es) AS c_es FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND es >= v_es AND es <= v_es + 604800
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, min(es) AS p_es FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND es >= c_es AND es <= c_es + 604800
+        |  GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
