@@ -69,6 +69,24 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** Exact all-pairs cosine above a threshold — the ground-truth baseline
+    * the approximate paths ([[nearDupPairs]]) are validated against. O(n²)
+    * pair evaluation by construction: run it on corpora small enough to
+    * broadcast one side (validation samples, recall audits); the LSH
+    * banding of [[nearDupPairs]] is the 100 TB path. Norms are computed
+    * once per row below the join; per-pair work is one native dot product.
+    *
+    * @return (id_a, id_b, sim_e6) with id_a < id_b and sim_e6 ≥ threshold
+    */
+  def exactPairs(corpus: DataFrame, thresholdE6: Long, idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val a = withNorm(corpus, idCol, "id_a", embCol, "qv")
+    val b = withNorm(corpus, idCol, "id_b", embCol, "cv")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), pairSimE6.as("sim_e6"))
+      .where(col("sim_e6") >= thresholdE6)
+  }
+
   /** Deterministic seeded hyperplanes: `bits` rows of `dim` doubles. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

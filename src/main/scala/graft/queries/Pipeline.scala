@@ -224,6 +224,13 @@ object Pipeline {
         embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
         thresholdE6 = 900000L)),
 
+    // exact all-pairs cosine ≥ 0.4 — the oracle-checked ground truth the
+    // approximate near-dup paths are audited against
+    "q_sim_pairs" -> ((s, dir) =>
+      CosineSearch.exactPairs(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        thresholdE6 = 400000L)),
+
     // PII scrub: the testdata corpus carries no natural PII, so synthetic
     // contact strings are appended deterministically (same construction in
     // the oracle) — the detection/redaction regexes are what's under test
@@ -537,6 +544,15 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "q_sim_pairs" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(round(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+        |    AS sim_e6
+        |FROM c a, c b WHERE a.vec_id < b.vec_id
+        |  AND CAST(round(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+        |    >= 400000""".stripMargin,
     "q_reservoir" ->
       """WITH r AS (SELECT lang, text, row_number() OVER (
         |    PARTITION BY lang ORDER BY md5(text), text) AS rk

@@ -215,6 +215,21 @@ class CosineSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("LSH near-dup pairs are a subset of the exact ground truth") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val exact = CosineSearch.exactPairs(e, thresholdE6 = 300000L)
+      .select("id_a", "id_b", "sim_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = CosineSearch.nearDupPairs(e, thresholdE6 = 300000L)
+      .select("id_a", "id_b", "sim_e6")
+      .as[(Long, Long, Long)].collect().toSet
+    // the approximate path may miss pairs (recall < 1) but must never
+    // invent one, and every found pair carries the exact similarity
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh -- exact}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
