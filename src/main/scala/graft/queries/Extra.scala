@@ -264,7 +264,22 @@ object Extra {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
   }
 
+  // --- cohort retention: users grouped by first-activity week, counted in
+  // each later week they return. The (user, week) activity set reduces
+  // map-side before its one shuffle; the cohort assignment is a broadcast
+  // of the user-count-bounded first-week table.
+  val qRetention: Q = (s, dir) => {
+    val wk = expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
+    val activity = Tables.load(s, dir, "events")
+      .select(col("user_id"), wk.as("wk")).distinct()
+    val first = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    activity.join(broadcast(first), Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
@@ -284,6 +299,14 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
