@@ -73,7 +73,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       val rangeStart = new Timestamp(in.start.getTime - sp.shiftSec * 1000)
       val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
       val pred = compiled.map(cf => if (sp.reverse) cf.reversePredicate else cf.predicate)
-      val scan0 = resolved.table.df()
+      val scan0 = resolved.table.scan(rangeStart, rangeEnd)
         .where(col("TimeReceived") >= lit(rangeStart) &&
           col("TimeReceived") < lit(rangeEnd))
       val scan1 = pred.fold(scan0)(scan0.where)
@@ -251,7 +251,7 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       specs.map(sp => in.start.getTime - sp.shiftSec * 1000).min)
     val unionEnd = new Timestamp(
       specs.map(sp => in.end.getTime - sp.shiftSec * 1000).max)
-    val base0 = resolved.table.df()
+    val base0 = resolved.table.scan(unionStart, unionEnd)
       .where(col("TimeReceived") >= lit(unionStart) &&
         col("TimeReceived") < lit(unionEnd))
     val base =

@@ -15,7 +15,22 @@ final case class FlowTable(
     name: String,
     resolutionSec: Long,
     oldest: Timestamp,
-    df: () => DataFrame)
+    df: () => DataFrame,
+    /** Range-aware reader for partitioned stores: given the query's
+      * [start, end) the table can prune storage partitions (p_date
+      * directories) BEFORE any IO — at 100 TB the mandatory time-range
+      * filter must eliminate files, not just row groups. Optional:
+      * unpartitioned views fall back to the plain reader.
+      */
+    dfRange: Option[(Timestamp, Timestamp) => DataFrame] = None) {
+
+  /** Scan for a time range: partition-pruned when the store supports it.
+    * Callers still apply their exact `TimeReceived` predicate — the
+    * partition bound is a date-granular superset.
+    */
+  def scan(start: Timestamp, end: Timestamp): DataFrame =
+    dfRange.map(_(start, end)).getOrElse(df())
+}
 
 final case class ResolvedQuery(
     table: FlowTable,

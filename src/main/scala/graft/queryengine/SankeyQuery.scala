@@ -37,7 +37,7 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // routing with points fixed at 20 (reference sankey.go:127-134)
     val resolved = TableResolver.resolve(tables, in.start, in.end, 20, mainRequired)
 
-    val scan0 = resolved.table.df()
+    val scan0 = resolved.table.scan(in.start, in.end)
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
     val scan = compiled.map(_.predicate).fold(scan0)(scan0.where)
     val unit = Unit.fromName(in.unit)
@@ -114,7 +114,7 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
 
     // reverse axis: swapped columns + swapped filter over the same range,
     // merged UNION ALL with an axis literal (reference sankey.go:139-147)
-    val scanRev0 = resolved.table.df()
+    val scanRev0 = resolved.table.scan(in.start, in.end)
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
     val scanRev = compiled.map(_.reversePredicate).fold(scanRev0)(scanRev0.where)
     val reverse = foldAxis(scanRev,

@@ -31,7 +31,7 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
   def top(spark: SparkSession, now: Timestamp, dimension: String,
       externalOnly: Boolean = false, limit: Int = 5): DataFrame = {
     val from = new Timestamp(now.getTime - 5 * 60 * 1000)
-    val scan0 = main.df()
+    val scan0 = main.scan(from, now)
       .where(col("TimeReceived") >= lit(from) && col("TimeReceived") < lit(now))
     val scan = if (externalOnly) scan0.where(col("InIfBoundary") === "external")
       else scan0
@@ -62,7 +62,7 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
     val from = new Timestamp(now.getTime - 5 * 60 * 1000)
     val mainRequired = widget == "src-port" || widget == "dst-port"
     val resolved = TableResolver.resolve(tables, from, now, 5, mainRequired)
-    val scan0 = resolved.table.df()
+    val scan0 = resolved.table.scan(from, now)
       .where(col("TimeReceived") >= lit(from) && col("TimeReceived") < lit(now))
     val scan =
       if (widget.startsWith("src-")) scan0.where(col("InIfBoundary") === "external")
@@ -116,7 +116,7 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
     */
   def flowRate(spark: SparkSession, now: Timestamp): DataFrame = {
     val from = new Timestamp(now.getTime - 5 * 60 * 1000)
-    main.df()
+    main.scan(from, now)
       .where(col("TimeReceived") >= lit(from) && col("TimeReceived") < lit(now))
       .agg((count(lit(1)) / 300.0).as("rate"))
   }

@@ -108,6 +108,25 @@ final class FlowStore(spark: SparkSession, root: String) {
   private def readTable(name: String): DataFrame =
     spark.read.parquet(s"$root/$name").drop("p_date")
 
+  /** Range-pruned scan: bound `p_date` (a yyyy-MM-dd string — lexical
+    * order IS chronological order) so the parquet source prunes whole
+    * date directories before reading a footer. The bound is a
+    * date-granular superset of [start, end); callers keep their exact
+    * TimeReceived predicate.
+    */
+  private def readRange(name: String, start: Timestamp,
+      end: Timestamp): DataFrame = {
+    def dateUtc(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+    val lo = dateUtc(start.getTime)
+    // end is exclusive: the last ms that can match is end - 1
+    val hi = dateUtc(math.max(start.getTime, end.getTime - 1))
+    spark.read.parquet(s"$root/$name")
+      .where(col("p_date") >= lo && col("p_date") <= hi)
+      .drop("p_date")
+  }
+
   /** Exporters with ReplacingMergeTree read semantics: latest row per
     * (ExporterAddress, IfName).
     */
@@ -128,9 +147,11 @@ final class FlowStore(spark: SparkSession, root: String) {
         .agg(min("TimeReceived")).collect()(0)
       if (r.isNullAt(0)) new Timestamp(0) else r.getTimestamp(0)
     }
-    FlowTable("flows", 0L, oldestOf("flows"), () => readTable("flows")) +:
+    FlowTable("flows", 0L, oldestOf("flows"), () => readTable("flows"),
+      Some((s, e) => readRange("flows", s, e))) +:
       resolutions.map { case (name, sec) =>
-        FlowTable(name, sec, oldestOf(name), () => readTable(name))
+        FlowTable(name, sec, oldestOf(name), () => readTable(name),
+          Some((s, e) => readRange(name, s, e)))
       }
   }
 

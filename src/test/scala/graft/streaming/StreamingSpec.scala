@@ -187,6 +187,34 @@ class FlowStoreSpec extends SparkSpec {
     assert(after.count() == 30)
   }
 
+  test("range scans prune date partitions before IO") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-03-01", 30))
+    store.writeBatch(mkFlows("2024-03-02", 30))
+    store.writeBatch(mkFlows("2024-03-03", 30))
+    val main = store.tables().find(_.name == "flows").get
+    val day2 = main.scan(ts("2024-03-02T00:00:00Z"), ts("2024-03-03T00:00:00Z"))
+      .where(col("TimeReceived") >= lit(ts("2024-03-02T00:00:00Z")) &&
+        col("TimeReceived") < lit(ts("2024-03-03T00:00:00Z")))
+    assert(day2.count() == 30)
+    // the p_date bound must reach the scan as a PARTITION filter (pruning
+    // directories), not a data filter (reading every footer)
+    val plan = day2.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"),
+      s"p_date bound did not reach the partition filter:\n$plan")
+    val scanned = day2.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned == Seq(1), s"expected exactly 1 pruned partition: $scanned")
+    // half-open upper bound: an end ON the day boundary reads one day only
+    val sameDay = main.scan(ts("2024-03-01T00:00:00Z"), ts("2024-03-02T00:00:00Z"))
+    val parts = sameDay.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(parts == Seq(1), s"end-exclusive bound leaked a partition: $parts")
+  }
+
   test("compaction preserves rollup totals") {
     val root = java.nio.file.Files.createTempDirectory("store").toString
     val store = new FlowStore(spark, root)
