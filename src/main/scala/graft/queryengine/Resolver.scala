@@ -22,7 +22,11 @@ final case class FlowTable(
       * filter must eliminate files, not just row groups. Optional:
       * unpartitioned views fall back to the plain reader.
       */
-    dfRange: Option[(Timestamp, Timestamp) => DataFrame] = None) {
+    dfRange: Option[(Timestamp, Timestamp) => DataFrame] = None,
+    /** Newest-data probe for partitioned stores (one-directory read);
+      * consumers fall back to a MAX() aggregation when absent.
+      */
+    newestHint: Option[() => Option[Timestamp]] = None) {
 
   /** Scan for a time range: partition-pruned when the store supports it.
     * Callers still apply their exact `TimeReceived` predicate — the

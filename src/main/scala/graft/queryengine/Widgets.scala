@@ -19,9 +19,12 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
     * reference's form has no upper bound at all).
     */
   def dataNow(): Timestamp = {
-    val r = main.df().agg(max(col("TimeReceived"))).collect()(0)
-    if (r.isNullAt(0)) new Timestamp(0)
-    else new Timestamp(r.getTimestamp(0).getTime + 1000)
+    val newest = main.newestHint.flatMap(_()).orElse {
+      val r = main.df().agg(max(col("TimeReceived"))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
+    }
+    newest.map(t => new Timestamp(t.getTime + 1000))
+      .getOrElse(new Timestamp(0))
   }
 
   /** `GET /widget/top/{name}`: top-5 percent-of-total over the last 5

@@ -140,18 +140,42 @@ final class FlowStore(spark: SparkSession, root: String) {
       .drop("rn")
   }
 
+  /** min/max TimeReceived by scanning ONLY the lexically first/last
+    * `p_date=` directory — the partition layout makes the data boundary a
+    * one-directory read (the ClickHouse reference gets the same from
+    * partition minmax metadata), instead of a full-table aggregation.
+    */
+  private def boundaryOf(name: String, newest: Boolean): Option[Timestamp] = {
+    val dir = new java.io.File(s"$root/$name")
+    if (!dir.isDirectory) return None
+    val dates = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("p_date=")).map(_.stripPrefix("p_date=")).sorted
+    if (dates.isEmpty) return None
+    val d = if (newest) dates.last else dates.head
+    val r = spark.read.parquet(s"$root/$name")
+      .where(col("p_date") === d)
+      .agg(if (newest) max("TimeReceived") else min("TimeReceived"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
+  }
+
+  /** Newest flow timestamp (one-partition read); the widgets' data-now
+    * anchor.
+    */
+  def newest(name: String = "flows"): Option[Timestamp] =
+    boundaryOf(name, newest = true)
+
   /** Registered tables for the query engine, `oldest` read from data. */
   def tables(): Seq[FlowTable] = {
-    def oldestOf(name: String): Timestamp = {
-      val r = spark.read.parquet(s"$root/$name")
-        .agg(min("TimeReceived")).collect()(0)
-      if (r.isNullAt(0)) new Timestamp(0) else r.getTimestamp(0)
-    }
+    def oldestOf(name: String): Timestamp =
+      boundaryOf(name, newest = false).getOrElse(new Timestamp(0))
     FlowTable("flows", 0L, oldestOf("flows"), () => readTable("flows"),
-      Some((s, e) => readRange("flows", s, e))) +:
+      Some((s, e) => readRange("flows", s, e)),
+      Some(() => newest("flows"))) +:
       resolutions.map { case (name, sec) =>
         FlowTable(name, sec, oldestOf(name), () => readTable(name),
-          Some((s, e) => readRange(name, s, e)))
+          Some((s, e) => readRange(name, s, e)),
+          Some(() => newest(name)))
       }
   }
 

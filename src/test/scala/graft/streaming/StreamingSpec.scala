@@ -213,6 +213,11 @@ class FlowStoreSpec extends SparkSpec {
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }
     assert(parts == Seq(1), s"end-exclusive bound leaked a partition: $parts")
+    // data boundaries come from one-directory reads and agree with the data
+    assert(store.newest("flows").get == java.sql.Timestamp.from(
+      ts("2024-03-03T00:00:00Z").toInstant.plusSeconds(29 * 40L)))
+    assert(main.oldest == ts("2024-03-01T00:00:00Z"))
+    assert(main.newestHint.get.apply() == store.newest("flows"))
   }
 
   test("compaction preserves rollup totals") {
