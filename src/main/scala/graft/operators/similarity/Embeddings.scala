@@ -78,6 +78,11 @@ object Sampling {
     * parallel and a writer emits one file per shard. Re-salting reshuffles
     * the corpus reproducibly (epoch = salt), independent of input
     * partitioning or engine.
+    *
+    * Sizing: each shard's rows sort within ONE task (spillable, but slow
+    * past executor memory) — pick `hexChars` so corpus/16^hexChars fits a
+    * task comfortably: 2 (256 shards) to the low-TB corpus range, 4 (65k
+    * shards) for ~100 TB, up to 8 (4B shards).
     */
   def shuffleShards(df: org.apache.spark.sql.DataFrame, key: Column,
       salt: String, hexChars: Int = 2): org.apache.spark.sql.DataFrame = {

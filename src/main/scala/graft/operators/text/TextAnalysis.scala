@@ -173,11 +173,13 @@ object TextAnalysis {
     * shape is identical.
     *
     * Scale shape: term frequencies reduce map-side before the (doc, tok)
-    * shuffle; the document-frequency table is vocabulary-sized (≪ corpus)
-    * and broadcasts; the corpus size N is a 1-row broadcast cross join;
-    * ranking is a per-document window, parallel across documents, and the
-    * `rank <= k` predicate lets Spark's WindowGroupLimit cap rows before
-    * the final exchange.
+    * shuffle; the document-frequency table joins back on the token with
+    * NO forced strategy — at testdata scale Catalyst broadcasts it, at
+    * web scale (vocabularies are heavy-tailed and unbounded) AQE picks a
+    * sort-merge join, which is correct there; the corpus size N is a
+    * 1-row broadcast cross join; ranking is a per-document window,
+    * parallel across documents, and the `rank <= k` predicate lets
+    * Spark's WindowGroupLimit cap rows before the final exchange.
     */
   def tfidfTop(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -189,7 +191,7 @@ object TextAnalysis {
     val n = df.select(countDistinct(col(idCol)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("score_ppm"), asc("tok"))
-    tf.join(broadcast(dfreq), "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score_ppm", expr("tf * n_docs * 1000000 div df_t"))
       .withColumn("rnk", row_number().over(w).cast("long"))
