@@ -242,8 +242,10 @@ object Extra {
   }
 
   // --- funnel analysis: view → click → purchase, first-touch, 7-day windows.
-  // Each stage joins the (user-count-bounded, broadcast) previous-stage
-  // frontier against a type-pruned scan; the fact table never self-joins.
+  // Each stage joins the previous stage's user frontier against a
+  // type-pruned scan — the fact table never self-joins, and the join
+  // strategy is left to Catalyst/AQE (broadcast while the frontier is
+  // small, shuffled hash join once user counts outgrow it).
   val qFunnel: Q = (s, dir) => {
     val win = 604800L
     val e = Tables.load(s, dir, "events")
@@ -252,11 +254,11 @@ object Extra {
     val v = e.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("es").as("v_es"))
     val c = e.where(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .where(col("es") >= col("v_es") && col("es") <= col("v_es") + win)
       .groupBy("user_id").agg(min("es").as("c_es"))
     val p = e.where(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .where(col("es") >= col("c_es") && col("es") <= col("c_es") + win)
       .groupBy("user_id").agg(min("es").as("p_es"))
     v.agg(count(lit(1)).as("n_view"))
@@ -266,14 +268,15 @@ object Extra {
 
   // --- cohort retention: users grouped by first-activity week, counted in
   // each later week they return. The (user, week) activity set reduces
-  // map-side before its one shuffle; the cohort assignment is a broadcast
-  // of the user-count-bounded first-week table.
+  // map-side before its one shuffle; the first-week table joins back on
+  // the user key with the strategy left to Catalyst/AQE (both sides are
+  // already user-keyed aggregates).
   val qRetention: Q = (s, dir) => {
     val wk = expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800")
     val activity = Tables.load(s, dir, "events")
       .select(col("user_id"), wk.as("wk")).distinct()
     val first = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    activity.join(broadcast(first), Seq("user_id"))
+    activity.join(first, Seq("user_id"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
       .agg(countDistinct("user_id").as("n_users"))
   }
