@@ -57,6 +57,28 @@ object Pipeline {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("tok")).limit(20)),
 
+    // tokenizer induction (one BPE merge step): most frequent ADJACENT
+    // token pairs corpus-wide — word 2-shingles reuse the one-pass native
+    // shingle expression (set semantics per doc, like the dedup family)
+    "q_bigram_top" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(graft.expressions.Sketches.wordShingles(
+          TextAnalysis.tokens(col("text")), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair")).limit(10)),
+
+    // corpus profile (the data-card rollup): per-source doc counts, token
+    // totals, and mean document length in integer per-mille
+    "q_corpus_profile" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("n_chars"),
+          TextAnalysis.tokenEstimate(col("text")).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_toks"),
+          sum("n_chars").as("total_chars"))
+        .withColumn("mean_chars_e3",
+          expr("total_chars * 1000 div n_docs"))),
+
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langGuess(col("text")).as("lang_guess"))),
@@ -306,6 +328,23 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
         |FROM documents""".stripMargin,
+    "q_bigram_top" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS pair
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        |  WHERE len(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    "q_corpus_profile" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> 1 + length(t) // 6)) AS BIGINT) AS toks FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) * 1000 // count(*) AS BIGINT) AS mean_chars_e3
+        |FROM d GROUP BY 1""".stripMargin,
     // Byte-exact oracle: folds over hex(encode(text)) byte pairs so the
     // DuckDB side hashes the same UTF-8 bytes as the Spark expression
     // (a per-character ord() fold would diverge on non-ASCII text), with
