@@ -24,10 +24,14 @@ import graft.operators.text.TextAnalysis
 object Dedup {
 
   /** Exact duplicate groups by content hash: (hash, dup_count, keeper).
-    * Keeper = min id (stable). Only the hash and id shuffle.
+    * Keeper = min id (stable). Only the hash and id shuffle. SHA-256, not
+    * md5: content identity must resist adversarially CONSTRUCTED
+    * collisions (a poisoning vector for training-data dedup); md5 stays
+    * fine for sampling/ordering salts, where a collision only perturbs
+    * which row is sampled.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("content_hash"), col(idCol).as("id"))
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol).as("id"))
       .groupBy("content_hash")
       .agg(count(lit(1)).as("dup_count"), min("id").as("keeper"))
 

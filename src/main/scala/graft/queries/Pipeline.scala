@@ -107,7 +107,7 @@ object Pipeline {
           explode(split(col("text"), "\\. ")).as("sent"))
         .select(col("doc_id"), trim(col("sent")).as("sent"))
         .where(length(col("sent")) > 0)
-        .groupBy(md5(col("sent")).as("sent_hash"))
+        .groupBy(sha2(col("sent"), 256).as("sent_hash"))
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
         .where(col("n") > 1)),
 
@@ -304,7 +304,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS dup_count,
+      """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS dup_count,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY 1""".stripMargin,
     "q_doc_fingerprint" ->
@@ -455,7 +455,7 @@ object Pipeline {
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
     "q_corpus_pipeline" ->
       """WITH keepers AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |m AS (SELECT doc_id, text,
         |  len(string_split_regex(trim(text), '\s+')) AS tc,
         |  length(replace(trim(text), ' ', '')) AS letters,
@@ -475,7 +475,7 @@ object Pipeline {
         |  FROM documents, LATERAL (
         |    SELECT unnest(string_split(text, '. ')) AS sent) u
         |  WHERE length(trim(u.sent)) > 0)
-        |SELECT md5(sent) AS sent_hash, CAST(count(*) AS BIGINT) AS n,
+        |SELECT sha256(sent) AS sent_hash, CAST(count(*) AS BIGINT) AS n,
         |  min(doc_id) AS first_doc
         |FROM s GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_embed_quant" ->

@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
 object StreamDedup {
 
   /** Drops rows whose `textCol` content already arrived within the
-    * watermark window. The 16-byte hash — not the payload — is the
-    * dedup state key.
+    * watermark window. The 32-byte hash — not the payload — is the dedup
+    * state key (SHA-256: content identity must resist constructed
+    * collisions, see [[graft.operators.dedup.Dedup.exact]]).
     */
   def exactWithinWatermark(stream: DataFrame, textCol: String,
       tsCol: String, watermark: String = "10 minutes"): DataFrame =
     stream
-      .withColumn("__content_hash", md5(col(textCol)))
+      .withColumn("__content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
