@@ -197,6 +197,25 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
+  // GET /api/v0/console/widget/graph?points=N — single-series gap-filled
+  // Gbps over the last 24 h before the newest flow (reference
+  // widgets.go:250-292 anchors on the data, defaults to 200 points)
+  context("/api/v0/console/widget/graph") { req =>
+    val points = req.params.get("points").map(_.toInt).getOrElse(200)
+    val widgets = new Widgets(schema, tables)
+    val now = widgets.dataNow()
+    val start = new java.sql.Timestamp(now.getTime - 24 * 3600 * 1000L)
+    val rows = widgets.graph(spark, start, now, points).collect()
+    val resp = mapper.createObjectNode()
+    val arr = resp.putArray("data")
+    rows.foreach { r =>
+      val o = arr.addObject()
+      o.put("t", r.getLong(0))
+      o.put("gbps", r.getDouble(1))
+    }
+    resp
+  }
+
   handle("/api/v0/console/widget/flow-rate") { _ =>
     val widgets = new Widgets(schema, tables)
     val rate = widgets.flowRate(spark, widgets.dataNow())

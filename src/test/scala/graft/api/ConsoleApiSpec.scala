@@ -85,6 +85,11 @@ class ConsoleApiSpec extends SparkSpec {
     assert(c2 == 200 && rate.get("rate").asDouble() > 0)
     val (c3, err) = post("/api/v0/console/widget/top/nonsense", "")
     assert(c3 == 400 && err.has("error"))
+    val (c4, g) = post("/api/v0/console/widget/graph?points=24", "")
+    assert(c4 == 200)
+    assert(g.get("data").size() >= 24) // dense (gap-filled) calendar
+    assert((0 until g.get("data").size()).exists(i =>
+      g.get("data").get(i).get("gbps").asDouble() > 0))
   }
 
   test("flow-last and exporters widgets serve rendered data") {
