@@ -386,6 +386,38 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 1L, 1L, base + 100, 0L)))
   }
 
+  test("sessionize invariants hold on a randomized stream") {
+    import graft.operators.session.Sessionize
+    val rnd = new scala.util.Random(13)
+    val base = 1700000000L
+    // bursty arrivals: mostly short gaps with occasional session breaks
+    val rows = (0 until 40).flatMap { u =>
+      var t = base + rnd.nextInt(1000)
+      (0 until 30).map { i =>
+        t += (if (rnd.nextInt(5) == 0) 4000 + rnd.nextInt(4000)
+              else rnd.nextInt(300))
+        (u.toLong, t, (u * 1000 + i).toLong)
+      }
+    }
+    val df = rows.toDF("user_id", "es", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("es")).as("ts"), col("event_id"))
+    val stats = Sessionize.sessionStats(df, "user_id", "ts", "event_id", 3600)
+      .select("user_id", "session_idx", "n_events", "start_s", "end_s")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // conservation: every event lands in exactly one session
+    assert(stats.map(_._3).sum == rows.length)
+    stats.groupBy(_._1).foreach { case (u, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // indexes dense from 1, spans ordered and separated by > gap
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      ordered.foreach { s => assert(s._4 <= s._5) }
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 - a._5 > 3600, s"user $u overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("dup ngram stats measure cross-document gram sharing") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // grams: abc(abg? no..) — 2 grams

@@ -362,6 +362,42 @@ class TemplateCacheSpec extends SparkSpec {
   }
 }
 
+class StreamingTopKSpec extends SparkSpec {
+
+  test("the top-k sketch aggregates inside a windowed streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Long)]
+    // heavy hitter "a" (weight 60), then "b" (30), noise "c".. within one
+    // 1-minute window; append mode emits the window once the watermark
+    // passes it
+    val q = mem.toDF().toDF("ts", "k", "w")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(graft.expressions.TopKWeighted(col("k"), col("w"), 2, 20).as("top"))
+      .selectExpr("window.start AS ws", "top")
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode("append").start()
+    mem.addData((ts(0), "a", 25L), (ts(1), "b", 30L), (ts(2), "a", 35L),
+      (ts(3), "c", 5L))
+    q.processAllAvailable()
+    // advance the watermark far past the window to flush it
+    mem.addData((ts(300), "z", 1L))
+    q.processAllAvailable()
+    mem.addData((ts(600), "z", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stopk")
+      .selectExpr("ws", "inline(top)")
+      .select("key", "weight").as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty, "windowed sketch emitted nothing")
+    // the sketch must surface the true heavy hitters in weight order
+    assert(rows.take(2).map(_._1) == Seq("a", "b"), s"got $rows")
+    assert(rows.head._2 == 60L)
+  }
+}
+
 class StreamSessionSpec extends SparkSpec {
   import StreamSession._
 
