@@ -81,6 +81,34 @@ object Multimodal {
       .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
   }
 
+  /** A resized ("thumbnail") media row. */
+  final case class MediaThumb(media_id: Long, kind: String,
+      thumb: Array[Byte])
+
+  /** Resize plumbing: deterministic stub "scaler" — the thumbnail is
+    * `targetBytes` evenly-spaced bytes of the payload (payloads already
+    * at or under the target pass through). A real implementation swaps
+    * the per-row function for an image scaler; the batch shape
+    * (iterator→iterator per partition, codec initialized once) and the
+    * output schema are what this exercises.
+    */
+  def resizeStub(media: Dataset[MediaRow],
+      targetBytes: Int = 32): Dataset[MediaThumb] = {
+    require(targetBytes > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // a real implementation would initialize the scaler here, once
+      rows.map { r =>
+        val n = r.payload.length
+        val t =
+          if (n <= targetBytes) r.payload
+          else Array.tabulate(targetBytes)(i =>
+            r.payload((i.toLong * n / targetBytes).toInt))
+        MediaThumb(r.media_id, r.kind, t)
+      }
+    }
+  }
+
   /** Build a media dataset from the documents table (text bytes play the
     * payload) — the driver-facing fixture for the multimodal plumbing.
     */

@@ -245,6 +245,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.filter(_.kind != "video").forall(_.n_frames == 1))
   }
 
+  test("resize stub emits fixed-size deterministic thumbnails") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.fromDocuments(spark, docs)
+    val thumbs = Multimodal.resizeStub(media, targetBytes = 32).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach(t => assert(t.thumb.length <= 32))
+    // oversized payloads shrink to exactly the target; runs reproduce
+    val big = media.collect().filter(_.payload.length > 32)
+    assert(big.nonEmpty)
+    val byId = thumbs.map(t => t.media_id -> t.thumb.toSeq).toMap
+    big.foreach(r => assert(byId(r.media_id).length == 32))
+    val again = Multimodal.resizeStub(media, targetBytes = 32).collect()
+      .map(t => t.media_id -> t.thumb.toSeq).toMap
+    assert(again == byId)
+  }
+
   test("frame sampling yields stride-spaced frames") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, "video",
