@@ -168,6 +168,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_pm")
   }
 
+  /** [[minhashLsh]] with an engine-portable base hash: shingles hash to
+    * 48 bits via an md5 slice (both engines compute identical values, so
+    * a DuckDB oracle reproduces the WHOLE pipeline — signatures, banding,
+    * candidates, verification — bit-exactly; xxhash64 exists only in
+    * Spark), and banding joins compare signature SLICES by array equality
+    * instead of a band hash (a band-hash collision could admit a
+    * candidate pair the oracle's true-slice comparison would not).
+    * Semantics and scale shape match [[minhashLsh]]; the md5 base hash
+    * costs more per shingle than xxhash64, which is why the classic
+    * variant stays the hot path.
+    */
+  def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val rows = k / bands
+    val (pa, pb) = hashParams(k, seed)
+    def hash48(s: Column): Column =
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    val shingled = df
+      .select(col(idCol).as("id"),
+        array_distinct(
+          transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = shingled.select(col("id"),
+      Sketches.minhashSig(
+        transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rows + 1, lit(rows)).as("bs")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bs"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val common = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = common * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - common)
+    cand
+      .join(shingled.select(col("id"), col("sh").as("sh_a")), col("id_a") === col("id"))
+      .drop("id")
+      .join(shingled.select(col("id"), col("sh").as("sh_b")), col("id_b") === col("id"))
+      .select(col("id_a"), col("id_b"),
+        round(jac * 1000).cast("long").as("jaccard_pm"),
+        (jac >= threshold).as("keep"))
+      .where(col("keep"))
+      .select("id_a", "id_b", "jaccard_pm")
+  }
+
+  /** Seeded hash-family parameters, exposed so an external oracle can
+    * replicate the signature family exactly.
+    */
+  def minhashParams(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    hashParams(k, seed)
+
+  /** The signature modulus, exposed for oracle generation. */
+  val minhashP: Long = P
+
   /** 64-bit SimHash over a token/shingle set column (one-pass native
     * expression).
     */

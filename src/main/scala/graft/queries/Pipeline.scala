@@ -125,6 +125,13 @@ object Pipeline {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text", threshold = 0.5)),
 
+    // the SAME MinHash+LSH pipeline with an engine-portable base hash —
+    // the variant a DuckDB oracle can replicate end to end (signatures,
+    // banding, candidate pairs, verification)
+    "q_dedup_minhash_port" -> ((s, dir) =>
+      Dedup.minhashLshPortable(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, k = 32, bands = 8, seed = 42L)),
+
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))),
@@ -583,6 +590,45 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    // Generated oracle: replicates the portable MinHash+LSH pipeline with
+    // the SAME seeded hash family (params embedded as literals), 48-bit
+    // md5-slice base hash decoded nibble-by-nibble, banding via ordered
+    // signature-slice keys, and exact-Jaccard verification.
+    "q_dedup_minhash_port" -> {
+      val (pa, pb) = Dedup.minhashParams(32, 42L)
+      val params = pa.zip(pb).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val hexpr = (0 until 12).map { j =>
+        val w = math.pow(16, 11 - j).toLong
+        s"(strpos('0123456789abcdef', substr(md5(s), ${j + 1}, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |hv AS (SELECT DISTINCT doc_id, ($hexpr) AS h FROM sh0),
+         |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
+         |params AS (SELECT * FROM (VALUES $params) AS p(i, a, b)),
+         |sig AS (SELECT doc_id, i,
+         |    min((a * (h % 2147483647) + b) % 2147483647) AS m
+         |  FROM hv CROSS JOIN params GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |cm AS (SELECT id_a, id_b, count(*) AS c FROM cand
+         |  JOIN hv ha ON ha.doc_id = id_a
+         |  JOIN hv hb ON hb.doc_id = id_b AND ha.h = hb.h
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(round(c * 1.0 / (na.cnt + nb.cnt - c) * 1000) AS BIGINT)
+         |    AS jaccard_pm
+         |FROM cm JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+         |WHERE c * 1.0 / (na.cnt + nb.cnt - c) >= 0.5""".stripMargin
+    },
     "q_sim_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)

@@ -89,6 +89,24 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || lsh.size >= exact.size * 7 / 10)
   }
 
+  test("portable minhash agrees with the classic variant on real docs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val classic = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val portable = Dedup.minhashLshPortable(docs, "doc_id", "text",
+        threshold = 0.5, k = 32, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // different hash families and k, same algorithm: the high-similarity
+    // pairs (the ones that matter) overlap strongly
+    assert(portable.nonEmpty)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((exact -- portable).isEmpty,
+      s"portable missed high-sim pairs: ${exact -- portable}")
+    assert((exact -- classic).isEmpty)
+  }
+
   test("maxShingleDf drops hot stop-shingles from pair generation") {
     // every doc shares the hot prefix "a b c"; only 1&2 share more
     val hotDocs = Seq(
