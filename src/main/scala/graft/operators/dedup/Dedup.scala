@@ -264,6 +264,42 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashPairs]] with the engine-portable 48-bit md5-slice base hash
+    * (see [[minhashLshPortable]]): a DuckDB oracle replicates the sketch,
+    * the chunk blocking, and the Hamming verification bit-exactly. Three
+    * 16-bit chunks cover the 48 meaningful bits — the high 16 bits of the
+    * 64-bit sketch are constant zero with a 48-bit base hash, and a chunk
+    * over them would collide universally (degenerating the blocking join
+    * to n²). Documents with no shingles are excluded (an empty set's
+    * sketch is 0, which would spuriously pair all short documents).
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    def hash48(s: Column): Column =
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    val withSim = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol)), hash48(_)).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), Sketches.simhash64(col("hs")).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = withSim.select(col("id"), col("sh"),
+      explode(array((0 until 3).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+        .as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
+    val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dist.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs via the similarity module's
     * LSH buckets; see [[graft.operators.similarity.CosineSearch]].
     */

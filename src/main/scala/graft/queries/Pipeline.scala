@@ -152,6 +152,12 @@ object Pipeline {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
+    // SimHash with the engine-portable base hash — sketch, chunk
+    // blocking, and Hamming verification all oracle-replicated
+    "q_dedup_simhash_port" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(docs(s, dir), "doc_id", "text",
+        maxHamming = 3)),
+
     "q_embed_quant" -> ((s, dir) => {
       import graft.operators.similarity.Embeddings
       val v = col("embedding").cast("array<double>")
@@ -628,6 +634,33 @@ object Pipeline {
          |    AS jaccard_pm
          |FROM cm JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
          |WHERE c * 1.0 / (na.cnt + nb.cnt - c) >= 0.5""".stripMargin
+    },
+    // Generated oracle: the portable SimHash sketch (bit j of the sketch
+    // set iff the per-bit +1/−1 vote over the doc's 48-bit gram hashes is
+    // strictly positive), 16-bit chunk blocking, Hamming verification.
+    "q_dedup_simhash_port" -> {
+      val hexpr = (0 until 12).map { j =>
+        val w = math.pow(16, 11 - j).toLong
+        s"(strpos('0123456789abcdef', substr(md5(s), ${j + 1}, 1)) - 1) * $w"
+      }.mkString(" + ")
+      val shexpr = (0 until 48).map { j =>
+        val w = 1L << j
+        s"CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN $w ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |hv AS (SELECT DISTINCT doc_id, ($hexpr) AS h FROM sh0),
+         |bits AS (SELECT doc_id, ($shexpr) AS sh FROM hv GROUP BY doc_id),
+         |chunks AS (SELECT doc_id, sh, c, (sh >> (c * 16)) & 65535 AS cv
+         |  FROM bits, (VALUES (0), (1), (2)) ch(c))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
     },
     "q_sim_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
