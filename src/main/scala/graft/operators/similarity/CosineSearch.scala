@@ -102,6 +102,14 @@ object CosineSearch {
     bits.reduce(_ + _)
   }
 
+  /** The seeded hyperplane family of [[lshTopK]], exposed so an external
+    * oracle can replicate the sign sketches exactly:
+    * `lshPlanes(dim, bits, tables, seed)(l)(i)` is table l's i-th plane.
+    */
+  def lshPlanes(dim: Int, bits: Int, tables: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(l => hyperplanes(dim, bits, seed + l))
+
   /** (table_id, bucket) pairs for a row under L independent hash tables
     * (classic multi-table sign-LSH: collision prob for similarity s is
     * 1−(1−p^bits)^tables with p = 1−θ(s)/π).

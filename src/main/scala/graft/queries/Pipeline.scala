@@ -662,6 +662,65 @@ object Pipeline {
          |  ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
     },
+    // Generated oracle for the hyperplane-LSH top-k: the seeded plane
+    // family is embedded as double literals (Double.toString round-trips
+    // exactly), sign sketches and bucket joins replicate the Spark
+    // pipeline, and the re-rank matches q_sim_topk's cosine form.
+    "q_sim_lsh" -> {
+      val planes = CosineSearch.lshPlanes(dim = 64, bits = 4, tables = 8,
+        seed = 7L)
+      def bucketExpr(vec: String, tp: Array[Array[Double]]): String =
+        tp.zipWithIndex.map { case (p, i) =>
+          s"CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 " +
+            s"THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      def tblCase(vec: String): String =
+        planes.zipWithIndex.map { case (tp, l) =>
+          s"WHEN $l THEN ${bucketExpr(vec, tp)}"
+        }.mkString("CASE tbl ", " ", " END")
+      s"""WITH q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |tb AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(tbl)),
+         |cb AS (SELECT id, cv, tbl, ${tblCase("cv")} AS bucket FROM c0, tb),
+         |qb AS (SELECT qid, qv, tbl, ${tblCase("qv")} AS bucket FROM q0, tb),
+         |sims AS (SELECT DISTINCT qid, id,
+         |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+         |      AS sim_e6
+         |  FROM cb JOIN qb USING (tbl, bucket) WHERE qid != id)
+         |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+         |  SELECT qid, id, sim_e6, row_number() OVER (
+         |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+         |  FROM sims) WHERE rank <= 5""".stripMargin
+    },
+    // Generated oracle for the LSH near-dup pairs (same plane-literal
+    // technique; 8-bit sketches, 4 tables, threshold on the quantized
+    // cosine)
+    "q_sim_neardup" -> {
+      val planes = CosineSearch.lshPlanes(dim = 64, bits = 8, tables = 4,
+        seed = 7L)
+      def bucketExpr(vec: String, tp: Array[Array[Double]]): String =
+        tp.zipWithIndex.map { case (p, i) =>
+          s"CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 " +
+            s"THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      val tblCase =
+        planes.zipWithIndex.map { case (tp, l) =>
+          s"WHEN $l THEN ${bucketExpr("cv", tp)}"
+        }.mkString("CASE tbl ", " ", " END")
+      s"""WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |tb AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(tbl)),
+         |cb AS (SELECT id, cv, tbl, $tblCase AS bucket FROM c0, tb)
+         |SELECT id_a, id_b, sim_e6 FROM (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    CAST(round(list_cosine_similarity(a.cv, b.cv) * 1000000) AS BIGINT)
+         |      AS sim_e6
+         |  FROM cb a JOIN cb b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+         |WHERE sim_e6 >= 900000""".stripMargin
+    },
     "q_sim_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
