@@ -302,6 +302,39 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    // IVF with the deterministic lowest-id codebook is fully
+    // SQL-replicable: centroids derive from the table (rank order of
+    // vec_id), corpus vectors assign to their argmax-cosine cell (the
+    // row's own norm divides out), queries probe their 4 best cells, and
+    // the re-rank matches q_sim_topk's cosine form. (The TRAINED-codebook
+    // IVF stays rows-only: k-means means are not cross-engine portable.)
+    "q_sim_ivf" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id
+        |    ORDER BY -list_dot_product(cv, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |qa AS (SELECT qid, cell FROM (
+        |  SELECT qid, cell, row_number() OVER (PARTITION BY qid
+        |    ORDER BY -list_dot_product(qv, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM q0, cent) WHERE rn <= 4),
+        |sims AS (SELECT DISTINCT qid, id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM ca JOIN c0 USING (id) JOIN qa USING (cell) JOIN q0 USING (qid)
+        |  WHERE qid != id)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+        |  SELECT qid, id, sim_e6, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM sims) WHERE rank <= 5""".stripMargin,
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 604800 AS wk
