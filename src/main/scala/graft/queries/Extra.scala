@@ -281,7 +281,24 @@ object Extra {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  // --- sequence mining: Markov transition counts over each user's
+  // time-ordered event stream (one user-keyed shuffle shared by the lead
+  // window; the count reduces map-side). Whole-second ordering with the
+  // event id tiebreak, like sessionization.
+  val qTransitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val es = unix_timestamp(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(es, col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_transitions" -> qTransitions,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
     "q_sessionize" -> qSessionize,
@@ -302,6 +319,13 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY es, event_id) AS next_type FROM e)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // IVF with the deterministic lowest-id codebook is fully
     // SQL-replicable: centroids derive from the table (rank order of
     // vec_id), corpus vectors assign to their argmax-cosine cell (the
