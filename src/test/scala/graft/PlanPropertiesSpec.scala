@@ -115,6 +115,24 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial+final group limit:\n$p")
   }
 
+  test("q_sessionize shares one exchange across windows and aggregation") {
+    val p = plan("q_sessionize")
+    val exchanges = p.linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1,
+      s"lag window, session counter, and per-session rollup must reuse " +
+        s"the single user-keyed exchange; found $exchanges:\n$p")
+  }
+
+  test("q_transitions keeps the lead window and count on one exchange") {
+    val p = plan("q_transitions")
+    // one exchange for the user window; the transition count may add its
+    // own (keyed by type pair) but must aggregate partially first
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*""")) <= 2)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final count aggregation:\n$p")
+  }
+
   test("q_pii_scrub and q_repetition stay joinless and exchange-free") {
     Seq("q_pii_scrub", "q_repetition").foreach { q =>
       val p = plan(q)
