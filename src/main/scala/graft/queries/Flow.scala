@@ -209,7 +209,26 @@ object Flow {
           .as("gini_ppm"))
   }
 
+  // --- hourly traffic anomaly score per exporter: hours whose flow count
+  // exceeds 1.5× that exporter's median hourly count. Two aggregations
+  // (hour counts reduce map-side; medians are per-exporter over ≤ hours
+  // rows) and a broadcast-sized join back — no window over the fact rows.
+  val qAnomalyHours: Q = (s, dir) => {
+    val hourly = EventFlows.flows(s, dir)
+      .groupBy(col("ExporterName"),
+        (expr("CAST(unix_timestamp(TimeReceived) AS BIGINT) div 3600") * 3600)
+          .as("hour_s"))
+      .agg(count(lit(1)).as("n"))
+    val med = hourly.groupBy("ExporterName")
+      .agg(expr("percentile(n, 0.5D)").as("med"))
+    hourly.join(med, Seq("ExporterName"))
+      .withColumn("ratio_pm", round(col("n") * 1000 / col("med")).cast("long"))
+      .where(col("ratio_pm") >= 1500)
+      .select(col("ExporterName"), col("hour_s"), col("n"), col("ratio_pm"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q_anomaly_hours" -> qAnomalyHours,
     "q_port_diversity" -> qPortDiversity,
     "q_line" -> qLine,
     "q_line_raw" -> qLineRaw,
@@ -228,6 +247,19 @@ object Flow {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_hours" ->
+      s"""WITH flows AS ($F),
+         |hourly AS (SELECT ExporterName,
+         |    CAST(epoch(date_trunc('second', TimeReceived)) AS BIGINT)
+         |      // 3600 * 3600 AS hour_s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM flows GROUP BY 1, 2),
+         |med AS (SELECT ExporterName, quantile_cont(n, 0.5) AS med
+         |  FROM hourly GROUP BY 1)
+         |SELECT ExporterName, hour_s, n,
+         |  CAST(round(n * 1000 / med) AS BIGINT) AS ratio_pm
+         |FROM hourly JOIN med USING (ExporterName)
+         |WHERE round(n * 1000 / med) >= 1500""".stripMargin,
     "q_port_diversity" ->
       s"""WITH flows AS ($F),
          |per AS (SELECT ExporterName, DstPort, count(*) AS c
