@@ -46,12 +46,37 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2f s  ($n rows)")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the tail of stdout, so the printed line must
+    // stay well under 2000 chars: report a headline subset inline (one
+    // query per major area) and dump the complete per-query map to
+    // BENCH_DETAIL.json next to the build.
+    val headlinePairs = results.filter { case (k, _) => headline(k) }
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
+      s""","n_queries":${results.size},"queries":${fmt(headlinePairs)}""" +
+      s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
+        s""","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
+
+  /** Headline subset reported inline — one representative query per major
+    * area (line/sankey/widgets, routing, sketches, dedup, similarity,
+    * text pipeline). The full map goes to BENCH_DETAIL.json.
+    */
+  private val headline: Set[String] = Set(
+    "q_line", "q_line_bidir", "q_line_raw", "q_sankey", "q_widget_top",
+    "q_gapfill", "q_rollup_reagg", "q_filter_dsl", "q_lpm_lookup",
+    "q_topk_sketch", "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_clusters", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+    "q_text_stats", "q_lang_id", "q_tfidf_top", "q_decontam",
+    "q_seq_pack", "q_pii_scrub", "q_multimodal")
 
   /** JIT/codegen warmers for the operator shapes the queries compile:
     * tiny inputs, no persists, plans distinct from every measured query.
