@@ -43,6 +43,9 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // release this query's scratch persists so cached partials never
+      // accumulate across the run (outside the timed window)
+      ScratchCache.releaseAll(spark)
       System.err.println(f"[bench] $name%-22s $sec%8.2f s  ($n rows)")
       name -> sec
     }

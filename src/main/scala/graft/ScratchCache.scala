@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Registry of query-scoped scratch persists.
+  *
+  * Aggregate-first query paths (LineQuery, SankeyQuery) and multi-pass
+  * operators (Dedup, SequencePacking, Decontamination) persist a bounded
+  * intermediate so the ranking job and the final series derive from one
+  * fact scan. A persisted `Dataset` holds executor block-manager memory
+  * until someone unpersists it — and the builder returning a lazy
+  * DataFrame cannot know when its consumer is done. Left alone, a
+  * long-lived session (the console API, a bench loop, any notebook)
+  * accumulates dead cache entries until real workloads fight eviction
+  * churn; on a shared 1000-executor cluster that is unbounded storage
+  * growth.
+  *
+  * So scratch persists register here instead of calling
+  * `Dataset.persist` directly, and each execution entry point releases
+  * them once the query's terminal action has run:
+  * [[graft.Bench]]/[[graft.Verify]] after each query, the console API
+  * after each request (its handlers collect driver-side, so the result
+  * no longer references the cache). Long-lived deliberate caches (none
+  * today — `EventFlows` intentionally stays a lazy projection) simply
+  * keep using `persist` and are untouched by [[releaseAll]].
+  */
+object ScratchCache {
+  private val tracked: java.util.Set[Dataset[_]] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
+
+  /** Persist `ds` (recomputable lineage — executor loss recomputes) and
+    * register it for the next [[releaseAll]] of its session.
+    */
+  def persist[T](ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
+    tracked.add(ds)
+    ds
+  }
+
+  /** Unpersist every tracked dataset belonging to `spark`. Non-blocking:
+    * block removal proceeds in the background while the next query plans.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val ds = it.next()
+      if (ds.sparkSession eq spark) {
+        try ds.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () } // session stopped
+        it.remove()
+      }
+    }
+  }
+}

@@ -74,6 +74,11 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
           val err = mapper.createObjectNode()
           err.put("error", Option(e.getMessage).getOrElse(e.getClass.getName))
           (400, mapper.writeValueAsBytes(err))
+      } finally {
+        // handlers collect driver-side before responding, so the query's
+        // scratch persists are dead once f returns — release them here
+        // rather than letting a long-lived server accumulate cache
+        graft.ScratchCache.releaseAll(spark)
       }
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(out._1, out._2.length)

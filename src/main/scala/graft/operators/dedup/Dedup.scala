@@ -2,7 +2,6 @@ package graft.operators.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.expressions.Sketches
 import graft.operators.text.TextAnalysis
 
@@ -58,11 +57,10 @@ object Dedup {
     // rows carry only the 8-byte shingle hashes (64-bit collisions are
     // negligible), not the shingle strings — ~20× less cached/shuffled
     // payload per document
-    val shingled = df
+    val shingled = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("sh")) > 0))
     // inverted index on the hashed shingles
     val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
     val filtered = maxShingleDf match {
@@ -133,11 +131,10 @@ object Dedup {
     // verification; the persisted rows carry 8-byte shingle hashes, not
     // strings (64-bit collisions are negligible for both the signature
     // and the verification intersect)
-    val shingled = df
+    val shingled = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("sh")) > 0))
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
         transform(col("sh"), s => pmod(s, lit(P))), pa, pb).as("sig"))
@@ -186,12 +183,11 @@ object Dedup {
     val (pa, pb) = hashParams(k, seed)
     def hash48(s: Column): Column =
       conv(substring(md5(s), 1, 12), 16, 10).cast("long")
-    val shingled = df
+    val shingled = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         array_distinct(
           transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("sh")) > 0))
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
         transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
@@ -243,10 +239,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // one tokenize+shingle+simhash pass; the blocking self-join reuses it
-    val withSim = df
+    val withSim = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
-        simhash(TextAnalysis.shingles(col(textCol))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        simhash(TextAnalysis.shingles(col(textCol))).as("sh")))
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -277,12 +272,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     def hash48(s: Column): Column =
       conv(substring(md5(s), 1, 12), 16, 10).cast("long")
-    val withSim = df
+    val withSim = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol)), hash48(_)).as("hs"))
       .where(size(col("hs")) > 0)
-      .select(col("id"), Sketches.simhash64(col("hs")).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), Sketches.simhash64(col("hs")).as("sh")))
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 3).map(c =>
         struct(lit(c).as("chunk"),

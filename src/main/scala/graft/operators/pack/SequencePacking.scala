@@ -3,7 +3,6 @@ package graft.operators.pack
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Concat-and-chunk sequence packing: documents are laid end-to-end in a
   * deterministic order and cut into fixed-size token windows — the
@@ -35,10 +34,10 @@ object SequencePacking {
     require(windowTokens > 0 && shardSize > 0)
     // materialize once: the window branch and the shard-totals branch both
     // consume this (possibly expensive) upstream projection
-    val base = df.select(col(idCol).cast("long").as("id"),
-        col(tokensCol).cast("long").as("toks"))
-      .withColumn("shard", expr(s"id div $shardSize"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = graft.ScratchCache.persist(
+      df.select(col(idCol).cast("long").as("id"),
+          col(tokensCol).cast("long").as("toks"))
+        .withColumn("shard", expr(s"id div $shardSize")))
     // phase 1: per-shard inclusive cumsum (parallel across shards)
     val wLocal = Window.partitionBy("shard").orderBy("id")
     val local = base.withColumn("local_end", sum("toks").over(wLocal))

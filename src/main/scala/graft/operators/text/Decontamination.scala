@@ -47,9 +47,8 @@ object Decontamination {
   def overlapBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val bench = grams(benchmark, idCol, textCol, n)
-      .select(col("id").as("bench_id"), col("g")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = graft.ScratchCache.persist(grams(benchmark, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("g")).distinct())
     val distinctGrams = bench.select("g").distinct()
     val nGrams = math.max(1L, distinctGrams.count())
     val bf = distinctGrams.stat.bloomFilter("g", nGrams, fpp)

@@ -3,7 +3,6 @@ package graft.queryengine
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.filter.{CompiledFilter, FilterCompiler, FilterParseError}
 import graft.schema.Schema
 
@@ -128,10 +127,9 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       val w = unitOf(sp).rowWeight.get
       val rangeStart = new Timestamp(in.start.getTime - sp.shiftSec * 1000)
       val rangeEnd = new Timestamp(in.end.getTime - sp.shiftSec * 1000)
-      val perBD = scanFor(sp)
+      val perBD = graft.ScratchCache.persist(scanFor(sp)
         .groupBy(bucketFor(sp).as("time_s") +: dims.map(col): _*)
-        .agg(sum(w).as("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(sum(w).as("w")))
       val ranked = (in.limitType match {
         case "avg" => perBD.groupBy(dims.map(col): _*).agg(sum("w").as("tw"))
         case _ => perBD.groupBy(dims.map(col): _*).agg(max("w").as("tw"))
@@ -287,13 +285,12 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     // lineage) so the ranking
     // job and the final series derive from it without re-scanning (integer
     // weights — sum-of-partials is exact)
-    val rows = base
+    val rows = graft.ScratchCache.persist(base
       .select(explode(array(axisStructs: _*)).as("e"))
       .where(col("e.keep"))
       .groupBy(col("e.axis").as("axis"), col("e.time_s").as("time_s"),
         col("e.ds").as("ds"))
-      .agg(sum(col("e.w")).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(sum(col("e.w")).as("w")))
 
     val otherArray = array(in.dimensions.map(_ => lit("Other")): _*)
 

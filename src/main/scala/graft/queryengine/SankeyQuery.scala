@@ -3,7 +3,6 @@ package graft.queryengine
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.filter.FilterCompiler
 import graft.schema.Schema
 
@@ -49,10 +48,9 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // (integer weights, so
     // sum-of-partials is exact). Ratio units keep the two-scan shape.
     val perDims = unit.rowWeight.map { w =>
-      scan.groupBy(in.dimensions.map(col): _*)
+      graft.ScratchCache.persist(scan.groupBy(in.dimensions.map(col): _*)
         .agg(sum(w).as("w"),
-          max(col("TimeReceived")).as("tmax"), min(col("TimeReceived")).as("tmin"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          max(col("TimeReceived")).as("tmax"), min(col("TimeReceived")).as("tmin")))
     }
 
     // ONE collected job for both driver-side scalars: the top row tuples
