@@ -96,6 +96,22 @@ object Sampling {
       .drop("_shuffle_h")
   }
 
+  /** Deterministic PER-ROW Bernoulli keep with probability `weightPpm/1e6`
+    * — quality-weighted downsampling (keep good documents with high
+    * probability, noisy ones with low) where [[mixtureCopies]] weights
+    * whole strata. Same integer construction: the row's salted content
+    * hash yields a 24-bit slice `h`, and the row survives iff
+    * `h·1e6 < weightPpm·2²⁴` (cross-multiplied — no floats anywhere, so
+    * an SQL oracle reproduces every keep decision bit-exactly).
+    * Deterministic across runs, engines, and partitionings; re-salting
+    * redraws (epoch = salt). Pure projection — no shuffle.
+    */
+  def weightedKeep(key: Column, weightPpm: Column, salt: String = ""): Column = {
+    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 6),
+      16, 10).cast("long")
+    h * 1000000L < weightPpm.cast("long") * 16777216L
+  }
+
   /** Deterministic mixture weighting (data mixing): how many copies of a
     * row its stratum's weight produces. A weight of `w` ppm (1e6 = keep
     * exactly once) yields `floor(w/1e6)` guaranteed copies plus one more

@@ -228,6 +228,42 @@ object TextAnalysis {
       .withColumn("dup_frac_ppm", expr("dup_grams * 1000000 div grams"))
   }
 
+  /** Character trigrams of the lowercased text, positional (with
+    * multiplicity — this is an occurrence stream, not a set). Empty for
+    * texts shorter than 3 chars (guarded: Spark's `sequence(1, n)` runs
+    * DESCENDING when n < 1, which would fabricate trigrams).
+    */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(text)
+    when(char_length(t) >= 3,
+      transform(sequence(lit(1), char_length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rare-trigram ratio — a model-free gibberish/quality signal: the
+    * fraction (ppm) of a document's character-trigram OCCURRENCES whose
+    * corpus-wide occurrence count is ≤ `maxCount`. Natural language reuses
+    * a small trigram inventory; random bytes, mojibake, and OCR noise sit
+    * in the long tail, so a high rare ratio flags junk the word-level
+    * quality heuristics miss.
+    *
+    * Scale shape: pass 1 aggregates trigram counts — the result is
+    * bounded by the charset cubed, NOT the corpus size, so pass 2 joins
+    * it back BROADCAST: the corpus itself never shuffles. The ratio is
+    * integer ppm — an SQL oracle reproduces it bit-exactly.
+    */
+  def rareTrigramStats(df: DataFrame, idCol: String, textCol: String,
+      maxCount: Long = 2L): DataFrame = {
+    val tris = df.select(col(idCol).as("doc_id"),
+      explode(charTrigrams(col(textCol))).as("g"))
+    val counts = tris.groupBy("g").agg(count(lit(1)).as("c"))
+    tris.join(broadcast(counts), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_tris"),
+        sum(when(col("c") <= maxCount, 1L).otherwise(0L)).as("rare_tris"))
+      .withColumn("rare_ppm", expr("rare_tris * 1000000 div total_tris"))
+  }
+
   /** Convenience: attach all analysis columns to a documents DataFrame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

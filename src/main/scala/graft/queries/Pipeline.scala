@@ -312,7 +312,43 @@ object Pipeline {
       Multimodal.sampleFrames(
         Multimodal.fromDocuments(s, docs(s, dir)), frameBytes = 64, stride = 4)
         .select(col("media_id"), col("frame_idx"),
-          md5(col("frame")).as("frame_md5")))
+          md5(col("frame")).as("frame_md5"))),
+
+    // rare-character-trigram ratio: corpus trigram counts broadcast back
+    // over the occurrence stream — a gibberish signal word-level quality
+    // heuristics miss
+    "q_rare_trigram" -> ((s, dir) =>
+      TextAnalysis.rareTrigramStats(docs(s, dir), "doc_id", "text",
+        maxCount = 2L)),
+
+    // quality-weighted deterministic Bernoulli sampling: keep probability
+    // rises with estimated token count (capped at 1), every keep decision
+    // a pure integer hash comparison
+    "q_weighted_sample" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      val wppm = least(lit(1000000L),
+        TextAnalysis.tokenEstimate(col("text")).cast("long") * 2000L)
+      docs(s, dir)
+        .withColumn("weight_ppm", wppm)
+        .where(Sampling.weightedKeep(col("doc_id"), col("weight_ppm"), "e1"))
+        .select(col("doc_id"), col("weight_ppm"))
+    }),
+
+    // per-source exact-duplicate rate (dedup reporting): a doc is a dup
+    // when an earlier doc_id carries identical content
+    "q_dup_rate" -> ((s, dir) => {
+      val keeper = docs(s, dir)
+        .select(sha2(col("text"), 256).as("h"), col("doc_id"))
+        .groupBy("h").agg(min("doc_id").as("keeper"))
+      docs(s, dir)
+        .select(col("source"), sha2(col("text"), 256).as("h"), col("doc_id"))
+        .join(keeper, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,6 +850,46 @@ object Pipeline {
         |  CAST(16 + ord(substr(text, 2, 1)) % 64 * 16 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 240 + 1
         |       ELSE 1 END AS INT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_rare_trigram" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |tri AS (SELECT doc_id,
+        |    unnest([substr(t, i, 3)
+        |            for i in range(1, greatest(length(t) - 2, 0) + 1)]) AS g
+        |  FROM d),
+        |cnt AS (SELECT g, count(*) AS c FROM tri GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_tris,
+        |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tris,
+        |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS rare_ppm
+        |FROM tri JOIN cnt USING (g)
+        |GROUP BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    least(1000000, CAST(list_sum(list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      t -> 1 + length(t) // 6)) AS BIGINT) * 2000) AS weight_ppm,
+        |    md5(CAST(doc_id AS VARCHAR) || 'e1') AS h
+        |  FROM documents),
+        |v AS (SELECT doc_id, weight_ppm,
+        |    CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*1048576
+        |      + (strpos('0123456789abcdef', substr(h,2,1))-1)*65536
+        |      + (strpos('0123456789abcdef', substr(h,3,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(h,4,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(h,5,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(h,6,1))-1) AS BIGINT) AS hv
+        |  FROM d)
+        |SELECT doc_id, weight_ppm FROM v
+        |WHERE hv * 1000000 < weight_ppm * 16777216""".stripMargin,
+    "q_dup_rate" ->
+      """WITH c AS (SELECT source, doc_id, sha256(text) AS ch FROM documents),
+        |k AS (SELECT ch, min(doc_id) AS keeper FROM c GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS dup_ppm
+        |FROM c JOIN k USING (ch)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -483,6 +483,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("char trigrams stream occurrences and guard short texts") {
+    val df = Seq((1L, "Abcd"), (2L, "ab"), (3L, "aaaa")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.charTrigrams(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Seq("abc", "bcd")), // lowercased, positional
+      (2L, Seq.empty),         // < 3 chars: no descending-sequence artifact
+      (3L, Seq("aaa", "aaa")))) // multiplicity kept — occurrences, not a set
+  }
+
+  test("rare trigram ratio separates gibberish from repeated language") {
+    val common = "the cat sat on the mat and the cat sat again"
+    val df = Seq(
+      (1L, common), (2L, common), (3L, common), // trigrams all frequent
+      (4L, "qzx jvq wxk zzq pqv")).toDF("doc_id", "text") // unique junk
+    val out = TextAnalysis.rareTrigramStats(df, "doc_id", "text", maxCount = 2L)
+      .select("doc_id", "rare_ppm").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 0L)
+    assert(out(4L) == 1000000L, s"junk doc should be all-rare: ${out(4L)}")
+  }
+
+  test("weighted keep tracks the weight and stays deterministic") {
+    import graft.operators.similarity.Sampling
+    val df = (0L until 4000L).map(i => (i, (i % 4) * 250000L + 125000L))
+      .toDF("id", "w") // weights 12.5%, 37.5%, 62.5%, 87.5%
+    def kept(salt: String) = df
+      .where(Sampling.weightedKeep(col("id"), col("w"), salt))
+      .select("id", "w").as[(Long, Long)].collect()
+    val a = kept("s1")
+    val rates = a.groupBy(_._2).map { case (w, rows) => w -> rows.length }
+    // each stratum has 1000 rows; observed keep rate tracks w/1e6
+    Seq(125000L -> 125, 375000L -> 375, 625000L -> 625, 875000L -> 875)
+      .foreach { case (w, exp) =>
+        val n = rates.getOrElse(w, 0)
+        assert(math.abs(n - exp) < 60, s"w=$w kept $n expected ~$exp")
+      }
+    assert(kept("s1").sortBy(_._1).toSeq == a.sortBy(_._1).toSeq) // same salt
+    assert(kept("s2").map(_._1).toSet != a.map(_._1).toSet) // epoch redraw
+  }
+
   test("sequence packing matches a single-pass cumulative sum") {
     import graft.operators.pack.SequencePacking
     val rnd = new scala.util.Random(7)
