@@ -316,9 +316,24 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint registers its materialized blocks as a persistent
+    // RDD; track the ids each checkpoint creates so blocks free as soon
+    // as their last consumer has run — without this the loop accumulates
+    // maxIter copies of the label table in executor storage (at 10⁹
+    // nodes that is hundreds of GB of dead blocks cluster-wide)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint() // eager: blocks exist on return
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): scala.Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // materialize the (possibly expensive) pair pipeline exactly once
-    val p0 = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b")).localCheckpoint()
+    val (p0, p0Ids) = checkpointTracked(
+      pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b")))
     // small graphs resolve on the driver: near-dup edge sets are usually
     // tiny relative to the corpus, and union-find on ≤1M collected edges
     // beats N iteration jobs; the distributed loop below is the path for
@@ -340,15 +355,19 @@ object Dedup {
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
+      free(p0Ids) // the collected edge list was p0's last consumer
       return seen.toSeq.map(n => (n, find(n))).toDF("id", "cluster")
     }
-    val edges = p0.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    val (edges, edgeIds) = checkpointTracked(
+      p0.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(p0.select(col("b").as("src"), col("a").as("dst")))
+        .distinct())
+    free(p0Ids) // edges is materialized; p0's blocks are dead
+    val (labels0, ids0) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
+    var labels = labels0
+    var prevIds = ids0
     // labels only ever decrease, so Σcluster strictly decreases until the
     // fixpoint — convergence is one cheap scan of the checkpointed labels,
     // no old-vs-new join
@@ -368,19 +387,23 @@ object Dedup {
             .as("cluster"))
       // path compression (pointer jumping): cluster(n) ← cluster(cluster(n))
       // — doubles propagation distance per round, log(diameter) rounds
-      val next = stepped.as("l")
+      val (next, nextIds) = checkpointTracked(stepped.as("l")
         .join(stepped.select(col("id").as("cid"), col("cluster").as("cc")).as("p"),
           col("l.cluster") === col("cid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.cluster"), coalesce(col("cc"), col("l.cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+            .as("cluster")))
       val s = labelSum(next)
+      // next's blocks are live; the previous round's label table is now
+      // unreachable by any future computation — drop its blocks
+      free(prevIds)
+      prevIds = nextIds
       labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
-    labels
+    free(edgeIds) // the loop was the edge table's last consumer
+    labels // still checkpointed: the caller's result, bounded-lineage
   }
 }

@@ -133,6 +133,21 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial+final count aggregation:\n$p")
   }
 
+  test("q_rare_trigram broadcasts the bounded count table") {
+    val p = plan("q_rare_trigram")
+    // the trigram-count side is bounded by the charset cubed, so the
+    // occurrence stream must probe it broadcast — a sort-merge join here
+    // would shuffle the whole corpus twice
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_weighted_sample is a joinless exchange-free projection") {
+    val p = plan("q_weighted_sample")
+    assert(!p.contains("Join"))
+    assert(!p.contains("Exchange"), "keep decisions are per-row hash math")
+  }
+
   test("q_pii_scrub and q_repetition stay joinless and exchange-free") {
     Seq("q_pii_scrub", "q_repetition").foreach { q =>
       val p = plan(q)

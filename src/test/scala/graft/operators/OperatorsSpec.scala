@@ -147,9 +147,14 @@ class DedupSpec extends SparkSpec {
     }).toDF("id_a", "id_b")
     val viaDriver = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val viaLoop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(viaDriver == viaLoop)
+    // every superseded iteration checkpoint must be freed: only the
+    // returned label table's blocks may remain registered
+    val leaked = spark.sparkContext.getPersistentRDDs.size - rddsBefore
+    assert(leaked <= 1, s"$leaked checkpoint RDDs left registered")
   }
 
   test("simhash flags identical token multisets, not distinct docs") {
