@@ -265,6 +265,64 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Character n-grams of a string, positional (an occurrence stream — NOT
+  * deduped, unlike [[WordShingles]]), in one O(len) pass over the UTF-8
+  * bytes. The composed form (`transform(sequence(1, len-2), i =>
+  * substr(t, i, 3))`) is quadratic per document: `substr` on UTF-8 has no
+  * O(1) character index, so extracting position i costs O(i) — measured
+  * ~4 s for 1.5 M trigrams where this expression takes milliseconds.
+  * Walks character boundaries once, then emits each window as a byte
+  * slice. Strings shorter than n yield an empty array.
+  */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams needs string, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bytes = input.getBytes
+    val len = bytes.length
+    // char start offsets (offs(c) = byte offset of char c; offs(chars)=len)
+    val offs = new Array[Int](len + 1)
+    var i = 0
+    var chars = 0
+    while (i < len) {
+      offs(chars) = i
+      chars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(chars) = len
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](chars - n + 1)
+    var k = 0
+    while (k <= chars - n) {
+      out(k) = UTF8String.fromBytes(bytes, offs(k), offs(k + n) - offs(k))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one virtual call per row into [[compute]]; the child stays inside
+    // the surrounding whole-stage-codegen'd projection
+    val ref = ctx.addReferenceObj("ngrammer", this, classOf[CharNGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNGrams =
+    copy(child = c)
+}
+
 /** SQL registration for the native expressions whose parameters are
   * expressible as SQL arguments — after [[GraftFunctions.registerAll]],
   * `spark.sql("SELECT simhash64(...), word_shingles(..., 3), ...")` works
@@ -280,6 +338,8 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "word_shingles",
       args => WordShingles(args.head, intLit(args(1), "n")))
+    GraftBridge.registerFunction(spark, "char_ngrams",
+      args => CharNGrams(args.head, intLit(args(1), "n")))
     GraftBridge.registerFunction(spark, "simhash64",
       args => SimHash64(args.head))
     GraftBridge.registerFunction(spark, "rolling_hash64",
@@ -372,6 +432,10 @@ object Sketches {
   /** Column API for [[WordShingles]]. */
   def wordShingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+
+  /** Column API for [[CharNGrams]]. */
+  def charNGrams(text: Column, n: Int): Column =
+    column(CharNGrams(expression(text), n))
 
   /** Column API for [[DotProduct]]. */
   def dotProduct(a: Column, b: Column): Column =

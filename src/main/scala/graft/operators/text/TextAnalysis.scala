@@ -229,16 +229,14 @@ object TextAnalysis {
   }
 
   /** Character trigrams of the lowercased text, positional (with
-    * multiplicity — this is an occurrence stream, not a set). Empty for
-    * texts shorter than 3 chars (guarded: Spark's `sequence(1, n)` runs
-    * DESCENDING when n < 1, which would fabricate trigrams).
+    * multiplicity — this is an occurrence stream, not a set). Native
+    * one-pass expression ([[graft.expressions.CharNGrams]]): the composed
+    * `transform(sequence(...), i => substr(t, i, 3))` form is quadratic
+    * per document because UTF-8 `substr` has no O(1) character index.
+    * Texts shorter than 3 chars yield an empty array.
     */
-  def charTrigrams(text: Column): Column = {
-    val t = lower(text)
-    when(char_length(t) >= 3,
-      transform(sequence(lit(1), char_length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def charTrigrams(text: Column): Column =
+    graft.expressions.Sketches.charNGrams(lower(text), 3)
 
   /** Rare-trigram ratio — a model-free gibberish/quality signal: the
     * fraction (ppm) of a document's character-trigram OCCURRENCES whose
@@ -254,6 +252,11 @@ object TextAnalysis {
     */
   def rareTrigramStats(df: DataFrame, idCol: String, textCol: String,
       maxCount: Long = 2L): DataFrame = {
+    // two passes over the corpus, both reducing map-side to the tiny
+    // trigram inventory / doc count before any shuffle. The occurrence
+    // stream is re-extracted on the second pass rather than cached:
+    // extraction is one cheap codegen'd pass, while caching it would hold
+    // a corpus-sized (several bytes per character) intermediate
     val tris = df.select(col(idCol).as("doc_id"),
       explode(charTrigrams(col(textCol))).as("g"))
     val counts = tris.groupBy("g").agg(count(lit(1)).as("c"))

@@ -132,4 +132,22 @@ class RollingHashSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(fps.size == 2)
   }
+
+  test("char ngrams slice by code point, not byte") {
+    val df = Seq("héllo", "ab", "日本語だ", "xyz").toDF("t")
+    val got = df.select(graft.expressions.Sketches.charNGrams(col("t"), 3))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("hél", "éll", "llo"),     // 2-byte é must not split
+      Seq.empty,                     // shorter than n
+      Seq("日本語", "本語だ"),        // 3-byte chars
+      Seq("xyz")))
+    // matches the substr-based composed form on multi-byte text
+    val composed = df.select(expr(
+      "CASE WHEN char_length(t) >= 3 THEN " +
+        "transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3)) " +
+        "ELSE array() END"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == composed)
+  }
 }
