@@ -191,6 +191,37 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** kNN majority-vote label prediction — the embedding-space analog of a
+    * fastText-style quality/domain classifier: each unlabeled document is
+    * assigned the label its k nearest labeled neighbors vote for. Used in
+    * training-data pipelines to propagate a small seed of human labels
+    * (quality tiers, domains, languages) across a 100 TB corpus.
+    *
+    * Votes tie-break by (more votes, better best-neighbor similarity,
+    * lower label), so predictions are deterministic and engine-portable.
+    * Scale shape: the corpus scan and per-query ranking are exactly
+    * [[bruteForce]] (broadcast queries, WindowGroupLimit before the qid
+    * shuffle); the label join and vote run over queries·k rows only.
+    *
+    * @param queries (qid, embedding) — unlabeled rows, broadcastable
+    * @param corpus  (id, embedding, label) — the labeled seed set
+    * @return (qid, pred_label, votes, best_sim_e6)
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val nn = bruteForce(queries, corpus, k, qidCol, idCol, embCol)
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("votes"), desc("best_sim_e6"), asc("pred_label"))
+    nn.join(corpus.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("pred_label")), "id")
+      .groupBy("qid", "pred_label")
+      .agg(count(lit(1)).as("votes"), max("sim_e6").as("best_sim_e6"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("qid"), col("pred_label"), col("votes"), col("best_sim_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b) with sim ≥ threshold
     * that collide in ≥1 of the L hash tables, exact-verified. High
     * thresholds make collision near-certain (p ≥ 1−θ/π → p^bits ≈ 1).

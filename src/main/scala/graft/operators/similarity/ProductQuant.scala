@@ -1,0 +1,128 @@
+package graft.operators.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expressions.Sketches
+
+/** Product quantization (PQ) for approximate nearest-neighbor search —
+  * the memory-compression scale path of the ANN family (complementing
+  * [[CosineSearch.lshTopK]]'s bucket pruning and [[CosineSearch.ivfTopK]]'s
+  * cell pruning): each vector is encoded as m sub-space code indices, so a
+  * 64×4-byte embedding becomes m bytes of codes and query scoring reads
+  * codes + a per-query lookup table instead of raw vectors. At 100 TB the
+  * encoded corpus is ~64× smaller than the float vectors — the difference
+  * between an in-memory scan and a disk-bound one. (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011.)
+  *
+  * Scale shape: the codebook is an m×ksub×dsub literal in the task
+  * closure (kilobytes); encoding is ONE codegen'd projection over the
+  * corpus (m independent argmins of ksub quantized L2 scores — no join,
+  * no shuffle, done once and stored at scale); search broadcasts the
+  * (small) query set with a per-query LUT of round(dot(q_j, cent) · 1e6)
+  * longs, and per-pair work is m array lookups + an integer sum — no
+  * float math per candidate at all. The integer LUT terms make scores
+  * bit-reproducible across engines regardless of summation order.
+  *
+  * Determinism: the codebook derives from the ksub lowest-id corpus rows
+  * (the same stand-in convention as [[CosineSearch.ivfTopK]]; training a
+  * real codebook per sub-space is [[KMeans.fit]] run m times offline).
+  * Sub-space argmin compares e6-quantized scores with ties to the lower
+  * code, so encodings are engine-portable and an SQL oracle matches
+  * bit-exactly.
+  */
+object ProductQuant {
+
+  /** codebook(j)(c) = sub-space j's c-th centroid (dsub doubles), taken
+    * from the ksub lowest-id corpus vectors.
+    */
+  def codebook(corpus: DataFrame, m: Int, ksub: Int, idCol: String = "id",
+      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val seeds = KMeans.seedCentroids(corpus, ksub, idCol, embCol)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Code expression for sub-space j: argmin over c of the quantized L2
+    * surrogate ‖cent‖² − 2·⟨sub, cent⟩ (the row's own ‖sub‖² divides out
+    * of the argmin). Ties go to the lower code.
+    */
+  private def subCode(sub: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, c) =>
+      val cc = cent.map(x => x * x).sum
+      struct(
+        round((lit(cc) - Sketches.dotProduct(sub, typedLit(cent.toSeq)) * 2) * 1e6)
+          .cast("long").as("d_e6"),
+        lit(c).as("code"))
+    }
+    element_at(sort_array(array(scored.toIndexedSeq: _*)), 1).getField("code")
+  }
+
+  /** Encode the corpus: (id, codes array<int> of length m). One projection;
+    * at scale this output IS the stored index.
+    */
+  def encode(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val v = col(embCol).cast("array<double>")
+    corpus.select(col(idCol).as("id"),
+      array((0 until m).map(j =>
+        subCode(slice(v, j * dsub + 1, dsub), cb(j))): _*).as("codes"))
+  }
+
+  /** Two-stage PQ search (the production IVFADC-style shape): stage 1
+    * retrieves each query's `rerank` best candidates by asymmetric
+    * distance — the encoded corpus scored against a per-query integer LUT,
+    * no float math per pair — and stage 2 re-ranks ONLY those candidates
+    * with the exact cosine, so the expensive float path touches
+    * queries·rerank rows instead of the corpus. Returns
+    * (qid, rank, id, sim_e6) with the exact similarity, like
+    * [[CosineSearch.bruteForce]] — the approximation affects WHICH
+    * candidates are seen, never the reported score.
+    *
+    * At 100 TB: stage 1 reads only the m-byte codes (the stored index);
+    * stage 2 fetches `rerank` full vectors per query by id — a selective
+    * broadcast join against the vector store, not a scan.
+    */
+  def search(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16, rerank: Int = 50, qidCol: String = "qid",
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val cb = codebook(corpus, m, ksub, idCol, embCol)
+    val dsub = cb.head.head.length
+    val enc = encode(corpus, cb, idCol, embCol)
+    val qv = col(embCol).cast("array<double>")
+    // per-query LUT: lut[j*ksub + c] = round(⟨q_j, cent_jc⟩ · 1e6)
+    val lut = array((for (j <- 0 until m; c <- 0 until ksub) yield
+      round(Sketches.dotProduct(slice(qv, j * dsub + 1, dsub),
+        typedLit(cb(j)(c).toSeq)) * 1e6).cast("long")): _*)
+    val q = queries.select(col(qidCol).as("qid"), lut.as("lut"),
+      qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"))
+    val adc = (0 until m).map(j =>
+      element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("qid").orderBy(desc("adc_e6"), asc("id"))
+    val cand = enc.crossJoin(broadcast(q.select("qid", "lut")))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), adc.as("adc_e6"))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select("qid", "id")
+    // exact re-rank over queries·rerank rows only
+    val cvec = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("cv"),
+      sqrt(Sketches.dotProduct(col(embCol).cast("array<double>"),
+        col(embCol).cast("array<double>"))).as("cv_n"))
+    val simE6 = round(Sketches.dotProduct(col("qv"), col("cv")) /
+      (col("qv_n") * col("cv_n")) * 1e6).cast("long")
+    val wK = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    cand.join(cvec, "id")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qv_n"))), "qid")
+      .select(col("qid"), col("id"), simE6.as("sim_e6"))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+}

@@ -200,6 +200,38 @@ object TextAnalysis {
         col("score_ppm"), col("rnk"))
   }
 
+  /** Per-document unigram-LM surprisal in integer bits — the KenLM-style
+    * perplexity-proxy quality signal: documents made of corpus-rare tokens
+    * score high (gibberish, OCR noise, foreign-language spill), documents
+    * of common tokens score low. The unigram probability is quantized to
+    * whole bits via exact integer log2 — `floor(log2(n)) = length(bin(n))-1`
+    * — so token surprisal = floor(log2(total)) − floor(log2(count)) bits,
+    * and every value is integer math that any engine reproduces bit-exactly
+    * (no float log, no summation-order sensitivity).
+    *
+    * Scale shape: same as [[tfidfTop]] — one corpus scan builds (doc, tok),
+    * the unigram table is a self-aggregation of it (heavy-tailed and
+    * unbounded, so the count join is left to Catalyst/AQE: broadcast at
+    * test scale, sort-merge at web scale), and the corpus total is a 1-row
+    * broadcast. The per-doc rollup reduces map-side before its exchange.
+    *
+    * @return (doc_id, n_toks, sum_bits, mean_bits_e3)
+    */
+  def surprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("total"))) - length(bin(col("c")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("bits").as("sum_bits"))
+      .withColumn("mean_bits_e3", expr("sum_bits * 1000 div n_toks"))
+  }
+
   /** Corpus-duplicate n-gram fraction per document (the RefinedWeb-style
     * cross-document repetition signal, complementing the *within*-document
     * [[ngramRepetition]]): for each document, how many of its distinct

@@ -24,6 +24,30 @@ object Pipeline {
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
+    // product-quantization ANN: codes + integer LUT scoring — the
+    // memory-compression scale path (64× smaller than float vectors)
+    "q_sim_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.similarity.ProductQuant.search(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("id"), col("embedding")), k = 5)
+    }),
+
+    // kNN majority-vote label propagation: seed labels (vec_id >= 50)
+    // classify the held-out head of the table
+    "q_knn_classify" -> ((s, dir) => {
+      val e = embs(s, dir)
+      CosineSearch.knnClassify(
+        e.where(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
+        e.where(col("vec_id") >= 50)
+          .select(col("vec_id").as("id"), col("embedding"), col("label")),
+        k = 5)
+    }),
+
+    // unigram-LM surprisal in exact integer bits (perplexity-proxy quality)
+    "q_surprisal" -> ((s, dir) =>
+      TextAnalysis.surprisal(docs(s, dir), "doc_id", "text")),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -352,6 +376,83 @@ object Pipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    // PQ is fully SQL-replicable: the codebook derives from the table
+    // (lowest-16 vec_ids, sliced into 4 sub-spaces), encoding compares
+    // e6-quantized L2 surrogates with the lower-code tiebreak, and the
+    // ADC score is a sum of integer LUT terms (order-insensitive)
+    "q_sim_pq" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |subn AS (SELECT j, c, list_slice(cb.v, j*16+1, j*16+16) AS sv,
+        |    list_dot_product(list_slice(cb.v, j*16+1, j*16+16),
+        |                     list_slice(cb.v, j*16+1, j*16+16)) AS cc
+        |  FROM cb, js),
+        |enc AS (SELECT id, j, c AS code FROM (
+        |  SELECT c0.id, s.j, s.c, row_number() OVER (PARTITION BY c0.id, s.j
+        |      ORDER BY CAST(round((s.cc - 2 * list_dot_product(
+        |        list_slice(c0.v, s.j*16+1, s.j*16+16), s.sv)) * 1000000)
+        |        AS BIGINT), s.c) AS rn
+        |  FROM c0, subn s) WHERE rn = 1),
+        |lut AS (SELECT q0.qid, s.j, s.c,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q0.v, s.j*16+1, s.j*16+16), s.sv) * 1000000)
+        |      AS BIGINT) AS w
+        |  FROM q0, subn s),
+        |sc AS (SELECT l.qid, e.id, CAST(sum(l.w) AS BIGINT) AS adc_e6
+        |  FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+        |  WHERE l.qid != e.id GROUP BY 1, 2),
+        |cand AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc_e6 DESC, id) AS arank
+        |  FROM sc) WHERE arank <= 50),
+        |rr AS (SELECT c.qid, c.id,
+        |    CAST(round(list_cosine_similarity(q0.v, c0.v) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM cand c JOIN q0 ON q0.qid = c.qid JOIN c0 ON c0.id = c.id)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+        |  SELECT qid, id, sim_e6, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin,
+    "q_knn_classify" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    CAST(label AS BIGINT) AS lbl
+        |  FROM embeddings WHERE vec_id >= 50),
+        |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |sims AS (SELECT qid, id, lbl,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM q0, c0 WHERE qid != id),
+        |nn AS (SELECT qid, lbl, sim_e6 FROM (
+        |  SELECT qid, lbl, sim_e6, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rnk
+        |  FROM sims) WHERE rnk <= 5),
+        |v AS (SELECT qid, lbl AS pred_label, CAST(count(*) AS BIGINT) AS votes,
+        |    max(sim_e6) AS best_sim_e6
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT qid, pred_label, votes, best_sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, best_sim_e6 DESC, pred_label) AS rn
+        |  FROM v) WHERE rn = 1""".stripMargin,
+    "q_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(length(bin(total)) - length(bin(c))) AS BIGINT) AS sum_bits,
+        |  CAST(sum(length(bin(total)) - length(bin(c))) * 1000 // count(*)
+        |    AS BIGINT) AS mean_bits_e3
+        |FROM tt JOIN c USING (tok) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS dup_count,
         |  min(doc_id) AS keeper
