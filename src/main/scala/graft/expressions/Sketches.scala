@@ -451,4 +451,12 @@ object Sketches {
   /** Column API for [[RollingHash64]]. */
   def rollingHash64(text: Column): Column =
     column(RollingHash64(expression(text)))
+
+  /** Column API for [[PqEncode]]. */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(vec), cb))
+
+  /** Column API for [[PqLut]]. */
+  def pqLut(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    column(PqLut(expression(vec), cb))
 }

@@ -45,33 +45,16 @@ object ProductQuant {
     Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
   }
 
-  /** Code expression for sub-space j: argmin over c of the quantized L2
-    * surrogate ‖cent‖² − 2·⟨sub, cent⟩ (the row's own ‖sub‖² divides out
-    * of the argmin). Ties go to the lower code.
-    */
-  private def subCode(sub: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (cent, c) =>
-      val cc = cent.map(x => x * x).sum
-      struct(
-        round((lit(cc) - Sketches.dotProduct(sub, typedLit(cent.toSeq)) * 2) * 1e6)
-          .cast("long").as("d_e6"),
-        lit(c).as("code"))
-    }
-    element_at(sort_array(array(scored.toIndexedSeq: _*)), 1).getField("code")
-  }
-
-  /** Encode the corpus: (id, codes array<int> of length m). One projection;
-    * at scale this output IS the stored index.
+  /** Encode the corpus: (id, codes array<int> of length m) via the
+    * one-pass native [[graft.expressions.PqEncode]] (the composed
+    * sort_array-of-rounded-dots form compiles m·ksub subtrees per row —
+    * identical output, 64× the generated code). One projection; at scale
+    * this output IS the stored index.
     */
   def encode(corpus: DataFrame, cb: Array[Array[Array[Double]]],
-      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    val m = cb.length
-    val dsub = cb.head.head.length
-    val v = col(embCol).cast("array<double>")
+      idCol: String = "id", embCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("id"),
-      array((0 until m).map(j =>
-        subCode(slice(v, j * dsub + 1, dsub), cb(j))): _*).as("codes"))
-  }
+      Sketches.pqEncode(col(embCol).cast("array<double>"), cb).as("codes"))
 
   /** Two-stage PQ search (the production IVFADC-style shape): stage 1
     * retrieves each query's `rerank` best candidates by asymmetric
@@ -91,14 +74,12 @@ object ProductQuant {
       ksub: Int = 16, rerank: Int = 50, qidCol: String = "qid",
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val cb = codebook(corpus, m, ksub, idCol, embCol)
-    val dsub = cb.head.head.length
     val enc = encode(corpus, cb, idCol, embCol)
     val qv = col(embCol).cast("array<double>")
-    // per-query LUT: lut[j*ksub + c] = round(⟨q_j, cent_jc⟩ · 1e6)
-    val lut = array((for (j <- 0 until m; c <- 0 until ksub) yield
-      round(Sketches.dotProduct(slice(qv, j * dsub + 1, dsub),
-        typedLit(cb(j)(c).toSeq)) * 1e6).cast("long")): _*)
-    val q = queries.select(col(qidCol).as("qid"), lut.as("lut"),
+    // per-query LUT: lut[j*ksub + c] = round(⟨q_j, cent_jc⟩ · 1e6), built
+    // by the one-pass native PqLut
+    val q = queries.select(col(qidCol).as("qid"),
+      Sketches.pqLut(qv, cb).as("lut"),
       qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"))
     val adc = (0 until m).map(j =>
       element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * ksub + 1)))

@@ -133,6 +133,36 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial+final count aggregation:\n$p")
   }
 
+  test("q_sim_pq broadcasts queries in both stages and bounds both ranks") {
+    val p = plan("q_sim_pq")
+    // stage 1: encoded corpus × broadcast LUTs; stage 2: candidate set ×
+    // broadcast query vectors — the corpus must never shuffle for either
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // both the ADC retrieve and the exact re-rank push their row_number
+    // limit below the qid exchange
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected group limits on both rank stages:\n$p")
+  }
+
+  test("q_knn_classify rides bruteForce's shape: broadcast + group limit") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+    // the vote is a partial-aggregated count over queries·k rows
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q_surprisal reduces the per-doc rollup before its exchange") {
+    val p = plan("q_surprisal")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row total must broadcast, not nest loops over the corpus")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregation for counts and rollup:\n$p")
+  }
+
   test("q_rare_trigram broadcasts the bounded count table") {
     val p = plan("q_rare_trigram")
     // the trigram-count side is bounded by the charset cubed, so the
