@@ -344,6 +344,8 @@ object GraftFunctions {
       args => SimHash64(args.head))
     GraftBridge.registerFunction(spark, "rolling_hash64",
       args => RollingHash64(args.head))
+    GraftBridge.registerFunction(spark, "normalize_text",
+      args => NormalizeText(args.head))
     GraftBridge.registerFunction(spark, "dot_product",
       args => DotProduct(args.head, args(1)))
     GraftBridge.registerFunction(spark, "ip_to_string",
@@ -451,6 +453,10 @@ object Sketches {
   /** Column API for [[RollingHash64]]. */
   def rollingHash64(text: Column): Column =
     column(RollingHash64(expression(text)))
+
+  /** Column API for [[NormalizeText]]. */
+  def normalizeText(text: Column): Column =
+    column(NormalizeText(expression(text)))
 
   /** Column API for [[PqEncode]]. */
   def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =

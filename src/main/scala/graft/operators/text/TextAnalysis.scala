@@ -232,6 +232,73 @@ object TextAnalysis {
       .withColumn("mean_bits_e3", expr("sum_bits * 1000 div n_toks"))
   }
 
+  /** First-occurrence n-gram novelty per document: treating ascending doc
+    * id as ingestion order, the fraction of a document's distinct 3-grams
+    * never seen in any earlier document. A corpus-freshness signal —
+    * sustained low novelty marks a crawl that has started re-reading
+    * itself; per-batch novelty curves drive dedup/stop decisions.
+    *
+    * Scale shape: one corpus scan builds the (doc, gram-hash) set
+    * ([[shingles]] dedups per doc in its pass); the gram's first doc is a
+    * self-aggregation (min over an 8-byte key, partial before its
+    * exchange), and "novel" is `first_doc == doc_id` after the join —
+    * the corpus never self-joins row-wise. Grams key by xxhash64 (the
+    * repo-wide 8-byte shuffle-key convention).
+    *
+    * @return (doc_id, grams, novel_grams, novelty_ppm)
+    */
+  def novelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(transform(shingles(col(textCol)), g => xxhash64(g))).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_ppm", expr("novel_grams * 1000000 div grams"))
+  }
+
+  /** Per-source token-distribution drift: total-variation distance between
+    * each source's unigram distribution and the corpus-wide one, in exact
+    * integer ppm — the domain-shift signal behind mixture re-weighting
+    * (a source whose distribution walks away from the corpus is changing
+    * character). TV = ½·Σ_t |p_s(t) − p(t)| needs the WHOLE vocabulary per
+    * source; tokens the source never emits contribute p(t), so the sum is
+    * decomposed as Σ_present (|p_s−p| − p) + Σ_vocab p — only the
+    * (source, token) pairs that exist are ever materialized, never the
+    * sources × vocabulary grid.
+    *
+    * All probabilities are integer ppm (truncating div, identical in any
+    * engine); both aggregations reduce map-side before their exchange and
+    * the two corpus-level tables join on the token (Catalyst/AQE picks
+    * broadcast vs sort-merge as the vocabulary grows).
+    *
+    * @return (source, n_toks, tv_ppm)
+    */
+  def sourceDrift(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("o"))
+    val t = toks.groupBy("tok").agg(count(lit(1)).as("tot"))
+    val s = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val allP = t.crossJoin(broadcast(n))
+      .agg(sum(expr("tot * 1000000 div n")).as("sum_p_ppm"))
+    st.join(t, "tok")
+      .join(broadcast(s), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        (abs(expr("o * 1000000 div n_s") - expr("tot * 1000000 div n")) -
+          expr("tot * 1000000 div n")).as("term"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_toks"), sum("term").as("present_term"))
+      .crossJoin(broadcast(allP))
+      .select(col("source"), col("n_toks"),
+        expr("(present_term + sum_p_ppm) div 2").as("tv_ppm"))
+  }
+
   /** Corpus-duplicate n-gram fraction per document (the RefinedWeb-style
     * cross-document repetition signal, complementing the *within*-document
     * [[ngramRepetition]]): for each document, how many of its distinct

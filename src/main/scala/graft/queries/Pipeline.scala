@@ -48,6 +48,24 @@ object Pipeline {
     "q_surprisal" -> ((s, dir) =>
       TextAnalysis.surprisal(docs(s, dir), "doc_id", "text")),
 
+    // first-occurrence 3-gram novelty in ingestion (doc_id) order
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.novelty(docs(s, dir), "doc_id", "text")),
+
+    // per-source unigram drift: integer-ppm total-variation distance
+    "q_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(docs(s, dir), "source", "text")),
+
+    // canonical normalization (NFC + casefold + whitespace collapse):
+    // the pre-dedup cleanup pass; md5 of the normalized text is the
+    // equality witness the oracle can reproduce
+    "q_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(graft.expressions.Sketches.normalizeText(col("text")))
+          .as("norm_md5"),
+        length(graft.expressions.Sketches.normalizeText(col("text")))
+          .cast("long").as("norm_chars"))),
+
     "q_doc_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -440,6 +458,46 @@ object Pipeline {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY votes DESC, best_sim_e6 DESC, pred_label) AS rn
         |  FROM v) WHERE rn = 1""".stripMargin,
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM sh JOIN fs USING (s) GROUP BY 1""".stripMargin,
+    "q_source_drift" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT source, tok FROM tk WHERE length(tok) > 0),
+        |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS o
+        |  FROM tt GROUP BY 1, 2),
+        |t AS (SELECT tok, CAST(count(*) AS BIGINT) AS tot FROM tt GROUP BY 1),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM tt GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tt),
+        |ap AS (SELECT CAST(sum(tot * 1000000 // n) AS BIGINT) AS sum_p_ppm
+        |  FROM t CROSS JOIN n),
+        |pres AS (SELECT st.source, max(s.n_s) AS n_toks,
+        |    CAST(sum(abs(o * 1000000 // n_s - tot * 1000000 // n)
+        |      - tot * 1000000 // n) AS BIGINT) AS present_term
+        |  FROM st JOIN t USING (tok) JOIN s USING (source) CROSS JOIN n
+        |  GROUP BY 1)
+        |SELECT source, n_toks,
+        |  CAST((present_term + sum_p_ppm) // 2 AS BIGINT) AS tv_ppm
+        |FROM pres CROSS JOIN ap""".stripMargin,
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\f\r ]+', ' ', 'g'))) AS norm_md5,
+        |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\f\r ]+', ' ', 'g'))) AS BIGINT) AS norm_chars
+        |FROM documents""".stripMargin,
     "q_surprisal" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -554,6 +554,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 3L, 3000L)))
   }
 
+  test("normalize_text composes, casefolds, collapses and trims") {
+    import graft.expressions.Sketches
+    val df = Seq(
+      (1L, "  Hello \t\n  World  "),
+      (2L, "hello world"),
+      (3L, "Café time")) // e + combining acute → NFC é
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Sketches.normalizeText(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "hello world")
+    assert(out(1L) == out(2L)) // spacing/case noise normalizes away
+    assert(out(3L) == "café time") // composed é, lowercased
+  }
+
+  test("novelty marks first-seen grams and repeats as stale") {
+    val df = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d} — all first here
+      (2L, "a b c d"),   // both grams already seen in doc 1
+      (3L, "a b c x"))   // "a b c" stale, "b c x" novel
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("grams"), r.getAs[Long]("novel_grams"),
+          r.getAs[Long]("novelty_ppm"))).toMap
+    assert(out(1L) == ((2L, 2L, 1000000L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((2L, 1L, 500000L)))
+  }
+
+  test("source drift is zero for identical sources, large for disjoint") {
+    val df = Seq(
+      ("s1", "x y"), ("s2", "x y"),   // identical unigram distributions
+      ("s3", "p q"))                  // disjoint vocabulary
+      .toDF("source", "text")
+    val out = TextAnalysis.sourceDrift(df, "source", "text").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_ppm")).toMap
+    // corpus: x,y 2/6 each; p,q 1/6 each
+    // s1: |1/2-1/3|·2 present + (1/6)·2 absent = 2/3 → TV = 1/3
+    assert(out("s1") == out("s2"))
+    assert(math.abs(out("s1") - 333333L) <= 2, s"got ${out("s1")}")
+    // s3: |1/2-1/6|·2 + (2/6)·2 = 4/3 → TV = 2/3
+    assert(math.abs(out("s3") - 666666L) <= 2, s"got ${out("s3")}")
+  }
+
   test("dup ngram stats measure cross-document gram sharing") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // grams: abc(abg? no..) — 2 grams
