@@ -96,6 +96,34 @@ object Sampling {
       .drop("_shuffle_h")
   }
 
+  /** Deterministic token-budget sampling per stratum (the "N tokens per
+    * domain" step of training-mix construction): each stratum's rows are
+    * taken in salted-content-hash order until the stratum's running token
+    * total reaches the budget. The greedy boundary rule is
+    * "starts-before-budget": a row is kept iff the tokens BEFORE it are
+    * under the budget, so the last kept row may overshoot (and every
+    * stratum with any rows keeps at least one — a budget smaller than one
+    * document still samples it rather than silently dropping the domain).
+    *
+    * Integer window cumsum in hash order — deterministic across runs,
+    * engines, and partitionings; re-salting redraws the sample (epoch =
+    * salt). One shuffle keyed by the stratum; the running sum is a window
+    * over each stratum partition.
+    *
+    * @return surviving rows plus `cum_toks` (running total INCLUDING the
+    *         row, in hash order)
+    */
+  def tokenBudget(df: org.apache.spark.sql.DataFrame, stratum: Column,
+      key: Column, tokens: Column, budget: Long,
+      salt: String = ""): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(md5(concat(key.cast("string"), lit(salt))), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_toks", sum(tokens.cast("long")).over(w))
+      .where(col("cum_toks") - tokens.cast("long") < budget)
+  }
+
   /** Deterministic PER-ROW Bernoulli keep with probability `weightPpm/1e6`
     * — quality-weighted downsampling (keep good documents with high
     * probability, noisy ones with low) where [[mixtureCopies]] weights

@@ -48,6 +48,37 @@ object Pipeline {
     "q_surprisal" -> ((s, dir) =>
       TextAnalysis.surprisal(docs(s, dir), "doc_id", "text")),
 
+    // token-budget sampling: ~1500 tokens per source, greedy in salted
+    // hash order (the "N tokens per domain" training-mix step)
+    "q_token_budget" -> ((s, dir) =>
+      graft.operators.similarity.Sampling.tokenBudget(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("toks")),
+        col("source"), col("doc_id"), col("toks"),
+        budget = 1500L, salt = "tb1")
+        .select("doc_id", "source", "toks", "cum_toks")),
+
+    // train/eval leakage audit: near-dup pairs (3-gram Jaccard ≥ 0.3)
+    // that straddle the content-hash split — an eval document with a
+    // near-copy in train invalidates the benchmark even though the exact
+    // split can never leak (identical text hashes to the same side)
+    "q_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3)
+      val splits = d.select(col("doc_id"),
+        TextAnalysis.splitLabel(col("text")).as("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .where(col("sa") =!= col("sb"))
+        .select(
+          when(col("sa") === "train", col("id_a")).otherwise(col("id_b"))
+            .as("train_id"),
+          when(col("sa") === "train", col("id_b")).otherwise(col("id_a"))
+            .as("eval_id"),
+          col("jaccard_pm"))
+    }),
+
     // first-occurrence 3-gram novelty in ingestion (doc_id) order
     "q_novelty" -> ((s, dir) =>
       TextAnalysis.novelty(docs(s, dir), "doc_id", "text")),
@@ -458,6 +489,38 @@ object Pipeline {
         |  SELECT *, row_number() OVER (PARTITION BY qid
         |    ORDER BY votes DESC, best_sim_e6 DESC, pred_label) AS rn
         |  FROM v) WHERE rn = 1""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, toks,
+        |    CAST(sum(toks) OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || 'tb1'), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        |  FROM d)
+        |SELECT doc_id, source, toks, cum_toks FROM c
+        |WHERE cum_toks - toks < 1500""".stripMargin,
+    "q_leakage" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |    CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000)
+        |      AS BIGINT) AS jaccard_pm
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.3),
+        |sp AS (SELECT doc_id, CASE WHEN substr(md5(text), 1, 1) < 'd'
+        |    THEN 'train' ELSE 'eval' END AS split FROM documents)
+        |SELECT CASE WHEN a.split = 'train' THEN id_a ELSE id_b END AS train_id,
+        |  CASE WHEN a.split = 'train' THEN id_b ELSE id_a END AS eval_id,
+        |  jaccard_pm
+        |FROM j JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id
+        |WHERE a.split != b.split""".stripMargin,
     "q_novelty" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),

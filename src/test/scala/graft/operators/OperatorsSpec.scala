@@ -670,6 +670,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept("s2").map(_._1).toSet != a.map(_._1).toSet) // epoch redraw
   }
 
+  test("token budget keeps hash-prefix rows until the budget is spent") {
+    import graft.operators.similarity.Sampling
+    val df = Seq(
+      (1L, "s1", 40L), (2L, "s1", 40L), (3L, "s1", 40L),
+      (4L, "s2", 500L)) // one oversized doc: still kept (starts at 0)
+      .toDF("doc_id", "source", "toks")
+    val out = Sampling.tokenBudget(df, col("source"), col("doc_id"),
+      col("toks"), budget = 100L, salt = "x")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // s1: hash order is deterministic; exactly ⌈100/40⌉ = 3 starts-before-
+    // budget slots → cum 40, 80, 120 → the third row STARTS at 80 < 100
+    assert(kept.count(Set(1L, 2L, 3L)) == 3)
+    assert(kept.contains(4L), "a stratum must keep at least one row")
+    // re-salting redraws but the budget invariant holds: every kept row
+    // starts below the budget
+    val resalt = Sampling.tokenBudget(df, col("source"), col("doc_id"),
+      col("toks"), budget = 80L, salt = "y")
+      .select(col("cum_toks") - col("toks")).as[Long].collect()
+    assert(resalt.forall(_ < 80L))
+  }
+
   test("sequence packing matches a single-pass cumulative sum") {
     import graft.operators.pack.SequencePacking
     val rnd = new scala.util.Random(7)

@@ -467,3 +467,44 @@ class StreamDedupSpec extends SparkSpec {
     assert(!spark.table("sdedup").columns.contains("__content_hash"))
   }
 }
+
+class StreamNearDupSpec extends SparkSpec {
+
+  test("near-dup candidates surface across batches with a stable keeper") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val base = "spark shuffles data across the cluster when wide dependencies appear " +
+      "and the scheduler plans stages from the lineage graph of the job"
+    val other = "completely unrelated content about cooking pasta with garlic " +
+      "and olive oil in a large pan over medium heat until golden"
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamNearDup.candidates(
+        mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "text",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    // batch 1: the keeper arrives alone — nothing emitted
+    mem.addData((ts("2024-03-01T00:00:00Z"), 1L, base))
+    q.processAllAvailable()
+    assert(spark.table("sneardup").isEmpty)
+    // batch 2: an exact dup and an unrelated doc — only the dup pairs,
+    // against state persisted from batch 1
+    mem.addData(
+      (ts("2024-03-01T00:00:30Z"), 2L, base),
+      (ts("2024-03-01T00:00:40Z"), 3L, other))
+    q.processAllAvailable()
+    val pairs = spark.table("sneardup")
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)), s"got $pairs")
+    // batch 3: a near dup (one appended word) still collides on >=1 band
+    mem.addData((ts("2024-03-01T00:01:00Z"), 4L, base + " sometimes"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sneardup")
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(all.contains((4L, 1L)), s"near dup missed: $all")
+    assert(!all.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+}
