@@ -232,6 +232,36 @@ object TextAnalysis {
       .withColumn("mean_bits_e3", expr("sum_bits * 1000 div n_toks"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's own top-K
+    * token vocabulary — the tokenizer-coverage signal: a document whose
+    * tokens mostly fall outside the frequency-truncated vocabulary will
+    * shatter into byte-level pieces under a trained tokenizer (OCR noise,
+    * foreign scripts, markup). Vocabulary ranking ties break by token
+    * string, so the cut is deterministic and engine-portable; the rate is
+    * integer ppm.
+    *
+    * Scale shape: the vocabulary is BOUNDED (top-K) — it broadcasts, so
+    * the membership probe never shuffles the token stream; the per-doc
+    * rollup reduces map-side. The ranking itself is one aggregation of
+    * the same scan plus a driver-size limit.
+    *
+    * @return (doc_id, n_toks, oov_toks, oov_ppm)
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_toks"))
+      .withColumn("oov_ppm", expr("oov_toks * 1000000 div n_toks"))
+  }
+
   /** First-occurrence n-gram novelty per document: treating ascending doc
     * id as ingestion order, the fraction of a document's distinct 3-grams
     * never seen in any earlier document. A corpus-freshness signal —

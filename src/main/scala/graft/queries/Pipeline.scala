@@ -79,6 +79,11 @@ object Pipeline {
           col("jaccard_pm"))
     }),
 
+    // OOV rate vs the corpus's top-500 token vocabulary (tokenizer
+    // coverage signal)
+    "q_oov" -> ((s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), "doc_id", "text", vocabSize = 500)),
+
     // first-occurrence 3-gram novelty in ingestion (doc_id) order
     "q_novelty" -> ((s, dir) =>
       TextAnalysis.novelty(docs(s, dir), "doc_id", "text")),
@@ -500,6 +505,21 @@ object Pipeline {
         |  FROM d)
         |SELECT doc_id, source, toks, cum_toks FROM c
         |WHERE cum_toks - toks < 1500""".stripMargin,
+    "q_oov" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tt AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS c FROM tt GROUP BY 1
+        |  ORDER BY c DESC, tok LIMIT 500))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_toks,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS oov_ppm
+        |FROM tt LEFT JOIN v ON tt.tok = v.tok
+        |GROUP BY 1""".stripMargin,
     "q_leakage" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),

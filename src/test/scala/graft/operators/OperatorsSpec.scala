@@ -568,6 +568,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == "café time") // composed é, lowercased
   }
 
+  test("oov rate flags tokens outside the truncated vocabulary") {
+    // vocab size 2 → {"a" (4x), "b" (3x)}; "zz"/"qq" are OOV
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a b a zz"), (3L, "zz qq"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("oov_toks"),
+          r.getAs[Long]("oov_ppm"))).toMap
+    assert(out(1L) == ((4L, 0L, 0L)))
+    assert(out(2L) == ((4L, 1L, 250000L)))
+    assert(out(3L) == ((2L, 2L, 1000000L)))
+  }
+
   test("novelty marks first-seen grams and repeats as stale") {
     val df = Seq(
       (1L, "a b c d"),   // grams {a b c, b c d} — all first here
