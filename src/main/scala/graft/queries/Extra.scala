@@ -194,6 +194,26 @@ object Extra {
       .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
   }
 
+  // --- J2 ip_trie layout: prefix-keyed custom dictionary resolved by LPM
+  // over SrcAddr (nested prefixes exercise parent-attribute inheritance:
+  // the /23 carries no zone and inherits the /16's) ---
+  val qCustomDictTrie: Q = (s, dir) => {
+    val spark = s
+    import spark.implicits._
+    val dictSource = Seq(
+      ("10.0.0.0/16", Some("base"), Some("z0")),
+      ("10.0.2.0/23", Some("mid"), None),
+      ("10.0.3.0/24", Some("top"), Some("z3")))
+      .toDF("prefix", "tier", "zone")
+    val dict = graft.schema.CustomDict("netzones", "SrcAddr", "prefix",
+      scala.collection.immutable.ListMap(
+        "tier" -> "SrcTier", "zone" -> "SrcZone"), default = "unknown")
+    graft.streaming.Enrichment
+      .withCustomDictTrie(EventFlows.flows(s, dir), dict, dictSource)
+      .groupBy("SrcTier", "SrcZone")
+      .agg(count(lit(1)).as("n"), sum("Bytes").as("bytes"))
+  }
+
   // --- P12: ALIAS (computed-on-read) columns via the schema view layer -----
   // SrcNetPrefix is never stored: the view attaches
   // ipToString(SrcAddr)/SrcNetMask at read (reference ALIAS columns,
@@ -313,12 +333,23 @@ object Extra {
     "q_custom_dict" -> qCustomDict,
     "q_alias_prefix" -> qAliasPrefix,
     "q_completion_values" -> qCompletionValues,
+    "q_custom_dict_trie" -> qCustomDictTrie,
     "q_sim_ivf" -> qSimIvf
   )
 
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    // the trie prefixes are chosen so LPM over the synthetic SrcAddr
+    // (10.0.(uid>>8).(uid&255)) reduces to exact integer CASE arithmetic
+    "q_custom_dict_trie" ->
+      """SELECT CASE WHEN user_id // 256 = 3 THEN 'top'
+        |            WHEN user_id // 256 = 2 THEN 'mid'
+        |            ELSE 'base' END AS SrcTier,
+        |  CASE WHEN user_id // 256 = 3 THEN 'z3' ELSE 'z0' END AS SrcZone,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT) + 40) AS BIGINT) AS bytes
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),

@@ -125,6 +125,37 @@ object Enrichment {
     }
   }
 
+  /** Custom dictionary with the reference's `ip_trie` layout (J2;
+    * `common/schema/config.go:93-104`): the dictionary key column holds
+    * CIDR prefixes and the flow key is a 16-byte address, so lookups are
+    * longest-prefix-match with parent-attribute inheritance — the same
+    * semantics as the networks join (J5), applied to user dictionaries.
+    *
+    * Joinless: the prefix table builds ONCE on the driver (inheritance
+    * flattened at build) and ships in the task closure; each address
+    * resolves by binary search + parent chain. The fact stream never
+    * shuffles — the equi-join path of [[withCustomDict]] covers hashed
+    * layouts, this covers the trie layout.
+    */
+  def withCustomDictTrie(flows: DataFrame, dict: graft.schema.CustomDict,
+      source: DataFrame): DataFrame = {
+    import graft.functions.Lpm
+    val attrIn = dict.attributes.keys.toSeq
+    val entries = source
+      .select(col(dict.dictKeyColumn).cast("string").as("__prefix") +:
+        attrIn.map(a => col(a).cast("string").as(a)): _*)
+      .collect().toSeq.map { r =>
+        Lpm.PrefixEntry(r.getAs[String]("__prefix"),
+          attrIn.flatMap(a => Option(r.getAs[String](a)).map(a -> _)).toMap)
+      }
+    val table = Lpm.Table.build(entries)
+    dict.attributes.foldLeft(flows) { case (d, (a, out)) =>
+      d.withColumn(out,
+        coalesce(Lpm.lookupAttr(table, a)(col(dict.keyColumn)),
+          lit(dict.default)))
+    }
+  }
+
   /** Validation (I7): drop flows with no sampling rate or zero packets;
     * attach named observers so drop causes are countable from the driver
     * (the Spark analogue of the reference's per-cause metrics).

@@ -116,6 +116,27 @@ class EnrichmentSpec extends SparkSpec {
     assert(byBytes(50L).getAs[String]("SrcNetName") == "corp")
   }
 
+  test("trie-layout custom dict resolves LPM with inheritance and default") {
+    val dictSource = Seq(
+      ("10.0.0.0/8", Some("corp"), Some("emea")),
+      ("10.1.0.0/16", Some("lab"), None)) // no region: inherits emea
+      .toDF("prefix", "team", "region")
+    val dict = graft.schema.CustomDict("teams", "SrcAddr", "prefix",
+      scala.collection.immutable.ListMap(
+        "team" -> "SrcTeam", "region" -> "SrcRegion"), default = "none")
+    val out = Enrichment.withCustomDictTrie(flows, dict, dictSource)
+      .collect().map(r => r.getAs[Long]("Bytes") -> r).toMap
+    // 10.1.2.3 → /16 (team overridden, region inherited from the /8)
+    assert(out(100L).getAs[String]("SrcTeam") == "lab")
+    assert(out(100L).getAs[String]("SrcRegion") == "emea")
+    // 10.9.9.9 → /8 only
+    assert(out(50L).getAs[String]("SrcTeam") == "corp")
+    // DstAddr 192.0.2.x is outside every prefix → default fills
+    val miss = Enrichment.withCustomDictTrie(flows,
+      dict.copy(keyColumn = "DstAddr"), dictSource).collect()
+    assert(miss.forall(_.getAs[String]("SrcTeam") == "none"))
+  }
+
   test("classifier rules: reject and first-match-wins") {
     val rules = Seq(
       Enrichment.Rule(col("Bytes") < 60, reject = true),
