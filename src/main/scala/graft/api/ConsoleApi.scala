@@ -29,10 +29,20 @@ import graft.schema.Schema
   */
 final class ConsoleApi(spark: SparkSession, schema: Schema,
     tables: Seq[FlowTable], port: Int = 0,
-    savedFilters: Option[graft.store.SavedFilters] = None) {
+    savedFilters: Option[graft.store.SavedFilters] = None,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** Response cache with the reference's TTL tiers: graph queries 3 h
+    * keyed by request body (`console/root.go:113-114`), widgets 5 s–5 min
+    * (`root.go:108-112`). Exposed for tests and cache-busting.
+    */
+  val cache = new ResponseCache(clock)
+  private val GraphTtlMs = 3L * 3600 * 1000
+  private val WidgetSlowTtlMs = 5L * 60 * 1000 // top/graph/exporters
+  private val WidgetFastTtlMs = 5L * 1000      // flow-rate / flow-last
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -89,6 +99,15 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   private def handle(path: String)(f: JsonNode => ObjectNode): Unit =
     context(path)(r => f(r.body))
 
+  /** [[handle]] behind the response cache: the key is the endpoint path
+    * plus the serialized request body (the reference keys on the body,
+    * `console/root.go:113`), so distinct queries cache independently.
+    */
+  private def handleCached(path: String, ttlMs: Long)(
+      f: JsonNode => ObjectNode): Unit =
+    context(path)(r =>
+      cache.getOrCompute(s"$path ${r.body.toString}", ttlMs)(f(r.body)))
+
   private def strings(node: JsonNode, field: String): Seq[String] =
     if (node.has(field)) {
       val it = node.get(field).elements()
@@ -97,7 +116,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       buf.toSeq
     } else Nil
 
-  handle("/api/v0/console/graph/line") { req =>
+  handleCached("/api/v0/console/graph/line", GraphTtlMs) { req =>
     val in = LineInput(
       start = ts(req, "start"),
       end = ts(req, "end"),
@@ -135,7 +154,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
-  handle("/api/v0/console/graph/sankey") { req =>
+  handleCached("/api/v0/console/graph/sankey", GraphTtlMs) { req =>
     val in = SankeyInput(
       start = ts(req, "start"),
       end = ts(req, "end"),
@@ -189,6 +208,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // widget; "now" anchors on the newest flow like the reference's scalar
   // subquery
   context("/api/v0/console/widget/top/") { req =>
+    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetSlowTtlMs) {
     val name = req.path.split("/").last
     val widgets = new Widgets(schema, tables)
     val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
@@ -200,12 +220,13 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       o.put("percent", r.getDouble(1))
     }
     resp
-  }
+  }}
 
   // GET /api/v0/console/widget/graph?points=N — single-series gap-filled
   // Gbps over the last 24 h before the newest flow (reference
   // widgets.go:250-292 anchors on the data, defaults to 200 points)
   context("/api/v0/console/widget/graph") { req =>
+    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetSlowTtlMs) {
     val points = req.params.get("points").map(_.toInt).getOrElse(200)
     val widgets = new Widgets(schema, tables)
     val now = widgets.dataNow()
@@ -219,9 +240,9 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       o.put("gbps", r.getDouble(1))
     }
     resp
-  }
+  }}
 
-  handle("/api/v0/console/widget/flow-rate") { _ =>
+  handleCached("/api/v0/console/widget/flow-rate", WidgetFastTtlMs) { _ =>
     val widgets = new Widgets(schema, tables)
     val rate = widgets.flowRate(spark, widgets.dataNow())
       .collect()(0).getDouble(0)
@@ -231,7 +252,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
-  handle("/api/v0/console/widget/flow-last") { _ =>
+  handleCached("/api/v0/console/widget/flow-last", WidgetFastTtlMs) { _ =>
     val widgets = new Widgets(schema, tables)
     val rows = widgets.flowLast(spark, widgets.dataNow()).collect()
     val resp = mapper.createObjectNode()
@@ -246,7 +267,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
-  handle("/api/v0/console/widget/exporters") { _ =>
+  handleCached("/api/v0/console/widget/exporters", WidgetSlowTtlMs) { _ =>
     val widgets = new Widgets(schema, tables)
     val resp = mapper.createObjectNode()
     val arr = resp.putArray("exporters")

@@ -232,6 +232,42 @@ object TextAnalysis {
       .withColumn("mean_bits_e3", expr("sum_bits * 1000 div n_toks"))
   }
 
+  /** Bigram-LM transition surprisal per document — the second-order
+    * companion of [[surprisal]]: each token transition (prev → next) costs
+    * floor(log2 count(prev·)) − floor(log2 count(prev→next)) bits, i.e.
+    * the integer-quantized −log2 of the CONDITIONAL probability. A
+    * document of common words in an uncommon order (shuffled text,
+    * keyword stuffing) scores high here while the unigram score stays
+    * low. Same `bin()` integer-log2 trick — exact in any engine.
+    *
+    * Transitions keep positional multiplicity (a transition repeated in a
+    * document counts every time), so the corpus tables are true bigram/
+    * context counts, not per-document sets.
+    *
+    * @return (doc_id, n_trans, sum_bits, mean_bits_e3)
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
+        explode(transform(
+          // sequence(1, 0) would DESCEND — guard short docs to an empty list
+          when(size(w) >= 2, sequence(lit(1), size(w) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => struct(element_at(w, i).as("prev"),
+            element_at(w, i + 1).as("next")))).as("p"))
+      .select(col("doc_id"), col("p.prev"), col("p.next"))
+      .where(length(col("prev")) > 0 && length(col("next")) > 0)
+    val pairCount = pairs.groupBy("prev", "next").agg(count(lit(1)).as("cp"))
+    val ctxCount = pairs.groupBy("prev").agg(count(lit(1)).as("cc"))
+    pairs.join(pairCount, Seq("prev", "next")).join(ctxCount, Seq("prev"))
+      .select(col("doc_id"),
+        (length(bin(col("cc"))) - length(bin(col("cp")))).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("bits").as("sum_bits"))
+      .withColumn("mean_bits_e3", expr("sum_bits * 1000 div n_trans"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own top-K
     * token vocabulary — the tokenizer-coverage signal: a document whose
     * tokens mostly fall outside the frequency-truncated vocabulary will

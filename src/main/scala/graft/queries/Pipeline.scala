@@ -79,6 +79,10 @@ object Pipeline {
           col("jaccard_pm"))
     }),
 
+    // bigram-LM conditional surprisal (order-sensitive quality signal)
+    "q_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     // OOV rate vs the corpus's top-500 token vocabulary (tokenizer
     // coverage signal)
     "q_oov" -> ((s, dir) =>
@@ -505,6 +509,24 @@ object Pipeline {
         |  FROM d)
         |SELECT doc_id, source, toks, cum_toks FROM c
         |WHERE cum_toks - toks < 1500""".stripMargin,
+    "q_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, w[i] AS prev, w[i+1] AS next
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+        |  WHERE len(w) >= 2),
+        |p AS (SELECT doc_id, prev, next FROM p0
+        |  WHERE length(prev) > 0 AND length(next) > 0),
+        |pc AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS cp
+        |  FROM p GROUP BY 1, 2),
+        |cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS cc
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |  CAST(sum(length(bin(cc)) - length(bin(cp))) AS BIGINT) AS sum_bits,
+        |  CAST(sum(length(bin(cc)) - length(bin(cp))) * 1000 // count(*)
+        |    AS BIGINT) AS mean_bits_e3
+        |FROM p JOIN pc USING (prev, next) JOIN cc USING (prev)
+        |GROUP BY 1""".stripMargin,
     "q_oov" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -134,6 +134,26 @@ class ConsoleApiSpec extends SparkSpec {
     assert(json.has("error"))
   }
 
+  test("graph responses cache by request body") {
+    api.cache.invalidateAll()
+    val body = """{"start":"2024-01-01T00:00:00Z","end":"2024-01-02T00:00:00Z",
+      |"points":5,"dimensions":[],"limit":2,"units":"fps"}""".stripMargin
+    val (c1, j1) = post("/api/v0/console/graph/line", body)
+    assert(c1 == 200)
+    assert(api.cache.size == 1) // stored under (path, body)
+    val (c2, j2) = post("/api/v0/console/graph/line", body)
+    assert(c2 == 200 && j1 == j2)
+    assert(api.cache.size == 1) // same key — no second entry
+    // a different body is a different key
+    val (c3, _) = post("/api/v0/console/graph/line",
+      body.replace("\"limit\":2", "\"limit\":3"))
+    assert(c3 == 200 && api.cache.size == 2)
+    // errors (400) never cache
+    val before = api.cache.size
+    val (c4, _) = post("/api/v0/console/graph/line", """{"start":"nope"}""")
+    assert(c4 == 400 && api.cache.size == before)
+  }
+
   override def afterAll(): Unit = {
     api.stop()
     super.afterAll()

@@ -1,0 +1,51 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResponseCacheSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private def node(v: String) = {
+    val n = mapper.createObjectNode(); n.put("v", v); n
+  }
+
+  test("hits within ttl, recomputes after expiry") {
+    var nowMs = 0L
+    val cache = new ResponseCache(() => nowMs)
+    var computes = 0
+    def get() = cache.getOrCompute("k", ttlMs = 100) { computes += 1; node("a") }
+    assert(get().get("v").asText == "a" && computes == 1)
+    nowMs = 99
+    assert(get().get("v").asText == "a" && computes == 1) // cache hit
+    nowMs = 100
+    assert(get().get("v").asText == "a" && computes == 2) // expired
+  }
+
+  test("keys cache independently; ttl<=0 bypasses") {
+    var nowMs = 0L
+    val cache = new ResponseCache(() => nowMs)
+    var computes = 0
+    cache.getOrCompute("a", 100) { computes += 1; node("1") }
+    cache.getOrCompute("b", 100) { computes += 1; node("2") }
+    assert(computes == 2 && cache.size == 2)
+    cache.getOrCompute("c", 0) { computes += 1; node("3") }
+    cache.getOrCompute("c", 0) { computes += 1; node("3") }
+    assert(computes == 4 && cache.size == 2) // never stored
+  }
+
+  test("returned nodes are copies: mutation cannot poison the cache") {
+    val cache = new ResponseCache(() => 0L)
+    val out = cache.getOrCompute("k", 1000)(node("clean"))
+    out.put("v", "dirty")
+    assert(cache.getOrCompute("k", 1000)(node("never")).get("v").asText == "clean")
+  }
+
+  test("sweep drops only expired entries") {
+    var nowMs = 0L
+    val cache = new ResponseCache(() => nowMs)
+    cache.getOrCompute("short", 10)(node("s"))
+    cache.getOrCompute("long", 1000)(node("l"))
+    nowMs = 500
+    assert(cache.sweep() == 1 && cache.size == 1)
+  }
+}

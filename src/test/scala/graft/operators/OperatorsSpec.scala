@@ -568,6 +568,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == "café time") // composed é, lowercased
   }
 
+  test("bigram surprisal charges rare transitions, not rare words") {
+    // "a b" transition appears 4x from context "a" (cc=4, cp=4 → 0 bits);
+    // doc 3's "a z" is a 1-of-4 transition from "a" → 2 bits
+    val df = Seq(
+      (1L, "a b a b a b"), (2L, "a b"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trans"), r.getAs[Long]("sum_bits"))).toMap
+    // doc1: transitions ab,ba,ab,ba,ab → ab: cc(a)=6? contexts: a→{b,b,b,z}
+    // corpus transitions: d1: ab ba ab ba ab; d2: ab; d3: az
+    // cc(a)=5 (a→b 4x, a→z 1x), cc(b)=2 (b→a 2x)
+    // bits(ab)=floor(log2 5)-floor(log2 4)=2-2=0; bits(ba)=1-1=0; bits(az)=2-0=2
+    assert(out(1L) == ((5L, 0L)))
+    assert(out(2L) == ((1L, 0L)))
+    assert(out(3L) == ((1L, 2L)))
+    // single-token and empty docs produce no transitions (no row)
+    val short = TextAnalysis.bigramSurprisal(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("oov rate flags tokens outside the truncated vocabulary") {
     // vocab size 2 → {"a" (4x), "b" (3x)}; "zz"/"qq" are OOV
     val df = Seq(
