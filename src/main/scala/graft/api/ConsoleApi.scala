@@ -226,7 +226,12 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // Gbps over the last 24 h before the newest flow (reference
   // widgets.go:250-292 anchors on the data, defaults to 200 points)
   context("/api/v0/console/widget/graph") { req =>
-    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetSlowTtlMs) {
+    // params are part of the identity here (?points=N) — the path alone
+    // would alias every points value to one cache entry
+    val paramKey = req.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("&")
+    cache.getOrCompute(
+      s"${req.path}?$paramKey ${req.body.toString}", WidgetSlowTtlMs) {
     val points = req.params.get("points").map(_.toInt).getOrElse(200)
     val widgets = new Widgets(schema, tables)
     val now = widgets.dataNow()

@@ -15,7 +15,8 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * lazily on probe and by [[sweep]] (bounded memory without a timer
   * thread).
   */
-final class ResponseCache(now: () => Long = () => System.currentTimeMillis()) {
+final class ResponseCache(now: () => Long = () => System.currentTimeMillis(),
+    maxEntries: Int = 10000) {
 
   private final case class Entry(atMs: Long, ttlMs: Long, value: ObjectNode)
   private val entries =
@@ -23,12 +24,27 @@ final class ResponseCache(now: () => Long = () => System.currentTimeMillis()) {
 
   /** Cached value for `key` if fresh, else compute, store, return. TTL ≤ 0
     * bypasses the cache entirely.
+    *
+    * Every store first sweeps expired entries, and if the cache is still
+    * at `maxEntries` the oldest-stored entries are evicted — memory stays
+    * bounded even when each request carries a fresh key (a moving
+    * time-window dashboard, or an adversarial client minting bodies).
     */
   def getOrCompute(key: String, ttlMs: Long)(f: => ObjectNode): ObjectNode = {
     if (ttlMs <= 0) return f
     val e = entries.get(key)
     if (e != null && now() - e.atMs < e.ttlMs) return e.value.deepCopy()
     val v = f
+    sweep()
+    if (entries.size >= maxEntries) {
+      // evict the oldest stores until under the cap (rare path: only when
+      // maxEntries distinct keys are live and unexpired)
+      entries.entrySet().stream()
+        .sorted(java.util.Comparator.comparingLong[
+          java.util.Map.Entry[String, Entry]](_.getValue.atMs))
+        .limit(math.max(1L, entries.size - maxEntries + 1L))
+        .forEach(old => entries.remove(old.getKey))
+    }
     entries.put(key, Entry(now(), ttlMs, v.deepCopy()))
     v
   }

@@ -77,9 +77,11 @@ object StreamNearDup {
     val banded = stream
       .select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"),
-        Dedup.minhashSignature(
-          transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)),
-          k, seed).as("sig"))
+        // minhashSignature hashes the shingles itself (pmod(xxhash64, P)) —
+        // passing pre-hashed values would double-hash and break signature
+        // parity with the batch minhashLsh path
+        Dedup.minhashSignature(TextAnalysis.shingles(col(textCol)), k, seed)
+          .as("sig"))
       .where(size(col("sig")) > 0)
       .select(col("doc_id"), col("ts"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>

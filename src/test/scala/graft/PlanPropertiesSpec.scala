@@ -163,6 +163,14 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial+final aggregation for counts and rollup:\n$p")
   }
 
+  test("q_oov probes the bounded vocabulary as a broadcast") {
+    val p = plan("q_oov")
+    // the top-K vocab is bounded by construction — the token stream must
+    // probe it broadcast, never shuffle for the membership test
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_rare_trigram broadcasts the bounded count table") {
     val p = plan("q_rare_trigram")
     // the trigram-count side is bounded by the charset cubed, so the

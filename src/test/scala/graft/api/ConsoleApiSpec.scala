@@ -134,6 +134,17 @@ class ConsoleApiSpec extends SparkSpec {
     assert(json.has("error"))
   }
 
+  test("widget/graph caches per query-string, not per path") {
+    api.cache.invalidateAll()
+    val (c1, j1) = send("GET", "/api/v0/console/widget/graph?points=10", "")
+    val (c2, j2) = send("GET", "/api/v0/console/widget/graph?points=20", "")
+    assert(c1 == 200 && c2 == 200)
+    // a shared path-only key would serve the first payload for both
+    assert(j1.get("data").size() != j2.get("data").size(),
+      s"points param ignored: both returned ${j1.get("data").size()} points")
+    assert(api.cache.size == 2)
+  }
+
   test("graph responses cache by request body") {
     api.cache.invalidateAll()
     val body = """{"start":"2024-01-01T00:00:00Z","end":"2024-01-02T00:00:00Z",

@@ -40,6 +40,22 @@ class ResponseCacheSpec extends AnyFunSuite {
     assert(cache.getOrCompute("k", 1000)(node("never")).get("v").asText == "clean")
   }
 
+  test("distinct live keys stay bounded by maxEntries, oldest evicted") {
+    var nowMs = 0L
+    val cache = new ResponseCache(() => nowMs, maxEntries = 3)
+    (1 to 10).foreach { i =>
+      nowMs = i // distinct, unexpired keys (ttl far exceeds the run)
+      cache.getOrCompute(s"k$i", 1000000)(node(i.toString))
+    }
+    assert(cache.size <= 3)
+    // the newest key survived; the oldest were evicted
+    var fresh = 0
+    val latest = cache.getOrCompute("k10", 1000000) { fresh += 1; node("x") }
+    assert(fresh == 0 && latest.get("v").asText == "10")
+    cache.getOrCompute("k1", 1000000) { fresh += 1; node("re") }
+    assert(fresh == 1)
+  }
+
   test("sweep drops only expired entries") {
     var nowMs = 0L
     val cache = new ResponseCache(() => nowMs)
