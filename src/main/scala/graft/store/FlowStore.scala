@@ -19,6 +19,15 @@ import graft.queryengine.FlowTable
   * One [[writeBatch]] fans a micro-batch into all tables — the Spark
   * analogue of the reference's Null-table + materialized views (I9).
   */
+object FlowStore {
+  /** Reference retention defaults in days (raw 15 d; rollups 7 d / 90 d /
+    * 1 y; exporters 1 d).
+    */
+  val DefaultRetentionDays: Map[String, Int] = Map(
+    "flows" -> 15, "flows_1m" -> 7, "flows_5m" -> 90, "flows_1h" -> 365,
+    "exporters" -> 1)
+}
+
 final class FlowStore(spark: SparkSession, root: String) {
 
   private val resolutions = Seq("flows_1m" -> 60L, "flows_5m" -> 300L,
@@ -196,6 +205,23 @@ final class FlowStore(spark: SparkSession, root: String) {
       }
     }
   }
+
+  /** The reference's per-table TTL schedule applied in one call
+    * (`orchestrator/clickhouse/config.go:66-75`; exporters 1 d,
+    * `migrations_helpers.go:234-274`): raw 15 d, 1 m / 7 d, 5 m / 90 d,
+    * 1 h / 1 y. Each table keeps partitions dated within its window
+    * ending at `asOf`; older `p_date=` directories drop whole (readers
+    * never see a partial delete). Returns the partition-date cutoff used
+    * per table.
+    */
+  def applyRetention(asOf: java.time.LocalDate,
+      retentionDays: Map[String, Int] = FlowStore.DefaultRetentionDays)
+      : Map[String, java.time.LocalDate] =
+    retentionDays.map { case (table, days) =>
+      val cutoff = asOf.minusDays(days.toLong - 1) // keep `days` dates incl. asOf
+      retention(table, cutoff)
+      table -> cutoff
+    }
 
   /** Rollup compaction (SummingMergeTree's background merge): re-aggregate
     * a rollup table's partitions in place to bound append growth. Readers

@@ -208,6 +208,29 @@ class FlowStoreSpec extends SparkSpec {
     assert(after.count() == 30)
   }
 
+  test("default TTL schedule retains per-table windows") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    // 20 days of data: past the raw 15-day window, inside 1m's 7-day
+    // window only for the newest week, everything inside 5m/1h windows
+    (1 to 20).foreach(d =>
+      store.writeBatch(mkFlows(f"2024-03-$d%02d", 2)))
+    store.applyRetention(java.time.LocalDate.parse("2024-03-20"))
+    def parts(t: String) = new java.io.File(s"$root/$t").listFiles()
+      .map(_.getName).count(_.startsWith("p_date="))
+    assert(parts("flows") == 15, "raw keeps 15 days")
+    assert(parts("flows_1m") == 7, "1m rollup keeps 7 days")
+    assert(parts("flows_5m") == 20, "5m keeps 90 days — nothing expires")
+    assert(parts("flows_1h") == 20, "1h keeps a year — nothing expires")
+    assert(parts("exporters") == 1, "exporters keep 1 day")
+    // the surviving window is the NEWEST days
+    val remaining = spark.read.parquet(s"$root/flows")
+      .select(min(col("p_date").cast("string")),
+        max(col("p_date").cast("string"))).collect()(0)
+    assert(remaining.getString(0) == "2024-03-06" &&
+      remaining.getString(1) == "2024-03-20")
+  }
+
   test("range scans prune date partitions before IO") {
     val root = java.nio.file.Files.createTempDirectory("store").toString
     val store = new FlowStore(spark, root)
