@@ -127,7 +127,12 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       filter = if (req.has("filter")) req.get("filter").asText else "",
       unit = if (req.has("units")) req.get("units").asText else "l3bps",
       bidirectional = req.has("bidirectional") && req.get("bidirectional").asBoolean,
-      previousPeriod = req.has("previous-period") && req.get("previous-period").asBoolean)
+      previousPeriod = req.has("previous-period") && req.get("previous-period").asBoolean,
+      // reference graph.go:25-26: 0 means "no truncation"
+      truncateV4 = if (req.has("truncate-v4") && req.get("truncate-v4").asInt > 0)
+        req.get("truncate-v4").asInt else 32,
+      truncateV6 = if (req.has("truncate-v6") && req.get("truncate-v6").asInt > 0)
+        req.get("truncate-v6").asInt else 128)
     val df = new LineQuery(schema, tables).build(spark, in)
     val series = LineStats.collect(df, in.limitType)
     val resp = mapper.createObjectNode()
@@ -161,7 +166,11 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       dimensions = strings(req, "dimensions"),
       limit = if (req.has("limit")) req.get("limit").asInt else 10,
       filter = if (req.has("filter")) req.get("filter").asText else "",
-      unit = if (req.has("units")) req.get("units").asText else "l3bps")
+      unit = if (req.has("units")) req.get("units").asText else "l3bps",
+      truncateV4 = if (req.has("truncate-v4") && req.get("truncate-v4").asInt > 0)
+        req.get("truncate-v4").asInt else 32,
+      truncateV6 = if (req.has("truncate-v6") && req.get("truncate-v6").asInt > 0)
+        req.get("truncate-v6").asInt else 128)
     val q = new SankeyQuery(schema, tables)
     val df = q.build(spark, in)
     val links = q.links(df, in.dimensions)

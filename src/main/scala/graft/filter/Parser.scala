@@ -87,15 +87,21 @@ final class FilterParser(schema: Schema, input: String) {
   private def parseNumber(): Long = {
     ws()
     val start = pos
+    // literals past Long range are positioned parse errors, not
+    // NumberFormatExceptions escaping the Either contract
     if (pos < input.length && input.startsWith("0x", pos)) {
       pos += 2
       while (pos < input.length && isHex(input(pos))) pos += 1
       if (pos == start + 2) fail("expected hex digits", "number")
-      java.lang.Long.parseLong(input.substring(start + 2, pos), 16)
+      try java.lang.Long.parseLong(input.substring(start + 2, pos), 16)
+      catch { case _: NumberFormatException =>
+        pos = start; fail("hex literal out of range", "number") }
     } else {
       while (pos < input.length && input(pos).isDigit) pos += 1
       if (pos == start) fail("expected number", "number")
-      input.substring(start, pos).toLong
+      try input.substring(start, pos).toLong
+      catch { case _: NumberFormatException =>
+        pos = start; fail("number out of range", "number") }
     }
   }
 
@@ -235,7 +241,15 @@ final class FilterParser(schema: Schema, input: String) {
     while (pos < input.length && (isHex(input(pos)) || input(pos) == ':' ||
       input(pos) == '-')) pos += 1
     if (pos == start) fail("expected MAC address", "mac")
-    Cmp(col, op, MacV(graft.functions.Render.macToNum(input.substring(start, pos))))
+    val lit = input.substring(start, pos)
+    // malformed literals ("aa::bb" → empty segment, >2-hex words, wrong
+    // group count) are positioned parse errors, not NumberFormatExceptions
+    val parts = lit.split("[:-]", -1)
+    if (parts.length != 6 || parts.exists(p => p.isEmpty || p.length > 2)) {
+      pos = start
+      fail("expected MAC address (6 colon/dash-separated hex octets)", "mac")
+    }
+    Cmp(col, op, MacV(graft.functions.Render.macToNum(lit)))
   }
 
   private def stringComparison(col: String): FilterExpr = {
@@ -349,11 +363,18 @@ final class FilterParser(schema: Schema, input: String) {
       val c = tryParse(() => parseNumber())
       c match {
         case Some(cv) =>
+          // large community halves are 32-bit; an oversized word would
+          // silently alias into its neighbor instead of erroring
+          if (a > 0xffffffffL || b > 0xffffffffL || cv > 0xffffffffL)
+            fail("large community part exceeds 32 bits", "community")
           return Cmp(col, op,
             LargeCommunityV(graft.functions.Render.packLargeCommunity(a, b, cv)))
         case None => pos = save
       }
     }
+    // community halves are 16-bit: 1:65536 would alias to 2:0
+    if (a > 0xffffL || b > 0xffffL)
+      fail("community part exceeds 16 bits", "community")
     Cmp(col, op, CommunityV((a << 16) | b))
   }
 
@@ -410,7 +431,14 @@ object FilterParser {
   /** Parse, returning the AST or a positioned error. */
   def parse(schema: Schema, input: String): Either[FilterParseError, FilterExpr] =
     try Right(new FilterParser(schema, input).parseFilter())
-    catch { case e: FilterParseError => Left(e) }
+    catch {
+      case e: FilterParseError => Left(e)
+      // belt: a literal-decoding throw must never escape the Either
+      // contract (the validate/complete endpoints depend on it)
+      case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+        Left(FilterParseError(0,
+          Option(e.getMessage).getOrElse("invalid literal"), Set.empty))
+    }
 
   /** Expected-token extraction on a partial parse — powers completion
     * (reference `console/filter.go:138-164`).

@@ -20,7 +20,12 @@ object Completion {
     val expected = FilterParser.expectedAt(schema, input)
     if (expected.isEmpty) return Nil // parses fully — nothing to suggest
     if (expected.contains("column")) {
-      val prefix = input.trim.split("\\s+|\\(").lastOption.getOrElse("").toLowerCase
+      // a trailing space/paren means the NEXT token starts fresh — trimming
+      // first would misuse the previous word (e.g. "X = 1 AND " → "and")
+      // as the prefix and suggest nothing
+      val prefix =
+        if (input.isEmpty || input.last.isWhitespace || input.last == '(') ""
+        else input.split("\\s+|\\(").lastOption.getOrElse("").toLowerCase
       schema.enabled.map(_.name)
         .filter(_.toLowerCase.startsWith(prefix))
         .sorted.take(limit)

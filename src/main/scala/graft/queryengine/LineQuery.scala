@@ -75,14 +75,21 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       val scan0 = resolved.table.scan(rangeStart, rangeEnd)
         .where(col("TimeReceived") >= lit(rangeStart) &&
           col("TimeReceived") < lit(rangeEnd))
-      val scan1 = pred.fold(scan0)(scan0.where)
-      // IP truncation REPLACE over the source CTE (reference graph.go:44-88)
-      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan1
-      else schema.enabled.filter(c => c.truncatableIP && scan1.columns.contains(c.name))
-        .foldLeft(scan1) { (d, c) =>
-          d.withColumn(c.name,
-            graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
-        }
+      // IP truncation REPLACE over the source CTE (reference
+      // graph.go:51-88): only the requested DIMENSION columns truncate,
+      // and the filter evaluates over the replaced source — so a filter
+      // on a truncated dimension sees the truncated address, and
+      // non-dimension address columns stay raw
+      val truncated =
+        if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan0
+        else dimsOf(sp)
+          .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
+          .filter(scan0.columns.contains)
+          .foldLeft(scan0) { (d, n) =>
+            d.withColumn(n,
+              graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
+          }
+      pred.fold(truncated)(truncated.where)
     }
 
     // aligned bucket: start + floor((t-start)/interval)*interval — same as
@@ -100,8 +107,13 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     // range+filter it satisfies — at scale this is axes× fewer scans.
     // Requires per-row weights (summable units) and "avg" ranking; other
     // shapes fall back to the per-axis branches below.
+    // (filter + truncation must take the per-axis branch: each axis
+    // truncates ITS OWN dimension set before the filter evaluates, and
+    // the shared multi-axis scan cannot hold both axes' views at once)
+    val truncationActive = in.truncateV4 < 32 || in.truncateV6 < 128
     if (specs.size > 1 && in.limitType == "avg" &&
-        specs.forall(sp => unitOf(sp).rowWeight.isDefined))
+        specs.forall(sp => unitOf(sp).rowWeight.isDefined) &&
+        !(compiled.isDefined && truncationActive))
       return buildMultiAxis(spark, in, specs, resolved, interval,
         compiled, dimsOf, unitOf)
 
@@ -252,12 +264,18 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     val base0 = resolved.table.scan(unionStart, unionEnd)
       .where(col("TimeReceived") >= lit(unionStart) &&
         col("TimeReceived") < lit(unionEnd))
+    // source REPLACE: only the union of the axes' truncatable DIMENSION
+    // columns (reference graph.go:51-88); this path never runs with a
+    // filter + truncation together (build() routes those per-axis), so
+    // the union set is exact for every axis
     val base =
       if (in.truncateV4 >= 32 && in.truncateV6 >= 128) base0
-      else schema.enabled.filter(c => c.truncatableIP && base0.columns.contains(c.name))
-        .foldLeft(base0) { (d, c) =>
-          d.withColumn(c.name,
-            graft.functions.Ip.ipTruncate(col(c.name), in.truncateV4, in.truncateV6))
+      else specs.flatMap(dimsOf).distinct
+        .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
+        .filter(base0.columns.contains)
+        .foldLeft(base0) { (d, n) =>
+          d.withColumn(n,
+            graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
         }
 
     val axisStructs = specs.map { sp =>

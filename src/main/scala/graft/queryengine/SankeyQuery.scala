@@ -16,7 +16,9 @@ final case class SankeyInput(
     limit: Int = 10,
     filter: String = "",
     unit: String = "l3bps",
-    bidirectional: Boolean = false) {
+    bidirectional: Boolean = false,
+    truncateV4: Int = 32,
+    truncateV6: Int = 128) {
   require(dimensions.nonEmpty, "sankey requires at least one dimension")
   require(limit >= 1 && limit <= 50, "limit must be in 1..50")
 }
@@ -36,9 +38,22 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // routing with points fixed at 20 (reference sankey.go:127-134)
     val resolved = TableResolver.resolve(tables, in.start, in.end, 20, mainRequired)
 
+    // source REPLACE (reference graph.go:51-88, shared with line): only
+    // the requested DIMENSION columns truncate, and the filter evaluates
+    // over the replaced source
+    def truncated(df: DataFrame, dims: Seq[String]): DataFrame =
+      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) df
+      else dims
+        .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
+        .filter(df.columns.contains)
+        .foldLeft(df) { (d, n) =>
+          d.withColumn(n,
+            graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
+        }
     val scan0 = resolved.table.scan(in.start, in.end)
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
-    val scan = compiled.map(_.predicate).fold(scan0)(scan0.where)
+    val scanT = truncated(scan0, in.dimensions)
+    val scan = compiled.map(_.predicate).fold(scanT)(scanT.where)
     val unit = Unit.fromName(in.unit)
 
     // Aggregate-first (summable units): ONE fact scan builds the raw-dims
@@ -114,7 +129,8 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // merged UNION ALL with an axis literal (reference sankey.go:139-147)
     val scanRev0 = resolved.table.scan(in.start, in.end)
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
-    val scanRev = compiled.map(_.reversePredicate).fold(scanRev0)(scanRev0.where)
+    val scanRevT = truncated(scanRev0, in.dimensions.map(schema.reverseName))
+    val scanRev = compiled.map(_.reversePredicate).fold(scanRevT)(scanRevT.where)
     val reverse = foldAxis(scanRev,
       in.dimensions.map(schema.reverseName), unit.reversed.agg)
     direct.withColumn("axis", lit(1))

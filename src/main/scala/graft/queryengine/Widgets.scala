@@ -108,7 +108,11 @@ final class Widgets(schema: Schema, tables: Seq[FlowTable]) {
     val total = per.agg(sum("b").as("total"))
     withDicts.crossJoin(broadcast(total))
       .select(
-        when(length(col("name")) === 0, "Unknown").otherwise(col("name")).as("name"),
+        // NULL names (null group value, or a concat over a null AS) map
+        // to "Unknown" exactly like empties — the reference never emits
+        // a null name
+        when(col("name").isNull || length(col("name")) === 0, "Unknown")
+          .otherwise(col("name")).as("name"),
         (col("b") * 100.0 / col("total")).as("percent"))
       .orderBy(desc("percent"), asc("name"))
       .limit(limit)

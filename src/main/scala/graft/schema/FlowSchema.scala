@@ -105,6 +105,15 @@ final case class Schema(columns: Seq[ColumnSpec],
     */
   def renderDim(name: String): Column = {
     import graft.functions.{Ip, Render}
+    // never NULL: a null dimension renders as "" so the driver-collected
+    // top-N row sets and the DataFrame-side membership tests compare the
+    // SAME value — an un-coalesced null would never match its collected ""
+    // twin and the group would silently fold into 'Other'
+    coalesce(renderDim0(name), lit(""))
+  }
+
+  private def renderDim0(name: String): Column = {
+    import graft.functions.{Ip, Render}
     byName.get(name).map(_.parserType) match {
       case Some(ParserType.Ip) => Ip.ipToString(col(name))
       case Some(ParserType.Mac) => Render.mac(col(name))

@@ -36,8 +36,16 @@ final class FlowStore(spark: SparkSession, root: String) {
   private val mainOnly: Set[String] =
     graft.schema.FlowSchema.schema.columns.filter(_.mainOnly).map(_.name).toSet
 
+  /** UTC-stable partition date: pure epoch-day arithmetic, independent of
+    * `spark.sql.session.timeZone` (a `date_format` here would shift the
+    * partition boundary per session while `readRange`/retention compute
+    * their bounds in UTC — rows would silently vanish from pruned scans).
+    */
   private def withDate(df: DataFrame): DataFrame =
-    df.withColumn("p_date", date_format(col("TimeReceived"), "yyyy-MM-dd"))
+    df.withColumn("p_date",
+      date_add(to_date(lit("1970-01-01")),
+        floor(unix_timestamp(col("TimeReceived")) / 86400L).cast("int"))
+        .cast("string"))
 
   /** One shuffle partition per date partition — each `p_date=` directory
     * gets one file instead of (shuffle.partitions) slivers.
@@ -176,8 +184,13 @@ final class FlowStore(spark: SparkSession, root: String) {
 
   /** Registered tables for the query engine, `oldest` read from data. */
   def tables(): Seq[FlowTable] = {
+    // an EMPTY table advertises no coverage (far-future oldest), so the
+    // resolver never routes a query to a rollup whose partitions were all
+    // retention-dropped — epoch-0 here would mean "infinite history" and
+    // the file-less directory read would throw
     def oldestOf(name: String): Timestamp =
-      boundaryOf(name, newest = false).getOrElse(new Timestamp(0))
+      boundaryOf(name, newest = false)
+        .getOrElse(Timestamp.valueOf("9999-01-01 00:00:00"))
     FlowTable("flows", 0L, oldestOf("flows"), () => readTable("flows"),
       Some((s, e) => readRange("flows", s, e)),
       Some(() => newest("flows"))) +:
@@ -229,11 +242,25 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   def compactRollup(name: String): Unit = {
     val sec = resolutions.toMap.apply(name)
-    val current = readTable(name)
-    val compacted = rollupDelta(current, sec).cache()
-    compacted.count() // materialize before overwrite
-    withDate(compacted).write.mode(SaveMode.Overwrite)
-      .partitionBy("p_date").parquet(s"$root/$name")
-    compacted.unpersist()
+    // write-temp-then-swap: cache()+count() does NOT sever lineage, so an
+    // overwrite of the directory still being lazily read would recompute
+    // lost cached blocks from already-deleted files mid-write. The
+    // compacted copy lands in a sibling temp dir first; the swap is two
+    // renames (no reader window where the table is half-written).
+    val tmp = s"$root/$name.compact.tmp"
+    val old = s"$root/$name.compact.old"
+    withDate(rollupDelta(readTable(name), sec)).write
+      .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.delete(p(old), true)
+    if (!fs.rename(p(s"$root/$name"), p(old)))
+      throw new java.io.IOException(s"compactRollup: cannot move $name aside")
+    if (!fs.rename(p(tmp), p(s"$root/$name"))) {
+      fs.rename(p(old), p(s"$root/$name")) // roll back
+      throw new java.io.IOException(s"compactRollup: cannot install $tmp")
+    }
+    fs.delete(p(old), true)
   }
 }

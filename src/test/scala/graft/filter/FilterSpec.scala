@@ -122,6 +122,27 @@ class FilterSpec extends SparkSpec {
     assert(df.where(compile("Proto IN (6, 17)").predicate).count() == 2)
   }
 
+  test("out-of-range literals are positioned errors, never exceptions") {
+    val schema = graft.schema.FlowSchema.schema
+    // each of these used to throw NumberFormatException out of parse()
+    Seq(
+      "Proto = 99999999999999999999",            // > Long.MaxValue
+      "Proto = 0x11111111111111111",             // > 16 hex digits
+      "SrcMAC = aa::bb",                          // empty MAC segment
+      "SrcMAC = aa:bb:cc:dd:ee",                  // 5 groups
+      "DstCommunities = 1:65536",                 // 16-bit half overflow
+      "DstCommunities = 65536:0",
+      "DstCommunities = 1:2:4294967296"           // 32-bit word overflow
+    ).foreach { f =>
+      val r = FilterParser.parse(schema, f)
+      assert(r.isLeft, s"expected parse error for: $f")
+    }
+    // boundary values still parse
+    assert(FilterParser.parse(schema, "DstCommunities = 65535:65535").isRight)
+    assert(FilterParser.parse(schema,
+      "DstCommunities = 4294967295:0:4294967295").isRight)
+  }
+
   test("mac filter hits numeric MAC columns") {
     import spark.implicits._
     val df = Seq(

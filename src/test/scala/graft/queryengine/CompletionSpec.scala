@@ -24,6 +24,18 @@ class CompletionSpec extends SparkSpec {
     assert(Completion.complete(schema, "SrcPort = 443").isEmpty)
   }
 
+  test("a fresh token after AND/( suggests all columns, not the keyword") {
+    // trailing space: the NEXT token is starting — prefix must be empty
+    // (trimming first would make "and" the prefix and suggest nothing)
+    val afterAnd = Completion.complete(schema, "SrcPort = 443 AND ")
+    assert(afterAnd.nonEmpty && afterAnd.forall(_.kind == "column"))
+    val afterParen = Completion.complete(schema, "(")
+    assert(afterParen.nonEmpty)
+    // no trailing space: the last token IS the prefix being typed
+    val typing = Completion.complete(schema, "SrcPort = 443 AND SrcCo")
+    assert(typing.map(_.value).contains("SrcCountry"))
+  }
+
   test("value completion ranks by position then frequency, merges dict") {
     import spark.implicits._
     val flows = Seq("https", "https", "http", "ssh", "sshd")

@@ -47,6 +47,44 @@ class LineQuerySpec extends SparkSpec {
       && r.getAs[Double]("xps") == 0.0))
   }
 
+  test("filters evaluate over the truncated source, like the reference CTE") {
+    import spark.implicits._
+    // two /24 networks, hosts .1/.2 — truncation to /24 zeroes the host
+    val ipFlows = Seq(
+      ("10.0.1.1", 100L), ("10.0.1.2", 100L), ("10.0.2.1", 100L))
+      .map { case (ip, b) =>
+        (graft.functions.Ip.parse(ip), ts("2024-03-01T00:30:00Z"), b, 1L, 1L)
+      }.toDF("SrcAddr", "TimeReceived", "Bytes", "Packets", "SamplingRate")
+    val t = Seq(FlowTable("flows", 0L, ts("2024-03-01T00:00:00Z"), () => ipFlows))
+    val eng = new LineQuery(FlowSchema.schema, t)
+    // filter names the truncated NETWORK address; both 10.0.1.x hosts
+    // must match because the filter sees the post-REPLACE value
+    // (reference: WHERE runs over the source CTE, graph.go/line.go)
+    val out = eng.build(spark, LineInput(
+      start = ts("2024-03-01T00:00:00Z"), end = ts("2024-03-01T01:00:00Z"),
+      points = 6, dimensions = Seq("SrcAddr"), limit = 5, unit = "fps",
+      filter = "SrcAddr = 10.0.1.0", truncateV4 = 24))
+    val named = out.where(col("xps") > 0)
+      .select(array_join(col("dimensions"), ","), col("xps"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(named.keySet == Set("10.0.1.0"), s"got $named")
+    assert(named("10.0.1.0") * 600 == 2.0) // both /24 hosts counted
+  }
+
+  test("sankey truncates dimension addresses like the shared source CTE") {
+    import spark.implicits._
+    val ipFlows = Seq("10.0.1.1", "10.0.1.2", "10.0.2.1")
+      .map(ip => (graft.functions.Ip.parse(ip),
+        ts("2024-03-01T00:30:00Z"), 100L, 1L, 1L))
+      .toDF("SrcAddr", "TimeReceived", "Bytes", "Packets", "SamplingRate")
+    val t = Seq(FlowTable("flows", 0L, ts("2024-03-01T00:00:00Z"), () => ipFlows))
+    val out = new SankeyQuery(FlowSchema.schema, t).build(spark, SankeyInput(
+      start = ts("2024-03-01T00:00:00Z"), end = ts("2024-03-01T01:00:00Z"),
+      dimensions = Seq("SrcAddr"), limit = 5, unit = "fps", truncateV4 = 24))
+    val names = out.select("SrcAddr").as[String].collect().toSet
+    assert(names == Set("10.0.1.0", "10.0.2.0"), s"got $names")
+  }
+
   test("limitType avg ranks by total; max favors the burst") {
     def top(limitType: String): String = {
       val out = engine.build(spark, LineInput(
