@@ -98,8 +98,15 @@ object Dedup {
 
   private def hashParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
-    val pairs = Seq.fill(k)(
-      (math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+    // math.abs(Long.MinValue) is NEGATIVE — that one pathological draw
+    // (p = 2⁻⁶⁴ per call) would make a permutation's multiplier ≤ 0 and
+    // its min a constant garbage lane; map it to 0 and keep every other
+    // draw's value unchanged (same signatures as always)
+    def absDraw(): Long = {
+      val r = rnd.nextLong()
+      if (r == Long.MinValue) 0L else math.abs(r)
+    }
+    val pairs = Seq.fill(k)((absDraw() % (P - 1) + 1, absDraw() % P))
     (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
   }
 
@@ -238,10 +245,16 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // one tokenize+shingle+simhash pass; the blocking self-join reuses it
+    // one tokenize+shingle+simhash pass; the blocking self-join reuses it.
+    // Shingle-less documents (<3 tokens) are excluded like the portable
+    // twin: an empty set's sketch is 0, so every short document would
+    // otherwise share one bucket at Hamming 0 — m·(m−1)/2 false pairs and
+    // a quadratic blocking join
     val withSim = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
-        simhash(TextAnalysis.shingles(col(textCol))).as("sh")))
+        TextAnalysis.shingles(col(textCol)).as("sset"))
+      .where(size(col("sset")) > 0)
+      .select(col("id"), simhash(col("sset")).as("sh")))
     val chunked = withSim.select(col("id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -381,10 +394,14 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min("cluster").as("n_cluster"))
-      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
-            .as("cluster"))
+      // the self-join below consumes `stepped` twice — checkpoint it once
+      // so the edges⋈labels aggregation doesn't execute on both sides
+      // (at 10⁹ edges that would double every round's shuffle work)
+      val (stepped, steppedIds) = checkpointTracked(
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("n_cluster"), col("cluster")))
+              .as("cluster")))
       // path compression (pointer jumping): cluster(n) ← cluster(cluster(n))
       // — doubles propagation distance per round, log(diameter) rounds
       val (next, nextIds) = checkpointTracked(stepped.as("l")
@@ -393,6 +410,7 @@ object Dedup {
         .select(col("l.id").as("id"),
           least(col("l.cluster"), coalesce(col("cc"), col("l.cluster")))
             .as("cluster")))
+      free(steppedIds) // next is materialized; stepped's blocks are dead
       val s = labelSum(next)
       // next's blocks are live; the previous round's label table is now
       // unreachable by any future computation — drop its blocks

@@ -67,10 +67,13 @@ object Multimodal {
 
   /** Frame sampling for video-ish payloads: every `stride`-th chunk of
     * `frameBytes` becomes one frame row (media_id, frame_idx, frame bytes).
+    * A payload shorter than one frame still yields its single partial
+    * frame (a sub-frame clip is still a sample); only EMPTY payloads
+    * yield no rows (an empty "frame" would be pure noise downstream).
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
       stride: Int = 4): DataFrame = {
-    val df = media.toDF()
+    val df = media.toDF().where(length(col("payload")) > 0)
     df.select(col("media_id"),
       explode(transform(
         sequence(lit(0), greatest(

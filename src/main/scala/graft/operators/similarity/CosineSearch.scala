@@ -170,10 +170,16 @@ object CosineSearch {
       KMeans.seedCentroids(corpus, nlist, idCol, embCol))
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     // (neg dot/planeNorm, cellId) structs sort ascending = best cell first;
-    // the row's own norm divides out of the argmax, so it is skipped
+    // the row's own norm divides out of the argmax, so it is skipped.
+    // The denominator floors at 1e-12 like KMeans.bestCell — an all-zero
+    // centroid would otherwise score NaN and become unprobeable. Scores
+    // stay RAW doubles (not e6-quantized like KMeans.assign): the q_sim_ivf
+    // oracle replicates this exact raw ordering, and the exact re-rank
+    // downstream makes sub-ulp assignment ties harmless here
     def cellRank(vec: Column): Column = sort_array(array(
       cents.zipWithIndex.map { case (c, i) =>
-        struct((-dots(vec, typedLit(c.toSeq)) / centNorms(i)).as("negSim"),
+        struct((-dots(vec, typedLit(c.toSeq)) /
+          math.max(centNorms(i), 1e-12)).as("negSim"),
           lit(i).as("cell"))
       }.toIndexedSeq: _*))
     val c = withNorm(corpus, idCol, "id", embCol, "cv")
@@ -213,8 +219,10 @@ object CosineSearch {
     val nn = bruteForce(queries, corpus, k, qidCol, idCol, embCol)
     val w = Window.partitionBy("qid")
       .orderBy(desc("votes"), desc("best_sim_e6"), asc("pred_label"))
+    // labels keep their own type — casting to long would silently null
+    // string labels (domains, languages) and "classify" everything null
     nn.join(corpus.select(col(idCol).as("id"),
-        col(labelCol).cast("long").as("pred_label")), "id")
+        col(labelCol).as("pred_label")), "id")
       .groupBy("qid", "pred_label")
       .agg(count(lit(1)).as("votes"), max("sim_e6").as("best_sim_e6"))
       .withColumn("rn", row_number().over(w))

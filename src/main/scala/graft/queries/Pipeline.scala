@@ -40,7 +40,10 @@ object Pipeline {
       CosineSearch.knnClassify(
         e.where(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
         e.where(col("vec_id") >= 50)
-          .select(col("vec_id").as("id"), col("embedding"), col("label")),
+          .select(col("vec_id").as("id"), col("embedding"),
+            // long here matches the oracle's CAST(label AS BIGINT); the
+            // operator itself is label-type generic
+            col("label").cast("long").as("label")),
         k = 5)
     }),
 
@@ -1050,7 +1053,8 @@ object Pipeline {
         |FROM r WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
-        |  octet_length(encode(text)) AS len FROM documents),
+        |  octet_length(encode(text)) AS len FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
         |f AS (SELECT media_id, CAST(i*4 AS INT) AS frame_idx,
         |    substr(text, CAST(i*4*64 + 1 AS INT), 64) AS frame
         |  FROM m, LATERAL (SELECT unnest(range(0,

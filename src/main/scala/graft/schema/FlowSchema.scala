@@ -192,17 +192,39 @@ object FlowSchema {
 
   private val B16 = BinaryType // 16-byte IPv6 (IPv4 as v4-mapped)
 
+  /** Rewrites every direction-prefixed column reference inside an alias
+    * expression when a spec is mirrored — without this the mirrored
+    * DstNetPrefix would still read col("SrcAddr") and silently render
+    * source-direction data (the depends list alone only gates WHEN the
+    * alias attaches, not WHAT it reads).
+    */
+  private def mirrorAlias(alias: Column, from: String, to: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // toCatalyst, not expression(): the lazy ColumnNodeExpression wrapper
+    // hides the tree from transform, which would silently rewrite nothing
+    GraftBridge.column(GraftBridge.toCatalyst(alias).transform {
+      case a: UnresolvedAttribute
+        if a.nameParts.length == 1 && a.nameParts.head.startsWith(from) =>
+        UnresolvedAttribute(Seq(to + a.nameParts.head.drop(from.length)))
+    })
+  }
+
   /** Mechanical Src→Dst / InIf→OutIf expansion
     * (reference `definition.go:569-595`): every spec named `Src*` / `InIf*`
-    * here is auto-duplicated for the other direction.
+    * here is auto-duplicated for the other direction, alias expressions
+    * included.
     */
   private def expand(specs: Seq[ColumnSpec]): Seq[ColumnSpec] =
     specs.flatMap { c =>
       if (c.name.startsWith("Src"))
         Seq(c, c.copy(name = "Dst" + c.name.drop(3),
-          depends = c.depends.map(d => if (d.startsWith("Src")) "Dst" + d.drop(3) else d)))
+          depends = c.depends.map(d => if (d.startsWith("Src")) "Dst" + d.drop(3) else d),
+          alias = c.alias.map(mirrorAlias(_, "Src", "Dst"))))
       else if (c.name.startsWith("InIf"))
-        Seq(c, c.copy(name = "OutIf" + c.name.drop(4)))
+        Seq(c, c.copy(name = "OutIf" + c.name.drop(4),
+          depends = c.depends.map(d => if (d.startsWith("InIf")) "OutIf" + d.drop(4) else d),
+          alias = c.alias.map(mirrorAlias(_, "InIf", "OutIf"))))
       else Seq(c)
     }
 

@@ -29,9 +29,11 @@ object Enrichment {
       outputs: Map[String, Column] = Map.empty,
       reject: Boolean = false)
 
-  /** Joins interface metadata for both directions. Flows with no metadata
-    * for the In interface are dropped and counted (reference drops and
-    * bumps a metric, `enricher.go:82-105`).
+  /** Joins interface metadata for both directions. A flow survives with
+    * ONE matched side (partial attrs stay null); only flows with metadata
+    * on NEITHER side drop, counted via the `metadata` observer —
+    * reference `enricher.go:82-89` skips when "input and output
+    * interfaces missing" and keeps one-sided matches.
     */
   def withMetadata(flows: DataFrame, metadata: MetadataDim): DataFrame = {
     def side(df: DataFrame, prefix: String, idxCol: String): DataFrame = {
@@ -57,7 +59,12 @@ object Enrichment {
         .drop("m_exporter_name")
     }
     val enriched = side(side(flows, "InIf", "InIfIndex"), "OutIf", "OutIfIndex")
-    enriched.where(col("InIfName").isNotNull || col("OutIfName").isNotNull)
+    enriched
+      .observe("metadata",
+        count(lit(1)).as("rows"),
+        count(when(col("InIfName").isNull && col("OutIfName").isNull, 1))
+          .as("dropped_no_interface"))
+      .where(col("InIfName").isNotNull || col("OutIfName").isNotNull)
   }
 
   /** Networks LPM attributes for Src and Dst addresses (J5): attaches

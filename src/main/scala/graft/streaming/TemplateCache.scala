@@ -57,8 +57,14 @@ object TemplateCache {
           st.templates.get(r.templateId) match {
             case Some(fieldNames) =>
               val values = r.payload.split(",", -1)
-              out += DecodedRecord(exporter, r.templateId,
-                fieldNames.zip(values).toMap, st.misses)
+              // a value count that disagrees with the template is a
+              // malformed or stale-template record — dropped and counted
+              // like an unknown template (zip would silently truncate,
+              // masking the mismatch with a partial row)
+              if (values.length == fieldNames.length)
+                out += DecodedRecord(exporter, r.templateId,
+                  fieldNames.zip(values).toMap, st.misses)
+              else st = st.copy(misses = st.misses + 1)
             case None =>
               st = st.copy(misses = st.misses + 1)
           }

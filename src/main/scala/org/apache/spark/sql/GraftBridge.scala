@@ -11,6 +11,15 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly converts a Column's internal ColumnNode graph to a plain
+    * Catalyst expression tree. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper whose children are OPAQUE to
+    * `Expression.transform` — use this when the tree must be rewritten
+    * (e.g. renaming attribute references) rather than just embedded.
+    */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `AbstractDataType` is `private[sql]`; expose it so expressions outside
     * this package can declare `inputTypes` for implicit input coercion.
     */

@@ -157,6 +157,33 @@ class DedupSpec extends SparkSpec {
     assert(leaked <= 1, s"$leaked checkpoint RDDs left registered")
   }
 
+  test("simhash excludes shingle-less docs instead of pairing them all") {
+    // <3-token docs have empty shingle sets → sketch 0; without the guard
+    // every short doc pairs with every other at Hamming 0
+    val df = Seq(
+      (1L, "a"), (2L, "b c"), (3L, ""),
+      (4L, "real content with enough tokens to shingle properly here"),
+      (5L, "real content with enough tokens to shingle properly here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L)), s"short docs paired: $pairs")
+  }
+
+  test("knn classify propagates string labels verbatim") {
+    val mk = (s: Double) => Array.tabulate(8)(i => (math.sin(i * s) + 2).toFloat)
+    val corpus = Seq(
+      (10L, mk(1.0), "en"), (11L, mk(1.01), "en"),
+      (20L, mk(5.0), "de"), (21L, mk(5.01), "de"))
+      .toDF("id", "embedding", "label")
+    val out = CosineSearch.knnClassify(
+      Seq((1L, mk(1.005)), (2L, mk(5.005))).toDF("qid", "embedding"),
+      corpus, k = 2)
+      .select("qid", "pred_label").as[(Long, String)].collect().toMap
+    // a long-cast here would null every label and "classify" nulls
+    assert(out == Map(1L -> "en", 2L -> "de"))
+  }
+
   test("simhash flags identical token multisets, not distinct docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

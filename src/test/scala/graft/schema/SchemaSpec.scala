@@ -13,6 +13,20 @@ class SchemaSpec extends SparkSpec {
     assert(s.byName("DstAddr").mainOnly && s.byName("DstAddr").truncatableIP)
   }
 
+  test("mirrored alias columns read Dst inputs, not the Src originals") {
+    import spark.implicits._
+    val df = Seq((
+      graft.functions.Ip.parse("10.0.0.1"), 24,
+      graft.functions.Ip.parse("192.0.2.9"), 27))
+      .toDF("SrcAddr", "SrcNetMask", "DstAddr", "DstNetMask")
+    val out = s.withAliasColumns(df)
+      .select("SrcNetPrefix", "DstNetPrefix").collect()(0)
+    assert(out.getString(0) == "10.0.0.1/24")
+    // the mechanical Src→Dst copy must rewrite the alias's column refs —
+    // an unmapped copy would render the Src values here
+    assert(out.getString(1) == "192.0.2.9/27")
+  }
+
   test("reverseName flips direction and is an involution") {
     assert(s.reverseName("SrcAS") == "DstAS")
     assert(s.reverseName("OutIfName") == "InIfName")

@@ -390,6 +390,19 @@ class TemplateCacheSpec extends SparkSpec {
     assert(t9.misses == 1)
   }
 
+  test("value/field count mismatch drops and counts, never truncates") {
+    import spark.implicits._
+    val ds = Seq(
+      RawRecord("e", "template", 1, "A,B,C", seq = 1),
+      RawRecord("e", "data", 1, "1,2", seq = 2),      // too few values
+      RawRecord("e", "data", 1, "1,2,3,4", seq = 3),  // too many
+      RawRecord("e", "data", 1, "1,2,3", seq = 4)).toDS()
+    val rows = TemplateCache.decode(ds).collect()
+    assert(rows.length == 1)
+    assert(rows.head.fields == Map("A" -> "1", "B" -> "2", "C" -> "3"))
+    assert(rows.head.misses == 2) // both malformed records counted
+  }
+
   test("template refresh replaces field names") {
     import spark.implicits._
     // batch Dataset path: same operator, no stream needed
