@@ -247,9 +247,13 @@ object TextAnalysis {
     * @return (doc_id, n_trans, sum_bits, mean_bits_e3)
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
+    // tokenize ONCE into a bound column: an inline tokens(textCol) inside
+    // the transform lambda would re-run the regex split in every
+    // element_at — O(tokens²) per document (measured 12s vs 0.7s at sf0.1)
+    val w = col("w")
     val pairs = df
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
         explode(transform(
           // sequence(1, 0) would DESCEND — guard short docs to an empty list
           when(size(w) >= 2, sequence(lit(1), size(w) - 1))
