@@ -302,6 +302,61 @@ object TextAnalysis {
       .withColumn("oov_ppm", expr("oov_toks * 1000000 div n_toks"))
   }
 
+  /** Longest corpus-duplicated token span per document — the Spark-shaped
+    * stand-in for suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * POSITIONAL n-gram occurs "duplicated" when its text appears ≥2 times
+    * corpus-wide (any document, including its own), and consecutive
+    * duplicated positions chain into spans via gaps-and-islands. A long
+    * max span flags a lifted passage inside an otherwise-original
+    * document — which doc-level exact/near dedup both miss.
+    *
+    * Scale shape: one corpus scan emits (doc, position, gram-hash);
+    * occurrence counts are a self-aggregation on the 6-byte md5-slice key
+    * (engine-portable, like the dedup twins — 48-bit collisions only
+    * ever overcount duplication, never crash); the run detection is one
+    * window per document partition over its DUPLICATED positions only.
+    * All integer math.
+    *
+    * @return (doc_id, grams, dup_grams, max_run, dup_span_ppm) — span
+    *         fraction = (max_run + n − 1) / token count, 0 when clean
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    val grams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .where(size(w) >= n)
+      .select(col("doc_id"), size(w).as("n_toks"),
+        explode(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+          struct(i.as("pos"),
+            conv(substring(md5(array_join(slice(w, i, lit(n)), " ")), 1, 12),
+              16, 10).cast("long").as("g")))).as("p"))
+      .select(col("doc_id"), col("n_toks"), col("p.pos"), col("p.g"))
+    val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+    val flagged = grams.join(occ, "g")
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        (col("occ") > 1).as("dup"))
+    // gaps-and-islands over duplicated positions: pos − row_number is
+    // constant within a consecutive run
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = flagged.where(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    flagged
+      .groupBy("doc_id")
+      .agg(first("n_toks").as("n_toks"), count(lit(1)).as("grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("grams"), col("dup_grams"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) === 0, 0L)
+          .otherwise(expr(s"least(max_run + ${n - 1}, n_toks) * 1000000 div n_toks"))
+          .as("dup_span_ppm"))
+  }
+
   /** First-occurrence n-gram novelty per document: treating ascending doc
     * id as ingestion order, the fraction of a document's distinct 3-grams
     * never seen in any earlier document. A corpus-freshness signal —

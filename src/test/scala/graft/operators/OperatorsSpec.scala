@@ -595,6 +595,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == "café time") // composed é, lowercased
   }
 
+  test("dup span finds a lifted passage inside an original document") {
+    val passage = (1 to 20).map(i => s"lifted$i").mkString(" ")
+    def fresh(tag: String) = (1 to 30).map(i => s"${tag}w$i").mkString(" ")
+    val df = Seq(
+      (1L, fresh("a") + " " + passage + " " + fresh("b")), // passage embedded
+      (2L, passage),                                        // the source
+      (3L, fresh("c")))                                     // clean
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dupSpanStats(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("max_run"), r.getAs[Long]("dup_span_ppm"))).toMap
+    // the 20-token passage yields 13 consecutive duplicated 8-gram starts
+    assert(out(1L)._1 == 13L, s"got ${out(1L)}")
+    assert(out(1L)._2 == (20L * 1000000L) / 80L) // span 20 of 80 tokens
+    assert(out(2L)._1 == 13L)
+    assert(out(3L) == ((0L, 0L)))
+  }
+
   test("bigram surprisal charges rare transitions, not rare words") {
     // "a b" transition appears 4x from context "a" (cc=4, cp=4 → 0 bits);
     // doc 3's "a z" is a 1-of-4 transition from "a" → 2 bits
