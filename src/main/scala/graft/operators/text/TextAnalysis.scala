@@ -312,11 +312,12 @@ object TextAnalysis {
     * document — which doc-level exact/near dedup both miss.
     *
     * Scale shape: one corpus scan emits (doc, position, gram-hash);
-    * occurrence counts are a self-aggregation on the 6-byte md5-slice key
-    * (engine-portable, like the dedup twins — 48-bit collisions only
-    * ever overcount duplication, never crash); the run detection is one
-    * window per document partition over its DUPLICATED positions only.
-    * All integer math.
+    * occurrence counts are a self-aggregation on the 8-byte xxhash64 key
+    * (the repo-wide shuffle-key convention — an SQL oracle groups by the
+    * gram string and agrees whenever no 64-bit collision occurs; a
+    * collision only ever overcounts duplication); the run detection is
+    * one window per document partition over its DUPLICATED positions
+    * only. All integer math.
     *
     * @return (doc_id, grams, dup_grams, max_run, dup_span_ppm) — span
     *         fraction = (max_run + n − 1) / token count, 0 when clean
@@ -331,8 +332,7 @@ object TextAnalysis {
       .select(col("doc_id"), size(w).as("n_toks"),
         explode(transform(sequence(lit(1), size(w) - (n - 1)), i =>
           struct(i.as("pos"),
-            conv(substring(md5(array_join(slice(w, i, lit(n)), " ")), 1, 12),
-              16, 10).cast("long").as("g")))).as("p"))
+            xxhash64(array_join(slice(w, i, lit(n)), " ")).as("g")))).as("p"))
       .select(col("doc_id"), col("n_toks"), col("p.pos"), col("p.g"))
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
     val flagged = grams.join(occ, "g")

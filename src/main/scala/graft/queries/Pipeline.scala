@@ -516,24 +516,16 @@ object Pipeline {
         |  FROM d)
         |SELECT doc_id, source, toks, cum_toks FROM c
         |WHERE cum_toks - toks < 1500""".stripMargin,
-    "q_dup_span" -> {
-      // the standard portable hash48 incantation (nibble-weighted md5
-      // slice), shared with the *_port dedup oracles
-      val hexpr = (0 until 12).map { j =>
-        val w = math.pow(16, 11 - j).toLong
-        s"(strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * $w"
-      }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+    "q_dup_span" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
         |g AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks, i AS pos,
-        |    CAST($hexpr AS BIGINT) AS gh
-        |  FROM (SELECT doc_id, w, i,
-        |      md5(array_to_string(w[i:i+7], ' ')) AS h
-        |    FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
-        |    WHERE len(w) >= 8)),
-        |occ AS (SELECT gh, count(*) AS occ FROM g GROUP BY 1),
+        |    array_to_string(w[i:i+7], ' ') AS gs
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+        |  WHERE len(w) >= 8),
+        |occ AS (SELECT gs, count(*) AS occ FROM g GROUP BY 1),
         |f AS (SELECT doc_id, n_toks, pos, occ > 1 AS dup
-        |  FROM g JOIN occ USING (gh)),
+        |  FROM g JOIN occ USING (gs)),
         |runs AS (SELECT doc_id, max(run) AS max_run FROM (
         |  SELECT doc_id, grp, count(*) AS run FROM (
         |    SELECT doc_id, pos, pos - row_number() OVER (
@@ -546,8 +538,7 @@ object Pipeline {
         |    ELSE least(max(max_run) + 7, max(n_toks)) * 1000000 // max(n_toks)
         |    END AS BIGINT) AS dup_span_ppm
         |FROM f LEFT JOIN runs USING (doc_id)
-        |GROUP BY 1""".stripMargin
-    },
+        |GROUP BY 1""".stripMargin,
     "q_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
