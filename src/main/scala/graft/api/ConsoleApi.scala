@@ -167,6 +167,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       limit = if (req.has("limit")) req.get("limit").asInt else 10,
       filter = if (req.has("filter")) req.get("filter").asText else "",
       unit = if (req.has("units")) req.get("units").asText else "l3bps",
+      bidirectional = req.has("bidirectional") && req.get("bidirectional").asBoolean,
       truncateV4 = if (req.has("truncate-v4") && req.get("truncate-v4").asInt > 0)
         req.get("truncate-v4").asInt else 32,
       truncateV6 = if (req.has("truncate-v6") && req.get("truncate-v6").asInt > 0)

@@ -326,18 +326,21 @@ object TextAnalysis {
       n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = col("w")
-    val grams = df
+    // persisted: the occurrence self-join reads this twice and the final
+    // stats/runs read it again — without the persist the tokenize+hash
+    // pass re-runs up to 4x per action
+    val grams = graft.ScratchCache.persist(df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .where(size(w) >= n)
       .select(col("doc_id"), size(w).as("n_toks"),
         explode(transform(sequence(lit(1), size(w) - (n - 1)), i =>
           struct(i.as("pos"),
             xxhash64(array_join(slice(w, i, lit(n)), " ")).as("g")))).as("p"))
-      .select(col("doc_id"), col("n_toks"), col("p.pos"), col("p.g"))
+      .select(col("doc_id"), col("n_toks"), col("p.pos"), col("p.g")))
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
-    val flagged = grams.join(occ, "g")
+    val flagged = graft.ScratchCache.persist(grams.join(occ, "g")
       .select(col("doc_id"), col("n_toks"), col("pos"),
-        (col("occ") > 1).as("dup"))
+        (col("occ") > 1).as("dup")))
     // gaps-and-islands over duplicated positions: pos − row_number is
     // constant within a consecutive run
     val wd = Window.partitionBy("doc_id").orderBy("pos")

@@ -75,20 +75,11 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
       val scan0 = resolved.table.scan(rangeStart, rangeEnd)
         .where(col("TimeReceived") >= lit(rangeStart) &&
           col("TimeReceived") < lit(rangeEnd))
-      // IP truncation REPLACE over the source CTE (reference
-      // graph.go:51-88): only the requested DIMENSION columns truncate,
-      // and the filter evaluates over the replaced source — so a filter
-      // on a truncated dimension sees the truncated address, and
-      // non-dimension address columns stay raw
+      // IP truncation REPLACE over the source CTE: dimension columns
+      // only, filter evaluated over the replaced source (shared helper —
+      // see Schema.truncateDims)
       val truncated =
-        if (in.truncateV4 >= 32 && in.truncateV6 >= 128) scan0
-        else dimsOf(sp)
-          .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
-          .filter(scan0.columns.contains)
-          .foldLeft(scan0) { (d, n) =>
-            d.withColumn(n,
-              graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
-          }
+        schema.truncateDims(scan0, dimsOf(sp), in.truncateV4, in.truncateV6)
       pred.fold(truncated)(truncated.where)
     }
 
@@ -264,19 +255,12 @@ final class LineQuery(schema: Schema, tables: Seq[FlowTable]) {
     val base0 = resolved.table.scan(unionStart, unionEnd)
       .where(col("TimeReceived") >= lit(unionStart) &&
         col("TimeReceived") < lit(unionEnd))
-    // source REPLACE: only the union of the axes' truncatable DIMENSION
-    // columns (reference graph.go:51-88); this path never runs with a
-    // filter + truncation together (build() routes those per-axis), so
-    // the union set is exact for every axis
-    val base =
-      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) base0
-      else specs.flatMap(dimsOf).distinct
-        .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
-        .filter(base0.columns.contains)
-        .foldLeft(base0) { (d, n) =>
-          d.withColumn(n,
-            graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
-        }
+    // source REPLACE over the union of the axes' dimension columns
+    // (shared helper — see Schema.truncateDims); this path never runs
+    // with a filter + truncation together (build() routes those
+    // per-axis), so the union set is exact for every axis
+    val base = schema.truncateDims(base0, specs.flatMap(dimsOf).distinct,
+      in.truncateV4, in.truncateV6)
 
     val axisStructs = specs.map { sp =>
       val rangeStartMs = in.start.getTime - sp.shiftSec * 1000

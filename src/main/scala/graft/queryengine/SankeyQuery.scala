@@ -38,18 +38,10 @@ final class SankeyQuery(schema: Schema, tables: Seq[FlowTable]) {
     // routing with points fixed at 20 (reference sankey.go:127-134)
     val resolved = TableResolver.resolve(tables, in.start, in.end, 20, mainRequired)
 
-    // source REPLACE (reference graph.go:51-88, shared with line): only
-    // the requested DIMENSION columns truncate, and the filter evaluates
-    // over the replaced source
+    // source REPLACE (shared helper — see Schema.truncateDims): dimension
+    // columns only, filter evaluated over the replaced source
     def truncated(df: DataFrame, dims: Seq[String]): DataFrame =
-      if (in.truncateV4 >= 32 && in.truncateV6 >= 128) df
-      else dims
-        .filter(n => schema.enabled.exists(c => c.name == n && c.truncatableIP))
-        .filter(df.columns.contains)
-        .foldLeft(df) { (d, n) =>
-          d.withColumn(n,
-            graft.functions.Ip.ipTruncate(col(n), in.truncateV4, in.truncateV6))
-        }
+      schema.truncateDims(df, dims, in.truncateV4, in.truncateV6)
     val scan0 = resolved.table.scan(in.start, in.end)
       .where(col("TimeReceived") >= lit(in.start) && col("TimeReceived") < lit(in.end))
     val scanT = truncated(scan0, in.dimensions)

@@ -133,6 +133,23 @@ final case class Schema(columns: Seq[ColumnSpec],
     }
   }
 
+  /** The source REPLACE of the reference's shared `sourceSelect`
+    * (graph.go:51-88): truncate exactly the requested DIMENSION columns
+    * that are truncatable addresses — callers apply their filter over the
+    * returned frame so predicates see the replaced values. One helper for
+    * the line per-axis scan, the line multi-axis base, and sankey, so the
+    * three paths cannot drift.
+    */
+  def truncateDims(df: org.apache.spark.sql.DataFrame, dims: Seq[String],
+      v4Bits: Int, v6Bits: Int): org.apache.spark.sql.DataFrame =
+    if (v4Bits >= 32 && v6Bits >= 128) df
+    else dims
+      .filter(n => enabled.exists(c => c.name == n && c.truncatableIP))
+      .filter(df.columns.contains)
+      .foldLeft(df) { (d, n) =>
+        d.withColumn(n, graft.functions.Ip.ipTruncate(col(n), v4Bits, v6Bits))
+      }
+
   /** Attach the asns dictionary used by AS-number dimension labels. */
   def withAsnNames(names: Map[Long, String]): Schema = copy(asnNames = names)
 

@@ -251,9 +251,10 @@ final class FlowStore(spark: SparkSession, root: String) {
     val old = s"$root/$name.compact.old"
     withDate(rollupDelta(readTable(name), sec)).write
       .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // the path's OWN filesystem — FileSystem.get would return the default
+    // FS and "Wrong FS" on any non-default root scheme
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p(old), true)
     if (!fs.rename(p(s"$root/$name"), p(old)))
       throw new java.io.IOException(s"compactRollup: cannot move $name aside")

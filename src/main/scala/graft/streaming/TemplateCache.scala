@@ -51,8 +51,11 @@ object TemplateCache {
     rows.toSeq.sortBy(_.seq).foreach { r =>
       r.kind match {
         case "template" =>
+          // limit -1 like the data-record split: a plain split drops
+          // trailing empty field names and the arity check would then
+          // reject conforming records
           st = st.copy(templates =
-            st.templates + (r.templateId -> r.payload.split(",").toSeq))
+            st.templates + (r.templateId -> r.payload.split(",", -1).toSeq))
         case _ =>
           st.templates.get(r.templateId) match {
             case Some(fieldNames) =>
