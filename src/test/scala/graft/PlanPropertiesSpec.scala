@@ -163,6 +163,18 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected partial+final aggregation for counts and rollup:\n$p")
   }
 
+  test("q_dup_span windows per document and never goes cartesian") {
+    val p = plan("q_dup_span")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // run detection partitions by doc — a global (unpartitioned) window
+    // would single-thread the corpus
+    assert(p.contains("Window"), "gaps-and-islands needs a window")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")),
+      s"unpartitioned window detected:\n$p")
+  }
+
   test("q_oov probes the bounded vocabulary as a broadcast") {
     val p = plan("q_oov")
     // the top-K vocab is bounded by construction — the token stream must
