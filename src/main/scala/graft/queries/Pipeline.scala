@@ -238,6 +238,20 @@ object Pipeline {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // embedding-side purge: exact-cosine pairs → connected components →
+    // drop non-keepers (the vector twin of q_dedup_purge; LSH pairs are
+    // the 100 TB retrieval path, exact pairs the oracle-able ground truth)
+    "q_embed_purge" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val clusters = Dedup.connectedComponents(
+        CosineSearch.exactPairs(e, thresholdE6 = 400000L))
+      val losers = clusters.where(col("id") =!= col("cluster"))
+        .select(col("id").as("vec_id"))
+      embs(s, dir).join(losers, Seq("vec_id"), "left_anti")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
 
@@ -872,6 +886,25 @@ object Pipeline {
         |FROM documents GROUP BY 1""".stripMargin,
     // connected components over the exact ngram pairs; DuckDB recursive CTE
     // computes min-reachable-id per node over the same edge set
+    "q_embed_purge" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a, e b WHERE a.vec_id < b.vec_id
+        |    AND CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
+        |      AS BIGINT) >= 400000),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(node, root) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |losers AS (SELECT node AS vec_id FROM reach
+        |  GROUP BY 1 HAVING node != min(root))
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+        |FROM e LEFT JOIN losers USING (vec_id)
+        |WHERE losers.vec_id IS NULL
+        |GROUP BY 1""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
