@@ -61,10 +61,14 @@ object Bench {
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
       s""","n_queries":${results.size},"queries":${fmt(headlinePairs)}""" +
       s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
-        s""","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
-        .getBytes("UTF-8"))
+    // only a FULL run may refresh the committed per-query record — a
+    // filtered smoke run ("Bench q_x") would silently clobber it with a
+    // near-empty map and a subset total
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
+          s""","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

@@ -454,6 +454,20 @@ object Pipeline {
     })
   )
 
+  /** Shared recursive-CTE scaffold for the connected-components oracles:
+    * given a CTE named `pairs(id_a, id_b)`, `edges` mirrors it undirected
+    * and `reach(node, root)` closes it transitively — min(root) per node
+    * is the component keeper. Interpolated into every CC oracle so the
+    * traversal logic cannot drift between them.
+    */
+  private val reachCte: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT g.dst, r.root FROM reach r JOIN edges g ON g.src = r.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // PQ is fully SQL-replicable: the codebook derives from the table
     // (lowest-16 vec_ids, sliced into 4 sub-spaces), encoding compares
@@ -887,26 +901,23 @@ object Pipeline {
     // connected components over the exact ngram pairs; DuckDB recursive CTE
     // computes min-reachable-id per node over the same edge set
     "q_embed_purge" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    label FROM embeddings),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM e a, e b WHERE a.vec_id < b.vec_id
         |    AND CAST(round(list_cosine_similarity(a.v, b.v) * 1000000)
         |      AS BIGINT) >= 400000),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach(node, root) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        |  UNION
-        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |$reachCte,
         |losers AS (SELECT node AS vec_id FROM reach
         |  GROUP BY 1 HAVING node != min(root))
         |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
         |FROM e LEFT JOIN losers USING (vec_id)
         |WHERE losers.vec_id IS NULL
         |GROUP BY 1""".stripMargin,
+    // connected components over the exact ngram pairs: min-reachable-id
+    // per node over the same edge set the Spark operator uses
     "q_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
@@ -918,15 +929,10 @@ object Pipeline {
         |  SELECT id_a, id_b
         |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, root) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        |$reachCte
         |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1""".stripMargin,
     "q_dedup_purge" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
@@ -938,12 +944,7 @@ object Pipeline {
         |  SELECT id_a, id_b
         |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(node, root) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |$reachCte,
         |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
         |losers AS (SELECT id FROM clusters WHERE id != cluster)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
