@@ -564,4 +564,39 @@ class StreamNearDupSpec extends SparkSpec {
     assert(!all.exists(p => p._1 == 3L || p._2 == 3L),
       "unrelated doc must not pair")
   }
+
+  test("bucket state expires once the watermark passes its horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val base = "spark shuffles data across the cluster when wide dependencies appear " +
+      "and the scheduler plans stages from the lineage graph of the job"
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamNearDup.candidates(
+        mem.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "text",
+        watermark = "1 minute", horizonMs = 60000L)
+      .writeStream.format("memory").queryName("sneardup_exp")
+      .outputMode("append").start()
+    // the keeper arrives; a far-future unrelated doc then pushes the
+    // watermark well past the keeper's expiry horizon (two batches —
+    // the watermark advances at batch END)
+    mem.addData((ts("2024-03-01T00:00:00Z"), 1L, base))
+    q.processAllAvailable()
+    mem.addData((ts("2024-03-01T09:00:00Z"), 50L,
+      "completely different text about gardening and soil and compost heaps"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-03-01T09:00:01Z"), 51L,
+      "another unrelated line with many plain words in it for padding"))
+    q.processAllAvailable()
+    // an exact dup of doc 1 arrives AFTER expiry: its bucket state is
+    // gone, so no candidate pairs against the evicted keeper — the new
+    // doc becomes the fresh keeper instead (bounded state, not a miss)
+    mem.addData((ts("2024-03-01T09:00:02Z"), 60L, base))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("sneardup_exp")
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._2 == 1L || p._1 == 1L),
+      s"expired keeper still pairing: $pairs")
+  }
 }
