@@ -238,6 +238,30 @@ object Pipeline {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // dup-cluster size histogram (data-card signal: how much of the
+    // corpus sits in 2-clusters vs. larger copy families)
+    "q_cluster_sizes" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))
+      clusters.groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // cross-source duplication matrix: near-dup pairs bucketed by the
+    // (source_a, source_b) of their documents — which sources copy from
+    // each other (mirrors, scrapes, syndication)
+    "q_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // embedding-side purge: exact-cosine pairs → connected components →
     // drop non-keepers (the vector twin of q_dedup_purge; LSH pairs are
     // the 100 TB retrieval path, exact pairs the oracle-able ground truth)
@@ -900,6 +924,44 @@ object Pipeline {
         |FROM documents GROUP BY 1""".stripMargin,
     // connected components over the exact ngram pairs; DuckDB recursive CTE
     // computes min-reachable-id per node over the same edge set
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |$reachCte,
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+        |  FROM clusters GROUP BY 1)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin,
+    "q_source_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs JOIN documents da ON id_a = da.doc_id
+        |  JOIN documents db ON id_b = db.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_embed_purge" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    label FROM embeddings),
