@@ -381,10 +381,14 @@ object Pipeline {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    // threshold 0.40 matches q_sim_pairs' exact ground truth, so the
+    // LSH subset relationship is visible in the outputs AND the
+    // oracle-checked result is non-empty at every SF (0.90 found nothing
+    // in the synthetic vectors — a 0-row hash-match exercises nothing)
     "q_sim_neardup" -> ((s, dir) =>
       CosineSearch.nearDupPairs(
         embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
-        thresholdE6 = 900000L)),
+        thresholdE6 = 400000L)),
 
     // exact all-pairs cosine ≥ 0.4 — the oracle-checked ground truth the
     // approximate near-dup paths are audited against
@@ -1145,7 +1149,7 @@ object Pipeline {
          |      AS sim_e6
          |  FROM cb a JOIN cb b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
-         |WHERE sim_e6 >= 900000""".stripMargin
+         |WHERE sim_e6 >= 400000""".stripMargin
     },
     "q_sim_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
