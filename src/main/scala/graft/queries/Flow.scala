@@ -170,7 +170,11 @@ object Flow {
   val qFilterDsl: Q = (s, dir) => {
     val flows = EventFlows.flows(s, dir)
     val cf = FilterCompiler.compile(schema,
-      "SrcCountry IN ('US', 'FR') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
+      // 'JP' in the list keeps the REVERSE direction non-empty: only
+      // DstPort 8080 clears the port bound and those rows are always
+      // DstCountry=JP in the synthetic flows — with ('US','FR') the
+      // reverse query verified an empty result against an empty oracle
+      "SrcCountry IN ('US', 'JP') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
         " AND ExporterName LIKE 'exp%'")
       .fold(e => throw e, identity)
     flows.where(cf.predicate)
@@ -182,7 +186,11 @@ object Flow {
   val qFilterDslRev: Q = (s, dir) => {
     val flows = EventFlows.flows(s, dir)
     val cf = FilterCompiler.compile(schema,
-      "SrcCountry IN ('US', 'FR') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
+      // 'JP' in the list keeps the REVERSE direction non-empty: only
+      // DstPort 8080 clears the port bound and those rows are always
+      // DstCountry=JP in the synthetic flows — with ('US','FR') the
+      // reverse query verified an empty result against an empty oracle
+      "SrcCountry IN ('US', 'JP') AND SrcPort >= 3000 AND NOT (Proto = 'UDP')" +
         " AND ExporterName LIKE 'exp%'")
       .fold(e => throw e, identity)
     flows.where(cf.reversePredicate)
@@ -507,7 +515,7 @@ object Flow {
          |SELECT SrcCountry, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(Bytes) AS BIGINT) AS bytes
          |FROM flows
-         |WHERE SrcCountry IN ('US', 'FR') AND SrcPort >= 3000
+         |WHERE SrcCountry IN ('US', 'JP') AND SrcPort >= 3000
          |  AND NOT (Proto = 17) AND ExporterName LIKE 'exp%'
          |GROUP BY 1""".stripMargin,
     "q_filter_dsl_rev" ->
@@ -515,7 +523,7 @@ object Flow {
          |SELECT DstCountry, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(Bytes) AS BIGINT) AS bytes
          |FROM flows
-         |WHERE DstCountry IN ('US', 'FR') AND DstPort >= 3000
+         |WHERE DstCountry IN ('US', 'JP') AND DstPort >= 3000
          |  AND NOT (Proto = 17) AND ExporterName LIKE 'exp%'
          |GROUP BY 1""".stripMargin
   )
