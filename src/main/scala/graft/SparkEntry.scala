@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     graft.queries.Core.defs ++ graft.queries.Flow.defs ++
-      graft.queries.Pipeline.defs ++ graft.queries.Extra.defs
+      graft.queries.Pipeline.defs ++ graft.queries.Extra.defs ++
+      graft.queries.Decode.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Flow.oracles ++
-      graft.queries.Pipeline.oracles ++ graft.queries.Extra.oracles
+      graft.queries.Pipeline.oracles ++ graft.queries.Extra.oracles ++
+      graft.queries.Decode.oracles
 }
