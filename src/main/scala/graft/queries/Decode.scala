@@ -111,10 +111,33 @@ object Decode {
       .withColumnRenamed("count", "n")
   }
 
+  /** I4 per-exporter rate limiting with SamplingRate compensation
+    * ([[graft.streaming.RateLimit]]): 5 flows per exporter per minute over
+    * the events-derived flow stream; survivors' rate inflates by
+    * total/kept so the per-exporter flow estimate is preserved.
+    */
+  val qRateLimit: Q = (s, dir) => {
+    val base = graft.Tables.load(s, dir, "events").select(
+      concat(lit("exp"), (col("user_id") % 8).cast("string")).as("exporter"),
+      unix_timestamp(col("ts")).as("es"),
+      col("event_id"),
+      (round(col("value") * 100).cast("long") + 40L).as("bytes"),
+      lit(1000L).as("rate"))
+    val limited = graft.streaming.RateLimit(
+      base, limit = 5L, tickSec = 60L,
+      exporterCol = col("exporter"), tsCol = col("es"), rateCol = "rate",
+      tiebreak = Seq(col("event_id")))
+    limited.groupBy("exporter").agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("bytes") * col("rate")).as("est_bytes"),
+      sum("rate").as("est_flows"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_decode_netflow" -> qDecodeNetflow,
     "q_decode_nfv5" -> qDecodeNfv5,
-    "q_decode_sflow" -> qDecodeSflow)
+    "q_decode_sflow" -> qDecodeSflow,
+    "q_rate_limit" -> qRateLimit)
 
   val oracles: Map[String, String] = Map(
     // golden flows from root_test.go:134-228 (exporter 127.0.0.1, v9) and
@@ -148,5 +171,22 @@ object Decode {
         |  ('172.16.0.3','45.90.161.148','191.87.91.27',1024,28,49001,100,0,39421,26615,40,1,2048,6,55658,5555,'203698 6762 26615','2583495656 2583495657 4259880000 4259880001 4259900001',1)
         |) AS t(exporter, src_ip, dst_ip, sampling_rate, in_if, out_if,
         |       src_vlan, dst_vlan, src_as, dst_as, bytes, packets, etype,
-        |       proto, src_port, dst_port, as_path, communities, n)""".stripMargin)
+        |       proto, src_port, dst_port, as_path, communities, n)""".stripMargin,
+    "q_rate_limit" ->
+      """WITH base AS (SELECT 'exp' || CAST(user_id % 8 AS VARCHAR) AS exporter,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_id,
+        |    CAST(round(value*100) AS BIGINT) + 40 AS bytes, 1000 AS rate
+        |  FROM events),
+        |win AS (SELECT exporter, es, event_id, bytes, rate,
+        |    row_number() OVER (PARTITION BY exporter, es // 60
+        |      ORDER BY es, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY exporter, es // 60) AS total
+        |  FROM base),
+        |kept AS (SELECT exporter, bytes,
+        |    (rate * total) // least(total, 5) AS new_rate
+        |  FROM win WHERE rn <= 5)
+        |SELECT exporter, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(bytes * new_rate) AS BIGINT) AS est_bytes,
+        |  CAST(sum(new_rate) AS BIGINT) AS est_flows
+        |FROM kept GROUP BY 1""".stripMargin)
 }

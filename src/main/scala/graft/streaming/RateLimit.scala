@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-exporter flow rate limiting with sampling-rate compensation
+  * (SURVEY §2.8 I4; reference `outlet/core/worker.go:78-99` +
+  * `outlet/core/rate.go:37-63`): when an exporter exceeds its flow budget,
+  * excess flows are dropped and the survivors' `SamplingRate` is inflated
+  * by `1/(1 − dropRate)` so downstream byte/packet *estimates*
+  * (`value × SamplingRate`) stay unbiased.
+  *
+  * Batch determinism: the reference compensates a tick with the drop rate
+  * of the *previous* wall-clock tick (an online estimator — the current
+  * tick's total is unknowable mid-stream). A batch engine sees whole ticks,
+  * so the Spark shape compensates each tick with its own exact ratio
+  * `total/kept` — the same correction without the one-tick lag — and keeps
+  * the *first* `limit` flows per tick in (time, tiebreak) order rather than
+  * a racy token bucket, making the operator deterministic and
+  * oracle-checkable.
+  *
+  * Scale: one hash shuffle on (exporter, tick) — the natural partitioning
+  * key of the ingest path; both window functions share it. At 100 TB the
+  * per-partition state is a row-number counter, nothing accumulates.
+  */
+object RateLimit {
+
+  /** Keep at most `limit` flows per exporter per `tickSec` window,
+    * compensating survivors' `rateCol` by `total/kept` (integer floor —
+    * both engines divide non-negatives identically).
+    *
+    * @param exporterCol exporter identity column
+    * @param tsCol       epoch-seconds column (long)
+    * @param tiebreak    deterministic within-tick order after time
+    */
+  def apply(df: DataFrame, limit: Long, tickSec: Long,
+      exporterCol: Column, tsCol: Column, rateCol: String,
+      tiebreak: Seq[Column]): DataFrame = {
+    val tick = (tsCol / tickSec).cast("long")
+    val w = Window.partitionBy(exporterCol, tick)
+    val ordered = w.orderBy((tsCol +: tiebreak).toIndexedSeq: _*)
+    val total = count(lit(1)).over(w)
+    val rn = row_number().over(ordered)
+    df.withColumn("__rn", rn).withColumn("__total", total)
+      .where(col("__rn") <= limit)
+      .withColumn(rateCol,
+        // kept = min(total, limit); floor division matches DuckDB //
+        floor(col(rateCol) * col("__total") /
+          least(col("__total"), lit(limit))).cast("long"))
+      .drop("__rn", "__total")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.decode
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import graft.functions.Ip
+import graft.store.FlowStore
+import graft.streaming.{Enrichment, FlowIngest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The full reference lifecycle (SURVEY §3.4) in one spec: pcap bytes →
+  * RawFlow envelopes → stateful streaming decode → metadata enrichment →
+  * partitioned store fan-out → line query over the written parquet —
+  * the Spark shape of inlet → Kafka → outlet worker → ClickHouse → console
+  * (`outlet/core/worker.go:61-137`).
+  */
+class DecodeIngestSpec extends SparkSpec {
+
+  private def pcapRes(name: String): Array[Byte] =
+    Pcap.readResource(s"/graft/pcap/$name.pcap")
+
+  private def metadata = {
+    import spark.implicits._
+    Enrichment.MetadataDim(
+      Seq(306, 335, 450, 451, 452, 461).map(i =>
+        (Ip.parse("127.0.0.1"), i, "edge1", s"eth$i", s"if $i", 10000L,
+          "transit", "p1", "external"))
+        .toDF("exporter_addr", "if_index", "exporter_name", "if_name",
+          "if_desc", "if_speed", "if_connectivity", "if_provider",
+          "if_boundary"))
+  }
+
+  /** Decoded flows → the store's column contract (the worker's enrichment
+    * step, I5): epoch seconds become timestamps, interface indexes resolve
+    * to names via the broadcast metadata join.
+    */
+  private def enrich(decoded: DataFrame): DataFrame = {
+    val named = decoded.select(
+      timestamp_seconds(col("TimeReceived")).as("TimeReceived"),
+      col("ExporterAddress"),
+      col("InIf").cast("int").as("InIfIndex"),
+      col("OutIf").cast("int").as("OutIfIndex"),
+      col("Bytes"), col("Packets"), col("SamplingRate"))
+    Enrichment.withMetadata(named, metadata)
+      .withColumnRenamed("InIfDescription", "InIfDescription")
+      .drop("InIfIndex", "OutIfIndex")
+  }
+
+  test("pcap → decode → enrich → store → line query, end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("decode-ingest").toString
+    val src = Ip.parse("127.0.0.1")
+
+    // the capture replayed as the inlet's envelopes, in receive order
+    val envs = Seq("options-template", "options-data", "template", "data")
+      .zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(pcapRes(n)).zipWithIndex.map { case (d, j) =>
+          DecodePipeline.envelope(i.toLong * 10 + j, RawFlow.encode(RawFlow(
+            timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+            decoder = RawFlow.DecoderNetflow)))
+        }
+      }
+
+    val mem = MemoryStream[DecodePipeline.RawEnvelope]
+    val store = new FlowStore(spark, root)
+    val q = FlowIngest.start(
+      DecodePipeline.decode(mem.toDS()).toDF(), store,
+      checkpoint = s"$root/_checkpoint", enrich = enrich,
+      trigger = Trigger.ProcessingTime(0L))
+    // two micro-batches: templates first, data later — template state must
+    // survive across batches in the state store
+    mem.addData(envs.take(2))
+    q.processAllAvailable()
+    mem.addData(envs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val flows = spark.read.parquet(s"$root/flows")
+    assert(flows.count() == 4)
+    val byIf = flows.groupBy("InIfName").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byIf == Map("eth335" -> 2L, "eth461" -> 2L))
+    assert(flows.select("ExporterName").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("edge1"))
+
+    // line query over the written store: Σ xps·interval equals
+    // Σ Bytes·SamplingRate·8 of the golden flows (30000 × 5848 × 8)
+    // TS_INPUT: flows carry the capture (receive) timestamp of data.pcap
+    val start = Timestamp.from(java.time.Instant.ofEpochSecond(1662723601L - 1662723601L % 3600))
+    val end = Timestamp.from(start.toInstant.plusSeconds(3600))
+    val line = new graft.queryengine.LineQuery(
+      graft.schema.FlowSchema.schema, store.tables())
+    val out = line.build(spark, graft.queryengine.LineInput(
+      start = start, end = end, points = 6,
+      dimensions = Seq("ExporterName"), limit = 5, unit = "l3bps"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => math.round(r.getAs[Double]("xps") * 600)).sum
+    assert(total == 5848L * 30000L * 8L)
+  }
+
+  test("batch decode of the same envelopes matches the streamed result") {
+    import spark.implicits._
+    val src = Ip.parse("127.0.0.1")
+    val envs = Seq("options-template", "options-data", "template", "data")
+      .zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(pcapRes(n)).zipWithIndex.map { case (d, j) =>
+          DecodePipeline.envelope(i.toLong * 10 + j, RawFlow.encode(RawFlow(
+            timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+            decoder = RawFlow.DecoderNetflow)))
+        }
+      }
+    val decoded = DecodePipeline.decode(spark.createDataset(envs))
+    assert(decoded.count() == 4)
+    assert(decoded.select(sum("Bytes")).as[Long].head() == 5848L)
+    assert(decoded.select(max("SamplingRate")).as[Long].head() == 30000L)
+  }
+}
