@@ -99,6 +99,18 @@ object Ip {
 
 
 
+  /** `::ffff:10.a.b.c` from the low 24 bits of a non-negative long —
+    * the synthetic-address builder of the test-harness fact mappings,
+    * composed from codegen'd built-ins (hex/lpad/unhex/concat) so the
+    * events→flows projection stays inside whole-stage codegen; the Scala
+    * UDF it replaces broke codegen at every fact scan.
+    */
+  def v4Mapped10(tail24: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, hex, lit, lpad, pmod, unhex}
+    val prefix = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, 10)
+    concat(lit(prefix), unhex(lpad(hex(pmod(tail24, lit(16777216L))), 6, "0")))
+  }
+
   /** Display rendering of a 16-byte address column (P9) — native
     * expression, see [[graft.expressions.IpToString]].
     */

@@ -49,6 +49,16 @@ object Dedup {
     * frequencies are far hotter than 3-gram sets produce. The df-cap is
     * the skew guard that matters at scale.)
     */
+  /** Corpus-derived default for `maxShingleDf`: a shingle present in more
+    * than 10% of documents (floor 50) is boilerplate, and every pair it
+    * generates is quadratic join fuel — at 100 TB one hot stop-shingle
+    * without a cap turns the pair join cartesian. Dropping it only removes
+    * boilerplate-only candidates; genuinely near-duplicate documents still
+    * share plenty of below-cap shingles.
+    */
+  def defaultShingleDfCap(nDocs: Long): Int =
+    math.max(50L, nDocs / 10L).toInt
+
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     // materialize the tokenize+shingle+hash pass once (MEMORY_AND_DISK

@@ -24,15 +24,11 @@ object Extra {
       Lpm.PrefixEntry(s"10.$n.0.0/16", Map("name" -> s"n$n"))) :+
       Lpm.PrefixEntry("10.0.0.0/8", Map("name" -> "other", "region" -> "global"))
     val table = Lpm.Table.build(entries)
-    val addrUdf = udf((key: Long) => {
-      val b = new Array[Byte](16)
-      b(10) = -1; b(11) = -1
-      b(12) = 10
-      b(13) = (key % 200).toByte
-      b(14) = ((key >> 8) & 0xff).toByte
-      b(15) = 1.toByte
-      b
-    })
+    // 10.(key%200).((key>>8)&0xff).1 via the codegen'd builder — no UDF
+    val addrUdf = (key: org.apache.spark.sql.Column) =>
+      graft.functions.Ip.v4Mapped10(
+        pmod(key, lit(200L)) * 65536L +
+          pmod(floor(key / 256).cast("long"), lit(256L)) * 256L + 1L)
     Tables.load(s, dir, "customer")
       .select(col("c_custkey"), addrUdf(col("c_custkey")).as("addr"))
       .select(col("c_custkey"),

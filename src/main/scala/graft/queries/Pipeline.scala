@@ -172,8 +172,15 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langGuess(col("text")).as("lang_guess"))),
 
-    "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5)),
+    // the skew guard is always on: cap = max(50, n_docs/10) sits far above
+    // any honest shingle's document frequency (so the exact oracle is
+    // unchanged) yet bounds the pair join against boilerplate hot
+    // shingles — see OperatorsSpec "df-cap prunes a planted hot shingle"
+    "q_dedup_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
+    }),
 
     // end-to-end corpus pipeline: quality gate → exact-dup keeper → split
     // counts — the composition a training-data run executes
@@ -241,8 +248,10 @@ object Pipeline {
     // dup-cluster size histogram (data-card signal: how much of the
     // corpus sits in 2-clusters vs. larger copy families)
     "q_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
       val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
       clusters.groupBy("cluster").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
     }),
@@ -252,7 +261,8 @@ object Pipeline {
     // each other (mirrors, scrapes, syndication)
     "q_source_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
       val src = d.select(col("doc_id"), col("source"))
       pairs
         .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")

@@ -19,15 +19,9 @@ object EventFlows {
     * force all ~50 columns, including the address UDFs, for every reader).
     */
   def flows(spark: SparkSession, dir: String): DataFrame = {
-    val ipUdf = udf((v: Long) => {
-      val b = new Array[Byte](16)
-      b(10) = -1; b(11) = -1
-      b(12) = 10
-      b(13) = ((v >> 16) & 0xff).toByte
-      b(14) = ((v >> 8) & 0xff).toByte
-      b(15) = (v & 0xff).toByte
-      b
-    })
+    // codegen'd ::ffff:10.x.y.z from the low 24 bits — this projection is
+    // under EVERY flow query's scan, so it must not break codegen
+    val ipUdf = (v: org.apache.spark.sql.Column) => graft.functions.Ip.v4Mapped10(v)
     Tables.load(spark, dir, "events")
       .select(
         col("ts").as("TimeReceived"),

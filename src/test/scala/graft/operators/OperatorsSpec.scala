@@ -126,6 +126,27 @@ class DedupSpec extends SparkSpec {
     assert(capped.size < uncapped.size)
   }
 
+  test("corpus-derived df-cap prunes a planted boilerplate shingle") {
+    // 60 docs share a boilerplate header (df = 60 > cap = max(50, 60/10));
+    // docs 1 & 2 are genuine near-dups beyond it. The capped query-entry
+    // path must keep the real pair and refuse the 60×59/2 boilerplate
+    // pairs an uncapped run would generate.
+    val boiler = "subscribe to our newsletter today"
+    val docs = (1L to 60L).map { i =>
+      val body = if (i <= 2) "identical real content here" else s"unique body $i x$i y$i"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val cap = Dedup.defaultShingleDfCap(docs.count())
+    assert(cap == 50)
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3,
+      maxShingleDf = Some(cap))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size > 1, "planted shingle should inflate uncapped pairs")
+  }
+
   test("connectedComponents labels chains and leaves islands apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain 1-2-3
