@@ -36,12 +36,15 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   /** Response cache with the reference's TTL tiers: graph queries 3 h
-    * keyed by request body (`console/root.go:113-114`), widgets 5 s–5 min
-    * (`root.go:108-112`). Exposed for tests and cache-busting.
+    * keyed by request body (`console/root.go:113-114`), widgets tiered
+    * 5 s / 30 s / 5 min (`root.go:108-112`: flow-last + flow-rate 5 s,
+    * exporters + top 30 s, widget/graph 5 min). Exposed for tests and
+    * cache-busting.
     */
   val cache = new ResponseCache(clock)
   private val GraphTtlMs = 3L * 3600 * 1000
-  private val WidgetSlowTtlMs = 5L * 60 * 1000 // top/graph/exporters
+  private val WidgetSlowTtlMs = 5L * 60 * 1000 // widget/graph only
+  private val WidgetMidTtlMs = 30L * 1000      // top / exporters
   private val WidgetFastTtlMs = 5L * 1000      // flow-rate / flow-last
 
   def boundPort: Int = server.getAddress.getPort
@@ -218,7 +221,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // widget; "now" anchors on the newest flow like the reference's scalar
   // subquery
   context("/api/v0/console/widget/top/") { req =>
-    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetSlowTtlMs) {
+    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetMidTtlMs) {
     val name = req.path.split("/").last
     val widgets = new Widgets(schema, tables)
     val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
@@ -282,7 +285,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
-  handleCached("/api/v0/console/widget/exporters", WidgetSlowTtlMs) { _ =>
+  handleCached("/api/v0/console/widget/exporters", WidgetMidTtlMs) { _ =>
     val widgets = new Widgets(schema, tables)
     val resp = mapper.createObjectNode()
     val arr = resp.putArray("exporters")

@@ -1,5 +1,6 @@
 package graft.api
 
+import java.util.concurrent.CompletableFuture
 import com.fasterxml.jackson.databind.node.ObjectNode
 
 /** TTL response cache for the console API — the reference caches query
@@ -10,7 +11,13 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * on a shared console that is the difference between one scan per
   * refresh interval and one per viewer.
   *
-  * The clock is injectable so expiry is testable; entries are deep-copied
+  * Per-key single flight: entries are `CompletableFuture`s registered
+  * before computing, so N concurrent identical requests (a shared
+  * dashboard refresh landing together) run the expensive Spark query ONCE
+  * and share the result — the stampede the cache exists to absorb. A
+  * failed computation deregisters itself so the next caller retries.
+  *
+  * The clock is injectable so expiry is testable; nodes are deep-copied
   * both ways (Jackson nodes are mutable). Expired entries are dropped
   * lazily on probe and by [[sweep]] (bounded memory without a timer
   * thread).
@@ -20,42 +27,73 @@ final class ResponseCache(now: () => Long = () => System.currentTimeMillis(),
 
   private final case class Entry(atMs: Long, ttlMs: Long, value: ObjectNode)
   private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    new java.util.concurrent.ConcurrentHashMap[String, CompletableFuture[Entry]]()
 
-  /** Cached value for `key` if fresh, else compute, store, return. TTL ≤ 0
-    * bypasses the cache entirely.
-    *
-    * Every store first sweeps expired entries, and if the cache is still
-    * at `maxEntries` the oldest-stored entries are evicted — memory stays
-    * bounded even when each request carries a fresh key (a moving
-    * time-window dashboard, or an adversarial client minting bodies).
+  private def fresh(e: Entry): Boolean = now() - e.atMs < e.ttlMs
+
+  /** Cached value for `key` if fresh, else compute (once across concurrent
+    * callers), store, return. TTL ≤ 0 bypasses the cache entirely.
     */
   def getOrCompute(key: String, ttlMs: Long)(f: => ObjectNode): ObjectNode = {
     if (ttlMs <= 0) return f
-    val e = entries.get(key)
-    if (e != null && now() - e.atMs < e.ttlMs) return e.value.deepCopy()
-    val v = f
-    sweep()
-    if (entries.size >= maxEntries) {
-      // evict the oldest stores until under the cap (rare path: only when
-      // maxEntries distinct keys are live and unexpired)
-      entries.entrySet().stream()
-        .sorted(java.util.Comparator.comparingLong[
-          java.util.Map.Entry[String, Entry]](_.getValue.atMs))
-        .limit(math.max(1L, entries.size - maxEntries + 1L))
-        .forEach(old => entries.remove(old.getKey))
+    while (true) {
+      val existing = entries.get(key)
+      if (existing != null) {
+        // join() outside any lock: concurrent distinct keys never block
+        val e = try existing.join() catch {
+          case _: java.util.concurrent.CompletionException => null
+        }
+        if (e != null && fresh(e)) return e.value.deepCopy()
+        // stale or failed: deregister this future (only it) and retry
+        entries.remove(key, existing)
+      } else {
+        val mine = new CompletableFuture[Entry]()
+        if (entries.putIfAbsent(key, mine) == null) {
+          val v = try f catch {
+            case t: Throwable =>
+              entries.remove(key, mine)
+              mine.completeExceptionally(t)
+              throw t
+          }
+          mine.complete(Entry(now(), ttlMs, v.deepCopy()))
+          evictIfNeeded()
+          return v
+        }
+        // lost the registration race: loop and join the winner
+      }
     }
-    entries.put(key, Entry(now(), ttlMs, v.deepCopy()))
-    v
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Drop every expired entry; returns the number removed. */
+  /** Sweep expired entries, then evict the oldest completed entries while
+    * over `maxEntries` — memory stays bounded even when each request
+    * carries a fresh key (a moving time-window dashboard, or an
+    * adversarial client minting bodies). In-flight computations are never
+    * evicted (their callers still hold the future).
+    */
+  private def evictIfNeeded(): Unit = {
+    sweep()
+    if (entries.size >= maxEntries) {
+      entries.entrySet().stream()
+        .filter(e => e.getValue.isDone && !e.getValue.isCompletedExceptionally)
+        .sorted(java.util.Comparator.comparingLong[
+          java.util.Map.Entry[String, CompletableFuture[Entry]]](
+          _.getValue.join().atMs))
+        .limit(math.max(1L, entries.size - maxEntries + 1L))
+        .forEach(old => entries.remove(old.getKey, old.getValue))
+    }
+  }
+
+  /** Drop every expired completed entry; returns the number removed. */
   def sweep(): Int = {
     var removed = 0
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (now() - e.getValue.atMs >= e.getValue.ttlMs) { it.remove(); removed += 1 }
+      val fut = e.getValue
+      if (fut.isDone && !fut.isCompletedExceptionally && !fresh(fut.join())) {
+        it.remove(); removed += 1
+      }
     }
     removed
   }

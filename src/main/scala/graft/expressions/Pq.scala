@@ -51,6 +51,12 @@ case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
   override def prettyName: String = "pq_encode"
 
   def compute(input: ArrayData): ArrayData = {
+    // a short vector would read out of bounds from generated code and a
+    // long one would silently encode only a prefix — fail loudly instead
+    if (input.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: embedding has ${input.numElements()} dims, " +
+          s"codebook expects ${m * dsub} (m=$m × dsub=$dsub)")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -104,6 +110,10 @@ case class PqLut(child: Expression, cb: Array[Array[Array[Double]]])
   override def prettyName: String = "pq_lut"
 
   def compute(input: ArrayData): ArrayData = {
+    if (input.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_lut: query vector has ${input.numElements()} dims, " +
+          s"codebook expects ${m * dsub} (m=$m × dsub=$dsub)")
     val lut = new Array[Long](m * ksub)
     var j = 0
     while (j < m) {

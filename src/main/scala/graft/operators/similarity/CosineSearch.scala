@@ -71,15 +71,26 @@ object CosineSearch {
 
   /** Exact all-pairs cosine above a threshold — the ground-truth baseline
     * the approximate paths ([[nearDupPairs]]) are validated against. O(n²)
-    * pair evaluation by construction: run it on corpora small enough to
-    * broadcast one side (validation samples, recall audits); the LSH
-    * banding of [[nearDupPairs]] is the 100 TB path. Norms are computed
+    * pair evaluation by construction: this is the AUDIT path (validation
+    * samples, recall measurement), never the production path — the LSH
+    * banding of [[nearDupPairs]] is the 100 TB shape. Norms are computed
     * once per row below the join; per-pair work is one native dot product.
+    *
+    * `maxRows` is a hard guardrail: the corpus is counted first (cheap —
+    * parquet row-group metadata) and a corpus larger than the cap refuses
+    * to run rather than silently going cartesian on a full corpus. Raise
+    * it knowingly for a bigger audit sample, or sample upstream.
     *
     * @return (id_a, id_b, sim_e6) with id_a < id_b and sim_e6 ≥ threshold
     */
   def exactPairs(corpus: DataFrame, thresholdE6: Long, idCol: String = "id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"exactPairs is the O(n²) audit baseline: corpus has $n rows > " +
+        s"maxRows=$maxRows (${n * n / 2} pair evaluations). Use " +
+        "nearDupPairs (LSH) for full corpora, or sample/raise maxRows " +
+        "for a larger audit.")
     val a = withNorm(corpus, idCol, "id_a", embCol, "qv")
     val b = withNorm(corpus, idCol, "id_b", embCol, "cv")
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -199,9 +210,15 @@ object CosineSearch {
 
   /** kNN majority-vote label prediction — the embedding-space analog of a
     * fastText-style quality/domain classifier: each unlabeled document is
-    * assigned the label its k nearest labeled neighbors vote for. Used in
-    * training-data pipelines to propagate a small seed of human labels
-    * (quality tiers, domains, languages) across a 100 TB corpus.
+    * assigned the label its k nearest labeled neighbors vote for.
+    *
+    * Scale note: [[bruteForce]] BROADCASTS the query side — here the
+    * unlabeled documents — so one call handles a broadcast-sized query
+    * batch against an arbitrarily large labeled corpus. To propagate
+    * labels across a 100 TB unlabeled corpus, iterate broadcastable
+    * chunks of it (the labeled seed set is the scan side each time); a
+    * single call with the full corpus as queries would blow the
+    * broadcast, not the scan.
     *
     * Votes tie-break by (more votes, better best-neighbor similarity,
     * lower label), so predictions are deterministic and engine-portable.

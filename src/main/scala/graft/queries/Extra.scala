@@ -36,6 +36,37 @@ object Extra {
         Lpm.lookupAttr(table, "region")(col("addr")).as("region"))
   }
 
+  // --- J4: BGP RIB lookup with next-hop preference --------------------------
+  // Multi-route prefixes: the flow's next hop picks among per-peer routes,
+  // falling back to the first (reference bmp/rib.go:451-492). Addresses and
+  // preferred next hops derive from integer columns so the DuckDB oracle
+  // reduces to exact CASE arithmetic.
+  val qRibLookup: Q = (s, dir) => {
+    import graft.functions.{Ip, Rib}
+    val table = Rib.Table.build(Seq(
+      Rib.RouteEntry("10.0.0.0/24", Rib.Route("10.9.9.1", 65001,
+        asPath = Seq(64500L, 65001L), communities = Seq(650010L))),
+      Rib.RouteEntry("10.0.0.0/24", Rib.Route("10.9.9.2", 65002,
+        asPath = Seq(64500L, 65002L), communities = Seq(650020L))),
+      Rib.RouteEntry("10.0.1.0/24", Rib.Route("10.9.9.2", 65011,
+        asPath = Seq(64500L, 65011L), communities = Seq(650110L))),
+      Rib.RouteEntry("10.0.0.0/22", Rib.Route("10.9.9.1", 65099,
+        asPath = Seq(64500L, 65099L), communities = Seq(650990L))),
+      Rib.RouteEntry("10.0.0.0/22", Rib.Route("10.9.9.3", 65100,
+        asPath = Seq(64500L, 65100L), communities = Seq(651000L)))))
+    val dst = Ip.v4Mapped10(col("event_id") % 1024)
+    val nh = Ip.v4Mapped10(lit(9L * 65536 + 9L * 256 + 1) + col("user_id") % 3)
+    Tables.load(s, dir, "events")
+      .select(
+        Rib.lookup(table, "asn")(dst, nh).as("asn"),
+        Rib.lookup(table, "netmask")(dst, nh).as("netmask"),
+        concat_ws(" ", Rib.lookup(table, "aspath")(dst, nh)).as("path"),
+        concat_ws(" ", Rib.lookup(table, "communities")(dst, nh)).as("comms"),
+        Ip.ipToString(Rib.lookup(table, "nexthop")(dst, nh)).as("nh_out"))
+      .groupBy("asn", "netmask", "path", "comms", "nh_out")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // --- P4/P5/P6/P2: scalar render expressions over events -------------------
   val qRender: Q = (s, dir) => {
     val e = col("event_id")
@@ -320,6 +351,7 @@ object Extra {
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
+    "q_rib_lookup" -> qRibLookup,
     "q_render" -> qRender,
     "q_util_pct" -> qUtilPct,
     "q_line_stats" -> qLineStats,
@@ -336,6 +368,24 @@ object Extra {
   private val F = EventFlows.flowsSql
 
   val oracles: Map[String, String] = Map(
+    // selection replicated as CASE arithmetic: b2 = dst's third octet picks
+    // the prefix, u = user_id%3 the preferred next hop 10.9.9.(1+u)
+    "q_rib_lookup" ->
+      """WITH f AS (SELECT (event_id % 1024) // 256 AS b2, user_id % 3 AS u
+        |  FROM events),
+        |sel AS (SELECT
+        |  CASE WHEN b2 = 0 THEN CASE WHEN u = 1 THEN 65002 ELSE 65001 END
+        |       WHEN b2 = 1 THEN 65011
+        |       ELSE CASE WHEN u = 2 THEN 65100 ELSE 65099 END END AS asn,
+        |  CASE WHEN b2 <= 1 THEN 24 ELSE 22 END AS netmask,
+        |  CASE WHEN b2 = 0 THEN CASE WHEN u = 1 THEN '10.9.9.2' ELSE '10.9.9.1' END
+        |       WHEN b2 = 1 THEN '10.9.9.2'
+        |       ELSE CASE WHEN u = 2 THEN '10.9.9.3' ELSE '10.9.9.1' END END AS nh_out
+        |  FROM f)
+        |SELECT asn, netmask, '64500 ' || CAST(asn AS VARCHAR) AS path,
+        |  CAST(asn * 10 AS VARCHAR) AS comms, nh_out,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM sel GROUP BY 1, 2, 3, 4, 5""".stripMargin,
     // the trie prefixes are chosen so LPM over the synthetic SrcAddr
     // (10.0.(uid>>8).(uid&255)) reduces to exact integer CASE arithmetic
     "q_custom_dict_trie" ->

@@ -56,6 +56,38 @@ class ResponseCacheSpec extends AnyFunSuite {
     assert(fresh == 1)
   }
 
+  test("concurrent identical requests share one computation (single flight)") {
+    val cache = new ResponseCache(() => 0L)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            gate.await()
+            cache.getOrCompute("k", 1000) {
+              computes.incrementAndGet()
+              Thread.sleep(50) // a slow "Spark query"
+              node("once")
+            }.get("v").asText
+          }
+        })
+      }
+      gate.countDown()
+      assert(results.map(_.get()).forall(_ == "once"))
+      assert(computes.get() == 1, "stampede: query ran more than once")
+    } finally pool.shutdown()
+  }
+
+  test("a failed computation deregisters so the next caller retries") {
+    val cache = new ResponseCache(() => 0L)
+    intercept[RuntimeException] {
+      cache.getOrCompute("k", 1000)(throw new RuntimeException("boom"))
+    }
+    assert(cache.getOrCompute("k", 1000)(node("ok")).get("v").asText == "ok")
+  }
+
   test("sweep drops only expired entries") {
     var nowMs = 0L
     val cache = new ResponseCache(() => nowMs)

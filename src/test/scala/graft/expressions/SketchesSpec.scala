@@ -52,6 +52,24 @@ class SketchesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("pq_encode rejects a vector that disagrees with the codebook shape") {
+    import spark.implicits._
+    // codebook: m=2 subspaces × ksub=2 centroids × dsub=2 dims → 4-dim input
+    val cb = Array.fill(2, 2, 2)(0.5)
+    val bad = Seq(Seq(1.0, 2.0, 3.0)).toDF("embedding") // 3 dims ≠ 4
+    val err = intercept[Exception] {
+      bad.select(Sketches.pqEncode(org.apache.spark.sql.functions
+        .col("embedding"), cb)).collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("pq_encode")) ||
+        mentions(t.getCause))
+    assert(mentions(err))
+    val ok = Seq(Seq(1.0, 2.0, 3.0, 4.0)).toDF("embedding")
+    assert(ok.select(Sketches.pqEncode(org.apache.spark.sql.functions
+      .col("embedding"), cb)).collect().length == 1)
+  }
+
   test("expressions survive both codegen and interpreted paths") {
     val df = spark.range(200).select(
       array((0 until 16).map(i => xxhash64(col("id") + i)): _*).as("hs"))

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** J4: next-hop-preferring RIB selection (reference
+  * `outlet/routing/provider/bmp/rib.go:451-492`, `bmp/lookup.go:24-50`).
+  */
+class RibSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val table = Rib.Table.build(Seq(
+    Rib.RouteEntry("10.0.0.0/24", Rib.Route("192.0.2.1", 65001,
+      asPath = Seq(64500L, 65001L), communities = Seq(650010L))),
+    Rib.RouteEntry("10.0.0.0/24", Rib.Route("192.0.2.2", 65002,
+      asPath = Seq(64500L, 65002L))),
+    Rib.RouteEntry("10.0.0.0/16", Rib.Route("192.0.2.3", 65100)),
+    Rib.RouteEntry("2001:db8::/32", Rib.Route("2001:db8::1", 65200))))
+
+  test("longest prefix wins; first route is the fallback") {
+    val r = table.lookup(Ip.parse("10.0.0.7"), null)
+    assert(r.asn == 65001) // first route of the /24, not the /16
+    assert(r.netMask == 24) // v4-adjusted
+    assert(r.asPath.toSeq == Seq(64500L, 65001L))
+    assert(Ip.render(r.nextHop) == "192.0.2.1")
+    // outside the /24 but inside the /16
+    assert(table.lookup(Ip.parse("10.0.9.9"), null).asn == 65100)
+    assert(table.lookup(Ip.parse("10.0.9.9"), null).netMask == 16)
+    // miss
+    assert(table.lookup(Ip.parse("203.0.113.1"), null) == null)
+  }
+
+  test("a route matching the preferred next hop overrides the first") {
+    val r = table.lookup(Ip.parse("10.0.0.7"), Ip.parse("192.0.2.2"))
+    assert(r.asn == 65002)
+    assert(Ip.render(r.nextHop) == "192.0.2.2")
+    // a preferred next hop no route carries falls back to the first
+    assert(table.lookup(Ip.parse("10.0.0.7"), Ip.parse("192.0.2.9")).asn == 65001)
+  }
+
+  test("v6 masks are not v4-adjusted") {
+    val r = table.lookup(Ip.parse("2001:db8::42"), null)
+    assert(r.asn == 65200 && r.netMask == 32)
+  }
+
+  test("lookup columns work inside a codegen'd plan") {
+    val df = Seq(
+      (Ip.parse("10.0.0.7"), Ip.parse("192.0.2.2")),
+      (Ip.parse("10.0.0.7"), null),
+      (Ip.parse("203.0.113.1"), null))
+      .toDF("addr", "nh")
+    val out = df.select(
+      Rib.lookup(table, "asn")(col("addr"), col("nh")).as("asn"),
+      Rib.lookup(table, "netmask")(col("addr"), col("nh")).as("mask"),
+      Rib.lookup(table, "aspath")(col("addr"), col("nh")).as("path"),
+      Ip.ipToString(Rib.lookup(table, "nexthop")(col("addr"), col("nh")))
+        .as("nh_out"))
+      .collect()
+    assert(out(0).getAs[Long]("asn") == 65002L)
+    assert(out(0).getAs[scala.collection.Seq[Long]]("path").toSeq ==
+      Seq(64500L, 65002L))
+    assert(out(0).getAs[String]("nh_out") == "192.0.2.2")
+    assert(out(1).getAs[Long]("asn") == 65001L)
+    assert(out(2).isNullAt(0) && out(2).isNullAt(3))
+  }
+
+  test("attribute interning dedupes shared route attributes") {
+    // 1000 prefixes sharing 2 attribute sets — build must not blow up and
+    // lookups stay correct (the interning mirror of bmp/rib.go:92-154)
+    val entries = (0 until 1000).map { i =>
+      Rib.RouteEntry(s"10.${i / 256}.${i % 256}.0/24",
+        Rib.Route(s"192.0.2.${i % 2}", 65000L + i % 2))
+    }
+    val t = Rib.Table.build(entries)
+    assert(t.size == 1000)
+    assert(t.lookup(Ip.parse("10.1.5.9"), null).asn == (65000L + (256 + 5) % 2))
+  }
+}

@@ -126,6 +126,17 @@ class DedupSpec extends SparkSpec {
     assert(capped.size < uncapped.size)
   }
 
+  test("exactPairs refuses a corpus beyond its audit cap") {
+    val e = (1L to 20L).map(i => (i, Seq(1.0, 0.0))).toDF("id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      CosineSearch.exactPairs(e, thresholdE6 = 0L, maxRows = 10L)
+    }
+    assert(err.getMessage.contains("nearDupPairs"))
+    // within the cap it still runs
+    assert(CosineSearch.exactPairs(e, thresholdE6 = 0L, maxRows = 100L)
+      .count() == 20L * 19 / 2)
+  }
+
   test("corpus-derived df-cap prunes a planted boilerplate shingle") {
     // 60 docs share a boilerplate header (df = 60 > cap = max(50, 60/10));
     // docs 1 & 2 are genuine near-dups beyond it. The capped query-entry
