@@ -432,8 +432,10 @@ object NetflowDecoder {
               skip = true
             }
           } else if (field.pen == JuniperPen) {
+            // Go precedence: v[0]&0xfc>>2 is (v[0] & 0xfc) >> 2 — the top
+            // six bits select the 0x02 "forwarding exception" class
             if (field.ftype == F.CommonPropertiesId && v.length == 2 &&
-              (v(0) & (0xfc >> 2)) == 0x02) {
+              ((v(0) & 0xfc) >> 2) == 0x02) {
               // forwardingExceptionCode != 0 means the packet was dropped
               if ((Wire.uNumber(v) & 0x03ff) == 0)
                 bf.appendUint(Col.ForwardingStatus, 64)
