@@ -35,7 +35,8 @@ object NetflowDecoder {
   private val JuniperPen = 2636L
 
   final case class Result(state: TemplateState, flows: Seq[DecodedFlow],
-      error: Option[String], templatesMissing: Boolean)
+      error: Option[String], templatesMissing: Boolean,
+      nonEncapDrops: Long = 0L)
 
   /** Decode one datagram. `tsReceived` is epoch seconds of reception;
     * `sourceAddr` the canonical 16-byte exporter source.
@@ -48,6 +49,7 @@ object NetflowDecoder {
     val bf = new FlowBuilder(out += _)
     var ts = tsReceived
     var sysUptime = 0L
+    val drops = new DropCounter
 
     def finalizeRecord(): Unit = {
       if (bf.timeReceived == 0) bf.timeReceived = ts
@@ -58,7 +60,7 @@ object NetflowDecoder {
     version match {
       case 5 =>
         if (options.decap != PacketParse.DecapNone)
-          return Result(state0, Nil, None, false) // non-encapsulated packet
+          return Result(state0, Nil, None, false, 1L) // non-encapsulated packet
         val w = new Wire(payload, 2, payload.length)
         if (!w.hasBytes(22)) return Result(state0, Nil, Some("NetFlow v5 decoding error"), false)
         val count = w.u16()
@@ -127,7 +129,7 @@ object NetflowDecoder {
                 } else {
                   records.foreach { rec =>
                     decodeRecord(version, obsDomainId, state, rec, ts, sysUptime,
-                      options, bf, finalizeRecord _)
+                      options, bf, finalizeRecord _, drops)
                   }
                 }
             }
@@ -136,8 +138,7 @@ object NetflowDecoder {
         // reference root.go:141-147: a datagram whose data needs an unseen
         // template yields no flows ("template not received yet"), never an
         // error — but templates seen in the same datagram were kept
-        if (missing) Result(state, out.toSeq, None, true)
-        else Result(state, out.toSeq, None, false)
+        Result(state, out.toSeq, None, missing, drops.nonEncap)
 
       case _ =>
         Result(state0, Nil, Some(s"unknown NetFlow version $version"), false)
@@ -402,9 +403,14 @@ object NetflowDecoder {
     * pass, then — when RFC 5103 reverse-PEN fields are present — a reverse
     * pass whose appends land on each column's direction twin.
     */
+  /** "non-encapsulated packet" drop counter (reference `metrics.errors`,
+    * `decode.go:390-392`).
+    */
+  final class DropCounter { var nonEncap: Long = 0L }
+
   private def decodeRecord(version: Int, obsDomainId: Long, state: TemplateState,
       fields: Seq[DataField], ts: Long, sysUptime: Long, options: DecodeOptions,
-      bf: FlowBuilder, finalizeRecord: () => Unit): Unit = {
+      bf: FlowBuilder, finalizeRecord: () => Unit, drops: DropCounter): Unit = {
     var reversePresent: java.util.BitSet = null
     val needDecap = options.decap != PacketParse.DecapNone
 
@@ -598,8 +604,10 @@ object NetflowDecoder {
           bf.samplingRate = state.samplingRate(version, obsDomainId, 0L)
 
         def localFinalize(): Unit =
-          if (needDecap && !decapOK) bf.undo() // non-encapsulated packet
-          else finalizeRecord()
+          if (needDecap && !decapOK) { // non-encapsulated packet
+            drops.nonEncap += 1
+            bf.undo()
+          } else finalizeRecord()
 
         if (dir == 0 && reversePresent == null) {
           localFinalize()

@@ -102,6 +102,56 @@ class DecodeIngestSpec extends SparkSpec {
     assert(total == 5848L * 30000L * 8L)
   }
 
+  test("template state survives a query restart from the checkpoint") {
+    // the reference persists templates to disk so a restart doesn't drop
+    // flows until re-announcement (netflow/persist.go); the Spark shape
+    // gets this from the checkpointed state store: stop the query after
+    // the templates, start a NEW query on the same checkpoint, send only
+    // data — the records must decode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("decode-restart").toString
+    val src = Ip.parse("127.0.0.1")
+    val envs = Seq("options-template", "options-data", "template", "data")
+      .zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(pcapRes(n)).zipWithIndex.map { case (d, j) =>
+          DecodePipeline.envelope(i.toLong * 10 + j, RawFlow.encode(RawFlow(
+            timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+            decoder = RawFlow.DecoderNetflow)))
+        }
+      }
+
+    def startQuery(mem: MemoryStream[DecodePipeline.RawEnvelope]) =
+      DecodePipeline.decode(mem.toDS()).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/_checkpoint")
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+
+    val mem1 = MemoryStream[DecodePipeline.RawEnvelope]
+    val q1 = startQuery(mem1)
+    mem1.addData(envs.take(3)) // both templates, no data records
+    q1.processAllAvailable()
+    q1.stop()
+
+    val mem2 = MemoryStream[DecodePipeline.RawEnvelope]
+    // MemoryStream offsets count addData blocks: re-add the committed
+    // prefix as block 0 (already consumed per the checkpoint), then the
+    // data envelope as block 1 — the restarted query processes ONLY the
+    // data, and its templates can come only from the restored state store
+    mem2.addData(envs.take(3))
+    mem2.addData(envs.drop(3))
+    val q2 = startQuery(mem2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val decoded = spark.read.parquet(s"$root/out")
+    assert(decoded.count() == 4)
+    assert(decoded.agg(sum("Bytes")).collect()(0).getLong(0) == 5848L)
+    assert(decoded.agg(max("SamplingRate")).collect()(0).getLong(0) == 30000L)
+  }
+
   test("batch decode of the same envelopes matches the streamed result") {
     import spark.implicits._
     val src = Ip.parse("127.0.0.1")

@@ -162,6 +162,58 @@ class DecoderExtendedSpec extends AnyFunSuite {
       FlowDirection = 1)))
   }
 
+  // root_test.go:1064-1114 — SRv6 decapsulation of the IPFIX 315 frame:
+  // IP-in-IPv6 with SRH headers, inner packet surfaces, zero drops
+  test("netflow: SRv6 decapsulation") {
+    var state = TemplateState.empty
+    var dropped = 0L
+    val out = Seq.newBuilder[DecodedFlow]
+    Seq("ipfix-srv6-template", "ipfix-srv6-data").foreach { n =>
+      val r = NetflowDecoder.decode(pcap(n), localhost, 0L,
+        DecodeOptions(DecodeOptions.TsInput, PacketParse.DecapSrv6), state)
+      assert(r.error.isEmpty)
+      state = r.state
+      dropped += r.nonEncapDrops
+      out ++= r.flows
+    }
+    assert(dropped == 0L)
+    assertFlows(out.result().map(_.copy(TimeReceived = 0L)), Seq(baseline.copy(
+      SrcAddr = ip("8.8.8.8"), DstAddr = ip("213.36.140.100"),
+      Packets = 1, Bytes = 64, FlowDirection = 1, EType = 2048, Proto = 1,
+      IPTTL = 63, IPFragmentID = 0xc96b)))
+  }
+
+  // root_test.go:978-1062 — under a decap option, non-encapsulated packets
+  // yield no flows and count as "non-encapsulated packet" drops
+  test("netflow: non-encapsulated packets drop with the golden counts") {
+    val cases = Seq(
+      (Seq("options-template", "options-data", "template", "data"), 4L),
+      (Seq("mpls"), 2L),
+      (Seq("physicalinterfaces"), 8L),
+      (Seq("icmp-template", "icmp-data"), 4L),
+      (Seq("multiplesamplingrates-options-template",
+        "multiplesamplingrates-options-data", "multiplesamplingrates-template",
+        "multiplesamplingrates-data"), 12L),
+      (Seq("ipfixprobe-templates", "ipfixprobe-data"), 6L),
+      (Seq("nat"), 9L),
+      (Seq("nfv5"), 1L))
+    cases.foreach { case (names, wantDrops) =>
+      var state = TemplateState.empty
+      var flows = 0
+      var dropped = 0L
+      names.foreach { n =>
+        val r = NetflowDecoder.decode(pcap(n), localhost, 0L,
+          DecodeOptions(DecodeOptions.TsInput, PacketParse.DecapVxlan), state)
+        assert(r.error.isEmpty, n)
+        state = r.state
+        flows += r.flows.length
+        dropped += r.nonEncapDrops
+      }
+      assert(flows == 0, s"$names produced flows under decap")
+      assert(dropped == wantDrops, s"$names: drops $dropped != $wantDrops")
+    }
+  }
+
   // ---- sFlow variants (sflow/root_test.go:196-664) -------------------------
 
   private val agent = ip("172.16.0.3")
