@@ -37,17 +37,19 @@ object RateLimit {
   def apply(df: DataFrame, limit: Long, tickSec: Long,
       exporterCol: Column, tsCol: Column, rateCol: String,
       tiebreak: Seq[Column]): DataFrame = {
-    val tick = (tsCol / tickSec).cast("long")
-    val w = Window.partitionBy(exporterCol, tick)
+    // materialize the tick once so both windows partition on the SAME
+    // attribute — distinct expression instances would each plan their own
+    // exchange; one attribute means one shuffle serves count and rank
+    val w = Window.partitionBy(exporterCol, col("__tick"))
     val ordered = w.orderBy((tsCol +: tiebreak).toIndexedSeq: _*)
-    val total = count(lit(1)).over(w)
-    val rn = row_number().over(ordered)
-    df.withColumn("__rn", rn).withColumn("__total", total)
+    df.withColumn("__tick", (tsCol / tickSec).cast("long"))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__total", count(lit(1)).over(w))
       .where(col("__rn") <= limit)
       .withColumn(rateCol,
         // kept = min(total, limit); floor division matches DuckDB //
         floor(col(rateCol) * col("__total") /
           least(col("__total"), lit(limit))).cast("long"))
-      .drop("__rn", "__total")
+      .drop("__rn", "__total", "__tick")
   }
 }
