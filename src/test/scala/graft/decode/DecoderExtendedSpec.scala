@@ -162,6 +162,18 @@ class DecoderExtendedSpec extends AnyFunSuite {
       FlowDirection = 1)))
   }
 
+  // root_test.go:258-282 — a combined PDU carrying data AND templates:
+  // both templates register (obs domain 17170432, ids 256/257) even
+  // though the data set precedes them in the packet
+  test("netflow: templates mixed with data in one datagram") {
+    val r = NetflowDecoder.decode(pcap("data+templates"), localhost, 0L,
+      DecodeOptions(DecodeOptions.TsInput), TemplateState.empty)
+    assert(r.error.isEmpty)
+    assert(r.state.template(9, 17170432L, 256).exists(_.kind == "options_template"))
+    assert(r.state.template(9, 17170432L, 257).exists(_.kind == "template"))
+    assert(r.state.templatesSeen == 2)
+  }
+
   // root_test.go:1064-1114 — SRv6 decapsulation of the IPFIX 315 frame:
   // IP-in-IPv6 with SRH headers, inner packet surfaces, zero drops
   test("netflow: SRv6 decapsulation") {
