@@ -28,11 +28,13 @@ object DecodePipeline {
   final case class RawEnvelope(exporter: String, seq: Long, data: Array[Byte])
 
   /** Wrap raw RawFlow protobuf bytes for decoding, extracting the group
-    * key from the envelope's source address.
+    * key from the envelope's source address. Uses the field-3-only scan —
+    * no payload copy — so the envelope protobuf is fully decoded exactly
+    * once (inside the group function), not twice per datagram.
     */
   def envelope(seq: Long, rawFlowBytes: Array[Byte]): RawEnvelope = {
-    val key = RawFlow.decode(rawFlowBytes)
-      .map(m => m.sourceAddress.map(b => f"${b & 0xff}%02x").mkString)
+    val key = RawFlow.sourceAddressOf(rawFlowBytes)
+      .map(_.map(b => f"${b & 0xff}%02x").mkString)
       .getOrElse("")
     RawEnvelope(key, seq, rawFlowBytes)
   }

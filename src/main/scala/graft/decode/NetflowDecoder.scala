@@ -40,9 +40,23 @@ object NetflowDecoder {
 
   /** Decode one datagram. `tsReceived` is epoch seconds of reception;
     * `sourceAddr` the canonical 16-byte exporter source.
+    *
+    * A malformed datagram must never fail the task (after retries, the
+    * whole ingest query): any out-of-bounds walk becomes a decode error,
+    * the moral equivalent of the reference's panic recovery around
+    * decoders (`outlet/flow/decoder.go:60-71`).
     */
   def decode(payload: Array[Byte], sourceAddr: Array[Byte], tsReceived: Long,
-      options: DecodeOptions, state0: TemplateState): Result = {
+      options: DecodeOptions, state0: TemplateState): Result =
+    try decodeUnsafe(payload, sourceAddr, tsReceived, options, state0)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+           _: NegativeArraySizeException =>
+        Result(state0, Nil, Some("malformed datagram"), false)
+    }
+
+  private def decodeUnsafe(payload: Array[Byte], sourceAddr: Array[Byte],
+      tsReceived: Long, options: DecodeOptions, state0: TemplateState): Result = {
     if (payload.length < 2) return Result(state0, Nil, Some("payload too small"), false)
     val version = ((payload(0) & 0xff) << 8) | (payload(1) & 0xff)
     val out = ArrayBuffer.empty[DecodedFlow]
@@ -159,6 +173,8 @@ object NetflowDecoder {
     val srcMask = w.u8(); val dstMask = w.u8()
     w.skip(2) // pad
 
+    // raw 16-bit field including the sampling-mode top bits, exactly as
+    // the reference consumes it (decode.go:40 uses the wire value as-is)
     bf.samplingRate = samplingInterval.toLong
     bf.inIf = input; bf.outIf = output
     bf.srcAddr = Addr.fromUint32(srcAddr)
@@ -174,6 +190,9 @@ object NetflowDecoder {
     bf.appendUint(Col.DstPort, dstPort)
     bf.appendUint(Col.IPTos, tos)
     bf.appendUint(Col.TCPFlags, tcpFlags)
+    // reference-faithful raw arithmetic (decode.go:61): uptime and First
+    // are milliseconds mixed into epoch seconds — the reference's own
+    // golden tests pin these exact values (root_test.go:651-652)
     if (options.timestampSource == DecodeOptions.TsNetflowFirstSwitched)
       bf.timeReceived = ts - sysUptime + first
     if (bf.samplingRate == 0) bf.samplingRate = 1

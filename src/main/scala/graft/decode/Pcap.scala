@@ -62,7 +62,13 @@ object Pcap {
       off += 40
     } else return None
     if (proto != PacketParse.ProtoUDP || off + 8 > end) return None
-    Some(java.util.Arrays.copyOfRange(data, off + 8, end))
+    // honor the UDP length field: frames shorter than the 60-byte
+    // Ethernet minimum carry trailer padding the capture includes, which
+    // would otherwise parse as a bogus trailing flowset
+    val udpLen = u16(off + 4)
+    val payloadEnd =
+      if (udpLen >= 8) math.min(end, off + udpLen) else end
+    Some(java.util.Arrays.copyOfRange(data, off + 8, payloadEnd))
   }
 
   def readFile(path: String): Array[Byte] =

@@ -75,6 +75,51 @@ object RawFlow {
     out.toArray
   }
 
+  /** Light scan for field 3 (source_address) only — the group-key
+    * extraction of [[graft.decode.DecodePipeline.envelope]]. Walks tags
+    * and skips values without copying the (much larger) payload, so the
+    * full envelope decodes exactly once, inside the group function.
+    */
+  def sourceAddressOf(data: Array[Byte]): Option[Array[Byte]] = {
+    var pos = 0
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= data.length || shift > 63) throw new IllegalArgumentException("varint")
+        val b = data(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      v
+    }
+    try {
+      while (pos < data.length) {
+        val tag = varint()
+        val field = (tag >>> 3).toInt
+        (tag & 7).toInt match {
+          case 0 => varint()
+          case 2 =>
+            val len = varint().toInt
+            if (len < 0 || pos + len > data.length)
+              throw new IllegalArgumentException("length")
+            if (field == 3)
+              return Some(java.util.Arrays.copyOfRange(data, pos, pos + len))
+            pos += len
+          case 1 => pos += 8
+          case 5 => pos += 4
+          case w => throw new IllegalArgumentException(s"wire type $w")
+        }
+      }
+      None
+    } catch {
+      case _: IllegalArgumentException => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
   /** Decode, skipping unknown fields per proto3 rules; returns None on a
     * malformed buffer (reference drops such flows with a counter,
     * `worker.go:64-68`).

@@ -30,7 +30,20 @@ object SflowDecoder {
 
   final case class Result(flows: Seq[DecodedFlow], error: Option[String])
 
+  /** Malformed datagrams become errors, never task failures (the
+    * equivalent of the reference's decoder panic recovery,
+    * `outlet/flow/decoder.go:60-71`).
+    */
   def decode(payload: Array[Byte], tsReceived: Long,
+      options: DecodeOptions): Result =
+    try decodeUnsafe(payload, tsReceived, options)
+    catch {
+      case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException |
+           _: NegativeArraySizeException =>
+        Result(Nil, Some("malformed datagram"))
+    }
+
+  private def decodeUnsafe(payload: Array[Byte], tsReceived: Long,
       options: DecodeOptions): Result = {
     val w = new Wire(payload)
     if (!w.hasBytes(28)) return Result(Nil, Some("payload too small"))

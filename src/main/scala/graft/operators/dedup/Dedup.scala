@@ -57,7 +57,9 @@ object Dedup {
     * share plenty of below-cap shingles.
     */
   def defaultShingleDfCap(nDocs: Long): Int =
-    math.max(50L, nDocs / 10L).toInt
+    // clamp before narrowing: past ~21B documents nDocs/10 overflows Int
+    // and a negative cap would anti-join away the whole inverted index
+    math.min(math.max(50L, nDocs / 10L), Int.MaxValue.toLong).toInt
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {

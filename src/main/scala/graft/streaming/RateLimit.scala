@@ -37,6 +37,10 @@ object RateLimit {
   def apply(df: DataFrame, limit: Long, tickSec: Long,
       exporterCol: Column, tsCol: Column, rateCol: String,
       tiebreak: Seq[Column]): DataFrame = {
+    // the helper columns would silently clobber same-named input columns
+    val reserved = Seq("__tick", "__rn", "__total")
+    require(!df.columns.exists(reserved.contains),
+      s"RateLimit reserves columns ${reserved.mkString(", ")}")
     // materialize the tick once so both windows partition on the SAME
     // attribute — distinct expression instances would each plan their own
     // exchange; one attribute means one shuffle serves count and rank

@@ -233,6 +233,50 @@ class DecoderSpec extends AnyFunSuite {
     assertFlows(r.flows, want)
   }
 
+  test("pcap reader honors the UDP length over Ethernet trailer padding") {
+    // 60-byte minimum Ethernet frame: 4-byte UDP payload + 14 bytes of
+    // trailer padding the capture includes — the padding must not leak
+    val payload = Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte)
+    val udp = Array[Byte](0x04, 0x00, 0x08, 0x00, 0, 12, 0, 0) ++ payload
+    val ipv4 = Array[Byte](0x45, 0, 0, (20 + udp.length).toByte, 0, 0, 0, 0,
+      64, 17, 0, 0, 10, 0, 0, 1, 10, 0, 0, 2) ++ udp
+    val eth = new Array[Byte](12) ++ Array[Byte](0x08, 0x00) ++ ipv4
+    val frame = eth ++ new Array[Byte](60 - eth.length) // trailer padding
+    val pcapBytes =
+      Array[Byte](0xa1.toByte, 0xb2.toByte, 0xc3.toByte, 0xd4.toByte) ++
+        new Array[Byte](20) ++ // rest of global header
+        Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ // ts
+        Array[Byte](0, 0, 0, frame.length.toByte) ++ // incl_len
+        Array[Byte](0, 0, 0, frame.length.toByte) ++ // orig_len
+        frame
+    val ds = Pcap.datagrams(pcapBytes)
+    assert(ds.length == 1)
+    assert(ds.head.payload.toSeq == payload.toSeq)
+  }
+
+  test("malformed datagrams yield errors, not exceptions") {
+    // sFlow v5, IPv6 agent type, truncated before the address completes
+    val truncated = Array[Byte](0, 0, 0, 5, 0, 0, 0, 2) ++ new Array[Byte](20)
+    val r = SflowDecoder.decode(truncated, 0L, DecodeOptions())
+    assert(r.flows.isEmpty)
+    // either the bounds guard or the malformed-catch fires; never a throw
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(SflowDecoder.decode(
+      Array[Byte](0, 0, 0, 5) ++ garbage, 0L, DecodeOptions()).flows.isEmpty)
+    val nf = NetflowDecoder.decode(Array[Byte](0, 9) ++ garbage.take(30),
+      localhost, 0L, DecodeOptions(), TemplateState.empty)
+    assert(nf.flows.isEmpty)
+  }
+
+  test("field-3 scan matches the full envelope decode") {
+    val m = RawFlow(timeReceived = 7L, payload = Array[Byte](1, 2, 3),
+      sourceAddress = localhost, decoder = RawFlow.DecoderNetflow)
+    val bytes = RawFlow.encode(m)
+    assert(RawFlow.sourceAddressOf(bytes).get.toSeq == localhost.toSeq)
+    assert(RawFlow.sourceAddressOf(RawFlow.encode(RawFlow())).isEmpty)
+    assert(RawFlow.sourceAddressOf(Array[Byte](0x0a, 0x7f)).isEmpty)
+  }
+
   test("rawflow protobuf round-trip") {
     val m = RawFlow(
       timeReceived = 1680626679L,
