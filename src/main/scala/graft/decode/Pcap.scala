@@ -33,11 +33,13 @@ object Pcap {
     var off = 24
     while (off + 16 <= data.length) {
       val tsSec = u32(off)
-      val inclLen = u32(off + 8).toInt
+      // keep the length as Long: a corrupted record narrowed to Int could
+      // go negative, walk the cursor backward and index out of bounds
+      val inclLen = u32(off + 8)
       off += 16
-      if (off + inclLen > data.length) return out.toSeq
-      udpPayload(data, off, inclLen).foreach(p => out += Datagram(tsSec, p))
-      off += inclLen
+      if (inclLen < 0 || off + inclLen > data.length) return out.toSeq
+      udpPayload(data, off, inclLen.toInt).foreach(p => out += Datagram(tsSec, p))
+      off += inclLen.toInt
     }
     out.toSeq
   }

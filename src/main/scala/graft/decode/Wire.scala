@@ -19,7 +19,14 @@ final class Wire(val bytes: Array[Byte], var pos: Int, val end: Int) {
   }
   def u64(): Long = { val hi = u32(); val lo = u32(); (hi << 32) | lo }
 
+  // a corrupted u32 length narrowed to Int can be negative; copyOfRange
+  // would then throw IllegalArgumentException, which the decoders' malformed
+  // guard does not treat as a wire error — normalize to the bounds family
+  private def checkLen(n: Int): Unit =
+    if (n < 0 || n > remaining) throw new ArrayIndexOutOfBoundsException(n)
+
   def take(n: Int): Array[Byte] = {
+    checkLen(n)
     val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
     pos += n
     out
@@ -30,6 +37,7 @@ final class Wire(val bytes: Array[Byte], var pos: Int, val end: Int) {
     * them (flowset/sample bodies are length-delimited).
     */
   def slice(n: Int): Wire = {
+    checkLen(n)
     val w = new Wire(bytes, pos, pos + n)
     pos += n
     w
