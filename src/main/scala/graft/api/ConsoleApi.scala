@@ -189,6 +189,21 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
+  // POST /graph/table-interval — expose the planner's routing decision
+  // (reference console/line.go:475-488): which table serves this range at
+  // this point count, and the effective bucket width
+  handle("/api/v0/console/graph/table-interval") { req =>
+    val start = Timestamp.from(Instant.parse(req.get("start").asText()))
+    val end = Timestamp.from(Instant.parse(req.get("end").asText()))
+    val points = if (req.has("points")) req.get("points").asInt else 100
+    val resolved = graft.queryengine.TableResolver.resolve(
+      tables, start, end, points, mainTableRequired = false)
+    val resp = mapper.createObjectNode()
+    resp.put("table", resolved.table.name)
+    resp.put("interval", resolved.intervalSec)
+    resp
+  }
+
   handle("/api/v0/console/filter/validate") { req =>
     val expr = if (req.has("filter")) req.get("filter").asText else ""
     val resp = mapper.createObjectNode()

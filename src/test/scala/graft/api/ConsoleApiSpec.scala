@@ -57,6 +57,23 @@ class ConsoleApiSpec extends SparkSpec {
     assert(links.get(0).get("weight").asDouble() > 0)
   }
 
+  test("graph/table-interval exposes the routing decision") {
+    // week at 7 points → 1-day buckets → coarsest rollup (1h) serves it
+    val (c1, wide) = post("/api/v0/console/graph/table-interval",
+      """{"start":"2024-01-01T00:00:00Z","end":"2024-01-08T00:00:00Z",
+        |"points":7}""".stripMargin)
+    assert(c1 == 200)
+    assert(wide.get("table").asText() == "flows_1h")
+    assert(wide.get("interval").asLong() == 86400L)
+    // a minute at 60 points → 1-second buckets → only the main table fits
+    val (c2, narrow) = post("/api/v0/console/graph/table-interval",
+      """{"start":"2024-01-01T00:00:00Z","end":"2024-01-01T00:01:00Z",
+        |"points":60}""".stripMargin)
+    assert(c2 == 200)
+    assert(narrow.get("table").asText() == "flows")
+    assert(narrow.get("interval").asLong() == 1L)
+  }
+
   test("filter/validate reports both outcomes") {
     val (c1, ok) = post("/api/v0/console/filter/validate",
       """{"filter":"SrcPort >= 1024 AND Proto = 'TCP'"}""")
