@@ -61,3 +61,36 @@ class DeterminismSpec extends SparkSpec {
       TextAnalysis.splitLabel(col("text")).as("split")))
   }
 }
+
+/** Partitioning-independence for the decode pipeline: datagrams arriving
+  * in any partitioning (and any within-partition order — the group
+  * function sorts by seq) must decode to identical flow sets.
+  */
+class DecodeDeterminismSpec extends SparkSpec {
+  import graft.decode._
+  import graft.functions.Ip
+  import spark.implicits._
+
+  test("decode yields identical flows under any envelope partitioning") {
+    val src = Ip.parse("127.0.0.1")
+    val envs = Seq("options-template", "options-data", "template", "data")
+      .zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(Pcap.readResource(s"/graft/pcap/$n.pcap"))
+          .zipWithIndex.map { case (d, j) =>
+            DecodePipeline.envelope(i.toLong * 10 + j, RawFlow.encode(RawFlow(
+              timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+              decoder = RawFlow.DecoderNetflow)))
+          }
+      }
+    def run(parts: Int): Set[String] =
+      DecodePipeline.decode(
+        spark.createDataset(scala.util.Random.javaRandomToRandom(
+          new java.util.Random(parts)).shuffle(envs)).repartition(parts))
+        .collect().map(f => f.copy(ExporterAddress = null, SrcAddr = null,
+          DstAddr = null, NextHop = null, SrcAddrNAT = null, DstAddrNAT = null)
+          .toString + graft.functions.Ip.render(f.SrcAddr)).toSet
+    val one = run(1)
+    val many = run(13)
+    assert(one == many && one.size == 4)
+  }
+}
