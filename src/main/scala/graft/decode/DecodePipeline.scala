@@ -39,7 +39,14 @@ object DecodePipeline {
     RawEnvelope(key, seq, rawFlowBytes)
   }
 
-  /** Decode one envelope against the exporter's template state. */
+  /** Decode one envelope against the exporter's template state.
+    *
+    * The envelope's `rate_limit` field is enforced downstream by
+    * [[graft.streaming.RateLimit]] over the decoded stream — a batch
+    * engine sees whole ticks, so limiting after decode (one window over
+    * the same exporter partitioning) replaces the reference's in-worker
+    * token bucket (`outlet/core/worker.go:78-99`).
+    */
   def decodeOne(state: TemplateState, data: Array[Byte]): (TemplateState, Seq[DecodedFlow]) =
     RawFlow.decode(data) match {
       case None => (state, Nil) // undecodable protobuf: dropped + counted
