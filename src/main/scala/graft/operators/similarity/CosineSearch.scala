@@ -98,6 +98,54 @@ object CosineSearch {
       .where(col("sim_e6") >= thresholdE6)
   }
 
+  /** Greedy k-center (farthest-point) diversity coreset: seed with the
+    * lowest id, then repeatedly add the point farthest (max cosine
+    * distance, ties to the lowest id) from every center picked so far —
+    * the classic 2-approximation coverage sampler used to pick a
+    * maximally diverse training subset from an embedded corpus.
+    *
+    * Scale shape: k passes over the corpus, each ONE persisted projection
+    * carrying a single running `mind` long per row updated against only
+    * the newest center (the k-1 earlier distances are already folded in)
+    * — O(k·n) distance evaluations total, one k-row driver collect. No
+    * pairwise joins, no shuffle beyond the per-pass argmax reduction.
+    *
+    * @return (rank, id, dist_e6): selection order, picked id, cosine
+    *         distance ×1e6 to the nearest earlier center (the seed
+    *         reports the 2e6 sentinel = max possible cosine distance)
+    */
+  def kCenterCoreset(corpus: DataFrame, k: Int, idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = graft.ScratchCache.persist(corpus.select(
+      col(idCol).cast("long").as("id"),
+      col(embCol).cast("array<double>").as("v")))
+    val seed = base.orderBy("id").select("id", "v").head()
+    var picked = Vector((0, seed.getLong(0), 2000000L))
+    var centerVec = seed.getSeq[Double](1)
+    var cur = base.where(col("id") =!= seed.getLong(0))
+      .withColumn("mind", lit(2000000L))
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val dist = (lit(1000000L) -
+        round(cosine(col("v"), typedLit(centerVec)) * 1e6).cast("long"))
+      cur = graft.ScratchCache.persist(
+        cur.withColumn("mind", least(col("mind"), dist)))
+      cur.orderBy(desc("mind"), asc("id")).limit(1).collect().headOption match {
+        case None => exhausted = true // corpus smaller than k
+        case Some(row) =>
+          picked = picked :+ ((r, row.getLong(0), row.getLong(2)))
+          centerVec = row.getSeq[Double](1)
+          cur = cur.where(col("id") =!= row.getLong(0))
+          r += 1
+      }
+    }
+    picked.toDF("rank", "id", "dist_e6")
+  }
+
   /** Deterministic seeded hyperplanes: `bits` rows of `dim` doubles. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -375,6 +375,12 @@ object Pipeline {
         e.select(col("vec_id").as("id"), col("embedding")), k = 5)
     }),
 
+    // diversity coreset: greedy farthest-point selection over the corpus
+    // embeddings — the subset sampler a training-data pipeline uses to
+    // maximize coverage per labeling/compute budget
+    "q_kcenter" -> ((s, dir) =>
+      CosineSearch.kCenterCoreset(embs(s, dir), k = 6, idCol = "vec_id")),
+
     "q_sim_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.lshTopK(
@@ -1036,6 +1042,35 @@ object Pipeline {
         |  SELECT qid, id, sim_e6,
         |    row_number() OVER (PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
+    // Generated oracle: the greedy farthest-point selection unrolled as
+    // one CTE stage per pick — distances fold with least() against the
+    // newest center exactly like the Spark loop's running `mind` column.
+    "q_kcenter" -> {
+      val k = 6
+      val stages = (1 until k).map { r =>
+        val distStage =
+          if (r == 1)
+            s"""d1 AS (SELECT e.id, e.v,
+               |  1000000 - CAST(round(list_cosine_similarity(e.v, c0.v) * 1000000) AS BIGINT) AS mind
+               |  FROM e, c0 WHERE e.id != c0.id)""".stripMargin
+          else
+            s"""d$r AS (SELECT d.id, d.v, least(d.mind,
+               |  1000000 - CAST(round(list_cosine_similarity(d.v, c.v) * 1000000) AS BIGINT)) AS mind
+               |  FROM d${r - 1} d, c${r - 1} c WHERE d.id != c.id)""".stripMargin
+        val pickStage =
+          s"c$r AS (SELECT id, v, mind FROM d$r ORDER BY mind DESC, id LIMIT 1)"
+        s"$distStage,\n$pickStage"
+      }.mkString(",\n")
+      val unions = (1 until k)
+        .map(r => s"UNION ALL SELECT $r AS rank, id, mind AS dist_e6 FROM c$r")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+         |$stages
+         |SELECT 0 AS rank, id, 2000000 AS dist_e6 FROM c0
+         |$unions""".stripMargin
+    },
     // Generated oracle: replicates the portable MinHash+LSH pipeline with
     // the SAME seeded hash family (params embedded as literals), 48-bit
     // md5-slice base hash decoded nibble-by-nibble, banding via ordered

@@ -227,6 +227,29 @@ class DedupSpec extends SparkSpec {
 class CosineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kCenterCoreset covers planted clusters before densifying") {
+    // three tight directional clusters; ids ordered so the seed (lowest
+    // id) is in cluster A — picks 2 and 3 must land in B and C before any
+    // second point from an already-covered cluster
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.01f, 0.99f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f)), (6L, Array(0.0f, 0.01f, 0.99f)))
+      .toDF("id", "embedding")
+    val picked = CosineSearch.kCenterCoreset(corpus, k = 3).collect()
+    assert(picked.map(_.getAs[Long]("id")).toSeq.head == 1L) // seed
+    val clusters = picked.map(_.getAs[Long]("id")).map {
+      case 1L | 2L => "A"; case 3L | 4L => "B"; case _ => "C"
+    }
+    assert(clusters.toSet == Set("A", "B", "C"), clusters.mkString(","))
+    // ranks are selection order; distances never increase
+    assert(picked.map(_.getAs[Int]("rank")).toSeq == Seq(0, 1, 2))
+    val dists = picked.map(_.getAs[Long]("dist_e6")).toSeq
+    assert(dists == dists.sorted.reverse)
+    // k beyond the corpus stops at the corpus size
+    assert(CosineSearch.kCenterCoreset(corpus, k = 10).count() == 6L)
+  }
+
   test("bruteForce ranks an identical vector first") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
