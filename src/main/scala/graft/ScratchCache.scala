@@ -40,6 +40,18 @@ object ScratchCache {
     ds
   }
 
+  /** Unpersist one tracked dataset before its session-level [[releaseAll]]
+    * — for iterative algorithms where each pass supersedes the previous
+    * pass's projection and keeping all of them would hold O(iterations)
+    * cached copies (see kCenterCoreset). No-op if `ds` is not tracked.
+    */
+  def release(ds: Dataset[_]): Unit = {
+    if (tracked.remove(ds)) {
+      try ds.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () } // session stopped
+    }
+  }
+
   /** Unpersist every tracked dataset belonging to `spark`. Non-blocking:
     * block removal proceeds in the background while the next query plans.
     */

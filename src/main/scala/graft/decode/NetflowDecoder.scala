@@ -149,10 +149,13 @@ object NetflowDecoder {
             }
           }
         }
-        // reference root.go:141-147: a datagram whose data needs an unseen
-        // template yields no flows ("template not received yet"), never an
-        // error — but templates seen in the same datagram were kept
-        Result(state, out.toSeq, None, missing, drops.nonEncap)
+        // reference root.go:141-147: ErrorTemplateNotFound aborts the WHOLE
+        // datagram — even flows whose templates were known decode to
+        // nothing ("template not received yet", never an error). Template
+        // and sampling-option sets seen in the same datagram are kept, so
+        // the exporter's retransmission decodes in full.
+        if (missing) Result(state, Nil, None, true, drops.nonEncap)
+        else Result(state, out.toSeq, None, false, drops.nonEncap)
 
       case _ =>
         Result(state0, Nil, Some(s"unknown NetFlow version $version"), false)
@@ -403,6 +406,8 @@ object NetflowDecoder {
     val PostNATDestinationIPv4Address = 226
     val PostNAPTSourceTransportPort = 227
     val PostNAPTDestinationTransportPort = 228
+    val InitiatorOctets = 231
+    val ResponderOctets = 232
     val IngressVRFID = 234
     val EgressVRFID = 235
     val IngressPhysicalInterface = 252
@@ -473,8 +478,11 @@ object NetflowDecoder {
         }
 
         if (!skip) field.ftype match {
-          // statistics
-          case F.OctetDeltaCount | F.PostOctetDeltaCount =>
+          // statistics — initiator/responderOctets (RFC 5103 biflow octet
+          // counters, common on firewalls) count as Bytes exactly like the
+          // delta counters (ref outlet/flow/decoder/netflow/decode.go:174)
+          case F.OctetDeltaCount | F.PostOctetDeltaCount |
+               F.InitiatorOctets | F.ResponderOctets =>
             bf.appendUint(Col.Bytes, Wire.uNumber(v))
           case F.PacketDeltaCount | F.PostPacketDeltaCount =>
             val n = Wire.uNumber(v)

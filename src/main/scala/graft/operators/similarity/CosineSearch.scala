@@ -127,6 +127,12 @@ object CosineSearch {
     var centerVec = seed.getSeq[Double](1)
     var cur = base.where(col("id") =!= seed.getLong(0))
       .withColumn("mind", lit(2000000L))
+    // at most TWO loop projections are ever cached: the one the argmax
+    // just materialized and (briefly) its predecessor. Each pass frees the
+    // superseded persist right after the collect proves the new one is
+    // materialized — recompute on block loss falls through the (short)
+    // lineage to the still-persisted `base`.
+    var live: DataFrame = null
     var r = 1
     var exhausted = false
     while (r < k && !exhausted) {
@@ -134,7 +140,11 @@ object CosineSearch {
         round(cosine(col("v"), typedLit(centerVec)) * 1e6).cast("long"))
       cur = graft.ScratchCache.persist(
         cur.withColumn("mind", least(col("mind"), dist)))
-      cur.orderBy(desc("mind"), asc("id")).limit(1).collect().headOption match {
+      val picked0 =
+        cur.orderBy(desc("mind"), asc("id")).limit(1).collect().headOption
+      if (live != null) graft.ScratchCache.release(live)
+      live = cur
+      picked0 match {
         case None => exhausted = true // corpus smaller than k
         case Some(row) =>
           picked = picked :+ ((r, row.getLong(0), row.getLong(2)))

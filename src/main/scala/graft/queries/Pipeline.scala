@@ -67,7 +67,8 @@ object Pipeline {
     // split can never leak (identical text hashes to the same side)
     "q_leakage" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3)
+      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
       val splits = d.select(col("doc_id"),
         TextAnalysis.splitLabel(col("text")).as("split"))
       pairs
@@ -172,8 +173,10 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langGuess(col("text")).as("lang_guess"))),
 
-    // the skew guard is always on: cap = max(50, n_docs/10) sits far above
-    // any honest shingle's document frequency (so the exact oracle is
+    // the skew guard is on at EVERY ngramJaccard entry in this file
+    // (q_dedup_ngram, q_leakage, q_dedup_clusters, q_dedup_purge,
+    // q_cluster_sizes, q_source_overlap): cap = max(50, n_docs/10) sits far
+    // above any honest shingle's document frequency (so the exact oracle is
     // unchanged) yet bounds the pair join against boilerplate hot
     // shingles — see OperatorsSpec "df-cap prunes a planted hot shingle"
     "q_dedup_ngram" -> ((s, dir) => {
@@ -228,9 +231,12 @@ object Pipeline {
       Dedup.minhashLshPortable(docs(s, dir), "doc_id", "text",
         threshold = 0.5, k = 32, bands = 8, seed = 42L)),
 
-    "q_dedup_clusters" -> ((s, dir) =>
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
       Dedup.connectedComponents(
-        Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", threshold = 0.5))),
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
+    }),
 
     // end-to-end near-dup purge: cluster the ngram pairs, drop every
     // non-keeper (id != cluster min), count survivors per language — the
@@ -238,7 +244,8 @@ object Pipeline {
     "q_dedup_purge" -> ((s, dir) => {
       val d = docs(s, dir)
       val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5))
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
       val losers = clusters.where(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"))
       d.join(losers, Seq("doc_id"), "left_anti")

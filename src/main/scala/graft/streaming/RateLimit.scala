@@ -38,7 +38,7 @@ object RateLimit {
       exporterCol: Column, tsCol: Column, rateCol: String,
       tiebreak: Seq[Column]): DataFrame = {
     // the helper columns would silently clobber same-named input columns
-    val reserved = Seq("__tick", "__rn", "__total")
+    val reserved = Seq("__tick", "__rn", "__total", "__kept")
     require(!df.columns.exists(reserved.contains),
       s"RateLimit reserves columns ${reserved.mkString(", ")}")
     // materialize the tick once so both windows partition on the SAME
@@ -50,10 +50,12 @@ object RateLimit {
       .withColumn("__rn", row_number().over(ordered))
       .withColumn("__total", count(lit(1)).over(w))
       .where(col("__rn") <= limit)
+      .withColumn("__kept", least(col("__total"), lit(limit)))
       .withColumn(rateCol,
-        // kept = min(total, limit); floor division matches DuckDB //
-        floor(col(rateCol) * col("__total") /
-          least(col("__total"), lit(limit))).cast("long"))
-      .drop("__rn", "__total", "__tick")
+        // kept = min(total, limit); SQL `div` is exact long division, so
+        // rate*total beyond 2^53 still matches DuckDB's integer `//`
+        // (a double-rounded floor(×/÷) would not)
+        expr(s"`$rateCol` * __total div __kept"))
+      .drop("__rn", "__total", "__tick", "__kept")
   }
 }

@@ -127,6 +127,53 @@ class DecoderSpec extends AnyFunSuite {
     assert(r.state.recordsDropped == 1)
   }
 
+  // root.go:141-147 — ErrorTemplateNotFound aborts the WHOLE datagram:
+  // a datagram mixing decodable data sets with an unknown-template set
+  // yields zero flows, not just a skipped set; templates stay registered
+  test("netflow v9: unknown template in a mixed datagram drops all its flows") {
+    val withTemplate = NetflowDecoder.decode(pcap("template"), localhost, 0L,
+      DecodeOptions(DecodeOptions.TsInput), TemplateState.empty)
+    val data = pcap("data")
+    val clean = NetflowDecoder.decode(data, localhost, 0L,
+      DecodeOptions(DecodeOptions.TsInput), withTemplate.state)
+    assert(clean.flows.nonEmpty && !clean.templatesMissing)
+    // append a data flowset for an unseen template id 0x1234:
+    // u16 setId, u16 setLen=8, 4 payload bytes
+    val unknown = Array[Byte](0x12, 0x34, 0x00, 0x08, 1, 2, 3, 4)
+    val r = NetflowDecoder.decode(data ++ unknown, localhost, 0L,
+      DecodeOptions(DecodeOptions.TsInput), withTemplate.state)
+    assert(r.flows.isEmpty, "known-template flows must be dropped too")
+    assert(r.templatesMissing)
+  }
+
+  // decode.go:174 — RFC 5103 biflow initiatorOctets (231) / responderOctets
+  // (232) count as Bytes; first non-zero wins (columnSet guard semantics)
+  test("ipfix: initiator/responder octets map to Bytes") {
+    def u16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    // template 256: initiatorOctets(4), responderOctets(4), packets(4),
+    // proto(1), srcIPv4(4), dstIPv4(4)
+    val tmpl = u16(2) ++ u16(4 + 4 + 6 * 4) ++ u16(256) ++ u16(6) ++
+      u16(231) ++ u16(4) ++ u16(232) ++ u16(4) ++ u16(2) ++ u16(4) ++
+      u16(4) ++ u16(1) ++ u16(8) ++ u16(4) ++ u16(12) ++ u16(4)
+    val rec1 = u32(1000) ++ u32(2000) ++ u32(3) ++ Array(6.toByte) ++
+      Array[Byte](10, 0, 0, 1) ++ Array[Byte](10, 0, 0, 2)
+    val rec2 = u32(0) ++ u32(777) ++ u32(1) ++ Array(17.toByte) ++
+      Array[Byte](10, 0, 0, 3) ++ Array[Byte](10, 0, 0, 4)
+    val data = u16(256) ++ u16(4 + rec1.length + rec2.length) ++ rec1 ++ rec2
+    val body = tmpl ++ data
+    val payload = u16(10) ++ u16(16 + body.length) ++ u32(1700000000L) ++
+      u32(1) ++ u32(0) ++ body
+    val r = NetflowDecoder.decode(payload, localhost, 42L,
+      DecodeOptions(DecodeOptions.TsInput), TemplateState.empty)
+    assert(r.error.isEmpty, r.error)
+    // initiator wins when both present; responder fills in when initiator=0
+    assert(r.flows.map(_.Bytes) == Seq(1000L, 777L))
+    assert(r.flows.map(_.Packets) == Seq(3L, 1L))
+  }
+
   // root_test.go:633-687 — NetFlow v5, all three timestamp sources
   test("netflow v5 decode") {
     for (tsSource <- Seq(DecodeOptions.TsNetflowPacket, DecodeOptions.TsNetflowFirstSwitched)) {

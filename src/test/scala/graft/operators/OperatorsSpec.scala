@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.size > 1, "planted shingle should inflate uncapped pairs")
   }
 
+  test("df-cap carries through the clusters/purge path unchanged") {
+    // the q_dedup_clusters / q_dedup_purge composition: capped pair
+    // generation feeding connected components. The planted boilerplate
+    // shingle must not merge unrelated docs into one giant cluster, and
+    // the genuine near-dup pair must still cluster together.
+    val boiler = "subscribe to our newsletter today"
+    val docs = (1L to 60L).map { i =>
+      val body = if (i <= 2) "identical real content here" else s"unique body $i x$i y$i"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val cap = Dedup.defaultShingleDfCap(docs.count())
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccard(docs, "doc_id", "text", 0.3, maxShingleDf = Some(cap)))
+      .as[(Long, Long)].collect().toMap
+    // only the genuine pair appears in the edge set → one 2-cluster
+    assert(clusters == Map(1L -> 1L, 2L -> 1L))
+    // purge semantics: non-keepers (id != cluster) are exactly {2}
+    assert(clusters.filter { case (id, c) => id != c }.keySet == Set(2L))
+  }
+
   test("connectedComponents labels chains and leaves islands apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain 1-2-3
@@ -248,6 +268,23 @@ class CosineSpec extends SparkSpec {
     assert(dists == dists.sorted.reverse)
     // k beyond the corpus stops at the corpus size
     assert(CosineSearch.kCenterCoreset(corpus, k = 10).count() == 6L)
+  }
+
+  test("kCenterCoreset frees superseded loop persists as it goes") {
+    val corpus = (1L to 40L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat, (i % 3).toFloat)))
+      .toDF("id", "embedding")
+    graft.ScratchCache.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 12 greedy passes must NOT leave 12 cached projections behind: only
+    // the base projection + the final pass's projection may remain tracked
+    // (freed later by the entry point's releaseAll)
+    val got = CosineSearch.kCenterCoreset(corpus, k = 12)
+    assert(got.count() == 12L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"${after - before} persisted RDDs held after a 12-pass coreset run")
+    graft.ScratchCache.releaseAll(spark)
   }
 
   test("bruteForce ranks an identical vector first") {
