@@ -1,6 +1,7 @@
 package graft.decode
 
-import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Spark integration of the datagram decoders — the engine's ingest chain
@@ -27,6 +28,26 @@ object DecodePipeline {
     */
   final case class RawEnvelope(exporter: String, seq: Long, data: Array[Byte])
 
+  /** Decode outcome row: exactly one of `flow` / `dropCause` is set.
+    * Dropped envelopes and in-datagram drops surface as rows so
+    * per-cause counts ride `observe()` — the Spark analogue of the
+    * reference's per-cause Prometheus counters
+    * (`outlet/flow/decoder/netflow/root.go:93-216`).
+    */
+  final case class DecodeOut(flow: DecodedFlow, dropCause: String)
+
+  /** Drop causes reported through [[observed]]. */
+  object Drop {
+    val MalformedEnvelope = "malformed_envelope" // undecodable RawFlow protobuf
+    val BadSource = "bad_source" // envelope source address not 4/16 bytes
+    val MalformedDatagram = "malformed_datagram" // decoder returned an error
+    val TemplateMissing = "template_missing" // datagram aborted, template not seen
+    val NonEncap = "non_encap" // sampled packet carried no decodable inner frame
+    val UnknownDecoder = "unknown_decoder"
+    val all: Seq[String] = Seq(MalformedEnvelope, BadSource, MalformedDatagram,
+      TemplateMissing, NonEncap, UnknownDecoder)
+  }
+
   /** Wrap raw RawFlow protobuf bytes for decoding, extracting the group
     * key from the envelope's source address. Uses the field-3-only scan —
     * no payload copy — so the envelope protobuf is fully decoded exactly
@@ -39,7 +60,8 @@ object DecodePipeline {
     RawEnvelope(key, seq, rawFlowBytes)
   }
 
-  /** Decode one envelope against the exporter's template state.
+  /** Decode one envelope against the exporter's template state, reporting
+    * flows AND per-cause drop rows.
     *
     * The envelope's `rate_limit` field is enforced downstream by
     * [[graft.streaming.RateLimit]] over the decoded stream — a batch
@@ -47,50 +69,127 @@ object DecodePipeline {
     * the same exporter partitioning) replaces the reference's in-worker
     * token bucket (`outlet/core/worker.go:78-99`).
     */
-  def decodeOne(state: TemplateState, data: Array[Byte]): (TemplateState, Seq[DecodedFlow]) =
+  def decodeOneCounted(state: TemplateState,
+      data: Array[Byte]): (TemplateState, Seq[DecodeOut]) =
     RawFlow.decode(data) match {
-      case None => (state, Nil) // undecodable protobuf: dropped + counted
+      case None => (state, Seq(DecodeOut(null, Drop.MalformedEnvelope)))
       case Some(raw) =>
         val source = Addr.to16(raw.sourceAddress)
-        if (source == null) (state, Nil)
+        if (source == null) (state, Seq(DecodeOut(null, Drop.BadSource)))
         else {
           val options = DecodeOptions(raw.timestampSource, RawFlow.decapOf(raw.decapsulationProtocol))
           raw.decoder match {
             case RawFlow.DecoderNetflow =>
               val r = NetflowDecoder.decode(raw.payload, source, raw.timeReceived, options, state)
-              (r.state, r.flows)
+              (r.state, outcomeRows(r.flows, r.error, r.templatesMissing, r.nonEncapDrops))
             case RawFlow.DecoderSflow =>
               val r = SflowDecoder.decode(raw.payload, raw.timeReceived, options)
               val flows =
                 if (raw.useSourceAddress) r.flows.map(_.copy(ExporterAddress = source))
                 else r.flows
-              (state, flows)
-            case _ => (state, Nil)
+              (state, outcomeRows(flows, r.error, templatesMissing = false, 0L))
+            case _ => (state, Seq(DecodeOut(null, Drop.UnknownDecoder)))
           }
         }
     }
 
-  private def decodeGroup(exporter: String, rows: Iterator[RawEnvelope],
-      state: GroupState[TemplateState]): Iterator[DecodedFlow] = {
-    var st = state.getOption.getOrElse(TemplateState.empty)
-    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedFlow]
-    rows.toSeq.sortBy(_.seq).foreach { env =>
-      val (st2, flows) = decodeOne(st, env.data)
-      st = st2
-      out ++= flows
-    }
-    state.update(st)
-    out.iterator
+  /** Flows-only view of [[decodeOneCounted]] (drop rows filtered out). */
+  def decodeOne(state: TemplateState, data: Array[Byte]): (TemplateState, Seq[DecodedFlow]) = {
+    val (st, outs) = decodeOneCounted(state, data)
+    (st, outs.collect { case DecodeOut(f, null) => f })
   }
 
-  /** Batch or streaming decode of an envelope Dataset. */
-  def decode(envelopes: Dataset[RawEnvelope]): Dataset[DecodedFlow] = {
-    implicit val stateEnc = Encoders.product[TemplateState]
+  private def outcomeRows(flows: Seq[DecodedFlow], error: Option[String],
+      templatesMissing: Boolean, nonEncapDrops: Long): Seq[DecodeOut] = {
+    val flowRows = flows.map(DecodeOut(_, null))
+    val drops = Seq.newBuilder[DecodeOut]
+    if (error.nonEmpty) drops += DecodeOut(null, Drop.MalformedDatagram)
+    else if (templatesMissing) drops += DecodeOut(null, Drop.TemplateMissing)
+    var i = 0L
+    while (i < nonEncapDrops) { drops += DecodeOut(null, Drop.NonEncap); i += 1 }
+    flowRows ++ drops.result()
+  }
+
+  /** Consume a group's envelopes in `seq` order through a bounded reorder
+    * window instead of materializing + sorting the whole group: a min-heap
+    * of at most `window` envelopes, popping the smallest seq once full —
+    * the classic datagram-reassembly buffer. Order is exact whenever the
+    * input's displacement from seq order is under `window`; Spark's
+    * shuffle reader delivers per-map-task runs (each already in receive
+    * order), so real displacement is the inter-task interleave, orders of
+    * magnitude below the default. An envelope displaced FURTHER than the
+    * window decodes out of order — for NetFlow that degrades exactly like
+    * the wire (a data record before its template is dropped and counted),
+    * never corrupts. Peak memory per task: O(window), not O(group).
+    */
+  private def inSeqOrder(rows: Iterator[RawEnvelope],
+      window: Int): Iterator[RawEnvelope] = new Iterator[RawEnvelope] {
+    private val heap = new java.util.PriorityQueue[RawEnvelope](
+      math.max(window, 1), (a: RawEnvelope, b: RawEnvelope) =>
+        java.lang.Long.compare(a.seq, b.seq))
+    override def hasNext: Boolean = !heap.isEmpty || rows.hasNext
+    override def next(): RawEnvelope = {
+      while (rows.hasNext && heap.size < window) heap.add(rows.next())
+      heap.poll()
+    }
+  }
+
+  /** Reorder-window default: 64k envelopes ≈ a few hundred MB worst-case
+    * jumbo datagrams, far beyond any real shuffle interleave.
+    */
+  val DefaultReorderWindow = 65536
+
+  private def decodeGroup(window: Int)(exporter: String,
+      rows: Iterator[RawEnvelope],
+      state: GroupState[TemplateState]): Iterator[DecodeOut] = {
+    var st = state.getOption.getOrElse(TemplateState.empty)
+    // lazy flatMap: flows stream out as envelopes decode; the state store
+    // write is re-armed after every envelope so full consumption (Spark
+    // always drains the iterator before committing) sees the final state
+    inSeqOrder(rows, window).flatMap { env =>
+      val (st2, outs) = decodeOneCounted(st, env.data)
+      st = st2
+      state.update(st)
+      outs
+    }
+  }
+
+  /** Batch or streaming decode of an envelope Dataset (flows only). */
+  def decode(envelopes: Dataset[RawEnvelope],
+      reorderWindow: Int = DefaultReorderWindow): Dataset[DecodedFlow] = {
     implicit val outEnc = Encoders.product[DecodedFlow]
+    decodeCounted(envelopes, reorderWindow)
+      .filter((o: DecodeOut) => o.dropCause == null)
+      .map(_.flow)
+  }
+
+  /** Decode keeping per-cause drop rows (see [[observed]]). */
+  def decodeCounted(envelopes: Dataset[RawEnvelope],
+      reorderWindow: Int = DefaultReorderWindow): Dataset[DecodeOut] = {
+    implicit val stateEnc = Encoders.product[TemplateState]
+    implicit val outEnc = Encoders.product[DecodeOut]
     envelopes
       .groupByKey(_.exporter)(Encoders.STRING)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(decodeGroup)
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(decodeGroup(reorderWindow))
+  }
+
+  /** Flows DataFrame with an `observe("decode", ...)` attached counting
+    * every drop cause plus decoded flows — readable per batch from a
+    * `StreamingQueryProgress.observedMetrics` / `QueryExecutionListener`,
+    * mirroring `Enrichment.validated`'s I7 observers and the reference's
+    * per-cause decoder metrics.
+    */
+  def observed(envelopes: Dataset[RawEnvelope],
+      reorderWindow: Int = DefaultReorderWindow): DataFrame = {
+    val causeCounts = Drop.all.map(c =>
+      count(when(col("dropCause") === c, 1)).as(s"dropped_$c"))
+    decodeCounted(envelopes, reorderWindow).toDF()
+      .observe("decode",
+        count(when(col("dropCause").isNull, 1)).as("flows"),
+        causeCounts: _*)
+      .where(col("dropCause").isNull)
+      .select("flow.*")
   }
 
   /** Replay a pcap capture as RawFlow envelopes (file-replay source S2):

@@ -175,4 +175,98 @@ object Rib {
     */
   def lookup(table: Table, field: String)(addrCol: Column, nhCol: Column): Column =
     graft.expressions.RibLookup(addrCol, nhCol, table, field)
+
+  /** Dynamic RIB lifecycle over the immutable lookup [[Table]] — the BMP
+    * session semantics (reference `outlet/routing/provider/bmp/rib.go`
+    * AddRoute :315 / RemoveRoute :370 / FlushPeer :406, driven by
+    * `events.go:100-146` removePeer + handlePeerDownNotification):
+    *
+    *  - `announce`: a peer re-announcing a prefix UPDATES its route in
+    *    place — position in the route list is preserved, so the fallback
+    *    ("first route wins") selection is stable across re-announcements,
+    *    exactly like the reference's keyed update (`rib.go:356-363`).
+    *  - `withdraw`: removes that peer's route; a prefix whose route list
+    *    empties leaves the tree entirely (`rib.go:391-396`), so lookups
+    *    fall through to the covering prefix.
+    *  - `peerDown`: flushes every route of the peer in one sweep and
+    *    reports (routesRemoved, prefixesRemoved) — the `FlushPeer`
+    *    contract the reference feeds its metrics from.
+    *
+    * One route per (peer, prefix): the non-add-path BMP shape (the
+    * reference distinguishes add-path routes by NLRI path id; datagram
+    * feeds without add-path collapse to this).
+    *
+    * Concurrency/scale shape: mutations are driver-side control-plane
+    * events (BMP session rate, not flow rate); [[table]] republishes an
+    * immutable broadcast-safe snapshot only when the route set actually
+    * changed — [[Lpm.RefreshingTable]]'s rebuild-on-change, applied to
+    * announce/withdraw streams.
+    */
+  final class Live {
+    private val prefixes =
+      scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Route)]]
+    private var dirty = true
+    private var snapshot: Table = Table.build(Nil)
+
+    /** Route announcement; true when a new route slot was created (false =
+      * in-place update of this peer's existing route for the prefix).
+      */
+    def announce(peer: Long, cidr: String, route: Route): Boolean = synchronized {
+      val rs = prefixes.getOrElseUpdate(cidr,
+        scala.collection.mutable.ArrayBuffer.empty)
+      dirty = true
+      val i = rs.indexWhere(_._1 == peer)
+      if (i >= 0) { rs(i) = (peer, route); false }
+      else { rs += ((peer, route)); true }
+    }
+
+    /** Route withdrawal; true when this peer actually had a route for the
+      * prefix. An emptied prefix disappears from the lookup tree.
+      */
+    def withdraw(peer: Long, cidr: String): Boolean = synchronized {
+      prefixes.get(cidr) match {
+        case None => false
+        case Some(rs) =>
+          val i = rs.indexWhere(_._1 == peer)
+          if (i < 0) false
+          else {
+            rs.remove(i)
+            dirty = true
+            if (rs.isEmpty) prefixes.remove(cidr)
+            true
+          }
+      }
+    }
+
+    /** Peer-down flush: every route of `peer` goes; returns
+      * (routesRemoved, prefixesRemoved).
+      */
+    def peerDown(peer: Long): (Int, Int) = synchronized {
+      var routes = 0
+      val emptied = scala.collection.mutable.ArrayBuffer.empty[String]
+      prefixes.foreach { case (cidr, rs) =>
+        val before = rs.length
+        rs.filterInPlace(_._1 != peer)
+        routes += before - rs.length
+        if (rs.isEmpty) emptied += cidr
+      }
+      emptied.foreach(prefixes.remove)
+      if (routes > 0) dirty = true
+      (routes, emptied.length)
+    }
+
+    /** Immutable snapshot for lookups/broadcast; rebuilt only when the
+      * route set changed since the last call.
+      */
+    def table: Table = synchronized {
+      if (dirty) {
+        snapshot = Table.build(prefixes.iterator.flatMap { case (cidr, rs) =>
+          rs.map { case (_, r) => RouteEntry(cidr, r) }
+        }.toSeq)
+        dirty = false
+      }
+      snapshot
+    }
+  }
 }

@@ -152,6 +152,96 @@ class DecodeIngestSpec extends SparkSpec {
     assert(decoded.agg(max("SamplingRate")).collect()(0).getLong(0) == 30000L)
   }
 
+  test("decode drop metrics surface per cause through observe()") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = Ip.parse("127.0.0.1")
+    // 4 good flows…
+    val good = Seq("template", "data")
+      .flatMap(n => Pcap.datagrams(pcapRes(n))).zipWithIndex.map { case (d, j) =>
+        DecodePipeline.envelope(j.toLong, RawFlow.encode(RawFlow(
+          timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+          decoder = RawFlow.DecoderNetflow)))
+      }
+    // …plus one drop of each cause: truncated protobuf, a data datagram
+    // from an exporter that never sent templates, an unknown decoder id,
+    // and an sFlow payload too short to carry a header
+    val badProto = DecodePipeline.RawEnvelope("ff", 100L,
+      Array[Byte](0x08, 0x80.toByte))
+    val noTemplate = Pcap.datagrams(pcapRes("data")).zipWithIndex.map {
+      case (d, j) =>
+        DecodePipeline.envelope(200L + j, RawFlow.encode(RawFlow(
+          timeReceived = d.tsSec, payload = d.payload,
+          sourceAddress = Ip.parse("10.9.9.9"),
+          decoder = RawFlow.DecoderNetflow)))
+    }
+    val unknownDecoder = DecodePipeline.envelope(300L, RawFlow.encode(RawFlow(
+      timeReceived = 1L, payload = Array[Byte](1, 2, 3),
+      sourceAddress = Ip.parse("10.1.1.1"), decoder = 9)))
+    val shortSflow = DecodePipeline.envelope(400L, RawFlow.encode(RawFlow(
+      timeReceived = 1L, payload = Array[Byte](0, 0, 0, 5),
+      sourceAddress = Ip.parse("10.2.2.2"), decoder = RawFlow.DecoderSflow)))
+
+    val mem = MemoryStream[DecodePipeline.RawEnvelope]
+    val q = DecodePipeline.observed(mem.toDS()).writeStream
+      .format("memory").queryName("obs_decode")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    mem.addData(good ++ Seq(badProto) ++ noTemplate ++
+      Seq(unknownDecoder, shortSflow))
+    q.processAllAvailable()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("decode")))
+    def total(name: String): Long = metrics.map(_.getAs[Long](name)).sum
+    q.stop()
+
+    assert(total("flows") == 4L)
+    assert(total("dropped_malformed_envelope") == 1L)
+    assert(total("dropped_template_missing") == 1L)
+    assert(total("dropped_unknown_decoder") == 1L)
+    assert(total("dropped_malformed_datagram") == 1L)
+    assert(total("dropped_non_encap") == 0L)
+    assert(total("dropped_bad_source") == 0L)
+    // drop rows never reach the sink — only decoded flows
+    assert(spark.table("obs_decode").count() == 4L)
+  }
+
+  test("bounded reorder window restores seq order without a group sort") {
+    import spark.implicits._
+    val src = Ip.parse("127.0.0.1")
+    def env(seq: Long, name: String) =
+      Pcap.datagrams(pcapRes(name)).map { d =>
+        DecodePipeline.envelope(seq, RawFlow.encode(RawFlow(
+          timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+          decoder = RawFlow.DecoderNetflow)))
+      }.head
+    // arrival order data-before-template, seq order template-first: a
+    // displacement of 1, well inside the window → all 4 flows decode
+    val permuted = Seq(env(1L, "data"), env(0L, "template"))
+    val ds = spark.createDataset(permuted).coalesce(1)
+    assert(DecodePipeline.decode(ds, reorderWindow = 4).count() == 4L)
+    // displacement beyond the window degrades exactly like the wire: the
+    // data datagram decodes before its template and is dropped + counted
+    val degraded = DecodePipeline.decodeCounted(ds, reorderWindow = 1)
+      .collect()
+    assert(!degraded.exists(_.dropCause == null), "no flows expected")
+    assert(degraded.count(_.dropCause == DecodePipeline.Drop.TemplateMissing) == 1)
+  }
+
+  test("a large single-exporter batch decodes through the streaming window") {
+    import spark.implicits._
+    val src = Ip.parse("127.0.0.1")
+    val d = Pcap.datagrams(pcapRes("nfv5")).head
+    // 2000 datagrams (58k flows) for ONE exporter, decoded through a
+    // 64-envelope window: peak task state is the window, not the batch
+    val envs = (0L until 2000L).map(i =>
+      DecodePipeline.envelope(i, RawFlow.encode(RawFlow(
+        timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+        decoder = RawFlow.DecoderNetflow))))
+    val n = DecodePipeline.decode(spark.createDataset(envs), reorderWindow = 64)
+      .count()
+    assert(n == 2000L * 29)
+  }
+
   test("batch decode of the same envelopes matches the streamed result") {
     import spark.implicits._
     val src = Ip.parse("127.0.0.1")

@@ -64,6 +64,65 @@ class RibSpec extends SparkSpec {
     assert(out(2).isNullAt(0) && out(2).isNullAt(3))
   }
 
+  // rib.go:315-404 + events.go:100-146 — the BMP session lifecycle over
+  // the rebuild-on-change Live wrapper
+  test("announce → withdraw: lookups fall through to the covering prefix") {
+    val live = new Rib.Live
+    live.announce(1L, "10.0.0.0/16", Rib.Route("192.0.2.3", 65100))
+    assert(live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 65001)))
+    assert(live.table.lookup(Ip.parse("10.0.0.7"), null).asn == 65001)
+    // withdraw the /24: the prefix leaves the tree, the /16 takes over
+    assert(live.withdraw(1L, "10.0.0.0/24"))
+    val after = live.table.lookup(Ip.parse("10.0.0.7"), null)
+    assert(after.asn == 65100 && after.netMask == 16)
+    // withdrawing again (or from a peer with no route) is a no-op
+    assert(!live.withdraw(1L, "10.0.0.0/24"))
+    assert(!live.withdraw(9L, "10.0.0.0/16"))
+  }
+
+  test("re-announcement updates in place and keeps fallback order") {
+    val live = new Rib.Live
+    live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 65001))
+    live.announce(2L, "10.0.0.0/24", Rib.Route("192.0.2.2", 65002))
+    assert(live.table.lookup(Ip.parse("10.0.0.7"), null).asn == 65001)
+    // peer 1 re-announces with a new AS — an UPDATE (rib.go:356-363), so
+    // its route keeps first position and stays the fallback selection
+    assert(!live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 64999)))
+    val r = live.table.lookup(Ip.parse("10.0.0.7"), null)
+    assert(r.asn == 64999 && Ip.render(r.nextHop) == "192.0.2.1")
+    // the preferred-next-hop override still selects peer 2's route
+    assert(live.table.lookup(Ip.parse("10.0.0.7"), Ip.parse("192.0.2.2"))
+      .asn == 65002)
+  }
+
+  test("peer-down flushes every route of the peer in one sweep") {
+    val live = new Rib.Live
+    live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 65001))
+    live.announce(1L, "10.1.0.0/24", Rib.Route("192.0.2.1", 65001))
+    live.announce(2L, "10.0.0.0/24", Rib.Route("192.0.2.2", 65002))
+    live.announce(2L, "10.0.0.0/16", Rib.Route("192.0.2.3", 65100))
+    // FlushPeer contract: (routesRemoved, prefixesRemoved) — peer 1 owned
+    // 2 routes; only 10.1.0.0/24 emptied (10.0.0.0/24 keeps peer 2's)
+    assert(live.peerDown(1L) == ((2, 1)))
+    assert(live.table.lookup(Ip.parse("10.1.0.5"), null) == null)
+    val surv = live.table.lookup(Ip.parse("10.0.0.7"), null)
+    assert(surv.asn == 65002, "peer 2's route must survive the flush")
+    // flushing an unknown peer removes nothing
+    assert(live.peerDown(7L) == ((0, 0)))
+  }
+
+  test("snapshot is rebuilt only when the route set changes") {
+    val live = new Rib.Live
+    live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 65001))
+    val t1 = live.table
+    assert(live.table eq t1) // no mutation → same instance
+    live.announce(1L, "10.0.0.0/24", Rib.Route("192.0.2.1", 65001))
+    assert(!(live.table eq t1)) // update (even same-value) → republished
+    val t2 = live.table
+    live.peerDown(9L) // no-op flush must not invalidate
+    assert(live.table eq t2)
+  }
+
   test("attribute interning dedupes shared route attributes") {
     // 1000 prefixes sharing 2 attribute sets — build must not blow up and
     // lookups stay correct (the interning mirror of bmp/rib.go:92-154)
