@@ -32,23 +32,35 @@ object Bench {
     warmOperatorShapes(spark, sfDir)
 
     val only = args.toSet
+    // min-of-N timing: the host shows ±2× wall-clock noise between runs
+    // (CPU contention, page cache); the MINIMUM of independent repetitions
+    // estimates the contention-free cost, so round-over-round comparisons
+    // track plan changes instead of scheduler luck
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes EVERY output column — a plain count()
-      // would let Catalyst prune the projections being measured
-      val n = try fn(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
+    val timed = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes EVERY output column — a plain count()
+        // would let Catalyst prune the projections being measured
+        val n = try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release this query's scratch persists so cached partials never
+        // carry into the next repetition or query (outside the timed window)
+        ScratchCache.releaseAll(spark)
+        (sec, n)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // release this query's scratch persists so cached partials never
-      // accumulate across the run (outside the timed window)
-      ScratchCache.releaseAll(spark)
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s  ($n rows)")
-      name -> sec
+      val best = times.map(_._1).min
+      val worst = times.map(_._1).max
+      System.err.println(
+        f"[bench] $name%-22s $best%8.2f s  (worst $worst%.2f, ${times.head._2} rows)")
+      (name, best, worst)
     }
+    val results = timed.map { case (n, best, _) => n -> best }
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -59,15 +71,20 @@ object Bench {
     // BENCH_DETAIL.json next to the build.
     val headlinePairs = results.filter { case (k, _) => headline(k) }
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
-      s""","n_queries":${results.size},"queries":${fmt(headlinePairs)}""" +
+      s""","n_queries":${results.size},"reps":$reps""" +
+      s""","queries":${fmt(headlinePairs)}""" +
       s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // only a FULL run may refresh the committed per-query record — a
     // filtered smoke run ("Bench q_x") would silently clobber it with a
-    // near-empty map and a subset total
+    // near-empty map and a subset total. `queries` is min-of-reps;
+    // `worst` records each query's slowest repetition so the noise band
+    // is visible in the artifact itself.
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
-          s""","queries":${fmt(results)},"sf":"$sfDir"}""" + "\n")
+          s""","reps":$reps,"queries":${fmt(results)}""" +
+          s""","worst":${fmt(timed.map { case (n, _, w) => n -> w })}""" +
+          s""","sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
     println(line)
     spark.stop()

@@ -46,6 +46,16 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   private val WidgetSlowTtlMs = 5L * 60 * 1000 // widget/graph only
   private val WidgetMidTtlMs = 30L * 1000      // top / exporters
   private val WidgetFastTtlMs = 5L * 1000      // flow-rate / flow-last
+  private val CompleteTtlMs = 60L * 1000       // filter/complete (root.go:118)
+
+  /** route → cache TTL ms, for every endpoint that caches — the
+    * conformance surface ConsoleApiSpec pins against
+    * `console/root.go:108-118` so a TTL drift fails a test instead of
+    * waiting for review.
+    */
+  def cacheTtls: Map[String, Long] = registeredTtls.toMap
+  private val registeredTtls =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -107,9 +117,11 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     * `console/root.go:113`), so distinct queries cache independently.
     */
   private def handleCached(path: String, ttlMs: Long)(
-      f: JsonNode => ObjectNode): Unit =
+      f: JsonNode => ObjectNode): Unit = {
+    registeredTtls(path) = ttlMs
     context(path)(r =>
       cache.getOrCompute(s"$path ${r.body.toString}", ttlMs)(f(r.body)))
+  }
 
   private def strings(node: JsonNode, field: String): Seq[String] =
     if (node.has(field)) {
@@ -220,7 +232,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     resp
   }
 
-  handle("/api/v0/console/filter/complete") { req =>
+  handleCached("/api/v0/console/filter/complete", CompleteTtlMs) { req =>
     val expr = if (req.has("what")) req.get("what").asText else ""
     val resp = mapper.createObjectNode()
     val arr = resp.putArray("completions")
@@ -235,6 +247,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // GET /api/v0/console/widget/top/{name} — the path suffix picks the
   // widget; "now" anchors on the newest flow like the reference's scalar
   // subquery
+  registeredTtls("/api/v0/console/widget/top/") = WidgetMidTtlMs
   context("/api/v0/console/widget/top/") { req =>
     cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetMidTtlMs) {
     val name = req.path.split("/").last
@@ -253,6 +266,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // GET /api/v0/console/widget/graph?points=N — single-series gap-filled
   // Gbps over the last 24 h before the newest flow (reference
   // widgets.go:250-292 anchors on the data, defaults to 200 points)
+  registeredTtls("/api/v0/console/widget/graph") = WidgetSlowTtlMs
   context("/api/v0/console/widget/graph") { req =>
     // params are part of the identity here (?points=N) — the path alone
     // would alias every points value to one cache entry

@@ -28,6 +28,42 @@ class ConsoleApiSpec extends SparkSpec {
 
   private def post(path: String, body: String) = send("POST", path, body)
 
+  // console/root.go:108-118 — every cached route's TTL tier, pinned as a
+  // table so a drift fails here instead of in review: flow-last/flow-rate
+  // 5 s, exporters/top 30 s, widget/graph 5 min, filter/complete 1 min,
+  // graph/line + graph/sankey the 3 h config default. table-interval and
+  // filter/validate carry NO cache middleware in the reference and must
+  // stay unregistered.
+  test("endpoint cache TTLs conform to the reference tiers") {
+    val base = "/api/v0/console"
+    val expected = Map(
+      s"$base/widget/flow-last" -> 5000L,
+      s"$base/widget/flow-rate" -> 5000L,
+      s"$base/widget/exporters" -> 30000L,
+      s"$base/widget/top/" -> 30000L,
+      s"$base/widget/graph" -> 300000L,
+      s"$base/filter/complete" -> 60000L,
+      s"$base/graph/line" -> 10800000L,
+      s"$base/graph/sankey" -> 10800000L)
+    assert(api.cacheTtls == expected,
+      s"TTL drift: ${api.cacheTtls.toSet diff expected.toSet}")
+    assert(!api.cacheTtls.contains(s"$base/graph/table-interval"))
+    assert(!api.cacheTtls.contains(s"$base/filter/validate"))
+  }
+
+  test("filter/complete caches by request body") {
+    api.cache.invalidateAll()
+    val body = """{"what":"SrcAddr "}"""
+    val (c1, j1) = post("/api/v0/console/filter/complete", body)
+    assert(c1 == 200 && api.cache.size == 1)
+    val (c2, j2) = post("/api/v0/console/filter/complete", body)
+    assert(c2 == 200 && j2 == j1)
+    assert(api.cache.size == 1, "same body must reuse the entry")
+    val (c3, _) = post("/api/v0/console/filter/complete",
+      body.replace("SrcAddr", "DstAddr"))
+    assert(c3 == 200 && api.cache.size == 2)
+  }
+
   test("graph/line returns series with stats") {
     val (code, json) = post("/api/v0/console/graph/line",
       """{"start":"2024-01-01T00:00:00Z","end":"2024-01-08T00:00:00Z",
