@@ -133,10 +133,49 @@ object Decode {
       sum("rate").as("est_flows"))
   }
 
+  /** I7-style drop taxonomy through the decode pipeline: one mixed batch
+    * of good, truncated-protobuf, template-less, wrong-decoder and
+    * non-encapsulated envelopes, classified per cause
+    * ([[DecodePipeline.Drop]] — the reference's per-cause decoder metrics,
+    * `outlet/flow/decoder/netflow/root.go:93-216`). The non-encap count is
+    * the reference's own golden (4 drops for the v9 capture under VXLAN
+    * decap, `root_test.go` non-encap cases).
+    */
+  val qDecodeDrops: Q = (s, _) => {
+    def group(source: String, decoder: Int, decap: Int,
+        names: Seq[String]): Seq[DecodePipeline.RawEnvelope] = {
+      val src = Ip.parse(source)
+      names.zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(pcapRes(n)).zipWithIndex.map { case (d, j) =>
+          DecodePipeline.envelope(i.toLong * 1000 + j, RawFlow.encode(RawFlow(
+            timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+            decoder = decoder, decapsulationProtocol = decap)))
+        }
+      }
+    }
+    import s.implicits._
+    val envs =
+      group("127.0.0.1", RawFlow.DecoderNetflow, 0,
+        Seq("options-template", "options-data", "template", "data")) ++
+      group("10.9.9.9", RawFlow.DecoderNetflow, 0, Seq("data")) ++
+      group("10.1.1.1", 9, 0, Seq("data")) ++
+      // truncated varint: undecodable RawFlow protobuf
+      Seq(DecodePipeline.RawEnvelope("ff", 9000L,
+        Array[Byte](0x08, 0x80.toByte))) ++
+      // a NetFlow payload fed to the sFlow decoder: version mismatch
+      group("10.2.2.2", RawFlow.DecoderSflow, 0, Seq("data")) ++
+      group("10.3.3.3", RawFlow.DecoderNetflow, RawFlow.DecapVxlan,
+        Seq("template", "data"))
+    DecodePipeline.decodeCounted(s.createDataset(envs)).toDF()
+      .groupBy(coalesce(col("dropCause"), lit("decoded")).as("cause"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_decode_netflow" -> qDecodeNetflow,
     "q_decode_nfv5" -> qDecodeNfv5,
     "q_decode_sflow" -> qDecodeSflow,
+    "q_decode_drops" -> qDecodeDrops,
     "q_rate_limit" -> qRateLimit)
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +211,14 @@ object Decode {
         |) AS t(exporter, src_ip, dst_ip, sampling_rate, in_if, out_if,
         |       src_vlan, dst_vlan, src_as, dst_as, bytes, packets, etype,
         |       proto, src_port, dst_port, as_path, communities, n)""".stripMargin,
+    // per-cause drop counts for the mixed batch: 4 good v9 flows, one
+    // drop of each envelope-level cause, and the reference's 4-drop
+    // non-encap golden for the v9 capture under VXLAN decap
+    "q_decode_drops" ->
+      """SELECT * FROM (VALUES
+        |  ('decoded', 4), ('malformed_datagram', 1), ('malformed_envelope', 1),
+        |  ('non_encap', 4), ('template_missing', 1), ('unknown_decoder', 1)
+        |) AS t(cause, n)""".stripMargin,
     "q_rate_limit" ->
       """WITH base AS (SELECT 'exp' || CAST(user_id % 8 AS VARCHAR) AS exporter,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_id,
