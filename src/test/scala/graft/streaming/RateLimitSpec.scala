@@ -48,4 +48,22 @@ class RateLimitSpec extends SparkSpec {
     val est = out.select(sum(col("bytes") * col("rate"))).as[Long].head()
     assert(est == 12L * 700L * 1000L)
   }
+
+  test("compensation is exact past the double-precision boundary") {
+    // rate·total = 9.303e15 > 2^53, chosen so floor(double(rate·total)/kept)
+    // is off by one from exact integer division (verified numerically):
+    // the SQL DIV path must produce the exact quotient, which is also what
+    // the DuckDB oracle's integer `//` computes.
+    val rate = 3_100_000_001_999L
+    val df = (0 until 3001).map(i => ("e", 1000L, i.toLong, rate))
+      .toDF("exporter", "es", "seq", "rate")
+    val out = RateLimit(df, limit = 3000L, tickSec = 60L,
+      col("exporter"), col("es"), "rate", Seq(col("seq")))
+    val kept = out.select("rate").as[Long].collect()
+    assert(kept.length == 3000)
+    val exact = (BigInt(rate) * 3001 / 3000).toLong
+    val viaDouble = math.floor((rate * 3001L).toDouble / 3000L).toLong
+    assert(exact != viaDouble, "test values must discriminate the two paths")
+    assert(kept.toSet == Set(exact), s"got ${kept.toSet}, want $exact")
+  }
 }
