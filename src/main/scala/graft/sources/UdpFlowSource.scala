@@ -32,6 +32,10 @@ import graft.decode.{DecodeOptions, RawFlow}
   *
   * Options:
   *  - `host` (default 127.0.0.1) / `port` (default 0 = ephemeral)
+  *  - `workers` (default 1): listener sockets on the same port via
+  *    SO_REUSEPORT, kernel-load-balanced — the reference's worker pool
+  *    (`root.go:118-144`). Cross-worker arrival order is absorbed by the
+  *    decode stage's reorder window, as on the reference's Kafka path.
   *  - `name`: registry key — [[UdpFlowSource.boundPort]] reports the bound
   *    ephemeral port so a test or operator can aim exporters at it
   *  - `decoder`: `netflow` (default) or `sflow`
@@ -51,11 +55,11 @@ import graft.decode.{DecodeOptions, RawFlow}
   * sequence. This mirrors `TextSocketMicroBatchStream`'s documented
   * non-replayability and is exactly the reference inlet's guarantee.
   *
-  * Scale shape: one socket = one listener worker, the unit the reference
-  * scales with SO_REUSEPORT (`Workers: N`). On a cluster the natural
-  * deployment is one source per executor host behind an UDP load balancer;
-  * the decode stage's group-by-exporter shuffle is unaffected by how many
-  * listeners fed it.
+  * Scale shape: `workers` SO_REUSEPORT sockets scale one listener across
+  * cores (the reference's `Workers: N`); beyond one host, deploy one
+  * source per executor host behind an UDP load balancer. The decode
+  * stage's group-by-exporter shuffle is unaffected by how many listeners
+  * fed it.
   */
 final class UdpFlowSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-udp"
@@ -127,6 +131,7 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
 
   private val host = options.getOrDefault("host", "127.0.0.1")
   private val port = options.getOrDefault("port", "0").toInt
+  private val workers = options.getOrDefault("workers", "1").toInt.max(1)
   private val sourceName = options.getOrDefault("name", "")
   private val decoder = UdpFlowSource.parseDecoder(options.getOrDefault("decoder", ""))
   private val tsSource =
@@ -147,29 +152,45 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
   val bytes = new AtomicLong(0L)
   val errors = new AtomicLong(0L)
 
-  private val channel: DatagramChannel = {
-    val ch = DatagramChannel.open()
-    if (receiveBuffer > 0) {
-      // above net.core.rmem_max the kernel caps silently — same tolerance
-      // as the reference's SetReadBuffer warning path
-      try ch.setOption[Integer](StandardSocketOptions.SO_RCVBUF, receiveBuffer)
-      catch { case _: Exception => () }
+  /** `workers` sockets on ONE port via SO_REUSEPORT — the reference's
+    * worker pool (`root.go:118-144`: N ListenPacket calls on the same
+    * address, kernel-load-balanced). The first bind resolves an ephemeral
+    * port; the rest join it.
+    */
+  private val channels: Seq[DatagramChannel] = {
+    def open(p: Int): DatagramChannel = {
+      val ch = DatagramChannel.open()
+      if (receiveBuffer > 0) {
+        // above net.core.rmem_max the kernel caps silently — same tolerance
+        // as the reference's SetReadBuffer warning path
+        try ch.setOption[Integer](StandardSocketOptions.SO_RCVBUF, receiveBuffer)
+        catch { case _: Exception => () }
+      }
+      if (workers > 1)
+        ch.setOption[java.lang.Boolean](StandardSocketOptions.SO_REUSEPORT, true)
+      ch.bind(new InetSocketAddress(host, p))
+      ch
     }
-    ch.bind(new InetSocketAddress(host, port))
-    ch
+    val first = open(port)
+    val boundP = first.getLocalAddress.asInstanceOf[InetSocketAddress].getPort
+    first +: (1 until workers).map(_ => open(boundP))
   }
   UdpFlowSource.register(sourceName,
-    channel.getLocalAddress.asInstanceOf[InetSocketAddress].getPort)
+    channels.head.getLocalAddress.asInstanceOf[InetSocketAddress].getPort)
 
-  private val worker = new Thread(() => receiveLoop(), s"graft-udp-$sourceName")
-  worker.setDaemon(true)
-  worker.start()
+  private val workerThreads = channels.zipWithIndex.map { case (ch, i) =>
+    val t = new Thread(() => receiveLoop(ch), s"graft-udp-$sourceName-$i")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   /** The reference worker loop (`root.go:202-241`): read, stamp, enqueue.
-    * One thread per source; multi-worker scale-out is SO_REUSEPORT across
-    * source instances, not threads inside one.
+    * One thread per worker socket; all workers share the buffer and the
+    * receive sequence (appends are serialized under the buffer lock, the
+    * same contention point the reference's single `send` channel has).
     */
-  private def receiveLoop(): Unit = {
+  private def receiveLoop(channel: DatagramChannel): Unit = {
     val buf = ByteBuffer.allocate(maxDatagram)
     while (!stopped.get()) {
       try {
@@ -251,7 +272,7 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
   override def stop(): Unit = {
     stopped.set(true)
     UdpFlowSource.unregister(sourceName)
-    try channel.close() catch { case _: Exception => () }
+    channels.foreach(ch => try ch.close() catch { case _: Exception => () })
   }
 }
 

@@ -99,6 +99,34 @@ class UdpSourceSpec extends SparkSpec {
     assert(Ip.render(first.getAs[Array[Byte]]("ExporterAddress")) == "127.0.0.1")
   }
 
+  test("multi-worker listeners share one port via SO_REUSEPORT") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("udp-workers").toString
+    val envs = spark.readStream
+      .format("graft-udp")
+      .option("name", "udp-workers")
+      .option("workers", "4")
+      .option("decoder", "netflow")
+      .option("timestampSource", "netflow-packet")
+      .load()
+      .as[DecodePipeline.RawEnvelope]
+    val q = DecodePipeline.decode(envs).writeStream
+      .format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.ProcessingTime(0L))
+      .start()
+    try {
+      val port = awaitPort("udp-workers")
+      // 20 v5 datagrams from 20 distinct client sockets so the kernel's
+      // 4-tuple hash actually spreads them across the 4 worker sockets
+      val payload = datagrams("nfv5").head
+      (1 to 20).foreach(_ => send(port, Seq(payload)))
+      awaitCondition(q)(countOr0(s"$root/out") >= 20 * 29)
+    } finally q.stop()
+    assert(spark.read.parquet(s"$root/out").count() == 20L * 29)
+  }
+
   test("socket → decode → store → line query: the v9 chain end to end") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("udp-ingest").toString
