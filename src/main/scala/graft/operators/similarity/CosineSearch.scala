@@ -133,6 +133,18 @@ object CosineSearch {
     // materialized — recompute on block loss falls through the (short)
     // lineage to the still-persisted `base`.
     var live: DataFrame = null
+    // …and every `LineageCutEvery` passes the running projection is
+    // localCheckpoint'ed so the plan stays O(cut interval) deep for large
+    // k instead of O(k) — connectedComponents' bounded-plan tradeoff
+    // (recompute-on-failure is given up for the checkpointed segment).
+    // Superseded checkpoint blocks are freed on the next cut.
+    val sc = spark.sparkContext
+    var checkpointIds: Set[Int] = Set.empty
+    def freeCheckpoints(): Unit = {
+      checkpointIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      checkpointIds = Set.empty
+    }
     var r = 1
     var exhausted = false
     while (r < k && !exhausted) {
@@ -150,11 +162,24 @@ object CosineSearch {
           picked = picked :+ ((r, row.getLong(0), row.getLong(2)))
           centerVec = row.getSeq[Double](1)
           cur = cur.where(col("id") =!= row.getLong(0))
+          if (r % LineageCutEvery == 0) {
+            val before = sc.getPersistentRDDs.keySet.toSet
+            cur = cur.localCheckpoint() // eager: blocks exist on return
+            val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+            graft.ScratchCache.release(live)
+            live = null
+            freeCheckpoints()
+            checkpointIds = newIds
+          }
           r += 1
       }
     }
+    freeCheckpoints() // `picked` is driver-side; the blocks are dead
     picked.toDF("rank", "id", "dist_e6")
   }
+
+  /** Lineage-cut interval for [[kCenterCoreset]]'s greedy loop. */
+  private val LineageCutEvery = 32
 
   /** Deterministic seeded hyperplanes: `bits` rows of `dim` doubles. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {

@@ -287,6 +287,28 @@ class CosineSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("kCenterCoreset cuts lineage past the checkpoint interval") {
+    // 70 greedy passes cross the 32-pass localCheckpoint boundary twice:
+    // the run must stay correct (greedy is prefix-stable, so the first 6
+    // picks equal a k=6 run) and leave no checkpoint blocks behind
+    val corpus = (1L to 120L)
+      .map(i => (i, Array((i % 11).toFloat + 1f, (i % 7).toFloat, (i % 5).toFloat)))
+      .toDF("id", "embedding")
+    graft.ScratchCache.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val big = CosineSearch.kCenterCoreset(corpus, k = 70).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(big.length == 70)
+    assert(big.map(_._1).toSeq == (0 until 70))
+    val small = CosineSearch.kCenterCoreset(corpus, k = 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(big.take(6).toSeq == small.toSeq, "greedy prefix must be stable")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"${after - before} persisted RDDs held after two lineage cuts")
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("bruteForce ranks an identical vector first") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
