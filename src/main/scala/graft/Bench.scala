@@ -54,10 +54,16 @@ object Bench {
         ScratchCache.releaseAll(spark)
         (sec, n)
       }
-      val best = times.map(_._1).min
-      val worst = times.map(_._1).max
+      // a failed repetition returns fast — its wall-clock must not become
+      // the "best" time; min/worst come from successful reps only (a query
+      // with zero successful reps keeps its failure times and the stderr
+      // FAILED lines as the signal)
+      val ok = times.filter(_._2 >= 0)
+      val basis = if (ok.nonEmpty) ok else times
+      val best = basis.map(_._1).min
+      val worst = basis.map(_._1).max
       System.err.println(
-        f"[bench] $name%-22s $best%8.2f s  (worst $worst%.2f, ${times.head._2} rows)")
+        f"[bench] $name%-22s $best%8.2f s  (worst $worst%.2f, ${basis.head._2} rows)")
       (name, best, worst)
     }
     val results = timed.map { case (n, best, _) => n -> best }

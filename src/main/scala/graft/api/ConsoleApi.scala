@@ -117,10 +117,17 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
     * `console/root.go:113`), so distinct queries cache independently.
     */
   private def handleCached(path: String, ttlMs: Long)(
-      f: JsonNode => ObjectNode): Unit = {
+      f: JsonNode => ObjectNode): Unit =
+    contextCached(path, ttlMs)(r => s"$path ${r.body.toString}")(r => f(r.body))
+
+  /** Cached context with a caller-chosen cache key — ONE ttl argument
+    * feeds both the registry and the cache call, so the conformance test
+    * cannot drift from actual caching behavior.
+    */
+  private def contextCached(path: String, ttlMs: Long)(key: Req => String)(
+      f: Req => ObjectNode): Unit = {
     registeredTtls(path) = ttlMs
-    context(path)(r =>
-      cache.getOrCompute(s"$path ${r.body.toString}", ttlMs)(f(r.body)))
+    context(path)(r => cache.getOrCompute(key(r), ttlMs)(f(r)))
   }
 
   private def strings(node: JsonNode, field: String): Seq[String] =
@@ -247,9 +254,8 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
   // GET /api/v0/console/widget/top/{name} — the path suffix picks the
   // widget; "now" anchors on the newest flow like the reference's scalar
   // subquery
-  registeredTtls("/api/v0/console/widget/top/") = WidgetMidTtlMs
-  context("/api/v0/console/widget/top/") { req =>
-    cache.getOrCompute(s"${req.path} ${req.body.toString}", WidgetMidTtlMs) {
+  contextCached("/api/v0/console/widget/top/", WidgetMidTtlMs)(req =>
+    s"${req.path} ${req.body.toString}") { req =>
     val name = req.path.split("/").last
     val widgets = new Widgets(schema, tables)
     val rows = widgets.topWidget(spark, widgets.dataNow(), name).collect()
@@ -261,19 +267,18 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       o.put("percent", r.getDouble(1))
     }
     resp
-  }}
+  }
 
   // GET /api/v0/console/widget/graph?points=N — single-series gap-filled
   // Gbps over the last 24 h before the newest flow (reference
   // widgets.go:250-292 anchors on the data, defaults to 200 points)
-  registeredTtls("/api/v0/console/widget/graph") = WidgetSlowTtlMs
-  context("/api/v0/console/widget/graph") { req =>
+  contextCached("/api/v0/console/widget/graph", WidgetSlowTtlMs)({ req =>
     // params are part of the identity here (?points=N) — the path alone
     // would alias every points value to one cache entry
     val paramKey = req.params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("&")
-    cache.getOrCompute(
-      s"${req.path}?$paramKey ${req.body.toString}", WidgetSlowTtlMs) {
+    s"${req.path}?$paramKey ${req.body.toString}"
+  }) { req =>
     val points = req.params.get("points").map(_.toInt).getOrElse(200)
     val widgets = new Widgets(schema, tables)
     val now = widgets.dataNow()
@@ -287,7 +292,7 @@ final class ConsoleApi(spark: SparkSession, schema: Schema,
       o.put("gbps", r.getDouble(1))
     }
     resp
-  }}
+  }
 
   handleCached("/api/v0/console/widget/flow-rate", WidgetFastTtlMs) { _ =>
     val widgets = new Widgets(schema, tables)

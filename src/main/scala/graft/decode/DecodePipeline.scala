@@ -166,6 +166,8 @@ object DecodePipeline {
   /** Decode keeping per-cause drop rows (see [[observed]]). */
   def decodeCounted(envelopes: Dataset[RawEnvelope],
       reorderWindow: Int = DefaultReorderWindow): Dataset[DecodeOut] = {
+    // 0 would make the reorder iterator poll an empty heap (NPE mid-task)
+    require(reorderWindow >= 1, "reorderWindow must be at least 1")
     implicit val stateEnc = Encoders.product[TemplateState]
     implicit val outEnc = Encoders.product[DecodeOut]
     envelopes

@@ -163,9 +163,15 @@ object CosineSearch {
           centerVec = row.getSeq[Double](1)
           cur = cur.where(col("id") =!= row.getLong(0))
           if (r % LineageCutEvery == 0) {
-            val before = sc.getPersistentRDDs.keySet.toSet
-            cur = cur.localCheckpoint() // eager: blocks exist on return
-            val newIds = sc.getPersistentRDDs.keySet.toSet -- before
+            val cut = cur.localCheckpoint() // eager: blocks exist on return
+            // own ONLY the checkpointed RDD backing `cut`: diffing the
+            // session-global persistent-RDD map would race with concurrent
+            // persists (another coreset run, a console handler) and free
+            // blocks this run does not own
+            val newIds = cut.queryExecution.analyzed.collect {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+            }.toSet
+            cur = cut
             graft.ScratchCache.release(live)
             live = null
             freeCheckpoints()

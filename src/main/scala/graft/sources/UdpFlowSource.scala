@@ -46,6 +46,9 @@ import graft.decode.{DecodeOptions, RawFlow}
   *    like the reference, a kernel cap is tolerated silently
   *  - `maxDatagramBytes` (default 9000): read buffer size, the reference's
   *    jumbo-frame payload bound
+  *  - `maxBufferedDatagrams` (default 1M): driver-side buffer bound — a
+  *    stalled query drops incoming datagrams (counted) past this, like
+  *    the kernel queue (`in_dropped_packets_total`)
   *
   * Delivery contract: UDP is fire-and-forget — datagrams arriving while no
   * query is running, or beyond the committed offset at a crash, are lost
@@ -141,16 +144,21 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
 
   // receive state: the worker thread appends; planInputPartitions slices;
   // commit trims. `buffer(i)` holds the envelope with seq = trimmedTo + i.
+  // Offsets are monotone across restarts: deserializeOffset fast-forwards
+  // a fresh socket's numbering to the restored checkpoint (see below).
   private val lock = new Object
   private val buffer = ArrayBuffer.empty[(String, Long, Array[Byte])]
   private var trimmedTo = 0L
   private val received = new AtomicLong(0L)
   private val stopped = new AtomicBoolean(false)
+  private val maxBuffered = options.getOrDefault("maxBufferedDatagrams",
+    "1000000").toInt
 
-  // per-cause counters, the reference's packets/bytes/errors metrics
+  // per-cause counters, the reference's packets/bytes/errors/inDrops metrics
   val packets = new AtomicLong(0L)
   val bytes = new AtomicLong(0L)
   val errors = new AtomicLong(0L)
+  val dropped = new AtomicLong(0L) // buffer-full drops (in_dropped analogue)
 
   /** `workers` sockets on ONE port via SO_REUSEPORT — the reference's
     * worker pool (`root.go:118-144`: N ListenPacket calls on the same
@@ -209,13 +217,22 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
             decoder = decoder,
             timestampSource = tsSource))
           val exporter = addr.map(b => f"${b & 0xff}%02x").mkString
-          lock.synchronized {
-            val seq = received.get()
-            buffer += ((exporter, seq, env))
-            received.incrementAndGet()
+          val kept = lock.synchronized {
+            // bounded like the kernel socket queue: a stalled or slow
+            // query drops incoming datagrams (counted) instead of growing
+            // the driver heap without limit
+            if (buffer.length >= maxBuffered) false
+            else {
+              val seq = received.get()
+              buffer += ((exporter, seq, env))
+              received.incrementAndGet()
+              true
+            }
           }
-          packets.incrementAndGet()
-          bytes.addAndGet(payload.length.toLong)
+          if (kept) {
+            packets.incrementAndGet()
+            bytes.addAndGet(payload.length.toLong)
+          } else dropped.incrementAndGet()
         }
       } catch {
         case _: ClosedChannelException => return
@@ -228,7 +245,28 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
 
   override def initialOffset(): Offset = UdpOffset(0L)
   override def latestOffset(): Offset = UdpOffset(received.get())
-  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+
+  /** Restart recovery: offsets in the checkpoint were minted by a PREVIOUS
+    * socket's numbering. Fast-forward this socket past any restored offset
+    * so (a) new datagrams are numbered after the checkpoint — without this
+    * the first `restoredOffset` live datagrams would silently alias the
+    * committed range and never be emitted — and (b) a replayed
+    * `commit(restored)` cannot trim more rows than the buffer holds.
+    * Datagrams received in the bind-to-recovery window are dropped and
+    * counted (UDP fire-and-forget, same as the pre-rebind loss).
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    lock.synchronized {
+      if (v > trimmedTo + buffer.length) {
+        dropped.addAndGet(buffer.length.toLong)
+        buffer.clear()
+        trimmedTo = v
+        received.set(v)
+      }
+    }
+    UdpOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[UdpOffset].n
@@ -263,7 +301,9 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
     val e = end.asInstanceOf[UdpOffset].n
     lock.synchronized {
       if (e > trimmedTo) {
-        buffer.remove(0, (e - trimmedTo).toInt)
+        // clamp: a replayed commit from a previous socket's checkpoint can
+        // exceed what this socket has buffered
+        buffer.remove(0, math.min(e - trimmedTo, buffer.length.toLong).toInt)
         trimmedTo = e
       }
     }

@@ -193,6 +193,31 @@ class UdpSourceSpec extends SparkSpec {
     assert(total == 5848L * 30000L * 8L)
   }
 
+  test("checkpoint recovery fast-forwards past a previous socket's offsets") {
+    // a restarted query replays offsets minted by the PREVIOUS socket:
+    // recovery must neither crash on the replayed commit nor let new
+    // datagrams alias the committed range (which would silently drop them)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("name", "udp-restart"))
+    val stream = new UdpMicroBatchStream(opts)
+    try {
+      stream.deserializeOffset("500")
+      stream.commit(UdpOffset(500L)) // replayed commit: must not throw
+      assert(stream.latestOffset().asInstanceOf[UdpOffset].n == 500L)
+      val port = awaitPort("udp-restart")
+      send(port, Seq(datagrams("nfv5").head))
+      val deadline = System.currentTimeMillis() + 10000L
+      while (stream.latestOffset().asInstanceOf[UdpOffset].n < 501L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      assert(stream.latestOffset().asInstanceOf[UdpOffset].n == 501L)
+      // the live datagram is numbered AFTER the checkpoint and is emitted
+      val parts = stream.planInputPartitions(UdpOffset(500L), UdpOffset(501L))
+      assert(parts.length == 1)
+      val rows = parts(0).asInstanceOf[UdpInputPartition].rows
+      assert(rows.length == 1 && rows(0)._2 == 500L)
+    } finally stream.stop()
+  }
+
   private def awaitPort(name: String, timeoutMs: Long = 10000L): Int = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (UdpFlowSource.boundPort(name).isEmpty &&
