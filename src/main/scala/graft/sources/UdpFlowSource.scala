@@ -81,16 +81,27 @@ object UdpFlowSource {
     StructField("data", BinaryType, nullable = false)))
 
   private val ports = new ConcurrentHashMap[String, Integer]()
+  private val streams = new ConcurrentHashMap[String, UdpMicroBatchStream]()
 
   /** The bound port of the named running source (None until its streaming
     * query has started and bound the socket).
     */
   def boundPort(name: String): Option[Int] = Option(ports.get(name)).map(_.intValue)
 
-  private[sources] def register(name: String, port: Int): Unit =
-    if (name.nonEmpty) ports.put(name, port)
+  /** Listener counters (reference `bytes_total`/`packets_total`/
+    * `errors_total`/`in_dropped_packets_total` analogues). */
+  final case class Stats(packets: Long, bytes: Long, errors: Long,
+      dropped: Long, buffered: Int)
+
+  /** Live counters of the named running source. */
+  def stats(name: String): Option[Stats] =
+    Option(streams.get(name)).map(_.statsSnapshot)
+
+  private[sources] def register(name: String, port: Int,
+      stream: UdpMicroBatchStream): Unit =
+    if (name.nonEmpty) { ports.put(name, port); streams.put(name, stream) }
   private[sources] def unregister(name: String): Unit =
-    if (name.nonEmpty) ports.remove(name)
+    if (name.nonEmpty) { ports.remove(name); streams.remove(name) }
 
   private[sources] def parseDecoder(s: String): Int = s.toLowerCase match {
     case "" | "netflow" => RawFlow.DecoderNetflow
@@ -184,7 +195,11 @@ private[sources] final class UdpMicroBatchStream(options: CaseInsensitiveStringM
     first +: (1 until workers).map(_ => open(boundP))
   }
   UdpFlowSource.register(sourceName,
-    channels.head.getLocalAddress.asInstanceOf[InetSocketAddress].getPort)
+    channels.head.getLocalAddress.asInstanceOf[InetSocketAddress].getPort, this)
+
+  private[sources] def statsSnapshot: UdpFlowSource.Stats =
+    UdpFlowSource.Stats(packets.get(), bytes.get(), errors.get(),
+      dropped.get(), lock.synchronized(buffer.length))
 
   private val workerThreads = channels.zipWithIndex.map { case (ch, i) =>
     val t = new Thread(() => receiveLoop(ch), s"graft-udp-$sourceName-$i")

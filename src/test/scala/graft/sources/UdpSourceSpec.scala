@@ -123,7 +123,12 @@ class UdpSourceSpec extends SparkSpec {
       val payload = datagrams("nfv5").head
       (1 to 20).foreach(_ => send(port, Seq(payload)))
       awaitCondition(q)(countOr0(s"$root/out") >= 20 * 29)
+      // listener counters mirror the reference's packets/bytes metrics
+      val st = UdpFlowSource.stats("udp-workers").get
+      assert(st.packets == 20L && st.bytes == 20L * payload.length)
+      assert(st.errors == 0L && st.dropped == 0L)
     } finally q.stop()
+    assert(UdpFlowSource.stats("udp-workers").isEmpty, "unregistered on stop")
     assert(spark.read.parquet(s"$root/out").count() == 20L * 29)
   }
 
