@@ -139,28 +139,40 @@ object DecodePipeline {
     */
   val DefaultReorderWindow = 65536
 
-  private def decodeGroup(window: Int)(exporter: String,
+  /** Shared per-group decode loop, mapped to `T` rows by `emit`. Lazy
+    * flatMap: flows stream out as envelopes decode; the state store write
+    * is re-armed after every envelope so full consumption (Spark always
+    * drains the iterator before committing) sees the final state.
+    */
+  private def decodeGroupWith[T](window: Int,
+      emit: Seq[DecodeOut] => Iterator[T])(exporter: String,
       rows: Iterator[RawEnvelope],
-      state: GroupState[TemplateState]): Iterator[DecodeOut] = {
+      state: GroupState[TemplateState]): Iterator[T] = {
     var st = state.getOption.getOrElse(TemplateState.empty)
-    // lazy flatMap: flows stream out as envelopes decode; the state store
-    // write is re-armed after every envelope so full consumption (Spark
-    // always drains the iterator before committing) sees the final state
     inSeqOrder(rows, window).flatMap { env =>
       val (st2, outs) = decodeOneCounted(st, env.data)
       st = st2
       state.update(st)
-      outs
+      emit(outs)
     }
   }
 
-  /** Batch or streaming decode of an envelope Dataset (flows only). */
+  /** Batch or streaming decode of an envelope Dataset (flows only). Drop
+    * filtering happens INSIDE the group function — a typed filter+map over
+    * [[decodeCounted]] would cost an extra serialize/deserialize round
+    * trip per row in the streaming plan (batch fuses them, streaming does
+    * not).
+    */
   def decode(envelopes: Dataset[RawEnvelope],
       reorderWindow: Int = DefaultReorderWindow): Dataset[DecodedFlow] = {
+    require(reorderWindow >= 1, "reorderWindow must be at least 1")
+    implicit val stateEnc = Encoders.product[TemplateState]
     implicit val outEnc = Encoders.product[DecodedFlow]
-    decodeCounted(envelopes, reorderWindow)
-      .filter((o: DecodeOut) => o.dropCause == null)
-      .map(_.flow)
+    envelopes
+      .groupByKey(_.exporter)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        decodeGroupWith[DecodedFlow](reorderWindow,
+          _.iterator.collect { case DecodeOut(f, null) => f }))
   }
 
   /** Decode keeping per-cause drop rows (see [[observed]]). */
@@ -172,8 +184,8 @@ object DecodePipeline {
     implicit val outEnc = Encoders.product[DecodeOut]
     envelopes
       .groupByKey(_.exporter)(Encoders.STRING)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(decodeGroup(reorderWindow))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        decodeGroupWith[DecodeOut](reorderWindow, _.iterator))
   }
 
   /** Flows DataFrame with an `observe("decode", ...)` attached counting

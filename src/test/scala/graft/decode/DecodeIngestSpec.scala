@@ -227,6 +227,37 @@ class DecodeIngestSpec extends SparkSpec {
     assert(degraded.count(_.dropCause == DecodePipeline.Drop.TemplateMissing) == 1)
   }
 
+  test("any displacement under the window bound decodes in full") {
+    import spark.implicits._
+    // 3 exporters × (options-template, options-data, template, data): the
+    // stateful chain breaks if ANY data record outruns its templates. 20
+    // seeded random permutations with displacement < window must all
+    // decode every flow.
+    val names = Seq("options-template", "options-data", "template", "data")
+    val ordered = (0 until 3).flatMap { e =>
+      val src = Ip.parse(s"10.0.0.${e + 1}")
+      names.zipWithIndex.flatMap { case (n, i) =>
+        Pcap.datagrams(pcapRes(n)).zipWithIndex.map { case (d, j) =>
+          DecodePipeline.envelope(i.toLong * 10 + j, RawFlow.encode(RawFlow(
+            timeReceived = d.tsSec, payload = d.payload, sourceAddress = src,
+            decoder = RawFlow.DecoderNetflow)))
+        }
+      }
+    }
+    val window = 8
+    val rnd = new scala.util.Random(41L)
+    (1 to 20).foreach { trial =>
+      // shuffling inside disjoint blocks of `window` bounds displacement
+      // strictly under the window size
+      val permuted = ordered.grouped(window)
+        .flatMap(b => rnd.shuffle(b)).toSeq
+      val n = DecodePipeline.decode(
+        spark.createDataset(permuted).coalesce(1), reorderWindow = window)
+        .count()
+      assert(n == 3L * 4, s"trial $trial decoded $n of 12 flows")
+    }
+  }
+
   test("a large single-exporter batch decodes through the streaming window") {
     import spark.implicits._
     val src = Ip.parse("127.0.0.1")
