@@ -242,25 +242,76 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   def compactRollup(name: String): Unit = {
     val sec = resolutions.toMap.apply(name)
-    // write-temp-then-swap: cache()+count() does NOT sever lineage, so an
-    // overwrite of the directory still being lazily read would recompute
-    // lost cached blocks from already-deleted files mid-write. The
-    // compacted copy lands in a sibling temp dir first; the swap is two
-    // renames (no reader window where the table is half-written).
+    swapIn(name) { tmp =>
+      withDate(rollupDelta(readTable(name), sec)).write
+        .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
+    }
+  }
+
+  /** Small-file compaction for the append-only tables — the merge half of
+    * MergeTree that [[compactRollup]]'s re-aggregation doesn't cover:
+    * every micro-batch appends one file per date partition, so a 5 s
+    * trigger mints ~17k files per partition per day and footer planning,
+    * not IO, becomes the scan cost. Rewrites each `p_date` directory into
+    * `ceil(onDiskBytes / targetFileBytes)` files, row-preserving (no
+    * re-aggregation — correct for the main table, whose rows are facts).
+    *
+    * One job, one shuffle: per-date output counts come from the actual
+    * directory sizes, rows salt deterministically (hash of stable
+    * columns, so a retried task re-derives the same placement), and the
+    * repartition width is the global target file count.
+    */
+  def compactFiles(name: String,
+      targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    import spark.implicits._
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p(s"$root/$name"))) return
+    val ks = fs.listStatus(p(s"$root/$name"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
+      .map { d =>
+        val bytes = fs.listStatus(d.getPath).map(_.getLen).sum
+        d.getPath.getName.stripPrefix("p_date=") ->
+          math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      }.toSeq
+    if (ks.isEmpty) return
+    val totalK = ks.map(_._2).sum
+    val kDf = ks.toDF("p_date", "__k")
+    swapIn(name) { tmp =>
+      spark.read.parquet(s"$root/$name")
+        // partition discovery may infer p_date as DATE; normalize back to
+        // the stored string form so the join and the rewrite agree
+        .withColumn("p_date", col("p_date").cast("string"))
+        .join(broadcast(kDf), Seq("p_date"))
+        .withColumn("__salt",
+          pmod(xxhash64(col("TimeReceived"), col("ExporterAddress")), col("__k")))
+        .repartition(totalK, col("p_date"), col("__salt"))
+        .drop("__k", "__salt")
+        .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
+    }
+  }
+
+  /** Write-temp-then-swap install of a rewritten table: cache()+count()
+    * does NOT sever lineage, so an overwrite of the directory still being
+    * lazily read would recompute lost cached blocks from already-deleted
+    * files mid-write. The rewritten copy lands in a sibling temp dir
+    * first; the swap is two renames (no reader window where the table is
+    * half-written).
+    */
+  private def swapIn(name: String)(write: String => Unit): Unit = {
     val tmp = s"$root/$name.compact.tmp"
     val old = s"$root/$name.compact.old"
-    withDate(rollupDelta(readTable(name), sec)).write
-      .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
+    write(tmp)
     // the path's OWN filesystem — FileSystem.get would return the default
     // FS and "Wrong FS" on any non-default root scheme
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p(old), true)
     if (!fs.rename(p(s"$root/$name"), p(old)))
-      throw new java.io.IOException(s"compactRollup: cannot move $name aside")
+      throw new java.io.IOException(s"swapIn: cannot move $name aside")
     if (!fs.rename(p(tmp), p(s"$root/$name"))) {
       fs.rename(p(old), p(s"$root/$name")) // roll back
-      throw new java.io.IOException(s"compactRollup: cannot install $tmp")
+      throw new java.io.IOException(s"swapIn: cannot install $tmp")
     }
     fs.delete(p(old), true)
   }

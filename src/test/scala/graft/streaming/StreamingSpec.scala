@@ -278,6 +278,35 @@ class FlowStoreSpec extends SparkSpec {
     assert(after.agg(sum("Bytes")).collect()(0).getLong(0) == beforeSum)
   }
 
+  test("file compaction coalesces micro-batch files without changing rows") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    // 6 appends → ≥6 files in the day's partition directory
+    (1 to 6).foreach(_ => store.writeBatch(mkFlows("2024-03-01", 20)))
+    def dataFiles(dir: String): Int =
+      new java.io.File(s"$root/flows/p_date=$dir").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles("2024-03-01") >= 6)
+    // multiset fingerprint (binary columns hex-rendered so equality is by
+    // content, not array identity)
+    def rows(): Seq[String] = {
+      val df = spark.read.parquet(s"$root/flows")
+      df.select(df.schema.fields.map(f =>
+        if (f.dataType == org.apache.spark.sql.types.BinaryType)
+          hex(col(f.name)).as(f.name)
+        else col(f.name).cast("string").as(f.name)): _*)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    }
+    val before = rows()
+    store.compactFiles("flows")
+    // tiny data, 256 MB target → exactly one file; rows content-identical
+    assert(dataFiles("2024-03-01") == 1)
+    assert(rows() == before)
+    // partition pruning still works over the rewritten layout
+    assert(spark.read.parquet(s"$root/flows")
+      .where(col("p_date") === "2024-03-01").count() == 120)
+  }
+
   test("streaming ingest fans batches through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
