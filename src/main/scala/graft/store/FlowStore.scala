@@ -291,6 +291,20 @@ final class FlowStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** One maintenance pass — the Spark analogue of ClickHouse's background
+    * merge + TTL threads, run from a scheduler at whatever cadence suits
+    * the deployment (the reference relies on ClickHouse doing this
+    * continuously): expire partitions past retention, re-aggregate the
+    * rollups, and coalesce the append-only tables' micro-batch files.
+    */
+  def maintain(asOf: java.time.LocalDate,
+      retentionDays: Map[String, Int] = FlowStore.DefaultRetentionDays,
+      targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    applyRetention(asOf, retentionDays)
+    resolutions.foreach { case (name, _) => compactRollup(name) }
+    Seq("flows", "exporters").foreach(compactFiles(_, targetFileBytes))
+  }
+
   /** Write-temp-then-swap install of a rewritten table: cache()+count()
     * does NOT sever lineage, so an overwrite of the directory still being
     * lazily read would recompute lost cached blocks from already-deleted

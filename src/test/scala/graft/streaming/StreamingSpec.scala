@@ -307,6 +307,31 @@ class FlowStoreSpec extends SparkSpec {
       .where(col("p_date") === "2024-03-01").count() == 120)
   }
 
+  test("a maintenance pass expires, re-aggregates and coalesces together") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-01-01", 30)) // past every retention
+    (1 to 4).foreach(_ => store.writeBatch(mkFlows("2024-03-01", 30)))
+    val bytesBefore = spark.read.parquet(s"$root/flows")
+      .where(col("p_date") === "2024-03-01")
+      .agg(sum("Bytes")).collect()(0).getLong(0)
+    store.maintain(java.time.LocalDate.parse("2024-03-02"))
+    // retention dropped the old day everywhere
+    assert(!new java.io.File(s"$root/flows/p_date=2024-01-01").exists())
+    // the kept day survives intact, in one file, rollups still consistent
+    val flows = spark.read.parquet(s"$root/flows")
+    assert(flows.agg(sum("Bytes")).collect()(0).getLong(0) == bytesBefore)
+    assert(new java.io.File(s"$root/flows/p_date=2024-03-01").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // the 1h rollup keeps 365 days, so the old day legitimately survives
+    // THERE while flows (15 d) dropped it — compare the shared day only
+    val roll = spark.read.parquet(s"$root/flows_1h")
+      .where(col("p_date") === "2024-03-01")
+    assert(roll.agg(sum("Bytes")).collect()(0).getLong(0) == bytesBefore)
+    assert(spark.read.parquet(s"$root/flows_1h")
+      .where(col("p_date") === "2024-01-01").count() > 0)
+  }
+
   test("streaming ingest fans batches through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
