@@ -41,6 +41,18 @@ object KMeans {
     }.toIndexedSeq: _*)), 1)
   }
 
+  /** Adds the cosine-argmax `cell` column while keeping every input
+    * column — the projection-only assignment used when downstream work
+    * needs the vector alongside its cell (e.g. [[SemDedup]]'s intra-cell
+    * prune). No join, no shuffle: the centroids ride the task closure.
+    */
+  def withCell(corpus: DataFrame, centroids: Array[Array[Double]],
+      embCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty)
+    corpus.withColumn("cell",
+      bestCell(col(embCol).cast("array<double>"), centroids).getField("cell"))
+  }
+
   /** Cosine argmax cell assignment against fixed centroids. */
   def assign(corpus: DataFrame, centroids: Array[Array[Double]],
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {

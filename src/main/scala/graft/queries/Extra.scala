@@ -288,6 +288,27 @@ object Extra {
       "user_id", "ts", "event_id", gapSec = 3600)
   }
 
+  // --- as-of join: each purchase attributed to the user's most recent
+  // prior view (the "state at event time" primitive). One union + one
+  // user-keyed window — a single shuffle, no range-join pair explosion.
+  val qAsofJoin: Q = (s, dir) => {
+    import graft.operators.join.AsOf
+    val e = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("es"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("es").as("v_es"),
+        col("event_id").as("view_event"))
+    AsOf.joinBackward(purchases, views, Seq("user_id"),
+        leftTs = "es", rightTs = "v_es", payload = Seq("view_event"),
+        rightTie = "view_event", matchedTs = "view_es")
+      .select(col("event_id"), col("user_id"), col("es"),
+        col("view_es"), col("view_event"),
+        (col("es") - col("view_es")).as("gap_s"))
+  }
+
   // --- funnel analysis: view → click → purchase, first-touch, 7-day windows.
   // Each stage joins the previous stage's user frontier against a
   // type-pruned scan — the fact table never self-joins, and the join
@@ -348,6 +369,7 @@ object Extra {
     "q_transitions" -> qTransitions,
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
+    "q_asof_join" -> qAsofJoin,
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
@@ -444,6 +466,26 @@ object Extra {
         |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
         |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |u AS (
+        |  SELECT user_id, es, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS r_event, CAST(NULL AS BIGINT) AS r_es
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, es, 0 AS side, NULL, event_id, es
+        |  FROM e WHERE event_type = 'view'),
+        |w AS (SELECT user_id, es, side, event_id,
+        |    last_value(r_event IGNORE NULLS) OVER sw AS view_event,
+        |    last_value(r_es IGNORE NULLS) OVER sw AS view_es
+        |  FROM u WINDOW sw AS (PARTITION BY user_id
+        |    ORDER BY es, side, coalesce(r_event, event_id)
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, es, CAST(view_es AS BIGINT) AS view_es,
+        |  CAST(view_event AS BIGINT) AS view_event,
+        |  CAST(es - view_es AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),

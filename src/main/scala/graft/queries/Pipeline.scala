@@ -404,6 +404,17 @@ object Pipeline {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    // SemDeDup: k-means cells bound the pair join (Σ cellsize² work, not
+    // n²) — the embedding-space twin of LSH banding. Same 8 deterministic
+    // seed centroids as q_kmeans_assign, same 0.40 threshold as the exact
+    // ground truth, so recall vs q_sim_pairs is directly inspectable.
+    "q_semdedup" -> ((s, dir) => {
+      import graft.operators.similarity.{KMeans, SemDedup}
+      val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      SemDedup.dupCandidates(e, KMeans.seedCentroids(e, 8),
+        thresholdE6 = 400000L)
+    }),
+
     // threshold 0.40 matches q_sim_pairs' exact ground truth, so the
     // LSH subset relationship is visible in the outputs AND the
     // oracle-checked result is non-empty at every SF (0.90 found nothing
@@ -1218,6 +1229,28 @@ object Pipeline {
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n, min(md5(text)) AS min_hash
         |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin,
+    "q_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |s AS (SELECT vec_id, cell,
+        |  CAST(round(list_cosine_similarity(ev, cv) * 1000000) AS BIGINT) AS sim
+        |  FROM v, c),
+        |r AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |  FROM s),
+        |asg AS (SELECT v.vec_id, r.cell, v.ev
+        |  FROM r JOIN v USING (vec_id) WHERE rn = 1),
+        |p AS (SELECT b.vec_id AS dup_id, a.cell, a.vec_id AS id_a,
+        |    CAST(round(list_cosine_similarity(a.ev, b.ev) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(round(list_cosine_similarity(a.ev, b.ev) * 1000000)
+        |    AS BIGINT) >= 400000),
+        |k AS (SELECT dup_id, cell, id_a, sim_e6,
+        |    row_number() OVER (PARTITION BY dup_id ORDER BY id_a) AS rn FROM p)
+        |SELECT dup_id, CAST(cell AS INT) AS cell, id_a AS near_id, sim_e6
+        |FROM k WHERE rn = 1""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings WHERE vec_id < 8),
