@@ -243,7 +243,13 @@ final class FlowStore(spark: SparkSession, root: String) {
   def compactRollup(name: String): Unit = {
     val sec = resolutions.toMap.apply(name)
     swapIn(name) { tmp =>
-      withDate(rollupDelta(readTable(name), sec)).write
+      // time-sorted within each written file so multi-row-group files keep
+      // tight TimeReceived min/max stats (see compactFiles for the full
+      // clustering rationale; rollups are small enough that slice-bucketed
+      // files are not worth a second shuffle here)
+      withDate(rollupDelta(readTable(name), sec))
+        .sortWithinPartitions(col("p_date"), col("TimeReceived"))
+        .write
         .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
     }
   }
@@ -256,10 +262,23 @@ final class FlowStore(spark: SparkSession, root: String) {
     * `ceil(onDiskBytes / targetFileBytes)` files, row-preserving (no
     * re-aggregation — correct for the main table, whose rows are facts).
     *
-    * One job, one shuffle: per-date output counts come from the actual
-    * directory sizes, rows salt deterministically (hash of stable
-    * columns, so a retried task re-derives the same placement), and the
-    * repartition width is the global target file count.
+    * The rewrite is TIME-CLUSTERED (ClickHouse's ORDER BY on disk, which
+    * the reference gets for free from MergeTree): each output file covers
+    * one contiguous `TimeReceived` slice of its date — slice boundaries
+    * are per-date quantiles, so file sizes stay even under diurnal skew —
+    * and rows are sorted by time inside the file. Every engine query
+    * filters on a `TimeReceived` range, and that predicate reaches the
+    * parquet scan; against the previous hash-scattered layout each file's
+    * min/max spanned the whole day and the pushed filter skipped nothing,
+    * while here a one-hour panel over a year of data prunes to the files
+    * (and row groups) that actually cover the hour. At 100 TB that is the
+    * difference between touching ~1/24th of a day's bytes and all of them.
+    *
+    * Cost is one extra TimeReceived-only scan (column-pruned) for the
+    * quantile grid, then the same single rewrite job/shuffle as before.
+    * Placement stays retry-deterministic: the boundaries are collected
+    * once and ride the plan as literals, so a row's file is a pure
+    * function of its content — a re-executed task re-derives it.
     */
   def compactFiles(name: String,
       targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
@@ -275,18 +294,52 @@ final class FlowStore(spark: SparkSession, root: String) {
           math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       }.toSeq
     if (ks.isEmpty) return
-    val totalK = ks.map(_._2).sum
-    val kDf = ks.toDF("p_date", "__k")
+    // per-date slice boundaries from one shared quantile grid: the grid
+    // resolution adapts to the widest date (≥4 grid cells per slice keeps
+    // slice sizes within sketch error of even), and date d's k_d−1 cuts
+    // are the grid points nearest j/k_d. Grid collapse (duplicate cuts
+    // under extreme repetition) only merges slices — never loses rows.
+    val maxK = ks.map(_._2).max
+    val bounds: Map[String, Array[Long]] =
+      if (maxK <= 1) Map.empty
+      else {
+        val g = math.min(4096, math.max(64, 4 * maxK))
+        val probs = (1 until g).map(_.toDouble / g).toArray
+        spark.read.parquet(s"$root/$name")
+          .withColumn("p_date", col("p_date").cast("string"))
+          .select(col("p_date"), col("TimeReceived").cast("long").as("__tl"))
+          .groupBy("p_date")
+          .agg(percentile_approx(col("__tl"),
+            lit(probs), lit(10000)).as("__grid"))
+          .collect()
+          .map { r =>
+            val grid = r.getSeq[Long](1)
+            val k = ks.toMap.apply(r.getString(0))
+            r.getString(0) -> (1 until k)
+              .map(j => grid(math.min(grid.length - 1, j * g / k - 1)))
+              .distinct.sorted.toArray
+          }.toMap
+      }
+    val bDf = ks.map { case (d, _) =>
+      (d, bounds.getOrElse(d, Array.empty[Long]))
+    }.toDF("p_date", "__bounds")
+    val totalK = ks.map { case (d, _) =>
+      bounds.get(d).map(_.length + 1).getOrElse(1)
+    }.sum
     swapIn(name) { tmp =>
       spark.read.parquet(s"$root/$name")
         // partition discovery may infer p_date as DATE; normalize back to
         // the stored string form so the join and the rewrite agree
         .withColumn("p_date", col("p_date").cast("string"))
-        .join(broadcast(kDf), Seq("p_date"))
-        .withColumn("__salt",
-          pmod(xxhash64(col("TimeReceived"), col("ExporterAddress")), col("__k")))
+        .join(broadcast(bDf), Seq("p_date"))
+        .withColumn("__salt", size(filter(col("__bounds"),
+          b => b <= col("TimeReceived").cast("long"))))
+        // hash collisions of (p_date, __salt) can co-locate two slices in
+        // one task; the (salt, time) sort keeps even such a file globally
+        // time-ordered, so row-group stats stay tight regardless
         .repartition(totalK, col("p_date"), col("__salt"))
-        .drop("__k", "__salt")
+        .sortWithinPartitions(col("p_date"), col("__salt"), col("TimeReceived"))
+        .drop("__bounds", "__salt")
         .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
     }
   }

@@ -307,6 +307,46 @@ class FlowStoreSpec extends SparkSpec {
       .where(col("p_date") === "2024-03-01").count() == 120)
   }
 
+  test("compacted files are time-clustered and internally time-sorted") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    // 5 appends covering the SAME intra-day span — on disk, every file
+    // spans the whole day until compaction re-clusters by time
+    (1 to 5).foreach(_ => store.writeBatch(mkFlows("2024-03-01", 200)))
+    def rows(): Seq[String] = {
+      val df = spark.read.parquet(s"$root/flows")
+      df.select(df.schema.fields.map(f =>
+        if (f.dataType == org.apache.spark.sql.types.BinaryType)
+          hex(col(f.name)).as(f.name)
+        else col(f.name).cast("string").as(f.name)): _*)
+        .collect().map(_.mkString("|")).toSeq.sorted
+    }
+    val before = rows()
+    // target small enough that the day's bytes need several files
+    val dayBytes = new java.io.File(s"$root/flows/p_date=2024-03-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    store.compactFiles("flows", targetFileBytes = dayBytes / 4)
+    val files = new java.io.File(s"$root/flows/p_date=2024-03-01")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2, s"expected a multi-file rewrite, got ${files.length}")
+    assert(rows() == before) // content-identical
+    // each file covers a contiguous TimeReceived slice: per-file ranges
+    // are pairwise non-overlapping (boundary equality allowed) and rows
+    // are in time order inside the file — this is what makes the pushed
+    // TimeReceived range filter actually skip files and row groups
+    val ranges = files.map { f =>
+      val ts = spark.read.parquet(f)
+        .select(col("TimeReceived").cast("long")).as[Long].collect()
+      assert(ts.sameElements(ts.sorted), s"$f is not time-sorted")
+      (ts.head, ts.last)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file time ranges overlap: $aMax > $bMin")
+      case _ => ()
+    }
+  }
+
   test("a maintenance pass expires, re-aggregates and coalesces together") {
     val root = java.nio.file.Files.createTempDirectory("store").toString
     val store = new FlowStore(spark, root)
