@@ -6,7 +6,7 @@ import graft.Tables
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
 import graft.operators.similarity.CosineSearch
-import graft.operators.text.{Decontamination, TextAnalysis}
+import graft.operators.text.{Decontamination, Dsir, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: dedup (exact, fingerprint, n-gram Jaccard, MinHash+LSH,
@@ -346,6 +346,18 @@ object Pipeline {
     "q_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfidfTop(docs(s, dir), "doc_id", "text", k = 3)),
 
+    // DSIR importance weights (hashed unigram+bigram likelihood ratio vs
+    // the src0/src1 target domain, integer-bit quantized) — the published
+    // "find more data like my curated set" selection signal
+    "q_dsir_weights" -> ((s, dir) =>
+      Dsir.importanceWeights(docs(s, dir), "doc_id", "text",
+        col("source").isin("src0", "src1"), buckets = 4096)),
+
+    // the selection step: top-100 most target-like raw-pool documents
+    "q_dsir_select" -> ((s, dir) =>
+      Dsir.selectTopK(docs(s, dir), "doc_id", "text",
+        col("source").isin("src0", "src1"), k = 100, buckets = 4096)),
+
     // deterministic mixture weighting (data mixing): src0 down-sampled
     // 0.5×, src1 up-sampled 2.3×, everything else kept — per-source input
     // and weighted-output counts
@@ -529,6 +541,34 @@ object Pipeline {
       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
       |  UNION
       |  SELECT g.dst, r.root FROM reach r JOIN edges g ON g.src = r.node)""".stripMargin
+
+  // Shared CTE chain for the two DSIR oracles: the portable 48-bit md5
+  // feature hash, the unigram+bigram occurrence stream, per-bucket
+  // target/raw model counts and Laplace-smoothed totals (buckets = 4096,
+  // target domain = src0/src1) — mirrors Dsir.importanceWeights exactly.
+  private val dsirCore: String = {
+    val hexpr = (0 until 12).map { j =>
+      val w = math.pow(16, 11 - j).toLong
+      s"(strpos('0123456789abcdef', substr(md5(f), ${j + 1}, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""base AS (SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> length(t) > 0) AS w
+       |  FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, is_t, w[i] AS f
+       |    FROM base, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r
+       |  UNION ALL
+       |  SELECT doc_id, is_t, w[i] || ' ' || w[i+1] AS f
+       |    FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) r),
+       |feats AS (SELECT doc_id, is_t, ($hexpr) % 4096 AS b FROM f0),
+       |c AS (SELECT b,
+       |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM feats GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) + 4096 AS BIGINT) AS nt_s,
+       |    CAST(sum(cr) + 4096 AS BIGINT) AS nr_s FROM c)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // PQ is fully SQL-replicable: the codebook derives from the table
@@ -821,6 +861,25 @@ object Pipeline {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score_ppm DESC, tok) AS rnk FROM s)
         |WHERE rnk <= 3""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $dsirCore
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(length(bin(ct + 1)) - length(bin(cr + 1)))
+         |    + count(*) * (length(bin(nr_s)) - length(bin(nt_s)))
+         |    AS BIGINT) AS logw_bits
+         |FROM feats JOIN c USING (b) CROSS JOIN tot
+         |GROUP BY doc_id, nt_s, nr_s""".stripMargin,
+    "q_dsir_select" ->
+      s"""WITH $dsirCore,
+         |wts AS (SELECT doc_id, CAST(sum(length(bin(ct + 1)) - length(bin(cr + 1)))
+         |    + count(*) * (length(bin(nr_s)) - length(bin(nt_s)))
+         |    AS BIGINT) AS logw_bits
+         |  FROM feats JOIN c USING (b) CROSS JOIN tot
+         |  GROUP BY doc_id, nt_s, nr_s)
+         |SELECT w.doc_id, logw_bits
+         |FROM wts w JOIN documents d ON w.doc_id = d.doc_id
+         |WHERE NOT coalesce(d.source IN ('src0', 'src1'), false)
+         |ORDER BY logw_bits DESC, w.doc_id LIMIT 100""".stripMargin,
     "q_mix_sample" ->
       """WITH h AS (SELECT source,
         |    md5(CAST(doc_id AS VARCHAR) || 'm1') AS h FROM documents),
