@@ -47,12 +47,29 @@ final class FlowStore(spark: SparkSession, root: String) {
         floor(unix_timestamp(col("TimeReceived")) / 86400L).cast("int"))
         .cast("string"))
 
+  /** Serializes batch appends against table rewrites from the same store
+    * instance. A rewrite ([[swapIn]]) snapshots the live directory, then
+    * installs the rewritten copy by rename — an append landing anywhere
+    * in that window is silently discarded by the swap (its rows are not
+    * in the snapshot), or recreates the live directory between the two
+    * renames and fails the install. Ingest and maintenance both run from
+    * the driver of the one pipeline that owns a store, so a JVM lock
+    * covers the deployment reality; appends queue behind a running
+    * rewrite and the streaming engine's buffered micro-batches catch up
+    * after (idempotence markers keep the replays safe). Multi-process
+    * writers need external scheduling — the same single-writer contract
+    * as the commit markers and the checkpoint itself.
+    */
+  private val writeLock = new Object
+
   /** One shuffle partition per date partition — each `p_date=` directory
     * gets one file instead of (shuffle.partitions) slivers.
     */
   private def writePartitioned(df: DataFrame, name: String): Unit =
-    withDate(df).repartition(col("p_date")).write.mode(SaveMode.Append)
-      .partitionBy("p_date").parquet(s"$root/$name")
+    writeLock.synchronized {
+      withDate(df).repartition(col("p_date")).write.mode(SaveMode.Append)
+        .partitionBy("p_date").parquet(s"$root/$name")
+    }
 
   /** Rollup delta of one batch: truncate time, drop main-only columns,
     * partial-aggregate the measures (map-side combine does most of the
@@ -90,13 +107,29 @@ final class FlowStore(spark: SparkSession, root: String) {
       .select(col("TimeReceived"), col("ExporterAddress"), col("ExporterName"),
         col("i.*"))
 
-  /** Fan one batch into main + rollups + exporters (the MV fan-out). */
-  def writeBatch(batch: DataFrame): Unit = {
+  /** Fan one batch into main + rollups + exporters (the MV fan-out).
+    *
+    * `batchId` makes the fan-out idempotent for streaming replays:
+    * `foreachBatch` is at-least-once, so after a crash between the table
+    * writes and the checkpoint's offset commit the SAME batch id is
+    * delivered again — without a guard every replayed row appends twice
+    * (and rollup Bytes double-count, which no amount of merge-on-read
+    * re-aggregation can undo). Each table records the last batch id it
+    * durably committed (`_commits/<table>`, temp+rename, single-writer
+    * like the checkpoint itself); a replayed id skips exactly the tables
+    * that already have it, so a crash that landed `flows` but not the
+    * rollups resumes by writing only the missing tables. Batch ids are
+    * monotone per checkpoint — wiping the checkpoint to restart a stream
+    * from scratch must wipe `_commits` too (same rule as the UDP source's
+    * restored offsets).
+    */
+  def writeBatch(batch: DataFrame, batchId: Option[Long] = None): Unit = {
     val cached = batch.cache()
     try {
-      writePartitioned(cached, "flows")
-      writeRollups(cached)
-      writePartitioned(exportersDelta(cached), "exporters")
+      guarded("flows", batchId)(writePartitioned(cached, "flows"))
+      writeRollups(cached, batchId)
+      guarded("exporters", batchId)(
+        writePartitioned(exportersDelta(cached), "exporters"))
     } finally cached.unpersist()
   }
 
@@ -106,13 +139,55 @@ final class FlowStore(spark: SparkSession, root: String) {
     * fact rows are aggregated once, coarser resolutions re-aggregate the
     * already-small 1m output (resolutions divide evenly: 60 | 300 | 3600).
     */
-  def writeRollups(batch: DataFrame): Unit = {
+  def writeRollups(batch: DataFrame, batchId: Option[Long] = None): Unit = {
     val r1m = rollupDelta(batch, 60L).cache()
     try {
-      writePartitioned(r1m, "flows_1m")
-      writePartitioned(rollupDelta(r1m, 300L), "flows_5m")
-      writePartitioned(rollupDelta(r1m, 3600L), "flows_1h")
+      guarded("flows_1m", batchId)(writePartitioned(r1m, "flows_1m"))
+      guarded("flows_5m", batchId)(
+        writePartitioned(rollupDelta(r1m, 300L), "flows_5m"))
+      guarded("flows_1h", batchId)(
+        writePartitioned(rollupDelta(r1m, 3600L), "flows_1h"))
     } finally r1m.unpersist()
+  }
+
+  /** Run `write` unless `batchId` is already committed for `table`; mark
+    * it committed after. No-op guard when no id is given (batch callers).
+    */
+  private def guarded(table: String, batchId: Option[Long])
+      (write: => Unit): Unit = batchId match {
+    case Some(id) if lastCommitted(table) >= id => ()
+    case Some(id) => write; markCommitted(table, id)
+    case None => write
+  }
+
+  /** Last streaming batch id durably written to `table`, −1 if none.
+    * Marker IO goes through the path's own Hadoop filesystem (the root
+    * may be an object store, same reasoning as [[swapIn]]); the write is
+    * create-temp-then-rename, which HDFS-like filesystems rename
+    * atomically.
+    */
+  def lastCommitted(table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/_commits/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1L
+    else {
+      val in = fs.open(path)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (s.isEmpty) -1L else s.toLong
+    }
+  }
+
+  private def markCommitted(table: String, id: Long): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = p(s"$root/_commits/$table.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p(s"$root/_commits/$table"), false)
+    if (!fs.rename(tmp, p(s"$root/_commits/$table")))
+      throw new java.io.IOException(
+        s"failed to install commit marker for $table (batch $id)")
   }
 
   /** Materialize a single rollup resolution from a batch. */
@@ -331,14 +406,22 @@ final class FlowStore(spark: SparkSession, root: String) {
         // partition discovery may infer p_date as DATE; normalize back to
         // the stored string form so the join and the rewrite agree
         .withColumn("p_date", col("p_date").cast("string"))
-        .join(broadcast(bDf), Seq("p_date"))
-        .withColumn("__salt", size(filter(col("__bounds"),
-          b => b <= col("TimeReceived").cast("long"))))
+        // LEFT join: a date partition appended between the directory
+        // listing above and this locked rewrite has no bounds row — its
+        // rows must compact into one default slice, never silently drop
+        .join(broadcast(bDf), Seq("p_date"), "left")
+        .withColumn("__salt", coalesce(size(filter(col("__bounds"),
+          b => b <= col("TimeReceived").cast("long"))), lit(0)))
         // hash collisions of (p_date, __salt) can co-locate two slices in
         // one task; the (salt, time) sort keeps even such a file globally
         // time-ordered, so row-group stats stay tight regardless
         .repartition(totalK, col("p_date"), col("__salt"))
-        .sortWithinPartitions(col("p_date"), col("__salt"), col("TimeReceived"))
+        // ExporterAddress tiebreak mirrors the reference table's on-disk
+        // ORDER BY (TimeReceived, ExporterAddress): within one timestamp,
+        // rows co-locate by exporter, tightening per-row-group exporter
+        // stats at no extra cost
+        .sortWithinPartitions(col("p_date"), col("__salt"),
+          col("TimeReceived"), col("ExporterAddress"))
         .drop("__bounds", "__salt")
         .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
     }
@@ -364,8 +447,14 @@ final class FlowStore(spark: SparkSession, root: String) {
     * files mid-write. The rewritten copy lands in a sibling temp dir
     * first; the swap is two renames (no reader window where the table is
     * half-written).
+    *
+    * Holds [[writeLock]] for the WHOLE rewrite, not just the renames: an
+    * append landing after `write` snapshots the live directory would be
+    * silently dropped by the install. Appends queue behind the rewrite
+    * and drain after (see the lock's doc for why that is safe).
     */
-  private def swapIn(name: String)(write: String => Unit): Unit = {
+  private def swapIn(name: String)(write: String => Unit): Unit =
+    writeLock.synchronized {
     val tmp = s"$root/$name.compact.tmp"
     val old = s"$root/$name.compact.old"
     write(tmp)

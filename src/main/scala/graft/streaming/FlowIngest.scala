@@ -29,8 +29,11 @@ object FlowIngest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.writeBatch(enrich(batch))
+      // batch id flows through to the store's per-table commit markers:
+      // foreachBatch is at-least-once, and a replayed id must not append
+      // its rows twice (see FlowStore.writeBatch)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) store.writeBatch(enrich(batch), Some(id))
       }
       .start()
 

@@ -205,4 +205,20 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q must not shuffle")
     }
   }
+
+  test("q_dsir_weights scores through a broadcast model, no sort-merge") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the fixed-size bucket model must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus feature stream must never shuffle for the model join")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "per-doc rollup must partially aggregate map-side")
+  }
+
+  test("q_dsir_select plans the selection as a global top-k, not a sort") {
+    val p = plan("q_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k selection must not globally sort the pool")
+  }
 }

@@ -345,6 +345,52 @@ class FlowStoreSpec extends SparkSpec {
         assert(aMax <= bMin, s"file time ranges overlap: $aMax > $bMin")
       case _ => ()
     }
+    // the payoff, measured: a 30-minute window over the day only decodes
+    // the row groups whose stats cover it — the parquet scan emits far
+    // fewer rows than the 1000 stored (pre-clustering every file spanned
+    // the day and the scan emitted all of them)
+    val win = spark.read.parquet(s"$root/flows")
+      .where(col("TimeReceived") >= lit("2024-03-01 00:00:00").cast("timestamp") &&
+        col("TimeReceived") < lit("2024-03-01 00:30:00").cast("timestamp"))
+    assert(win.count() == 5 * 45) // i*40s < 1800 → 45 rows per append
+    val scanRows = win.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows < 1000,
+      s"scan emitted every stored row ($scanRows) — row-group stats not pruning")
+  }
+
+  test("a replayed streaming batch id writes each table exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    val b = mkFlows("2024-03-01", 30)
+    store.writeBatch(b, Some(0L))
+    store.writeBatch(b, Some(0L)) // foreachBatch crash-replay of batch 0
+    def bytes(t: String): Long = spark.read.parquet(s"$root/$t")
+      .agg(sum("Bytes")).collect()(0).getLong(0)
+    val once = bytes("flows")
+    assert(bytes("flows_1m") == once && bytes("flows_1h") == once,
+      "replayed batch double-counted a table")
+    assert(spark.read.parquet(s"$root/flows").count() == 30)
+    // a crash AFTER flows committed batch 1 but BEFORE the rollups:
+    // hand-install the flows marker the way the interrupted run would
+    // have left it, then replay — only the missing tables write
+    val b1 = mkFlows("2024-03-02", 10)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_commits/flows")
+    val hfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(marker, true)
+    out.write("1".getBytes); out.close()
+    store.writeBatch(b1, Some(1L))
+    assert(spark.read.parquet(s"$root/flows")
+      .where(col("p_date") === "2024-03-02").count() == 0,
+      "flows replayed a batch its marker says is durable")
+    assert(spark.read.parquet(s"$root/flows_1m")
+      .where(col("p_date") === "2024-03-02").count() > 0,
+      "the rollup missed by the crash did not catch up on replay")
+    assert(store.lastCommitted("flows_1m") == 1L)
+    // un-guarded legacy writes still append every call
+    store.writeBatch(b)
+    assert(spark.read.parquet(s"$root/flows")
+      .where(col("p_date") === "2024-03-01").count() == 60)
   }
 
   test("a maintenance pass expires, re-aggregates and coalesces together") {
