@@ -63,6 +63,50 @@ object Dedup {
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    val (pairs, sizes) = shinglePairs(df, idCol, textCol, maxShingleDf)
+    val jac = col("common") * lit(1.0) /
+      (col("na.n") + col("nb.n") - col("common"))
+    pairs
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(jac * 1000).cast("long").as("jaccard_pm"))
+  }
+
+  /** Directional shingle containment |A∩B| / |A| — the asymmetric twin of
+    * Jaccard that catches SUBSET duplication Jaccard misses: a document
+    * quoted wholesale inside a much longer one scores near-1 containment
+    * but a tiny Jaccard (the union is dominated by the long side). The
+    * quote/boilerplate-inclusion detector of a corpus pipeline.
+    *
+    * Returns one row per unordered pair sharing ≥1 shingle where EITHER
+    * direction reaches `threshold`, with both directions' scores:
+    * (id_a, id_b, common, cont_a_pm, cont_b_pm) — cont_a = common/|A| is
+    * "A is contained in B". Same inverted-index pair generation, df-cap
+    * and persist discipline as [[ngramJaccard]]; cost is identical (the
+    * two share the pair join, only the final scoring differs).
+    */
+  def containment(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    val (pairs, sizes) = shinglePairs(df, idCol, textCol, maxShingleDf)
+    val contA = col("common") * lit(1.0) / col("na.n")
+    val contB = col("common") * lit(1.0) / col("nb.n")
+    pairs
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .where(contA >= threshold || contB >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(contA * 1000).cast("long").as("cont_a_pm"),
+        round(contB * 1000).cast("long").as("cont_b_pm"))
+  }
+
+  /** Shared pair-generation core of [[ngramJaccard]]/[[containment]]:
+    * (pairs = (id_a, id_b, common) over id_a < id_b sharing ≥1 surviving
+    * shingle, sizes = (id, n) surviving-shingle set sizes).
+    */
+  private def shinglePairs(df: DataFrame, idCol: String, textCol: String,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     // materialize the tokenize+shingle+hash pass once (MEMORY_AND_DISK
     // persist): the self-join and both size branches would otherwise
     // re-run the regex tokenizer up to 8× per document. The persisted
@@ -92,14 +136,7 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    val jac = col("common") * lit(1.0) /
-      (col("na.n") + col("nb.n") - col("common"))
-    pairs
-      .join(sizes.as("na"), col("id_a") === col("na.id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
-      .where(jac >= threshold)
-      .select(col("id_a"), col("id_b"), col("common"),
-        round(jac * 1000).cast("long").as("jaccard_pm"))
+    (pairs, sizes)
   }
 
   /** MinHash hash-family parameters h_i(x) = (a_i·x + b_i) mod p over

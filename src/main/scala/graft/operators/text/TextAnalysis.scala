@@ -148,6 +148,58 @@ object TextAnalysis {
         .otherwise(0L).cast("long"))
   }
 
+  /** Cross-corpus boilerplate scrub (the CCNet/RefinedWeb line-level
+    * dedup, REWRITING variant): sentences that occur in more than `maxDf`
+    * distinct documents are navigation chrome / legal footers / template
+    * text — remove them from every document and reassemble the remainder
+    * in original order. The detection-only companion is the
+    * sentence-dedup query; this is the operator that actually cleans the
+    * corpus.
+    *
+    * Returns (id, clean_text, kept_sents, dropped_sents) — one row per
+    * input document, including documents scrubbed down to nothing
+    * (clean_text = '').
+    *
+    * Scale shape: document frequency is counted on 8-byte sentence
+    * hashes once per (doc, sentence) — one shuffle whose payload never
+    * carries the text. The hot set (df > maxDf) is by construction small
+    * — each entry costs > maxDf documents, so there are < n/maxDf of
+    * them — and broadcasts into a left-anti join, so the per-sentence
+    * rows shuffle only once more for the per-document reassembly.
+    * Reassembly sorts each document's surviving sentences by original
+    * position inside the aggregate (array_sort over (pos, sent) structs)
+    * — no window, no second sort.
+    */
+  def scrubBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): DataFrame = {
+    val sents = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\. ")).as(Seq("pos", "raw")))
+      .select(col("id"), col("pos"), trim(col("raw")).as("sent"))
+      .where(length(col("sent")) > 0)
+    // df = distinct documents (a sentence repeated inside ONE document is
+    // repetition, not boilerplate — it must not count toward the cap)
+    val hot = sents.select(col("id"), xxhash64(col("sent")).as("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("docs"))
+      .where(col("docs") > maxDf)
+      .select("h")
+    val kept = sents.join(broadcast(hot),
+      xxhash64(col("sent")) === hot("h"), "left_anti")
+    val clean = kept.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("sent")))),
+        x => x("sent")), ". ").as("clean_text"),
+      count(lit(1)).as("kept_sents"))
+    // every input doc survives, even fully-scrubbed ones
+    val totals = sents.groupBy("id").agg(count(lit(1)).as("total_sents"))
+    totals.join(clean, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_sents"), lit(0L)).as("kept_sents"),
+        (col("total_sents") - coalesce(col("kept_sents"), lit(0L)))
+          .as("dropped_sents"))
+  }
+
   /** Within-document n-gram repetition (the Gopher duplicate-n-gram
     * fraction): total n-gram count, distinct n-gram count, duplicate
     * fraction in exact integer per-mille.
@@ -161,6 +213,51 @@ object TextAnalysis {
       "gram_distinct" -> dist,
       "dup_pm" -> when(total > 0, floor((total - dist) * 1000 / total))
         .otherwise(0L).cast("long"))
+  }
+
+  /** Per-group adaptive quality cutoffs: exact discrete percentiles of a
+    * metric within each group, plus how many rows the [pLow, pHigh] band
+    * keeps. Fixed global thresholds misfire when sources differ in kind
+    * (a code corpus's "too short" is prose's median); per-source
+    * percentile bands are the standard fix. Percentile is rank-based
+    * (value at 1-based index ⌈pct·n/100⌉, pure integer arithmetic) so
+    * any engine reproduces it bit-for-bit — no interpolation, no
+    * float-semantics drift between implementations.
+    *
+    * Returns (group, n, p_low, p_high, kept). Ties are value-ties: the
+    * value at a rank is unique even when row order among equals is not,
+    * and `kept` counts by value — both deterministic.
+    *
+    * Scale shape: one rank window per group (a single shuffle on the
+    * group key) + a broadcast of the per-group cut rows back onto the
+    * metric projection. Groups are sources/domains — thousands, not
+    * billions — so the cuts always broadcast. At extreme per-group
+    * cardinality swap the exact rank for `percentile_approx` and keep
+    * the rest of the pipeline unchanged; the exact variant is the
+    * auditable baseline.
+    */
+  def adaptiveCutoffs(df: DataFrame, groupCol: String, metricCol: String,
+      lowPct: Int, highPct: Int): DataFrame = {
+    require(0 < lowPct && lowPct <= highPct && highPct <= 100,
+      s"need 0 < lowPct <= highPct <= 100, got ($lowPct, $highPct)")
+    val t = df.select(col(groupCol).as("g"), col(metricCol).cast("long").as("m"))
+    val ranked = t
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("m")))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    // ⌈pct·n/100⌉ in integer arithmetic (div, not /, which widens to double)
+    def idx(pct: Int) = expr(s"(n * $pct + 99) div 100")
+    val cuts = ranked.groupBy("g").agg(
+      max(col("n")).as("n"),
+      min(when(col("rn") === idx(lowPct), col("m"))).as("p_low"),
+      min(when(col("rn") === idx(highPct), col("m"))).as("p_high"))
+    t.join(broadcast(cuts), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n")).as("n"),
+        max(col("p_low")).as("p_low"), max(col("p_high")).as("p_high"),
+        sum(when(col("m") >= col("p_low") && col("m") <= col("p_high"), 1L)
+          .otherwise(0L)).as("kept"))
   }
 
   /** Per-document top-k terms by tf-idf.

@@ -309,6 +309,29 @@ object Extra {
         (col("es") - col("view_es")).as("gap_s"))
   }
 
+  // --- bucketized range join: events × active windows -----------------------
+  // 120 synthetic ops windows (6 h stride, 1.5–12 h lengths — some overlap,
+  // so the join is genuinely many-to-many) over the events month; the
+  // operator turns the non-equi containment predicate into a bucket
+  // equi-join (see RangeJoin) instead of the nested loop Spark would
+  // otherwise plan.
+  val qRangeJoin: Q = (s, dir) => {
+    import graft.operators.join.RangeJoin
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), unix_timestamp(col("ts")).as("es"))
+    val t0 = 1704067200L // 2024-01-01 00:00:00 UTC, the table's epoch
+    val iv = s.range(120).select(
+      col("id").as("wid"),
+      (lit(t0) + col("id") * 21600L).as("w_start"),
+      (lit(t0) + col("id") * 21600L + (pmod(col("id"), lit(8L)) + 1L) * 5400L)
+        .as("w_end"))
+    RangeJoin.pointInInterval(ev, "es", iv, "w_start", "w_end",
+        bucket = 21600L)
+      .groupBy("wid")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+  }
+
   // --- funnel analysis: view → click → purchase, first-touch, 7-day windows.
   // Each stage joins the previous stage's user frontier against a
   // type-pruned scan — the fact table never self-joins, and the join
@@ -370,6 +393,7 @@ object Extra {
     "q_retention" -> qRetention,
     "q_funnel" -> qFunnel,
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
@@ -486,6 +510,17 @@ object Extra {
         |  CAST(view_event AS BIGINT) AS view_event,
         |  CAST(es - view_es AS BIGINT) AS gap_s
         |FROM w WHERE side = 1""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |w AS (SELECT CAST(i AS BIGINT) AS wid,
+        |    1704067200 + i * 21600 AS ws,
+        |    1704067200 + i * 21600 + ((i % 8) + 1) * 5400 AS we
+        |  FROM (SELECT unnest(range(0, 120)) AS i) r)
+        |SELECT wid, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM e JOIN w ON e.es >= w.ws AND e.es < w.we
+        |GROUP BY 1""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),

@@ -198,6 +198,30 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // boilerplate SCRUB (the rewriting companion of q_sentence_dedup):
+    // sentences in > 3 distinct docs are removed and the remainder
+    // reassembled in order — the CCNet-style line-level cleanup pass
+    "q_boiler_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubBoilerplate(docs(s, dir), "doc_id", "text", maxDf = 3)
+        .select(col("id").as("doc_id"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          col("kept_sents"), col("dropped_sents"))),
+
+    // asymmetric containment near-dup: catches a short doc quoted inside
+    // a long one (near-1 containment, tiny Jaccard)
+    "q_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.containment(d, "doc_id", "text", threshold = 0.8,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
+    }),
+
+    // per-source adaptive quality cutoffs: exact rank-based p10/p90 of
+    // doc length per source + how many docs the band keeps
+    "q_adaptive_cutoff" -> ((s, dir) =>
+      TextAnalysis.adaptiveCutoffs(docs(s, dir), "source", "n_chars",
+        lowPct = 10, highPct = 90)),
+
     // boilerplate detection: sentences repeated across documents (the
     // paragraph/sentence-level companion of document-level dedup)
     "q_sentence_dedup" -> ((s, dir) =>
@@ -962,6 +986,52 @@ object Pipeline {
         |  ELSE 'eval' END AS split,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM kept GROUP BY 1""".stripMargin,
+    "q_boiler_scrub" ->
+      """WITH s0 AS (SELECT doc_id, i AS pos, trim(l[i]) AS sent
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS l FROM documents) t,
+        |       LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r
+        |  WHERE length(trim(l[i])) > 0),
+        |hot AS (SELECT sent FROM (SELECT DISTINCT doc_id, sent FROM s0)
+        |  GROUP BY sent HAVING count(*) > 3),
+        |k AS (SELECT s0.doc_id, s0.pos, s0.sent FROM s0
+        |  ANTI JOIN hot USING (sent)),
+        |c AS (SELECT doc_id, string_agg(sent, '. ' ORDER BY pos) AS clean,
+        |    count(*) AS kept FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS total FROM s0 GROUP BY 1)
+        |SELECT t.doc_id, md5(coalesce(c.clean, '')) AS clean_md5,
+        |  CAST(length(coalesce(c.clean, '')) AS BIGINT) AS clean_len,
+        |  CAST(coalesce(c.kept, 0) AS BIGINT) AS kept_sents,
+        |  CAST(t.total - coalesce(c.kept, 0) AS BIGINT) AS dropped_sents
+        |FROM tot t LEFT JOIN c USING (doc_id)""".stripMargin,
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        |  CAST(round(common * 1.0 / na.cnt * 1000) AS BIGINT) AS cont_a_pm,
+        |  CAST(round(common * 1.0 / nb.cnt * 1000) AS BIGINT) AS cont_b_pm
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE common * 1.0 / na.cnt >= 0.8
+        |   OR common * 1.0 / nb.cnt >= 0.8""".stripMargin,
+    "q_adaptive_cutoff" ->
+      """WITH t AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS m
+        |  FROM documents),
+        |r AS (SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM t),
+        |c AS (SELECT g, max(n) AS n,
+        |    min(CASE WHEN rn = (n * 10 + 99) // 100 THEN m END) AS p_low,
+        |    min(CASE WHEN rn = (n * 90 + 99) // 100 THEN m END) AS p_high
+        |  FROM r GROUP BY 1)
+        |SELECT c.g AS source, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.p_low AS BIGINT) AS p_low, CAST(c.p_high AS BIGINT) AS p_high,
+        |  CAST(count(CASE WHEN t.m BETWEEN c.p_low AND c.p_high
+        |    THEN 1 END) AS BIGINT) AS kept
+        |FROM c JOIN t USING (g) GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_sentence_dedup" ->
       """WITH s AS (SELECT doc_id, trim(u.sent) AS sent
         |  FROM documents, LATERAL (

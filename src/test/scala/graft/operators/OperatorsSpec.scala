@@ -107,6 +107,28 @@ class DedupSpec extends SparkSpec {
     assert((exact -- classic).isEmpty)
   }
 
+  test("containment flags a short doc quoted inside a long one") {
+    // doc 11 is wholly contained in doc 10 (every 3-gram of 11 appears in
+    // 10) but Jaccard is far below threshold — the asymmetric case
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val long = s"$quote and then a very long essay continues discussing " +
+      "entirely unrelated matters for many additional tokens of filler " +
+      "prose that dilute any symmetric similarity measure completely"
+    val df = Seq((10L, long), (11L, quote),
+      (12L, "totally disjoint text about storage engines")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(df, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((10L, 11L)), "Jaccard should miss the subset pair")
+    val cont = Dedup.containment(df, "doc_id", "text", 0.8)
+    val rows = cont.collect().map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"), r.getAs[Long]("cont_a_pm"),
+      r.getAs[Long]("cont_b_pm"))).toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((10L, 11L)))
+    // the SHORT side is the contained one: cont_b = common/|B| = 1000
+    assert(rows.head._4 == 1000L, s"contained side should score 1000: $rows")
+    assert(rows.head._3 < 800L, "long side must not score as contained")
+  }
+
   test("maxShingleDf drops hot stop-shingles from pair generation") {
     // every doc shares the hot prefix "a b c"; only 1&2 share more
     val hotDocs = Seq(
@@ -791,6 +813,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out("s1") - 333333L) <= 2, s"got ${out("s1")}")
     // s3: |1/2-1/6|·2 + (2/6)·2 = 4/3 → TV = 2/3
     assert(math.abs(out("s3") - 666666L) <= 2, s"got ${out("s3")}")
+  }
+
+  test("boilerplate scrub removes hot sentences and keeps order") {
+    val footer = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"alpha one. $footer. beta two"),
+      (2L, s"$footer. gamma three"),
+      (3L, s"delta four. $footer"),
+      (4L, s"epsilon five. $footer. zeta six"),
+      (5L, footer), // scrubbed to nothing — must still appear
+      (6L, "unique text only")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(df, "doc_id", "text", maxDf = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("kept_sents"),
+          r.getAs[Long]("dropped_sents")))).toMap
+    assert(out(1L) == (("alpha one. beta two", 2L, 1L)))
+    assert(out(2L) == (("gamma three", 1L, 1L)))
+    assert(out(3L) == (("delta four", 1L, 1L)))
+    assert(out(4L) == (("epsilon five. zeta six", 2L, 1L)))
+    assert(out(5L) == (("", 0L, 1L)))
+    assert(out(6L) == (("unique text only", 1L, 0L)))
+  }
+
+  test("boilerplate df counts distinct docs, not occurrences") {
+    // the sentence repeats 4× inside ONE doc (repetition) and once in two
+    // others: df = 3 ≤ maxDf → kept everywhere
+    val s0 = "repeated line"
+    val df = Seq(
+      (1L, s"$s0. $s0. $s0. $s0"),
+      (2L, s"$s0. other"),
+      (3L, s0)).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplate(df, "doc_id", "text", maxDf = 3)
+      .agg(sum("dropped_sents")).collect()(0).getLong(0)
+    assert(out == 0L, "within-doc repetition must not count toward df")
+  }
+
+  test("adaptive cutoffs compute exact rank percentiles per group") {
+    // group a: metrics 1..10 → p10 = value at ⌈1⌉ = 1, p90 at ⌈9⌉ = 9,
+    // band [1, 9] keeps 9 of 10; group b: constant → band keeps all
+    val df = ((1 to 10).map(i => ("a", i)) ++ Seq.fill(4)(("b", 7)))
+      .toDF("source", "m")
+    val out = TextAnalysis.adaptiveCutoffs(df, "source", "m", 10, 90)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("p_low"),
+          r.getAs[Long]("p_high"), r.getAs[Long]("kept")))).toMap
+    assert(out("a") == ((10L, 1L, 9L, 9L)))
+    assert(out("b") == ((4L, 7L, 7L, 4L)))
   }
 
   test("dup ngram stats measure cross-document gram sharing") {
