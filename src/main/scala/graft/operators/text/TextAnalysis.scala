@@ -457,6 +457,70 @@ object TextAnalysis {
           .as("dup_span_ppm"))
   }
 
+  /** Exact-substring scrub (the REWRITING form of [[dupSpanStats]] —
+    * Lee et al.'s suffix-array dedup, keep-first variant): every token
+    * covered by a positional n-gram whose text occurs elsewhere in the
+    * corpus BEFORE it (in global (doc_id, pos) order) is removed; the
+    * first occurrence of each duplicated passage survives, later copies
+    * are cut out of their documents and the remainder reassembled. This
+    * is the pass that de-duplicates lifted passages INSIDE documents —
+    * doc-level exact/near dedup cannot touch them.
+    *
+    * Returns (id, clean_text, kept_toks, removed_toks) for every
+    * document with ≥1 token.
+    *
+    * Scale shape: one scan emits (doc, pos, gram-hash); keep-first
+    * ranking is a single window on the 8-byte hash (one shuffle keyed by
+    * gram — no df-cap needed here because rank>1 rows, not pairs, leave
+    * the window: volume is linear in occurrences, never quadratic).
+    * Removed occurrences explode into at most n covered positions each;
+    * reassembly sorts (pos, token) structs inside the per-document
+    * aggregate — no second window.
+    */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("w")
+    // the gram pass and the token pass both read the tokenization
+    val base = graft.ScratchCache.persist(df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w")))
+    val grams = base
+      .where(size(w) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+          struct(i.as("pos"),
+            xxhash64(array_join(slice(w, i, lit(n)), " ")).as("g")))).as("p"))
+      .select(col("id"), col("p.pos"), col("p.g"))
+    // rank 1 per gram hash = the globally-first occurrence; rank > 1
+    // already implies the gram is duplicated, no separate count needed
+    val dups = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("id", "pos")))
+      .where(col("rn") > 1)
+      .select(col("id"), col("pos"))
+    val covered = dups
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val toks = base
+      .select(col("id"), posexplode(w).as(Seq("tp0", "tok")))
+      .select(col("id"), (col("tp0") + 1).as("tp"), col("tok"))
+      .where(length(col("tok")) > 0)
+    val kept = toks.join(covered, Seq("id", "tp"), "left_anti")
+    val clean = kept.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("tp"), col("tok")))),
+        x => x("tok")), " ").as("clean_text"),
+      count(lit(1)).as("kept_toks"))
+    toks.groupBy("id").agg(count(lit(1)).as("total_toks"))
+      .join(clean, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        (col("total_toks") - coalesce(col("kept_toks"), lit(0L)))
+          .as("removed_toks"))
+  }
+
   /** First-occurrence n-gram novelty per document: treating ascending doc
     * id as ingestion order, the fraction of a document's distinct 3-grams
     * never seen in any earlier document. A corpus-freshness signal —

@@ -198,6 +198,15 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // exact-substring scrub (the rewriting companion of q_dup_span):
+    // tokens under a corpus-duplicated 8-gram are removed keep-first —
+    // the pass that cuts lifted passages out of otherwise-original docs
+    "q_span_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubDupSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .select(col("id").as("doc_id"),
+          md5(col("clean_text")).as("clean_md5"),
+          col("kept_toks"), col("removed_toks"))),
+
     // boilerplate SCRUB (the rewriting companion of q_sentence_dedup):
     // sentences in > 3 distinct docs are removed and the remainder
     // reassembled in order — the CCNet-style line-level cleanup pass
@@ -986,6 +995,29 @@ object Pipeline {
         |  ELSE 'eval' END AS split,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM kept GROUP BY 1""".stripMargin,
+    "q_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gs
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+        |  WHERE len(w) >= 8),
+        |o AS (SELECT doc_id, pos, row_number() OVER (
+        |    PARTITION BY gs ORDER BY doc_id, pos) AS rn FROM g),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS tp
+        |  FROM (SELECT doc_id, pos FROM o WHERE rn > 1) d,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS j) r),
+        |tok AS (SELECT doc_id, i AS tp, w[i] AS tok
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r
+        |  WHERE length(w[i]) > 0),
+        |k AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok
+        |  ANTI JOIN cov USING (doc_id, tp)),
+        |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean,
+        |    count(*) AS kept FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS total FROM tok GROUP BY 1)
+        |SELECT tot.doc_id, md5(coalesce(c.clean, '')) AS clean_md5,
+        |  CAST(coalesce(c.kept, 0) AS BIGINT) AS kept_toks,
+        |  CAST(tot.total - coalesce(c.kept, 0) AS BIGINT) AS removed_toks
+        |FROM tot LEFT JOIN c USING (doc_id)""".stripMargin,
     "q_boiler_scrub" ->
       """WITH s0 AS (SELECT doc_id, i AS pos, trim(l[i]) AS sent
         |  FROM (SELECT doc_id, string_split(text, '. ') AS l FROM documents) t,

@@ -221,4 +221,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-k selection must not globally sort the pool")
   }
+
+  test("q_range_join is a broadcast hash join, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucketized interval side must broadcast")
+    assert(!p.contains("NestedLoop"),
+      "the containment predicate must ride a bucket equi-join")
+  }
+
+  test("q_boiler_scrub anti-joins a broadcast hot set, no text shuffle for df") {
+    val p = plan("q_boiler_scrub")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.linesIterator.exists(l => l.contains("LeftAnti")),
+      s"hot sentences must broadcast into an anti join:\n$p")
+  }
 }

@@ -815,6 +815,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(out("s3") - 666666L) <= 2, s"got ${out("s3")}")
   }
 
+  test("exact-substring scrub removes later copies, keeps the first") {
+    val passage = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"intro words here then $passage closing remarks"),
+      (2L, s"different opening $passage and a different ending"),
+      (3L, "wholly original content with no shared passages inside it at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDupSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("removed_toks")))).toMap
+    // doc 1 holds the first occurrence — untouched
+    assert(out(1L)._2 == 0L, s"first occurrence must survive: ${out(1L)}")
+    assert(out(1L)._1.contains(passage))
+    // doc 2's copy is cut: all 10 passage tokens are covered by the
+    // duplicated 8-grams; surrounding originals survive
+    assert(!out(2L)._1.contains("three four five"))
+    assert(out(2L)._1.startsWith("different opening"))
+    assert(out(2L)._1.endsWith("and a different ending"))
+    assert(out(2L)._2 == 10L, s"exactly the passage is removed: ${out(2L)}")
+    assert(out(3L) == (("wholly original content with no shared passages " +
+      "inside it at all", 0L)))
+  }
+
+  test("self-overlapping repeats keep only the leading tokens") {
+    // 16 identical tokens: gram at pos 1 is first; positions 2..9 are
+    // later copies of the SAME gram text, covering tokens 2..16
+    val df = Seq((1L, Seq.fill(16)("z").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubDupSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getAs[String]("clean_text"),
+        r.getAs[Long]("kept_toks"), r.getAs[Long]("removed_toks")))
+    assert(out.head == (("z", 1L, 15L)))
+  }
+
   test("boilerplate scrub removes hot sentences and keeps order") {
     val footer = "subscribe to our newsletter"
     val df = Seq(
