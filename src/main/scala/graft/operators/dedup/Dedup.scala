@@ -101,6 +101,68 @@ object Dedup {
         round(contB * 1000).cast("long").as("cont_b_pm"))
   }
 
+  /** Incremental near-dup detection: the near-dup pairs of a NEW batch
+    * against an existing corpus, plus within the batch itself — never
+    * corpus × corpus. This is the incremental-ingest path at 100 TB: a
+    * daily crawl increment is checked against years of accumulated data
+    * at a cost proportional to the INCREMENT's shingle stream (the corpus
+    * index is equi-join-probed once and never self-joined; corpus-internal
+    * duplicates were already settled when each earlier increment landed,
+    * so re-deriving them every day would be pure waste).
+    *
+    * Semantics are exactly `ngramJaccard(df, …).where(id_a ∈ batch OR
+    * id_b ∈ batch)` — same shingling, df-cap and Jaccard verification,
+    * same (id_a < id_b) pair order — which is what the SQL oracle checks.
+    * The plan differs where it matters: pair generation is the union of
+    * batch×corpus (probe join) and batch×batch (self-join on the small
+    * side); the corpus index never meets itself.
+    */
+  def incrementalNearDup(df: DataFrame, idCol: String, textCol: String,
+      isBatch: Column, threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val shingled = graft.ScratchCache.persist(df
+      .select(col(idCol).as("id"), isBatch.as("is_b"),
+        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
+      .where(size(col("sh")) > 0))
+    val idx = shingled.select(col("id"), col("is_b"), explode(col("sh")).as("s"))
+    // df-cap over the FULL population (batch + corpus): a boilerplate
+    // shingle is hot regardless of which side it lands on, and capping
+    // only the batch side would leave the corpus probe join skewed
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        idx.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => idx
+    }
+    val sizes = maxShingleDf match {
+      case Some(_) => filtered.groupBy("id").agg(count(lit(1)).as("n"))
+      case None => shingled.select(col("id"), size(col("sh")).cast("long").as("n"))
+    }
+    val bIdx = filtered.where(col("is_b")).drop("is_b")
+    val cIdx = filtered.where(!col("is_b")).drop("is_b")
+    // batch × corpus: each unordered pair canonicalized to (min, max) so
+    // the union below matches the full self-join's (id_a < id_b) rows
+    val bc = bIdx.as("a").join(cIdx.as("b"), col("a.s") === col("b.s"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    // batch × batch: the classic ordered self-join — disjoint from bc
+    // (both sides in the batch there, exactly one side here)
+    val bb = bIdx.as("a").join(bIdx.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = bc.unionAll(bb)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    val jac = col("common") * lit(1.0) /
+      (col("na.n") + col("nb.n") - col("common"))
+    pairs
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(jac * 1000).cast("long").as("jaccard_pm"))
+  }
+
   /** Shared pair-generation core of [[ngramJaccard]]/[[containment]]:
     * (pairs = (id_a, id_b, common) over id_a < id_b sharing ≥1 surviving
     * shingle, sizes = (id, n) surviving-shingle set sizes).

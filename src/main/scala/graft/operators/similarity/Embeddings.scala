@@ -168,4 +168,37 @@ object Sampling {
       when(h * 1000000L < (w % 1000000L) * 16777216L, 1L).otherwise(0L))
       .cast("long")
   }
+
+  /** Temperature-scaled mixture shares at τ = 2: per-source sampling
+    * weight ∝ n_s^(1/τ) = √n_s — the multilingual / data-mixing recipe
+    * (mT5, XLM-R exemplar sampling) that flattens the head and boosts the
+    * tail of the source-size distribution, between proportional (τ = 1)
+    * and uniform (τ → ∞). Feed `share_ppm` into [[mixtureCopies]] (per-row
+    * Bernoulli thinning) to realize the mix.
+    *
+    * Engine-exact: √ of an integer is IEEE-754 correctly rounded in every
+    * engine, so ⌊√n⌋ is bit-identical across Spark and a SQL oracle;
+    * shares and budgets use integer division. (Arbitrary τ needs a
+    * non-correctly-rounded `pow` — that variant would follow the
+    * integer-bits quantization of `TextAnalysis.surprisal` instead.)
+    *
+    * Scale shape: a per-source count aggregate (map-side combined; output
+    * rows = #sources, always tiny) and one broadcast total — the corpus
+    * scans once, nothing else moves.
+    *
+    * @return (source, n_in, w, share_ppm, n_budget): w = ⌊√n_in⌋,
+    *         share_ppm = w·10⁶ div Σw, n_budget = budget·w div Σw
+    */
+  def temperatureShares(df: org.apache.spark.sql.DataFrame, stratum: Column,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    val counts = df.groupBy(stratum.as("source"))
+      .agg(count(lit(1)).as("n_in"))
+      .withColumn("w", floor(sqrt(col("n_in"))).cast("long"))
+    val tot = counts.agg(sum("w").as("tw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_in"), col("w"),
+        expr("w * 1000000 div tw").as("share_ppm"),
+        expr(s"w * $budget div tw").as("n_budget"))
+  }
 }

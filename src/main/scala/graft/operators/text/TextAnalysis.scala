@@ -521,6 +521,57 @@ object TextAnalysis {
           .as("removed_toks"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken's MOSS local
+    * algorithm, SIGMOD 2003): hash every k-token shingle, slide a window
+    * of `w` consecutive shingles, and keep each window's minimum hash
+    * (leftmost position on ties — the deterministic variant). The
+    * selected set carries winnowing's guarantee: any shared token run of
+    * length ≥ w + k − 1 contributes at least one shared fingerprint,
+    * while expected density is 2/(w+1) of the gram stream — the sparse,
+    * coverage-guaranteed overlap index. Where [[dupSpanStats]] indexes
+    * EVERY positional gram, a winnowed index is ~(w+1)/2× smaller with
+    * the same detection floor, which at
+    * 100 TB is the difference between an index that fits and one that
+    * doesn't.
+    *
+    * Portable hashing (48-bit md5 slice, like `Dsir`): fingerprint VALUES
+    * appear in the output, so the hash itself must reproduce in a SQL
+    * oracle — xxhash64 would only let rows-match, not hash-match.
+    *
+    * Scale shape: one scan explodes positional grams; selection is a
+    * single per-document window (`min(struct(hash, pos))` over w rows —
+    * partitioned by doc, no cross-document traffic); `distinct` dedups
+    * the overlapping windows that picked the same gram. No joins.
+    *
+    * @return (id, pos, fp): distinct selected fingerprints, pos the
+    *         1-based gram position; a document shorter than w grams
+    *         winnows its single whole-document window
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be at least 1")
+    val toks = col("w")
+    val grams = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .where(size(toks) >= k)
+      .select(col("id"), (size(toks) - (k - 1)).as("ng"),
+        explode(transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+          struct(i.as("pos"),
+            conv(substring(md5(array_join(slice(toks, i, lit(k)), " ")), 1, 12),
+              16, 10).cast("long").as("h")))).as("p"))
+      .select(col("id"), col("ng"), col("p.pos"), col("p.h"))
+    val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("m", min(struct(col("h"), col("pos"))).over(frame))
+      // full windows only (start ≤ ng − w + 1); the trailing starts would
+      // add paper-nonconforming suffix windows. A doc with fewer than w
+      // grams keeps its start-1 whole-document window.
+      .where(col("pos") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col("id"), col("m.pos").cast("long").as("pos"), col("m.h").as("fp"))
+      .distinct()
+  }
+
   /** First-occurrence n-gram novelty per document: treating ascending doc
     * id as ingestion order, the fraction of a document's distinct 3-grams
     * never seen in any earlier document. A corpus-freshness signal —

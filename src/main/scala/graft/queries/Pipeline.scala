@@ -285,6 +285,17 @@ object Pipeline {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // incremental near-dup: a new batch (source src0) deduped against
+    // the already-settled corpus + itself — corpus never self-joins.
+    // Result ≡ the full pair join filtered to batch-involved pairs,
+    // which is exactly what the oracle computes
+    "q_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDup(d, "doc_id", "text",
+        isBatch = col("source") === "src0", threshold = 0.3,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
+    }),
+
     // dup-cluster size histogram (data-card signal: how much of the
     // corpus sits in 2-clusters vs. larger copy families)
     "q_cluster_sizes" -> ((s, dir) => {
@@ -374,6 +385,19 @@ object Pipeline {
       Sampling.shuffleShards(docs(s, dir), col("doc_id"), salt = "s42", hexChars = 2)
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+
+    // temperature-scaled mixture shares (τ = 2): source weights ∝ √n —
+    // the mT5/XLM-R sampling-temperature recipe, head flattened, tail
+    // boosted; budget = 10k documents
+    "q_temp_mix" -> ((s, dir) =>
+      graft.operators.similarity.Sampling.temperatureShares(
+        docs(s, dir), col("source"), budget = 10000L)),
+
+    // winnowing fingerprints (MOSS): per-window minimum gram hash —
+    // the sparse overlap index with the ≥ w+k−1 shared-run guarantee
+    "q_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(docs(s, dir), "doc_id", "text", k = 3, w = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))),
 
     // per-document top-3 tf-idf terms (integer-exact linear idf)
     "q_tfidf_top" -> ((s, dir) =>
@@ -579,11 +603,18 @@ object Pipeline {
   // feature hash, the unigram+bigram occurrence stream, per-bucket
   // target/raw model counts and Laplace-smoothed totals (buckets = 4096,
   // target domain = src0/src1) — mirrors Dsir.importanceWeights exactly.
-  private val dsirCore: String = {
-    val hexpr = (0 until 12).map { j =>
+  /** DuckDB rendering of the engine-portable 48-bit hash (first 12 hex
+    * digits of md5 as a BIGINT) of SQL expression `e` — the oracle twin
+    * of `conv(substring(md5(e), 1, 12), 16, 10)`.
+    */
+  private def hex48(e: String): String =
+    (0 until 12).map { j =>
       val w = math.pow(16, 11 - j).toLong
-      s"(strpos('0123456789abcdef', substr(md5(f), ${j + 1}, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substr(md5($e), ${j + 1}, 1)) - 1) * $w"
     }.mkString(" + ")
+
+  private val dsirCore: String = {
+    val hexpr = hex48("f")
     s"""base AS (SELECT doc_id, source IN ('src0', 'src1') AS is_t,
        |    list_filter(string_split_regex(trim(text), '\\s+'),
        |      t -> length(t) > 0) AS w
@@ -978,6 +1009,53 @@ object Pipeline {
         |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    "q_incr_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |b AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b2 ON a.s = b2.s AND a.doc_id < b2.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM b)
+        |     OR b2.doc_id IN (SELECT doc_id FROM b)
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT)
+        |    AS jaccard_pm
+        |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.3""".stripMargin,
+    "q_temp_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_in, CAST(floor(sqrt(n_in)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_in, w,
+        |  CAST(w * 1000000 // tw AS BIGINT) AS share_ppm,
+        |  CAST(w * 10000 // tw AS BIGINT) AS n_budget
+        |FROM w CROSS JOIN t""".stripMargin,
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, len(w) - 2 AS ng, i AS pos,
+         |    CAST(${hex48("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS BIGINT) AS h
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |wm AS (SELECT doc_id, ng, pos AS wstart,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+         |  FROM g),
+         |st AS (SELECT doc_id, wstart, mh FROM wm
+         |  WHERE wstart <= greatest(ng - 3, 1)),
+         |sel AS (SELECT s.doc_id, min(g.pos) AS pos, s.mh AS fp
+         |  FROM st s JOIN g ON g.doc_id = s.doc_id
+         |    AND g.pos BETWEEN s.wstart AND s.wstart + 3 AND g.h = s.mh
+         |  GROUP BY s.doc_id, s.wstart, s.mh)
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(fp AS BIGINT) AS fp
+         |FROM sel""".stripMargin,
     "q_corpus_pipeline" ->
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

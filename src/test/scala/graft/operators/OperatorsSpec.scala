@@ -39,6 +39,31 @@ class TextSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared runs") {
+    // docs 1 and 2 share a 9-token run (≥ w+k−1 = 6 tokens) embedded in
+    // different surroundings — winnowing's guarantee says at least one
+    // selected fingerprint must coincide; doc 3 is unrelated
+    val shared = "the training corpus must be deduplicated before model consumption"
+    val df = Seq(
+      (1L, s"alpha bravo $shared charlie delta"),
+      (2L, s"echo foxtrot golf $shared hotel"),
+      (3L, "completely different text with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(df, "doc_id", "text", k = 3, w = 4)
+      .select("id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run produced no shared fp")
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // density: selected ≤ full-window count, ≥ ~ng/w
+    val ng = 14 - 2 // doc 1: 14 tokens → 12 grams
+    assert(fps(1L).size <= ng - 3 && fps(1L).size >= ng / 4)
+    // a doc shorter than w grams still fingerprints (whole-doc window)
+    val tiny = TextAnalysis.winnow(
+      Seq((9L, "just four tokens here")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3, w = 8)
+    assert(tiny.count() == 1L)
+  }
+
   test("shingles are positional 3-grams") {
     val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
     val sh = df.select(col("doc_id"), TextAnalysis.shingles(col("text")))
@@ -256,6 +281,32 @@ class DedupSpec extends SparkSpec {
       .select("qid", "pred_label").as[(Long, String)].collect().toMap
     // a long-cast here would null every label and "classify" nulls
     assert(out == Map(1L -> "en", 2L -> "de"))
+  }
+
+  test("incremental near-dup equals the full join filtered to batch pairs") {
+    // batch = {2, 6}; corpus-internal near-dups (4, 5) must NOT appear
+    // even though they clear the threshold, and every batch-involved
+    // pair must match the full self-join bit for bit
+    val d = Seq(
+      (1L, "spark shuffles data across the cluster when wide dependencies appear", false),
+      (2L, "spark shuffles data across the cluster when wide dependencies show", true),
+      (4L, "training corpora need careful dedup before any model sees them", false),
+      (5L, "training corpora need careful dedup before any model sees them today", false),
+      (6L, "spark shuffles data across the cluster when wide dependencies happen", true))
+      .toDF("doc_id", "text", "is_b")
+    val incr = Dedup.incrementalNearDup(d, "doc_id", "text",
+      isBatch = col("is_b"), threshold = 0.3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Set(2L, 6L)
+    val full = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(p => batch(p._1) || batch(p._2)).toSet
+    assert(incr == full, s"incr=$incr full=$full")
+    assert(full.nonEmpty)
+    // the corpus×corpus near-dup exists in the full join but not here
+    assert(Dedup.ngramJaccard(d, "doc_id", "text", 0.3)
+      .as[(Long, Long, Long, Long)].collect().exists(p => p._1 == 4L && p._2 == 5L))
+    assert(!incr.exists(p => p._1 == 4L && p._2 == 5L))
   }
 
   test("simhash flags identical token multisets, not distinct docs") {
@@ -649,6 +700,21 @@ class PipelineOpsSpec extends SparkSpec {
         Map("a" -> 500000L, "b" -> 2300000L), salt = "t").as("copies"))
       .agg(sum("copies")).as[Long].head()
     assert(again == out.values.map(_._1).sum)
+  }
+
+  test("temperature shares flatten the head and boost the tail") {
+    import graft.operators.similarity.Sampling
+    // sizes 10000 / 100: proportional shares would be 99% / 1%;
+    // τ=2 gives √-weights 100 / 10 → ~90.9% / ~9.1%
+    val df = ((0L until 10000L).map(i => (i, "big")) ++
+      (0L until 100L).map(i => (10000L + i, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureShares(df, col("src"), budget = 1100L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("big") == (("big", 10000L, 100L, 909090L, 1000L)))
+    assert(out("small") == (("small", 100L, 10L, 90909L, 100L)))
+    // tail boost: small's share is ~10× its proportional 1%
+    assert(out("small")._4 > 80000L)
   }
 
   test("sessionize splits user streams at inactivity gaps") {
