@@ -297,29 +297,8 @@ object Dedup {
   def minhashLshPortable(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 32, bands: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val rows = k / bands
-    val (pa, pb) = hashParams(k, seed)
-    def hash48(s: Column): Column =
-      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
-    val shingled = graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"),
-        array_distinct(
-          transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"))
-      .where(size(col("sh")) > 0))
-    val sig = shingled.select(col("id"),
-      Sketches.minhashSig(
-        transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          slice(col("sig"), b * rows + 1, lit(rows)).as("bs")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bs"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val shingled = portableHashedShingles(df, idCol, textCol)
+    val cand = portableBandCandidates(shingled, k, bands, seed)
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = common * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - common)
     cand
@@ -331,6 +310,125 @@ object Dedup {
         (jac >= threshold).as("keep"))
       .where(col("keep"))
       .select("id_a", "id_b", "jaccard_pm")
+  }
+
+  /** Distinct 48-bit-hashed word-3-gram shingle sets, persisted:
+    * (id, sh: array<long>). The engine-portable base hash (md5 slice)
+    * shared by the portable MinHash pipeline and the LSH audit, so both
+    * see the identical shingle universe (collisions included).
+    */
+  private def portableHashedShingles(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hash48(s: Column): Column =
+      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    graft.ScratchCache.persist(df
+      .select(col(idCol).as("id"),
+        array_distinct(
+          transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"))
+      .where(size(col("sh")) > 0))
+  }
+
+  /** LSH candidate pairs (id_a < id_b, distinct) from banded portable
+    * MinHash signatures — the pre-verification candidate set.
+    */
+  private def portableBandCandidates(shingled: DataFrame, k: Int,
+      bands: Int, seed: Long): DataFrame = {
+    val rows = k / bands
+    val (pa, pb) = hashParams(k, seed)
+    val sig = shingled.select(col("id"),
+      Sketches.minhashSig(
+        transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rows + 1, lit(rows)).as("bs")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bs"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH parameter audit: precision/recall of the banded-MinHash candidate
+    * set against exact-Jaccard ground truth, in one row —
+    * (candidates, true_pos, false_pos, missed, precision_pm, recall_pm).
+    * This is the tuning loop for (k, bands): run it on a sample, pick the
+    * band shape whose recall clears the pipeline's bar, then run the LSH
+    * path alone on the full corpus. Both sides share one persisted
+    * hashed-shingle scan; the exact side is the df-capped inverted-index
+    * pair join (the cap removes boilerplate-only pairs from the ground
+    * truth — on honest data cap ≫ max df and the audit is exact), so the
+    * audit itself stays sample-sized even when the sample is large.
+    */
+  def lshAudit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 32, bands: Int = 8, seed: Long = 42L,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val shingled = portableHashedShingles(df, idCol, textCol)
+    val cand = portableBandCandidates(shingled, k, bands, seed)
+    val idx0 = shingled.select(col("id"), explode(col("sh")).as("h"))
+    val idx = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx0.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("h")
+        idx0.join(broadcast(hot), Seq("h"), "left_anti")
+      case None => idx0
+    }
+    val sizes = maxShingleDf match {
+      case Some(_) => idx.groupBy("id").agg(count(lit(1)).as("n"))
+      case None => shingled.select(col("id"), size(col("sh")).cast("long").as("n"))
+    }
+    val jac = col("common") * lit(1.0) /
+      (col("na.n") + col("nb.n") - col("common"))
+    val exact = idx.as("a")
+      .join(idx.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"))
+    cand.withColumn("is_cand", lit(true))
+      .join(exact.withColumn("is_true", lit(true)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        count(col("is_cand")).as("candidates"),
+        count(when(col("is_cand") && col("is_true"), 1)).as("true_pos"),
+        count(when(col("is_cand") && col("is_true").isNull, 1)).as("false_pos"),
+        count(when(col("is_cand").isNull && col("is_true"), 1)).as("missed"))
+      .select(col("candidates"), col("true_pos"), col("false_pos"),
+        col("missed"),
+        expr("true_pos * 1000 div greatest(candidates, 1)").as("precision_pm"),
+        expr("true_pos * 1000 div greatest(true_pos + missed, 1)")
+          .as("recall_pm"))
+  }
+
+  /** Quality-aware cluster representative selection: given near-dup
+    * cluster assignments (id, cluster) and a per-doc quality score, keep
+    * the HIGHEST-quality member of each cluster (ties → min id) instead
+    * of the arbitrary min-id keeper — the curation step that makes a
+    * purge keep the longest/cleanest copy of every duplicated document.
+    * Returns (cluster, keeper_id, quality, size). One window per cluster
+    * partition + the size aggregate on the same shuffle key — no joins
+    * against the corpus.
+    */
+  def clusterKeepers(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "id", clusterCol: String = "cluster",
+      qualityCol: String = "q"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters
+      .select(col(idCol).as("id"), col(clusterCol).as("cluster"))
+      .join(quality.select(col(idCol).as("id"), col(qualityCol).as("q")),
+        "id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("q"), asc("id"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("size", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("id").as("keeper_id"),
+        col("q").as("quality"), col("size"))
   }
 
   /** Seeded hash-family parameters, exposed so an external oracle can

@@ -358,4 +358,51 @@ object CosineSearch {
       .distinct()
       .where(col("sim_e6") >= thresholdE6)
   }
+
+  /** Per-label centroid outliers: the k vectors LEAST similar to their
+    * own label's centroid — the mislabeled/noise-candidate surfacing step
+    * of embedding-based curation (the inverse of SemDeDup: instead of
+    * dropping what is too close, audit what is too far).
+    *
+    * Engine-exact by construction: embeddings quantize to integer 1e-6
+    * grid once, the centroid is the per-dimension integer SUM (cosine is
+    * scale-invariant, so the unnormalized sum IS the centroid — no
+    * division, no float accumulation order anywhere), and the squared
+    * norms accumulate as exact integers (the centroid's in decimal — at
+    * corpus scale Σs² overflows a long). The only float ops are two
+    * correctly-rounded sqrt's and one multiply/divide at the very end,
+    * identical in any IEEE engine; ranking uses the quantized sim_e6 with
+    * id tie-break, never raw doubles.
+    *
+    * Scale shape: centroids are a (labels × dim)-row aggregate (map-side
+    * combined, broadcast back — KBs); per-vector scoring is one joinless
+    * pass over the exploded grid; the only per-vector shuffle keys are
+    * (id) for the dot rollup and (label) for the k-row window. Nothing
+    * pairwise.
+    *
+    * @return (label, vec_id, sim_e6, rnk) — rnk 1 = farthest from its
+    *         label centroid, k rows per label
+    */
+  def centroidOutliers(corpus: DataFrame, k: Int, idCol: String = "id",
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val q = corpus.select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(transform(col(embCol),
+          x => round(x.cast("double") * 1e6).cast("long"))))
+      .select(col("id"), col("label"), col("pos"), col("col").as("x"))
+    val cent = q.groupBy("label", "pos").agg(sum("x").as("s"))
+    val perVec = q.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("id", "label")
+      .agg(sum(col("x") * col("s")).as("dot"),
+        sum(col("x") * col("x")).as("nv"))
+    val norms = cent.groupBy("label")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ns"))
+    val simE6 = round(col("dot").cast("double") /
+      (sqrt(col("nv").cast("double")) * sqrt(col("ns").cast("double"))) * 1e6)
+      .cast("long")
+    perVec.join(broadcast(norms), "label")
+      .select(col("label"), col("id").as("vec_id"), simE6.as("sim_e6"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("label").orderBy(asc("sim_e6"), asc("vec_id"))))
+      .where(col("rnk") <= k)
+  }
 }

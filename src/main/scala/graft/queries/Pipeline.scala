@@ -271,6 +271,28 @@ object Pipeline {
           maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
     }),
 
+    // LSH band-shape audit: precision/recall of the banded-MinHash
+    // candidate set against exact-Jaccard ground truth — the tuning
+    // number that decides (k, bands) before an LSH-only full-corpus run
+    "q_lsh_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.lshAudit(d, "doc_id", "text", threshold = 0.5,
+        k = 32, bands = 8, seed = 42L,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
+    }),
+
+    // quality-aware purge keepers: per near-dup cluster, keep the
+    // LONGEST member (ties → min id) instead of the arbitrary min-id —
+    // what a curation pipeline actually ships
+    "q_cluster_keeper" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
+      Dedup.clusterKeepers(clusters,
+        d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+    }),
+
     // end-to-end near-dup purge: cluster the ngram pairs, drop every
     // non-keeper (id != cluster min), count survivors per language — the
     // step that actually shrinks a corpus after dedup analysis
@@ -472,6 +494,14 @@ object Pipeline {
       KMeans.assign(e, KMeans.seedCentroids(e, 8))
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
+
+    // per-label centroid outliers: the 5 vectors least similar to their
+    // own label's centroid — mislabel/noise audit, the inverse of
+    // SemDeDup's too-close pruning
+    "q_embed_outlier" -> ((s, dir) =>
+      CosineSearch.centroidOutliers(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding"),
+          col("label")), k = 5)),
 
     // SemDeDup: k-means cells bound the pair join (Σ cellsize² work, not
     // n²) — the embedding-space twin of LSH banding. Same 8 deterministic
@@ -1220,6 +1250,32 @@ object Pipeline {
         |  FROM clusters GROUP BY 1)
         |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
         |FROM cs GROUP BY 1""".stripMargin,
+    // same cluster derivation, then the quality-aware keeper: longest
+    // member per cluster, ties to the smaller id
+    "q_cluster_keeper" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |$reachCte,
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |q AS (SELECT c.cluster, c.id, d.n_chars AS q
+        |  FROM clusters c JOIN documents d ON c.id = d.doc_id),
+        |r AS (SELECT cluster, id, q,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS size
+        |  FROM q)
+        |SELECT cluster, id AS keeper_id, q AS quality,
+        |  CAST(size AS BIGINT) AS size
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_source_overlap" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
@@ -1367,6 +1423,52 @@ object Pipeline {
          |FROM cm JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
          |WHERE c * 1.0 / (na.cnt + nb.cnt - c) >= 0.5""".stripMargin
     },
+    // Generated oracle: portable-MinHash band candidates (same seeded
+    // family as q_dedup_minhash_port) FULL OUTER JOINed against the exact
+    // 48-bit-hashed-shingle Jaccard ground truth, classified into
+    // precision/recall counts. The Spark side's df-cap is hash-neutral at
+    // gate SFs (cap >> max honest df, PLANS.md), so the oracle omits it.
+    "q_lsh_audit" -> {
+      val (pa, pb) = Dedup.minhashParams(32, 42L)
+      val params = pa.zip(pb).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |hv AS (SELECT DISTINCT doc_id, (${hex48("s")}) AS h FROM sh0),
+         |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
+         |params AS (SELECT * FROM (VALUES $params) AS p(i, a, b)),
+         |sig AS (SELECT doc_id, i,
+         |    min((a * (h % 2147483647) + b) % 2147483647) AS m
+         |  FROM hv CROSS JOIN params GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |ex AS (SELECT ha.doc_id AS id_a, hb.doc_id AS id_b, count(*) AS c
+         |  FROM hv ha JOIN hv hb ON ha.h = hb.h AND ha.doc_id < hb.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b
+         |  FROM ex JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / (na.cnt + nb.cnt - c) >= 0.5),
+         |j AS (SELECT c.id_a IS NOT NULL AS is_cand, e.id_a IS NOT NULL AS is_true
+         |  FROM cand c FULL OUTER JOIN exact e
+         |    ON c.id_a = e.id_a AND c.id_b = e.id_b),
+         |agg AS (SELECT
+         |    CAST(count(*) FILTER (is_cand) AS BIGINT) AS candidates,
+         |    CAST(count(*) FILTER (is_cand AND is_true) AS BIGINT) AS true_pos,
+         |    CAST(count(*) FILTER (is_cand AND NOT is_true) AS BIGINT) AS false_pos,
+         |    CAST(count(*) FILTER (is_true AND NOT is_cand) AS BIGINT) AS missed
+         |  FROM j)
+         |SELECT candidates, true_pos, false_pos, missed,
+         |  CAST(true_pos * 1000 // greatest(candidates, 1) AS BIGINT) AS precision_pm,
+         |  CAST(true_pos * 1000 // greatest(true_pos + missed, 1) AS BIGINT) AS recall_pm
+         |FROM agg""".stripMargin
+    },
     // Generated oracle: the portable SimHash sketch (bit j of the sketch
     // set iff the per-bit +1/−1 vote over the doc's 48-bit gram hashes is
     // strictly positive), 16-bit chunk blocking, Hamming verification.
@@ -1468,6 +1570,35 @@ object Pipeline {
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n, min(md5(text)) AS min_hash
         |FROM r WHERE rk <= 20 GROUP BY 1""".stripMargin,
+    // Mirrors centroidOutliers' integer-exact pipeline: quantize to the
+    // 1e-6 grid, per-label integer-sum centroid (cosine is scale-
+    // invariant so the unnormalized sum IS the centroid), exact integer
+    // dot/norms, one float divide at the end — identical in any IEEE
+    // engine; rank on the quantized sim with id tie-break.
+    "q_embed_outlier" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, label, i AS pos,
+        |    CAST(round(ev[i] * 1000000) AS BIGINT) AS x
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(ev) + 1)) AS i) r),
+        |cent AS (SELECT label, pos, sum(x) AS s FROM x GROUP BY 1, 2),
+        |pv AS (SELECT x.vec_id, x.label, sum(x.x * c.s) AS dot,
+        |    sum(x.x * x.x) AS nv
+        |  FROM x JOIN cent c ON x.label = c.label AND x.pos = c.pos
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT label, sum(CAST(s AS DECIMAL(38,0)) * s) AS ns
+        |  FROM cent GROUP BY 1),
+        |sim AS (SELECT pv.label, pv.vec_id,
+        |    CAST(round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS sim_e6
+        |  FROM pv JOIN ns USING (label)),
+        |r AS (SELECT label, vec_id, sim_e6,
+        |    row_number() OVER (PARTITION BY label ORDER BY sim_e6, vec_id)
+        |      AS rnk
+        |  FROM sim)
+        |SELECT label, vec_id, sim_e6, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "q_semdedup" ->
       """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
         |  FROM embeddings WHERE vec_id < 8),

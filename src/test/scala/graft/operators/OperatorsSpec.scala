@@ -225,6 +225,38 @@ class DedupSpec extends SparkSpec {
     assert(clusters.filter { case (id, c) => id != c }.keySet == Set(2L))
   }
 
+  test("lshAudit classifies candidates against exact ground truth") {
+    // ground truth at t=0.5 on the planted docs is {(1,2),(1,3),(2,3)}
+    // (pinned by the ngram test above); (1,2) is an exact dup — identical
+    // signatures land in every band, so no band shape can miss it
+    val row = Dedup.lshAudit(docs, "doc_id", "text", threshold = 0.5)
+      .collect().head
+    val cand = row.getAs[Long]("candidates")
+    val tp = row.getAs[Long]("true_pos")
+    val fp = row.getAs[Long]("false_pos")
+    val missed = row.getAs[Long]("missed")
+    assert(tp >= 1, "the exact-dup pair must be both candidate and true")
+    assert(tp + missed == 3, s"ground truth drifted: tp=$tp missed=$missed")
+    assert(cand == tp + fp)
+    assert(row.getAs[Long]("recall_pm") == tp * 1000 / (tp + missed))
+    assert(row.getAs[Long]("precision_pm") == tp * 1000 / math.max(cand, 1))
+  }
+
+  test("clusterKeepers picks highest quality, ties to the min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L))
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 2L))
+      .toDF("id", "q")
+    val got = Dedup.clusterKeepers(clusters, quality).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Long]("quality"),
+          r.getAs[Long]("size")))).toMap
+    // 2 and 3 tie at q=9 → the smaller id wins, never the arbitrary min-id 1
+    assert(got(1L) == ((2L, 9L, 3L)))
+    assert(got(10L) == ((10L, 2L, 1L)))
+    assert(got.size == 2)
+  }
+
   test("connectedComponents labels chains and leaves islands apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain 1-2-3
@@ -341,6 +373,30 @@ class CosineSpec extends SparkSpec {
     assert(dists == dists.sorted.reverse)
     // k beyond the corpus stops at the corpus size
     assert(CosineSearch.kCenterCoreset(corpus, k = 10).count() == 6L)
+  }
+
+  test("centroidOutliers surfaces the planted mislabeled vector") {
+    // label 0 clusters on e1 with id 5 planted at e2; label 1 clusters on
+    // e3 with id 9 planted at e1 — each label's rnk-1 outlier must be the
+    // planted vector, and rank order must follow ascending similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0), (2L, Array(0.98f, 0.02f, 0.0f), 0),
+      (3L, Array(0.99f, 0.01f, 0.0f), 0), (4L, Array(0.97f, 0.03f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f, 0.0f), 0),
+      (7L, Array(0.0f, 0.0f, 1.0f), 1), (8L, Array(0.0f, 0.02f, 0.98f), 1),
+      (9L, Array(1.0f, 0.0f, 0.0f), 1))
+      .toDF("id", "embedding", "label")
+    val got = CosineSearch.centroidOutliers(corpus, k = 2)
+      .orderBy("label", "rnk").collect()
+    val byLabel = got.groupBy(_.getAs[Int]("label"))
+    assert(byLabel(0).head.getAs[Long]("vec_id") == 5L)
+    assert(byLabel(1).head.getAs[Long]("vec_id") == 9L)
+    byLabel.values.foreach { rows =>
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2))
+      val sims = rows.map(_.getAs[Long]("sim_e6")).toSeq
+      assert(sims == sims.sorted, s"rank must follow ascending sim: $sims")
+    }
   }
 
   test("kCenterCoreset frees superseded loop persists as it goes") {
