@@ -11,10 +11,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Reads a testdata table. The `events` table stores TIMESTAMP(NANOS)
-    * which Spark's parquet reader rejects; read it as long nanos and
-    * truncate to microsecond timestamps (DuckDB's reader truncates ns→µs
-    * identically, so oracle comparisons agree).
+  /** Reads a testdata table, normalizing the timestamp flavor the driver
+    * happened to write this round: TIMESTAMP(NANOS) (rejected by Spark's
+    * reader — read as long nanos, truncate to µs like DuckDB does) and
+    * naive TIMESTAMP (inferred as TIMESTAMP_NTZ since Spark 3.4 — cast to
+    * the session-TZ timestamp; the session is pinned to UTC everywhere,
+    * so wall-clock values match DuckDB's naive reading bit-for-bit, and
+    * downstream code sees one timestamp type regardless of writer).
     */
   // Memoized per (session, path): re-resolving the same parquet source
   // re-lists files and re-reads footers on every query — the reused
@@ -36,6 +39,9 @@ object Tables {
         case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
           d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+        case (d, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
         case (d, _) => d
       }
     })

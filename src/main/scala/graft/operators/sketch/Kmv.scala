@@ -1,0 +1,100 @@
+package graft.operators.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch.
+  *
+  * The mergeable-sketch way to count distincts at 100 TB: each group keeps
+  * only its k smallest distinct hash values (a fixed k·8-byte synopsis,
+  * however large the group), and the k-th minimum estimates the distinct
+  * count as `(k-1) / kth_min_fraction` (Bar-Yossef et al. 2002; the
+  * estimator ClickHouse's `uniqCombined` and DataSketches' theta sketch
+  * descend from). Two sketches merge by unioning their hash sets and
+  * re-truncating to k — so per-source sketches roll up to a corpus-wide
+  * union estimate WITHOUT rescanning the corpus, exactly how rollup tables
+  * maintain distinct counts incrementally.
+  *
+  * Everything is integer arithmetic on a 48-bit md5-slice hash (the repo's
+  * engine-portable base hash, `Dedup.scala` convention), so a SQL oracle
+  * reproduces estimates bit-for-bit — no float estimator drift between
+  * engines.
+  *
+  * Scale shape: the only shuffle is hash-partitioning distinct (group,
+  * hash) pairs; the k-smallest step is a `row_number <= k` filter that
+  * Spark's WindowGroupLimit rewrite bounds BEFORE the shuffle (each map
+  * task forwards at most k rows per group), so no task ever materializes a
+  * group's full distinct set. Merging reads the per-group sketches
+  * (k rows per group), never the data.
+  */
+object Kmv {
+
+  /** 2^48 as a long — the hash space size for the estimator. */
+  val HashSpace: Long = 1L << 48
+
+  /** Engine-portable 48-bit hash: md5 hex slice, exact in any engine. */
+  def portableHash48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Per-group KMV sketch rows: the k smallest distinct hashes of
+    * `valueCol`, one row per kept hash — `(groupCols*, h, rk)` with
+    * `rk` the 1-based rank. This row form (not an array) is what merges
+    * and re-aggregations consume; [[estimate]] folds it to one row per
+    * group.
+    */
+  def sketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2 (got $k): the estimator divides by k-1")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .select(col(groupCol).as("g"), portableHash48(col(valueCol)).as("h"))
+      .distinct() // one shuffle: hash-partition (g, h)
+    // row_number <= k is WindowGroupLimit-eligible: each map task forwards
+    // at most k candidate rows per group into the window shuffle
+    hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
+  /** Fold sketch rows to one row per group:
+    * `(g, n_kept, kth, est_distinct)`. Groups with fewer than k distinct
+    * values are exact (the sketch IS the value set); otherwise
+    * `est = (k-1) * 2^48 div kth` — exact integer division, so the oracle
+    * matches bit-for-bit.
+    */
+  def estimate(sketchRows: DataFrame, k: Int): DataFrame =
+    sketchRows.groupBy("g").agg(
+      count(lit(1)).as("n_kept"),
+      max("h").as("kth"))
+      .select(col("g"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"(${k - 1} * ${HashSpace}L) div kth"))
+          .as("est_distinct"))
+
+  /** Merge per-group sketches into ONE union sketch (re-truncated to k),
+    * reading only the sketch rows — the incremental-rollup path. Returns
+    * the same row form as [[sketch]] with `g` = `unionLabel`.
+    */
+  def mergeAll(sketchRows: DataFrame, k: Int,
+      unionLabel: String = "__union"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sketchRows
+      .select(lit(unionLabel).as("g"), col("h")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
+  /** Per-group distinct estimates PLUS the merged union estimate, from one
+    * pass over the data: `(g, n_kept, est_distinct)` for every group and a
+    * `__union` row computed by merging the per-group sketches (never
+    * rescanning the data — the point of a mergeable sketch).
+    */
+  def groupedWithUnion(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    val sk = sketch(df, groupCol, valueCol, k).cache()
+    val out = estimate(sk, k).unionAll(estimate(mergeAll(sk, k), k))
+    out
+  }
+}
