@@ -40,11 +40,14 @@ object SemDedup {
       thresholdE6: Long, idCol: String = "id",
       embCol: String = "embedding"): DataFrame = {
     val v = col(embCol).cast("array<double>")
-    val cells = KMeans.withCell(
+    // query-scoped persist: both sides of the intra-cell self-join read
+    // this projection — without it the corpus is scanned and the k-means
+    // assignment recomputed twice (the simhashPairs hoisting pattern)
+    val cells = graft.ScratchCache.persist(KMeans.withCell(
         corpus.select(col(idCol).cast("long").as("id"), col(embCol)),
         centroids, embCol)
       .select(col("id"), col("cell"), v.as("v"),
-        sqrt(Sketches.dotProduct(v, v)).as("vn"))
+        sqrt(Sketches.dotProduct(v, v)).as("vn")))
 
     val a = cells.select(col("cell"), col("id").as("id_a"),
       col("v").as("qv"), col("vn").as("qv_n"))

@@ -37,17 +37,25 @@ object Kmv {
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
   /** Per-group KMV sketch rows: the k smallest distinct hashes of
-    * `valueCol`, one row per kept hash — `(groupCols*, h, rk)` with
-    * `rk` the 1-based rank. This row form (not an array) is what merges
-    * and re-aggregations consume; [[estimate]] folds it to one row per
-    * group.
+    * `valueCol`, one row per kept hash — `(g, h, rk)` with `rk` the
+    * 1-based rank. `g` is the group key cast to string so the schema is
+    * stable under [[mergeAll]]'s `__union` label (no silent set-op
+    * widening for non-string keys). Null values are excluded before
+    * hashing — `COUNT(DISTINCT x)` semantics, and md5(null)=null would
+    * otherwise sort first (NULLS FIRST) and silently displace a real
+    * minimum. This row form (not an array) is what merges and
+    * re-aggregations consume; [[estimate]] folds it to one row per group.
     */
   def sketch(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2 (got $k): the estimator divides by k-1")
+    require(k <= 32768,
+      s"KMV k must be <= 32768 (got $k): (k-1) * 2^48 must fit in a long")
     import org.apache.spark.sql.expressions.Window
     val hashed = df
-      .select(col(groupCol).as("g"), portableHash48(col(valueCol)).as("h"))
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        portableHash48(col(valueCol)).as("h"))
       .distinct() // one shuffle: hash-partition (g, h)
     // row_number <= k is WindowGroupLimit-eligible: each map task forwards
     // at most k candidate rows per group into the window shuffle
@@ -58,10 +66,10 @@ object Kmv {
   }
 
   /** Fold sketch rows to one row per group:
-    * `(g, n_kept, kth, est_distinct)`. Groups with fewer than k distinct
+    * `(g, n_kept, est_distinct)`. Groups with fewer than k distinct
     * values are exact (the sketch IS the value set); otherwise
-    * `est = (k-1) * 2^48 div kth` — exact integer division, so the oracle
-    * matches bit-for-bit.
+    * `est = (k-1) * 2^48 div kth` where kth is the k-th smallest hash —
+    * exact integer division, so the oracle matches bit-for-bit.
     */
   def estimate(sketchRows: DataFrame, k: Int): DataFrame =
     sketchRows.groupBy("g").agg(
@@ -79,11 +87,15 @@ object Kmv {
   def mergeAll(sketchRows: DataFrame, k: Int,
       unionLabel: String = "__union"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // global k-smallest FIRST, as orderBy+limit — TakeOrderedAndProject
+    // keeps k per map task then merges k·tasks rows, instead of shuffling
+    // every group's sketch (G·k rows) into one window partition. The
+    // row_number that re-ranks runs over <= k rows by construction.
     sketchRows
-      .select(lit(unionLabel).as("g"), col("h")).distinct()
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("g")).orderBy(col("h"))))
-      .where(col("rk") <= k)
+      .select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+      .select(lit(unionLabel).as("g"), col("h"),
+        row_number().over(Window.orderBy(col("h"))).as("rk"))
   }
 
   /** Per-group distinct estimates PLUS the merged union estimate, from one
@@ -93,8 +105,9 @@ object Kmv {
     */
   def groupedWithUnion(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
-    val sk = sketch(df, groupCol, valueCol, k).cache()
-    val out = estimate(sk, k).unionAll(estimate(mergeAll(sk, k), k))
-    out
+    // query-scoped persist (released by the entry point's releaseAll):
+    // both the per-group estimates and the union merge read the sketch
+    val sk = graft.ScratchCache.persist(sketch(df, groupCol, valueCol, k))
+    estimate(sk, k).unionAll(estimate(mergeAll(sk, k), k))
   }
 }

@@ -48,7 +48,16 @@ object Dsir {
     * non-empty token produce no row, matching the feature model.
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 8192): DataFrame = {
+      isTarget: Column, buckets: Int = 8192): DataFrame =
+    weightsWithFlag(df, idCol, textCol, isTarget, buckets)
+      .select(col("doc_id"), col("n_feats"), col("logw_bits"))
+
+  /** [[importanceWeights]] plus the per-doc `is_t` flag carried through
+    * the rollup (`max(is_t)` — constant within a doc), so [[selectTopK]]
+    * can exclude the target exemplars WITHOUT re-joining the corpus.
+    */
+  private def weightsWithFlag(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val base = df.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
       filter(TextAnalysis.tokens(col(textCol)),
@@ -77,12 +86,14 @@ object Dsir {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum(length(bin(col("ct") + 1)) - length(bin(col("cr") + 1)))
-          .cast("long").as("sum_bits"))
+          .cast("long").as("sum_bits"),
+        max(col("is_t")).as("is_t"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_feats"),
         (col("sum_bits") + col("n_feats") *
           (length(bin(col("nr_s"))) - length(bin(col("nt_s")))))
-          .cast("long").as("logw_bits"))
+          .cast("long").as("logw_bits"),
+        col("is_t"))
   }
 
   /** The selection step: top `k` raw-pool documents by importance weight
@@ -92,12 +103,10 @@ object Dsir {
     * top-k, no global sort).
     */
   def selectTopK(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, k: Int, buckets: Int = 8192): DataFrame = {
-    val w = importanceWeights(df, idCol, textCol, isTarget, buckets)
-    w.join(df.select(col(idCol).as("doc_id"), isTarget.as("is_t")), Seq("doc_id"))
+      isTarget: Column, k: Int, buckets: Int = 8192): DataFrame =
+    weightsWithFlag(df, idCol, textCol, isTarget, buckets)
       .where(!coalesce(col("is_t"), lit(false)))
       .orderBy(desc("logw_bits"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("logw_bits"))
-  }
 }

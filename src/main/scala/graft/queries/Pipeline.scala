@@ -421,6 +421,15 @@ object Pipeline {
       TextAnalysis.winnow(docs(s, dir), "doc_id", "text", k = 3, w = 4)
         .select(col("id").as("doc_id"), col("pos"), col("fp"))),
 
+    // KMV distinct sketch: per-lang distinct n_chars estimates PLUS the
+    // merged __union estimate computed from the per-group sketches alone
+    // (never rescanning the data) — the mergeable-rollup distinct-count
+    // path (ClickHouse uniqCombined analog). k=32 puts sf>=0.01 groups in
+    // the estimator regime and tiny-SF groups in the exact regime.
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.operators.sketch.Kmv.groupedWithUnion(
+        docs(s, dir), "lang", "n_chars", k = 32)),
+
     // per-document top-3 tf-idf terms (integer-exact linear idf)
     "q_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfidfTop(docs(s, dir), "doc_id", "text", k = 3)),
@@ -1086,6 +1095,26 @@ object Pipeline {
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
          |  CAST(fp AS BIGINT) AS fp
          |FROM sel""".stripMargin,
+    // Generated oracle: KMV sketch with the same 48-bit md5-slice hash;
+    // the __union row re-truncates the union of per-group sketches to k,
+    // and the estimator is exact integer division — bit-for-bit portable.
+    "q_kmv_distinct" ->
+      s"""WITH hv AS (SELECT DISTINCT CAST(lang AS VARCHAR) AS g,
+         |    CAST(${hex48("CAST(n_chars AS VARCHAR)")} AS BIGINT) AS h
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |sk AS (SELECT g, h FROM (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hv)
+         |  WHERE rk <= 32),
+         |un AS (SELECT g, h FROM (SELECT '__union' AS g, h,
+         |    row_number() OVER (ORDER BY h) AS rk
+         |    FROM (SELECT DISTINCT h FROM sk))
+         |  WHERE rk <= 32),
+         |allk AS (SELECT * FROM sk UNION ALL SELECT * FROM un)
+         |SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN count(*) < 32 THEN count(*)
+         |    ELSE (31 * 281474976710656) // max(h) END AS BIGINT)
+         |    AS est_distinct
+         |FROM allk GROUP BY g""".stripMargin,
     "q_corpus_pipeline" ->
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
