@@ -132,7 +132,9 @@ object Dedup {
       case Some(cap) =>
         val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("s")
-        idx.join(broadcast(hot), Seq("s"), "left_anti")
+        // persisted: consumed by sizes plus both sides of bc and bb
+        graft.ScratchCache.persist(
+          idx.join(broadcast(hot), Seq("s"), "left_anti"))
       case None => idx
     }
     val sizes = maxShingleDf match {
@@ -185,7 +187,11 @@ object Dedup {
       case Some(cap) =>
         val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("s")
-        idx.join(broadcast(hot), Seq("s"), "left_anti")
+        // persist the capped index too: its three consumers (sizes +
+        // both self-join sides) would otherwise each re-run the explode
+        // and the anti-join over the cached shingle arrays
+        graft.ScratchCache.persist(
+          idx.join(broadcast(hot), Seq("s"), "left_anti"))
       case None => idx
     }
     // with a df-cap the denominator must count surviving shingles only

@@ -64,15 +64,20 @@ object Dsir {
         t => length(t) > 0).as("w"))
     // occurrence stream (NOT deduped — DSIR fits multinomial bag models):
     // unigrams plus adjacent-pair bigrams, each hashed into its bucket
-    val feats = base.select(col("doc_id"), col("is_t"),
-      explode(concat(
-        col("w"),
-        when(size(col("w")) >= 2,
-          transform(slice(col("w"), lit(1), size(col("w")) - 1),
-            (t, i) => concat_ws(" ", t, element_at(col("w"), i + 2))))
-          .otherwise(array().cast("array<string>")))).as("f"))
+    // persisted (fixed-width (long, bool, long) rows — the compact form
+    // AFTER hashing): the model-count aggregate and the scoring join both
+    // read this stream, and recomputing it means tokenizing + exploding
+    // + md5-hashing the whole corpus twice
+    val feats = graft.ScratchCache.persist(base
       .select(col("doc_id"), col("is_t"),
-        pmod(hash48(col("f")), lit(buckets.toLong)).as("b"))
+        explode(concat(
+          col("w"),
+          when(size(col("w")) >= 2,
+            transform(slice(col("w"), lit(1), size(col("w")) - 1),
+              (t, i) => concat_ws(" ", t, element_at(col("w"), i + 2))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        pmod(hash48(col("f")), lit(buckets.toLong)).as("b")))
     // both models in one pass over the stream
     val counts = feats.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
