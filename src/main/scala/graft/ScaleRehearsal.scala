@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.dedup.Dedup
+import graft.operators.similarity.{KMeans, SemDedup}
+import graft.operators.text.{Dsir, TextAnalysis}
+
+/** Scale rehearsal for the pair-heavy operators: measures the INTERNAL
+  * volumes (shingle-stream rows, candidate pairs entering verification,
+  * SemDeDup cell-pair volume, DSIR feature rows) plus wall-clock at a
+  * given SF directory, so two runs — sf0.1 and a 10×-replicated copy —
+  * show whether the df-cap / band / cell knobs keep pair volume
+  * subquadratic in practice (PLANS.md records the table).
+  * Usage: runMain graft.ScaleRehearsal <sfDir>
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val nDocs = docs.count()
+    val cap = Dedup.defaultShingleDfCap(nDocs)
+    out += "n_docs" -> nDocs
+    out += "df_cap" -> cap
+    out += "shingle_rows" -> docs
+      .select(sum(size(TextAnalysis.shingles(col("text"))))).head().getLong(0)
+
+    // candidate pairs entering Jaccard verification (threshold 0 keeps
+    // every pair sharing >= 1 surviving shingle), then the verified set
+    val (cand, tCand) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
+      threshold = 0.0, maxShingleDf = Some(cap)).count())
+    ScratchCache.releaseAll(spark)
+    out += "ngram_candidate_pairs" -> cand
+    out += "ngram_candidates_sec" -> tCand
+    val (ver, tVer) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = Some(cap)).count())
+    ScratchCache.releaseAll(spark)
+    out += "ngram_verified_pairs" -> ver
+    out += "ngram_verified_sec" -> tVer
+    val (cl, tCl) = timed(Dedup.connectedComponents(
+      Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(cap))).count())
+    ScratchCache.releaseAll(spark)
+    out += "cluster_rows" -> cl
+    out += "clusters_sec" -> tCl
+
+    val (audit, tAudit) = timed(Dedup.lshAudit(docs, "doc_id", "text",
+      threshold = 0.5, k = 32, bands = 8, seed = 42L,
+      maxShingleDf = Some(cap)).head())
+    ScratchCache.releaseAll(spark)
+    out += "lsh_candidates" -> audit.getLong(0)
+    out += "lsh_precision_pm" -> audit.getLong(4)
+    out += "lsh_recall_pm" -> audit.getLong(5)
+    out += "lsh_audit_sec" -> tAudit
+
+    val e = embs.select(col("vec_id").as("id"), col("embedding"))
+    val centroids = KMeans.seedCentroids(e, 8)
+    val occ = KMeans.assign(e, centroids).groupBy("cell")
+      .agg(count(lit(1)).as("n")).collect()
+    out += "semdedup_cells" -> occ.length
+    out += "semdedup_pair_volume" -> occ.map(r =>
+      r.getLong(1) * (r.getLong(1) - 1) / 2).sum
+    val (sd, tSd) = timed(SemDedup.dupCandidates(e, centroids,
+      thresholdE6 = 400000L).count())
+    ScratchCache.releaseAll(spark)
+    out += "semdedup_dups" -> sd
+    out += "semdedup_sec" -> tSd
+
+    val (dsirFeats, tDsir) = timed(Dsir.importanceWeights(docs, "doc_id",
+      "text", col("source").isin("src0", "src1"), buckets = 4096)
+      .agg(sum("n_feats")).head().getLong(0))
+    ScratchCache.releaseAll(spark)
+    out += "dsir_feature_rows" -> dsirFeats
+    out += "dsir_weights_sec" -> tDsir
+
+    def j(v: Any): String = v match {
+      case d: Double => f"$d%.2f"
+      case x => x.toString
+    }
+    println(out.map { case (k, v) => s""""$k":${j(v)}""" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
