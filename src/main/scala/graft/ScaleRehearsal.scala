@@ -12,11 +12,16 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * given SF directory, so two runs — sf0.1 and a 10×-replicated copy —
   * show whether the df-cap / band / cell knobs keep pair volume
   * subquadratic in practice (PLANS.md records the table).
-  * Usage: runMain graft.ScaleRehearsal <sfDir>
+  * Usage: runMain graft.ScaleRehearsal <sfDir> [dfCap] [kCells]
+  * — dfCap/kCells override the SF-relative defaults (cap = nDocs/10,
+  * 8 cells) with the production-style absolute knobs, to show the same
+  * corpus under constant-cap / constant-cell-size settings.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val capOverride = args.lift(1).map(_.toInt)
+    val kCells = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,7 +41,7 @@ object ScaleRehearsal {
     val docs = Tables.load(spark, sfDir, "documents")
     val embs = Tables.load(spark, sfDir, "embeddings")
     val nDocs = docs.count()
-    val cap = Dedup.defaultShingleDfCap(nDocs)
+    val cap = capOverride.getOrElse(Dedup.defaultShingleDfCap(nDocs))
     out += "n_docs" -> nDocs
     out += "df_cap" -> cap
     out += "shingle_rows" -> docs
@@ -71,7 +76,7 @@ object ScaleRehearsal {
     out += "lsh_audit_sec" -> tAudit
 
     val e = embs.select(col("vec_id").as("id"), col("embedding"))
-    val centroids = KMeans.seedCentroids(e, 8)
+    val centroids = KMeans.seedCentroids(e, kCells)
     val occ = KMeans.assign(e, centroids).groupBy("cell")
       .agg(count(lit(1)).as("n")).collect()
     out += "semdedup_cells" -> occ.length

@@ -55,11 +55,17 @@ object Dedup {
     * without a cap turns the pair join cartesian. Dropping it only removes
     * boilerplate-only candidates; genuinely near-duplicate documents still
     * share plenty of below-cap shingles.
+    *
+    * The 10k ceiling is what makes total candidate volume LINEAR in
+    * corpus size: per-shingle pair fuel is df², so a cap that grows with
+    * nDocs admits Σ df² ∝ n² in the worst case (the ×10 scale rehearsal
+    * measured exactly ×100 candidate growth under the un-ceilinged n/10
+    * rule, and ×10 under a constant cap — PLANS.md "Round 8"). A shingle
+    * shared by 10k+ documents is boilerplate no matter how big the corpus
+    * is; past the ceiling, candidates ≤ distinct_shingles · cap² ∝ n.
     */
   def defaultShingleDfCap(nDocs: Long): Int =
-    // clamp before narrowing: past ~21B documents nDocs/10 overflows Int
-    // and a negative cap would anti-join away the whole inverted index
-    math.min(math.max(50L, nDocs / 10L), Int.MaxValue.toLong).toInt
+    math.min(math.max(50L, nDocs / 10L), 10000L).toInt
 
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {

@@ -196,6 +196,12 @@ class DedupSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val cap = Dedup.defaultShingleDfCap(docs.count())
     assert(cap == 50)
+    // the default is floor-50, 10%-of-corpus in between, ceiling-10k:
+    // a cap that kept growing with nDocs would admit quadratic candidate
+    // volume (per-shingle pair fuel is df²)
+    assert(Dedup.defaultShingleDfCap(5000L) == 500)
+    assert(Dedup.defaultShingleDfCap(1000000L) == 10000)
+    assert(Dedup.defaultShingleDfCap(30000000000L) == 10000)
     val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 0.3,
       maxShingleDf = Some(cap))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
