@@ -110,4 +110,100 @@ object Kmv {
     val sk = graft.ScratchCache.persist(sketch(df, groupCol, valueCol, k))
     estimate(sk, k).unionAll(estimate(mergeAll(sk, k), k))
   }
+
+  /** Pairwise Jaccard similarity of the groups' DISTINCT-value sets,
+    * estimated from the per-group sketches alone — the bottom-k estimator
+    * (Cohen & Kaplan 2007): the k smallest hashes of A ∪ B are a uniform
+    * sample of the union, so the fraction of them present in BOTH
+    * sketches estimates |A∩B| / |A∪B|. Exact when the union holds fewer
+    * than k distinct values. This is the corpus-scale twin of an exact
+    * overlap join (`q_source_overlap`): the corpus is scanned once to
+    * sketch; the G×G matrix is then computed on G·k sketch rows, never
+    * rescanning the data.
+    *
+    * Scale shape: the group list is tiny (a pairwise matrix is inherently
+    * G², so G is small — sources, languages, shards); `allPairs` rides a
+    * broadcast into two equi-joins over the sketch rows (no OR-join, no
+    * nested loop), and the per-pair k-truncation is WindowGroupLimit-
+    * bounded on the (ga, gb) key.
+    *
+    * @return (ga, gb, n_union_kept, common, jaccard_pm) for every
+    *         unordered group pair, ga < gb lexicographically
+    */
+  def pairwiseJaccard(sketchRows: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = sketchRows.select(col("g")).distinct()
+    val allPairs = broadcast(
+      groups.select(col("g").as("ga"))
+        .crossJoin(groups.select(col("g").as("gb")))
+        .where(col("ga") < col("gb")))
+    val sides =
+      allPairs.join(sketchRows.select(col("g"), col("h")), col("g") === col("ga"))
+        .select(col("ga"), col("gb"), col("h"),
+          lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(
+        allPairs.join(sketchRows.select(col("g"), col("h")), col("g") === col("gb"))
+          .select(col("ga"), col("gb"), col("h"),
+            lit(0L).as("in_a"), lit(1L).as("in_b")))
+    sides
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_union_kept"),
+        sum(col("in_a") * col("in_b")).as("common"))
+      .select(col("ga"), col("gb"), col("n_union_kept"), col("common"),
+        expr("common * 1000 div n_union_kept").as("jaccard_pm"))
+  }
+
+  /** Per-group sketch rows that CARRY the sampled value: `(g, v, h, rk)`.
+    * The k smallest distinct hashes select a uniform sample of the
+    * group's distinct VALUES (hash order is value-independent), which is
+    * what [[domainQuantiles]] consumes. Same null/string-key rules as
+    * [[sketch]]; `v` is the value cast to long (the repo's integer-exact
+    * oracle convention).
+    */
+  def sketchWithValues(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 32768, s"KMV needs 2 <= k <= 32768 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"),
+        portableHash48(col(valueCol)).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
+  /** Quantiles of each group's DISTINCT-value domain, estimated from the
+    * bottom-k value sample: the sampled values are sorted and the
+    * ⌈p·n/100⌉-th is reported (exact integer ranks, the
+    * `adaptiveCutoffs` convention — no interpolation to drift between
+    * engines). Exact for groups below k (the sample IS the domain);
+    * above k it is the classic bottom-k domain-quantile estimator. Note
+    * these are quantiles of the distinct-VALUE distribution, not the
+    * row-weighted distribution — carry counts alongside the sketch if
+    * row weighting is needed.
+    *
+    * @param pcts percent ranks (1..100), one output column `p<pct>` each
+    */
+  def domainQuantiles(sketchRows: DataFrame, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be within 1..100 (got $pcts)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+    val ranked = sketchRows
+      .withColumn("vr", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+    // ceil(p·n/100) without floats: (p·n + 99) div 100 — exact
+    val pctCols = pcts.map(p => max(when(
+      col("vr") === expr(s"(n * $p + 99) div 100"), col("v")))
+      .cast("long").as(s"p$p"))
+    ranked.groupBy("g").agg(
+      max("n").cast("long").as("n_sampled"), pctCols: _*)
+  }
 }

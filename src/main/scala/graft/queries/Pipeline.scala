@@ -430,6 +430,26 @@ object Pipeline {
       graft.operators.sketch.Kmv.groupedWithUnion(
         docs(s, dir), "lang", "n_chars", k = 32)),
 
+    // sketched vocabulary-overlap matrix: per-lang token-set Jaccard from
+    // bottom-k sketches alone — the corpus-scale twin of q_source_overlap
+    // (one corpus scan to sketch; the GxG matrix reads G*k sketch rows)
+    "q_kmv_overlap" -> ((s, dir) => {
+      import graft.operators.sketch.Kmv
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+      Kmv.pairwiseJaccard(Kmv.sketch(toks, "lang", "tok", k = 128), k = 128)
+    }),
+
+    // per-source distinct-length domain quantiles from the bottom-k value
+    // sample (exact below k, the hash-sampled estimator above) — the
+    // mergeable-rollup form of q_length_pct's exact percentiles
+    "q_kmv_quantile" -> ((s, dir) =>
+      graft.operators.sketch.Kmv.domainQuantiles(
+        graft.operators.sketch.Kmv.sketchWithValues(
+          docs(s, dir), "source", "n_chars", k = 64),
+        Seq(50, 90))),
+
     // per-document top-3 tf-idf terms (integer-exact linear idf)
     "q_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfidfTop(docs(s, dir), "doc_id", "text", k = 3)),
@@ -1115,6 +1135,51 @@ object Pipeline {
          |    ELSE (31 * 281474976710656) // max(h) END AS BIGINT)
          |    AS est_distinct
          |FROM allk GROUP BY g""".stripMargin,
+    // Generated oracle: bottom-k pairwise Jaccard — per-lang token
+    // sketches, per-pair union re-truncated to k, common = hashes present
+    // in both sketches.
+    "q_kmv_overlap" ->
+      s"""WITH t AS (SELECT CAST(lang AS VARCHAR) AS g,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> length(x) > 0)) AS tok
+         |  FROM documents),
+         |hv AS (SELECT DISTINCT g, CAST(${hex48("tok")} AS BIGINT) AS h FROM t),
+         |sk AS (SELECT g, h FROM (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hv)
+         |  WHERE rk <= 128),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |pr AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |un AS (SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |    SELECT ga, gb, s.h, 1 AS in_a, 0 AS in_b FROM pr
+         |      JOIN sk s ON s.g = pr.ga
+         |    UNION ALL SELECT ga, gb, s.h, 0, 1 FROM pr
+         |      JOIN sk s ON s.g = pr.gb) u
+         |  GROUP BY 1, 2, 3),
+         |rk2 AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+         |    ORDER BY h) AS rk FROM un)
+         |SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_union_kept,
+         |  CAST(sum(in_a * in_b) AS BIGINT) AS common,
+         |  CAST(sum(in_a * in_b) * 1000 // count(*) AS BIGINT) AS jaccard_pm
+         |FROM rk2 WHERE rk <= 128 GROUP BY ga, gb""".stripMargin,
+    // Generated oracle: bottom-k domain quantiles — hash-sampled distinct
+    // values, exact integer ceil-ranks.
+    "q_kmv_quantile" ->
+      s"""WITH hv AS (SELECT DISTINCT CAST(source AS VARCHAR) AS g,
+         |    CAST(n_chars AS BIGINT) AS v,
+         |    CAST(${hex48("CAST(n_chars AS VARCHAR)")} AS BIGINT) AS h
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |sk AS (SELECT g, v FROM (SELECT g, v, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM hv)
+         |  WHERE rk <= 64),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY g) AS n FROM sk)
+         |SELECT g, CAST(max(n) AS BIGINT) AS n_sampled,
+         |  CAST(max(CASE WHEN vr = (n * 50 + 99) // 100 THEN v END)
+         |    AS BIGINT) AS p50,
+         |  CAST(max(CASE WHEN vr = (n * 90 + 99) // 100 THEN v END)
+         |    AS BIGINT) AS p90
+         |FROM r GROUP BY g""".stripMargin,
     "q_corpus_pipeline" ->
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

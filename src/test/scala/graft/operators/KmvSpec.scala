@@ -68,4 +68,31 @@ class KmvSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Kmv.sketch(data, "g0", "v", 1) }
     intercept[IllegalArgumentException] { Kmv.sketch(data, "g0", "v", 40000) }
   }
+
+  test("pairwise Jaccard is exact below k and plausible above") {
+    // A = {1..30}, B = {21..50}: |inter| = 10, |union| = 50, J = 0.2
+    val ab = ((1 to 30).map(i => ("A", s"t$i")) ++
+      (21 to 50).map(i => ("B", s"t$i"))).toDF("g0", "v")
+    val exact = Kmv.pairwiseJaccard(Kmv.sketch(ab, "g0", "v", 64), 64).head()
+    assert(exact.getString(0) == "A" && exact.getString(1) == "B")
+    assert(exact.getLong(2) == 50L && exact.getLong(3) == 10L)
+    assert(exact.getLong(4) == 200L)
+    // estimator regime: 500-value sets overlapping in 250 (J = 1/3);
+    // md5 is deterministic, so this is a fixed value, not a flaky bound
+    val big = ((1 to 500).map(i => ("A", s"u$i")) ++
+      (251 to 750).map(i => ("B", s"u$i"))).toDF("g0", "v")
+    val est = Kmv.pairwiseJaccard(Kmv.sketch(big, "g0", "v", 32), 32).head()
+    assert(est.getLong(2) == 32L, "union sample truncates to k")
+    assert(est.getLong(4) > 100L && est.getLong(4) < 600L,
+      s"J=1/3 estimate wildly off: ${est.getLong(4)}")
+  }
+
+  test("domain quantiles are exact below k") {
+    val d = (1 to 40).map(i => ("a", i.toLong)).toDF("g0", "v")
+    val q = Kmv.domainQuantiles(
+      Kmv.sketchWithValues(d, "g0", "v", 64), Seq(50, 90)).head()
+    assert(q.getLong(1) == 40L)
+    assert(q.getLong(2) == 20L, "p50 of 1..40 at ceil-rank 20")
+    assert(q.getLong(3) == 36L, "p90 of 1..40 at ceil-rank 36")
+  }
 }
