@@ -111,6 +111,22 @@ object Kmv {
     estimate(sk, k).unionAll(estimate(mergeAll(sk, k), k))
   }
 
+  /** Re-key sketch rows to a coarser group and re-truncate to k — the
+    * hierarchical rollup step (hour sketches → day sketches → totals)
+    * that maintains distinct counts incrementally: each level reads only
+    * the finer level's k-row-per-group sketches, never the data. This is
+    * the mergeable property ClickHouse's `uniqCombinedState`/`-Merge`
+    * rollup pipelines rely on, expressed over the row form.
+    */
+  def regroup(sketchRows: DataFrame, newKey: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sketchRows
+      .select(newKey.cast("string").as("g"), col("h")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"))))
+      .where(col("rk") <= k)
+  }
+
   /** Pairwise Jaccard similarity of the groups' DISTINCT-value sets,
     * estimated from the per-group sketches alone — the bottom-k estimator
     * (Cohen & Kaplan 2007): the k smallest hashes of A ∪ B are a uniform

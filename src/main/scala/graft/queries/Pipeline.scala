@@ -441,6 +441,21 @@ object Pipeline {
       Kmv.pairwiseJaccard(Kmv.sketch(toks, "lang", "tok", k = 128), k = 128)
     }),
 
+    // hierarchical sketch rollup: per-(event_type, hour) user sketches
+    // re-truncated to per-type estimates reading ONLY the hourly sketch
+    // rows — the incremental distinct-users-per-type rollup (ClickHouse
+    // uniqCombined -State/-Merge analog) over the events stream table
+    "q_kmv_rollup" -> ((s, dir) => {
+      import graft.operators.sketch.Kmv
+      val ev = Tables.load(s, dir, "events").select(
+        concat_ws("|", col("event_type"),
+          expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600")).as("gk"),
+        col("user_id"))
+      val hourly = Kmv.sketch(ev, "gk", "user_id", k = 32)
+      Kmv.estimate(
+        Kmv.regroup(hourly, substring_index(col("g"), "|", 1), 32), 32)
+    }),
+
     // per-source distinct-length domain quantiles from the bottom-k value
     // sample (exact below k, the hash-sampled estimator above) — the
     // mergeable-rollup form of q_length_pct's exact percentiles
@@ -1161,6 +1176,28 @@ object Pipeline {
          |  CAST(sum(in_a * in_b) AS BIGINT) AS common,
          |  CAST(sum(in_a * in_b) * 1000 // count(*) AS BIGINT) AS jaccard_pm
          |FROM rk2 WHERE rk <= 128 GROUP BY ga, gb""".stripMargin,
+    // Generated oracle: hierarchical KMV rollup — hourly sketches
+    // re-keyed to event_type and re-truncated, never rescanning events.
+    "q_kmv_rollup" ->
+      s"""WITH e AS (SELECT event_type || '|' ||
+         |      CAST(epoch(date_trunc('second', ts)) // 3600 AS VARCHAR)
+         |      AS gk, user_id
+         |  FROM events),
+         |hv AS (SELECT DISTINCT gk,
+         |    CAST(${hex48("CAST(user_id AS VARCHAR)")} AS BIGINT) AS h
+         |  FROM e WHERE user_id IS NOT NULL),
+         |sk AS (SELECT gk, h FROM (SELECT gk, h,
+         |    row_number() OVER (PARTITION BY gk ORDER BY h) AS rk FROM hv)
+         |  WHERE rk <= 32),
+         |re AS (SELECT DISTINCT split_part(gk, '|', 1) AS g, h FROM sk),
+         |rk2 AS (SELECT g, h FROM (SELECT g, h,
+         |    row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM re)
+         |  WHERE rk <= 32)
+         |SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN count(*) < 32 THEN count(*)
+         |    ELSE (31 * 281474976710656) // max(h) END AS BIGINT)
+         |    AS est_distinct
+         |FROM rk2 GROUP BY g""".stripMargin,
     // Generated oracle: bottom-k domain quantiles — hash-sampled distinct
     // values, exact integer ceil-ranks.
     "q_kmv_quantile" ->

@@ -87,6 +87,20 @@ class KmvSpec extends SparkSpec {
       s"J=1/3 estimate wildly off: ${est.getLong(4)}")
   }
 
+  test("regroup identity: rollup of fine sketches == direct coarse sketch") {
+    val d = (1 to 300).map(i => (s"t${i % 3}|h${i % 7}", s"u${i % 90}"))
+      .toDF("g0", "v")
+    val k = 8
+    val fine = Kmv.sketch(d, "g0", "v", k)
+    val rolled = Kmv.regroup(fine, substring_index($"g", "|", 1), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Kmv.sketch(
+      d.withColumn("g0", substring_index($"g0", "|", 1)), "g0", "v", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rolled == direct,
+      "k-min of unioned per-subgroup k-mins must equal the direct k-min")
+  }
+
   test("domain quantiles are exact below k") {
     val d = (1 to 40).map(i => ("a", i.toLong)).toDF("g0", "v")
     val q = Kmv.domainQuantiles(
