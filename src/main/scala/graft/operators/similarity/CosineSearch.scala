@@ -187,6 +187,95 @@ object CosineSearch {
   /** Lineage-cut interval for [[kCenterCoreset]]'s greedy loop. */
   private val LineageCutEvery = 32
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k vectors maximizing
+    * `λ·rel(v) − (1−λ)·max_{s∈selected} sim(v, s)` — the
+    * relevance-aware sibling of [[kCenterCoreset]] (λ=0 degenerates to
+    * pure diversity, λ=1 to plain top-k by relevance). The curation step
+    * that picks examples similar to a target (query centroid) WITHOUT
+    * collapsing onto near-duplicates of one another.
+    *
+    * All-integer scoring: similarities are e6-quantized once, the score
+    * is kept SCALED by 10⁶ (`lamPpm·rel_e6 − (10⁶−lamPpm)·maxsim_e6`,
+    * |score| < 10¹² — fits a long with no division, so there is no
+    * trunc-vs-floor ambiguity between engines on negative scores).
+    *
+    * Scale shape = kCenterCoreset's: the corpus projection is persisted
+    * once; each round is one codegen'd column update + a 1-row argmax
+    * collect; at most two loop projections are live and the lineage is
+    * localCheckpoint-cut every [[LineageCutEvery]] rounds.
+    *
+    * @return (rank, id, rel_e6, score) — rank 0's score is lamPpm·rel_e6
+    *         (empty selected set ⇒ the penalty term is zero)
+    */
+  def mmrSelect(corpus: DataFrame, queryVec: Seq[Double], k: Int,
+      lamPpm: Long, idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(lamPpm >= 0L && lamPpm <= 1000000L,
+      s"lamPpm must be within [0, 1000000] (got $lamPpm)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = graft.ScratchCache.persist(corpus.select(
+      col(idCol).cast("long").as("id"),
+      col(embCol).cast("array<double>").as("v"),
+      round(cosine(col(embCol).cast("array<double>"),
+        typedLit(queryVec)) * 1e6).cast("long").as("rel")))
+    val first = base.orderBy(desc("rel"), asc("id")).limit(1)
+      .collect().headOption.getOrElse(
+        return Seq.empty[(Int, Long, Long, Long)]
+          .toDF("rank", "id", "rel_e6", "score"))
+    var picked = Vector((0, first.getLong(0), first.getLong(2),
+      lamPpm * first.getLong(2)))
+    var pickedVec = first.getSeq[Double](1)
+    var cur = base.where(col("id") =!= first.getLong(0))
+      .withColumn("ms", lit(-1000000L)) // any real sim supersedes it
+    var live: DataFrame = null
+    val sc = spark.sparkContext
+    var checkpointIds: Set[Int] = Set.empty
+    def freeCheckpoints(): Unit = {
+      checkpointIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      checkpointIds = Set.empty
+    }
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val sim = round(cosine(col("v"), typedLit(pickedVec)) * 1e6)
+        .cast("long")
+      cur = graft.ScratchCache.persist(
+        cur.withColumn("ms", greatest(col("ms"), sim)))
+      val score = (lit(lamPpm) * col("rel") -
+        lit(1000000L - lamPpm) * col("ms")).as("score")
+      val picked0 = cur.select(col("id"), col("v"), col("rel"), score)
+        .orderBy(desc("score"), asc("id")).limit(1).collect().headOption
+      if (live != null) graft.ScratchCache.release(live)
+      live = cur
+      picked0 match {
+        case None => exhausted = true
+        case Some(row) =>
+          picked = picked :+ ((r, row.getLong(0), row.getLong(2),
+            row.getLong(3)))
+          pickedVec = row.getSeq[Double](1)
+          cur = cur.where(col("id") =!= row.getLong(0))
+          if (r % LineageCutEvery == 0) {
+            val cut = cur.localCheckpoint()
+            val newIds = cut.queryExecution.analyzed.collect {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+            }.toSet
+            cur = cut
+            graft.ScratchCache.release(live)
+            live = null
+            freeCheckpoints()
+            checkpointIds = newIds
+          }
+          r += 1
+      }
+    }
+    freeCheckpoints()
+    picked.toDF("rank", "id", "rel_e6", "score")
+  }
+
   /** Deterministic seeded hyperplanes: `bits` rows of `dim` doubles. */
   private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

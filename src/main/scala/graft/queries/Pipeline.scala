@@ -523,6 +523,20 @@ object Pipeline {
     "q_kcenter" -> ((s, dir) =>
       CosineSearch.kCenterCoreset(embs(s, dir), k = 6, idCol = "vec_id")),
 
+    // MMR selection: top-5 vectors most similar to the vec_id-0 query
+    // while penalizing redundancy among the picks (lambda = 0.7) — the
+    // relevance-aware sibling of q_kcenter
+    "q_mmr_select" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      CosineSearch.mmrSelect(
+        e.where(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), col("embedding")),
+        q, k = 5, lamPpm = 700000L)
+    }),
+
     "q_sim_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       CosineSearch.lshTopK(
@@ -1513,6 +1527,40 @@ object Pipeline {
          |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
          |$stages
          |SELECT 0 AS rank, id, 2000000 AS dist_e6 FROM c0
+         |$unions""".stripMargin
+    },
+    // Generated oracle: the MMR greedy unrolled into k staged CTEs (the
+    // q_kcenter construction) — all-integer scaled scores, no division.
+    "q_mmr_select" -> {
+      val k = 5
+      val lam = 700000L
+      val om = 1000000L - lam
+      val stages = (1 until k).map { r =>
+        val msExpr =
+          if (r == 1)
+            "CAST(round(list_cosine_similarity(d.v, c.v) * 1000000) AS BIGINT)"
+          else
+            "greatest(d.ms, CAST(round(list_cosine_similarity(d.v, c.v) * 1000000) AS BIGINT))"
+        val dSrc = if (r == 1) "rel0" else s"d${r - 1}"
+        s"""d$r AS (SELECT d.id, d.v, d.rel, $msExpr AS ms
+           |  FROM $dSrc d, c${r - 1} c WHERE d.id != c.id),
+           |c$r AS (SELECT id, v, rel, ms, $lam * rel - $om * ms AS score
+           |  FROM d$r ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 until k).map(r =>
+        s"UNION ALL SELECT $r AS rank, id, rel AS rel_e6, score FROM c$r")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id != 0),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id = 0),
+         |rel0 AS (SELECT e.id, e.v,
+         |    CAST(round(list_cosine_similarity(e.v, q.v) * 1000000) AS BIGINT)
+         |      AS rel
+         |  FROM e, q),
+         |c0 AS (SELECT id, v, rel FROM rel0 ORDER BY rel DESC, id LIMIT 1),
+         |$stages
+         |SELECT 0 AS rank, id, rel AS rel_e6, $lam * rel AS score FROM c0
          |$unions""".stripMargin
     },
     // Generated oracle: replicates the portable MinHash+LSH pipeline with

@@ -381,6 +381,34 @@ class CosineSpec extends SparkSpec {
     assert(CosineSearch.kCenterCoreset(corpus, k = 10).count() == 6L)
   }
 
+  test("mmrSelect trades relevance against redundancy") {
+    // query sits between clusters e1 and e2 (MMR only differentiates
+    // when the query is not collinear with the picks): ids 1/2 are
+    // near-copies on e1, id 3 is the e2 cluster, id 4 irrelevant. Top-k
+    // by relevance takes both copies (2, 1, 3); MMR at lambda=0.7 must
+    // defer the second copy until the e2 cluster is covered (2, 3, 1).
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.999f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val q = Seq(0.7071, 0.7071, 0.0)
+    val out = CosineSearch.mmrSelect(corpus, q, k = 3,
+      lamPpm = 700000L).collect()
+    val ids = out.map(_.getAs[Long]("id")).toSeq
+    assert(ids == Seq(2L, 3L, 1L),
+      s"diverse cluster must beat the near-copy: $ids")
+    // rank-0 score convention: lambda*rel with an empty penalty term
+    assert(out.head.getAs[Long]("score") ==
+      700000L * out.head.getAs[Long]("rel_e6"))
+    // lambda=1 degenerates to plain top-k by relevance (tie -> id asc)
+    val topk = CosineSearch.mmrSelect(corpus, q, k = 3,
+      lamPpm = 1000000L).collect().map(_.getAs[Long]("id")).toSeq
+    assert(topk == Seq(2L, 1L, 3L), s"lambda=1 should be pure top-k: $topk")
+    // k beyond the corpus stops at the corpus size
+    assert(CosineSearch.mmrSelect(corpus, q, k = 10,
+      lamPpm = 700000L).count() == 4L)
+  }
+
   test("centroidOutliers surfaces the planted mislabeled vector") {
     // label 0 clusters on e1 with id 5 planted at e2; label 1 clusters on
     // e3 with id 9 planted at e1 — each label's rnk-1 outlier must be the
