@@ -236,4 +236,27 @@ class PlanPropertiesSpec extends SparkSpec {
       p.linesIterator.exists(l => l.contains("LeftAnti")),
       s"hot sentences must broadcast into an anti join:\n$p")
   }
+
+  test("q_kmv_distinct bounds the sketch before the window shuffle") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=k must become a group limit so map tasks forward at " +
+        s"most k rows per group:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+  }
+
+  test("q_kmv_overlap joins sketches by hash, never sort-merge") {
+    val p = plan("q_kmv_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny pair list must broadcast into the sketch equi-joins")
+    assert(!p.contains("SortMergeJoin"),
+      s"sketch rows must not sort-merge:\n$p")
+  }
+
+  test("q_kmv_rollup reads only sketch rows between levels") {
+    val p = plan("q_kmv_rollup")
+    assert(p.contains("WindowGroupLimit"))
+    // two truncation levels (hourly + regrouped), no join at all
+    assert(!p.contains("Join"), s"rollup must be join-free:\n$p")
+  }
 }
