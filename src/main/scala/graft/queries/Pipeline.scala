@@ -6,7 +6,7 @@ import graft.Tables
 import graft.operators.dedup.Dedup
 import graft.operators.multimodal.Multimodal
 import graft.operators.similarity.CosineSearch
-import graft.operators.text.{Decontamination, Dsir, TextAnalysis}
+import graft.operators.text.{Bpe, Decontamination, Dsir, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: dedup (exact, fingerprint, n-gram Jaccard, MinHash+LSH,
@@ -670,6 +670,45 @@ object Pipeline {
           sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
             .as("n_dups"))
         .withColumn("dup_ppm", expr("n_dups * 1000000 div n_docs"))
+    }),
+
+    // distributed BPE tokenizer training, step-0 statistics: corpus-wide
+    // adjacent character-pair counts over the distinct-word frequency
+    // table (pairs never cross word boundaries — the published
+    // pre-tokenization)
+    "q_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.wordTable(docs(s, dir), "text"))
+        .orderBy(desc("n"), asc("lhs"), asc("rhs")).limit(20)),
+
+    // the full training loop: 4 iterations of count-argmax-merge over
+    // the word table; ties break (n DESC, lhs, rhs) so the learned
+    // merge sequence is bit-reproducible
+    "q_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.learnMerges(docs(s, dir), "text", 4).toDF()
+    }),
+
+    // corpus snapshot diff (dataset versioning): v2 synthesized from the
+    // documents table — 10% removed, every 7th rewritten, every 13th
+    // re-added under a shifted id — classified per doc by content hash
+    "q_corpus_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir)
+      val v2 = docs(s, dir)
+        .where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.text.CorpusDiff.diff(v1, v2, "doc_id", "text")
+    }),
+
+    // the inference side: per-document post-BPE token counts under the
+    // vocabulary learned above (exploded words broadcast-joined against
+    // the vocab-sized segmented word table)
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val (_, seg) = Bpe.learnSegmented(docs(s, dir), "text", 4)
+      Bpe.tokenCounts(docs(s, dir), "doc_id", "text", seg)
     })
   )
 
@@ -722,7 +761,87 @@ object Pipeline {
        |    CAST(sum(cr) + 4096 AS BIGINT) AS nr_s FROM c)""".stripMargin
   }
 
+  /** DuckDB replay of the BPE training loop as a CTE chain. `w0` is the
+    * distinct-word frequency table; `d0` brackets each word's character
+    * segmentation as `\x02sym\x03\x02sym\x03…` so one non-overlapping
+    * left-to-right `replace` per step applies a merge with exact
+    * boundary anchoring (provably equal to `Bpe.applyMerge`'s greedy
+    * fold — both consume the merged symbol, neither re-merges it within
+    * the pass). Each step `i` adds `b$i` (the argmax pair under the same
+    * (n DESC, lhs, rhs) total order as the Scala loop) and `d$i` (the
+    * re-segmented words). Docs are pure ASCII (no \x01-\x03), so the
+    * markers and the \x01 pair separator cannot collide with content.
+    */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wn FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents) u WHERE w <> '' GROUP BY 1),
+        |d0 AS (SELECT word, wn,
+        |  chr(2) || array_to_string(string_split_regex(word, ''),
+        |    chr(3) || chr(2)) || chr(3) AS t
+        |  FROM w0)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |b$i AS (SELECT lhs, rhs, n FROM (
+        |  SELECT split_part(p, chr(1), 1) AS lhs,
+        |         split_part(p, chr(1), 2) AS rhs,
+        |         CAST(sum(wn) AS BIGINT) AS n
+        |  FROM (SELECT wn, unnest(list_transform(range(1, len(s)),
+        |          j -> s[j] || chr(1) || s[j+1])) AS p
+        |        FROM (SELECT wn, string_split(substr(t, 2, length(t) - 2),
+        |                chr(3) || chr(2)) AS s FROM d${i - 1}) q1) q2
+        |  GROUP BY 1, 2) q3 ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+        |d$i AS (SELECT word, wn,
+        |  replace(t, chr(2) || lhs || chr(3) || chr(2) || rhs || chr(3),
+        |          chr(2) || lhs || rhs || chr(3)) AS t
+        |  FROM d${i - 1} CROSS JOIN b$i)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH w0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wn FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents) u WHERE w <> '' GROUP BY 1)
+        |SELECT split_part(p, chr(1), 1) AS lhs,
+        |  split_part(p, chr(1), 2) AS rhs, CAST(sum(wn) AS BIGINT) AS n
+        |FROM (SELECT wn, unnest(list_transform(range(1, len(s)),
+        |        j -> s[j] || chr(1) || s[j+1])) AS p
+        |      FROM (SELECT wn, string_split_regex(word, '') AS s FROM w0) q1) q2
+        |GROUP BY 1, 2 ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 20""".stripMargin,
+    "q_bpe_learn" -> (bpeCtes(4) + "\n" +
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, n FROM b1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs, n FROM b2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs, n FROM b3
+        |  UNION ALL SELECT CAST(4 AS INTEGER), lhs, rhs, n FROM b4) m
+        |ORDER BY step""".stripMargin),
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id AS id, sha256(text) AS h1 FROM documents),
+        |b AS (SELECT doc_id AS id, sha256(text) AS h2 FROM v2)
+        |SELECT id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 = h2 THEN 'unchanged'
+        |       ELSE 'changed' END AS change
+        |FROM a FULL OUTER JOIN b USING (id)""".stripMargin,
+    "q_bpe_tokenize" -> (bpeCtes(4) + "\n" +
+      """SELECT doc_id, CAST(sum(len(string_split(
+        |    substr(t, 2, length(t) - 2), chr(3) || chr(2)))) AS BIGINT)
+        |  AS n_tok
+        |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |      FROM documents) j
+        |JOIN d4 ON j.w = d4.word
+        |GROUP BY doc_id""".stripMargin),
     // PQ is fully SQL-replicable: the codebook derives from the table
     // (lowest-16 vec_ids, sliced into 4 sub-spaces), encoding compares
     // e6-quantized L2 surrogates with the lower-code tiebreak, and the
