@@ -688,6 +688,29 @@ object Pipeline {
       Bpe.learnMerges(docs(s, dir), "text", 4).toDF()
     }),
 
+    // sharded-export manifest: deterministic portable-hash shard
+    // assignment + per-shard count/bytes/id-range/order-insensitive
+    // checksum — the verification record a release consumer re-derives
+    "q_export_manifest" -> ((s, dir) =>
+      graft.operators.pack.ExportManifest.manifest(
+        docs(s, dir), "doc_id", "text", nShards = 16)),
+
+    // leakage-safe train/eval split: every member of a near-dup cluster
+    // inherits the split of its cluster root, so near-duplicates can
+    // never straddle train and eval (the flaw q_leakage audits for)
+    "q_cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
+      d.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("cluster"), col("doc_id")))
+        .select(col("doc_id"),
+          when(substring(md5(col("root").cast("string")), 1, 1) < "d", "train")
+            .otherwise("eval").as("split"))
+    }),
+
     // corpus snapshot diff (dataset versioning): v2 synthesized from the
     // documents table — 10% removed, every 7th rewritten, every 13th
     // re-added under a shifted id — classified per doc by content hash
@@ -819,6 +842,37 @@ object Pipeline {
         |  UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs, n FROM b3
         |  UNION ALL SELECT CAST(4 AS INTEGER), lhs, rhs, n FROM b4) m
         |ORDER BY step""".stripMargin),
+    "q_export_manifest" ->
+      s"""WITH s AS (SELECT doc_id, text,
+        |  CAST((${hex48("CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
+        |  CAST(${hex48("text")} AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |  CAST(sum(h) AS BIGINT) AS checksum
+        |FROM s GROUP BY 1""".stripMargin,
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |$reachCte,
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |r AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+        |SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 1) < 'd'
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM r""".stripMargin,
     "q_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,
