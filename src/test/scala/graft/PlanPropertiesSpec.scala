@@ -259,4 +259,35 @@ class PlanPropertiesSpec extends SparkSpec {
     // two truncation levels (hourly + regrouped), no join at all
     assert(!p.contains("Join"), s"rollup must be join-free:\n$p")
   }
+
+  test("q_export_manifest is joinless with partial aggregation") {
+    val p = plan("q_export_manifest")
+    assert(!p.contains("Join"), s"manifest must be join-free:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final manifest aggregation:\n$p")
+  }
+
+  test("q_bpe_pairs combines pair counts map-side before the exchange") {
+    val p = plan("q_bpe_pairs")
+    assert(!p.contains("Join"), s"pair counting must be join-free:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    // word-table aggregate + pair aggregate, each partial+final
+    assert(aggs >= 4, s"expected partial+final at both aggregates:\n$p")
+  }
+
+  test("q_bpe_tokenize broadcasts the learned vocabulary") {
+    val p = plan("q_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized segmented word table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus word stream must never sort-merge:\n$p")
+  }
+
+  test("q_corpus_diff joins by hash, never nested-loop") {
+    val p = plan("q_corpus_diff")
+    // full-outer cannot broadcast; it must stay an equi-join
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"diff must remain an equi-join:\n$p")
+  }
 }
