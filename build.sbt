@@ -33,5 +33,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all executor threads + block manager in ONE
+  // JVM; 8g was at the edge for a 142-query x 3-rep resident bench
+  // session — cumulative heap/GC pressure produced multi-second GC
+  // stalls landing on unrelated queries (see PLANS.md "Round 8 (cont.)")
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

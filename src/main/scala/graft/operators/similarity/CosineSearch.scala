@@ -336,6 +336,25 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** Centroid ranking for IVF cell assignment/probing: (neg dot/centNorm,
+    * cellId) structs sort ascending = best cell first; the row's own norm
+    * divides out of the argmax, so it is skipped. The denominator floors
+    * at 1e-12 like KMeans.bestCell — an all-zero centroid would otherwise
+    * score NaN and become unprobeable. Scores stay RAW doubles (not
+    * e6-quantized like KMeans.assign): the q_sim_ivf oracle replicates
+    * this exact raw ordering, and the exact re-rank downstream makes
+    * sub-ulp assignment ties harmless here.
+    */
+  private def cellRank(cents: Array[Array[Double]], vec: Column): Column = {
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    sort_array(array(
+      cents.zipWithIndex.map { case (c, i) =>
+        struct((-dots(vec, typedLit(c.toSeq)) /
+          math.max(centNorms(i), 1e-12)).as("negSim"),
+          lit(i).as("cell"))
+      }.toIndexedSeq: _*))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`
     * centroids partitions the corpus into cells; each corpus vector is
     * assigned to its nearest centroid ONCE (one projection — at scale this
@@ -357,25 +376,70 @@ object CosineSearch {
     // without a training pass
     val cents: Array[Array[Double]] = codebook.getOrElse(
       KMeans.seedCentroids(corpus, nlist, idCol, embCol))
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    // (neg dot/planeNorm, cellId) structs sort ascending = best cell first;
-    // the row's own norm divides out of the argmax, so it is skipped.
-    // The denominator floors at 1e-12 like KMeans.bestCell — an all-zero
-    // centroid would otherwise score NaN and become unprobeable. Scores
-    // stay RAW doubles (not e6-quantized like KMeans.assign): the q_sim_ivf
-    // oracle replicates this exact raw ordering, and the exact re-rank
-    // downstream makes sub-ulp assignment ties harmless here
-    def cellRank(vec: Column): Column = sort_array(array(
-      cents.zipWithIndex.map { case (c, i) =>
-        struct((-dots(vec, typedLit(c.toSeq)) /
-          math.max(centNorms(i), 1e-12)).as("negSim"),
-          lit(i).as("cell"))
-      }.toIndexedSeq: _*))
     val c = withNorm(corpus, idCol, "id", embCol, "cv")
-      .withColumn("cell", element_at(cellRank(col("cv")), 1).getField("cell"))
+      .withColumn("cell", element_at(cellRank(cents, col("cv")), 1).getField("cell"))
     val q = withNorm(queries, qidCol, "qid", embCol, "qv")
       .withColumn("cell", explode(transform(
-        slice(cellRank(col("qv")), 1, nprobe), s => s.getField("cell"))))
+        slice(cellRank(cents, col("qv")), 1, nprobe), s => s.getField("cell"))))
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), pairSimE6.as("sim_e6"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+
+  /** Materialize an IVF index on disk — the "build once, probe many"
+    * production path that [[ivfTopK]]'s Scaladoc promises ("at scale this
+    * is the stored cell id"). The corpus is assigned to cells ONCE and
+    * written parquet-partitioned BY cell (vectors pre-cast, norms
+    * precomputed), with the codebook stored alongside; every subsequent
+    * [[searchIvfIndex]] reads only the probed cells' directories via
+    * partition pruning — I/O per query batch ≈ nprobe/nlist of the
+    * corpus, instead of re-scanning and re-assigning everything per
+    * search, which is what makes repeated ANN serving viable at 100 TB.
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "id", embCol: String = "embedding",
+      codebook: Option[Array[Array[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cents = codebook.getOrElse(
+      KMeans.seedCentroids(corpus, nlist, idCol, embCol))
+    withNorm(corpus, idCol, "id", embCol, "cv")
+      .withColumn("cell",
+        element_at(cellRank(cents, col("cv")), 1).getField("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    import spark.implicits._
+    cents.zipWithIndex.toIndexedSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Probe a persisted IVF index: rank the stored codebook per query,
+    * collect the (≤ nlist) probed cell ids driver-side, and read the
+    * index with a LITERAL `cell IN (...)` predicate — a partition filter
+    * the scan resolves at planning time, so unprobed cells' files are
+    * never listed, opened, or read (IvfIndexSpec asserts the
+    * PartitionFilters line). Scoring is bit-identical to [[ivfTopK]]
+    * (same projections, same FP order — doubles round-trip parquet
+    * exactly), so index-based search returns the same rows.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/codebook")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val q = withNorm(queries, qidCol, "qid", embCol, "qv")
+      .withColumn("cell", explode(transform(
+        slice(cellRank(cents, col("qv")), 1, nprobe), s => s.getField("cell"))))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
     c.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("id"))
