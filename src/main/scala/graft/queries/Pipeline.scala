@@ -688,6 +688,24 @@ object Pipeline {
       Bpe.learnMerges(docs(s, dir), "text", 4).toDF()
     }),
 
+    // IVF tuning gate: recall@5 of the IVF candidates vs exact
+    // brute-force ground truth per query — the (nlist, nprobe) knob
+    // audit before an IVF-only corpus run; sibling of q_lsh_audit
+    "q_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val c = e.select(col("vec_id").as("id"), col("embedding"))
+      val exact = CosineSearch.bruteForce(q, c, k = 5)
+        .select(col("qid"), col("id"))
+      val approx = CosineSearch.ivfTopK(q, c, k = 5)
+        .select(col("qid"), col("id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("found"))
+        .select(col("qid"), col("found"), expr("found * 1000 div k").as("recall_pm"))
+    }),
+
     // sharded-export manifest: deterministic portable-hash shard
     // assignment + per-shard count/bytes/id-range/order-insensitive
     // checksum — the verification record a release consumer re-derives
@@ -842,6 +860,50 @@ object Pipeline {
         |  UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs, n FROM b3
         |  UNION ALL SELECT CAST(4 AS INTEGER), lhs, rhs, n FROM b4) m
         |ORDER BY step""".stripMargin),
+    // IVF recall gate: the q_sim_ivf candidate pipeline joined against
+    // the q_sim_topk exact ground truth (both replicated verbatim)
+    "q_ivf_recall" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id
+        |    ORDER BY -list_dot_product(cv, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |qa AS (SELECT qid, cell FROM (
+        |  SELECT qid, cell, row_number() OVER (PARTITION BY qid
+        |    ORDER BY -list_dot_product(qv, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM q0, cent) WHERE rn <= 4),
+        |isims AS (SELECT DISTINCT qid, id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM ca JOIN c0 USING (id) JOIN qa USING (cell) JOIN q0 USING (qid)
+        |  WHERE qid != id),
+        |ivf AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM isims) WHERE rank <= 5),
+        |bsims AS (SELECT qid, id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM q0, c0 WHERE qid != id),
+        |brute AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM bsims) WHERE rank <= 5)
+        |SELECT b.qid,
+        |  CAST(sum(CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS found,
+        |  CAST(sum(CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS recall_pm
+        |FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.id = i.id
+        |GROUP BY 1""".stripMargin,
     "q_export_manifest" ->
       s"""WITH s AS (SELECT doc_id, text,
         |  CAST((${hex48("CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
