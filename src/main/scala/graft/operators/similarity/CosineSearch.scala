@@ -69,6 +69,39 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the k most cosine-similar corpus rows with a DIFFERENT
+    * label — the near-misses that teach a metric model its decision
+    * boundary (the standard triplet/InfoNCE negative-sampling recipe).
+    * Same scale shape as [[bruteForce]]: broadcast query batch, one
+    * corpus scan, WindowGroupLimit bounds each query's candidates before
+    * the qid shuffle; the label inequality is a codegen'd predicate
+    * below the ranking, so same-label rows never enter the window.
+    *
+    * @param queries (qid, embedding, label) — broadcastable batch
+    * @param corpus  (id, embedding, label)
+    * @return (qid, rank, id, sim_e6) with rank over different-label rows
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    def proj(df: DataFrame, id: String, idOut: String, vec: String,
+        labOut: String) = {
+      val v = col(embCol).cast("array<double>")
+      df.select(col(id).as(idOut), v.as(vec), sqrt(dots(v, v)).as(s"${vec}_n"),
+        col(labelCol).as(labOut))
+    }
+    val q = proj(queries, qidCol, "qid", "qv", "qlabel")
+    val c = proj(corpus, idCol, "id", "cv", "clabel")
+    val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
+    c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("id") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("id"), pairSimE6.as("sim_e6"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
+  }
+
   /** Exact all-pairs cosine above a threshold — the ground-truth baseline
     * the approximate paths ([[nearDupPairs]]) are validated against. O(n²)
     * pair evaluation by construction: this is the AUDIT path (validation

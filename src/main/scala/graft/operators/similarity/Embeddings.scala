@@ -201,4 +201,34 @@ object Sampling {
         expr("w * 1000000 div tw").as("share_ppm"),
         expr(s"w * $budget div tw").as("n_budget"))
   }
+
+  /** Class-balanced oversampling to EXACT parity: every label's rows
+    * replicate until each label totals exactly max-label-count rows —
+    * the minority-class resampling step of classifier training-set
+    * construction. Each row gets `max_n div n_label` copies, plus one
+    * extra for the first `max_n mod n_label` rows in content-hash order
+    * (deterministic, engine-portable: no RNG, no row-order dependence).
+    *
+    * Scale shape: a per-label count aggregate (tiny, broadcast), a
+    * 1-row max (broadcast cross join, the A10 scalar pattern), one
+    * rank window keyed by label, and a codegen'd `explode(sequence)` —
+    * output volume is #labels · max_n by construction, so the blow-up
+    * is bounded by the imbalance ratio, which the caller sees in the
+    * returned `copy_idx` (1..copies per source row).
+    */
+  def classBalance(df: org.apache.spark.sql.DataFrame, labelCol: Column,
+      key: Column): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(labelCol.as("__lab")).agg(count(lit(1)).as("__n"))
+    val mx = counts.agg(max("__n").as("__mx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCol).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(counts), labelCol === col("__lab"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__copies",
+        expr("__mx div __n") +
+          when(col("__rk") <= expr("__mx % __n"), 1L).otherwise(0L))
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__lab", "__n", "__mx", "__rk", "__copies")
+  }
 }

@@ -688,6 +688,30 @@ object Pipeline {
       Bpe.learnMerges(docs(s, dir), "text", 4).toDF()
     }),
 
+    // hard-negative mining (contrastive training): for each query, the
+    // 3 most-similar vectors with a DIFFERENT label — the near-misses a
+    // metric model trains its boundary on
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      CosineSearch.hardNegatives(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"),
+          col("embedding"), col("label").cast("long").as("label")),
+        e.select(col("vec_id").as("id"), col("embedding"),
+          col("label").cast("long").as("label")),
+        k = 3)
+    }),
+
+    // class-balanced resampling to exact parity: every lang replicates
+    // to the majority-lang count (integer copies + hash-ordered
+    // remainder), the minority-oversampling step of classifier sets
+    "q_class_balance" -> ((s, dir) => {
+      import graft.operators.similarity.Sampling
+      Sampling.classBalance(docs(s, dir), col("lang"), col("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_after"),
+          countDistinct(col("doc_id")).as("n_src"))
+    }),
+
     // IVF tuning gate: recall@5 of the IVF candidates vs exact
     // brute-force ground truth per query — the (nlist, nprobe) knob
     // audit before an IVF-only corpus run; sibling of q_lsh_audit
@@ -860,6 +884,33 @@ object Pipeline {
         |  UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs, n FROM b3
         |  UNION ALL SELECT CAST(4 AS INTEGER), lhs, rhs, n FROM b4) m
         |ORDER BY step""".stripMargin),
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |    CAST(label AS BIGINT) AS qlabel
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv,
+        |    CAST(label AS BIGINT) AS clabel FROM embeddings),
+        |sims AS (SELECT qid, id,
+        |    CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM q, c WHERE qid != id AND qlabel != clabel)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+        |  SELECT qid, id, sim_e6, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM sims) WHERE rank <= 3""".stripMargin,
+    "q_class_balance" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS mx FROM c),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents),
+        |x AS (SELECT doc_id, lang,
+        |    (mx // n) + CASE WHEN rk <= mx % n THEN 1 ELSE 0 END AS copies
+        |  FROM r JOIN c USING (lang) CROSS JOIN m)
+        |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_after,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src
+        |FROM x GROUP BY 1""".stripMargin,
     // IVF recall gate: the q_sim_ivf candidate pipeline joined against
     // the q_sim_topk exact ground truth (both replicated verbatim)
     "q_ivf_recall" ->

@@ -640,6 +640,20 @@ class CosineSpec extends SparkSpec {
     // invent one, and every found pair carries the exact similarity
     assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh -- exact}")
   }
+
+  test("hardNegatives excludes same-label rows and self") {
+    // q1 (label 0): nearest overall is id 2 (same label) — must be
+    // skipped; nearest different-label are 3 then 4
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(0.999f, 0.04f), 0L),
+      (3L, Array(0.95f, 0.31f), 1L), (4L, Array(0.8f, 0.6f), 1L),
+      (5L, Array(0.0f, 1.0f), 2L)).toDF("id", "embedding", "label")
+    val got = CosineSearch.hardNegatives(
+      rows.where($"id" === 1L).select($"id".as("qid"), $"embedding", $"label"),
+      rows, k = 2).collect()
+    assert(got.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq ===
+      Seq((1, 3L), (2, 4L)))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -805,6 +819,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("small") == (("small", 100L, 10L, 90909L, 100L)))
     // tail boost: small's share is ~10× its proportional 1%
     assert(out("small")._4 > 80000L)
+  }
+
+  test("classBalance replicates every label to exact parity") {
+    import graft.operators.similarity.Sampling
+    // labels: a×7, b×3, c×1 → every label must total exactly 7
+    val df = ((1L to 7L).map(i => (i, "a")) ++
+      (8L to 10L).map(i => (i, "b")) ++ Seq((11L, "c")))
+      .toDF("id", "lab")
+    val out = Sampling.classBalance(df, col("lab"), col("id"))
+    val byLab = out.groupBy("lab").count().as[(String, Long)].collect().toMap
+    assert(byLab === Map("a" -> 7L, "b" -> 7L, "c" -> 7L))
+    // majority label rows appear exactly once; minority copy indexes
+    // are dense from 1
+    assert(out.where($"lab" === "a").groupBy("id").count()
+      .select(max("count")).as[Long].head() === 1L)
+    assert(out.where($"lab" === "c").select(max("copy_idx")).as[Long]
+      .head() === 7L)
+    // deterministic: same input → same replicated multiset
+    val again = Sampling.classBalance(df, col("lab"), col("id"))
+      .groupBy("lab", "id").count().orderBy("lab", "id").collect().toSeq
+    val first = out.groupBy("lab", "id").count().orderBy("lab", "id")
+      .collect().toSeq
+    assert(again === first)
   }
 
   test("sessionize splits user streams at inactivity gaps") {
