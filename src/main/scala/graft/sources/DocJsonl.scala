@@ -55,6 +55,20 @@ object DocJsonl {
       .json(path)
       .withColumn("drop_cause", cause)
 
+  /** Streaming twin of [[read]]: watch a directory for JSONL files
+    * (micro-batch file source — the corpus-drop ingest loop). Same
+    * schema, same routing projection; [[good]]/[[bad]]/[[dropCounts]]
+    * compose on the result unchanged (dropCounts as a streaming
+    * complete-mode aggregate).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .withColumn("drop_cause", cause)
+
   /** The clean corpus: rows that parsed with both required fields. */
   def good(tagged: DataFrame): DataFrame =
     tagged.where(col("drop_cause").isNull)

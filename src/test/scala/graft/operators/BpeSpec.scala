@@ -93,4 +93,59 @@ class BpeSpec extends SparkSpec {
     assert(m.size === 1) // (a,b) → "ab"; no pairs remain
     assert((m.head.lhs, m.head.rhs) === ("a", "b"))
   }
+
+  // ---- randomized equivalence against a driver-side reference trainer ----
+
+  /** Plain-Scala greedy merge: the non-overlapping left-to-right fold the
+    * distributed expression claims to implement.
+    */
+  private def refMerge(syms: List[String], l: String, r: String): List[String] =
+    syms.foldLeft(List.empty[String]) { (acc, x) =>
+      if (acc.nonEmpty && acc.last == l && x == r)
+        acc.init :+ (l + r)
+      else acc :+ x
+    }
+
+  /** Plain-Scala BPE trainer over word frequencies with the same
+    * (count DESC, lhs ASC, rhs ASC) total-order tiebreak.
+    */
+  private def refLearn(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[List[String], Long] = texts
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, n) => w.split("").toList -> n }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = words.toSeq.flatMap { case (s, n) =>
+        s.zip(s.drop(1)).map(p => p -> n)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        out += ((l, r, n))
+        words = words.toSeq.map { case (s, c) => refMerge(s, l, r) -> c }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("random corpora: distributed training equals the reference trainer") {
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = "abc"
+    def randWord() =
+      (0 until (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(3))).mkString
+    for (trial <- 1 to 5) {
+      val texts = (0 until 8).map(_ =>
+        (0 until (1 + rnd.nextInt(10))).map(_ => randWord()).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Bpe.learnMerges(df, "text", 5).map(m => (m.lhs, m.rhs, m.n))
+      val want = refLearn(texts, 5)
+      assert(got === want, s"trial $trial corpus: ${texts.mkString(" | ")}")
+    }
+  }
 }

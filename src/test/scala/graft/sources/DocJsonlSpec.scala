@@ -45,6 +45,28 @@ class DocJsonlSpec extends SparkSpec {
     assert(raws.exists(_.contains("not json at all")))
   }
 
+  test("streaming ingest routes across arriving files with live counters") {
+    val dir = Files.createTempDirectory("docstream")
+    val tagged = DocJsonl.readStream(spark, dir.toString)
+    val q = DocJsonl.dropCounts(tagged)
+      .writeStream.format("memory").queryName("doc_drops")
+      .outputMode("complete").start()
+    try {
+      Files.write(dir.resolve("a.jsonl"),
+        ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" +
+          "\n" + """not json""").getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val c1 = spark.table("doc_drops").as[(String, Long)].collect().toMap
+      assert(c1 === Map("malformed_json" -> 1L))
+      Files.write(dir.resolve("b.jsonl"),
+        ("""{"text": "no id", "lang": "en", "source": "s", "n_chars": 5}""" +
+          "\n" + """broken too""").getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      val c2 = spark.table("doc_drops").as[(String, Long)].collect().toMap
+      assert(c2 === Map("malformed_json" -> 2L, "missing_id" -> 1L))
+    } finally q.stop()
+  }
+
   test("a fully clean file yields no rejects") {
     val path = writeLines(Seq(
       """{"doc_id": 1, "text": "a", "lang": "en", "source": "s", "n_chars": 1}""",
