@@ -73,4 +73,55 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__b")
   }
+
+  /** Interval×interval overlap join: pair every `left` span
+    * `[leftStart, leftEnd)` with every `right` span `[rightStart,
+    * rightEnd)` it intersects (strictly — half-open spans that merely
+    * touch do not overlap). The many-to-many sibling of
+    * [[pointInInterval]]: "which maintenance windows intersected which
+    * incidents", "which user-activity spans crossed which deploys".
+    *
+    * Same bucketization as [[pointInInterval]], but with BOTH sides
+    * exploded an overlapping pair can meet in every shared bucket, so
+    * each pair is claimed by exactly one RESPONSIBLE bucket — the one
+    * containing `max(leftStart, rightStart)`, the overlap's first
+    * instant, which every genuinely overlapping pair has in exactly one
+    * bucket. The claim is a codegen'd filter, not a dedup shuffle.
+    *
+    * Cost model at scale: replication is ⌈len/bucket⌉ per row per side;
+    * the join is a hash equi-join on (bucket ++ keyCols). Very long
+    * intervals replicate proportionally — split pathological spans
+    * upstream or raise `bucket` (results are bucket-invariant, only the
+    * replication factor moves).
+    *
+    * Non-key column names must be disjoint across the two sides (the
+    * result carries both sides' columns).
+    */
+  def intervalOverlap(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucket: Long, keyCols: Seq[String] = Nil,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val clash = (left.columns.toSet intersect right.columns.toSet) --
+      keyCols.toSet
+    require(clash.isEmpty,
+      s"non-key columns shared by both sides would be ambiguous: $clash")
+    def fd(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(bucket))) / lit(bucket)
+    def burst(df: DataFrame, s: String, e: String) = df
+      .where(col(e) > col(s))
+      .withColumn("__b",
+        explode(sequence(fd(col(s)).cast("long"),
+          fd(col(e) - lit(1L)).cast("long"))))
+    val l = burst(left, leftStart, leftEnd)
+    val r = burst(right, rightStart, rightEnd)
+    val side = if (broadcastRight) broadcast(r) else r
+    l.join(side, Seq("__b") ++ keyCols, "inner")
+      .where(col(leftStart) < col(rightEnd) &&
+        col(rightStart) < col(leftEnd))
+      // one claim per pair: the bucket holding the overlap's first instant
+      .where(fd(greatest(col(leftStart), col(rightStart))).cast("long") ===
+        col("__b"))
+      .drop("__b")
+  }
 }

@@ -332,6 +332,29 @@ object Extra {
         min("event_id").as("first_event"), max("event_id").as("last_event"))
   }
 
+  // --- interval×interval overlap join: per-user daily activity spans vs
+  // the ops windows — "whose activity crossed which window". Both sides
+  // bucketized (RangeJoin.intervalOverlap), so the plan is a broadcast
+  // hash equi-join with a one-claim-per-pair filter, never a nested loop.
+  val qOverlapJoin: Q = (s, dir) => {
+    import graft.operators.join.RangeJoin
+    val t0 = 1704067200L
+    val spans = Tables.load(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .groupBy(col("user_id"), expr("es div 86400").as("day"))
+      .agg(min("es").as("a_start"), (max("es") + 1L).as("a_end"))
+    val iv = s.range(120).select(
+      col("id").as("wid"),
+      (lit(t0) + col("id") * 21600L).as("w_start"),
+      (lit(t0) + col("id") * 21600L + (pmod(col("id"), lit(8L)) + 1L) * 5400L)
+        .as("w_end"))
+    RangeJoin.intervalOverlap(spans, "a_start", "a_end",
+        iv, "w_start", "w_end", bucket = 21600L)
+      .groupBy("wid")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   // --- funnel analysis: view → click → purchase, first-touch, 7-day windows.
   // Each stage joins the previous stage's user frontier against a
   // type-pruned scan — the fact table never self-joins, and the join
@@ -394,6 +417,7 @@ object Extra {
     "q_funnel" -> qFunnel,
     "q_asof_join" -> qAsofJoin,
     "q_range_join" -> qRangeJoin,
+    "q_overlap_join" -> qOverlapJoin,
     "q_sessionize" -> qSessionize,
     "q_classifier" -> qClassifier,
     "q_lpm_lookup" -> qLpmLookup,
@@ -520,6 +544,19 @@ object Extra {
         |SELECT wid, CAST(count(*) AS BIGINT) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM e JOIN w ON e.es >= w.ws AND e.es < w.we
+        |GROUP BY 1""".stripMargin,
+    "q_overlap_join" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+        |a AS (SELECT user_id, es // 86400 AS day,
+        |    min(es) AS a_start, max(es) + 1 AS a_end FROM e GROUP BY 1, 2),
+        |w AS (SELECT CAST(i AS BIGINT) AS wid,
+        |    1704067200 + i * 21600 AS ws,
+        |    1704067200 + i * 21600 + ((i % 8) + 1) * 5400 AS we
+        |  FROM (SELECT unnest(range(0, 120)) AS i) r)
+        |SELECT wid, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN w ON a.a_start < w.we AND w.ws < a.a_end
         |GROUP BY 1""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -130,6 +130,19 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenEstimate(col("text")).as("tokens_est"))),
 
+    // curriculum schedule: stage by global token-count percentile (the
+    // distinct-score value table ranks, never the corpus), deterministic
+    // hash shard/slot; summarized per (stage, shard) cell
+    "q_curriculum" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok"))
+      graft.operators.pack.Curriculum.order(d, "doc_id", "tok",
+          stages = 4, shards = 8)
+        .groupBy("stage", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+          min("tok").as("min_tok"), max("tok").as("max_tok"))
+    }),
+
     // Rabin–Karp rolling-hash fingerprint (one-pass native expression) +
     // dup grouping on it — the order-sensitive cousin of q_doc_fingerprint
     "q_rolling_fp" -> ((s, dir) =>
@@ -1239,6 +1252,23 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
         |FROM documents""".stripMargin,
+    "q_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |m AS (SELECT tok, sum(c) OVER (ORDER BY tok) - c AS cumb FROM v),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |s AS (SELECT d.doc_id, d.tok,
+        |    CAST((m.cumb * 4) // n.n AS BIGINT) AS stage
+        |  FROM d JOIN m USING (tok) CROSS JOIN n),
+        |h AS (SELECT doc_id, tok, stage,
+        |    CAST((${hex48("CAST(doc_id AS VARCHAR)")}) % 8 AS BIGINT) AS shard
+        |  FROM s)
+        |SELECT stage, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(tok) AS min_tok, max(tok) AS max_tok
+        |FROM h GROUP BY 1, 2""".stripMargin,
     "q_bigram_top" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),

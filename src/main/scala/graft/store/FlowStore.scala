@@ -26,6 +26,32 @@ object FlowStore {
   val DefaultRetentionDays: Map[String, Int] = Map(
     "flows" -> 15, "flows_1m" -> 7, "flows_5m" -> 90, "flows_1h" -> 365,
     "exporters" -> 1)
+
+  /** Skip-index analog of the reference's `DefaultIndexes`
+    * (`common/schema/config.go:123-133`): the ClickHouse `bloom(0.001)`
+    * columns become per-file parquet bloom filters at the same FPP, so a
+    * point predicate on an address / AS / port / country (every filter-DSL
+    * equality and IN compiles to one) skips whole files whose bloom
+    * rejects the value — the same IO the reference saves with its skip
+    * index granules. `minmax` (ExporterName) and `set(0)` (the interface
+    * enum columns) need nothing: parquet writes min/max and dictionary
+    * pages for every column unconditionally.
+    *
+    * The NDV hint sizes the filter for the target FPP per FILE (post
+    * time-clustered compaction a file covers one time slice of one date,
+    * so per-file cardinality — not corpus cardinality — is the right
+    * scale): 2^16 ports, country codes and per-slice exporter ASes fit
+    * well under 64k; distinct addresses per 256 MB file are bounded by
+    * rows per file, capped here at 1M (a saturated bloom degrades to
+    * "maybe", never to a wrong skip).
+    */
+  val BloomColumns: Map[String, Long] = Map(
+    "SrcAddr" -> (1L << 20), "DstAddr" -> (1L << 20),
+    "SrcAS" -> (1L << 16), "DstAS" -> (1L << 16),
+    "SrcPort" -> (1L << 16), "DstPort" -> (1L << 16),
+    "SrcCountry" -> 1024L, "DstCountry" -> 1024L)
+
+  val BloomFpp: Double = 0.001
 }
 
 final class FlowStore(spark: SparkSession, root: String) {
@@ -62,13 +88,28 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   private val writeLock = new Object
 
+  /** Applies [[FlowStore.BloomColumns]] to a writer for the columns the
+    * frame actually carries (rollups keep the dims; `exporters` has none
+    * of them). Options are per-write, so tables without the columns pay
+    * nothing.
+    */
+  private def withBlooms(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      columns: Seq[String]): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    FlowStore.BloomColumns.foldLeft(w) { case (acc, (c, ndv)) =>
+      if (!columns.contains(c)) acc
+      else acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.bloom.filter.fpp#$c", FlowStore.BloomFpp.toString)
+    }
+
   /** One shuffle partition per date partition — each `p_date=` directory
     * gets one file instead of (shuffle.partitions) slivers.
     */
   private def writePartitioned(df: DataFrame, name: String): Unit =
     writeLock.synchronized {
-      withDate(df).repartition(col("p_date")).write.mode(SaveMode.Append)
-        .partitionBy("p_date").parquet(s"$root/$name")
+      val dated = withDate(df)
+      withBlooms(dated.repartition(col("p_date")).write, dated.columns.toSeq)
+        .mode(SaveMode.Append).partitionBy("p_date").parquet(s"$root/$name")
     }
 
   /** Rollup delta of one batch: truncate time, drop main-only columns,
@@ -322,9 +363,9 @@ final class FlowStore(spark: SparkSession, root: String) {
       // tight TimeReceived min/max stats (see compactFiles for the full
       // clustering rationale; rollups are small enough that slice-bucketed
       // files are not worth a second shuffle here)
-      withDate(rollupDelta(readTable(name), sec))
+      val rolled = withDate(rollupDelta(readTable(name), sec))
         .sortWithinPartitions(col("p_date"), col("TimeReceived"))
-        .write
+      withBlooms(rolled.write, rolled.columns.toSeq)
         .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
     }
   }
@@ -402,7 +443,7 @@ final class FlowStore(spark: SparkSession, root: String) {
       bounds.get(d).map(_.length + 1).getOrElse(1)
     }.sum
     swapIn(name) { tmp =>
-      spark.read.parquet(s"$root/$name")
+      val sliced = spark.read.parquet(s"$root/$name")
         // partition discovery may infer p_date as DATE; normalize back to
         // the stored string form so the join and the rewrite agree
         .withColumn("p_date", col("p_date").cast("string"))
@@ -420,10 +461,12 @@ final class FlowStore(spark: SparkSession, root: String) {
         // ORDER BY (TimeReceived, ExporterAddress): within one timestamp,
         // rows co-locate by exporter, tightening per-row-group exporter
         // stats at no extra cost
+      val clustered = sliced
         .sortWithinPartitions(col("p_date"), col("__salt"),
           col("TimeReceived"), col("ExporterAddress"))
         .drop("__bounds", "__salt")
-        .write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
+      withBlooms(clustered.write, clustered.columns.toSeq)
+        .mode(SaveMode.Overwrite).partitionBy("p_date").parquet(tmp)
     }
   }
 

@@ -82,4 +82,73 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(points, "t", intervals, "s", "e", 0L)
     }
   }
+
+  // --- intervalOverlap ---
+
+  private def leftSpans = Seq(
+    (1L, 0L, 10L),    // overlaps 20, 21
+    (2L, 10L, 11L),   // overlaps 21 only (touches 20 at 10 — no overlap)
+    (3L, -20L, -5L),  // negative domain, overlaps 23
+    (4L, 50L, 50L),   // empty
+    (5L, 5L, 100L))   // long span: overlaps 20, 21, 22
+    .toDF("lid", "ls", "le")
+  private def rightSpans = Seq(
+    (20L, 2L, 10L),
+    (21L, 9L, 40L),
+    (22L, 60L, 70L),
+    (23L, -10L, -9L),
+    (24L, 200L, 300L)) // overlaps nothing
+    .toDF("rid", "rs", "re")
+
+  private val expectedOverlap = Set(
+    (1L, 20L), (1L, 21L), (2L, 21L), (3L, 23L),
+    (5L, 20L), (5L, 21L), (5L, 22L))
+
+  private def runOverlap(bucket: Long, bcast: Boolean = true) =
+    RangeJoin.intervalOverlap(leftSpans, "ls", "le",
+        rightSpans, "rs", "re", bucket, broadcastRight = bcast)
+      .select("lid", "rid").as[(Long, Long)].collect()
+
+  test("overlap matches the naive non-equi join, strict half-open") {
+    val got = runOverlap(8L)
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == expectedOverlap)
+  }
+
+  test("overlap is bucket-size independent, one claim per pair") {
+    for (b <- Seq(1L, 3L, 7L, 16L, 1000L)) {
+      val got = runOverlap(b)
+      assert(got.length == got.toSet.size, s"bucket $b produced duplicates")
+      assert(got.toSet == expectedOverlap, s"bucket $b diverged")
+    }
+  }
+
+  test("overlap plans an equi join on both paths") {
+    val plan = RangeJoin.intervalOverlap(leftSpans, "ls", "le",
+      rightSpans, "rs", "re", 8L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+    val plan2 = RangeJoin.intervalOverlap(leftSpans, "ls", "le",
+        rightSpans, "rs", "re", 8L, broadcastRight = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("NestedLoop"), plan2)
+    assert(runOverlap(8L, bcast = false).toSet == expectedOverlap)
+  }
+
+  test("overlap with extra equi keys scopes per key") {
+    val l = Seq((1L, 0L, 10L, "x"), (2L, 0L, 10L, "y")).toDF("lid", "ls", "le", "k")
+    val r = Seq((10L, 5L, 15L, "x")).toDF("rid", "rs", "re", "k")
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re", 8L,
+        keyCols = Seq("k"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("overlap rejects ambiguous shared column names") {
+    val l = Seq((1L, 0L, 10L)).toDF("id", "s", "e")
+    val r = Seq((2L, 5L, 15L)).toDF("id", "s2", "e2")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, "s", "e", r, "s2", "e2", 8L)
+    }
+  }
 }
