@@ -130,6 +130,14 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenEstimate(col("text")).as("tokens_est"))),
 
+    // context-window chunking: stride split of every doc into ≤64-token
+    // chunks sharing 8 overlap tokens; identity-hashed for the compare
+    "q_chunk" -> ((s, dir) =>
+      graft.operators.pack.Chunker.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
     // curriculum schedule: stage by global token-count percentile (the
     // distinct-score value table ranks, never the corpus), deterministic
     // hash shard/slot; summarized per (stage, shard) cell
@@ -1252,6 +1260,17 @@ object Pipeline {
         |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
         |    t -> 1 + length(t) // 6)) AS BIGINT) AS tokens_est
         |FROM documents""".stripMargin,
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n, w, CAST(r.s AS BIGINT) AS s
+        |  FROM t, LATERAL (SELECT
+        |    unnest(range(0, greatest(len(w) - 9, 0) + 1, 56)) AS s) r)
+        |SELECT doc_id, CAST(s // 56 AS BIGINT) AS chunk_idx,
+        |  CAST(least(64, n - s) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(w, s + 1, least(s + 64, n)), ' '))
+        |    AS chunk_md5
+        |FROM c""".stripMargin,
     "q_curriculum" ->
       s"""WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok
