@@ -138,6 +138,23 @@ object Pipeline {
         .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
           md5(col("chunk_text")).as("chunk_md5"))),
 
+    // the full context-window pipeline: stride-chunk every doc, then
+    // pack the chunks in (doc, chunk) order into 512-token training
+    // windows — Chunker feeding SequencePacking's two-phase prefix sum
+    "q_chunk_pack" -> ((s, dir) => {
+      import graft.operators.pack.{Chunker, SequencePacking}
+      val ch = Chunker.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
+        .withColumn("cid", col("doc_id") * 1024L + col("chunk_idx"))
+      SequencePacking.pack(ch, "cid", "n_tok",
+          windowTokens = 512, shardSize = 512)
+        .withColumn("doc_id", expr("id div 1024"))
+        .withColumn("chunk_idx", pmod(col("id"), lit(1024L)))
+        .select("doc_id", "chunk_idx", "toks", "start_tok", "window_id",
+          "spans_boundary")
+    }),
+
     // curriculum schedule: stage by global token-count percentile (the
     // distinct-score value table ranks, never the corpus), deterministic
     // hash shard/slot; summarized per (stage, shard) cell
@@ -1271,6 +1288,23 @@ object Pipeline {
         |  md5(array_to_string(list_slice(w, s + 1, least(s + 64, n)), ' '))
         |    AS chunk_md5
         |FROM c""".stripMargin,
+    "q_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(r.s AS BIGINT) AS s, len(w) AS n
+        |  FROM t, LATERAL (SELECT
+        |    unnest(range(0, greatest(len(w) - 9, 0) + 1, 56)) AS s) r),
+        |u AS (SELECT doc_id, CAST(s // 56 AS BIGINT) AS chunk_idx,
+        |    CAST(least(64, n - s) AS BIGINT) AS toks FROM c),
+        |p AS (SELECT doc_id, chunk_idx, toks,
+        |    CAST(sum(toks) OVER (ORDER BY doc_id, chunk_idx) - toks AS BIGINT)
+        |      AS start_tok
+        |  FROM u)
+        |SELECT doc_id, chunk_idx, toks, start_tok,
+        |  CAST(start_tok // 512 AS BIGINT) AS window_id,
+        |  ((start_tok + toks - 1) // 512) != (start_tok // 512)
+        |    AS spans_boundary
+        |FROM p""".stripMargin,
     "q_curriculum" ->
       s"""WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tok

@@ -56,6 +56,15 @@ object FlowStore {
 
 final class FlowStore(spark: SparkSession, root: String) {
 
+  // Spark's session default writes timestamps as INT96 (Hive compat),
+  // which parquet treats as statless: no row-group min/max, no page
+  // column index, and no timestamp predicate pushdown — silently
+  // disabling every pruning mechanism the time-clustered layout exists
+  // to feed. The store owns its session's write encoding; a per-write
+  // option cannot work here because ParquetFileFormat.prepareWrite
+  // overwrites the key from the session conf.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private val resolutions = Seq("flows_1m" -> 60L, "flows_5m" -> 300L,
     "flows_1h" -> 3600L)
 
@@ -88,10 +97,10 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   private val writeLock = new Object
 
-  /** Applies [[FlowStore.BloomColumns]] to a writer for the columns the
-    * frame actually carries (rollups keep the dims; `exporters` has none
-    * of them). Options are per-write, so tables without the columns pay
-    * nothing.
+  /** Store-write indexing options: [[FlowStore.BloomColumns]] for the
+    * columns the frame actually carries (rollups keep the dims;
+    * `exporters` has none of them). Options are per-write, so tables
+    * without the columns pay nothing.
     */
   private def withBlooms(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
       columns: Seq[String]): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =

@@ -99,6 +99,13 @@ class BloomIndexSpec extends SparkSpec {
       val asBloom = bfr.readBloomFilter(cols("SrcAS"))
       assert(asBloom.findHash(asBloom.hash(64501L)))
       assert(!asBloom.findHash(asBloom.hash(9999L)))
+
+      // page-level column index on TimeReceived: the min/max-per-page
+      // structure the time-clustered layout exists to feed — every
+      // engine query's time-range predicate prunes at PAGE granularity,
+      // below the row-group stats (ClickHouse's index_granularity analog)
+      val ci = reader.readColumnIndex(cols("TimeReceived"))
+      assert(ci != null && ci.getMinValues.size() > 0)
     } finally reader.close()
 
     // rollups keep the non-mainOnly dims (SrcAS yes, SrcPort no — it is
@@ -116,6 +123,17 @@ class BloomIndexSpec extends SparkSpec {
     val got = spark.read.parquet(s"$root/flows")
       .filter(col("SrcAS") === 64501L).count()
     assert(got == mkFlows(400).filter(col("SrcAS") === 64501L).count())
+
+    // INT64 timestamps make the time predicate actually PUSH: with the
+    // INT96 session default it silently stays driver-side and no file,
+    // row group, or page ever prunes on time
+    val q = spark.read.parquet(s"$root/flows")
+      .filter(col("TimeReceived") >=
+        java.sql.Timestamp.from(Instant.parse("2024-03-01T00:10:00Z")))
+    val scan = q.queryExecution.executedPlan.toString
+    val pushed = scan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("TimeReceived")),
+      s"time predicate not pushed to parquet:\n$scan")
   }
 
   test("a low-cardinality chunk stays fully dictionary-encoded (the set-index state)") {
