@@ -52,6 +52,37 @@ object ExportManifest {
         max("id").as("id_max"),
         sum("h").as("checksum"))
 
+  /** Incremental-release planner: compare two corpus versions SHARD BY
+    * SHARD and classify each shard `unchanged` / `rewrite` / `new` /
+    * `removed` — the set a release job must actually rewrite. Because
+    * shard assignment hashes only the id, an edited or added document
+    * perturbs exactly one shard's manifest row; the delta of a small
+    * edit set is a small rewrite set regardless of corpus size.
+    *
+    * Scale shape: two manifest aggregates (each one keyed map-side
+    * combine over its corpus scan) full-outer joined on `nShards` rows —
+    * the join input is control-plane sized no matter how large the
+    * corpora are. Equality uses the order-insensitive checksum AND the
+    * row count (a sum of 48-bit hashes over millions of rows could
+    * collide; together with the count the false-unchanged probability is
+    * negligible, and a consumer verifying per-doc hashes — the
+    * [[graft.operators.text.CorpusDiff]] path — catches the remainder).
+    */
+  def releaseDelta(v1: DataFrame, v2: DataFrame, idCol: String,
+      textCol: String, nShards: Int): DataFrame = {
+    def m(df: DataFrame, suffix: String) =
+      manifest(df, idCol, textCol, nShards)
+        .select(col("shard"), col("n_docs").as(s"n_$suffix"),
+          col("checksum").as(s"ck_$suffix"))
+    m(v1, "v1").join(m(v2, "v2"), Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("ck_v1").isNull, "new")
+          .when(col("ck_v2").isNull, "removed")
+          .when(col("ck_v1") === col("ck_v2") &&
+            col("n_v1") === col("n_v2"), "unchanged")
+          .otherwise("rewrite"))
+  }
+
   /** Write the corpus sharded to `path` (parquet, one directory per
     * shard) and return the manifest OF WHAT WAS WRITTEN — computed from
     * the same projection, so a consumer re-deriving the manifest from

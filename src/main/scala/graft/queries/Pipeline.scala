@@ -806,6 +806,21 @@ object Pipeline {
       graft.operators.text.CorpusDiff.diff(v1, v2, "doc_id", "text")
     }),
 
+    // incremental-release planner: which shards must a new release
+    // rewrite — the shard-level rollup of q_corpus_diff's v2 mutation
+    "q_release_delta" -> ((s, dir) => {
+      val v1 = docs(s, dir)
+      val v2 = docs(s, dir)
+        .where(col("doc_id") % 10 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs(s, dir).where(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.pack.ExportManifest.releaseDelta(
+        v1, v2, "doc_id", "text", nShards = 16)
+    }),
+
     // the inference side: per-document post-BPE token counts under the
     // vocabulary learned above (exploded words broadcast-joined against
     // the vocab-sized segmented word table)
@@ -1024,6 +1039,27 @@ object Pipeline {
         |  CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 1) < 'd'
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM r""".stripMargin,
+    "q_release_delta" ->
+      s"""WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0),
+        |m1 AS (SELECT CAST((${hex48("CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_v1,
+        |    CAST(sum(${hex48("text")}) AS BIGINT) AS ck_v1
+        |  FROM documents GROUP BY 1),
+        |m2 AS (SELECT CAST((${hex48("CAST(doc_id AS VARCHAR)")}) % 16 AS INTEGER) AS shard,
+        |    CAST(count(*) AS BIGINT) AS n_v2,
+        |    CAST(sum(${hex48("text")}) AS BIGINT) AS ck_v2
+        |  FROM v2 GROUP BY 1)
+        |SELECT shard, n_v1, ck_v1, n_v2, ck_v2,
+        |  CASE WHEN ck_v1 IS NULL THEN 'new'
+        |       WHEN ck_v2 IS NULL THEN 'removed'
+        |       WHEN ck_v1 = ck_v2 AND n_v1 = n_v2 THEN 'unchanged'
+        |       ELSE 'rewrite' END AS status
+        |FROM m1 FULL OUTER JOIN m2 USING (shard)""".stripMargin,
     "q_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,

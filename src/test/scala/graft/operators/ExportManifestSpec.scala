@@ -29,6 +29,32 @@ class ExportManifestSpec extends SparkSpec {
     assert(readBack.select("doc_id").distinct().count() === 200)
   }
 
+  test("releaseDelta isolates edits to their shards") {
+    val v1 = corpus(200)
+    // identical corpora: every shard unchanged
+    val same = ExportManifest.releaseDelta(v1, corpus(200), "doc_id", "text", 8)
+      .select("status").as[String].collect()
+    assert(same.length == 8 && same.forall(_ == "unchanged"))
+
+    // edit one doc: exactly that doc's shard flips to rewrite
+    val editedId = 37L
+    val v2 = v1.withColumn("text",
+      when(col("doc_id") === editedId, lit("edited")).otherwise(col("text")))
+    val delta = ExportManifest.releaseDelta(v1, v2, "doc_id", "text", 8)
+      .select("shard", "status").as[(Int, String)].collect().toMap
+    val touched = ExportManifest.shardOf(lit(editedId), 8)
+    val touchedShard = v1.select(touched.as("s")).as[Int].head()
+    assert(delta(touchedShard) == "rewrite")
+    assert(delta.filter(_._1 != touchedShard).values.forall(_ == "unchanged"))
+
+    // a doc count change without checksum agreement can never read as
+    // unchanged: drop one doc from the touched shard's population
+    val v3 = v1.where(col("doc_id") =!= editedId)
+    val d3 = ExportManifest.releaseDelta(v1, v3, "doc_id", "text", 8)
+      .select("shard", "status").as[(Int, String)].collect().toMap
+    assert(d3(touchedShard) == "rewrite")
+  }
+
   test("shard assignment is stable under corpus growth") {
     val before = corpus(100)
       .select(col("doc_id"), ExportManifest.shardOf(col("doc_id"), 8).as("s"))
