@@ -290,4 +290,42 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"diff must remain an equi-join:\n$p")
   }
+
+  test("q_overlap_join stays a broadcast equi-join, never a nested loop") {
+    val p = plan("q_overlap_join")
+    assert(p.contains("BroadcastHashJoin"), s"windows must broadcast:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"the non-equi overlap predicate must ride a bucket equi-join:\n$p")
+  }
+
+  test("q_chunk is one scan with no exchange") {
+    val p = plan("q_chunk")
+    assert(!p.contains("Exchange"),
+      s"chunking must stay a shuffle-free projection:\n$p")
+  }
+
+  test("q_chunk_pack windows per shard, never one global partition") {
+    val p = plan("q_chunk_pack")
+    // phase-1 cumsum partitions by shard; the only unpartitioned window
+    // is phase 2 over the one-row-per-shard totals (post-aggregate)
+    assert(p.contains("windowspecdefinition(shard#"),
+      s"the prefix sum must be per-shard:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast back:\n$p")
+  }
+
+  test("q_curriculum ranks the value table only, broadcast back") {
+    val p = plan("q_curriculum")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the value→stage map must broadcast onto the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_release_delta compares nShards-row manifests, map-side combined") {
+    val p = plan("q_release_delta")
+    assert(p.contains("FullOuter"), s"expected a full-outer shard join:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected partial+final per manifest:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
 }
