@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+import graft.decode.BmpDecoder
+import graft.functions.Rib
+
+/** TCP session endpoint for BMP (the reference's
+  * `outlet/routing/provider/bmp/serve.go`): routers connect, stream
+  * RFC 7854 messages, and every decoded event lands in the shared
+  * [[Rib.Live]] — the running engine's RIB lookups pick up the next
+  * [[Rib.Live.table]] snapshot (rebuild-on-change), exactly how the
+  * reference keeps BGP attributes current under its flow queries.
+  *
+  * Per-connection read loop with PARTIAL-TAIL CARRY: TCP does not frame
+  * messages, so each read appends to the connection's buffer,
+  * [[BmpDecoder.messages]] consumes every complete message, and the
+  * remainder waits for more bytes. A connection drop flushes nothing by
+  * itself (peers re-announce on session restart — reference behavior:
+  * only an explicit Peer Down withdraws a peer's routes; stale-peer
+  * expiry is the orchestrator's policy knob, out of engine scope).
+  *
+  * Control-plane scale: BMP event rate is session-bound (routing
+  * updates), orders of magnitude below the data plane; one thread per
+  * router connection matches the reference's goroutine-per-connection
+  * and never touches a Spark job — executors only ever see the
+  * immutable broadcast table snapshots.
+  */
+final class BmpServer(live: Rib.Live) {
+
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  @volatile private var server: ServerSocket = _
+  @volatile private var running = false
+
+  private def bump(k: String, n: Long): Unit =
+    counters.computeIfAbsent(k, _ => new AtomicLong).addAndGet(n)
+
+  /** Per-cause event counters across all connections (the decode-plane
+    * drop-counter discipline), plus `connections`.
+    */
+  def stats: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach((k, v) => b += k -> v.get())
+    b.result()
+  }
+
+  /** Bind and serve on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server == null, "already started")
+    server = new ServerSocket()
+    server.bind(new InetSocketAddress("127.0.0.1", port))
+    running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          bump("connections", 1)
+          val t = new Thread(() => serve(sock), "bmp-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => () /* closed */ }
+      }
+    }, "bmp-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    var carry = Array.emptyByteArray
+    val chunk = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(chunk)
+      while (running && n >= 0) {
+        if (n > 0) {
+          val buf = new Array[Byte](carry.length + n)
+          System.arraycopy(carry, 0, buf, 0, carry.length)
+          System.arraycopy(chunk, 0, buf, carry.length, n)
+          val (events, consumed) = BmpDecoder.messages(buf)
+          BmpDecoder.feed(live, events).foreach { case (k, c) => bump(k, c) }
+          carry = java.util.Arrays.copyOfRange(buf, consumed, buf.length)
+        }
+        n = in.read(chunk)
+      }
+    } catch { case _: java.io.IOException => () }
+    finally sock.close()
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    if (server != null) { server.close(); server = null }
+  }
+}

@@ -3,6 +3,7 @@ package graft.decode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.decode.BmpDecoder._
 import graft.functions.{Ip, Rib}
+import BmpFixtures._
 
 /** BMP wire sessions end to end: hand-built RFC 7854 byte messages →
   * decode → [[Rib.Live]] → LPM lookups, including the 2-octet-AS flag,
@@ -10,48 +11,6 @@ import graft.functions.{Ip, Rib}
   * containment.
   */
 class BmpDecoderSpec extends AnyFunSuite {
-
-  // --- byte builders -------------------------------------------------
-  private def bytes(parts: Seq[Int]*): Array[Byte] =
-    parts.flatten.map(_.toByte).toArray
-  private def u8(v: Int) = Seq(v & 0xff)
-  private def u16(v: Int) = Seq((v >> 8) & 0xff, v & 0xff)
-  private def u32(v: Long) = Seq(((v >> 24) & 0xff).toInt,
-    ((v >> 16) & 0xff).toInt, ((v >> 8) & 0xff).toInt, (v & 0xff).toInt)
-
-  private def bmp(msgType: Int, body: Seq[Int]): Seq[Int] =
-    u8(3) ++ u32(6L + body.length) ++ u8(msgType) ++ body
-
-  private def peerHdr(asn: Long, bgpId: Long, flags: Int = 0): Seq[Int] =
-    u8(0) ++ u8(flags) ++ Seq.fill(8)(0) ++ Seq.fill(16)(0) ++
-      u32(asn) ++ u32(bgpId) ++ Seq.fill(8)(0)
-
-  private def attr(t: Int, body: Seq[Int]): Seq[Int] =
-    u8(0x40) ++ u8(t) ++ u8(body.length) ++ body
-
-  private def bgpUpdate(withdrawn: Seq[Int], attrs: Seq[Int],
-      nlri: Seq[Int]): Seq[Int] = {
-    val body = u16(withdrawn.length) ++ withdrawn ++
-      u16(attrs.length) ++ attrs ++ nlri
-    Seq.fill(16)(0xff) ++ u16(19 + body.length) ++ u8(2) ++ body
-  }
-
-  private def pfx4(a: Int, b: Int, c: Int, plen: Int): Seq[Int] = {
-    val full = Seq(a, b, c, 0)
-    u8(plen) ++ full.take((plen + 7) / 8)
-  }
-
-  private def asPath4(asns: Long*): Seq[Int] =
-    u8(2) ++ u8(asns.length) ++ asns.flatMap(u32) // one AS_SEQUENCE
-
-  private val peerA = peerId(65000L, 0x0a000001L)
-
-  private def announceMsg: Array[Byte] = bytes(bmp(0, peerHdr(65000, 0x0a000001L) ++
-    bgpUpdate(Nil,
-      attr(2, asPath4(65001L, 65002L)) ++
-        attr(3, Seq(192, 0, 2, 1)) ++
-        attr(8, u32(65001L * 65536 + 100)),
-      pfx4(10, 0, 0, 24) ++ pfx4(10, 0, 0, 16))))
 
   test("route monitoring announces into a live RIB; lookups resolve") {
     val live = new Rib.Live

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.net.Socket
+import org.scalatest.funsuite.AnyFunSuite
+import graft.decode.BmpFixtures._
+import graft.functions.{Ip, Rib}
+
+/** Socket-level BMP session: a "router" connects over loopback TCP,
+  * streams messages (split mid-message to exercise the partial-tail
+  * carry), and the shared live RIB resolves lookups — then a Peer Down
+  * on the same session withdraws everything.
+  */
+class BmpServerSpec extends AnyFunSuite {
+
+  private def awaitUntil(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      if (cond) return true
+      Thread.sleep(10)
+    }
+    cond
+  }
+
+  test("a live session announces, survives split writes, withdraws on peer down") {
+    val live = new Rib.Live
+    val srv = new BmpServer(live)
+    val port = srv.start()
+    try {
+      val sock = new Socket("127.0.0.1", port)
+      val out = sock.getOutputStream
+      // split the announce mid-message: the carry must reassemble it
+      val msg = announceMsg
+      out.write(msg, 0, 20); out.flush()
+      Thread.sleep(50)
+      out.write(msg, 20, msg.length - 20); out.flush()
+
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) != null
+      }, s"announce never reached the RIB; stats=${srv.stats}")
+      val r = live.table.lookup(Ip.parse("10.0.0.7"), null)
+      assert(r.asn == 65002L && r.netMask == 24)
+
+      out.write(peerDownMsg); out.flush()
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) == null
+      }, s"peer down never flushed; stats=${srv.stats}")
+
+      sock.close()
+      assert(srv.stats("announce") == 2)
+      assert(srv.stats("peer_down") == 1)
+      assert(srv.stats("connections") == 1)
+    } finally srv.stop()
+  }
+
+  test("two concurrent sessions feed one RIB without interference") {
+    val live = new Rib.Live
+    val srv = new BmpServer(live)
+    val port = srv.start()
+    try {
+      val s1 = new Socket("127.0.0.1", port)
+      val s2 = new Socket("127.0.0.1", port)
+      // peer B announces a disjoint prefix
+      val peerB = bytes(bmp(0, peerHdr(65010, 22) ++
+        bgpUpdate(Nil, attr(2, asPath4(65010L)) ++ attr(3, Seq(192, 0, 2, 7)),
+          pfx4(172, 16, 0, 12))))
+      s1.getOutputStream.write(announceMsg); s1.getOutputStream.flush()
+      s2.getOutputStream.write(peerB); s2.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) != null &&
+          live.table.lookup(Ip.parse("172.16.9.9"), null) != null
+      }, s"stats=${srv.stats}")
+      // peer A going down must not touch peer B's routes
+      s1.getOutputStream.write(peerDownMsg); s1.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) == null
+      })
+      assert(live.table.lookup(Ip.parse("172.16.9.9"), null).asn == 65010L)
+      s1.close(); s2.close()
+    } finally srv.stop()
+  }
+}
