@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.SnmpPoller.IfInfo
+
+/** Interface-metadata cache between the flow plane and the SNMP poller —
+  * the reference's `outlet/metadata/root.go` semantics:
+  *
+  *  - **access-based expiry** (`CacheDuration`, default 30 m): an entry
+  *    nobody looks up falls out at the next ticker run;
+  *  - **age-based refresh** (`CacheRefresh`, default 1 h ≥ duration): an
+  *    entry retrieved long ago re-polls proactively so interface renames
+  *    propagate without a lookup storm;
+  *  - **single-flight misses** (`root.go:185` `sf.Do`): concurrent
+  *    lookups for one (exporter, ifIndex) coalesce into one poll;
+  *  - negative answers cache too — a dead exporter is asked once per
+  *    ticker cycle, not once per flow.
+  *
+  * [[expireAndRefresh]] is the `CacheCheckInterval` ticker body — the
+  * caller owns scheduling, like every other lifecycle hook in graft.
+  * The flow plane never calls [[lookup]] from a task: [[toDim]]
+  * snapshots the cache into the broadcast dimension frame that
+  * [[graft.streaming.Enrichment.withMetadata]] joins, so executors see
+  * immutable rows and cache mutation stays driver-side, at SNMP rate.
+  */
+final class MetadataCache(
+    poll: (String, Long) => Option[IfInfo],
+    cacheDurationMs: Long = 30L * 60 * 1000,
+    refreshAfterMs: Long = 60L * 60 * 1000,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  require(refreshAfterMs >= cacheDurationMs,
+    "cache refresh must be greater than cache duration (reference root.go:61-63)")
+
+  private final case class Entry(info: Option[IfInfo], retrievedAt: Long,
+      accessedAt: AtomicLong)
+
+  private val entries = new ConcurrentHashMap[(String, Long), Entry]()
+  private val inFlight =
+    new ConcurrentHashMap[(String, Long), CompletableFuture[Option[IfInfo]]]()
+  private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  private def bump(k: String): Unit =
+    counters.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
+
+  def stats: Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    counters.forEach((k, v) => b += k -> v.get())
+    b.result()
+  }
+
+  /** Cached answer for (exporter, ifIndex); polls on miss (coalesced). */
+  def lookup(exporter: String, ifIndex: Long): Option[IfInfo] = {
+    val key = (exporter, ifIndex)
+    val hit = entries.get(key)
+    if (hit != null) {
+      hit.accessedAt.set(clock())
+      bump("hits")
+      hit.info
+    } else {
+      bump("misses")
+      val mine = new CompletableFuture[Option[IfInfo]]()
+      val race = inFlight.putIfAbsent(key, mine)
+      if (race != null) race.join() // someone else is polling — wait
+      else {
+        try {
+          bump("polls")
+          val got = poll(exporter, ifIndex)
+          entries.put(key, Entry(got, clock(), new AtomicLong(clock())))
+          mine.complete(got)
+          got
+        } catch {
+          case e: Throwable => mine.completeExceptionally(e); throw e
+        } finally inFlight.remove(key)
+      }
+    }
+  }
+
+  /** Ticker body: drop entries unaccessed for `cacheDuration`, re-poll
+    * entries retrieved more than `refreshAfter` ago. Returns
+    * (expired, refreshed).
+    */
+  def expireAndRefresh(): (Int, Int) = {
+    val now = clock()
+    var expired = 0
+    var refreshed = 0
+    entries.forEach { (key, e) =>
+      if (now - e.accessedAt.get() > cacheDurationMs) {
+        if (entries.remove(key, e)) { expired += 1; bump("expired") }
+      } else if (now - e.retrievedAt > refreshAfterMs) {
+        val got = poll(key._1, key._2)
+        entries.put(key, Entry(got, now, e.accessedAt))
+        refreshed += 1
+        bump("refreshed")
+      }
+    }
+    (expired, refreshed)
+  }
+
+  def size: Int = entries.size()
+
+  /** Snapshot as the broadcast metadata dimension
+    * ([[graft.streaming.Enrichment.MetadataDim]] columns; the
+    * connectivity/provider/boundary attributes come from classifier
+    * rules downstream, so they are null here — reference parity: SNMP
+    * knows names and speeds, not business roles).
+    */
+  def toDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Byte], Long, String, String, String, Long)]
+    entries.forEach { (key, e) =>
+      e.info.foreach { i =>
+        rows += ((graft.functions.Ip.parse(key._1), key._2, i.sysName,
+          i.name, i.description, i.speedMbps))
+      }
+    }
+    rows.toSeq
+      .toDF("exporter_addr", "if_index", "exporter_name", "if_name",
+        "if_desc", "if_speed")
+      .withColumn("if_connectivity",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("if_provider",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("if_boundary",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+  }
+}
