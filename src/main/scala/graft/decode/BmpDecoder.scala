@@ -46,6 +46,12 @@ object BmpDecoder {
     */
   def peerId(asn: Long, bgpId: Long): Long = (asn << 32) | bgpId
 
+  /** Framing cap: no legitimate BMP message approaches 1 MB (a full
+    * Internet-table UPDATE is ~4 KB); a forged length would otherwise
+    * make the session buffer "wait for more bytes" forever.
+    */
+  val MaxMessageLen: Int = 1 << 20
+
   private val RouteMonitoring = 0
   private val Statistics = 1
   private val PeerDownMsg = 2
@@ -64,7 +70,7 @@ object BmpDecoder {
       val w = new Wire(buf, pos, buf.length)
       val version = w.u8()
       val len = w.u32().toInt
-      if (version != 3 || len < 6) {
+      if (version != 3 || len < 6 || len > MaxMessageLen) {
         // cannot trust the framing — drop the rest of the buffer
         out += Malformed(s"bad header: version=$version len=$len")
         pos = buf.length

@@ -136,9 +136,18 @@ object SnmpCodec {
 
   /** Decode an SNMPv2c message; returns (community, pdu). Works for
     * both requests (0xA0) and responses (0xA2) — the agent stub decodes
-    * requests with it too.
+    * requests with it too. EVERY malformed input fails as
+    * `IllegalArgumentException` — the one failure mode the poller
+    * catches; a truncated buffer must not escape as a bounds error.
     */
-  def decode(bytes: Array[Byte]): (String, Pdu) = {
+  def decode(bytes: Array[Byte]): (String, Pdu) =
+    try decodeUnsafe(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        throw new IllegalArgumentException(s"truncated SNMP message: $e")
+    }
+
+  private def decodeUnsafe(bytes: Array[Byte]): (String, Pdu) = {
     val b = new Ber(bytes, 0, bytes.length)
     val (t0, l0) = b.header()
     require(t0 == 0x30, "not a SEQUENCE")
