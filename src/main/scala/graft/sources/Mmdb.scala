@@ -101,18 +101,36 @@ object Mmdb {
   def openFile(path: String): Database =
     open(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
 
-  /** GeoLite2-style attribute extraction (the reference's field set,
-    * `iter_maxminddb.go:27-160`): country/state/city from geo files,
-    * asn/asorg from ASN files — one flattened attrs map per network,
-    * ready for the networks LPM merge.
+  /** Attribute extraction covering BOTH database conventions the
+    * reference reads: GeoLite2/MaxMind (`iter_maxminddb.go:27-160` —
+    * nested maps, `iso_code`, numeric ASN) and ipinfo
+    * (`iter_ipinfo.go:18-76` — flat strings, `region` for state, ASN
+    * as "ASnnnn"). One flattened attrs map per network, ready for the
+    * networks LPM merge.
     */
   def prefixEntries(db: Database): Seq[Lpm.PrefixEntry] =
-    db.networks().flatMap { case (cidr, data) =>
+    prefixEntriesFrom(db.networks())
+
+  /** Extraction over raw (cidr, decoded data) pairs. */
+  def prefixEntriesFrom(nets: Seq[(String, Any)]): Seq[Lpm.PrefixEntry] =
+    nets.flatMap { case (cidr, data) =>
       data match {
         case m: Map[String @unchecked, Any @unchecked] =>
           val attrs = Map.newBuilder[String, String]
           m.get("country").collect { case c: Map[String @unchecked, Any @unchecked] =>
             c.get("iso_code").foreach(v => attrs += "country" -> v.toString)
+          }
+          // ipinfo convention: flat strings + "ASnnnn"
+          m.get("country").collect { case s: String => attrs += "country" -> s }
+          m.get("region").collect { case s: String => attrs += "state" -> s }
+          m.get("city").collect { case s: String => attrs += "city" -> s }
+          m.get("asn").collect {
+            case s: String if s.startsWith("AS") &&
+                s.drop(2).forall(_.isDigit) && s.length > 2 =>
+              attrs += "asn" -> s.drop(2)
+          }
+          m.get("name").collect { case s: String =>
+            if (m.contains("asn")) attrs += "asorg" -> s
           }
           m.get("subdivisions").collect { case subs: Vector[Any @unchecked] =>
             subs.headOption.collect { case s: Map[String @unchecked, Any @unchecked] =>

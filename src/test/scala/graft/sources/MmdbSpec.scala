@@ -154,6 +154,25 @@ class MmdbSpec extends AnyFunSuite {
     assert(table.lookup(Ip.parse("9.9.9.9")).isEmpty)
   }
 
+  test("ipinfo-convention records extract too") {
+    // reuse the tree shape but with flat ipinfo-style data records
+    val raw = buildFixture()
+    // decode-level check is enough here: feed ipinfo-shaped maps through
+    // the extraction path directly
+    val db = Mmdb.open(raw)
+    val entries = Mmdb.prefixEntriesFrom(Seq(
+      "5.44.0.0/16" -> Map[String, Any]("country" -> "NL",
+        "region" -> "North Holland", "city" -> "Amsterdam"),
+      "5.45.0.0/16" -> Map[String, Any]("asn" -> "AS60068", "name" -> "Datacamp"),
+      "5.46.0.0/16" -> Map[String, Any]("asn" -> "ASxx")) // malformed — skipped
+    ).map(e => e.cidr -> e.attrs).toMap
+    assert(entries("5.44.0.0/16") == Map("country" -> "NL",
+      "state" -> "North Holland", "city" -> "Amsterdam"))
+    assert(entries("5.45.0.0/16") == Map("asn" -> "60068", "asorg" -> "Datacamp"))
+    assert(!entries.contains("5.46.0.0/16"))
+    assert(db.networks().nonEmpty) // fixture still walks
+  }
+
   test("a non-MMDB buffer is rejected") {
     intercept[IllegalArgumentException] {
       Mmdb.open(Array.fill[Byte](64)(7))
