@@ -39,8 +39,24 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
+    // Self-attribution: per-rep GC time + heap high-water, so a GC-stall
+    // repetition is distinguishable from a plan regression IN the
+    // artifact (round 7/8 both saw the dedup family "regress" on host
+    // contention; this ends the environment archaeology). local[*] runs
+    // executors in this JVM, so driver-side MXBeans see the real load.
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    def gcNowMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    def peakHeapMb(): Long = heapPools
+      .flatMap(p => Option(p.getPeakUsage).map(_.getUsed)).sum / (1 << 20)
+    final case class Rep(sec: Double, rows: Long, gcMs: Long, peakMb: Long)
     val timed = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        heapPools.foreach(_.resetPeakUsage())
+        val g0 = gcNowMs()
         val t0 = System.nanoTime()
         // toRdd.count() materializes EVERY output column — a plain count()
         // would let Catalyst prune the projections being measured
@@ -49,28 +65,36 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val repGc = gcNowMs() - g0
         // release this query's scratch persists so cached partials never
         // carry into the next repetition or query (outside the timed window)
         ScratchCache.releaseAll(spark)
-        (sec, n)
+        Rep(sec, n, repGc, peakHeapMb())
       }
       // a failed repetition returns fast — its wall-clock must not become
       // the "best" time; min/worst come from successful reps only (a query
       // with zero successful reps keeps its failure times and the stderr
       // FAILED lines as the signal)
-      val ok = times.filter(_._2 >= 0)
+      val ok = times.filter(_.rows >= 0)
       val basis = if (ok.nonEmpty) ok else times
-      val best = basis.map(_._1).min
-      val worst = basis.map(_._1).max
+      val bestRep = basis.minBy(_.sec)
+      val worstRep = basis.maxBy(_.sec)
       System.err.println(
-        f"[bench] $name%-22s $best%8.2f s  (worst $worst%.2f, ${basis.head._2} rows)")
-      (name, best, worst)
+        f"[bench] $name%-22s ${bestRep.sec}%8.2f s  (worst ${worstRep.sec}%.2f, " +
+          f"gc ${bestRep.gcMs}/${worstRep.gcMs} ms, peak ${basis.map(_.peakMb).max} MB, " +
+          f"${basis.head.rows} rows)")
+      (name, bestRep, worstRep, basis.map(_.peakMb).max)
     }
-    val results = timed.map { case (n, best, _) => n -> best }
+    val results = timed.map { case (n, best, _, _) => n -> best.sec }
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+    def fmtL(pairs: Seq[(String, Long)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val gcBestTotal = timed.map(_._2.gcMs).sum
+    val gcWorstTotal = timed.map(_._3.gcMs).sum
+    val peakMbMax = if (timed.nonEmpty) timed.map(_._4).max else 0L
     // The harness keeps only the tail of stdout, so the printed line must
     // stay well under 2000 chars: report a headline subset inline (one
     // query per major area) and dump the complete per-query map to
@@ -78,18 +102,26 @@ object Bench {
     val headlinePairs = results.filter { case (k, _) => headline(k) }
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
       s""","n_queries":${results.size},"reps":$reps""" +
+      s""","gc_best_ms":$gcBestTotal,"gc_worst_ms":$gcWorstTotal""" +
+      s""","heap_peak_mb":$peakMbMax""" +
       s""","queries":${fmt(headlinePairs)}""" +
       s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // only a FULL run may refresh the committed per-query record — a
     // filtered smoke run ("Bench q_x") would silently clobber it with a
     // near-empty map and a subset total. `queries` is min-of-reps;
     // `worst` records each query's slowest repetition so the noise band
-    // is visible in the artifact itself.
+    // is visible in the artifact itself; `gc_ms`/`gc_worst_ms` attribute
+    // each rep's wall-clock to GC (a slow rep with proportionally high
+    // gc_worst_ms is a GC stall, not a plan change), and `heap_peak_mb`
+    // is the rep-max heap high-water per query.
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
           s""","reps":$reps,"queries":${fmt(results)}""" +
-          s""","worst":${fmt(timed.map { case (n, _, w) => n -> w })}""" +
+          s""","worst":${fmt(timed.map { case (n, _, w, _) => n -> w.sec })}""" +
+          s""","gc_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.gcMs })}""" +
+          s""","gc_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.gcMs })}""" +
+          s""","heap_peak_mb":${fmtL(timed.map { case (n, _, _, p) => n -> p })}""" +
           s""","sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
     println(line)

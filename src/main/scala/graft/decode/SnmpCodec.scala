@@ -94,6 +94,9 @@ object SnmpCodec {
   private final class Ber(bytes: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def header(): (Int, Int) = { // (tag, length), advances past header
+      // Containment: a sub-reader at its logical end must throw, never
+      // read sibling bytes from the same datagram.
+      require(pos + 2 <= end, "truncated BER header")
       val tag = bytes(pos) & 0xff
       pos += 1
       var len = bytes(pos) & 0xff
@@ -109,14 +112,17 @@ object SnmpCodec {
     }
     def sub(len: Int): Ber = { val b = new Ber(bytes, pos, pos + len); pos += len; b }
     def int(len: Int): Long = {
+      require(pos + len <= end, "BER integer overruns container")
       var v = if (len > 0 && (bytes(pos) & 0x80) != 0) -1L else 0L
       (0 until len).foreach { _ => v = (v << 8) | (bytes(pos) & 0xff); pos += 1 }
       v
     }
     def str(len: Int): String = {
+      require(pos + len <= end, "BER string overruns container")
       val s = new String(bytes, pos, len, "UTF-8"); pos += len; s
     }
     def oid(len: Int): String = {
+      require(len >= 1 && pos + len <= end, "BER OID overruns container")
       val stop = pos + len
       val first = bytes(pos) & 0xff
       pos += 1

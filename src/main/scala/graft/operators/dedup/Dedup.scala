@@ -443,6 +443,63 @@ object Dedup {
         col("q").as("quality"), col("size"))
   }
 
+  /** The one-pass dedup release: every per-product DataFrame a corpus
+    * release ships, derived from a SINGLE materialization of the verified
+    * near-dup pair set and a single connected-components run.
+    *
+    * Standalone, `pairs` / `clusters` / `keepers` / `clusterSizes` /
+    * `survivors` / `split` each rebuild shingles → inverted index → pair
+    * join → CC from scratch; at 100 TB the pair join is the single most
+    * expensive stage in the system, so a release that computes five
+    * cluster products would pay it five times over. Here the verified
+    * pair set persists once ([[graft.ScratchCache]], the SemDeDup
+    * discipline), CC consumes it through its own localCheckpoint (so the
+    * label table is likewise materialized exactly once, bounded-lineage),
+    * and every product is a cheap derivation: the downstream plans read
+    * the cached pairs / checkpointed labels, never the corpus text. The
+    * reference's analog is ClickHouse MV fan-out — five products from one
+    * insert (`orchestrator/clickhouse/migrations_helpers.go:325-366`);
+    * this is the same discipline on the dedup plane.
+    *
+    * @param quality (id, q) per-doc quality for [[clusterKeepers]] —
+    *                e.g. `n_chars` to keep the longest copy
+    * @return products; `survivors` carries `df`'s full row for every doc
+    *         that is not a non-keeper cluster member, `split` is the
+    *         leakage-safe (id, split) assignment where every cluster
+    *         member inherits its root's split
+    */
+  final case class ReleaseProducts(
+      pairs: DataFrame, clusters: DataFrame, keepers: DataFrame,
+      clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame)
+
+  def releasePipeline(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int],
+      quality: DataFrame): ReleaseProducts = {
+    // the ONE pair-join materialization: ngramJaccard's own scratch
+    // persists cover shingling; this persist covers the verified pairs
+    // so CC's checkpoint AND the pairs product both read it cache-side
+    val pairs = graft.ScratchCache.persist(
+      ngramJaccard(df, idCol, textCol, threshold, maxShingleDf))
+    // CC materializes its label table (localCheckpoint / driver-resolved
+    // local relation) — the four cluster products below re-plan from
+    // that materialization, never from the pair pipeline
+    val clusters = connectedComponents(pairs)
+    val keepers = clusterKeepers(clusters, quality)
+    val clusterSizes = clusters
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val losers = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val survivors = df.join(losers, Seq(idCol), "left_anti")
+    val split = df.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("root", coalesce(col("cluster"), col(idCol)))
+      .select(col(idCol),
+        when(substring(md5(col("root").cast("string")), 1, 1) < "d", "train")
+          .otherwise("eval").as("split"))
+    ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split)
+  }
+
   /** Seeded hash-family parameters, exposed so an external oracle can
     * replicate the signature family exactly.
     */

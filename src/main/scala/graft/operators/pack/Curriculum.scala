@@ -44,10 +44,21 @@ object Curriculum {
     * `scoreCol` must be integral; discretize continuous scores first
     * (the distinct-score table is the scalability contract).
     */
+  /** Stage assigned to rows whose `scoreCol` is null: they carry no
+    * difficulty signal, so they get a deterministic out-of-band stage
+    * instead of silently vanishing (a null group key never equi-matches,
+    * so an inner join would delete them — the DocJsonl reject
+    * discipline, applied here).
+    */
+  val NullStage: Long = -1L
+
   def order(df: DataFrame, idCol: String, scoreCol: String,
       stages: Int, shards: Int): DataFrame = {
     require(stages > 0 && shards > 0, "stages and shards must be positive")
-    val v = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // null scores are excluded from the percentile table (they would
+    // shift every cut) and land in NullStage via the left join below
+    val v = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
     // cumulative count of strictly-smaller scores = the value's first
     // global rank (0-based); the window runs over the value table only
     val m = v
@@ -57,7 +68,8 @@ object Curriculum {
     val stageMap = m.crossJoin(tot)
       .select(col(scoreCol),
         expr(s"(__cumb * $stages) div __n").cast("long").as("stage"))
-    df.join(broadcast(stageMap), Seq(scoreCol))
+    df.join(broadcast(stageMap), Seq(scoreCol), "left")
+      .withColumn("stage", coalesce(col("stage"), lit(NullStage)))
       .withColumn("shard", pmod(hash48(col(idCol).cast("string")), lit(shards.toLong)))
       .withColumn("slot", hash48(concat(col(idCol).cast("string"), lit(":slot"))))
   }

@@ -143,7 +143,10 @@ object Flow {
 
   val qWidgetDstPort: Q = (s, dir) => {
     val (_, _, widgets) = engine(s, dir)
-    widgets.topWidget(s, ts("2024-01-29T00:00:00Z"), "dst-port")
+    // `now` sits where the preceding 5 minutes contain external-boundary
+    // rows at every gate SF — the corpus-end window is empty at sf0.01
+    // and a 0-row == 0-row match would verify nothing about the widget
+    widgets.topWidget(s, ts("2024-01-01T02:50:00Z"), "dst-port")
       .select(col("name"), floor(col("percent") * 10000).cast("long").as("pct_bp"))
   }
 
@@ -490,8 +493,8 @@ object Flow {
     "q_widget_dstport" ->
       s"""WITH flows AS ($F),
          |f AS (SELECT * FROM flows
-         |  WHERE TimeReceived >= TIMESTAMP '2024-01-28 23:55:00'
-         |    AND TimeReceived < TIMESTAMP '2024-01-29 00:00:00'
+         |  WHERE TimeReceived >= TIMESTAMP '2024-01-01 02:45:00'
+         |    AND TimeReceived < TIMESTAMP '2024-01-01 02:50:00'
          |    AND OutIfBoundary = 'external'),
          |per AS (SELECT Proto, DstPort,
          |    CAST(sum(Bytes*SamplingRate) AS BIGINT) AS b

@@ -143,14 +143,21 @@ object Pipeline {
     // windows — Chunker feeding SequencePacking's two-phase prefix sum
     "q_chunk_pack" -> ((s, dir) => {
       import graft.operators.pack.{Chunker, SequencePacking}
+      // chunk identity = doc_id * 2^20 + chunk_idx; 2^20 chunks covers
+      // ~59M tokens per doc at 64/8 chunking, and the guard turns any
+      // overflow into a loud error instead of a silently-corrupt cid
+      val mult = 1L << 20
       val ch = Chunker.chunk(docs(s, dir), "doc_id", "text",
           maxTokens = 64, overlap = 8)
         .select(col("doc_id"), col("chunk_idx"), col("n_tok"))
-        .withColumn("cid", col("doc_id") * 1024L + col("chunk_idx"))
+        .withColumn("cid", col("doc_id") * mult +
+          when(col("chunk_idx") < mult, col("chunk_idx")).otherwise(
+            raise_error(concat(lit("chunk_idx overflows pack id space: "),
+              col("chunk_idx")))))
       SequencePacking.pack(ch, "cid", "n_tok",
           windowTokens = 512, shardSize = 512)
-        .withColumn("doc_id", expr("id div 1024"))
-        .withColumn("chunk_idx", pmod(col("id"), lit(1024L)))
+        .withColumn("doc_id", expr(s"id div $mult"))
+        .withColumn("chunk_idx", pmod(col("id"), lit(mult)))
         .select("doc_id", "chunk_idx", "toks", "start_tok", "window_id",
           "spans_boundary")
     }),
@@ -270,16 +277,24 @@ object Pipeline {
         lowPct = 10, highPct = 90)),
 
     // boilerplate detection: sentences repeated across documents (the
-    // paragraph/sentence-level companion of document-level dedup)
-    "q_sentence_dedup" -> ((s, dir) =>
+    // paragraph/sentence-level companion of document-level dedup).
+    // Sentence boundaries come from the deterministic segmenter — a
+    // period boundary when present, else every 10 tokens (the CCNet
+    // line-dedup move for unpunctuated corpora; the synthetic documents
+    // carry no punctuation, so a '. '-only split would degenerate to one
+    // whole-text sentence per doc and verify nothing at the gate)
+    "q_sentence_dedup" -> ((s, dir) => {
+      val toks = split(trim(regexp_replace(col("text"), "\\. ", " ")), "\\s+")
       docs(s, dir)
         .select(col("doc_id"),
-          explode(split(col("text"), "\\. ")).as("sent"))
-        .select(col("doc_id"), trim(col("sent")).as("sent"))
+          explode(transform(
+            sequence(lit(0), floor((size(toks) - 1) / lit(10)).cast("int")),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))).as("sent"))
         .where(length(col("sent")) > 0)
         .groupBy(sha2(col("sent"), 256).as("sent_hash"))
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
-        .where(col("n") > 1)),
+        .where(col("n") > 1)
+    }),
 
     "q_quality_filter" -> ((s, dir) => {
       val (keep, reason) = TextAnalysis.qualityVerdict(col("text"))
@@ -365,6 +380,34 @@ object Pipeline {
           maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))))
       clusters.groupBy("cluster").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // the one-pass dedup RELEASE: all six ngram-family products (pairs,
+    // clusters, keepers, size histogram, purge survivors, leakage-safe
+    // split) from a SINGLE pair-set materialization + one CC run — the
+    // composition a real release executes instead of paying the pair
+    // join six times. Long format (product, row_md5): each product's
+    // rows hash the same canonical string its standalone oracle derives,
+    // so one CORRECTNESS row verifies all six products at once.
+    "q_dedup_release" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      def tag(name: String, df: org.apache.spark.sql.DataFrame,
+          cols: Seq[String]) =
+        df.select(lit(name).as("product"),
+          md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+            .as("row_md5"))
+      tag("pairs", r.pairs, Seq("id_a", "id_b", "common", "jaccard_pm"))
+        .unionAll(tag("clusters", r.clusters, Seq("id", "cluster")))
+        .unionAll(tag("keepers", r.keepers,
+          Seq("cluster", "keeper_id", "quality", "size")))
+        .unionAll(tag("sizes", r.clusterSizes, Seq("size", "n_clusters")))
+        .unionAll(tag("purge",
+          r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+          Seq("lang", "n")))
+        .unionAll(tag("split", r.split, Seq("doc_id", "split")))
     }),
 
     // cross-source duplication matrix: near-dup pairs bucketed by the
@@ -1723,10 +1766,13 @@ object Pipeline {
         |    THEN 1 END) AS BIGINT) AS kept
         |FROM c JOIN t USING (g) GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_sentence_dedup" ->
-      """WITH s AS (SELECT doc_id, trim(u.sent) AS sent
-        |  FROM documents, LATERAL (
-        |    SELECT unnest(string_split(text, '. ')) AS sent) u
-        |  WHERE length(trim(u.sent)) > 0)
+      """WITH t AS (SELECT doc_id, string_split_regex(
+        |    trim(replace(text, '. ', ' ')), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |    array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS sent
+        |  FROM t, LATERAL (
+        |    SELECT unnest(range(0, (len(w)-1)//10 + 1)) AS i) r
+        |  WHERE length(array_to_string(list_slice(w, i*10+1, i*10+10), ' ')) > 0)
         |SELECT sha256(sent) AS sent_hash, CAST(count(*) AS BIGINT) AS n,
         |  min(doc_id) AS first_doc
         |FROM s GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -1876,6 +1922,61 @@ object Pipeline {
         |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
         |$reachCte
         |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1""".stripMargin,
+    // the composed release: ONE pair/CC derivation, six tagged product
+    // branches — each branch's canonical string mirrors its standalone
+    // oracle's output columns exactly
+    "q_dedup_release" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        |    CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT)
+        |      AS jaccard_pm
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |pairs AS (SELECT id_a, id_b FROM pj),
+        |$reachCte,
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |kq AS (SELECT c.cluster, c.id, d.n_chars AS q
+        |  FROM clusters c JOIN documents d ON c.id = d.doc_id),
+        |kr AS (SELECT cluster, id, q,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS size
+        |  FROM kq),
+        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+        |  FROM clusters GROUP BY 1),
+        |szh AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM cs GROUP BY 1),
+        |losers AS (SELECT id FROM clusters WHERE id != cluster),
+        |pg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1),
+        |spl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+        |SELECT 'pairs' AS product, md5(concat_ws('|', CAST(id_a AS VARCHAR),
+        |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
+        |    CAST(jaccard_pm AS VARCHAR))) AS row_md5 FROM pj
+        |UNION ALL
+        |SELECT 'clusters', md5(concat_ws('|', CAST(id AS VARCHAR),
+        |    CAST(cluster AS VARCHAR))) FROM clusters
+        |UNION ALL
+        |SELECT 'keepers', md5(concat_ws('|', CAST(cluster AS VARCHAR),
+        |    CAST(id AS VARCHAR), CAST(q AS VARCHAR),
+        |    CAST(CAST(size AS BIGINT) AS VARCHAR))) FROM kr WHERE rn = 1
+        |UNION ALL
+        |SELECT 'sizes', md5(concat_ws('|', CAST(size AS VARCHAR),
+        |    CAST(n_clusters AS VARCHAR))) FROM szh
+        |UNION ALL
+        |SELECT 'purge', md5(concat_ws('|', lang, CAST(n AS VARCHAR))) FROM pg
+        |UNION ALL
+        |SELECT 'split', md5(concat_ws('|', CAST(doc_id AS VARCHAR),
+        |    CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 1) < 'd'
+        |         THEN 'train' ELSE 'eval' END)) FROM spl""".stripMargin,
     "q_dedup_purge" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),

@@ -93,7 +93,12 @@ object Mmdb {
     }
     val nodeCount = num("node_count").toInt
     val recordSize = num("record_size").toInt
-    val dataStart = nodeCount * recordSize * 2 / 8 + 16
+    // Long math: nodeCount * recordSize * 2 overflows Int around 34M
+    // nodes at record size 32 even though the byte count fits an array.
+    val dataStartL = nodeCount.toLong * recordSize * 2 / 8 + 16
+    require(dataStartL <= buf.length,
+      s"MMDB tree section ($dataStartL bytes) exceeds image (${buf.length})")
+    val dataStart = dataStartL.toInt
     Database(nodeCount, recordSize, num("ip_version").toInt,
       meta.getOrElse("database_type", "").toString, buf, dataStart)
   }

@@ -46,6 +46,18 @@ class CurriculumSpec extends SparkSpec {
     assert(a.map(_._2).size >= 6)
   }
 
+  test("null scores land in NullStage, never silently deleted") {
+    val d = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(30L)),
+      (5L, None)).toDF("id", "score")
+    val got = Curriculum.order(d, "id", "score", stages = 3, shards = 2)
+      .select("id", "stage").as[(Long, Long)].collect().toMap
+    // every input row survives; null-score rows get the explicit stage
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(3L) == Curriculum.NullStage && got(5L) == Curriculum.NullStage)
+    // and the percentile cuts ignore nulls: 3 scored rows over 3 stages
+    assert(got(1L) == 0L && got(2L) == 1L && got(4L) == 2L)
+  }
+
   test("stage map broadcast-joins; no window ever runs over the corpus") {
     val d = (1L to 100L).map(i => (i, i % 10)).toDF("id", "score")
     val plan = Curriculum.order(d, "id", "score", 4, 4)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The one-pass dedup release: product equivalence against the
+  * standalone operators, and the materialize-once plan discipline (the
+  * cluster products must never re-derive the shingle/pair pipeline).
+  */
+class ReleaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two 3-doc near-dup families + singletons; doc 20's copy is longest
+  // so the quality keeper differs from the min-id keeper
+  private def corpus: DataFrame = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "en"),
+    (2L, "alpha beta gamma delta epsilon zeta", "en"),
+    (3L, "alpha beta gamma delta epsilon eta", "de"),
+    (20L, "one two three four five six seven", "en"),
+    (21L, "one two three four five six seven eight nine ten", "fr"),
+    (50L, "totally unrelated text about completely different things", "en"),
+    (51L, "another unique document with no shared trigrams at all", "de"))
+    .toDF("doc_id", "text", "lang")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("every product matches its standalone derivation") {
+    val d = corpus
+    val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None,
+      quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+
+    val pairs0 = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5)
+    assert(rows(r.pairs) == rows(pairs0))
+    val clusters0 = Dedup.connectedComponents(pairs0)
+    assert(rows(r.clusters) == rows(clusters0))
+    assert(rows(r.keepers) == rows(Dedup.clusterKeepers(clusters0,
+      d.select(col("doc_id").as("id"), col("n_chars").as("q")))))
+    assert(rows(r.clusterSizes) == rows(clusters0
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))))
+    val losers0 = clusters0.where(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+    assert(rows(r.survivors) == rows(d.join(losers0, Seq("doc_id"), "left_anti")))
+    // the split is leakage-safe: both members of a cluster share it
+    val split = r.split.as[(Long, String)].collect().toMap
+    assert(split.keySet == Set(1L, 2L, 3L, 20L, 21L, 50L, 51L))
+    assert(split(1L) == split(2L) && split(2L) == split(3L))
+    assert(split(20L) == split(21L))
+    // and the quality keeper picked the longest member, not min id
+    val keeper = r.keepers.select("cluster", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    assert(keeper(20L) == 21L)
+  }
+
+  test("cluster products re-plan from the materialization, not the corpus") {
+    val d = corpus
+    val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None,
+      quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+    // the pair set is the one registered materialization…
+    assert(r.pairs.storageLevel.useMemory || r.pairs.storageLevel.useDisk)
+    // …and no cluster-side product's plan contains the shingle pipeline
+    // (xxhash64 over shingle arrays is its unmistakable signature): they
+    // all read CC's materialized label table instead of re-joining text
+    Seq(r.clusters, r.keepers, r.clusterSizes, r.split).foreach { p =>
+      val plan = p.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("xxhash64"), plan.take(2000))
+    }
+    // the pairs product itself reads the cache, not a rebuilt pair join
+    val pairsPlan = r.pairs.queryExecution.withCachedData.toString
+    assert(pairsPlan.contains("InMemoryRelation"), pairsPlan.take(2000))
+    graft.ScratchCache.releaseAll(spark)
+  }
+}
