@@ -39,10 +39,18 @@ object BmpDecoder {
   case object Termination extends Event
   final case class Malformed(reason: String) extends Event
 
-  /** Stable peer identity for [[Rib.Live]]: peer AS in the high 32 bits,
-    * peer BGP router id in the low 32 (the discriminating fields of the
-    * reference's `peerKey`, `events.go:36-46`, minus the per-exporter
-    * scoping a single session does not need).
+  /** Default peer identity for [[Rib.Live]]: peer AS in the high 32
+    * bits, peer BGP router id in the low 32. Sufficient for a SINGLE
+    * session; the reference's `peerKey` (`events.go:36-46`) additionally
+    * scopes by exporter, because two routers of different exporters may
+    * legitimately reuse the same (AS, router-id) pair (RFC 1918
+    * router-ids are common) and must never share RIB peer state — a
+    * shared id would cross-flush one router's routes on the other's
+    * Peer Down. Multi-session callers ([[graft.sources.BmpServer]]) pass
+    * a session-scoped `mkPeer` to [[messages]] instead; the decoder
+    * itself never derives semantics from the id (the origin-AS fallback
+    * uses the header's AS field directly), so any collision-free Long
+    * works.
     */
   def peerId(asn: Long, bgpId: Long): Long = (asn << 32) | bgpId
 
@@ -61,8 +69,13 @@ object BmpDecoder {
 
   /** Decode every complete BMP message in `buf`; returns the events and
     * the number of bytes consumed (a partial trailing message stays).
+    *
+    * @param mkPeer peer-identity function (peer AS, BGP router id) →
+    *               [[Rib.Live]] peer key; default is the single-session
+    *               packing, session servers pass an exporter-scoped one
     */
-  def messages(buf: Array[Byte]): (Seq[Event], Int) = {
+  def messages(buf: Array[Byte],
+      mkPeer: (Long, Long) => Long = peerId): (Seq[Event], Int) = {
     val out = Seq.newBuilder[Event]
     var pos = 0
     var done = false
@@ -83,7 +96,7 @@ object BmpDecoder {
         // ARRAY, so a truncated message parsed in place would silently
         // read into the next message instead of failing containment
         val body = java.util.Arrays.copyOfRange(buf, w.pos, pos + len)
-        out ++= (try message(msgType, new Wire(body))
+        out ++= (try message(msgType, new Wire(body), mkPeer)
         catch {
           case _: ArrayIndexOutOfBoundsException =>
             Seq(Malformed(s"truncated body: type=$msgType"))
@@ -94,23 +107,25 @@ object BmpDecoder {
     (out.result(), pos)
   }
 
-  private def message(msgType: Int, w: Wire): Seq[Event] = msgType match {
+  private def message(msgType: Int, w: Wire,
+      mkPeer: (Long, Long) => Long): Seq[Event] = msgType match {
     case InitiationMsg => Seq(Initiation)
     case TerminationMsg => Seq(Termination)
     case RouteMonitoring =>
-      val (peer, asSize) = peerHeader(w)
-      routeMonitoring(peer, asSize, w)
-    case Statistics => Seq(Stats(peerHeader(w)._1))
-    case PeerDownMsg => Seq(PeerDown(peerHeader(w)._1))
-    case PeerUpMsg => Seq(PeerUp(peerHeader(w)._1))
+      val (peer, peerAs, asSize) = peerHeader(w, mkPeer)
+      routeMonitoring(peer, peerAs, asSize, w)
+    case Statistics => Seq(Stats(peerHeader(w, mkPeer)._1))
+    case PeerDownMsg => Seq(PeerDown(peerHeader(w, mkPeer)._1))
+    case PeerUpMsg => Seq(PeerUp(peerHeader(w, mkPeer)._1))
     case t => Seq(Malformed(s"unknown message type $t"))
   }
 
-  /** Per-peer header (RFC 7854 §4.2, 42 bytes): returns the peer id and
-    * the AS_PATH AS width (2 when the A flag marks a legacy 2-octet
-    * session, else 4).
+  /** Per-peer header (RFC 7854 §4.2, 42 bytes): returns the peer id,
+    * the peer AS (for the empty-path origin fallback), and the AS_PATH
+    * AS width (2 when the A flag marks a legacy 2-octet session, else 4).
     */
-  private def peerHeader(w: Wire): (Long, Int) = {
+  private def peerHeader(w: Wire,
+      mkPeer: (Long, Long) => Long): (Long, Long, Int) = {
     w.u8() // peer type
     val flags = w.u8()
     w.skip(8) // distinguisher
@@ -118,13 +133,14 @@ object BmpDecoder {
     val asn = w.u32()
     val bgpId = w.u32()
     w.skip(8) // timestamps
-    (peerId(asn, bgpId), if ((flags & 0x20) != 0) 2 else 4)
+    (mkPeer(asn, bgpId), asn, if ((flags & 0x20) != 0) 2 else 4)
   }
 
   /** Route Monitoring body: one BGP UPDATE message (with its 19-byte
     * BGP header).
     */
-  private def routeMonitoring(peer: Long, asSize: Int, w: Wire): Seq[Event] = {
+  private def routeMonitoring(peer: Long, peerAs: Long, asSize: Int,
+      w: Wire): Seq[Event] = {
     w.skip(16) // BGP marker
     val bgpLen = w.u16()
     val bgpType = w.u8()
@@ -190,8 +206,9 @@ object BmpDecoder {
       }
     }
 
-    // origin AS: last AS of the flattened path, peer AS when empty
-    val asn = asPath.lastOption.getOrElse(peer >>> 32)
+    // origin AS: last AS of the flattened path, peer AS when empty —
+    // from the header field, never decoded back out of the opaque peer id
+    val asn = asPath.lastOption.getOrElse(peerAs)
     def route(nh: String) = Rib.Route(nh, asn, asPath, communities)
 
     out ++= withdrawnV4.map(Withdraw(peer, _))

@@ -201,13 +201,32 @@ object Rib {
     * immutable broadcast-safe snapshot only when the route set actually
     * changed — [[Lpm.RefreshingTable]]'s rebuild-on-change, applied to
     * announce/withdraw streams.
+    *
+    * At full-table scale (~1M prefixes) under continuous BMP churn,
+    * EVERY dirty [[table]] call would pay an O(table) rebuild — with a
+    * busy reader that degenerates to a rebuild per update batch. So
+    * rebuilds COALESCE on `minRebuildMs`: a dirty read inside the
+    * interval serves the previous snapshot (bounded, deliberate
+    * staleness — the reference's flow plane likewise reads its RIB copy
+    * asynchronously from BMP churn), and the rebuild cost is bounded by
+    * `span / minRebuildMs` instead of by the update rate. The default 0
+    * keeps strict rebuild-on-change for lookup-after-update callers.
+    *
+    * @param minRebuildMs minimum interval between snapshot rebuilds
+    * @param clock millisecond clock (injectable for tests)
     */
-  final class Live {
+  final class Live(minRebuildMs: Long = 0L,
+      clock: () => Long = () => System.currentTimeMillis()) {
     private val prefixes =
       scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Route)]]
     private var dirty = true
     private var snapshot: Table = Table.build(Nil)
+    private var lastRebuildAt = -1L
+    private var rebuildCount = 0L
+
+    /** Number of snapshot rebuilds so far (the churn-cost meter). */
+    def rebuilds: Long = synchronized { rebuildCount }
 
     /** Route announcement; true when a new route slot was created (false =
       * in-place update of this peer's existing route for the prefix).
@@ -257,16 +276,33 @@ object Rib {
     }
 
     /** Immutable snapshot for lookups/broadcast; rebuilt only when the
-      * route set changed since the last call.
+      * route set changed since the last call AND the coalescing interval
+      * has elapsed (a dirty read inside the interval serves the previous
+      * snapshot — see the class note on churn cost).
       */
     def table: Table = synchronized {
-      if (dirty) {
-        snapshot = Table.build(prefixes.iterator.flatMap { case (cidr, rs) =>
-          rs.map { case (_, r) => RouteEntry(cidr, r) }
-        }.toSeq)
-        dirty = false
-      }
+      if (dirty &&
+          (lastRebuildAt < 0 || clock() - lastRebuildAt >= minRebuildMs))
+        rebuild()
       snapshot
+    }
+
+    /** Current snapshot regardless of the coalescing interval — the
+      * "flush before broadcast" path when a caller needs every applied
+      * update visible right now.
+      */
+    def tableNow: Table = synchronized {
+      if (dirty) rebuild()
+      snapshot
+    }
+
+    private def rebuild(): Unit = {
+      snapshot = Table.build(prefixes.iterator.flatMap { case (cidr, rs) =>
+        rs.map { case (_, r) => RouteEntry(cidr, r) }
+      }.toSeq)
+      dirty = false
+      lastRebuildAt = clock()
+      rebuildCount += 1
     }
   }
 }

@@ -30,6 +30,21 @@ import graft.functions.Rib
 final class BmpServer(live: Rib.Live) {
 
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
+  // active per-connection sockets — stop() closes them so their read
+  // loops exit instead of lingering as daemon threads feeding the RIB
+  private val active =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[Socket, java.lang.Boolean]())
+  // peer identity is scoped per SESSION (reference `peerKey`,
+  // events.go:36-46): two routers of different exporters reusing the
+  // same (AS, router-id) pair must not share RIB peer state. Each
+  // (session, AS, router-id) triple interns to a dense unique Long —
+  // the decoder treats it as opaque, so no bit-packing collision exists.
+  private val sessionSeq = new AtomicLong()
+  private val peerSeq = new AtomicLong()
+  private val peerIds = new ConcurrentHashMap[(Long, Long, Long), Long]()
+  private def sessionPeer(session: Long)(asn: Long, bgpId: Long): Long =
+    peerIds.computeIfAbsent((session, asn, bgpId),
+      _ => peerSeq.incrementAndGet())
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
 
@@ -68,6 +83,9 @@ final class BmpServer(live: Rib.Live) {
   }
 
   private def serve(sock: Socket): Unit = {
+    active.add(sock)
+    val session = sessionSeq.incrementAndGet()
+    val mkPeer = sessionPeer(session) _
     val in = sock.getInputStream
     var carry = Array.emptyByteArray
     val chunk = new Array[Byte](64 * 1024)
@@ -78,18 +96,23 @@ final class BmpServer(live: Rib.Live) {
           val buf = new Array[Byte](carry.length + n)
           System.arraycopy(carry, 0, buf, 0, carry.length)
           System.arraycopy(chunk, 0, buf, carry.length, n)
-          val (events, consumed) = BmpDecoder.messages(buf)
+          val (events, consumed) = BmpDecoder.messages(buf, mkPeer)
           BmpDecoder.feed(live, events).foreach { case (k, c) => bump(k, c) }
           carry = java.util.Arrays.copyOfRange(buf, consumed, buf.length)
         }
         n = in.read(chunk)
       }
     } catch { case _: java.io.IOException => () }
-    finally sock.close()
+    finally { active.remove(sock); sock.close() }
   }
 
   def stop(): Unit = synchronized {
     running = false
     if (server != null) { server.close(); server = null }
+    // close active connections too: their read loops exit via the
+    // IOException path instead of blocking in read() until the remote
+    // router disconnects (a stop/start cycle must not leak feeders)
+    active.forEach(s => try s.close() catch { case _: java.io.IOException => () })
+    active.clear()
   }
 }

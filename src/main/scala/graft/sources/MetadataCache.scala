@@ -39,6 +39,14 @@ final class MetadataCache(
   private val entries = new ConcurrentHashMap[(String, Long), Entry]()
   private val inFlight =
     new ConcurrentHashMap[(String, Long), CompletableFuture[Option[IfInfo]]]()
+  // refresh polls run on this bounded pool (the reference refreshes in
+  // goroutines, root.go expireCache): a batch of stale entries for dead
+  // exporters costs ~one poll timeout total, not one EACH, and expiry
+  // is never queued behind them
+  private val refreshPool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "metadata-refresh"); t.setDaemon(true); t
+    })
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
   private def bump(k: String): Unit =
     counters.computeIfAbsent(k, _ => new AtomicLong).incrementAndGet()
@@ -64,9 +72,19 @@ final class MetadataCache(
       if (race != null) race.join() // someone else is polling — wait
       else {
         try {
-          bump("polls")
-          val got = poll(exporter, ifIndex)
-          entries.put(key, Entry(got, clock(), new AtomicLong(clock())))
+          // re-check under the flight slot: a previous winner may have
+          // cached the answer between our entries miss and winning
+          // putIfAbsent (it removes its slot AFTER putting the entry) —
+          // serving the fresh entry avoids the duplicate poll
+          val cached = entries.get(key)
+          val got =
+            if (cached != null) { cached.accessedAt.set(clock()); cached.info }
+            else {
+              bump("polls")
+              val g = poll(exporter, ifIndex)
+              entries.put(key, Entry(g, clock(), new AtomicLong(clock())))
+              g
+            }
           mine.complete(got)
           got
         } catch {
@@ -76,25 +94,36 @@ final class MetadataCache(
     }
   }
 
-  /** Ticker body: drop entries unaccessed for `cacheDuration`, re-poll
-    * entries retrieved more than `refreshAfter` ago. Returns
-    * (expired, refreshed).
+  /** Ticker body: drop entries unaccessed for `cacheDuration`, then
+    * re-poll entries retrieved more than `refreshAfter` ago — expiry
+    * first and synchronously (it is pure map work), refresh polls in
+    * PARALLEL on the bounded pool so a batch of stale entries behind
+    * dead exporters costs about one poll timeout, not one each (the
+    * reference's goroutine refresh, `root.go` expireCache). Returns
+    * (expired, refreshed) after every refresh poll has landed, so the
+    * caller observes the post-refresh cache.
     */
   def expireAndRefresh(): (Int, Int) = {
     val now = clock()
     var expired = 0
-    var refreshed = 0
     entries.forEach { (key, e) =>
       if (now - e.accessedAt.get() > cacheDurationMs) {
         if (entries.remove(key, e)) { expired += 1; bump("expired") }
-      } else if (now - e.retrievedAt > refreshAfterMs) {
-        val got = poll(key._1, key._2)
-        entries.put(key, Entry(got, now, e.accessedAt))
-        refreshed += 1
-        bump("refreshed")
       }
     }
-    (expired, refreshed)
+    val stale = scala.collection.mutable.ArrayBuffer.empty[((String, Long), Entry)]
+    entries.forEach { (key, e) =>
+      if (now - e.retrievedAt > refreshAfterMs) stale += ((key, e))
+    }
+    val polls = stale.map { case (key, e) =>
+      CompletableFuture.runAsync(() => {
+        val got = poll(key._1, key._2)
+        entries.put(key, Entry(got, now, e.accessedAt))
+        bump("refreshed")
+      }, refreshPool)
+    }
+    polls.foreach(_.join())
+    (expired, stale.size)
   }
 
   def size: Int = entries.size()

@@ -123,6 +123,39 @@ class RibSpec extends SparkSpec {
     assert(live.table eq t2)
   }
 
+  test("rebuilds coalesce under churn; lookups unchanged after the interval") {
+    // manual clock: 1000 announcements with a busy reader calling table()
+    // after EVERY update, clock advancing 10 ms per update, coalescing
+    // interval 1 s → the 10 s span admits at most ~11 rebuilds instead
+    // of 1000 (the O(table)-per-update cliff at full-table churn)
+    var now = 0L
+    val live = new Rib.Live(minRebuildMs = 1000L, clock = () => now)
+    val strict = new Rib.Live // reference semantics: rebuild-on-change
+    (0 until 1000).foreach { i =>
+      val cidr = s"10.${i / 256}.${i % 256}.0/24"
+      val r = Rib.Route(s"192.0.2.${i % 8}", 65000L + i % 8)
+      live.announce(1L, cidr, r)
+      strict.announce(1L, cidr, r)
+      live.table // busy reader
+      strict.table // same reader against rebuild-on-change
+      now += 10
+    }
+    assert(live.rebuilds <= 12, s"rebuilds=${live.rebuilds}")
+    assert(strict.rebuilds == 1000L) // the cliff this bounds
+    // after the interval elapses the next read is fully fresh, and
+    // tableNow flushes immediately regardless of the interval
+    now += 1000
+    val t = live.table
+    (0 until 1000 by 97).foreach { i =>
+      val got = t.lookup(Ip.parse(s"10.${i / 256}.${i % 256}.9"), null)
+      val want = strict.table.lookup(Ip.parse(s"10.${i / 256}.${i % 256}.9"), null)
+      assert(got.asn == want.asn &&
+        got.nextHop.toSeq == want.nextHop.toSeq)
+    }
+    live.announce(2L, "172.16.0.0/16", Rib.Route("192.0.2.99", 65099))
+    assert(live.tableNow.lookup(Ip.parse("172.16.1.1"), null).asn == 65099L)
+  }
+
   test("attribute interning dedupes shared route attributes") {
     // 1000 prefixes sharing 2 attribute sets — build must not blow up and
     // lookups stay correct (the interning mirror of bmp/rib.go:92-154)

@@ -78,4 +78,59 @@ class BmpServerSpec extends AnyFunSuite {
       s1.close(); s2.close()
     } finally srv.stop()
   }
+
+  test("same (AS, router-id) on two sessions never cross-flushes") {
+    // two routers of DIFFERENT exporters reusing the same (AS 65000,
+    // router-id 10.0.0.1) — common with RFC 1918 router-ids. Peer
+    // identity is session-scoped (reference peerKey, events.go:36-46):
+    // session 1's Peer Down must not flush session 2's routes.
+    val live = new Rib.Live
+    val srv = new BmpServer(live)
+    val port = srv.start()
+    try {
+      val s1 = new Socket("127.0.0.1", port)
+      val s2 = new Socket("127.0.0.1", port)
+      // session 2 announces a disjoint prefix from the SAME peer tuple
+      val sameTupleB = bytes(bmp(0, peerHdr(65000, 0x0a000001L) ++
+        bgpUpdate(Nil, attr(2, asPath4(65020L)) ++ attr(3, Seq(192, 0, 2, 9)),
+          pfx4(172, 31, 0, 16))))
+      s1.getOutputStream.write(announceMsg); s1.getOutputStream.flush()
+      s2.getOutputStream.write(sameTupleB); s2.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) != null &&
+          live.table.lookup(Ip.parse("172.31.5.5"), null) != null
+      }, s"stats=${srv.stats}")
+      s1.getOutputStream.write(peerDownMsg); s1.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        live.table.lookup(Ip.parse("10.0.0.7"), null) == null
+      }, "session 1's routes never flushed")
+      // session 2's route from the identical (AS, router-id) survives
+      assert(live.table.lookup(Ip.parse("172.31.5.5"), null) != null,
+        "peer-down cross-flushed the other session's identically-keyed peer")
+      assert(live.table.lookup(Ip.parse("172.31.5.5"), null).asn == 65020L)
+      s1.close(); s2.close()
+    } finally srv.stop()
+  }
+
+  test("stop() closes active connections, not just the listener") {
+    val live = new Rib.Live
+    val srv = new BmpServer(live)
+    val port = srv.start()
+    val sock = new Socket("127.0.0.1", port)
+    sock.getOutputStream.write(announceMsg); sock.getOutputStream.flush()
+    assert(awaitUntil(5000) {
+      live.table.lookup(Ip.parse("10.0.0.7"), null) != null
+    })
+    srv.stop()
+    // the server-side close surfaces on our end: either a read EOF or a
+    // write failure once the kernel processes the RST
+    assert(awaitUntil(5000) {
+      try {
+        sock.getOutputStream.write(announceMsg)
+        sock.getOutputStream.flush()
+        false
+      } catch { case _: java.io.IOException => true }
+    }, "connection still writable after stop()")
+    sock.close()
+  }
 }
