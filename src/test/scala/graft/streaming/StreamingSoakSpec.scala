@@ -237,14 +237,35 @@ class StreamingSoakSpec extends SparkSpec {
     q2.processAllAvailable() // replays the batch with its original rows
     mem.addData((ts("2024-03-01T00:07:10Z"), 800L, 7L, 1000L))
     q2.processAllAvailable()
+
+    // ---- late data past any watermark horizon (§4.3): a row for the
+    // FIRST minute arrives after the restart, batches later — the
+    // reference's SummingMergeTree merges it silently; the merge-on-read
+    // path must do the same, in every resolution, in its TRUE bucket
+    mem.addData((ts("2024-03-01T00:00:50Z"), 64L, 1L, 1000L))
+    q2.processAllAvailable()
     q2.stop()
 
     val flows = spark.read.parquet(s"$root/flows")
-    assert(flows.count() == 4, "replayed batch must not append twice")
-    assert(bytesOf(root, "flows") == 1500L)
+    assert(flows.count() == 5, "replayed batch must not append twice")
+    assert(bytesOf(root, "flows") == 1564L)
     for (t <- Seq("flows_1m", "flows_5m", "flows_1h"))
-      assert(bytesOf(root, t) == 1500L,
-        s"$t lost or double-counted the replayed batch")
+      assert(bytesOf(root, t) == 1564L,
+        s"$t lost or double-counted the replayed batch or the late row")
+    // the late row's bytes re-aggregate into the bucket its EVENT TIME
+    // names, not an arrival-time bucket: minute 00:00 now sums 100+64
+    def bucketBytes(t: String, resSec: Long, bucket: String): Long =
+      spark.read.parquet(s"$root/$t")
+        .groupBy(window(col("TimeReceived"), s"$resSec seconds"))
+        .agg(sum("Bytes").as("b"))
+        .where(col("window.start") === ts(bucket))
+        .collect()(0).getAs[Long]("b")
+    assert(bucketBytes("flows_1m", 60L, "2024-03-01T00:00:00Z") == 164L,
+      "late row missing from its true 1m bucket under merge-on-read")
+    assert(bucketBytes("flows_5m", 300L, "2024-03-01T00:00:00Z") == 364L,
+      "late row missing from its true 5m bucket under merge-on-read")
+    assert(bucketBytes("flows_1h", 3600L, "2024-03-01T00:00:00Z") == 1564L,
+      "late row missing from its true 1h bucket under merge-on-read")
     // every table's marker reached the final batch id
     val store = new FlowStore(spark, root)
     val marks = Seq("flows", "flows_1m", "flows_5m", "flows_1h", "exporters")
