@@ -448,10 +448,10 @@ object Dedup {
     * near-dup pair set and a single connected-components run.
     *
     * Standalone, `pairs` / `clusters` / `keepers` / `clusterSizes` /
-    * `survivors` / `split` each rebuild shingles → inverted index → pair
-    * join → CC from scratch; at 100 TB the pair join is the single most
-    * expensive stage in the system, so a release that computes five
-    * cluster products would pay it five times over. Here the verified
+    * `survivors` / `split` / `sourceOverlap` each rebuild shingles →
+    * inverted index → pair join → CC from scratch; at 100 TB the pair
+    * join is the single most expensive stage in the system, so a release
+    * that computes six downstream products would pay it six times over. Here the verified
     * pair set persists once ([[graft.ScratchCache]], the SemDeDup
     * discipline), CC consumes it through its own localCheckpoint (so the
     * label table is likewise materialized exactly once, bounded-lineage),
@@ -468,13 +468,32 @@ object Dedup {
     *         leakage-safe (id, split) assignment where every cluster
     *         member inherits its root's split
     */
+  /** Cross-source duplication matrix from an ALREADY-COMPUTED pair set:
+    * each near-dup pair bucketed by the (source_a, source_b) of its two
+    * documents — which sources copy from each other (mirrors, scrapes,
+    * syndication). Two broadcast-sized joins against the source
+    * dimension; never re-derives pairs.
+    *
+    * @param src (doc_id, source) dimension
+    */
+  def sourceOverlap(pairs: DataFrame, src: DataFrame): DataFrame = {
+    val s = src.toDF("doc_id", "source")
+    pairs
+      .join(s.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(s.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   final case class ReleaseProducts(
       pairs: DataFrame, clusters: DataFrame, keepers: DataFrame,
-      clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame)
+      clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame,
+      sourceOverlap: DataFrame)
 
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int],
-      quality: DataFrame): ReleaseProducts = {
+      quality: DataFrame, sourceCol: String = "source"): ReleaseProducts = {
     // the ONE pair-join materialization: ngramJaccard's own scratch
     // persists cover shingling; this persist covers the verified pairs
     // so CC's checkpoint AND the pairs product both read it cache-side
@@ -497,7 +516,10 @@ object Dedup {
       .select(col(idCol),
         when(substring(md5(col("root").cast("string")), 1, 1) < "d", "train")
           .otherwise("eval").as("split"))
-    ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split)
+    val overlap = sourceOverlap(pairs,
+      df.select(col(idCol).as("doc_id"), col(sourceCol).as("source")))
+    ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split,
+      overlap)
   }
 
   /** Seeded hash-family parameters, exposed so an external oracle can

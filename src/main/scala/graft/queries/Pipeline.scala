@@ -382,13 +382,14 @@ object Pipeline {
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
     }),
 
-    // the one-pass dedup RELEASE: all six ngram-family products (pairs,
-    // clusters, keepers, size histogram, purge survivors, leakage-safe
-    // split) from a SINGLE pair-set materialization + one CC run — the
-    // composition a real release executes instead of paying the pair
-    // join six times. Long format (product, row_md5): each product's
-    // rows hash the same canonical string its standalone oracle derives,
-    // so one CORRECTNESS row verifies all six products at once.
+    // the one-pass dedup RELEASE: all seven ngram-family products
+    // (pairs, clusters, keepers, size histogram, purge survivors,
+    // leakage-safe split, cross-source overlap matrix) from a SINGLE
+    // pair-set materialization + one CC run — the composition a real
+    // release executes instead of paying the pair join seven times.
+    // Long format (product, row_md5): each product's rows hash the same
+    // canonical string its standalone oracle derives, so one CORRECTNESS
+    // row verifies all seven products at once.
     "q_dedup_release" -> ((s, dir) => {
       val d = docs(s, dir)
       val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
@@ -408,6 +409,8 @@ object Pipeline {
           r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
           Seq("lang", "n")))
         .unionAll(tag("split", r.split, Seq("doc_id", "split")))
+        .unionAll(tag("overlap", r.sourceOverlap,
+          Seq("source_a", "source_b", "n_pairs")))
     }),
 
     // cross-source duplication matrix: near-dup pairs bucketed by the
@@ -415,15 +418,10 @@ object Pipeline {
     // each other (mirrors, scrapes, syndication)
     "q_source_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
-        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
-      val src = d.select(col("doc_id"), col("source"))
-      pairs
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
-        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
-        .select(least(col("sa"), col("sb")).as("source_a"),
-          greatest(col("sa"), col("sb")).as("source_b"))
-        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      Dedup.sourceOverlap(
+        Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count()))),
+        d.select(col("doc_id"), col("source")))
     }),
 
     // embedding-side purge: exact-cosine pairs → connected components →
@@ -1957,7 +1955,13 @@ object Pipeline {
         |pg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
         |  WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1),
         |spl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS root
-        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+        |ov AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs JOIN documents da ON id_a = da.doc_id
+        |    JOIN documents db ON id_b = db.doc_id
+        |  GROUP BY 1, 2)
         |SELECT 'pairs' AS product, md5(concat_ws('|', CAST(id_a AS VARCHAR),
         |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
         |    CAST(jaccard_pm AS VARCHAR))) AS row_md5 FROM pj
@@ -1976,7 +1980,10 @@ object Pipeline {
         |UNION ALL
         |SELECT 'split', md5(concat_ws('|', CAST(doc_id AS VARCHAR),
         |    CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 1) < 'd'
-        |         THEN 'train' ELSE 'eval' END)) FROM spl""".stripMargin,
+        |         THEN 'train' ELSE 'eval' END)) FROM spl
+        |UNION ALL
+        |SELECT 'overlap', md5(concat_ws('|', source_a, source_b,
+        |    CAST(n_pairs AS VARCHAR))) FROM ov""".stripMargin,
     "q_dedup_purge" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),

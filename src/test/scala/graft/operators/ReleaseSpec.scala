@@ -24,6 +24,7 @@ class ReleaseSpec extends SparkSpec {
     (51L, "another unique document with no shared trigrams at all", "de"))
     .toDF("doc_id", "text", "lang")
     .withColumn("n_chars", length(col("text")).cast("long"))
+    .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
 
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
@@ -46,6 +47,13 @@ class ReleaseSpec extends SparkSpec {
     val losers0 = clusters0.where(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
     assert(rows(r.survivors) == rows(d.join(losers0, Seq("doc_id"), "left_anti")))
+    assert(rows(r.sourceOverlap) == rows(Dedup.sourceOverlap(pairs0,
+      d.select(col("doc_id"), col("source")))))
+    // cluster {1,2,3} has sources src1,src0,src1 → pairs (1,2)=src0|src1,
+    // (1,3)=src1|src1, (2,3)=src0|src1; cluster {20,21}=src0|src1
+    assert(r.sourceOverlap.collect().map(r0 =>
+      (r0.getString(0), r0.getString(1), r0.getLong(2))).toSet ==
+      Set(("src0", "src1", 3L), ("src1", "src1", 1L)))
     // the split is leakage-safe: both members of a cluster share it
     val split = r.split.as[(Long, String)].collect().toMap
     assert(split.keySet == Set(1L, 2L, 3L, 20L, 21L, 50L, 51L))
@@ -71,9 +79,12 @@ class ReleaseSpec extends SparkSpec {
       val plan = p.queryExecution.optimizedPlan.toString
       assert(!plan.contains("xxhash64"), plan.take(2000))
     }
-    // the pairs product itself reads the cache, not a rebuilt pair join
+    // the pairs product itself reads the cache, not a rebuilt pair join,
+    // and so does the source-overlap matrix derived from it
     val pairsPlan = r.pairs.queryExecution.withCachedData.toString
     assert(pairsPlan.contains("InMemoryRelation"), pairsPlan.take(2000))
+    val ovPlan = r.sourceOverlap.queryExecution.withCachedData.toString
+    assert(ovPlan.contains("InMemoryRelation"), ovPlan.take(2000))
     graft.ScratchCache.releaseAll(spark)
   }
 }
