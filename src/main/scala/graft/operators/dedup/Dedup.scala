@@ -67,18 +67,43 @@ object Dedup {
   def defaultShingleDfCap(nDocs: Long): Int =
     math.min(math.max(50L, nDocs / 10L), 10000L).toInt
 
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+  /** Scored candidate pairs: every unordered pair sharing ≥1 surviving
+    * shingle, with the intersection size and BOTH set sizes —
+    * (id_a, id_b, common, n_a, n_b). This is the output of the system's
+    * most expensive stage; [[ngramJaccard]] and [[containment]] are thin
+    * verification filters over it, and [[releasePipeline]] materializes
+    * it once to serve both semantics.
+    */
+  private def scoredPairs(df: DataFrame, idCol: String, textCol: String,
+      maxShingleDf: Option[Int]): DataFrame = {
     val (pairs, sizes) = shinglePairs(df, idCol, textCol, maxShingleDf)
-    val jac = col("common") * lit(1.0) /
-      (col("na.n") + col("nb.n") - col("common"))
     pairs
       .join(sizes.as("na"), col("id_a") === col("na.id"))
       .join(sizes.as("nb"), col("id_b") === col("nb.id"))
-      .where(jac >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"))
+  }
+
+  private def jaccardOf(scored: DataFrame, threshold: Double): DataFrame = {
+    val jac = col("common") * lit(1.0) /
+      (col("n_a") + col("n_b") - col("common"))
+    scored.where(jac >= threshold)
       .select(col("id_a"), col("id_b"), col("common"),
         round(jac * 1000).cast("long").as("jaccard_pm"))
   }
+
+  private def containmentOf(scored: DataFrame, threshold: Double): DataFrame = {
+    val contA = col("common") * lit(1.0) / col("n_a")
+    val contB = col("common") * lit(1.0) / col("n_b")
+    scored.where(contA >= threshold || contB >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(contA * 1000).cast("long").as("cont_a_pm"),
+        round(contB * 1000).cast("long").as("cont_b_pm"))
+  }
+
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame =
+    jaccardOf(scoredPairs(df, idCol, textCol, maxShingleDf), threshold)
 
   /** Directional shingle containment |A∩B| / |A| — the asymmetric twin of
     * Jaccard that catches SUBSET duplication Jaccard misses: a document
@@ -94,18 +119,8 @@ object Dedup {
     * two share the pair join, only the final scoring differs).
     */
   def containment(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val (pairs, sizes) = shinglePairs(df, idCol, textCol, maxShingleDf)
-    val contA = col("common") * lit(1.0) / col("na.n")
-    val contB = col("common") * lit(1.0) / col("nb.n")
-    pairs
-      .join(sizes.as("na"), col("id_a") === col("na.id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
-      .where(contA >= threshold || contB >= threshold)
-      .select(col("id_a"), col("id_b"), col("common"),
-        round(contA * 1000).cast("long").as("cont_a_pm"),
-        round(contB * 1000).cast("long").as("cont_b_pm"))
-  }
+      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame =
+    containmentOf(scoredPairs(df, idCol, textCol, maxShingleDf), threshold)
 
   /** Incremental near-dup detection: the near-dup pairs of a NEW batch
     * against an existing corpus, plus within the batch itself — never
@@ -489,16 +504,23 @@ object Dedup {
   final case class ReleaseProducts(
       pairs: DataFrame, clusters: DataFrame, keepers: DataFrame,
       clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame,
-      sourceOverlap: DataFrame)
+      sourceOverlap: DataFrame, containment: DataFrame)
 
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int],
-      quality: DataFrame, sourceCol: String = "source"): ReleaseProducts = {
-    // the ONE pair-join materialization: ngramJaccard's own scratch
-    // persists cover shingling; this persist covers the verified pairs
-    // so CC's checkpoint AND the pairs product both read it cache-side
-    val pairs = graft.ScratchCache.persist(
-      ngramJaccard(df, idCol, textCol, threshold, maxShingleDf))
+      quality: DataFrame, sourceCol: String = "source",
+      containThreshold: Double = 0.8): ReleaseProducts = {
+    // the ONE pair-join materialization, at the SCORED granularity:
+    // (id_a, id_b, common, n_a, n_b) — shinglePairs' own scratch
+    // persists cover shingling and the capped index, this persist covers
+    // the n² pair aggregation, and BOTH verification semantics (Jaccard
+    // near-dup and asymmetric containment) are thin filters over it
+    val scored = graft.ScratchCache.persist(
+      scoredPairs(df, idCol, textCol, maxShingleDf))
+    // verified near-dup pairs persist too: CC's checkpoint AND the pairs
+    // product both read them cache-side
+    val pairs = graft.ScratchCache.persist(jaccardOf(scored, threshold))
+    val contain = containmentOf(scored, containThreshold)
     // CC materializes its label table (localCheckpoint / driver-resolved
     // local relation) — the four cluster products below re-plan from
     // that materialization, never from the pair pipeline
@@ -519,7 +541,7 @@ object Dedup {
     val overlap = sourceOverlap(pairs,
       df.select(col(idCol).as("doc_id"), col(sourceCol).as("source")))
     ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split,
-      overlap)
+      overlap, contain)
   }
 
   /** Seeded hash-family parameters, exposed so an external oracle can

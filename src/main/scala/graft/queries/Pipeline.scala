@@ -382,14 +382,15 @@ object Pipeline {
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
     }),
 
-    // the one-pass dedup RELEASE: all seven ngram-family products
-    // (pairs, clusters, keepers, size histogram, purge survivors,
+    // the one-pass dedup RELEASE: all eight ngram-family products
+    // (scored pairs verified as Jaccard near-dups AND as asymmetric
+    // containment, clusters, keepers, size histogram, purge survivors,
     // leakage-safe split, cross-source overlap matrix) from a SINGLE
-    // pair-set materialization + one CC run — the composition a real
-    // release executes instead of paying the pair join seven times.
+    // scored-pair materialization + one CC run — the composition a real
+    // release executes instead of paying the pair join eight times.
     // Long format (product, row_md5): each product's rows hash the same
     // canonical string its standalone oracle derives, so one CORRECTNESS
-    // row verifies all seven products at once.
+    // row verifies every product at once.
     "q_dedup_release" -> ((s, dir) => {
       val d = docs(s, dir)
       val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
@@ -411,6 +412,8 @@ object Pipeline {
         .unionAll(tag("split", r.split, Seq("doc_id", "split")))
         .unionAll(tag("overlap", r.sourceOverlap,
           Seq("source_a", "source_b", "n_pairs")))
+        .unionAll(tag("containment", r.containment,
+          Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
     }),
 
     // cross-source duplication matrix: near-dup pairs bucketed by the
@@ -1961,7 +1964,13 @@ object Pipeline {
         |    CAST(count(*) AS BIGINT) AS n_pairs
         |  FROM pairs JOIN documents da ON id_a = da.doc_id
         |    JOIN documents db ON id_b = db.doc_id
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |cj AS (SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+        |    CAST(round(common * 1.0 / na.cnt * 1000) AS BIGINT) AS cont_a_pm,
+        |    CAST(round(common * 1.0 / nb.cnt * 1000) AS BIGINT) AS cont_b_pm
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / na.cnt >= 0.8
+        |     OR common * 1.0 / nb.cnt >= 0.8)
         |SELECT 'pairs' AS product, md5(concat_ws('|', CAST(id_a AS VARCHAR),
         |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
         |    CAST(jaccard_pm AS VARCHAR))) AS row_md5 FROM pj
@@ -1983,7 +1992,12 @@ object Pipeline {
         |         THEN 'train' ELSE 'eval' END)) FROM spl
         |UNION ALL
         |SELECT 'overlap', md5(concat_ws('|', source_a, source_b,
-        |    CAST(n_pairs AS VARCHAR))) FROM ov""".stripMargin,
+        |    CAST(n_pairs AS VARCHAR))) FROM ov
+        |UNION ALL
+        |SELECT 'containment', md5(concat_ws('|', CAST(id_a AS VARCHAR),
+        |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
+        |    CAST(cont_a_pm AS VARCHAR), CAST(cont_b_pm AS VARCHAR)))
+        |  FROM cj""".stripMargin,
     "q_dedup_purge" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),

@@ -49,6 +49,8 @@ class ReleaseSpec extends SparkSpec {
     assert(rows(r.survivors) == rows(d.join(losers0, Seq("doc_id"), "left_anti")))
     assert(rows(r.sourceOverlap) == rows(Dedup.sourceOverlap(pairs0,
       d.select(col("doc_id"), col("source")))))
+    assert(rows(r.containment) ==
+      rows(Dedup.containment(d, "doc_id", "text", threshold = 0.8)))
     // cluster {1,2,3} has sources src1,src0,src1 → pairs (1,2)=src0|src1,
     // (1,3)=src1|src1, (2,3)=src0|src1; cluster {20,21}=src0|src1
     assert(r.sourceOverlap.collect().map(r0 =>
