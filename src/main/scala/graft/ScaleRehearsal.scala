@@ -95,6 +95,45 @@ object ScaleRehearsal {
     out += "dsir_feature_rows" -> dsirFeats
     out += "dsir_weights_sec" -> tDsir
 
+    // one-pass release vs the same eight products standalone: the
+    // economics of the single scored-pair materialization, measured at
+    // this SF (the ratio grows with the pair join's share of the work)
+    val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val (_, tRelease) = timed {
+      val r = Dedup.releasePipeline(docs, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(cap), quality = quality)
+      Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+        r.split, r.sourceOverlap, r.containment).foreach(_.count())
+    }
+    ScratchCache.releaseAll(spark)
+    out += "release_onepass_sec" -> tRelease
+    val (_, tEightPass) = timed {
+      Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)).count()
+      ScratchCache.releaseAll(spark)
+      Dedup.containment(docs, "doc_id", "text", 0.8, Some(cap)).count()
+      ScratchCache.releaseAll(spark)
+      def clusters() = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)))
+      clusters().count(); ScratchCache.releaseAll(spark)
+      Dedup.clusterKeepers(clusters(), quality).count()
+      ScratchCache.releaseAll(spark)
+      clusters().groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1))).count()
+      ScratchCache.releaseAll(spark)
+      docs.join(clusters().where(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti").count()
+      ScratchCache.releaseAll(spark)
+      docs.select(col("doc_id"))
+        .join(clusters().withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .count()
+      ScratchCache.releaseAll(spark)
+      Dedup.sourceOverlap(
+        Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)),
+        docs.select(col("doc_id"), col("source"))).count()
+      ScratchCache.releaseAll(spark)
+    }
+    out += "release_eightpass_sec" -> tEightPass
+
     def j(v: Any): String = v match {
       case d: Double => f"$d%.2f"
       case x => x.toString
