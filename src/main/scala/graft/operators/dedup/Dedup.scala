@@ -228,6 +228,66 @@ object Dedup {
     (pairs, sizes)
   }
 
+  /** Candidate-pair cost frontier over the shingle document-frequency
+    * histogram: for every distinct df value, the EXACT candidate-pair
+    * volume a cap at that value would admit, with the shingle count kept
+    * and dropped. A shingle with document frequency d fuels d·(d−1)/2
+    * candidate pairs in the inverted-index self-join, so
+    * `est_pairs(cap) = Σ_{d ≤ cap} n_shingles(d) · d·(d−1)/2` — not an
+    * estimate of VERIFIED pairs, but an exact upper bound on the join's
+    * output rows, which is the quantity that decides whether the job
+    * fits the cluster.
+    *
+    * This is how the cap gets CHOSEN at 100 TB instead of guessed:
+    * [[defaultShingleDfCap]] is a corpus-shape heuristic; the frontier
+    * prices every cap against the actual histogram for the cost ceiling
+    * the cluster can pay ([[suggestDfCap]] picks the largest cap within
+    * budget). One extra aggregation over the inverted index the pair
+    * join builds anyway — the histogram (distinct df values) is tiny, so
+    * the cumulative window runs over a value table, never the corpus
+    * (the Curriculum percentile discipline).
+    *
+    * @return (df_cap, n_shingles, est_pairs, shingles_kept,
+    *         shingles_dropped) — one row per distinct df value, cumulative
+    *         columns ordered by df_cap
+    */
+  def dfCapFrontier(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val idx = df
+      .select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("s"))
+    val hist = idx.groupBy("s").agg(count(lit(1)).as("df"))
+      .groupBy(col("df").as("df_cap"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("df_cap").rowsBetween(Long.MinValue, 0)
+    val total = hist.agg(sum("n_shingles").as("__t"))
+    hist
+      .withColumn("est_pairs",
+        // integer math throughout: df·(df−1) is always even, and double
+        // division would silently lose exactness past 2^53 pairs
+        sum(col("n_shingles") * expr("df_cap * (df_cap - 1) div 2")).over(w))
+      .withColumn("shingles_kept", sum("n_shingles").over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("shingles_dropped", col("__t") - col("shingles_kept"))
+      .drop("__t")
+  }
+
+  /** Largest df-cap whose exact candidate-pair volume stays within
+    * `pairBudget` ([[dfCapFrontier]] row selection). Returns 1 when even
+    * the smallest frontier step exceeds the budget (a cap of 1 admits no
+    * pairs at all — every pair needs df ≥ 2). Driver-side collect of ONE
+    * aggregated row.
+    */
+  def suggestDfCap(df: DataFrame, idCol: String, textCol: String,
+      pairBudget: Long): Int = {
+    val r = dfCapFrontier(df, idCol, textCol)
+      .where(col("est_pairs") <= pairBudget)
+      .agg(max("df_cap")).head()
+    if (r.isNullAt(0)) 1 else r.getLong(0).toInt
+  }
+
   /** MinHash hash-family parameters h_i(x) = (a_i·x + b_i) mod p over
     * xxhash64 shingle hashes. Seeded — deterministic across runs.
     * p = 2³¹−1 keeps every product below 2⁶² (no ANSI long overflow).
@@ -458,31 +518,6 @@ object Dedup {
         col("q").as("quality"), col("size"))
   }
 
-  /** The one-pass dedup release: every per-product DataFrame a corpus
-    * release ships, derived from a SINGLE materialization of the verified
-    * near-dup pair set and a single connected-components run.
-    *
-    * Standalone, `pairs` / `clusters` / `keepers` / `clusterSizes` /
-    * `survivors` / `split` / `sourceOverlap` each rebuild shingles →
-    * inverted index → pair join → CC from scratch; at 100 TB the pair
-    * join is the single most expensive stage in the system, so a release
-    * that computes six downstream products would pay it six times over. Here the verified
-    * pair set persists once ([[graft.ScratchCache]], the SemDeDup
-    * discipline), CC consumes it through its own localCheckpoint (so the
-    * label table is likewise materialized exactly once, bounded-lineage),
-    * and every product is a cheap derivation: the downstream plans read
-    * the cached pairs / checkpointed labels, never the corpus text. The
-    * reference's analog is ClickHouse MV fan-out — five products from one
-    * insert (`orchestrator/clickhouse/migrations_helpers.go:325-366`);
-    * this is the same discipline on the dedup plane.
-    *
-    * @param quality (id, q) per-doc quality for [[clusterKeepers]] —
-    *                e.g. `n_chars` to keep the longest copy
-    * @return products; `survivors` carries `df`'s full row for every doc
-    *         that is not a non-keeper cluster member, `split` is the
-    *         leakage-safe (id, split) assignment where every cluster
-    *         member inherits its root's split
-    */
   /** Cross-source duplication matrix from an ALREADY-COMPUTED pair set:
     * each near-dup pair bucketed by the (source_a, source_b) of its two
     * documents — which sources copy from each other (mirrors, scrapes,
@@ -506,6 +541,32 @@ object Dedup {
       clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame,
       sourceOverlap: DataFrame, containment: DataFrame)
 
+  /** The one-pass dedup release: every per-product DataFrame a corpus
+    * release ships, derived from a SINGLE materialization of the scored
+    * pair set and a single connected-components run.
+    *
+    * Standalone, `pairs` / `containment` / `clusters` / `keepers` /
+    * `clusterSizes` / `survivors` / `split` / `sourceOverlap` each
+    * rebuild shingles → inverted index → pair join → CC from scratch; at
+    * 100 TB the pair join is the single most expensive stage in the
+    * system, so a release that computes eight downstream products would
+    * pay it eight times over. Here the scored pair set persists once
+    * ([[graft.ScratchCache]], the SemDeDup discipline), CC consumes the
+    * verified subset through its own localCheckpoint (so the label table
+    * is likewise materialized exactly once, bounded-lineage), and every
+    * product is a cheap derivation: the downstream plans read the cached
+    * pairs / checkpointed labels, never the corpus text. The reference's
+    * analog is ClickHouse MV fan-out — five products from one insert
+    * (`orchestrator/clickhouse/migrations_helpers.go:325-366`); this is
+    * the same discipline on the dedup plane.
+    *
+    * @param quality (id, q) per-doc quality for [[clusterKeepers]] —
+    *                e.g. `n_chars` to keep the longest copy
+    * @return products; `survivors` carries `df`'s full row for every doc
+    *         that is not a non-keeper cluster member, `split` is the
+    *         leakage-safe (id, split) assignment where every cluster
+    *         member inherits its root's split
+    */
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int],
       quality: DataFrame, sourceCol: String = "source",

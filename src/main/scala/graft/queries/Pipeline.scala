@@ -230,6 +230,13 @@ object Pipeline {
         maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
     }),
 
+    // df-cap cost frontier: the EXACT candidate-pair volume every cap
+    // value would admit, priced from the shingle df histogram — how the
+    // cap is chosen at 100 TB (largest cap within the cluster's pair
+    // budget) instead of guessed from corpus shape
+    "q_df_cap_plan" -> ((s, dir) =>
+      Dedup.dfCapFrontier(docs(s, dir), "doc_id", "text")),
+
     // end-to-end corpus pipeline: quality gate → exact-dup keeper → split
     // counts — the composition a training-data run executes
     "q_corpus_pipeline" -> ((s, dir) => {
@@ -1546,6 +1553,24 @@ object Pipeline {
         |  CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT) AS jaccard_pm
         |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
         |WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5""".stripMargin,
+    // df histogram → cumulative pair fuel: same shingles as q_dedup_ngram,
+    // integer math mirrors the Spark side (df·(df−1) is even, // is exact)
+    "q_df_cap_plan" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |h AS (SELECT df AS df_cap, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM d GROUP BY 1)
+        |SELECT df_cap, n_shingles,
+        |  CAST(sum(n_shingles * (df_cap * (df_cap - 1) // 2))
+        |    OVER (ORDER BY df_cap) AS BIGINT) AS est_pairs,
+        |  CAST(sum(n_shingles) OVER (ORDER BY df_cap) AS BIGINT) AS shingles_kept,
+        |  CAST(sum(n_shingles) OVER ()
+        |    - sum(n_shingles) OVER (ORDER BY df_cap) AS BIGINT) AS shingles_dropped
+        |FROM h""".stripMargin,
     "q_incr_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |  FROM documents),
