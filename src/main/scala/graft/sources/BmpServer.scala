@@ -27,7 +27,7 @@ import graft.functions.Rib
   * and never touches a Spark job — executors only ever see the
   * immutable broadcast table snapshots.
   */
-final class BmpServer(live: Rib.Live) {
+final class BmpServer(live: Rib.Live, flushOnDisconnect: Boolean = false) {
 
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
   // active per-connection sockets — stop() closes them so their read
@@ -103,7 +103,23 @@ final class BmpServer(live: Rib.Live) {
         n = in.read(chunk)
       }
     } catch { case _: java.io.IOException => () }
-    finally { active.remove(sock); sock.close() }
+    finally {
+      active.remove(sock); sock.close()
+      // a closed session's mkPeer is unreachable, so its interned ids can
+      // never be minted again — drop them (a week of router reconnects
+      // must not grow the intern map without bound). With
+      // `flushOnDisconnect` the session's peers also go down in the RIB
+      // (the reference's stale-peer removal on connection loss,
+      // `serve.go`); default keeps routes until an explicit Peer Down,
+      // since peers re-announce on session restart.
+      val mine = new java.util.ArrayList[Long]()
+      peerIds.forEach { (k, v) => if (k._1 == session) mine.add(v) }
+      peerIds.keySet.removeIf(_._1 == session)
+      if (flushOnDisconnect) {
+        mine.forEach { p => live.peerDown(p); () }
+        if (!mine.isEmpty) bump("disconnect_flushed_peers", mine.size.toLong)
+      }
+    }
   }
 
   def stop(): Unit = synchronized {

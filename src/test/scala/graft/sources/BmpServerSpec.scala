@@ -112,6 +112,42 @@ class BmpServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("flushOnDisconnect withdraws a dropped session's routes; default keeps them") {
+    // default: a connection drop flushes nothing (peers re-announce on
+    // session restart). With flushOnDisconnect the dropped session's
+    // peers go down in the RIB — the reference's stale-peer removal.
+    val keepRib = new Rib.Live
+    val keep = new BmpServer(keepRib)
+    val keepPort = keep.start()
+    try {
+      val s = new Socket("127.0.0.1", keepPort)
+      s.getOutputStream.write(announceMsg); s.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        keepRib.table.lookup(Ip.parse("10.0.0.7"), null) != null
+      })
+      s.close()
+      Thread.sleep(100)
+      assert(keepRib.table.lookup(Ip.parse("10.0.0.7"), null) != null,
+        "default server flushed routes on disconnect")
+    } finally keep.stop()
+
+    val flushRib = new Rib.Live
+    val flush = new BmpServer(flushRib, flushOnDisconnect = true)
+    val flushPort = flush.start()
+    try {
+      val s = new Socket("127.0.0.1", flushPort)
+      s.getOutputStream.write(announceMsg); s.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        flushRib.table.lookup(Ip.parse("10.0.0.7"), null) != null
+      })
+      s.close()
+      assert(awaitUntil(5000) {
+        flushRib.table.lookup(Ip.parse("10.0.0.7"), null) == null
+      }, s"flushOnDisconnect never withdrew; stats=${flush.stats}")
+      assert(flush.stats("disconnect_flushed_peers") == 1)
+    } finally flush.stop()
+  }
+
   test("stop() closes active connections, not just the listener") {
     val live = new Rib.Live
     val srv = new BmpServer(live)
