@@ -378,7 +378,7 @@ object CosineSearch {
     * this exact raw ordering, and the exact re-rank downstream makes
     * sub-ulp assignment ties harmless here.
     */
-  private def cellRank(cents: Array[Array[Double]], vec: Column): Column = {
+  private[similarity] def cellRank(cents: Array[Array[Double]], vec: Column): Column = {
     val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     sort_array(array(
       cents.zipWithIndex.map { case (c, i) =>

@@ -81,17 +81,80 @@ object ProductQuant {
     val q = queries.select(col(qidCol).as("qid"),
       Sketches.pqLut(qv, cb).as("lut"),
       qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"))
+    val cand = adcTopCandidates(
+      enc.crossJoin(broadcast(q.select("qid", "lut"))), m, ksub, rerank)
+    rerankExact(cand, corpus, q, k, idCol, embCol)
+  }
+
+  /** IVF-PQ: coarse cell pruning COMPOSED with code-based scoring — the
+    * full production ANN shape (FAISS IVFADC, Jégou et al. §V): stage 0
+    * prunes to each query's `nprobe` nearest cells (scanning
+    * ~nprobe/nlist of the index), stage 1 ADC-scores only those cells'
+    * m-byte codes, stage 2 re-ranks the `rerank` survivors with the
+    * exact cosine. [[CosineSearch.ivfTopK]] prunes cells but reads float
+    * vectors; [[search]] reads codes but scans every row; this reads
+    * codes AND skips cells — at 100 TB the scan cost drops ~64× from
+    * codes and another nlist/nprobe from pruning, multiplicatively.
+    *
+    * Codes quantize the RAW vector, not the cell residual (FAISS
+    * `by_residual=false`): dot-product ADC stays a single LUT sum and
+    * the same stored codes serve every cell — the residual variant buys
+    * accuracy at small nlist but couples codes to the coarse quantizer.
+    * Like [[search]], the approximation affects WHICH candidates are
+    * seen, never the reported exact `sim_e6`.
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      rerank: Int = 50, qidCol: String = "qid", idCol: String = "id",
+      embCol: String = "embedding"): DataFrame = {
+    val cents = KMeans.seedCentroids(corpus, nlist, idCol, embCol)
+    val cb = codebook(corpus, m, ksub, idCol, embCol)
+    val cv = col(embCol).cast("array<double>")
+    // the stored index row — (cell, codes) in ONE projection; at scale
+    // this is parquet partitioned by cell (buildIvfIndex's layout) and
+    // the probe join below becomes partition pruning
+    val enc = corpus.select(col(idCol).as("id"),
+      element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+        .as("cell"),
+      Sketches.pqEncode(cv, cb).as("codes"))
+    val qv = col(embCol).cast("array<double>")
+    val q = queries.select(col(qidCol).as("qid"),
+      Sketches.pqLut(qv, cb).as("lut"),
+      qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"),
+      transform(slice(CosineSearch.cellRank(cents, qv), 1, nprobe),
+        s => s.getField("cell")).as("cells"))
+    // each corpus row lives in exactly ONE cell, so multi-probe never
+    // duplicates a candidate — no distinct needed
+    val probe = q.select(col("qid"), col("lut"),
+      explode(col("cells")).as("cell"))
+    val cand = adcTopCandidates(
+      enc.join(broadcast(probe), Seq("cell")), m, ksub, rerank)
+    rerankExact(cand, corpus, q, k, idCol, embCol)
+  }
+
+  /** Stage 1: ADC top-`rerank` per query over (qid, lut, id, codes) rows.
+    * The score is a sum of integer LUT terms — order-insensitive, so
+    * bit-reproducible across engines.
+    */
+  private def adcTopCandidates(scored: DataFrame, m: Int, ksub: Int,
+      rerank: Int): DataFrame = {
     val adc = (0 until m).map(j =>
       element_at(col("lut"), element_at(col("codes"), j + 1) + lit(j * ksub + 1)))
       .reduce(_ + _)
     val wAdc = Window.partitionBy("qid").orderBy(desc("adc_e6"), asc("id"))
-    val cand = enc.crossJoin(broadcast(q.select("qid", "lut")))
+    scored
       .where(col("qid") =!= col("id"))
       .select(col("qid"), col("id"), adc.as("adc_e6"))
       .withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= rerank)
       .select("qid", "id")
-    // exact re-rank over queries·rerank rows only
+  }
+
+  /** Stage 2: exact cosine over queries·rerank candidate rows only —
+    * the expensive float path never touches the full corpus.
+    */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame, q: DataFrame,
+      k: Int, idCol: String, embCol: String): DataFrame = {
     val cvec = corpus.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("cv"),
       sqrt(Sketches.dotProduct(col(embCol).cast("array<double>"),

@@ -33,6 +33,16 @@ object Pipeline {
         e.select(col("vec_id").as("id"), col("embedding")), k = 5)
     }),
 
+    // IVF-PQ: coarse cell pruning composed with code-based ADC scoring —
+    // the full FAISS-IVFADC production shape (prune cells, scan codes,
+    // re-rank survivors exactly)
+    "q_sim_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.operators.similarity.ProductQuant.ivfPqSearch(
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        e.select(col("vec_id").as("id"), col("embedding")), k = 5)
+    }),
+
     // kNN majority-vote label propagation: seed labels (vec_id >= 50)
     // classify the held-out head of the table
     "q_knn_classify" -> ((s, dir) => {
@@ -1164,6 +1174,64 @@ object Pipeline {
         |  FROM q0, subn s),
         |sc AS (SELECT l.qid, e.id, CAST(sum(l.w) AS BIGINT) AS adc_e6
         |  FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+        |  WHERE l.qid != e.id GROUP BY 1, 2),
+        |cand AS (SELECT qid, id FROM (
+        |  SELECT qid, id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc_e6 DESC, id) AS arank
+        |  FROM sc) WHERE arank <= 50),
+        |rr AS (SELECT c.qid, c.id,
+        |    CAST(round(list_cosine_similarity(q0.v, c0.v) * 1000000) AS BIGINT)
+        |      AS sim_e6
+        |  FROM cand c JOIN q0 ON q0.qid = c.qid JOIN c0 ON c0.id = c.id)
+        |SELECT qid, CAST(rank AS INT) AS rank, id, sim_e6 FROM (
+        |  SELECT qid, id, sim_e6, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
+        |  FROM rr) WHERE rank <= 5""".stripMargin,
+    // IVF-PQ composes the q_sim_ivf cell CTEs with the q_sim_pq code
+    // CTEs: the ADC aggregation is restricted to candidates whose cell
+    // is among the query's probed cells, everything else is identical
+    "q_sim_ivfpq" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q0 AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 10),
+        |js AS (SELECT unnest(range(4)) AS j),
+        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |subn AS (SELECT j, c, list_slice(cb.v, j*16+1, j*16+16) AS sv,
+        |    list_dot_product(list_slice(cb.v, j*16+1, j*16+16),
+        |                     list_slice(cb.v, j*16+1, j*16+16)) AS cc
+        |  FROM cb, js),
+        |enc AS (SELECT id, j, c AS code FROM (
+        |  SELECT c0.id, s.j, s.c, row_number() OVER (PARTITION BY c0.id, s.j
+        |      ORDER BY CAST(round((s.cc - 2 * list_dot_product(
+        |        list_slice(c0.v, s.j*16+1, s.j*16+16), s.sv)) * 1000000)
+        |        AS BIGINT), s.c) AS rn
+        |  FROM c0, subn s) WHERE rn = 1),
+        |lut AS (SELECT q0.qid, s.j, s.c,
+        |    CAST(round(list_dot_product(
+        |      list_slice(q0.v, s.j*16+1, s.j*16+16), s.sv) * 1000000)
+        |      AS BIGINT) AS w
+        |  FROM q0, subn s),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id
+        |    ORDER BY -list_dot_product(v, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |qa AS (SELECT qid, cell FROM (
+        |  SELECT qid, cell, row_number() OVER (PARTITION BY qid
+        |    ORDER BY -list_dot_product(v, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM q0, cent) WHERE rn <= 4),
+        |sc AS (SELECT l.qid, e.id, CAST(sum(l.w) AS BIGINT) AS adc_e6
+        |  FROM enc e
+        |  JOIN ca ON ca.id = e.id
+        |  JOIN qa ON qa.cell = ca.cell
+        |  JOIN lut l ON l.qid = qa.qid AND l.j = e.j AND l.c = e.code
         |  WHERE l.qid != e.id GROUP BY 1, 2),
         |cand AS (SELECT qid, id FROM (
         |  SELECT qid, id, row_number() OVER (

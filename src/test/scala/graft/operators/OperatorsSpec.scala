@@ -583,6 +583,36 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq equals plain pq when every cell is probed; prunes otherwise") {
+    import graft.operators.similarity.ProductQuant
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val c = e.select(col("vec_id").as("id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id", "sim_e6")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    // nprobe = nlist probes every cell: cell pruning is a no-op, so the
+    // composition must return plain PQ's result bit-for-bit
+    assert(rows(ProductQuant.ivfPqSearch(q, c, 5, nlist = 8, nprobe = 8)) ==
+      rows(ProductQuant.search(q, c, 5)))
+    // default knobs prune 12/16 cells and still recover most of the
+    // true top-5 (both stages approximate: cells then codes)
+    val exact = CosineSearch.bruteForce(q, c, 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val pruned = rows(ProductQuant.ivfPqSearch(q, c, 5))
+      .map(r => (r._1, r._3))
+    assert((exact & pruned).size.toDouble / exact.size >= 0.4,
+      "ivf-pq recall collapsed under cell pruning")
+    // returned scores are exact cosines (re-rank stage), like search()
+    val exactSims = CosineSearch.bruteForce(q, c, 5)
+      .select("qid", "id", "sim_e6").as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    rows(ProductQuant.ivfPqSearch(q, c, 5)).foreach { case (qid, _, id, s) =>
+      exactSims.get((qid, id)).foreach(es => assert(es == s))
+    }
+  }
+
   test("pq encoding is deterministic and code-bounded") {
     import graft.operators.similarity.ProductQuant
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
