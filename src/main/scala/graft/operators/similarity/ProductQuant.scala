@@ -132,6 +132,77 @@ object ProductQuant {
     rerankExact(cand, corpus, q, k, idCol, embCol)
   }
 
+  /** Materialize an IVF-PQ index on disk: (id, codes) rows
+    * parquet-partitioned BY cell, with both codebooks (coarse cells, PQ
+    * sub-spaces) stored alongside — [[CosineSearch.buildIvfIndex]]'s
+    * build-once contract, but the stored rows are m-byte codes instead
+    * of float vectors, so the index is ~64× smaller and a probe scans
+    * codes only. Re-rank fetches exact vectors from the CORPUS (the
+    * vector store) by candidate id at search time — the index never
+    * stores a float vector at all.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      m: Int = 4, ksub: Int = 16, idCol: String = "id",
+      embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = KMeans.seedCentroids(corpus, nlist, idCol, embCol)
+    val cb = codebook(corpus, m, ksub, idCol, embCol)
+    val cv = col(embCol).cast("array<double>")
+    corpus.select(col(idCol).as("id"),
+        element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+          .as("cell"),
+        Sketches.pqEncode(cv, cb).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    import spark.implicits._
+    cents.zipWithIndex.toIndexedSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for { j <- 0 until m; c <- 0 until ksub } yield (j, c, cb(j)(c).toSeq))
+      .toDF("j", "c", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** Probe a persisted IVF-PQ index: the probed cell ids collect
+    * driver-side into a literal `cell IN (...)` partition filter (the
+    * [[CosineSearch.searchIvfIndex]] discipline — unprobed cells' files
+    * are never listed, opened, or read), ADC scoring reads only those
+    * cells' codes, and the exact re-rank joins the ≤ queries·rerank
+    * candidate ids against `corpus`. Returns the same shape as
+    * [[ivfPqSearch]] and — given the same knobs — the same rows
+    * bit-for-bit (integer ADC terms and parquet-exact doubles make the
+    * round trip lossless).
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 4, rerank: Int = 50, qidCol: String = "qid",
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val flat = spark.read.parquet(s"$path/pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val m = flat.keysIterator.map(_._1).max + 1
+    val ksub = flat.keysIterator.map(_._2).max + 1
+    val cb = Array.tabulate(m, ksub)((j, c) => flat((j, c)))
+    val qv = col(embCol).cast("array<double>")
+    val q = queries.select(col(qidCol).as("qid"),
+      Sketches.pqLut(qv, cb).as("lut"),
+      qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"),
+      transform(slice(CosineSearch.cellRank(cents, qv), 1, nprobe),
+        s => s.getField("cell")).as("cells"))
+    val probed = q.select(explode(col("cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val enc = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+    val probe = q.select(col("qid"), col("lut"),
+      explode(col("cells")).as("cell"))
+    val cand = adcTopCandidates(
+      enc.join(broadcast(probe), Seq("cell")), m, ksub, rerank)
+    rerankExact(cand, corpus, q, k, idCol, embCol)
+  }
+
   /** Stage 1: ADC top-`rerank` per query over (qid, lut, id, codes) rows.
     * The score is a sum of integer LUT terms — order-insensitive, so
     * bit-reproducible across engines.

@@ -92,6 +92,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("persisted ivf-pq index equals the inline search and stores no vectors") {
+    import graft.operators.similarity.ProductQuant
+    val c = vecs(120, 16)
+    val corpus = c
+    val dir = Files.createTempDirectory("ivfpq").toFile.getAbsolutePath
+    ProductQuant.buildIvfPqIndex(c, dir, nlist = 8, m = 4, ksub = 8)
+    val fromIndex = ProductQuant
+      .searchIvfPqIndex(spark, dir, queries(c), corpus, k = 5, nprobe = 3)
+      .orderBy("qid", "rank").collect()
+    val inline = ProductQuant
+      .ivfPqSearch(queries(c), c, k = 5, nlist = 8, nprobe = 3, m = 4, ksub = 8)
+      .orderBy("qid", "rank").collect()
+    assert(fromIndex.toSeq === inline.toSeq)
+    assert(fromIndex.nonEmpty)
+    // the 64×-smaller claim is structural: the stored rows are codes
+    // only — no float vector column anywhere in the index
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.toSet === Set("id", "codes", "cell"))
+    // and the probe is a literal partition filter, like the IVF index
+    val plan = ProductQuant
+      .searchIvfPqIndex(spark, dir, queries(c), corpus, k = 5, nprobe = 2)
+      .queryExecution.explainString(FormattedMode)
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") && l.contains("IN")),
+      s"probe must push cell IN (...) to the scan:\n$plan")
+  }
+
   test("a live stream keeps the index fresh via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
