@@ -146,6 +146,31 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected group limits on both rank stages:\n$p")
   }
 
+  test("q_sim_ivfpq probes cells by broadcast and bounds both ranks") {
+    val p = plan("q_sim_ivfpq")
+    // stage 1 joins stored-shape (cell, codes) rows against the
+    // broadcast probe list on cell — an equi-join, never a full scan of
+    // corpus × queries like plain PQ's crossJoin
+    assert(p.contains("BroadcastHashJoin"), s"probe must equi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected group limits on both rank stages:\n$p")
+  }
+
+  test("q_df_cap_plan windows over the histogram, never the corpus") {
+    val p = plan("q_df_cap_plan")
+    // shingle df then df histogram: two aggregation pairs collapse the
+    // corpus to distinct df values BEFORE the cumulative window; the
+    // only join is the broadcast of the 1-row total
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected df + histogram aggregations below the window:\n$p")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), "the scalar total must broadcast")
+  }
+
   test("q_knn_classify rides bruteForce's shape: broadcast + group limit") {
     val p = plan("q_knn_classify")
     assert(p.contains("BroadcastExchange"))
