@@ -12,16 +12,21 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * given SF directory, so two runs — sf0.1 and a 10×-replicated copy —
   * show whether the df-cap / band / cell knobs keep pair volume
   * subquadratic in practice (PLANS.md records the table).
-  * Usage: runMain graft.ScaleRehearsal <sfDir> [dfCap] [kCells]
+  * Usage: runMain graft.ScaleRehearsal <sfDir> [dfCap] [kCells] [sections]
   * — dfCap/kCells override the SF-relative defaults (cap = nDocs/10,
   * 8 cells) with the production-style absolute knobs, to show the same
-  * corpus under constant-cap / constant-cell-size settings.
+  * corpus under constant-cap / constant-cell-size settings. `sections`
+  * is a comma-separated subset of
+  * ngram,lsh,semdedup,dsir,release,frontier (default: all) — the full
+  * rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val capOverride = args.lift(1).map(_.toInt)
     val kCells = args.lift(2).map(_.toInt).getOrElse(8)
+    val sections = args.lift(3).map(_.split(',').toSet)
+    def run(s: String): Boolean = sections.forall(_.contains(s))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,95 +49,120 @@ object ScaleRehearsal {
     val cap = capOverride.getOrElse(Dedup.defaultShingleDfCap(nDocs))
     out += "n_docs" -> nDocs
     out += "df_cap" -> cap
-    out += "shingle_rows" -> docs
-      .select(sum(size(TextAnalysis.shingles(col("text"))))).head().getLong(0)
 
-    // candidate pairs entering Jaccard verification (threshold 0 keeps
-    // every pair sharing >= 1 surviving shingle), then the verified set
-    val (cand, tCand) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
-      threshold = 0.0, maxShingleDf = Some(cap)).count())
-    ScratchCache.releaseAll(spark)
-    out += "ngram_candidate_pairs" -> cand
-    out += "ngram_candidates_sec" -> tCand
-    val (ver, tVer) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
-      threshold = 0.5, maxShingleDf = Some(cap)).count())
-    ScratchCache.releaseAll(spark)
-    out += "ngram_verified_pairs" -> ver
-    out += "ngram_verified_sec" -> tVer
-    val (cl, tCl) = timed(Dedup.connectedComponents(
-      Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
-        maxShingleDf = Some(cap))).count())
-    ScratchCache.releaseAll(spark)
-    out += "cluster_rows" -> cl
-    out += "clusters_sec" -> tCl
-
-    val (audit, tAudit) = timed(Dedup.lshAudit(docs, "doc_id", "text",
-      threshold = 0.5, k = 32, bands = 8, seed = 42L,
-      maxShingleDf = Some(cap)).head())
-    ScratchCache.releaseAll(spark)
-    out += "lsh_candidates" -> audit.getLong(0)
-    out += "lsh_precision_pm" -> audit.getLong(4)
-    out += "lsh_recall_pm" -> audit.getLong(5)
-    out += "lsh_audit_sec" -> tAudit
-
-    val e = embs.select(col("vec_id").as("id"), col("embedding"))
-    val centroids = KMeans.seedCentroids(e, kCells)
-    val occ = KMeans.assign(e, centroids).groupBy("cell")
-      .agg(count(lit(1)).as("n")).collect()
-    out += "semdedup_cells" -> occ.length
-    out += "semdedup_pair_volume" -> occ.map(r =>
-      r.getLong(1) * (r.getLong(1) - 1) / 2).sum
-    val (sd, tSd) = timed(SemDedup.dupCandidates(e, centroids,
-      thresholdE6 = 400000L).count())
-    ScratchCache.releaseAll(spark)
-    out += "semdedup_dups" -> sd
-    out += "semdedup_sec" -> tSd
-
-    val (dsirFeats, tDsir) = timed(Dsir.importanceWeights(docs, "doc_id",
-      "text", col("source").isin("src0", "src1"), buckets = 4096)
-      .agg(sum("n_feats")).head().getLong(0))
-    ScratchCache.releaseAll(spark)
-    out += "dsir_feature_rows" -> dsirFeats
-    out += "dsir_weights_sec" -> tDsir
-
-    // one-pass release vs the same eight products standalone: the
-    // economics of the single scored-pair materialization, measured at
-    // this SF (the ratio grows with the pair join's share of the work)
-    val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
-    val (_, tRelease) = timed {
-      val r = Dedup.releasePipeline(docs, "doc_id", "text", threshold = 0.5,
-        maxShingleDf = Some(cap), quality = quality)
-      Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
-        r.split, r.sourceOverlap, r.containment).foreach(_.count())
+    if (run("ngram")) {
+      out += "shingle_rows" -> docs
+        .select(sum(size(TextAnalysis.shingles(col("text"))))).head().getLong(0)
+      // candidate pairs entering Jaccard verification (threshold 0 keeps
+      // every pair sharing >= 1 surviving shingle), then the verified set
+      val (cand, tCand) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
+        threshold = 0.0, maxShingleDf = Some(cap)).count())
+      ScratchCache.releaseAll(spark)
+      out += "ngram_candidate_pairs" -> cand
+      out += "ngram_candidates_sec" -> tCand
+      val (ver, tVer) = timed(Dedup.ngramJaccard(docs, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = Some(cap)).count())
+      ScratchCache.releaseAll(spark)
+      out += "ngram_verified_pairs" -> ver
+      out += "ngram_verified_sec" -> tVer
+      val (cl, tCl) = timed(Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(cap))).count())
+      ScratchCache.releaseAll(spark)
+      out += "cluster_rows" -> cl
+      out += "clusters_sec" -> tCl
     }
-    ScratchCache.releaseAll(spark)
-    out += "release_onepass_sec" -> tRelease
-    val (_, tEightPass) = timed {
-      Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)).count()
+
+    if (run("lsh")) {
+      val (audit, tAudit) = timed(Dedup.lshAudit(docs, "doc_id", "text",
+        threshold = 0.5, k = 32, bands = 8, seed = 42L,
+        maxShingleDf = Some(cap)).head())
       ScratchCache.releaseAll(spark)
-      Dedup.containment(docs, "doc_id", "text", 0.8, Some(cap)).count()
-      ScratchCache.releaseAll(spark)
-      def clusters() = Dedup.connectedComponents(
-        Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)))
-      clusters().count(); ScratchCache.releaseAll(spark)
-      Dedup.clusterKeepers(clusters(), quality).count()
-      ScratchCache.releaseAll(spark)
-      clusters().groupBy("cluster").agg(count(lit(1)).as("size"))
-        .groupBy("size").agg(count(lit(1))).count()
-      ScratchCache.releaseAll(spark)
-      docs.join(clusters().where(col("id") =!= col("cluster"))
-        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti").count()
-      ScratchCache.releaseAll(spark)
-      docs.select(col("doc_id"))
-        .join(clusters().withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .count()
-      ScratchCache.releaseAll(spark)
-      Dedup.sourceOverlap(
-        Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)),
-        docs.select(col("doc_id"), col("source"))).count()
-      ScratchCache.releaseAll(spark)
+      out += "lsh_candidates" -> audit.getLong(0)
+      out += "lsh_precision_pm" -> audit.getLong(4)
+      out += "lsh_recall_pm" -> audit.getLong(5)
+      out += "lsh_audit_sec" -> tAudit
     }
-    out += "release_eightpass_sec" -> tEightPass
+
+    if (run("semdedup")) {
+      val e = embs.select(col("vec_id").as("id"), col("embedding"))
+      val centroids = KMeans.seedCentroids(e, kCells)
+      val occ = KMeans.assign(e, centroids).groupBy("cell")
+        .agg(count(lit(1)).as("n")).collect()
+      out += "semdedup_cells" -> occ.length
+      out += "semdedup_pair_volume" -> occ.map(r =>
+        r.getLong(1) * (r.getLong(1) - 1) / 2).sum
+      val (sd, tSd) = timed(SemDedup.dupCandidates(e, centroids,
+        thresholdE6 = 400000L).count())
+      ScratchCache.releaseAll(spark)
+      out += "semdedup_dups" -> sd
+      out += "semdedup_sec" -> tSd
+    }
+
+    if (run("dsir")) {
+      val (dsirFeats, tDsir) = timed(Dsir.importanceWeights(docs, "doc_id",
+        "text", col("source").isin("src0", "src1"), buckets = 4096)
+        .agg(sum("n_feats")).head().getLong(0))
+      ScratchCache.releaseAll(spark)
+      out += "dsir_feature_rows" -> dsirFeats
+      out += "dsir_weights_sec" -> tDsir
+    }
+
+    if (run("release")) {
+      // one-pass release vs the same eight products standalone: the
+      // economics of the single scored-pair materialization, measured at
+      // this SF (the ratio grows with the pair join's share of the work)
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val (_, tRelease) = timed {
+        val r = Dedup.releasePipeline(docs, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(cap), quality = quality)
+        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "release_onepass_sec" -> tRelease
+      val (_, tEightPass) = timed {
+        Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)).count()
+        ScratchCache.releaseAll(spark)
+        Dedup.containment(docs, "doc_id", "text", 0.8, Some(cap)).count()
+        ScratchCache.releaseAll(spark)
+        def clusters() = Dedup.connectedComponents(
+          Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)))
+        clusters().count(); ScratchCache.releaseAll(spark)
+        Dedup.clusterKeepers(clusters(), quality).count()
+        ScratchCache.releaseAll(spark)
+        clusters().groupBy("cluster").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1))).count()
+        ScratchCache.releaseAll(spark)
+        docs.join(clusters().where(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti").count()
+        ScratchCache.releaseAll(spark)
+        docs.select(col("doc_id"))
+          .join(clusters().withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .count()
+        ScratchCache.releaseAll(spark)
+        Dedup.sourceOverlap(
+          Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)),
+          docs.select(col("doc_id"), col("source"))).count()
+        ScratchCache.releaseAll(spark)
+      }
+      out += "release_eightpass_sec" -> tEightPass
+    }
+
+    if (run("frontier")) {
+      // the cap PLANNER at this SF: what cap a fixed pair budget buys,
+      // and what the frontier costs to compute (one aggregation pass —
+      // the price of not guessing)
+      val budget = 10000000L
+      val (frontierRows, tFrontier) = timed(
+        Dedup.dfCapFrontier(docs, "doc_id", "text").count())
+      out += "frontier_rows" -> frontierRows
+      out += "frontier_sec" -> tFrontier
+      val (cap10m, tSuggest) = timed(
+        Dedup.suggestDfCap(docs, "doc_id", "text", pairBudget = budget))
+      out += "suggested_cap_at_10m_pairs" -> cap10m
+      out += "suggest_sec" -> tSuggest
+    }
 
     def j(v: Any): String = v match {
       case d: Double => f"$d%.2f"
