@@ -516,6 +516,45 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
+  /** Per-cell occupancy of the IVF coarse quantizer: (cell, n, share_pm)
+    * — the serving-ops diagnostic behind [[appendIvfIndex]]'s rebalance
+    * note. Cells drift oversized as the ingested distribution shifts; a
+    * hot cell means every probe that ranks it scans disproportionate
+    * rows, so this histogram (plus [[imbalanceFactor]]) is what decides
+    * when the offline codebook rebuild actually runs. One assignment
+    * projection + one count aggregation; the share denominator broadcasts
+    * back as a 1-row literal.
+    */
+  def ivfCellStats(corpus: DataFrame, nlist: Int = 16,
+      idCol: String = "id", embCol: String = "embedding",
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = codebook.getOrElse(
+      KMeans.seedCentroids(corpus, nlist, idCol, embCol))
+    val occ = corpus
+      .select(element_at(cellRank(cents, col(embCol).cast("array<double>")), 1)
+        .getField("cell").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    occ.crossJoin(broadcast(occ.agg(sum("n").as("__t"))))
+      .select(col("cell"), col("n"),
+        expr("n * 1000 div __t").as("share_pm"))
+  }
+
+  /** FAISS-style imbalance factor of an IVF assignment:
+    * nlist · Σ n_c² / (Σ n_c)² — 1.0 for perfectly balanced cells, k for
+    * everything in one cell. Probe cost scales with it: expected rows
+    * scanned per probe ≈ imbalance · corpus/nlist. A factor creeping
+    * past ~2 is the usual retrain trigger. Driver-side single-row agg.
+    */
+  def imbalanceFactor(corpus: DataFrame, nlist: Int = 16,
+      idCol: String = "id", embCol: String = "embedding",
+      codebook: Option[Array[Array[Double]]] = None): Double = {
+    val stats = ivfCellStats(corpus, nlist, idCol, embCol, codebook)
+      .agg(sum(col("n") * col("n")).cast("double").as("s"),
+        sum("n").cast("double").as("t")).head()
+    val k = codebook.map(_.length).getOrElse(nlist)
+    k * stats.getDouble(0) / (stats.getDouble(1) * stats.getDouble(1))
+  }
+
   /** kNN majority-vote label prediction — the embedding-space analog of a
     * fastText-style quality/domain classifier: each unlabeled document is
     * assigned the label its k nearest labeled neighbors vote for.

@@ -43,6 +43,14 @@ object Pipeline {
         e.select(col("vec_id").as("id"), col("embedding")), k = 5)
     }),
 
+    // IVF serving-ops diagnostic: per-cell occupancy + probe-cost share
+    // — the histogram (with CosineSearch.imbalanceFactor) that decides
+    // when the appended index's offline codebook rebuild actually runs
+    "q_ivf_cells" -> ((s, dir) =>
+      CosineSearch.ivfCellStats(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
+        nlist = 16)),
+
     // kNN majority-vote label propagation: seed labels (vec_id >= 50)
     // classify the held-out head of the table
     "q_knn_classify" -> ((s, dir) => {
@@ -1187,6 +1195,22 @@ object Pipeline {
         |  SELECT qid, id, sim_e6, row_number() OVER (
         |    PARTITION BY qid ORDER BY sim_e6 DESC, id) AS rank
         |  FROM rr) WHERE rank <= 5""".stripMargin,
+    // cell stats reuse q_sim_ivf's cent/ca assignment CTEs
+    "q_ivf_cells" ->
+      """WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT id, cell FROM (
+        |  SELECT id, cell, row_number() OVER (PARTITION BY id
+        |    ORDER BY -list_dot_product(v, e) / sqrt(list_dot_product(e, e)),
+        |      cell) AS rn
+        |  FROM c0, cent) WHERE rn = 1),
+        |occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM ca GROUP BY 1)
+        |SELECT CAST(cell AS INT) AS cell, n,
+        |  CAST(n * 1000 // (SELECT sum(n) FROM occ) AS BIGINT) AS share_pm
+        |FROM occ""".stripMargin,
     // IVF-PQ composes the q_sim_ivf cell CTEs with the q_sim_pq code
     // CTEs: the ADC aggregation is restricted to candidates whose cell
     // is among the query's probed cells, everything else is identical

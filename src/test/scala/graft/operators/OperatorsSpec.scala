@@ -613,6 +613,21 @@ class CosineSpec extends SparkSpec {
     }
   }
 
+  test("ivf cell stats sum to the corpus; imbalance flags a hot cell") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val stats = CosineSearch.ivfCellStats(e, nlist = 16).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == e.count())
+    assert(stats.forall(r => r.getAs[Long]("share_pm") <= 1000L))
+    // identical vectors all land in one cell: imbalance == nlist exactly
+    val onehot = (0L until 12L)
+      .map(i => (i, Array.fill(4)(1.0f))).toDF("id", "embedding")
+    assert(math.abs(CosineSearch.imbalanceFactor(onehot, nlist = 4) - 4.0) < 1e-9)
+    // the real corpus under the seeded quantizer stays probe-sane
+    val f = CosineSearch.imbalanceFactor(e, nlist = 16)
+    assert(f >= 1.0 && f < 16.0, s"imbalance $f out of range")
+  }
+
   test("pq encoding is deterministic and code-bounded") {
     import graft.operators.similarity.ProductQuant
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
