@@ -140,7 +140,20 @@ object Dedup {
     */
   def incrementalNearDup(df: DataFrame, idCol: String, textCol: String,
       isBatch: Column, threshold: Double,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None): DataFrame =
+    jaccardOf(
+      incrementalScoredPairs(df, idCol, textCol, isBatch, maxShingleDf),
+      threshold)
+
+  /** The SCORED form of [[incrementalNearDup]]'s pair generation —
+    * (id_a, id_b, common, n_a, n_b) for every batch-touching pair sharing
+    * ≥1 surviving shingle, before any verification filter. This is what
+    * [[incrementalRelease]] appends to a prior release's scored pair set:
+    * both verification semantics (Jaccard and containment) then apply as
+    * thin filters, exactly like [[releasePipeline]]'s one-pass core.
+    */
+  def incrementalScoredPairs(df: DataFrame, idCol: String, textCol: String,
+      isBatch: Column, maxShingleDf: Option[Int] = None): DataFrame = {
     val shingled = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"), isBatch.as("is_b"),
         transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
@@ -176,14 +189,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val pairs = bc.unionAll(bb)
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    val jac = col("common") * lit(1.0) /
-      (col("na.n") + col("nb.n") - col("common"))
     pairs
       .join(sizes.as("na"), col("id_a") === col("na.id"))
       .join(sizes.as("nb"), col("id_b") === col("nb.id"))
-      .where(jac >= threshold)
       .select(col("id_a"), col("id_b"), col("common"),
-        round(jac * 1000).cast("long").as("jaccard_pm"))
+        col("na.n").as("n_a"), col("nb.n").as("n_b"))
   }
 
   /** Shared pair-generation core of [[ngramJaccard]]/[[containment]]:
@@ -539,7 +549,11 @@ object Dedup {
   final case class ReleaseProducts(
       pairs: DataFrame, clusters: DataFrame, keepers: DataFrame,
       clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame,
-      sourceOverlap: DataFrame, containment: DataFrame)
+      sourceOverlap: DataFrame, containment: DataFrame,
+      /** the scored pair set every product derives from — persist-backed;
+        * feed it to [[incrementalRelease]] as `priorScored` next cycle
+        */
+      scored: DataFrame)
 
   /** The one-pass dedup release: every per-product DataFrame a corpus
     * release ships, derived from a SINGLE materialization of the scored
@@ -578,6 +592,45 @@ object Dedup {
     // near-dup and asymmetric containment) are thin filters over it
     val scored = graft.ScratchCache.persist(
       scoredPairs(df, idCol, textCol, maxShingleDf))
+    productsOf(scored, df, idCol, threshold, quality, sourceCol,
+      containThreshold)
+  }
+
+  /** Incremental release — the daily-increment cadence of
+    * [[releasePipeline]]: a new batch's scored pairs come from
+    * [[incrementalScoredPairs]] (batch×corpus probe + batch×batch
+    * self-join; corpus×corpus is NEVER re-joined), append to the prior
+    * release's scored set, and every product re-derives over the
+    * combined corpus from that union. At 100 TB this is the only
+    * affordable cadence: pair-generation cost tracks the INCREMENT's
+    * shingle stream, while products stay corpus-complete.
+    *
+    * Cap semantics: with a df-cap, the increment can push a shingle's
+    * document frequency over the cap AFTER old×old pairs were settled —
+    * those historical pairs are not retroactively dropped (the accepted
+    * incremental-ingest drift, same contract as [[incrementalNearDup]]).
+    * Uncapped, the result is bit-identical to a from-scratch
+    * [[releasePipeline]] over the combined corpus (ReleaseSpec pins it).
+    *
+    * @param df          the COMBINED corpus (prior + batch rows)
+    * @param isBatch     marks the new batch's rows within `df`
+    * @param priorScored the previous release's `scored` product
+    */
+  def incrementalRelease(df: DataFrame, idCol: String, textCol: String,
+      isBatch: Column, priorScored: DataFrame, threshold: Double,
+      maxShingleDf: Option[Int], quality: DataFrame,
+      sourceCol: String = "source",
+      containThreshold: Double = 0.8): ReleaseProducts = {
+    val delta = incrementalScoredPairs(df, idCol, textCol, isBatch,
+      maxShingleDf)
+    val scored = graft.ScratchCache.persist(priorScored.unionAll(delta))
+    productsOf(scored, df, idCol, threshold, quality, sourceCol,
+      containThreshold)
+  }
+
+  private def productsOf(scored: DataFrame, df: DataFrame, idCol: String,
+      threshold: Double, quality: DataFrame, sourceCol: String,
+      containThreshold: Double): ReleaseProducts = {
     // verified near-dup pairs persist too: CC's checkpoint AND the pairs
     // product both read them cache-side
     val pairs = graft.ScratchCache.persist(jaccardOf(scored, threshold))
@@ -602,7 +655,7 @@ object Dedup {
     val overlap = sourceOverlap(pairs,
       df.select(col(idCol).as("doc_id"), col(sourceCol).as("source")))
     ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split,
-      overlap, contain)
+      overlap, contain, scored)
   }
 
   /** Seeded hash-family parameters, exposed so an external oracle can

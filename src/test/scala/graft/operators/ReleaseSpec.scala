@@ -67,6 +67,49 @@ class ReleaseSpec extends SparkSpec {
     assert(keeper(20L) == 21L)
   }
 
+  test("incremental release equals a from-scratch release over the union") {
+    // prior release over the first corpus; then docs 60/61 arrive (61
+    // near-dups doc 20's family, 60 is a singleton). Uncapped, the
+    // incremental path must reproduce the from-scratch release over the
+    // combined corpus product-for-product — while generating only
+    // batch-touching pairs (the corpus index never self-joins).
+    val prior = corpus
+    val q0 = prior.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val r0 = Dedup.releasePipeline(prior, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q0)
+    // keep the prior scored pairs as plain rows: a real pipeline stores
+    // them between cycles, and the next cycle's caches are fresh
+    val priorScored = spark.createDataFrame(
+      java.util.Arrays.asList(r0.scored.collect(): _*), r0.scored.schema)
+    graft.ScratchCache.releaseAll(spark)
+    val batch = Seq(
+      (60L, "fresh content that matches nothing else in the corpus", "en"),
+      (61L, "one two three four five six seven eight nine", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+    val combined = prior.unionByName(batch)
+    val q1 = combined.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val inc = Dedup.incrementalRelease(combined, "doc_id", "text",
+      isBatch = col("doc_id") >= 60L, priorScored = priorScored,
+      threshold = 0.5, maxShingleDf = None, quality = q1)
+    val full = Dedup.releasePipeline(combined, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q1)
+    assert(rows(inc.scored) == rows(full.scored))
+    assert(rows(inc.pairs) == rows(full.pairs))
+    assert(rows(inc.clusters) == rows(full.clusters))
+    assert(rows(inc.keepers) == rows(full.keepers))
+    assert(rows(inc.clusterSizes) == rows(full.clusterSizes))
+    assert(rows(inc.survivors) == rows(full.survivors))
+    assert(rows(inc.split) == rows(full.split))
+    assert(rows(inc.sourceOverlap) == rows(full.sourceOverlap))
+    assert(rows(inc.containment) == rows(full.containment))
+    // and 61 actually joined 20/21's cluster through the increment
+    val cl = inc.clusters.as[(Long, Long)].collect().toMap
+    assert(cl.contains(61L) && cl(61L) == cl.getOrElse(21L, cl(20L)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("cluster products re-plan from the materialization, not the corpus") {
     val d = corpus
     val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
