@@ -441,6 +441,44 @@ object Pipeline {
           Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
     }),
 
+    // the incremental release, gated end to end: a prior release over
+    // the non-src0 corpus, then src0 arrives as the increment —
+    // batch×corpus probe + batch×batch only, never corpus×corpus — and
+    // the re-derived products must equal a from-scratch release over
+    // the combined corpus (the same composed oracle as q_dedup_release:
+    // at gate SFs the df-cap never binds, so incremental == from-scratch
+    // exactly; the capped drift contract is ReleaseSpec territory)
+    "q_incr_release" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBatch = col("source") === "src0"
+      val prior = d.where(!isBatch)
+      val cap = Some(Dedup.defaultShingleDfCap(d.count()))
+      val r0 = Dedup.releasePipeline(prior, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = cap,
+        quality = prior.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      val r = Dedup.incrementalRelease(d, "doc_id", "text", isBatch,
+        priorScored = r0.scored, threshold = 0.5, maxShingleDf = cap,
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      def tag(name: String, df: org.apache.spark.sql.DataFrame,
+          cols: Seq[String]) =
+        df.select(lit(name).as("product"),
+          md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+            .as("row_md5"))
+      tag("pairs", r.pairs, Seq("id_a", "id_b", "common", "jaccard_pm"))
+        .unionAll(tag("clusters", r.clusters, Seq("id", "cluster")))
+        .unionAll(tag("keepers", r.keepers,
+          Seq("cluster", "keeper_id", "quality", "size")))
+        .unionAll(tag("sizes", r.clusterSizes, Seq("size", "n_clusters")))
+        .unionAll(tag("purge",
+          r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+          Seq("lang", "n")))
+        .unionAll(tag("split", r.split, Seq("doc_id", "split")))
+        .unionAll(tag("overlap", r.sourceOverlap,
+          Seq("source_a", "source_b", "n_pairs")))
+        .unionAll(tag("containment", r.containment,
+          Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
+    }),
+
     // cross-source duplication matrix: near-dup pairs bucketed by the
     // (source_a, source_b) of their documents — which sources copy from
     // each other (mirrors, scrapes, syndication)
@@ -988,7 +1026,15 @@ object Pipeline {
     sb.toString
   }
 
-  val oracles: Map[String, String] = Map(
+  // the incremental release is oracle-IDENTICAL to the from-scratch one:
+  // at gate SFs the df-cap never binds, so extending the prior scored
+  // set with the batch delta reproduces the union's pair set exactly
+  // (ReleaseSpec pins the uncapped equivalence; the capped drift
+  // contract is documented on incrementalRelease)
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_incr_release" -> oraclesBase("q_dedup_release"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q_bpe_pairs" ->
       """WITH w0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS wn FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
