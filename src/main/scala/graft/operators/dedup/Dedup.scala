@@ -628,7 +628,7 @@ object Dedup {
       containThreshold)
   }
 
-  private def productsOf(scored: DataFrame, df: DataFrame, idCol: String,
+  private[dedup] def productsOf(scored: DataFrame, df: DataFrame, idCol: String,
       threshold: Double, quality: DataFrame, sourceCol: String,
       containThreshold: Double): ReleaseProducts = {
     // verified near-dup pairs persist too: CC's checkpoint AND the pairs

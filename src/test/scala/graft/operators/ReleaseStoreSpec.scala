@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.dedup.{Dedup, ReleaseStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The persisted streaming release: batch-by-batch ingest (with replay)
+  * accumulates the same scored pair set a from-scratch release derives,
+  * and the on-demand products match bit-for-bit.
+  */
+class ReleaseStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+
+  private val b0 = doc(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),
+    (50L, "totally unrelated text about completely different things"))
+  private val b1 = doc(
+    (3L, "alpha beta gamma delta epsilon eta"),
+    (20L, "one two three four five six seven"))
+  private val b2 = doc(
+    (21L, "one two three four five six seven eight nine ten"),
+    (51L, "another unique document with no shared trigrams at all"))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("batch ingest with replay equals a from-scratch release") {
+    val dir = Files.createTempDirectory("relstore").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b0, batchId = Some(0L)) // at-least-once replay
+    store.ingest(b1, batchId = Some(1L))
+    store.ingest(b2, batchId = Some(2L))
+    assert(store.lastCommitted("docs") == 2L &&
+      store.lastCommitted("scored") == 2L)
+    val all = b0.unionByName(b1).unionByName(b2)
+    assert(store.docs.count() == all.count()) // replay did not duplicate
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.scored) == rows(want.scored))
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(rows(got.keepers) == rows(want.keepers))
+    assert(rows(got.survivors) == rows(want.survivors))
+    assert(rows(got.split) == rows(want.split))
+    assert(rows(got.sourceOverlap) == rows(want.sourceOverlap))
+    assert(rows(got.containment) == rows(want.containment))
+    // the near-dup relations genuinely span batches: 1/2 (b0) with 3
+    // (b1), 20 (b1) with 21 (b2)
+    val cl = got.clusters.as[(Long, Long)].collect().toMap
+    assert(cl(3L) == cl(1L) && cl(21L) == cl(20L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("a live stream maintains the release via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("relstream").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        store.ingest(b, batchId = Some(id))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("relck").toFile.getAbsolutePath)
+      .start()
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta"),
+        (50L, "totally unrelated text about completely different things"))
+      stream.processAllAvailable()
+      in.addData((2L, "alpha beta gamma delta epsilon zeta"))
+      stream.processAllAvailable()
+      val q = store.docs.select(col("doc_id").as("id"),
+        col("n_chars").as("q"))
+      val pairs = store.products(threshold = 0.5, quality = q)
+        .pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally stream.stop()
+    graft.ScratchCache.releaseAll(spark)
+  }
+}
