@@ -17,8 +17,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * 8 cells) with the production-style absolute knobs, to show the same
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
-  * ngram,lsh,semdedup,dsir,release,frontier (default: all) — the full
-  * rehearsal at 10× takes ~40 min, a single section minutes.
+  * ngram,lsh,semdedup,dsir,release,increlease,frontier (default: all) —
+  * the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -147,6 +147,40 @@ object ScaleRehearsal {
         ScratchCache.releaseAll(spark)
       }
       out += "release_eightpass_sec" -> tEightPass
+    }
+
+    if (run("increlease")) {
+      // incremental-release economics: the top id-decile arrives as the
+      // daily increment over an existing release. The prior release (and
+      // its stored scored pairs) exists BEFORE the increment — only the
+      // incremental re-derivation is timed, against a from-scratch
+      // release over the same combined corpus
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 10 * 9
+      val isBatch = col("doc_id") > cut
+      out += "inc_batch_docs" -> docs.where(isBatch).count()
+      val prior = docs.where(!isBatch)
+      val r0 = Dedup.releasePipeline(prior, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(cap),
+        quality = prior.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      r0.scored.count() // materialize outside the timed window
+      val (_, tInc) = timed {
+        val r = Dedup.incrementalRelease(docs, "doc_id", "text", isBatch,
+          priorScored = r0.scored, threshold = 0.5,
+          maxShingleDf = Some(cap), quality = quality)
+        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "inc_release_sec" -> tInc
+      val (_, tFull) = timed {
+        val r = Dedup.releasePipeline(docs, "doc_id", "text", threshold = 0.5,
+          maxShingleDf = Some(cap), quality = quality)
+        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "full_release_sec" -> tFull
     }
 
     if (run("frontier")) {

@@ -163,6 +163,45 @@ object ProductQuant {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
   }
 
+  /** Append a micro-batch into a persisted IVF-PQ index: cell assignment
+    * AND codes use the STORED codebooks (the build-once contract — new
+    * vectors land where every probe ranks, and their codes score against
+    * every existing LUT), writes append only the touched cell
+    * partitions, and `batchId` rides the same per-table commit markers
+    * as [[CosineSearch.appendIvfIndex]] so `foreachBatch` replays are
+    * exactly-once. Rebalance on drift stays an offline
+    * [[buildIvfPqIndex]] — [[CosineSearch.imbalanceFactor]] is the
+    * trigger.
+    */
+  def appendIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String = "id",
+      embCol: String = "embedding", batchId: Option[Long] = None): Unit = {
+    val (cents, cb) = readCodebooks(spark, path)
+    val cv = col(embCol).cast("array<double>")
+    new graft.store.CommitMarkers(spark, path).guarded("cells", batchId) {
+      batch.select(col(idCol).as("id"),
+          element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+            .as("cell"),
+          Sketches.pqEncode(cv, cb).as("codes"))
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("cell").parquet(s"$path/cells")
+    }
+  }
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val flat = spark.read.parquet(s"$path/pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    val m = flat.keysIterator.map(_._1).max + 1
+    val ksub = flat.keysIterator.map(_._2).max + 1
+    (cents, Array.tabulate(m, ksub)((j, c) => flat((j, c))))
+  }
+
   /** Probe a persisted IVF-PQ index: the probed cell ids collect
     * driver-side into a literal `cell IN (...)` partition filter (the
     * [[CosineSearch.searchIvfIndex]] discipline — unprobed cells' files
@@ -177,15 +216,8 @@ object ProductQuant {
       path: String, queries: DataFrame, corpus: DataFrame, k: Int,
       nprobe: Int = 4, rerank: Int = 50, qidCol: String = "qid",
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    val cents = spark.read.parquet(s"$path/coarse").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val flat = spark.read.parquet(s"$path/pq").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-      .toMap
-    val m = flat.keysIterator.map(_._1).max + 1
-    val ksub = flat.keysIterator.map(_._2).max + 1
-    val cb = Array.tabulate(m, ksub)((j, c) => flat((j, c)))
+    val (cents, cb) = readCodebooks(spark, path)
+    val (m, ksub) = (cb.length, cb.head.length)
     val qv = col(embCol).cast("array<double>")
     val q = queries.select(col(qidCol).as("qid"),
       Sketches.pqLut(qv, cb).as("lut"),
