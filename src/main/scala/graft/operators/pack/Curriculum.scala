@@ -36,14 +36,6 @@ object Curriculum {
   private def hash48(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
-  /** Per-doc curriculum assignment: emits the input columns plus
-    * `stage` (0-based, by ascending `scoreCol` percentile), `shard`
-    * (hash of `idCol` mod `shards`) and `slot` (within-shard order key —
-    * sort by it for the deterministic interleave).
-    *
-    * `scoreCol` must be integral; discretize continuous scores first
-    * (the distinct-score table is the scalability contract).
-    */
   /** Stage assigned to rows whose `scoreCol` is null: they carry no
     * difficulty signal, so they get a deterministic out-of-band stage
     * instead of silently vanishing (a null group key never equi-matches,
@@ -52,6 +44,14 @@ object Curriculum {
     */
   val NullStage: Long = -1L
 
+  /** Per-doc curriculum assignment: emits the input columns plus
+    * `stage` (0-based, by ascending `scoreCol` percentile), `shard`
+    * (hash of `idCol` mod `shards`) and `slot` (within-shard order key —
+    * sort by it for the deterministic interleave).
+    *
+    * `scoreCol` must be integral; discretize continuous scores first
+    * (the distinct-score table is the scalability contract).
+    */
   def order(df: DataFrame, idCol: String, scoreCol: String,
       stages: Int, shards: Int): DataFrame = {
     require(stages > 0 && shards > 0, "stages and shards must be positive")

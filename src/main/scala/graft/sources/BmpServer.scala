@@ -16,10 +16,19 @@ import graft.functions.Rib
   * Per-connection read loop with PARTIAL-TAIL CARRY: TCP does not frame
   * messages, so each read appends to the connection's buffer,
   * [[BmpDecoder.messages]] consumes every complete message, and the
-  * remainder waits for more bytes. A connection drop flushes nothing by
-  * itself (peers re-announce on session restart — reference behavior:
-  * only an explicit Peer Down withdraws a peer's routes; stale-peer
-  * expiry is the orchestrator's policy knob, out of engine scope).
+  * remainder waits for more bytes.
+  *
+  * STALE-PEER REMOVAL: peer identity is session-scoped, so a dropped
+  * session's peers can never be referenced again — a reconnecting
+  * router mints fresh ids and re-announces. Its old routes must
+  * therefore be withdrawn by the server (the reference's stale-peer
+  * removal after connection loss, `serve.go` / events.go `staleUntil`),
+  * or they'd resolve forever and the RIB would grow without bound
+  * across routine reconnects. `staleTimeoutMs` is the grace window:
+  * 0 (default) peer-downs a dropped session's peers immediately; a
+  * positive value keeps them resolvable for that long so a quick
+  * reconnect + re-announce never leaves a lookup gap (the reference's
+  * configurable stale timeout).
   *
   * Control-plane scale: BMP event rate is session-bound (routing
   * updates), orders of magnitude below the data plane; one thread per
@@ -27,7 +36,7 @@ import graft.functions.Rib
   * and never touches a Spark job — executors only ever see the
   * immutable broadcast table snapshots.
   */
-final class BmpServer(live: Rib.Live, flushOnDisconnect: Boolean = false) {
+final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
 
   private val counters = new ConcurrentHashMap[String, AtomicLong]()
   // active per-connection sockets — stop() closes them so their read
@@ -47,6 +56,14 @@ final class BmpServer(live: Rib.Live, flushOnDisconnect: Boolean = false) {
       _ => peerSeq.incrementAndGet())
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
+  // one shared timer fires delayed stale-peer removals; daemon so an
+  // undisposed server never blocks JVM exit. Only exists when a grace
+  // window is configured.
+  private val staleSweeper: Option[java.util.concurrent.ScheduledExecutorService] =
+    if (staleTimeoutMs > 0L)
+      Some(java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val th = new Thread(r, "bmp-stale"); th.setDaemon(true); th }))
+    else None
 
   private def bump(k: String, n: Long): Unit =
     counters.computeIfAbsent(k, _ => new AtomicLong).addAndGet(n)
@@ -107,17 +124,30 @@ final class BmpServer(live: Rib.Live, flushOnDisconnect: Boolean = false) {
       active.remove(sock); sock.close()
       // a closed session's mkPeer is unreachable, so its interned ids can
       // never be minted again — drop them (a week of router reconnects
-      // must not grow the intern map without bound). With
-      // `flushOnDisconnect` the session's peers also go down in the RIB
-      // (the reference's stale-peer removal on connection loss,
-      // `serve.go`); default keeps routes until an explicit Peer Down,
-      // since peers re-announce on session restart.
+      // must not grow the intern map without bound), then withdraw their
+      // routes: immediately, or after the stale grace window during which
+      // a reconnecting router's fresh announcements take over seamlessly.
       val mine = new java.util.ArrayList[Long]()
       peerIds.forEach { (k, v) => if (k._1 == session) mine.add(v) }
       peerIds.keySet.removeIf(_._1 == session)
-      if (flushOnDisconnect) {
-        mine.forEach { p => live.peerDown(p); () }
-        if (!mine.isEmpty) bump("disconnect_flushed_peers", mine.size.toLong)
+      if (!mine.isEmpty) {
+        val flush: Runnable = () => {
+          mine.forEach { p => live.peerDown(p); () }
+          bump("disconnect_flushed_peers", mine.size.toLong)
+        }
+        staleSweeper match {
+          case None => flush.run()
+          case Some(sweeper) =>
+            bump("stale_scheduled_peers", mine.size.toLong)
+            try sweeper.schedule(flush, staleTimeoutMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch {
+              // stop() already shut the sweeper down: no reconnect is
+              // coming, withdraw immediately
+              case _: java.util.concurrent.RejectedExecutionException =>
+                flush.run()
+            }
+        }
       }
     }
   }
@@ -130,5 +160,10 @@ final class BmpServer(live: Rib.Live, flushOnDisconnect: Boolean = false) {
     // router disconnects (a stop/start cycle must not leak feeders)
     active.forEach(s => try s.close() catch { case _: java.io.IOException => () })
     active.clear()
+    // run any pending stale flushes now: a stopped server has no
+    // reconnect to wait for, and the sweeper thread must not outlive us
+    staleSweeper.foreach { sweeper =>
+      sweeper.shutdownNow().forEach(_.run())
+    }
   }
 }

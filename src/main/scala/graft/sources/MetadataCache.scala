@@ -1,13 +1,19 @@
 package graft.sources
 
 import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.SnmpPoller.IfInfo
 
-/** Interface-metadata cache between the flow plane and the SNMP poller —
+/** Interface-metadata cache between the flow plane and its pollers —
   * the reference's `outlet/metadata/root.go` semantics:
   *
+  *  - **provider mux** (`root.go:39,81-90`): an ORDERED list of named
+  *    providers (static config → SNMP → gNMI…); a lookup asks each in
+  *    turn and the first answer wins. Per-provider hit/error counters
+  *    land in [[stats]]. A provider that throws is skipped (counted),
+  *    so a broken poller degrades to the next provider instead of
+  *    failing the lookup.
   *  - **access-based expiry** (`CacheDuration`, default 30 m): an entry
   *    nobody looks up falls out at the next ticker run;
   *  - **age-based refresh** (`CacheRefresh`, default 1 h ≥ duration): an
@@ -26,12 +32,13 @@ import graft.sources.SnmpPoller.IfInfo
   * immutable rows and cache mutation stays driver-side, at SNMP rate.
   */
 final class MetadataCache(
-    poll: (String, Long) => Option[IfInfo],
+    providers: Seq[(String, (String, Long) => Option[IfInfo])],
     cacheDurationMs: Long = 30L * 60 * 1000,
     refreshAfterMs: Long = 60L * 60 * 1000,
     clock: () => Long = () => System.currentTimeMillis()) {
   require(refreshAfterMs >= cacheDurationMs,
     "cache refresh must be greater than cache duration (reference root.go:61-63)")
+  require(providers.nonEmpty, "at least one metadata provider required")
 
   private final case class Entry(info: Option[IfInfo], retrievedAt: Long,
       accessedAt: AtomicLong)
@@ -55,6 +62,29 @@ final class MetadataCache(
     val b = Map.newBuilder[String, Long]
     counters.forEach((k, v) => b += k -> v.get())
     b.result()
+  }
+
+  /** Ordered break-on-first-answer across the provider list (reference
+    * `outlet/metadata/root.go:81-90`): later providers are only asked
+    * when every earlier one misses. Returns (answer, answered):
+    * `answered` is false only when EVERY provider threw — an
+    * authoritative all-miss is (None, true) and negative-caches like
+    * any single-provider miss, while a fully-errored poll lets the
+    * caller keep a known-good entry instead of wiping it.
+    */
+  private def pollMux(exporter: String, ifIndex: Long): (Option[IfInfo], Boolean) = {
+    var answered = false
+    val it = providers.iterator
+    while (it.hasNext) {
+      val (name, p) = it.next()
+      try p(exporter, ifIndex) match {
+        case some @ Some(_) => bump(s"provider_hits_$name"); return (some, true)
+        case None => bump(s"provider_misses_$name"); answered = true
+      } catch {
+        case scala.util.control.NonFatal(_) => bump(s"provider_errors_$name")
+      }
+    }
+    (None, answered)
   }
 
   /** Cached answer for (exporter, ifIndex); polls on miss (coalesced). */
@@ -81,7 +111,10 @@ final class MetadataCache(
             if (cached != null) { cached.accessedAt.set(clock()); cached.info }
             else {
               bump("polls")
-              val g = poll(exporter, ifIndex)
+              // a fully-errored poll still caches None here: a miss is a
+              // miss to the flow plane either way, and the negative entry
+              // throttles re-asks to one per ticker cycle
+              val g = pollMux(exporter, ifIndex)._1
               entries.put(key, Entry(g, clock(), new AtomicLong(clock())))
               g
             }
@@ -100,8 +133,10 @@ final class MetadataCache(
     * PARALLEL on the bounded pool so a batch of stale entries behind
     * dead exporters costs about one poll timeout, not one each (the
     * reference's goroutine refresh, `root.go` expireCache). Returns
-    * (expired, refreshed) after every refresh poll has landed, so the
-    * caller observes the post-refresh cache.
+    * (expired, successfully refreshed) after every refresh poll has
+    * landed, so the caller observes the post-refresh cache; a poll that
+    * throws is contained inside its own future (counted under
+    * `refresh_failures`), never aborting the sweep or the join loop.
     */
   def expireAndRefresh(): (Int, Int) = {
     val now = clock()
@@ -115,16 +150,36 @@ final class MetadataCache(
     entries.forEach { (key, e) =>
       if (now - e.retrievedAt > refreshAfterMs) stale += ((key, e))
     }
+    val refreshedOk = new AtomicInteger
     val polls = stale.map { case (key, e) =>
       CompletableFuture.runAsync(() => {
-        val got = poll(key._1, key._2)
-        entries.put(key, Entry(got, now, e.accessedAt))
-        bump("refreshed")
+        try {
+          val (got, answered) = pollMux(key._1, key._2)
+          if (answered) {
+            entries.put(key, Entry(got, now, e.accessedAt))
+            refreshedOk.incrementAndGet()
+            bump("refreshed")
+          } else {
+            // every provider errored: keep the known-good entry (it
+            // stays stale and re-tries next ticker) rather than wiping
+            // it to a negative answer
+            bump("refresh_failures")
+          }
+        } catch {
+          // pollMux already contains provider errors; this guards the
+          // entry swap itself so one bad refresh never poisons the batch
+          case scala.util.control.NonFatal(_) => bump("refresh_failures")
+        }
       }, refreshPool)
     }
     polls.foreach(_.join())
-    (expired, stale.size)
+    (expired, refreshedOk.get())
   }
+
+  /** Release the refresh pool. Idempotent; the cache stays readable
+    * (lookups poll on the caller's thread), only ticker refreshes stop.
+    */
+  def close(): Unit = { refreshPool.shutdownNow(); () }
 
   def size: Int = entries.size()
 
@@ -154,4 +209,15 @@ final class MetadataCache(
       .withColumn("if_boundary",
         org.apache.spark.sql.functions.lit(null).cast("string"))
   }
+}
+
+object MetadataCache {
+  /** Single-provider convenience (the pre-mux construction shape). */
+  def single(
+      poll: (String, Long) => Option[IfInfo],
+      cacheDurationMs: Long = 30L * 60 * 1000,
+      refreshAfterMs: Long = 60L * 60 * 1000,
+      clock: () => Long = () => System.currentTimeMillis()): MetadataCache =
+    new MetadataCache(Seq("default" -> poll), cacheDurationMs, refreshAfterMs,
+      clock)
 }

@@ -112,27 +112,13 @@ class BmpServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
-  test("flushOnDisconnect withdraws a dropped session's routes; default keeps them") {
-    // default: a connection drop flushes nothing (peers re-announce on
-    // session restart). With flushOnDisconnect the dropped session's
-    // peers go down in the RIB — the reference's stale-peer removal.
-    val keepRib = new Rib.Live
-    val keep = new BmpServer(keepRib)
-    val keepPort = keep.start()
-    try {
-      val s = new Socket("127.0.0.1", keepPort)
-      s.getOutputStream.write(announceMsg); s.getOutputStream.flush()
-      assert(awaitUntil(5000) {
-        keepRib.table.lookup(Ip.parse("10.0.0.7"), null) != null
-      })
-      s.close()
-      Thread.sleep(100)
-      assert(keepRib.table.lookup(Ip.parse("10.0.0.7"), null) != null,
-        "default server flushed routes on disconnect")
-    } finally keep.stop()
-
+  test("disconnect withdraws a dropped session's routes (default immediate)") {
+    // peer ids are session-scoped: a reconnecting router mints fresh
+    // ids, so the dropped session's routes can never be withdrawn by a
+    // later Peer Down. The server must remove them itself — the
+    // reference's stale-peer removal after connection loss.
     val flushRib = new Rib.Live
-    val flush = new BmpServer(flushRib, flushOnDisconnect = true)
+    val flush = new BmpServer(flushRib)
     val flushPort = flush.start()
     try {
       val s = new Socket("127.0.0.1", flushPort)
@@ -143,9 +129,60 @@ class BmpServerSpec extends AnyFunSuite {
       s.close()
       assert(awaitUntil(5000) {
         flushRib.table.lookup(Ip.parse("10.0.0.7"), null) == null
-      }, s"flushOnDisconnect never withdrew; stats=${flush.stats}")
+      }, s"disconnect never withdrew; stats=${flush.stats}")
       assert(flush.stats("disconnect_flushed_peers") == 1)
     } finally flush.stop()
+  }
+
+  test("stale grace window: quick reconnect re-announces before the flush lands") {
+    // with a grace window the dropped session's routes stay resolvable;
+    // a reconnect + re-announce takes over, and the deadline then
+    // retires only the dead session's peer (no lookup gap, no growth)
+    val rib = new Rib.Live
+    val srv = new BmpServer(rib, staleTimeoutMs = 1500L)
+    val port = srv.start()
+    try {
+      val s1 = new Socket("127.0.0.1", port)
+      s1.getOutputStream.write(announceMsg); s1.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        rib.table.lookup(Ip.parse("10.0.0.7"), null) != null
+      })
+      s1.close()
+      Thread.sleep(150) // inside the grace window
+      assert(rib.table.lookup(Ip.parse("10.0.0.7"), null) != null,
+        "grace window flushed early")
+      // router reconnects and re-announces the same prefix
+      val s2 = new Socket("127.0.0.1", port)
+      s2.getOutputStream.write(announceMsg); s2.getOutputStream.flush()
+      assert(awaitUntil(5000) { srv.stats.getOrElse("announce", 0L) >= 4 },
+        s"re-announce never decoded; stats=${srv.stats}")
+      // old session's peer goes down at the deadline; the re-announced
+      // route from the live session keeps resolving throughout
+      assert(awaitUntil(5000) {
+        srv.stats.getOrElse("disconnect_flushed_peers", 0L) == 1
+      }, s"stale deadline never fired; stats=${srv.stats}")
+      assert(rib.table.lookup(Ip.parse("10.0.0.7"), null) != null,
+        "stale flush withdrew the live session's re-announced route")
+      assert(srv.stats("stale_scheduled_peers") == 1)
+      s2.close()
+    } finally srv.stop()
+  }
+
+  test("stale deadline withdraws when no reconnect happens") {
+    val rib = new Rib.Live
+    val srv = new BmpServer(rib, staleTimeoutMs = 200L)
+    val port = srv.start()
+    try {
+      val s = new Socket("127.0.0.1", port)
+      s.getOutputStream.write(announceMsg); s.getOutputStream.flush()
+      assert(awaitUntil(5000) {
+        rib.table.lookup(Ip.parse("10.0.0.7"), null) != null
+      })
+      s.close()
+      assert(awaitUntil(5000) {
+        rib.table.lookup(Ip.parse("10.0.0.7"), null) == null
+      }, s"stale deadline never withdrew; stats=${srv.stats}")
+    } finally srv.stop()
   }
 
   test("stop() closes active connections, not just the listener") {

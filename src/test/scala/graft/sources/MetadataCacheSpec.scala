@@ -19,7 +19,7 @@ class MetadataCacheSpec extends SparkSpec {
   test("miss polls once; hits are free; negative answers cache too") {
     val polls = new AtomicInteger
     var now = 0L
-    val c = new MetadataCache((e, i) => { polls.incrementAndGet()
+    val c = MetadataCache.single((e, i) => { polls.incrementAndGet()
         if (i == 404L) None else info(s"if$i") },
       cacheDurationMs = 100L, refreshAfterMs = 100L, clock = () => now)
     assert(c.lookup("10.0.0.1", 1).map(_.name).contains("if1"))
@@ -35,7 +35,7 @@ class MetadataCacheSpec extends SparkSpec {
   test("concurrent lookups for one key coalesce into one poll") {
     val polls = new AtomicInteger
     val gate = new CountDownLatch(1)
-    val c = new MetadataCache((_, i) => { polls.incrementAndGet()
+    val c = MetadataCache.single((_, i) => { polls.incrementAndGet()
         gate.await(); info(s"if$i") },
       cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => 0L)
     val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -52,7 +52,7 @@ class MetadataCacheSpec extends SparkSpec {
   test("unaccessed entries expire; old entries refresh in place") {
     val polls = new AtomicInteger
     var now = 0L
-    val c = new MetadataCache((_, i) => { polls.incrementAndGet()
+    val c = MetadataCache.single((_, i) => { polls.incrementAndGet()
         info(s"v${polls.get()}") },
       cacheDurationMs = 100L, refreshAfterMs = 200L, clock = () => now)
     c.lookup("e", 1) // retrieved at 0
@@ -69,14 +69,76 @@ class MetadataCacheSpec extends SparkSpec {
     assert(refreshedName == s"v${polls.get()}", "refresh must swap in the new answer")
   }
 
+  test("provider mux: ordered, first answer wins, per-provider counters") {
+    // reference outlet/metadata/root.go:81-90 — static config answers
+    // first; SNMP is only asked for what static misses; a provider that
+    // THROWS is skipped, not fatal
+    val staticPolls = new AtomicInteger
+    val snmpPolls = new AtomicInteger
+    val c = new MetadataCache(Seq(
+      "static" -> ((_: String, i: Long) => { staticPolls.incrementAndGet()
+        if (i == 1L) info("static-if1") else None }),
+      "broken" -> ((_: String, _: Long) =>
+        throw new RuntimeException("gnmi down")),
+      "snmp" -> ((_: String, i: Long) => { snmpPolls.incrementAndGet()
+        if (i == 404L) None else info(s"snmp-if$i") })),
+      cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => 0L)
+    // static answers if1: snmp never asked for it
+    assert(c.lookup("e", 1).map(_.name).contains("static-if1"))
+    assert(staticPolls.get() == 1 && snmpPolls.get() == 0)
+    // static misses if2, broken throws, snmp answers
+    assert(c.lookup("e", 2).map(_.name).contains("snmp-if2"))
+    assert(c.stats("provider_hits_static") == 1)
+    assert(c.stats("provider_misses_static") == 1)
+    assert(c.stats("provider_errors_broken") == 1)
+    assert(c.stats("provider_hits_snmp") == 1)
+    // everyone misses 404 → negative answer caches like any other
+    assert(c.lookup("e", 404).isEmpty)
+    assert(c.lookup("e", 404).isEmpty)
+    assert(c.stats("provider_misses_snmp") == 1, "negative answer re-polled")
+    assert(c.stats("hits") == 1)
+  }
+
+  test("refresh failures are contained, counted, and excluded from the result") {
+    var now = 0L
+    val polls = new AtomicInteger
+    val c = new MetadataCache(Seq(
+      "flaky" -> ((_: String, i: Long) => {
+        val n = polls.incrementAndGet()
+        // first poll of each key answers; the refresh round throws for
+        // key 1 only (simulating one dead exporter among live ones)
+        if (now > 0 && i == 1L) throw new RuntimeException("timeout")
+        info(s"v$n")
+      })),
+      cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => now)
+    val v1 = c.lookup("e", 1).get.name
+    c.lookup("e", 2)
+    now = 500
+    c.lookup("e", 1); c.lookup("e", 2) // keep both access-alive
+    now = 1200 // both age-stale; key 1's refresh throws, key 2's lands
+    val (expired, refreshed) = c.expireAndRefresh()
+    assert(expired == 0)
+    assert(refreshed == 1, s"only the successful refresh counts, got $refreshed")
+    assert(c.stats("provider_errors_flaky") == 1)
+    assert(c.stats("refresh_failures") == 1)
+    assert(c.size == 2)
+    // the fully-errored refresh kept key 1's known-good entry…
+    assert(c.lookup("e", 1).map(_.name).contains(v1),
+      "transient refresh failure wiped a known-good entry")
+    // …while key 2 swapped in the new value
+    assert(c.lookup("e", 2).isDefined)
+    c.close()
+    c.close() // idempotent
+  }
+
   test("rejects refresh below duration like the reference") {
     intercept[IllegalArgumentException] {
-      new MetadataCache((_, _) => None, cacheDurationMs = 100, refreshAfterMs = 50)
+      MetadataCache.single((_, _) => None, cacheDurationMs = 100, refreshAfterMs = 50)
     }
   }
 
   test("the cache snapshot joins flows end to end") {
-    val c = new MetadataCache((e, i) => info(s"eth$i"),
+    val c = MetadataCache.single((e, i) => info(s"eth$i"),
       cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => 0L)
     c.lookup("10.0.0.9", 1)
     c.lookup("10.0.0.9", 2)
