@@ -340,8 +340,6 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 128, bands: Int = 32,
       seed: Long = 42L): DataFrame = {
-    val rows = k / bands
-    val (pa, pb) = hashParams(k, seed)
     // one tokenize+shingle+hash pass, reused by signature and
     // verification; the persisted rows carry 8-byte shingle hashes, not
     // strings (64-bit collisions are negligible for both the signature
@@ -350,22 +348,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
       .where(size(col("sh")) > 0))
-    val sig = shingled.select(col("id"),
-      Sketches.minhashSig(
-        transform(col("sh"), s => pmod(s, lit(P))), pa, pb).as("sig"))
-    // band hash = xxhash64 of the long slice directly (hashing the array
-    // value) — no long→string render + concat per band
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = fastBandCandidates(shingled, k, bands, seed)
     // verify: exact Jaccard on the shingle sets, joined back by id
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
     val jac = common * lit(1.0) / (size(col("sh_a")) + size(col("sh_b")) - common)
@@ -378,6 +361,31 @@ object Dedup {
         (jac >= threshold).as("keep"))
       .where(col("keep"))
       .select("id_a", "id_b", "jaccard_pm")
+  }
+
+  /** Banded-MinHash candidate pairs over xxhash64-hashed shingle arrays
+    * (id, sh) — the hot-path twin of [[portableBandCandidates]]. Band
+    * hash = xxhash64 of the long slice directly (hashing the array
+    * value) — no long→string render + concat per band.
+    */
+  private def fastBandCandidates(shingled: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame = {
+    val rows = k / bands
+    val (pa, pb) = hashParams(k, seed)
+    val sig = shingled.select(col("id"),
+      Sketches.minhashSig(
+        transform(col("sh"), s => pmod(s, lit(P))), pa, pb).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
   }
 
   /** [[minhashLsh]] with an engine-portable base hash: shingles hash to
@@ -581,6 +589,121 @@ object Dedup {
     *         leakage-safe (id, split) assignment where every cluster
     *         member inherits its root's split
     */
+  /** LSH-FRONTED scored pairs: the same (id_a, id_b, common, n_a, n_b)
+    * contract as [[scoredPairs]], but candidate generation never runs
+    * the inverted-index self-join. Two candidate fronts, each matched to
+    * the verification semantics it feeds:
+    *
+    *  - **Jaccard pairs → banded MinHash** ([[fastBandCandidates]] /
+    *    [[portableBandCandidates]]): a pair's candidate probability is
+    *    1−(1−j^r)^b — pick (k, bands) so recall at the release threshold
+    *    clears the bar and GATE IT with [[lshAudit]] on a sample before
+    *    a corpus run. At the ×10 rehearsal the df-capped index join
+    *    emits 113.3M candidate pairs to verify 250.6k, while banding
+    *    finds the same pairs from 250.7k candidates — the ~450×
+    *    candidate reduction that makes the release's dominant stage
+    *    linear in corpus size instead of Σ df².
+    *  - **Containment → rarest-first prefix filter**: banding CANNOT
+    *    front containment (a short doc quoted inside a long one has
+    *    cont ≈ 1 but Jaccard ≈ n_a/n_b — zero banding probability), so
+    *    containment keeps an EXACT guarantee instead of a probabilistic
+    *    one. For any subset S of A's shingles with
+    *    |S| = n_a − ⌈t·n_a⌉ + 1: if B contains none of S then
+    *    common ≤ n_a − |S| < t·n_a — so indexing ANY such subset of
+    *    every doc against the full index finds every pair with
+    *    cont ≥ t in either direction. Choosing S as the GLOBALLY RAREST
+    *    shingles (ascending document frequency, then hash) makes the
+    *    probe fuel Σ_s pdf(s)·df(s) collapse: prefixes concentrate on
+    *    df ≈ 1 shingles, which generate candidates only when genuinely
+    *    shared. (This is PPJoin's canonical frequency-ordered prefix,
+    *    applied one-sided for the asymmetric overlap bound; the
+    *    symmetric-Jaccard PPJoin variant measured worse than the df-cap
+    *    at honest 3-gram frequencies — see [[shinglePairs]] — but for
+    *    containment the prefix is the only exact sub-quadratic front.)
+    *
+    * Verification then scores ONLY the unioned candidates: the pair
+    * list joins back to the (df-capped) shingle sets and computes exact
+    * (common, n_a, n_b) by array intersection — candidate-count × set
+    * size work, not index-join-output work.
+    *
+    * df-cap contract: the cap applies to the verification sets, the
+    * sizes, and the containment prefix/probe index (all consistent with
+    * [[scoredPairs]]); MinHash signatures band over the FULL sets —
+    * on honest data the cap only drops boilerplate (cap ≫ near-dup
+    * pairs' shared-shingle df), which [[lshAudit]]'s capped ground
+    * truth measures directly.
+    *
+    * `portable = true` switches the base hash to the engine-portable
+    * 48-bit md5 slice and banding to signature-slice equality (the
+    * [[minhashLshPortable]] family) so an external oracle can replicate
+    * candidates, scoring, and every release product bit-exactly.
+    */
+  def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled =
+      if (portable) portableHashedShingles(df, idCol, textCol)
+      else graft.ScratchCache.persist(df
+        .select(col(idCol).as("id"),
+          array_distinct(
+            transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
+            .as("sh"))
+        .where(size(col("sh")) > 0))
+    // Jaccard front: banded MinHash over the full sets
+    val candJ =
+      if (portable) portableBandCandidates(shingled, k, bands, seed)
+      else fastBandCandidates(shingled, k, bands, seed)
+    // containment front: rarest-first prefix probing the (capped) index
+    val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        graft.ScratchCache.persist(
+          idx.join(broadcast(hot), Seq("s"), "left_anti"))
+      case None => idx
+    }
+    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    // integer prefix length: ⌈t·n⌉ via (n·t_pm + 999) div 1000 — engine-
+    // exact (no float rounding drift between Spark and an oracle)
+    val ctPm = math.round(containThreshold * 1000)
+    val ranked = filtered.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val pref = ranked.join(sizes, Seq("id"))
+      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
+      .select(col("id"), col("s"))
+    val candC = pref.as("p")
+      .join(filtered.as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+        greatest(col("p.id"), col("f.id")).as("id_b"))
+    val cand = candJ.unionAll(candC).distinct()
+    // exact scoring for candidates only: common/n over the same capped
+    // shingle universe the index join would have used
+    val sets = maxShingleDf match {
+      case Some(_) => graft.ScratchCache.persist(
+        filtered.groupBy("id").agg(collect_list(col("s")).as("sh")))
+      case None => shingled
+    }
+    cand
+      .join(sets.select(col("id"), col("sh").as("sh_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sets.select(col("id"), col("sh").as("sh_b")),
+        col("id_b") === col("id")).drop("id")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      // a false candidate sharing no shingle has no row in the exact
+      // scored set either — keep the contracts identical
+      .where(col("common") > 0)
+  }
+
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int],
       quality: DataFrame, sourceCol: String = "source",
@@ -592,6 +715,29 @@ object Dedup {
     // near-dup and asymmetric containment) are thin filters over it
     val scored = graft.ScratchCache.persist(
       scoredPairs(df, idCol, textCol, maxShingleDf))
+    productsOf(scored, df, idCol, threshold, quality, sourceCol,
+      containThreshold)
+  }
+
+  /** [[releasePipeline]] with [[lshScoredPairs]] candidate generation —
+    * the 100 TB cadence: same eight products off one scored-pair
+    * materialization and one CC run, but the scored set comes from
+    * banded-MinHash (Jaccard) + rarest-prefix (containment) candidates
+    * instead of the inverted-index self-join. Bit-identical to
+    * [[releasePipeline]] whenever the banding recall at `threshold` is
+    * 100% on the corpus (the containment front is exact by
+    * construction) — gate the band shape with [[lshAudit]] first;
+    * ReleaseSpec pins the equivalence on a fixture including a
+    * low-Jaccard containment pair banding alone would miss.
+    */
+  def releasePipelineLsh(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int],
+      quality: DataFrame, sourceCol: String = "source",
+      containThreshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      seed: Long = 42L, portable: Boolean = false): ReleaseProducts = {
+    val scored = graft.ScratchCache.persist(
+      lshScoredPairs(df, idCol, textCol, containThreshold, maxShingleDf,
+        k, bands, seed, portable))
     productsOf(scored, df, idCol, threshold, quality, sourceCol,
       containThreshold)
   }

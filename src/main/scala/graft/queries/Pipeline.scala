@@ -21,6 +21,31 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Long-format (product, row_md5) rendering of a release's eight
+    * products — each branch hashes the same canonical string its
+    * standalone oracle derives, so one CORRECTNESS row verifies every
+    * product at once. Shared by the three release entries.
+    */
+  private def releaseTags(r: Dedup.ReleaseProducts): DataFrame = {
+    def tag(name: String, df: DataFrame, cols: Seq[String]) =
+      df.select(lit(name).as("product"),
+        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+          .as("row_md5"))
+    tag("pairs", r.pairs, Seq("id_a", "id_b", "common", "jaccard_pm"))
+      .unionAll(tag("clusters", r.clusters, Seq("id", "cluster")))
+      .unionAll(tag("keepers", r.keepers,
+        Seq("cluster", "keeper_id", "quality", "size")))
+      .unionAll(tag("sizes", r.clusterSizes, Seq("size", "n_clusters")))
+      .unionAll(tag("purge",
+        r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
+        Seq("lang", "n")))
+      .unionAll(tag("split", r.split, Seq("doc_id", "split")))
+      .unionAll(tag("overlap", r.sourceOverlap,
+        Seq("source_a", "source_b", "n_pairs")))
+      .unionAll(tag("containment", r.containment,
+        Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
+  }
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
@@ -421,24 +446,25 @@ object Pipeline {
       val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
         maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
         quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
-      def tag(name: String, df: org.apache.spark.sql.DataFrame,
-          cols: Seq[String]) =
-        df.select(lit(name).as("product"),
-          md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
-            .as("row_md5"))
-      tag("pairs", r.pairs, Seq("id_a", "id_b", "common", "jaccard_pm"))
-        .unionAll(tag("clusters", r.clusters, Seq("id", "cluster")))
-        .unionAll(tag("keepers", r.keepers,
-          Seq("cluster", "keeper_id", "quality", "size")))
-        .unionAll(tag("sizes", r.clusterSizes, Seq("size", "n_clusters")))
-        .unionAll(tag("purge",
-          r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
-          Seq("lang", "n")))
-        .unionAll(tag("split", r.split, Seq("doc_id", "split")))
-        .unionAll(tag("overlap", r.sourceOverlap,
-          Seq("source_a", "source_b", "n_pairs")))
-        .unionAll(tag("containment", r.containment,
-          Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
+      releaseTags(r)
+    }),
+
+    // the LSH-FRONTED release: identical eight products, but candidate
+    // generation is banded MinHash (Jaccard) + rarest-first prefix
+    // filtering (containment) instead of the inverted-index self-join —
+    // the 100 TB shape where the index join's Σ df² candidate volume is
+    // unpayable. Portable variant (48-bit md5 base hash, slice-equality
+    // banding) so the oracle replicates candidates AND products exactly;
+    // band shape k=32/bands=16 keeps per-pair recall ≥99% at the 0.5
+    // release threshold (r=2), and the hash-space scoring matches the
+    // oracle's hv-based counts bit-for-bit
+    "q_release_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = Dedup.releasePipelineLsh(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")),
+        k = 32, bands = 16, seed = 42L, portable = true)
+      releaseTags(r)
     }),
 
     // the incremental release, gated end to end: a prior release over
@@ -459,24 +485,7 @@ object Pipeline {
       val r = Dedup.incrementalRelease(d, "doc_id", "text", isBatch,
         priorScored = r0.scored, threshold = 0.5, maxShingleDf = cap,
         quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
-      def tag(name: String, df: org.apache.spark.sql.DataFrame,
-          cols: Seq[String]) =
-        df.select(lit(name).as("product"),
-          md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
-            .as("row_md5"))
-      tag("pairs", r.pairs, Seq("id_a", "id_b", "common", "jaccard_pm"))
-        .unionAll(tag("clusters", r.clusters, Seq("id", "cluster")))
-        .unionAll(tag("keepers", r.keepers,
-          Seq("cluster", "keeper_id", "quality", "size")))
-        .unionAll(tag("sizes", r.clusterSizes, Seq("size", "n_clusters")))
-        .unionAll(tag("purge",
-          r.survivors.groupBy(col("lang")).agg(count(lit(1)).as("n")),
-          Seq("lang", "n")))
-        .unionAll(tag("split", r.split, Seq("doc_id", "split")))
-        .unionAll(tag("overlap", r.sourceOverlap,
-          Seq("source_a", "source_b", "n_pairs")))
-        .unionAll(tag("containment", r.containment,
-          Seq("id_a", "id_b", "common", "cont_a_pm", "cont_b_pm")))
+      releaseTags(r)
     }),
 
     // cross-source duplication matrix: near-dup pairs bucketed by the
@@ -2161,6 +2170,113 @@ object Pipeline {
         |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
         |    CAST(cont_a_pm AS VARCHAR), CAST(cont_b_pm AS VARCHAR)))
         |  FROM cj""".stripMargin,
+    // Generated oracle: the LSH-FRONTED release — candidates from banded
+    // portable MinHash (the q_dedup_minhash_port family, 2 rows/band)
+    // UNIONed with the rarest-first containment prefix filter, scored in
+    // 48-bit hash space, then the identical eight product branches as
+    // q_dedup_release. The Spark side's df-cap is hash-neutral at gate
+    // SFs (cap >> max honest df), so the oracle omits it — the same
+    // contract as q_lsh_audit.
+    "q_release_lsh" -> {
+      val (pa, pb) = Dedup.minhashParams(32, 42L)
+      val params = pa.zip(pb).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+        |  WHERE len(w) >= 3),
+        |hv AS (SELECT DISTINCT doc_id, (${hex48("s")}) AS h FROM sh0),
+        |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
+        |params AS (SELECT * FROM (VALUES $params) AS pr(i, a, b)),
+        |sig AS (SELECT doc_id, i,
+        |    min((a * (h % 2147483647) + b) % 2147483647) AS m
+        |  FROM hv CROSS JOIN params GROUP BY 1, 2),
+        |band AS (SELECT doc_id, i // 2 AS band,
+        |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+        |  FROM sig GROUP BY 1, 2),
+        |candj AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM band a JOIN band b ON a.band = b.band AND a.bkey = b.bkey
+        |    AND a.doc_id < b.doc_id),
+        |dfs AS (SELECT h, count(*) AS df FROM hv GROUP BY 1),
+        |rk AS (SELECT hv.doc_id, hv.h,
+        |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
+        |  FROM hv JOIN dfs d ON hv.h = d.h),
+        |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
+        |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
+        |candc AS (SELECT DISTINCT least(pf.doc_id, f.doc_id) AS id_a,
+        |    greatest(pf.doc_id, f.doc_id) AS id_b
+        |  FROM pref pf JOIN hv f ON pf.h = f.h AND pf.doc_id != f.doc_id),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |  SELECT id_a, id_b FROM candj
+        |  UNION ALL SELECT id_a, id_b FROM candc) u),
+        |p AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS common FROM cand
+        |  JOIN hv ha ON ha.doc_id = id_a
+        |  JOIN hv hb ON hb.doc_id = id_b AND ha.h = hb.h
+        |  GROUP BY 1, 2),
+        |pj AS (SELECT id_a, id_b, common,
+        |    CAST(round(common * 1.0 / (na.cnt + nb.cnt - common) * 1000) AS BIGINT)
+        |      AS jaccard_pm
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / (na.cnt + nb.cnt - common) >= 0.5),
+        |pairs AS (SELECT id_a, id_b FROM pj),
+        |$reachCte,
+        |clusters AS (SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1),
+        |kq AS (SELECT c.cluster, c.id, d.n_chars AS q
+        |  FROM clusters c JOIN documents d ON c.id = d.doc_id),
+        |kr AS (SELECT cluster, id, q,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster) AS size
+        |  FROM kq),
+        |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+        |  FROM clusters GROUP BY 1),
+        |szh AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM cs GROUP BY 1),
+        |losers AS (SELECT id FROM clusters WHERE id != cluster),
+        |pg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM losers) GROUP BY 1),
+        |spl AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS root
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+        |ov AS (SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM pairs JOIN documents da ON id_a = da.doc_id
+        |    JOIN documents db ON id_b = db.doc_id
+        |  GROUP BY 1, 2),
+        |cj AS (SELECT id_a, id_b, common,
+        |    CAST(round(common * 1.0 / na.cnt * 1000) AS BIGINT) AS cont_a_pm,
+        |    CAST(round(common * 1.0 / nb.cnt * 1000) AS BIGINT) AS cont_b_pm
+        |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+        |  WHERE common * 1.0 / na.cnt >= 0.8
+        |     OR common * 1.0 / nb.cnt >= 0.8)
+        |SELECT 'pairs' AS product, md5(concat_ws('|', CAST(id_a AS VARCHAR),
+        |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
+        |    CAST(jaccard_pm AS VARCHAR))) AS row_md5 FROM pj
+        |UNION ALL
+        |SELECT 'clusters', md5(concat_ws('|', CAST(id AS VARCHAR),
+        |    CAST(cluster AS VARCHAR))) FROM clusters
+        |UNION ALL
+        |SELECT 'keepers', md5(concat_ws('|', CAST(cluster AS VARCHAR),
+        |    CAST(id AS VARCHAR), CAST(q AS VARCHAR),
+        |    CAST(CAST(size AS BIGINT) AS VARCHAR))) FROM kr WHERE rn = 1
+        |UNION ALL
+        |SELECT 'sizes', md5(concat_ws('|', CAST(size AS VARCHAR),
+        |    CAST(n_clusters AS VARCHAR))) FROM szh
+        |UNION ALL
+        |SELECT 'purge', md5(concat_ws('|', lang, CAST(n AS VARCHAR))) FROM pg
+        |UNION ALL
+        |SELECT 'split', md5(concat_ws('|', CAST(doc_id AS VARCHAR),
+        |    CASE WHEN substr(md5(CAST(root AS VARCHAR)), 1, 1) < 'd'
+        |         THEN 'train' ELSE 'eval' END)) FROM spl
+        |UNION ALL
+        |SELECT 'overlap', md5(concat_ws('|', source_a, source_b,
+        |    CAST(n_pairs AS VARCHAR))) FROM ov
+        |UNION ALL
+        |SELECT 'containment', md5(concat_ws('|', CAST(id_a AS VARCHAR),
+        |    CAST(id_b AS VARCHAR), CAST(common AS VARCHAR),
+        |    CAST(cont_a_pm AS VARCHAR), CAST(cont_b_pm AS VARCHAR)))
+        |  FROM cj""".stripMargin
+    },
     "q_dedup_purge" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
         |  FROM documents),

@@ -110,6 +110,69 @@ class ReleaseSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("LSH-fronted release equals the exact release, incl. a containment pair banding misses") {
+    // docs 30/31: 30's six tokens appear verbatim inside 31's 22 — full
+    // containment (cont_a = 1.0) at Jaccard 4/20 = 0.2, far below any
+    // banding reach. The rarest-prefix containment front must find it;
+    // every other product must match the exact release bit-for-bit.
+    val d = corpus.unionByName(Seq(
+      (30L, "red orange yellow green blue purple", "en"),
+      (31L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight",
+        "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2)))))
+    val q = d.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val exact = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val lsh = Dedup.releasePipelineLsh(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(lsh.pairs) == rows(exact.pairs))
+    assert(rows(lsh.clusters) == rows(exact.clusters))
+    assert(rows(lsh.keepers) == rows(exact.keepers))
+    assert(rows(lsh.clusterSizes) == rows(exact.clusterSizes))
+    assert(rows(lsh.survivors) == rows(exact.survivors))
+    assert(rows(lsh.split) == rows(exact.split))
+    assert(rows(lsh.sourceOverlap) == rows(exact.sourceOverlap))
+    assert(rows(lsh.containment) == rows(exact.containment))
+    // the scored universe is the candidate set, a SUBSET of the exact
+    // all-sharing-pairs universe — every verified product row survives,
+    // sub-threshold non-candidates don't get scored at all
+    assert(rows(lsh.scored).subsetOf(rows(exact.scored)))
+    // the containment product really carries the quoted pair…
+    val contPairs = lsh.containment.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(contPairs.contains((30L, 31L)),
+      s"prefix front missed the quoted pair; containment=$contPairs")
+    // …and the banding front alone would NOT have found it (all banded
+    // candidates at threshold 0 — (30,31) must not be among them)
+    val banded = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!banded.contains((30L, 31L)),
+      "fixture no longer exercises the containment front: banding found the pair")
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("portable LSH-fronted release equals the exact release too") {
+    // the oracle-replicable variant (48-bit md5 base hash, slice-equality
+    // banding): same equivalence contract as the hot path. Band shape
+    // k=32/bands=16 (2 rows per band) — the fixture's weakest true pairs
+    // sit at Jaccard 0.6, where r=4 banding recall is only ~67% per pair
+    // (and deterministically missed two), while r=2 reaches ~99.9%
+    val d = corpus
+    val q = d.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val exact = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val lsh = Dedup.releasePipelineLsh(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q, k = 32, bands = 16, portable = true)
+    assert(rows(lsh.pairs) == rows(exact.pairs))
+    assert(rows(lsh.clusters) == rows(exact.clusters))
+    assert(rows(lsh.keepers) == rows(exact.keepers))
+    assert(rows(lsh.containment) == rows(exact.containment))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("cluster products re-plan from the materialization, not the corpus") {
     val d = corpus
     val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
