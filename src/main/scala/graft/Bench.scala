@@ -52,11 +52,25 @@ object Bench {
       .filter(_.getType == MemoryType.HEAP)
     def peakHeapMb(): Long = heapPools
       .flatMap(p => Option(p.getPeakUsage).map(_.getUsed)).sum / (1 << 20)
-    final case class Rep(sec: Double, rows: Long, gcMs: Long, peakMb: Long)
+    // Process CPU per rep: GC attributes heap stalls, but HOST CONTENTION
+    // (CPU steal by a co-tenant) was invisible — a rep whose wall-clock
+    // grows while its cpu_ms stays ~flat did the same work and simply
+    // didn't get scheduled; compare cpu_ms vs cpu_worst_ms to call it
+    // from the artifact alone (r9's q_line/q_sankey "regressions").
+    val osBean = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuNowMs(): Long =
+      osBean.map(_.getProcessCpuTime).filter(_ >= 0).map(_ / 1000000L)
+        .getOrElse(0L)
+    final case class Rep(sec: Double, rows: Long, gcMs: Long, peakMb: Long,
+        cpuMs: Long)
     val timed = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         heapPools.foreach(_.resetPeakUsage())
         val g0 = gcNowMs()
+        val c0 = cpuNowMs()
         val t0 = System.nanoTime()
         // toRdd.count() materializes EVERY output column — a plain count()
         // would let Catalyst prune the projections being measured
@@ -66,10 +80,11 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val repGc = gcNowMs() - g0
+        val repCpu = cpuNowMs() - c0
         // release this query's scratch persists so cached partials never
         // carry into the next repetition or query (outside the timed window)
         ScratchCache.releaseAll(spark)
-        Rep(sec, n, repGc, peakHeapMb())
+        Rep(sec, n, repGc, peakHeapMb(), repCpu)
       }
       // a failed repetition returns fast — its wall-clock must not become
       // the "best" time; min/worst come from successful reps only (a query
@@ -81,7 +96,9 @@ object Bench {
       val worstRep = basis.maxBy(_.sec)
       System.err.println(
         f"[bench] $name%-22s ${bestRep.sec}%8.2f s  (worst ${worstRep.sec}%.2f, " +
-          f"gc ${bestRep.gcMs}/${worstRep.gcMs} ms, peak ${basis.map(_.peakMb).max} MB, " +
+          f"gc ${bestRep.gcMs}/${worstRep.gcMs} ms, " +
+          f"cpu ${bestRep.cpuMs}/${worstRep.cpuMs} ms, " +
+          f"peak ${basis.map(_.peakMb).max} MB, " +
           f"${basis.head.rows} rows)")
       (name, bestRep, worstRep, basis.map(_.peakMb).max)
     }
@@ -112,8 +129,11 @@ object Bench {
     // `worst` records each query's slowest repetition so the noise band
     // is visible in the artifact itself; `gc_ms`/`gc_worst_ms` attribute
     // each rep's wall-clock to GC (a slow rep with proportionally high
-    // gc_worst_ms is a GC stall, not a plan change), and `heap_peak_mb`
-    // is the rep-max heap high-water per query.
+    // gc_worst_ms is a GC stall, not a plan change); `cpu_ms`/
+    // `cpu_worst_ms` attribute it to scheduling (a worst rep whose
+    // cpu_ms ≈ the best rep's but whose wall is much longer was starved
+    // by a co-tenant, not re-planned); `heap_peak_mb` is the rep-max
+    // heap high-water per query.
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
@@ -121,6 +141,8 @@ object Bench {
           s""","worst":${fmt(timed.map { case (n, _, w, _) => n -> w.sec })}""" +
           s""","gc_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.gcMs })}""" +
           s""","gc_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.gcMs })}""" +
+          s""","cpu_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.cpuMs })}""" +
+          s""","cpu_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.cpuMs })}""" +
           s""","heap_peak_mb":${fmtL(timed.map { case (n, _, _, p) => n -> p })}""" +
           s""","sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))

@@ -17,8 +17,9 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * 8 cells) with the production-style absolute knobs, to show the same
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
-  * ngram,lsh,semdedup,dsir,release,increlease,frontier (default: all) —
-  * the full rehearsal at 10× takes ~40 min, a single section minutes.
+  * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increlease,
+  * frontier (default: all) — the full rehearsal at 10× takes ~40 min, a
+  * single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -121,6 +122,10 @@ object ScaleRehearsal {
       }
       ScratchCache.releaseAll(spark)
       out += "release_onepass_sec" -> tRelease
+    }
+
+    if (run("eightpass")) {
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
       val (_, tEightPass) = timed {
         Dedup.ngramJaccard(docs, "doc_id", "text", 0.5, Some(cap)).count()
         ScratchCache.releaseAll(spark)
@@ -147,6 +152,34 @@ object ScaleRehearsal {
         ScratchCache.releaseAll(spark)
       }
       out += "release_eightpass_sec" -> tEightPass
+    }
+
+    if (run("lshrelease")) {
+      // the LSH-FRONTED release: candidate volume (banded MinHash for
+      // Jaccard + rarest-prefix for containment) vs the exact index
+      // join's Σ df² output, and the end-to-end eight-product wall-clock
+      // against release_onepass_sec — the headline 100 TB economics
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val (lshCand, tLshCand) = timed(Dedup.lshCandidates(docs, "doc_id",
+        "text", containThreshold = 0.8, maxShingleDf = Some(cap)).count())
+      ScratchCache.releaseAll(spark)
+      out += "lsh_release_candidates" -> lshCand
+      out += "lsh_release_candidates_sec" -> tLshCand
+      val (_, tLshRelease) = timed {
+        val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
+          threshold = 0.5, maxShingleDf = Some(cap), quality = quality)
+        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "lsh_release_onepass_sec" -> tLshRelease
+      // parity count: the LSH-fronted verified pair set must match the
+      // exact release's (recall gate at this corpus)
+      val (lshPairs, _) = timed(Dedup.releasePipelineLsh(docs, "doc_id",
+        "text", threshold = 0.5, maxShingleDf = Some(cap),
+        quality = quality).pairs.count())
+      ScratchCache.releaseAll(spark)
+      out += "lsh_release_verified_pairs" -> lshPairs
     }
 
     if (run("increlease")) {

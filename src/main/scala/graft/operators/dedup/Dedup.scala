@@ -638,10 +638,13 @@ object Dedup {
     * [[minhashLshPortable]] family) so an external oracle can replicate
     * candidates, scoring, and every release product bit-exactly.
     */
-  def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
+  /** (shingled sets, capped index, candidate pairs) — the shared front
+    * of [[lshCandidates]] / [[lshScoredPairs]].
+    */
+  private def lshCandidateParts(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double, maxShingleDf: Option[Int],
-      k: Int = 128, bands: Int = 32, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      k: Int, bands: Int, seed: Long,
+      portable: Boolean): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val shingled =
       if (portable) portableHashedShingles(df, idCol, textCol)
@@ -681,7 +684,27 @@ object Dedup {
         col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
       .select(least(col("p.id"), col("f.id")).as("id_a"),
         greatest(col("p.id"), col("f.id")).as("id_b"))
-    val cand = candJ.unionAll(candC).distinct()
+    (shingled, filtered, candJ.unionAll(candC).distinct())
+  }
+
+  /** The distinct LSH-front candidate pair list (both fronts unioned) —
+    * what [[lshScoredPairs]] verifies. Exposed for diagnostics: its
+    * count against [[scoredPairs]]'s Σ df² join output is the candidate
+    * reduction the front buys (the ScaleRehearsal table).
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): DataFrame =
+    lshCandidateParts(df, idCol, textCol, containThreshold, maxShingleDf,
+      k, bands, seed, portable)._3
+
+  def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    val (shingled, filtered, cand) = lshCandidateParts(df, idCol, textCol,
+      containThreshold, maxShingleDf, k, bands, seed, portable)
     // exact scoring for candidates only: common/n over the same capped
     // shingle universe the index join would have used
     val sets = maxShingleDf match {
@@ -776,7 +799,11 @@ object Dedup {
 
   private[dedup] def productsOf(scored: DataFrame, df: DataFrame, idCol: String,
       threshold: Double, quality: DataFrame, sourceCol: String,
-      containThreshold: Double): ReleaseProducts = {
+      containThreshold: Double,
+      /** pre-resolved (id, cluster) labels — [[ReleaseStore]]'s
+        * incrementally-maintained table; None runs CC over the pairs
+        */
+      clustersOverride: Option[DataFrame] = None): ReleaseProducts = {
     // verified near-dup pairs persist too: CC's checkpoint AND the pairs
     // product both read them cache-side
     val pairs = graft.ScratchCache.persist(jaccardOf(scored, threshold))
@@ -784,7 +811,7 @@ object Dedup {
     // CC materializes its label table (localCheckpoint / driver-resolved
     // local relation) — the four cluster products below re-plan from
     // that materialization, never from the pair pipeline
-    val clusters = connectedComponents(pairs)
+    val clusters = clustersOverride.getOrElse(connectedComponents(pairs))
     val keepers = clusterKeepers(clusters, quality)
     val clusterSizes = clusters
       .groupBy("cluster").agg(count(lit(1)).as("size"))

@@ -1,19 +1,29 @@
 package graft.operators.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted, continuously-maintained dedup release: the storage twin of
   * [[Dedup.incrementalRelease]] for streaming corpus ingest
   * (`writeStream.foreachBatch((b, id) => store.ingest(b, Some(id)))`).
   *
-  * Two parquet tables under `path` — `docs` (the corpus) and `scored`
-  * (the accumulated scored pair set, (id_a, id_b, common, n_a, n_b)) —
+  * Three parquet tables under `path` — `docs` (the corpus), `scored`
+  * (the accumulated scored pair set, (id_a, id_b, common, n_a, n_b,
+  * batch)) and `batches/batch=N` (the per-batch ACCEPTED-id sidecars) —
   * each append guarded by the per-table commit markers every other
   * store uses ([[graft.store.CommitMarkers]]), so at-least-once
-  * `foreachBatch` replays are exactly-once: a replay whose docs append
-  * already landed recomputes the SAME pair delta (batch membership is
-  * id-driven, not "new rows"-driven) and appends only what is missing.
+  * `foreachBatch` replays are exactly-once.
+  *
+  * ID CONTRACT: doc ids are globally unique across the STORE, not
+  * across the stream — a re-crawled id arriving in a later batch is
+  * IGNORED (first write wins; replace/update semantics are a different
+  * store). The sidecar makes that replay-safe: a batch's accepted ids
+  * (new, in-batch-deduped, not yet stored) are resolved ONCE, before
+  * any append, and persisted; a replay — even one interleaved with a
+  * partial docs append — reuses the stored set, so batch membership in
+  * the pair delta is identical on every attempt and the docs append
+  * (itself anti-joined against the live table) lands each accepted row
+  * exactly once.
   *
   * Each ingest pays [[Dedup.incrementalScoredPairs]]' cost — the
   * batch's shingle stream probing the accumulated corpus plus the
@@ -23,39 +33,96 @@ import org.apache.spark.sql.functions._
   * like a from-scratch [[Dedup.releasePipeline]] over the accumulated
   * corpus (uncapped, bit-identically — ReleaseStoreSpec pins it; the
   * capped df-drift contract is [[Dedup.incrementalRelease]]'s).
+  *
+  * GROWTH DISCIPLINE (a year of 5-second batches must not mean ~6M
+  * files): [[compact]] rewrites `docs`/`scored` to target-sized files
+  * with the FlowStore write-temp-then-swap install (no reader window
+  * over a half-written table) and prunes sidecars for fully-committed
+  * batches; and [[productsCached]] maintains the CC label table
+  * incrementally per threshold — new pairs merge into the persisted
+  * labels (prior components ride along as star edges), so a release
+  * over years of accumulated pairs re-clusters only what the latest
+  * batches added.
   */
 final class ReleaseStore(spark: SparkSession, path: String,
     idCol: String, textCol: String, maxShingleDf: Option[Int] = None) {
 
   private val markers = new graft.store.CommitMarkers(spark, path)
+  // serializes table rewrites (compact) against each other; ingest and
+  // products are driver-driven and sequential per store by contract
+  private val writeLock = new Object
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fs = hPath(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def docs: DataFrame = spark.read.parquet(s"$path/docs")
 
+  /** The accumulated scored pair set. `batch` records which ingest
+    * generated each row (−1 for un-id'd batch calls) — the water mark
+    * [[productsCached]]'s incremental clustering folds by.
+    */
   def scored: DataFrame = spark.read.parquet(s"$path/scored")
 
   /** Last streaming batch id durably written to `table` (−1 if none). */
   def lastCommitted(table: String): Long = markers.lastCommitted(table)
 
+  /** This batch's ACCEPTED ids: in-batch-deduped, minus ids already in
+    * the store — resolved once and persisted per batch id (the sidecar),
+    * so every replay sees the identical set regardless of what partial
+    * appends landed in between. Un-id'd calls resolve eagerly instead
+    * (no replay exists to protect).
+    */
+  private def acceptedIds(batch: DataFrame, batchId: Option[Long]): DataFrame = {
+    def resolve(): DataFrame = {
+      val ids = batch.select(col(idCol).as("__bid")).distinct()
+      if (fs.exists(hPath(s"$path/docs")))
+        ids.join(docs.select(col(idCol).as("__bid")), Seq("__bid"),
+          "left_anti")
+      else ids
+    }
+    batchId match {
+      case Some(id) =>
+        val side = s"$path/batches/batch=$id"
+        if (!fs.exists(hPath(s"$side/_SUCCESS")))
+          resolve().write.mode(SaveMode.Overwrite).parquet(side)
+        spark.read.parquet(side)
+      case None =>
+        // eager materialization: the set must be pinned BEFORE the docs
+        // append mutates the anti-join's right side
+        resolve().localCheckpoint(true)
+    }
+  }
+
   /** Ingest one micro-batch of documents (idCol, textCol + any carried
-    * columns): append the batch to `docs` and its batch-touching scored
-    * pair delta to `scored`, each exactly-once under `batchId`.
+    * columns): append the batch's accepted rows to `docs` and their
+    * batch-touching scored pair delta to `scored`, each exactly-once
+    * under `batchId`.
     */
   def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val accepted = acceptedIds(batch, batchId)
     markers.guarded("docs", batchId) {
-      batch.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/docs")
+      // anti-join against the LIVE table: a replay after a landed-but-
+      // unmarked append finds its rows present and appends nothing
+      val base = batch.dropDuplicates(idCol)
+        .join(accepted, col(idCol) === col("__bid"), "left_semi")
+      val fresh =
+        if (fs.exists(hPath(s"$path/docs")))
+          base.join(docs.select(col(idCol)), Seq(idCol), "left_anti")
+        else base
+      fresh.write.mode(SaveMode.Append).parquet(s"$path/docs")
     }
-    // batch membership by id, so a replay that already appended its docs
-    // marks exactly the same rows and recomputes the same delta
-    val batchIds = batch.select(col(idCol).as("__bid")).distinct()
+    // batch membership = the ACCEPTED ids (not "rows in this batch"):
+    // identical on every replay, and a re-crawled duplicate id never
+    // re-marks its previously-stored row
     val marked = docs
-      .join(broadcast(batchIds), col(idCol) === col("__bid"), "left")
+      .join(broadcast(accepted), col(idCol) === col("__bid"), "left")
       .withColumn("__isb", col("__bid").isNotNull).drop("__bid")
     markers.guarded("scored", batchId) {
       Dedup.incrementalScoredPairs(marked, idCol, textCol, col("__isb"),
           maxShingleDf)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/scored")
+        .withColumn("batch", lit(batchId.getOrElse(-1L)))
+        .write.mode(SaveMode.Append).parquet(s"$path/scored")
       graft.ScratchCache.releaseAll(spark)
     }
   }
@@ -66,6 +133,130 @@ final class ReleaseStore(spark: SparkSession, path: String,
   def products(threshold: Double, quality: DataFrame,
       sourceCol: String = "source",
       containThreshold: Double = 0.8): Dedup.ReleaseProducts =
-    Dedup.productsOf(graft.ScratchCache.persist(scored), docs, idCol,
+    Dedup.productsOf(
+      graft.ScratchCache.persist(scored.drop("batch")), docs, idCol,
       threshold, quality, sourceCol, containThreshold)
+
+  /** [[products]] with store-maintained clustering: the CC label table
+    * persists per threshold under `clusters/`, and each call folds in
+    * only the scored rows appended SINCE the last call — prior
+    * components enter the merge as star edges (id → root), which
+    * preserves connectivity exactly, so the merged labels equal a
+    * from-scratch CC over all pairs (ReleaseStoreSpec pins it). At
+    * 100 TB this is what keeps release cadence flat as history grows:
+    * re-clustering cost tracks the increment, not the archive.
+    *
+    * Requires batch-id'd ingest ([[ingest]] with `batchId`): un-id'd
+    * rows (`batch = −1`) have no water mark to fold by, so their
+    * presence falls back to full CC for correctness.
+    */
+  def productsCached(threshold: Double, quality: DataFrame,
+      sourceCol: String = "source",
+      containThreshold: Double = 0.8): Dedup.ReleaseProducts = {
+    val pm = math.round(threshold * 1000)
+    val table = s"clusters_t$pm"
+    val dir = s"$path/clusters/t=$pm"
+    val water = markers.lastCommitted(table)
+    val top = markers.lastCommitted("scored")
+    val sc = graft.ScratchCache.persist(scored)
+    val labels: DataFrame = writeLock.synchronized {
+      val unmarked = sc.where(col("batch") === -1L).limit(1).count() > 0
+      if (unmarked) {
+        // no water mark exists for un-id'd rows — full CC, no cache write
+        Dedup.connectedComponents(jaccardPairs(sc.drop("batch"), threshold))
+      } else if (water >= top && fs.exists(hPath(dir))) {
+        spark.read.parquet(dir) // nothing new since the last fold
+      } else {
+        val prior =
+          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cluster",
+                org.apache.spark.sql.types.LongType))))
+        // prior components ride into the merge as star edges id→root:
+        // every old member stays reachable from its root, so CC over
+        // (stars ∪ new pairs) labels exactly like CC over all pairs
+        val newPairs = jaccardPairs(
+          sc.where(col("batch") > water).drop("batch"), threshold)
+          .select(col("id_a"), col("id_b"))
+        val merged = Dedup.connectedComponents(
+          prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
+            .unionAll(newPairs))
+        // install then mark: a crash between leaves the marker behind the
+        // table, and the next call re-folds from the old water (the star
+        // edges make a re-fold idempotent)
+        val tmp = s"$dir.tmp"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        fs.delete(hPath(dir), true)
+        if (!fs.rename(hPath(tmp), hPath(dir)))
+          throw new java.io.IOException(s"cannot install $dir")
+        markers.markCommitted(table, top)
+        spark.read.parquet(dir)
+      }
+    }
+    Dedup.productsOf(graft.ScratchCache.persist(sc.drop("batch")), docs,
+      idCol, threshold, quality, sourceCol, containThreshold,
+      clustersOverride = Some(labels))
+  }
+
+  /** The verified near-dup pair filter over a scored frame — kept in the
+    * store so [[productsCached]]'s incremental fold applies the same
+    * threshold semantics as [[Dedup]]'s products.
+    */
+  private def jaccardPairs(sc: DataFrame, threshold: Double): DataFrame = {
+    val jac = col("common") * lit(1.0) /
+      (col("n_a") + col("n_b") - col("common"))
+    sc.where(jac >= threshold).select(col("id_a"), col("id_b"))
+  }
+
+  /** Small-file compaction: rewrite `docs` and `scored` to
+    * `targetFileBytes`-sized files via write-temp-then-swap (two
+    * renames; no reader window over a half-written table — the
+    * FlowStore.compactFiles discipline), then prune the accepted-id
+    * sidecars of fully-committed batches (a sidecar only matters while
+    * its batch could still replay). Commit markers live under
+    * `_commits/` and are untouched, so replay accounting survives
+    * compaction. File count after: ≤ ⌈bytes/target⌉ per table, bounded
+    * regardless of how many micro-batches accumulated.
+    */
+  def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    Seq("docs", "scored").foreach(compactTable(_, targetFileBytes))
+    pruneSidecars()
+  }
+
+  private def compactTable(name: String, targetBytes: Long): Unit =
+    writeLock.synchronized {
+      val dir = s"$path/$name"
+      if (!fs.exists(hPath(dir))) return
+      val bytes = fs.listStatus(hPath(dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = s"$dir.compact.tmp"
+      val old = s"$dir.compact.old"
+      spark.read.parquet(dir).repartition(k)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(hPath(old), true)
+      if (!fs.rename(hPath(dir), hPath(old)))
+        throw new java.io.IOException(s"compact: cannot move $name aside")
+      if (!fs.rename(hPath(tmp), hPath(dir))) {
+        fs.rename(hPath(old), hPath(dir)) // roll back
+        throw new java.io.IOException(s"compact: cannot install $name")
+      }
+      fs.delete(hPath(old), true)
+    }
+
+  private def pruneSidecars(): Unit = writeLock.synchronized {
+    val root = hPath(s"$path/batches")
+    if (!fs.exists(root)) return
+    val safe = math.min(lastCommitted("docs"), lastCommitted("scored"))
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("batch="))
+      .foreach { d =>
+        val id = d.getPath.getName.stripPrefix("batch=").toLong
+        if (id <= safe) { fs.delete(d.getPath, true); () }
+      }
+  }
 }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so a real decoder could hold one codec per partition,
   * not one per row).
   *
-  * The actual byte decode is STUBBED (no image/audio libs in this build):
-  * [[StubDecoder]] derives deterministic fake features from the bytes. The
-  * Spark-side plumbing — schema, partitioning, batch shape, frame
-  * sampling — is real and tested; swapping in a true decoder changes only
-  * the function body.
+  * IMAGE decode is REAL ([[decodeImages]]): `javax.imageio` ships with
+  * the JDK, so PNG/JPEG/BMP/GIF payloads decode to true dimensions,
+  * format, mean luminance and a pixel checksum, with undecodable rows
+  * routed per-cause instead of dropped (the DocJsonl reject
+  * discipline). Audio/video byte decode stays STUBBED (no codec libs in
+  * this build): [[StubDecoder]] derives deterministic fake features, and
+  * swapping in a real codec changes only the function body — the batch
+  * shape, schema and partitioning are what the plumbing tests pin.
   */
 object Multimodal {
 
@@ -63,6 +66,108 @@ object Multimodal {
       // a real implementation would initialize the codec here, once
       rows.map(StubDecoder.decode)
     }
+  }
+
+  /** One image payload's decode outcome. `cause` routes every row:
+    * `ok` rows carry the real decoded features; `empty` (no payload),
+    * `no_reader` (no registered codec claims the bytes — not an image),
+    * and `decode_failed` (a codec claimed it but the bytes are broken —
+    * truncation, corruption) carry nulls. Nothing is silently dropped.
+    */
+  final case class ImageDecode(
+      media_id: Long,
+      cause: String,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      /** mean of (R+G+B) over all pixels, ×1000/3 (integer ‰ of the
+        * 0–255 channel range) — for a solid-color image this is exactly
+        * (r+g+b)·1000 div 3, which is what makes it oracle-predictable
+        */
+      mean_rgb_milli: Option[Long],
+      /** CRC32 over the row-major ARGB pixel stream — a content
+        * fingerprint that survives re-encoding containers byte-for-byte
+        * only when the PIXELS match (unlike a payload md5)
+        */
+      pixel_crc: Option[Long])
+
+  /** REAL image decode via `javax.imageio` — iterator→iterator per
+    * partition (one reader lookup per row, stream-backed, no disk
+    * cache), constant memory, executor-side. The 100 TB shape: payloads
+    * stay columnar binary until this map, features come back as a
+    * narrow typed row, and failures become routed rows (count them per
+    * cause like the flow decode plane) rather than task failures.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecode] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // in-memory ImageInputStreams only: the default ImageIO disk cache
+      // would write a temp file per row on the executor
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val none = ImageDecode(r.media_id, "", None, None, None, None, None)
+        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) none.copy(cause = "no_reader")
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val img = reader.read(0)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0L
+                val crc = new java.util.zip.CRC32()
+                val buf = new Array[Byte](4)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                    buf(0) = (p >>> 24).toByte; buf(1) = (p >>> 16).toByte
+                    buf(2) = (p >>> 8).toByte; buf(3) = p.toByte
+                    crc.update(buf)
+                    x += 1
+                  }
+                  y += 1
+                }
+                ImageDecode(r.media_id, "ok",
+                  Some(reader.getFormatName.toLowerCase), Some(w), Some(h),
+                  Some(sum * 1000L / (3L * w * h)), Some(crc.getValue))
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  none.copy(cause = "decode_failed")
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }
+  }
+
+  /** PNG-encode a solid-color image (the deterministic fixture builder:
+    * PNG is lossless, so decode returns exactly (w, h, rgb) — an
+    * arithmetic oracle can predict every decoded feature from the
+    * parameters). Executor-safe: pure function of its arguments.
+    */
+  def encodeSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Frame sampling for video-ish payloads: every `stride`-th chunk of

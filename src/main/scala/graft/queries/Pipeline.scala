@@ -367,6 +367,34 @@ object Pipeline {
       Dedup.minhashLshPortable(docs(s, dir), "doc_id", "text",
         threshold = 0.5, k = 32, bands = 8, seed = 42L)),
 
+    // REAL image decode, end to end: solid-color PNGs are ENCODED on the
+    // executors from doc_id-derived parameters (javax.imageio, lossless),
+    // three corruption classes are planted deterministically, and
+    // Multimodal.decodeImages REALLY decodes the rest — true dimensions,
+    // format, and mean luminance, each arithmetically predictable by the
+    // oracle because PNG round-trips solid colors exactly. Corrupt rows
+    // route per-cause (no_reader / decode_failed / empty), never drop.
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 20 == 0) Array.fill(16)(0x55.toByte) // no codec claims it
+            else if (id % 10 == 0) // PNG signature, then truncation
+              Multimodal.encodeSolidPng(8, 8, 1, 2, 3).take(16)
+            else if (id % 10 == 5) Array.emptyByteArray
+            else Multimodal.encodeSolidPng(
+              8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt,
+              (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
+          Multimodal.MediaRow(id, "image", payload, "synth")
+        }
+      }
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("cause"), col("format"),
+          col("width"), col("height"), col("mean_rgb_milli"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponents(
@@ -2685,6 +2713,26 @@ object Pipeline {
         |  CAST(16 + ord(substr(text, 2, 1)) % 64 * 16 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 240 + 1
         |       ELSE 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+    // Arithmetic oracle for the REAL image decode: PNG is lossless, so a
+    // solid-color (r,g,b) w×h image decodes back to exactly those
+    // parameters — width/height/mean-luma are pure doc_id arithmetic;
+    // the three planted corruption classes route to their causes.
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'no_reader'
+        |       WHEN doc_id % 10 = 0 THEN 'decode_failed'
+        |       WHEN doc_id % 10 = 5 THEN 'empty'
+        |       ELSE 'ok' END AS cause,
+        |  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 'png' END AS format,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE 8 + doc_id % 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE 8 + (doc_id // 16) % 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE ((doc_id % 256) + ((doc_id // 3) % 256)
+        |             + ((doc_id // 7) % 256)) * 1000 // 3
+        |       END AS BIGINT) AS mean_rgb_milli
         |FROM documents""".stripMargin,
     "q_rare_trigram" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -115,6 +115,66 @@ object EventFlows {
       |  CASE WHEN user_id % 2 = 0 THEN 'ingress' ELSE 'egress' END AS FlowDirection
       |FROM events""".stripMargin
 
+  /** Newest `ts` from parquet FOOTER statistics: the per-row-group max
+    * of the column, read driver-side from file metadata — O(files)
+    * footer reads, ZERO data pages. The unpartitioned twin of
+    * `FlowStore.newest`'s latest-partition probe, so `Widgets.dataNow`
+    * never falls back to a full-column MAX scan on plain-parquet stores
+    * (at 100 TB that fallback reads the whole table to anchor a
+    * 5-minute window). `ts` is an INT64 timestamp whose unit comes from
+    * the file's own logical-type annotation (MILLIS/MICROS/NANOS — the
+    * driver has shipped different encodings); the value returned
+    * matches `max(TimeReceived)` exactly, including the nanos→micros
+    * `div 1000` truncation [[graft.Tables.load]]'s rebuild applies.
+    */
+  def newestFromFooters(spark: SparkSession, dir: String): Option[Timestamp] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return None
+    val status = fs.getFileStatus(root)
+    val files =
+      if (status.isDirectory)
+        fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(status)
+    val maxMicros = files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try {
+        val footer = reader.getFooter
+        // unit from the column's OWN annotation — assuming one encoding
+        // silently lands 1970 or year-52k timestamps
+        val toMicros: Long => Long = footer.getFileMetaData.getSchema
+          .getColumns.asScala
+          .find(_.getPath.toSeq == Seq("ts"))
+          .map(_.getPrimitiveType.getLogicalTypeAnnotation) match {
+          case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.NANOS => _ / 1000L
+            }
+          case _ => _ / 1000L // bare INT64: the nanos-as-long encoding
+        }
+        footer.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+            .flatMap(c => Option(c.getStatistics))
+            .filter(s => !s.isEmpty && s.hasNonNullValue)
+            .map(s => toMicros(s.genericGetMax match {
+              case l: java.lang.Long => l.longValue()
+              case other => other.toString.toLong
+            }))
+        }
+      } finally reader.close()
+    }
+    maxMicros.maxOption.map { micros =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    }
+  }
+
   /** Registered flow tables: the main table (lazy projection, fully
     * prunable) plus 1m/5m/1h rollups *materialized* through [[FlowStore]]
     * exactly once per session — the reference's rollup tables are
@@ -143,7 +203,8 @@ object EventFlows {
         .withColumn("TimeReceived",
           timestamp_seconds(floor(unix_timestamp(col("TimeReceived")) / sec) * sec))
     Seq(
-      FlowTable("flows", 0L, oldest, () => main),
+      FlowTable("flows", 0L, oldest, () => main,
+        newestHint = Some(() => newestFromFooters(spark, dir))),
       FlowTable("flows_1m", 60L, oldest, () => rollup(60)),
       FlowTable("flows_5m", 300L, oldest, () => rollup(300)),
       FlowTable("flows_1h", 3600L, oldest, () => rollup(3600)))

@@ -34,6 +34,35 @@ class ConsoleApiSpec extends SparkSpec {
   // graph/line + graph/sankey the 3 h config default. table-interval and
   // filter/validate carry NO cache middleware in the reference and must
   // stay unregistered.
+  test("dataNow anchors on parquet footer stats, not a data scan") {
+    val tables = EventFlows.tables(spark, "/root/testdata/sf0.001")
+    val w = new graft.queryengine.Widgets(FlowSchema.schema, tables)
+    // the footer-derived newest equals the true max exactly (pins the
+    // nanos→micros div-1000 truncation matching Tables.load's rebuild)
+    val trueMax = tables.head.df()
+      .agg(org.apache.spark.sql.functions.max("TimeReceived"))
+      .collect()(0).getTimestamp(0)
+    assert(EventFlows.newestFromFooters(spark, "/root/testdata/sf0.001")
+      .contains(trueMax))
+    // and dataNow() takes the hint without launching ANY Spark job —
+    // footer reads are driver-side metadata, zero data pages
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val now = w.dataNow()
+      assert(now.getTime == trueMax.getTime + 1000)
+      Thread.sleep(500) // listener delivery is async
+      assert(jobs.get() == 0,
+        s"dataNow launched ${jobs.get()} Spark job(s) — the full-scan fallback ran")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("endpoint cache TTLs conform to the reference tiers") {
     val base = "/api/v0/console"
     val expected = Map(

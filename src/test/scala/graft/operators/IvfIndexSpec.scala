@@ -119,6 +119,68 @@ class IvfIndexSpec extends SparkSpec {
       s"probe must push cell IN (...) to the scan:\n$plan")
   }
 
+  test("ivf-pq incremental append with replay equals a one-shot build") {
+    import graft.operators.similarity.ProductQuant
+    val all = vecs(160, 16)
+    val dir = Files.createTempDirectory("ivfpqinc").toFile.getAbsolutePath
+    // seed build over the first 100 ids; both codebooks (coarse cells, PQ
+    // sub-spaces) derive from the lowest-id rows, so a one-shot build
+    // over all 160 trains identically and the indexes compare cell-for-cell
+    ProductQuant.buildIvfPqIndex(all.where($"id" < 100), dir,
+      nlist = 8, m = 4, ksub = 8)
+    val b1 = all.where($"id" >= 100 && $"id" < 130)
+    ProductQuant.appendIvfPqIndex(spark, dir, b1, batchId = Some(0L))
+    // at-least-once replay of the same batch id must not double-append
+    ProductQuant.appendIvfPqIndex(spark, dir, b1, batchId = Some(0L))
+    ProductQuant.appendIvfPqIndex(spark, dir, all.where($"id" >= 130),
+      batchId = Some(1L))
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === 160)
+    // appended rows round-trip the index schema: codes-only rows whose
+    // arrays match the stored codebook's m, valid cell partition values
+    assert(cells.columns.toSet === Set("id", "codes", "cell"))
+    import org.apache.spark.sql.functions.{col, size => asize}
+    assert(cells.where(asize(col("codes")) =!= 4).count() === 0)
+    assert(cells.where(col("cell") < 0 || col("cell") >= 8).count() === 0)
+
+    val oneShot = Files.createTempDirectory("ivfpqone").toFile.getAbsolutePath
+    ProductQuant.buildIvfPqIndex(all, oneShot, nlist = 8, m = 4, ksub = 8)
+    val a = ProductQuant.searchIvfPqIndex(spark, dir, queries(all), all,
+      k = 5, nprobe = 3).orderBy("qid", "rank").collect()
+    val b = ProductQuant.searchIvfPqIndex(spark, oneShot, queries(all), all,
+      k = 5, nprobe = 3).orderBy("qid", "rank").collect()
+    assert(a.toSeq === b.toSeq)
+    // an appended vector is findable through the probe path
+    val q150 = all.where($"id" === 150).select($"id".as("qid"), $"embedding")
+    val got = ProductQuant.searchIvfPqIndex(spark, dir, q150, all,
+      k = 3, nprobe = 3).collect()
+    assert(got.nonEmpty)
+  }
+
+  test("a live stream keeps the ivf-pq index fresh via foreachBatch") {
+    import graft.operators.similarity.ProductQuant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = vecs(40, 16)
+    val dir = Files.createTempDirectory("ivfpqstream").toFile.getAbsolutePath
+    ProductQuant.buildIvfPqIndex(base, dir, nlist = 4, m = 4, ksub = 8)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ProductQuant.appendIvfPqIndex(spark, dir, b, batchId = Some(id))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ivfpqck").toFile.getAbsolutePath)
+      .start()
+    try {
+      in.addData((100L, Array.tabulate(16)(d => math.sin(100 * 31 + d * 7).toFloat)))
+      q.processAllAvailable()
+      in.addData((101L, Array.tabulate(16)(d => math.sin(101 * 31 + d * 7).toFloat)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/cells").count() === 42)
+  }
+
   test("a live stream keeps the index fresh via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -762,6 +762,63 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 4, 8))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 64))
   }
+
+  private def solidImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("real image decode: true dimensions and luma; corrupt rows route per-cause") {
+    import spark.implicits._
+    val png = Multimodal.encodeSolidPng(24, 13, 10, 200, 33)
+    val jpg = encode(solidImage(17, 9, 0x808080), "jpeg")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, "s"),
+      Multimodal.MediaRow(2L, "image", jpg, "s"),
+      Multimodal.MediaRow(3L, "image", Array.fill(16)(0x55.toByte), "s"),
+      Multimodal.MediaRow(4L, "image", png.take(16), "s"),
+      Multimodal.MediaRow(5L, "image", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val p = got(0)
+    assert(p.cause == "ok" && p.format.contains("png"))
+    assert(p.width.contains(24) && p.height.contains(13))
+    // PNG is lossless: solid (10,200,33) decodes to exactly that mean
+    assert(p.mean_rgb_milli.contains((10L + 200L + 33L) * 1000 / 3))
+    assert(p.pixel_crc.isDefined)
+    val j = got(1)
+    assert(j.cause == "ok" && j.format.contains("jpeg"))
+    assert(j.width.contains(17) && j.height.contains(9))
+    assert(got(2).cause == "no_reader" && got(2).width.isEmpty)
+    assert(got(3).cause == "decode_failed" && got(3).width.isEmpty)
+    assert(got(4).cause == "empty")
+    // decode is deterministic, pixel checksum included
+    val again = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("pixel checksum fingerprints content across container formats") {
+    import spark.implicits._
+    // the same pixels PNG- and BMP-encoded: payload hashes differ, the
+    // decoded pixel_crc must not (that is what makes it a content
+    // fingerprint rather than a byte fingerprint)
+    val img = solidImage(12, 7, 0x3366cc)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", encode(img, "png"), "s"),
+      Multimodal.MediaRow(2L, "image", encode(img, "bmp"), "s")).toDS()
+    val got = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    assert(got.forall(_.cause == "ok"))
+    assert(got(0).format.contains("png") && got(1).format.contains("bmp"))
+    assert(got(0).pixel_crc == got(1).pixel_crc)
+    assert(got(0).mean_rgb_milli == got(1).mean_rgb_milli)
+  }
 }
 
 class PipelineOpsSpec extends SparkSpec {

@@ -62,6 +62,105 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a re-crawled doc id is ignored: first write wins, products stay clean") {
+    // the id-contract case: doc 1 arrives again in a later batch with
+    // DIFFERENT text. Without the accepted-id sidecar, the second copy
+    // would (a) append a second docs row, (b) double-count shingle sizes
+    // in the delta (both rows marked batch), and (c) leave stale pairs —
+    // silently corrupting every product
+    val dir = Files.createTempDirectory("reldup").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    val recrawl = doc(
+      (1L, "completely different re-crawled body for the same id"),
+      (3L, "alpha beta gamma delta epsilon eta"))
+    store.ingest(recrawl, batchId = Some(1L))
+    assert(store.docs.count() == 4) // 1,2,50 + only the new id 3
+    assert(store.docs.where(col("doc_id") === 1L).count() == 1)
+    // doc 1 kept its ORIGINAL text, so its near-dup relations are the
+    // original ones: {1,2,3} cluster via the alpha-family trigram overlap
+    val firstWrite = b0.unionByName(recrawl.where(col("doc_id") === 3L))
+    val q = firstWrite.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(firstWrite, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    assert(rows(got.scored) == rows(want.scored))
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("compaction bounds file counts and preserves every product bit-for-bit") {
+    val dir = Files.createTempDirectory("relcompact").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    store.ingest(b2, batchId = Some(2L))
+    def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val before = store.products(threshold = 0.5, quality = q)
+    val snapshot = Seq(before.scored, before.pairs, before.clusters,
+      before.keepers, before.survivors, before.split, before.sourceOverlap,
+      before.containment).map(rows)
+    graft.ScratchCache.releaseAll(spark)
+    assert(files("docs") >= 3 && files("scored") >= 3,
+      "fixture did not accumulate per-batch files")
+    assert(new java.io.File(s"$dir/batches").listFiles()
+      .count(_.getName.startsWith("batch=")) == 3)
+
+    store.compact()
+    // bounded: tiny tables collapse to a single file each; committed
+    // batches' sidecars are pruned; markers survive
+    assert(files("docs") == 1 && files("scored") == 1)
+    assert(!new java.io.File(s"$dir/batches").exists() ||
+      new java.io.File(s"$dir/batches").listFiles()
+        .count(_.getName.startsWith("batch=")) == 0)
+    assert(store.lastCommitted("docs") == 2L &&
+      store.lastCommitted("scored") == 2L)
+    val after = store.products(threshold = 0.5, quality = q)
+    val afterRows = Seq(after.scored, after.pairs, after.clusters,
+      after.keepers, after.survivors, after.split, after.sourceOverlap,
+      after.containment).map(rows)
+    assert(afterRows == snapshot)
+    // an old batch replayed AFTER compaction is still a no-op
+    store.ingest(b1, batchId = Some(1L))
+    assert(store.docs.count() == all.count())
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("incremental clustering folds only new batches and equals full CC") {
+    val dir = Files.createTempDirectory("relinc").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    // first fold: clusters persist, water mark = last scored batch
+    val r1 = store.productsCached(threshold = 0.5,
+      quality = b0.unionByName(b1)
+        .select(col("doc_id").as("id"), col("n_chars").as("q")))
+    assert(r1.clusters.count() > 0)
+    assert(store.lastCommitted("clusters_t500") == 1L)
+    graft.ScratchCache.releaseAll(spark)
+    // b2 joins 20's family (21) — the fold must MERGE old component
+    // {20} ∪ new pair (20,21) through the star edges
+    store.ingest(b2, batchId = Some(2L))
+    val r2 = store.productsCached(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(r2.clusters) == rows(want.clusters))
+    assert(rows(r2.keepers) == rows(want.keepers))
+    assert(rows(r2.split) == rows(want.split))
+    assert(store.lastCommitted("clusters_t500") == 2L)
+    graft.ScratchCache.releaseAll(spark)
+    // nothing new: the cached labels serve as-is (marker unchanged)
+    val r3 = store.productsCached(threshold = 0.5, quality = q)
+    assert(rows(r3.clusters) == rows(want.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a live stream maintains the release via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
