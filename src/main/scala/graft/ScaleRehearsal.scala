@@ -182,6 +182,31 @@ object ScaleRehearsal {
       out += "lsh_release_verified_pairs" -> lshPairs
     }
 
+    if (run("increleaselsh")) {
+      // the fully LSH-fronted increment: prior LSH release exists, the
+      // top id-decile arrives, and the delta is banded batch×all +
+      // one-side-batch prefix probes — neither Σ df² nor corpus×corpus
+      // banding. Compare with inc_release_sec (the exact-front
+      // increment) and lsh_release_onepass_sec (the from-scratch LSH)
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val cut = docs.agg(max("doc_id")).head().getLong(0) / 10 * 9
+      val isBatch = col("doc_id") > cut
+      val prior = docs.where(!isBatch)
+      val r0 = Dedup.releasePipelineLsh(prior, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = Some(cap),
+        quality = prior.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      r0.scored.count() // materialize outside the timed window
+      val (_, tIncLsh) = timed {
+        val r = Dedup.incrementalReleaseLsh(docs, "doc_id", "text", isBatch,
+          priorScored = r0.scored, threshold = 0.5,
+          maxShingleDf = Some(cap), quality = quality)
+        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "inc_lsh_release_sec" -> tIncLsh
+    }
+
     if (run("increlease")) {
       // incremental-release economics: the top id-decile arrives as the
       // daily increment over an existing release. The prior release (and

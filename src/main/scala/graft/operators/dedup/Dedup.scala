@@ -368,25 +368,70 @@ object Dedup {
     * hash = xxhash64 of the long slice directly (hashing the array
     * value) — no long→string render + concat per band.
     */
-  private def fastBandCandidates(shingled: DataFrame, k: Int, bands: Int,
+  /** (id, band, bh) banded-signature rows over xxhash64-hashed shingle
+    * arrays — band hash = xxhash64 of the long slice directly.
+    */
+  private def fastBands(shingled: DataFrame, k: Int, bands: Int,
       seed: Long): DataFrame = {
     val rows = k / bands
     val (pa, pb) = hashParams(k, seed)
     val sig = shingled.select(col("id"),
       Sketches.minhashSig(
         transform(col("sh"), s => pmod(s, lit(P))), pa, pb).as("sig"))
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bh")))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  /** (id, band, bh) banded rows with the SLICE ITSELF as the band key
+    * (array equality — no band-hash collisions), the oracle-replicable
+    * form.
+    */
+  private def portableBands(shingled: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame = {
+    val rows = k / bands
+    val (pa, pb) = hashParams(k, seed)
+    val sig = shingled.select(col("id"),
+      Sketches.minhashSig(
+        transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
+    sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rows + 1, lit(rows)).as("bh")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+  }
+
+  private def bandCandidatesOf(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-  }
+
+  private def fastBandCandidates(shingled: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame =
+    bandCandidatesOf(fastBands(shingled, k, bands, seed))
+
+  /** Exact (common, n_a, n_b) for the candidate pair list by joining it
+    * back to the per-doc shingle sets — candidate-count × set-size
+    * work. A pair sharing no shingle gets no row (the exact scored
+    * set's contract).
+    */
+  private def scoreCandidates(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("id"), col("sh").as("sh_a")),
+        col("id_a") === col("id")).drop("id")
+      .join(sets.select(col("id"), col("sh").as("sh_b")),
+        col("id_b") === col("id")).drop("id")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .where(col("common") > 0)
 
   /** [[minhashLsh]] with an engine-portable base hash: shingles hash to
     * 48 bits via an md5 slice (both engines compute identical values, so
@@ -437,24 +482,8 @@ object Dedup {
     * MinHash signatures — the pre-verification candidate set.
     */
   private def portableBandCandidates(shingled: DataFrame, k: Int,
-      bands: Int, seed: Long): DataFrame = {
-    val rows = k / bands
-    val (pa, pb) = hashParams(k, seed)
-    val sig = shingled.select(col("id"),
-      Sketches.minhashSig(
-        transform(col("sh"), h => pmod(h, lit(P))), pa, pb).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          slice(col("sig"), b * rows + 1, lit(rows)).as("bs")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bs"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bs") === col("b.bs") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
+      bands: Int, seed: Long): DataFrame =
+    bandCandidatesOf(portableBands(shingled, k, bands, seed))
 
   /** LSH parameter audit: precision/recall of the banded-MinHash candidate
     * set against exact-Jaccard ground truth, in one row —
@@ -699,6 +728,95 @@ object Dedup {
     lshCandidateParts(df, idCol, textCol, containThreshold, maxShingleDf,
       k, bands, seed, portable)._3
 
+  /** BATCH-TOUCHING LSH-front scored pairs — [[lshScoredPairs]]' twin of
+    * [[incrementalScoredPairs]]: candidates where at least one side is
+    * in the batch, generated without ever joining corpus×corpus.
+    *
+    *  - Jaccard front: the batch's banded signatures join the full
+    *    banded set — join output is batch-touching by construction
+    *    (corpus signatures are per-doc, so the corpus side's banding is
+    *    unchanged by the increment; its settled pairs live in the prior
+    *    release's scored set).
+    *  - Containment front, BOTH directions without the corpus×corpus
+    *    probe: batch-prefix × full index (batch doc contained anywhere)
+    *    UNION all-prefix × batch index (anything contained in a batch
+    *    doc) — the second join's right side is increment-sized.
+    *
+    * Why the union with a prior LSH release stays complete: containment
+    * is PAIR-INTRINSIC (cont(A,B) never changes as the corpus grows),
+    * so every corpus×corpus pair with cont ≥ t was already guaranteed
+    * into the prior scored set by the prior prefix front — global-df
+    * drift can reorder an old doc's rarest-prefix, but it cannot
+    * retroactively un-score a settled pair. Sub-threshold SCORED rows
+    * may differ from a from-scratch run (different candidate sets);
+    * every ≥-threshold product row is identical (ReleaseSpec pins it).
+    */
+  def incrementalLshScoredPairs(df: DataFrame, idCol: String, textCol: String,
+      isBatch: Column, containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = graft.ScratchCache.persist(df
+      .select(col(idCol).as("id"), isBatch.as("is_b"),
+        (if (portable)
+          array_distinct(transform(TextAnalysis.shingles(col(textCol)),
+            s => conv(substring(md5(s), 1, 12), 16, 10).cast("long")))
+        else
+          array_distinct(transform(TextAnalysis.shingles(col(textCol)),
+            s => xxhash64(s)))).as("sh"))
+      .where(size(col("sh")) > 0))
+    val shingled = flagged.select(col("id"), col("sh"))
+    // Jaccard front: batch bands probe the full banded set
+    val banded = graft.ScratchCache.persist(
+      if (portable) portableBands(shingled, k, bands, seed)
+      else fastBands(shingled, k, bands, seed))
+    val bBand = banded.join(flagged.where(col("is_b")).select("id"), Seq("id"))
+    val candJ = bBand.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    // containment front: same capped index/prefix machinery as the full
+    // pipeline, but the probes are one-side-batch by construction
+    val idx = flagged.select(col("id"), col("is_b"), explode(col("sh")).as("s"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        graft.ScratchCache.persist(
+          idx.join(broadcast(hot), Seq("s"), "left_anti"))
+      case None => graft.ScratchCache.persist(idx)
+    }
+    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val ctPm = math.round(containThreshold * 1000)
+    val ranked = filtered.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val pref = ranked.join(sizes, Seq("id"))
+      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
+      .select(col("id"), col("is_b"), col("s"))
+    def pairOf(a: String, b: String) = Seq(
+      least(col(s"$a.id"), col(s"$b.id")).as("id_a"),
+      greatest(col(s"$a.id"), col(s"$b.id")).as("id_b"))
+    val candC = pref.where(col("is_b")).as("p")
+      .join(filtered.as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .select(pairOf("p", "f"): _*)
+      .unionAll(pref.as("p")
+        .join(filtered.where(col("is_b")).as("f"),
+          col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+        .select(pairOf("p", "f"): _*))
+    val cand = candJ.unionAll(candC).distinct()
+    val sets = maxShingleDf match {
+      case Some(_) => graft.ScratchCache.persist(
+        filtered.groupBy("id").agg(collect_list(col("s")).as("sh")))
+      case None => shingled
+    }
+    scoreCandidates(cand, sets)
+  }
+
   def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double, maxShingleDf: Option[Int],
       k: Int = 128, bands: Int = 32, seed: Long = 42L,
@@ -712,19 +830,7 @@ object Dedup {
         filtered.groupBy("id").agg(collect_list(col("s")).as("sh")))
       case None => shingled
     }
-    cand
-      .join(sets.select(col("id"), col("sh").as("sh_a")),
-        col("id_a") === col("id")).drop("id")
-      .join(sets.select(col("id"), col("sh").as("sh_b")),
-        col("id_b") === col("id")).drop("id")
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
-          .as("common"),
-        size(col("sh_a")).cast("long").as("n_a"),
-        size(col("sh_b")).cast("long").as("n_b"))
-      // a false candidate sharing no shingle has no row in the exact
-      // scored set either — keep the contracts identical
-      .where(col("common") > 0)
+    scoreCandidates(cand, sets)
   }
 
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
@@ -792,6 +898,33 @@ object Dedup {
       containThreshold: Double = 0.8): ReleaseProducts = {
     val delta = incrementalScoredPairs(df, idCol, textCol, isBatch,
       maxShingleDf)
+    val scored = graft.ScratchCache.persist(priorScored.unionAll(delta))
+    productsOf(scored, df, idCol, threshold, quality, sourceCol,
+      containThreshold)
+  }
+
+  /** The fully LSH-fronted increment cadence: [[incrementalRelease]]
+    * with [[incrementalLshScoredPairs]] as the delta — candidate
+    * generation is banded + prefix-fronted AND batch-touching-only, so
+    * a daily increment against years of corpus pays neither the Σ df²
+    * index join NOR a corpus×corpus banding pass. `priorScored` must
+    * come from an LSH-fronted release over the prior corpus with the
+    * SAME band shape and thresholds; completeness of the union follows
+    * from containment being pair-intrinsic (see
+    * [[incrementalLshScoredPairs]]) plus per-doc banding being
+    * corpus-independent. Products equal the from-scratch
+    * [[releasePipelineLsh]] over the combined corpus at every
+    * ≥-threshold row (sub-threshold scored rows may differ — they are
+    * candidate-set artifacts both pipelines filter out).
+    */
+  def incrementalReleaseLsh(df: DataFrame, idCol: String, textCol: String,
+      isBatch: Column, priorScored: DataFrame, threshold: Double,
+      maxShingleDf: Option[Int], quality: DataFrame,
+      sourceCol: String = "source", containThreshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): ReleaseProducts = {
+    val delta = incrementalLshScoredPairs(df, idCol, textCol, isBatch,
+      containThreshold, maxShingleDf, k, bands, seed, portable)
     val scored = graft.ScratchCache.persist(priorScored.unionAll(delta))
     productsOf(scored, df, idCol, threshold, quality, sourceCol,
       containThreshold)

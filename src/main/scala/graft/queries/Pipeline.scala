@@ -516,6 +516,30 @@ object Pipeline {
       releaseTags(r)
     }),
 
+    // the fully LSH-fronted INCREMENT cadence: a prior LSH release over
+    // the non-src0 corpus, then src0 arrives and the delta is generated
+    // by incrementalLshScoredPairs — banded batch×all + one-side-batch
+    // prefix probes; neither the Σ df² index join nor a corpus×corpus
+    // banding pass ever runs. Products must equal the from-scratch LSH
+    // release over the combined corpus (same composed oracle as
+    // q_release_lsh: sub-threshold scored rows may differ between the
+    // two pipelines, but every product row is ≥-threshold and identical)
+    "q_incr_release_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBatch = col("source") === "src0"
+      val prior = d.where(!isBatch)
+      val cap = Some(Dedup.defaultShingleDfCap(d.count()))
+      val r0 = Dedup.releasePipelineLsh(prior, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = cap,
+        quality = prior.select(col("doc_id").as("id"), col("n_chars").as("q")),
+        k = 32, bands = 16, seed = 42L, portable = true)
+      val r = Dedup.incrementalReleaseLsh(d, "doc_id", "text", isBatch,
+        priorScored = r0.scored, threshold = 0.5, maxShingleDf = cap,
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")),
+        k = 32, bands = 16, seed = 42L, portable = true)
+      releaseTags(r)
+    }),
+
     // cross-source duplication matrix: near-dup pairs bucketed by the
     // (source_a, source_b) of their documents — which sources copy from
     // each other (mirrors, scrapes, syndication)
@@ -1069,7 +1093,13 @@ object Pipeline {
   // (ReleaseSpec pins the uncapped equivalence; the capped drift
   // contract is documented on incrementalRelease)
   val oracles: Map[String, String] = oraclesBase +
-    ("q_incr_release" -> oraclesBase("q_dedup_release"))
+    ("q_incr_release" -> oraclesBase("q_dedup_release")) +
+    // incremental-LSH products == from-scratch-LSH products: the union
+    // of the prior LSH release's scored set with the batch-touching
+    // delta covers every ≥-threshold pair with identical scores
+    // (containment is pair-intrinsic; banding is per-doc), so the same
+    // composed oracle applies
+    ("q_incr_release_lsh" -> oraclesBase("q_release_lsh"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_bpe_pairs" ->

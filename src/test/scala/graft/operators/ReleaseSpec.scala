@@ -173,6 +173,112 @@ class ReleaseSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("incremental LSH release equals the from-scratch LSH release (both quote directions)") {
+    // prior corpus includes the quoted pair 30⊂31; the increment brings
+    // 61 (near-dup of the 20-family), 62 (a long doc QUOTING corpus doc
+    // 30 — corpus-contained-in-batch, the all-prefix × batch-index
+    // direction) and 63 (a short doc quoted INSIDE corpus doc 31 —
+    // batch-contained-in-corpus, the batch-prefix × full-index
+    // direction). The delta never joins corpus×corpus, banded or
+    // otherwise; the union with the prior LSH release must reproduce
+    // the from-scratch LSH release's products exactly.
+    val prior = corpus.unionByName(Seq(
+      (30L, "red orange yellow green blue purple", "en"),
+      (31L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight",
+        "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2)))))
+    val q0 = prior.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val r0 = Dedup.releasePipelineLsh(prior, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q0)
+    val priorScored = spark.createDataFrame(
+      java.util.Arrays.asList(r0.scored.collect(): _*), r0.scored.schema)
+    graft.ScratchCache.releaseAll(spark)
+    val batch = Seq(
+      (61L, "one two three four five six seven eight nine", "de"),
+      (62L, "a very long wrapper that happens to embed red orange yellow " +
+        "green blue purple somewhere deep inside its own rambling prose " +
+        "about gardens and painters and light", "en"),
+      (63L, "the quick brown fox jumps over", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+    val combined = prior.unionByName(batch)
+    val q1 = combined.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val inc = Dedup.incrementalReleaseLsh(combined, "doc_id", "text",
+      isBatch = col("doc_id") >= 60L, priorScored = priorScored,
+      threshold = 0.5, maxShingleDf = None, quality = q1)
+    val full = Dedup.releasePipelineLsh(combined, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q1)
+    assert(rows(inc.pairs) == rows(full.pairs))
+    assert(rows(inc.clusters) == rows(full.clusters))
+    assert(rows(inc.keepers) == rows(full.keepers))
+    assert(rows(inc.clusterSizes) == rows(full.clusterSizes))
+    assert(rows(inc.survivors) == rows(full.survivors))
+    assert(rows(inc.split) == rows(full.split))
+    assert(rows(inc.sourceOverlap) == rows(full.sourceOverlap))
+    assert(rows(inc.containment) == rows(full.containment))
+    // …and the exact release agrees too (banding recall holds here)
+    val exact = Dedup.releasePipeline(combined, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q1)
+    assert(rows(inc.pairs) == rows(exact.pairs))
+    assert(rows(inc.containment) == rows(exact.containment))
+    // both cross-increment quote directions were found by the delta
+    import spark.implicits._
+    val cont = inc.containment.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cont.contains((30L, 62L)), s"corpus-in-batch quote missed: $cont")
+    assert(cont.contains((31L, 63L)), s"batch-in-corpus quote missed: $cont")
+    // and the near-dup increment joined its family
+    val cl = inc.clusters.as[(Long, Long)].collect().toMap
+    assert(cl.contains(61L) && cl(61L) == cl(20L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("prefix containment front is exact on random corpora (property)") {
+    // the mathematical guarantee under fire: random docs over a small
+    // vocabulary (dense accidental overlap), plus docs that QUOTE a
+    // random base doc verbatim inside random padding. For every trial,
+    // the LSH-fronted release's containment product must equal the
+    // exact one EXACTLY — banding recall plays no role (containment
+    // rides the prefix front), and the rarest-first subset choice must
+    // not lose a single ≥-threshold pair. Jaccard pairs are only
+    // guaranteed ⊆ (banding may miss mid-similarity pairs; that is the
+    // audited trade, not a defect).
+    val rnd = new scala.util.Random(12345)
+    for (trial <- 1 to 3) {
+      val vocab = Vector.tabulate(40)(i => s"w${trial}x$i")
+      def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val base = (0 until 25).map { id =>
+        (id.toLong, words(5 + rnd.nextInt(30)).mkString(" "))
+      }
+      val quoting = (25 until 31).map { id =>
+        val src = base(rnd.nextInt(base.size))._2
+        (id.toLong, (words(rnd.nextInt(25)) :+ src).mkString(" "))
+      }
+      val d = (base ++ quoting).toDF("doc_id", "text")
+      val q = d.select(col("doc_id").as("id"),
+        length(col("text")).cast("long").as("q"))
+      // one uncapped trial, one with a BINDING df-cap (small vocab makes
+      // hot shingles real): both sides must apply the cap identically
+      val cap = if (trial == 3) Some(3) else None
+      val exactCont = Dedup.containment(d, "doc_id", "text",
+        threshold = 0.8, maxShingleDf = cap)
+      val exactPairs = Dedup.ngramJaccard(d, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = cap)
+      val lsh = Dedup.releasePipelineLsh(d, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = cap, quality = q,
+        sourceCol = "doc_id")
+      assert(rows(lsh.containment) == rows(exactCont),
+        s"trial $trial (cap=$cap): containment front lost or invented a pair")
+      assert(rows(lsh.pairs).subsetOf(rows(exactPairs)),
+        s"trial $trial: LSH pairs must be a subset of exact pairs")
+      graft.ScratchCache.releaseAll(spark)
+    }
+  }
+
   test("cluster products re-plan from the materialization, not the corpus") {
     val d = corpus
     val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
