@@ -808,11 +808,18 @@ object Dedup {
         .join(filtered.where(col("is_b")).as("f"),
           col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
         .select(pairOf("p", "f"): _*))
-    val cand = candJ.unionAll(candC).distinct()
+    // candidates persist (small: batch-touching only) so the scoring
+    // sets can be restricted to the docs candidates actually touch —
+    // the collect_list/array pass is increment-neighborhood-sized, not
+    // corpus-sized
+    val cand = graft.ScratchCache.persist(candJ.unionAll(candC).distinct())
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
     val sets = maxShingleDf match {
       case Some(_) => graft.ScratchCache.persist(
-        filtered.groupBy("id").agg(collect_list(col("s")).as("sh")))
-      case None => shingled
+        filtered.join(candIds, Seq("id"), "left_semi")
+          .groupBy("id").agg(collect_list(col("s")).as("sh")))
+      case None => shingled.join(candIds, Seq("id"), "left_semi")
     }
     scoreCandidates(cand, sets)
   }

@@ -45,7 +45,19 @@ import org.apache.spark.sql.functions._
   * batches added.
   */
 final class ReleaseStore(spark: SparkSession, path: String,
-    idCol: String, textCol: String, maxShingleDf: Option[Int] = None) {
+    idCol: String, textCol: String, maxShingleDf: Option[Int] = None,
+    /** LSH-front the per-batch delta ([[Dedup.incrementalLshScoredPairs]]):
+      * banded batch×all + one-side-batch prefix probes instead of the
+      * exact index probe join. Same union-completeness argument as
+      * [[Dedup.incrementalReleaseLsh]] — every ≥-threshold pair is
+      * batch-touching exactly when its later doc arrives, so the
+      * accumulated scored set yields identical products (spec-pinned);
+      * gate the band shape with [[Dedup.lshAudit]] for the corpus's
+      * similarity profile before trusting Jaccard recall at scale.
+      */
+    lshFront: Boolean = false,
+    containThreshold: Double = 0.8,
+    k: Int = 128, bands: Int = 32, seed: Long = 42L) {
 
   private val markers = new graft.store.CommitMarkers(spark, path)
   // serializes table rewrites (compact) against each other; ingest and
@@ -119,8 +131,14 @@ final class ReleaseStore(spark: SparkSession, path: String,
       .join(broadcast(accepted), col(idCol) === col("__bid"), "left")
       .withColumn("__isb", col("__bid").isNotNull).drop("__bid")
     markers.guarded("scored", batchId) {
-      Dedup.incrementalScoredPairs(marked, idCol, textCol, col("__isb"),
-          maxShingleDf)
+      val delta =
+        if (lshFront)
+          Dedup.incrementalLshScoredPairs(marked, idCol, textCol,
+            col("__isb"), containThreshold, maxShingleDf, k, bands, seed)
+        else
+          Dedup.incrementalScoredPairs(marked, idCol, textCol,
+            col("__isb"), maxShingleDf)
+      delta
         .withColumn("batch", lit(batchId.getOrElse(-1L)))
         .write.mode(SaveMode.Append).parquet(s"$path/scored")
       graft.ScratchCache.releaseAll(spark)

@@ -161,6 +161,32 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("LSH-fronted store ingest accumulates the same products") {
+    // lshFront=true: each batch's delta comes from banded + prefix
+    // candidates (batch-touching only) instead of the exact index
+    // probe. The accumulated products must match the from-scratch
+    // exact release — the fixture's weakest pairs sit where the
+    // default k=128/b=32 banding recall is effectively 1
+    val dir = Files.createTempDirectory("rellsh").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b0, batchId = Some(0L)) // replay still exactly-once
+    store.ingest(b1, batchId = Some(1L))
+    store.ingest(b2, batchId = Some(2L))
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(rows(got.keepers) == rows(want.keepers))
+    assert(rows(got.containment) == rows(want.containment))
+    assert(rows(got.survivors) == rows(want.survivors))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a live stream maintains the release via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
