@@ -95,9 +95,15 @@ final class ReleaseStore(spark: SparkSession, path: String,
     }
     batchId match {
       case Some(id) =>
+        // marker-guarded, not _SUCCESS-guarded: a replay AFTER the docs
+        // append landed would re-resolve to an EMPTY set (its ids are in
+        // docs now) — an unguarded rewrite would silently unscore the
+        // batch. The marker commits only after the sidecar write, so
+        // the resolved set is immutable once any later step ran.
         val side = s"$path/batches/batch=$id"
-        if (!fs.exists(hPath(s"$side/_SUCCESS")))
+        markers.guarded(s"batches/$id", Some(id)) {
           resolve().write.mode(SaveMode.Overwrite).parquet(side)
+        }
         spark.read.parquet(side)
       case None =>
         // eager materialization: the set must be pinned BEFORE the docs
@@ -274,7 +280,11 @@ final class ReleaseStore(spark: SparkSession, path: String,
       .filter(_.getPath.getName.startsWith("batch="))
       .foreach { d =>
         val id = d.getPath.getName.stripPrefix("batch=").toLong
-        if (id <= safe) { fs.delete(d.getPath, true); () }
+        if (id <= safe) {
+          fs.delete(d.getPath, true)
+          fs.delete(hPath(s"$path/_commits/batches/$id"), false)
+          ()
+        }
       }
   }
 }
