@@ -151,8 +151,22 @@ final class MetadataCache(
       if (now - e.retrievedAt > refreshAfterMs) stale += ((key, e))
     }
     val refreshedOk = new AtomicInteger
-    val polls = stale.map { case (key, e) =>
-      CompletableFuture.runAsync(() => {
+    val polls = stale.flatMap { case (key, e) =>
+      try Some(runRefresh(key, e, now, refreshedOk))
+      catch {
+        // a ticker firing after close(): the pool rejects — count, keep
+        // the entry, never throw out of the ticker body
+        case _: java.util.concurrent.RejectedExecutionException =>
+          bump("refresh_failures"); None
+      }
+    }
+    polls.foreach(_.join())
+    (expired, refreshedOk.get())
+  }
+
+  private def runRefresh(key: (String, Long), e: Entry, now: Long,
+      refreshedOk: AtomicInteger): CompletableFuture[Void] =
+    CompletableFuture.runAsync(() => {
         try {
           val (got, answered) = pollMux(key._1, key._2)
           if (answered) {
@@ -171,10 +185,6 @@ final class MetadataCache(
           case scala.util.control.NonFatal(_) => bump("refresh_failures")
         }
       }, refreshPool)
-    }
-    polls.foreach(_.join())
-    (expired, refreshedOk.get())
-  }
 
   /** Release the refresh pool. Idempotent; the cache stays readable
     * (lookups poll on the caller's thread), only ticker refreshes stop.

@@ -187,6 +187,83 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("soak: kill before commit + replay + compaction between restarts") {
+    // the full lifecycle under fire: a batch (containing a re-crawled
+    // duplicate id) lands, the checkpoint commit is dropped (crash
+    // window), the OPERATOR compacts while the stream is down, the
+    // restarted stream replays the batch against the compacted store,
+    // and a third batch follows. Products must equal a from-scratch
+    // release over the first-write corpus; nothing duplicates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("relsoak").toFile.getAbsolutePath
+    val checkpoint = s"$dir/_ck"
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        store.ingest(b, batchId = Some(id))
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+    val q1 = start()
+    mem.addData((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "totally unrelated text about completely different things"))
+    q1.processAllAvailable()
+    mem.addData((3L, "alpha beta gamma delta epsilon eta"),
+      (20L, "one two three four five six seven"),
+      (1L, "a re-crawled different body for id one")) // dup id: ignored
+    q1.processAllAvailable()
+    q1.stop()
+    q1.awaitTermination()
+    // crash window: the batch landed in the store but the CHECKPOINT
+    // never committed it — recovery must replay it
+    val commitDir = new java.io.File(s"$checkpoint/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    // the local ChecksumFileSystem's sidecar would fail the re-commit's
+    // rename if left behind (surfaces as a bogus concurrent-user error)
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    // operator compaction between restarts (files rewritten + sidecars
+    // of fully-committed batches pruned — batch 1 is committed
+    // store-side even though the CHECKPOINT lost it)
+    store.compact()
+    val q2 = start()
+    q2.processAllAvailable() // replays the dropped batch: no-op appends
+    mem.addData((21L, "one two three four five six seven eight nine ten"),
+      (51L, "another unique document with no shared trigrams at all"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(store.docs.count() == 7, "replay or dup id duplicated a doc")
+    assert(store.docs.where(col("doc_id") === 1L).count() == 1)
+    assert(store.lastCommitted("docs") == 2L &&
+      store.lastCommitted("scored") == 2L)
+    val firstWrite = doc(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "totally unrelated text about completely different things"),
+      (3L, "alpha beta gamma delta epsilon eta"),
+      (20L, "one two three four five six seven"),
+      (21L, "one two three four five six seven eight nine ten"),
+      (51L, "another unique document with no shared trigrams at all"))
+    val q = firstWrite.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(firstWrite, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    assert(rows(got.scored) == rows(want.scored))
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(rows(got.keepers) == rows(want.keepers))
+    assert(rows(got.containment) == rows(want.containment))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a live stream maintains the release via foreachBatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

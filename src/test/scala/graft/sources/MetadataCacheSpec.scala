@@ -129,6 +129,15 @@ class MetadataCacheSpec extends SparkSpec {
     assert(c.lookup("e", 2).isDefined)
     c.close()
     c.close() // idempotent
+    // a ticker firing after close() must not throw: the rejected
+    // refreshes count as failures and the entries survive untouched
+    now = 2400
+    c.lookup("e", 1); c.lookup("e", 2) // keep access-alive at 2400
+    now = 2600
+    val (exp2, ref2) = c.expireAndRefresh()
+    assert(exp2 == 0 && ref2 == 0)
+    assert(c.stats("refresh_failures") >= 3)
+    assert(c.size == 2)
   }
 
   test("rejects refresh below duration like the reference") {
