@@ -64,6 +64,13 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
       Some(java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
         (r: Runnable) => { val th = new Thread(r, "bmp-stale"); th.setDaemon(true); th }))
     else None
+  // pending stale flushes, tracked OURSELVES: a ScheduledFutureTask
+  // returned by shutdownNow() refuses to run() once the pool is STOPped
+  // (it consults executor state), so draining the executor's queue
+  // would silently drop the withdrawals. Each wrapper removes itself
+  // before flushing, so timer-fire and stop()-drain are exactly-once.
+  private val pendingStale =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[Runnable, java.lang.Boolean]())
 
   private def bump(k: String, n: Long): Unit =
     counters.computeIfAbsent(k, _ => new AtomicLong).addAndGet(n)
@@ -139,13 +146,18 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
           case None => flush.run()
           case Some(sweeper) =>
             bump("stale_scheduled_peers", mine.size.toLong)
-            try sweeper.schedule(flush, staleTimeoutMs,
+            val wrapper: Runnable = new Runnable {
+              override def run(): Unit =
+                if (pendingStale.remove(this)) flush.run()
+            }
+            pendingStale.add(wrapper)
+            try sweeper.schedule(wrapper, staleTimeoutMs,
               java.util.concurrent.TimeUnit.MILLISECONDS)
             catch {
               // stop() already shut the sweeper down: no reconnect is
               // coming, withdraw immediately
               case _: java.util.concurrent.RejectedExecutionException =>
-                flush.run()
+                wrapper.run()
             }
         }
       }
@@ -162,8 +174,7 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
     active.clear()
     // run any pending stale flushes now: a stopped server has no
     // reconnect to wait for, and the sweeper thread must not outlive us
-    staleSweeper.foreach { sweeper =>
-      sweeper.shutdownNow().forEach(_.run())
-    }
+    staleSweeper.foreach { sweeper => sweeper.shutdownNow(); () }
+    pendingStale.forEach(_.run())
   }
 }

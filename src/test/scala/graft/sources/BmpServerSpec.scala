@@ -185,6 +185,30 @@ class BmpServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("stop() drains pending stale flushes immediately") {
+    // a long grace window, then stop() before the deadline: no reconnect
+    // is coming to a stopped server, so the dropped session's routes
+    // must withdraw NOW — not leak past the server's lifetime. (The
+    // executor's own drained tasks refuse to run after shutdownNow; the
+    // server tracks pending flushes itself.)
+    val rib = new Rib.Live
+    val srv = new BmpServer(rib, staleTimeoutMs = 60000L)
+    val port = srv.start()
+    val s = new Socket("127.0.0.1", port)
+    s.getOutputStream.write(announceMsg); s.getOutputStream.flush()
+    assert(awaitUntil(5000) {
+      rib.table.lookup(Ip.parse("10.0.0.7"), null) != null
+    })
+    s.close()
+    assert(awaitUntil(5000) {
+      srv.stats.getOrElse("stale_scheduled_peers", 0L) == 1
+    }, s"disconnect never scheduled; stats=${srv.stats}")
+    srv.stop()
+    assert(rib.table.lookup(Ip.parse("10.0.0.7"), null) == null,
+      "stop() left a pending stale flush unexecuted")
+    assert(srv.stats("disconnect_flushed_peers") == 1)
+  }
+
   test("stop() closes active connections, not just the listener") {
     val live = new Rib.Live
     val srv = new BmpServer(live)
