@@ -97,8 +97,15 @@ object Multimodal {
     * stay columnar binary until this map, features come back as a
     * narrow typed row, and failures become routed rows (count them per
     * cause like the flow decode plane) rather than task failures.
+    *
+    * `maxPixels` is the decompression-bomb guard: dimensions come from
+    * the format HEADER (no pixel decode), and an image whose w·h
+    * exceeds the cap routes to `too_large` instead of allocating its
+    * raster — one crafted 64k×64k PNG in a crawl must cost a header
+    * read, not a 16 GB executor OOM.
     */
-  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageDecode] = {
+  def decodeImages(media: Dataset[MediaRow],
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageDecode] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // in-memory ImageInputStreams only: the default ImageIO disk cache
@@ -117,6 +124,13 @@ object Multimodal {
               val reader = readers.next()
               try {
                 reader.setInput(iis, true, true)
+                // header-only dimension probe BEFORE any raster decode
+                val (hw, hh) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+                if (hw * hh > maxPixels)
+                  none.copy(cause = "too_large",
+                    format = Some(reader.getFormatName.toLowerCase),
+                    width = Some(hw.toInt), height = Some(hh.toInt))
+                else {
                 val img = reader.read(0)
                 val (w, h) = (img.getWidth, img.getHeight)
                 var sum = 0L
@@ -138,6 +152,7 @@ object Multimodal {
                 ImageDecode(r.media_id, "ok",
                   Some(reader.getFormatName.toLowerCase), Some(w), Some(h),
                   Some(sum * 1000L / (3L * w * h)), Some(crc.getValue))
+                }
               } catch {
                 case scala.util.control.NonFatal(_) =>
                   none.copy(cause = "decode_failed")

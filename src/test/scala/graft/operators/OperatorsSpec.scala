@@ -804,6 +804,21 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("oversized images route to too_large from the header, undecoded") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodeSolidPng(40, 30, 1, 2, 3), "s"),
+      Multimodal.MediaRow(2L, "image", Multimodal.encodeSolidPng(8, 8, 1, 2, 3), "s"))
+      .toDS()
+    val got = Multimodal.decodeImages(media, maxPixels = 1000L)
+      .collect().sortBy(_.media_id)
+    // 40×30 = 1200 > 1000: header dims reported, no raster features
+    assert(got(0).cause == "too_large")
+    assert(got(0).width.contains(40) && got(0).height.contains(30))
+    assert(got(0).mean_rgb_milli.isEmpty && got(0).pixel_crc.isEmpty)
+    assert(got(1).cause == "ok")
+  }
+
   test("pixel checksum fingerprints content across container formats") {
     import spark.implicits._
     // the same pixels PNG- and BMP-encoded: payload hashes differ, the
