@@ -17,9 +17,9 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * 8 cells) with the production-style absolute knobs, to show the same
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
-  * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increlease,
-  * frontier (default: all) — the full rehearsal at 10× takes ~40 min, a
-  * single section minutes.
+  * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
+  * increlease,frontier (default: all) — the full rehearsal at 10× takes
+  * ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -165,20 +165,21 @@ object ScaleRehearsal {
       ScratchCache.releaseAll(spark)
       out += "lsh_release_candidates" -> lshCand
       out += "lsh_release_candidates_sec" -> tLshCand
+      // parity count captured FROM the timed run (the first product
+      // count already materializes it — a second pipeline run would
+      // double the section's cost for a number we have)
+      var lshPairs = 0L
       val (_, tLshRelease) = timed {
         val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
           threshold = 0.5, maxShingleDf = Some(cap), quality = quality)
-        Seq(r.pairs, r.clusters, r.keepers, r.clusterSizes, r.survivors,
+        lshPairs = r.pairs.count()
+        Seq(r.clusters, r.keepers, r.clusterSizes, r.survivors,
           r.split, r.sourceOverlap, r.containment).foreach(_.count())
       }
       ScratchCache.releaseAll(spark)
       out += "lsh_release_onepass_sec" -> tLshRelease
-      // parity count: the LSH-fronted verified pair set must match the
-      // exact release's (recall gate at this corpus)
-      val (lshPairs, _) = timed(Dedup.releasePipelineLsh(docs, "doc_id",
-        "text", threshold = 0.5, maxShingleDf = Some(cap),
-        quality = quality).pairs.count())
-      ScratchCache.releaseAll(spark)
+      // the LSH-fronted verified pair set must match the exact
+      // release's (recall gate at this corpus)
       out += "lsh_release_verified_pairs" -> lshPairs
     }
 

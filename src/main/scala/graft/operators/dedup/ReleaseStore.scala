@@ -104,7 +104,11 @@ final class ReleaseStore(spark: SparkSession, path: String,
         markers.guarded(s"batches/$id", Some(id)) {
           resolve().write.mode(SaveMode.Overwrite).parquet(side)
         }
-        spark.read.parquet(side)
+        // marker committed but sidecar pruned = the batch is fully
+        // committed in both tables (prune's precondition), so an empty
+        // membership is correct for this replay — never throw
+        if (fs.exists(hPath(side))) spark.read.parquet(side)
+        else batch.select(col(idCol).as("__bid")).limit(0)
       case None =>
         // eager materialization: the set must be pinned BEFORE the docs
         // append mutates the anti-join's right side
@@ -117,7 +121,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * batch-touching scored pair delta to `scored`, each exactly-once
     * under `batchId`.
     */
-  def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit = {
+  def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit =
+    // under writeLock: a compact() racing this append would read the
+    // table, swap the rewritten copy in, and silently DELETE the rows
+    // this batch appended in between (while their commit marker says
+    // they landed, so the replay would skip too)
+    writeLock.synchronized {
     val accepted = acceptedIds(batch, batchId)
     markers.guarded("docs", batchId) {
       // anti-join against the LIVE table: a replay after a landed-but-
@@ -153,10 +162,13 @@ final class ReleaseStore(spark: SparkSession, path: String,
 
   /** The eight-product release over everything ingested so far, derived
     * from the STORED pair set — the pair join is never re-run.
+    * Containment verifies at the STORE's `containThreshold` (a
+    * constructor knob, not a per-call one): with `lshFront`, the prefix
+    * front only guarantees candidates down to that threshold, so a
+    * looser per-call value would silently miss pairs it never generated.
     */
   def products(threshold: Double, quality: DataFrame,
-      sourceCol: String = "source",
-      containThreshold: Double = 0.8): Dedup.ReleaseProducts =
+      sourceCol: String = "source"): Dedup.ReleaseProducts =
     Dedup.productsOf(
       graft.ScratchCache.persist(scored.drop("batch")), docs, idCol,
       threshold, quality, sourceCol, containThreshold)
@@ -175,12 +187,16 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * presence falls back to full CC for correctness.
     */
   def productsCached(threshold: Double, quality: DataFrame,
-      sourceCol: String = "source",
-      containThreshold: Double = 0.8): Dedup.ReleaseProducts = {
+      sourceCol: String = "source"): Dedup.ReleaseProducts = {
     val pm = math.round(threshold * 1000)
     val table = s"clusters_t$pm"
     val dir = s"$path/clusters/t=$pm"
-    val water = markers.lastCommitted(table)
+    // a marker WITHOUT its label table means a crash interrupted a prior
+    // install: folding "batch > water" against an empty prior would
+    // silently drop every pre-watermark pair from the clusters — treat
+    // it as no watermark and rebuild from everything
+    val water0 = markers.lastCommitted(table)
+    val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
     val top = markers.lastCommitted("scored")
     val sc = graft.ScratchCache.persist(scored)
     val labels: DataFrame = writeLock.synchronized {
@@ -209,14 +225,22 @@ final class ReleaseStore(spark: SparkSession, path: String,
         val merged = Dedup.connectedComponents(
           prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
             .unionAll(newPairs))
-        // install then mark: a crash between leaves the marker behind the
-        // table, and the next call re-folds from the old water (the star
-        // edges make a re-fold idempotent)
+        // move-aside install (write tmp → dir aside → tmp in → drop old):
+        // no window where the marker is ahead of a MISSING table; a crash
+        // between the renames is healed by the water guard above (dir
+        // absent → full rebuild), and install-then-mark means a crash
+        // before the mark just re-folds idempotently (star edges)
         val tmp = s"$dir.tmp"
+        val old = s"$dir.old"
         merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        fs.delete(hPath(dir), true)
-        if (!fs.rename(hPath(tmp), hPath(dir)))
+        fs.delete(hPath(old), true)
+        if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
+          throw new java.io.IOException(s"cannot move $dir aside")
+        if (!fs.rename(hPath(tmp), hPath(dir))) {
+          fs.rename(hPath(old), hPath(dir)) // roll back
           throw new java.io.IOException(s"cannot install $dir")
+        }
+        fs.delete(hPath(old), true)
         markers.markCommitted(table, top)
         spark.read.parquet(dir)
       }
@@ -254,6 +278,13 @@ final class ReleaseStore(spark: SparkSession, path: String,
   private def compactTable(name: String, targetBytes: Long): Unit =
     writeLock.synchronized {
       val dir = s"$path/$name"
+      // crash recovery: a previous compact that died between its two
+      // renames left the complete table at .compact.old and nothing at
+      // the live path — restore it instead of silently no-opping
+      if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old"))) {
+        if (!fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
+          throw new java.io.IOException(s"compact: cannot restore $name")
+      }
       if (!fs.exists(hPath(dir))) return
       val bytes = fs.listStatus(hPath(dir))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
@@ -281,8 +312,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
       .foreach { d =>
         val id = d.getPath.getName.stripPrefix("batch=").toLong
         if (id <= safe) {
-          fs.delete(d.getPath, true)
+          // marker FIRST: a crash in between leaves an orphan sidecar
+          // (harmless — the next prune removes it), while the reverse
+          // order would leave a committed marker pointing at a missing
+          // sidecar and crash-loop every replay of that batch
           fs.delete(hPath(s"$path/_commits/batches/$id"), false)
+          fs.delete(d.getPath, true)
           ()
         }
       }

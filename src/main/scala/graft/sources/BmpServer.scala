@@ -58,12 +58,11 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
   @volatile private var running = false
   // one shared timer fires delayed stale-peer removals; daemon so an
   // undisposed server never blocks JVM exit. Only exists when a grace
-  // window is configured.
-  private val staleSweeper: Option[java.util.concurrent.ScheduledExecutorService] =
-    if (staleTimeoutMs > 0L)
-      Some(java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-        (r: Runnable) => { val th = new Thread(r, "bmp-stale"); th.setDaemon(true); th }))
-    else None
+  // window is configured, and is RECREATED by each start() — stop()
+  // shuts it down, and a supported stop()/start() cycle must not
+  // silently degrade the grace window to immediate withdrawal.
+  @volatile private var staleSweeper:
+      Option[java.util.concurrent.ScheduledExecutorService] = None
   // pending stale flushes, tracked OURSELVES: a ScheduledFutureTask
   // returned by shutdownNow() refuses to run() once the pool is STOPped
   // (it consults executor state), so draining the executor's queue
@@ -87,6 +86,12 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
   /** Bind and serve on `port` (0 = ephemeral); returns the bound port. */
   def start(port: Int = 0): Int = synchronized {
     require(server == null, "already started")
+    if (staleTimeoutMs > 0L)
+      staleSweeper = Some(
+        java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          (r: Runnable) => {
+            val th = new Thread(r, "bmp-stale"); th.setDaemon(true); th
+          }))
     server = new ServerSocket()
     server.bind(new InetSocketAddress("127.0.0.1", port))
     running = true
@@ -175,6 +180,7 @@ final class BmpServer(live: Rib.Live, staleTimeoutMs: Long = 0L) {
     // run any pending stale flushes now: a stopped server has no
     // reconnect to wait for, and the sweeper thread must not outlive us
     staleSweeper.foreach { sweeper => sweeper.shutdownNow(); () }
+    staleSweeper = None
     pendingStale.forEach(_.run())
   }
 }

@@ -111,11 +111,18 @@ final class MetadataCache(
             if (cached != null) { cached.accessedAt.set(clock()); cached.info }
             else {
               bump("polls")
-              // a fully-errored poll still caches None here: a miss is a
-              // miss to the flow plane either way, and the negative entry
-              // throttles re-asks to one per ticker cycle
-              val g = pollMux(exporter, ifIndex)._1
-              entries.put(key, Entry(g, clock(), new AtomicLong(clock())))
+              // authoritative answers cache (Some, or an all-providers
+              // MISS — the dead-exporter negative entry). A fully-ERRORED
+              // poll does not: caching None from a transient outage would
+              // blind the flow plane to a hot interface for up to
+              // refreshAfterMs (access-expiry never fires on a hot key) —
+              // the same reasoning that makes the refresh path keep its
+              // known-good entry on all-error. Single-flight still
+              // coalesces the retries.
+              val (g, answered) = pollMux(exporter, ifIndex)
+              if (answered)
+                entries.put(key, Entry(g, clock(), new AtomicLong(clock())))
+              else bump("poll_failures")
               g
             }
           mine.complete(got)

@@ -140,9 +140,26 @@ object EventFlows {
         fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet")).toSeq
       else Seq(status)
     val maxMicros = files.flatMap { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      try {
+      // a corrupt/foreign/half-written file must degrade this PROBE to
+      // None (the caller falls back to the MAX scan), never throw a
+      // widget request away
+      try readFooterMax(f, conf) catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }
+    maxMicros.maxOption.map { micros =>
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    }
+  }
+
+  private def readFooterMax(f: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+    try {
         val footer = reader.getFooter
         // unit from the column's OWN annotation — assuming one encoding
         // silently lands 1970 or year-52k timestamps
@@ -158,21 +175,16 @@ object EventFlows {
             }
           case _ => _ / 1000L // bare INT64: the nanos-as-long encoding
         }
-        footer.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "ts")
-            .flatMap(c => Option(c.getStatistics))
-            .filter(s => !s.isEmpty && s.hasNonNullValue)
-            .map(s => toMicros(s.genericGetMax match {
-              case l: java.lang.Long => l.longValue()
-              case other => other.toString.toLong
-            }))
-        }
-      } finally reader.close()
-    }
-    maxMicros.maxOption.map { micros =>
-      Timestamp.from(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
-    }
+      footer.getBlocks.asScala.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+          .flatMap(c => Option(c.getStatistics))
+          .filter(s => !s.isEmpty && s.hasNonNullValue)
+          .map(s => toMicros(s.genericGetMax match {
+            case l: java.lang.Long => l.longValue()
+            case other => other.toString.toLong
+          }))
+      }.toSeq
+    } finally reader.close()
   }
 
   /** Registered flow tables: the main table (lazy projection, fully

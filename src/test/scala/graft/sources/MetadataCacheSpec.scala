@@ -140,6 +140,24 @@ class MetadataCacheSpec extends SparkSpec {
     assert(c.size == 2)
   }
 
+  test("an all-errored lookup poll is not negative-cached") {
+    // transient outage on first contact: every provider THROWS once,
+    // then recovers. The miss must not freeze into a negative entry
+    // that a hot key's accesses keep alive for refreshAfterMs
+    val calls = new AtomicInteger
+    val c = new MetadataCache(Seq(
+      "flaky" -> ((_: String, i: Long) => {
+        if (calls.incrementAndGet() == 1) throw new RuntimeException("boom")
+        info(s"if$i")
+      })),
+      cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => 0L)
+    assert(c.lookup("e", 1).isEmpty) // outage: miss, NOT cached
+    assert(c.stats("poll_failures") == 1)
+    assert(c.size == 0)
+    assert(c.lookup("e", 1).map(_.name).contains("if1"), "retry never polled")
+    assert(c.stats("polls") == 2)
+  }
+
   test("rejects refresh below duration like the reference") {
     intercept[IllegalArgumentException] {
       MetadataCache.single((_, _) => None, cacheDurationMs = 100, refreshAfterMs = 50)
