@@ -538,6 +538,72 @@ object Dedup {
           .as("recall_pm"))
   }
 
+  /** Containment-front audit: precision/recall of the rarest-first
+    * prefix candidate set against exact-containment ground truth, in
+    * one row — (candidates, true_pos, false_pos, missed, precision_pm,
+    * recall_pm). `recall_pm` is 1000 BY THEOREM (any prefix of size
+    * n−⌈t·n⌉+1 missed entirely bounds common < t·n), so the audit's
+    * live value is `precision_pm`: how much probe fuel verification
+    * throws away — the tuning signal for the df-cap and for whether a
+    * corpus's similarity profile makes the prefix front worthwhile.
+    * Measuring recall anyway turns the proof into a standing
+    * regression check (a future refactor that breaks the subset-size
+    * invariant fails the gate, not a reviewer's eye). Engine-portable
+    * base hash so the oracle replicates both sides.
+    */
+  def containmentAudit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = portableHashedShingles(df, idCol, textCol)
+    val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        graft.ScratchCache.persist(
+          idx0.join(broadcast(hot), Seq("s"), "left_anti"))
+      case None => graft.ScratchCache.persist(idx0)
+    }
+    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val ctPm = math.round(threshold * 1000)
+    val ranked = filtered.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    val pref = ranked.join(sizes, Seq("id"))
+      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
+      .select(col("id"), col("s"))
+    val cand = pref.as("p")
+      .join(filtered.as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+        greatest(col("p.id"), col("f.id")).as("id_b"))
+      .distinct()
+    val exact = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .where(col("common") * lit(1.0) / col("n_a") >= threshold ||
+        col("common") * lit(1.0) / col("n_b") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    cand.withColumn("is_cand", lit(true))
+      .join(exact.withColumn("is_true", lit(true)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        count(col("is_cand")).as("candidates"),
+        count(when(col("is_cand") && col("is_true"), 1)).as("true_pos"),
+        count(when(col("is_cand") && col("is_true").isNull, 1)).as("false_pos"),
+        count(when(col("is_cand").isNull && col("is_true"), 1)).as("missed"))
+      .select(col("candidates"), col("true_pos"), col("false_pos"),
+        col("missed"),
+        expr("true_pos * 1000 div greatest(candidates, 1)").as("precision_pm"),
+        expr("true_pos * 1000 div greatest(true_pos + missed, 1)")
+          .as("recall_pm"))
+  }
+
   /** Quality-aware cluster representative selection: given near-dup
     * cluster assignments (id, cluster) and a per-doc quality score, keep
     * the HIGHEST-quality member of each cluster (ties → min id) instead

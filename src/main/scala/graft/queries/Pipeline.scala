@@ -412,6 +412,17 @@ object Pipeline {
         maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
     }),
 
+    // containment-front audit: the rarest-prefix candidate set against
+    // exact containment ground truth. recall_pm = 1000 BY THEOREM (the
+    // prefix-subset bound) — keeping it measured turns the proof into a
+    // standing regression gate; precision_pm is the live tuning number
+    // (probe fuel verification throws away)
+    "q_contain_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.containmentAudit(d, "doc_id", "text", threshold = 0.8,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
+    }),
+
     // quality-aware purge keepers: per near-dup cluster, keep the
     // LONGEST member (ties → min id) instead of the arbitrary min-id —
     // what a curation pipeline actually ships
@@ -2512,6 +2523,47 @@ object Pipeline {
          |  CAST(true_pos * 1000 // greatest(true_pos + missed, 1) AS BIGINT) AS recall_pm
          |FROM agg""".stripMargin
     },
+    // Generated oracle: the rarest-first prefix containment candidates
+    // (integer prefix length, (df, h) ordering) FULL OUTER JOINed
+    // against exact-containment ground truth in 48-bit hash space. The
+    // Spark side's df-cap is hash-neutral at gate SFs (cap >> max
+    // honest df), so the oracle omits it — the q_lsh_audit contract.
+    "q_contain_audit" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |hv AS (SELECT DISTINCT doc_id, (${hex48("s")}) AS h FROM sh0),
+         |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
+         |dfs AS (SELECT h, count(*) AS df FROM hv GROUP BY 1),
+         |rk AS (SELECT hv.doc_id, hv.h,
+         |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
+         |  FROM hv JOIN dfs d ON hv.h = d.h),
+         |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
+         |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
+         |cand AS (SELECT DISTINCT least(pf.doc_id, f.doc_id) AS id_a,
+         |    greatest(pf.doc_id, f.doc_id) AS id_b
+         |  FROM pref pf JOIN hv f ON pf.h = f.h AND pf.doc_id != f.doc_id),
+         |ex AS (SELECT ha.doc_id AS id_a, hb.doc_id AS id_b, count(*) AS c
+         |  FROM hv ha JOIN hv hb ON ha.h = hb.h AND ha.doc_id < hb.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b
+         |  FROM ex JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / na.cnt >= 0.8 OR c * 1.0 / nb.cnt >= 0.8),
+         |j AS (SELECT c.id_a IS NOT NULL AS is_cand, e.id_a IS NOT NULL AS is_true
+         |  FROM cand c FULL OUTER JOIN exact e
+         |    ON c.id_a = e.id_a AND c.id_b = e.id_b),
+         |agg AS (SELECT
+         |    CAST(count(*) FILTER (is_cand) AS BIGINT) AS candidates,
+         |    CAST(count(*) FILTER (is_cand AND is_true) AS BIGINT) AS true_pos,
+         |    CAST(count(*) FILTER (is_cand AND NOT is_true) AS BIGINT) AS false_pos,
+         |    CAST(count(*) FILTER (is_true AND NOT is_cand) AS BIGINT) AS missed
+         |  FROM j)
+         |SELECT candidates, true_pos, false_pos, missed,
+         |  CAST(true_pos * 1000 // greatest(candidates, 1) AS BIGINT) AS precision_pm,
+         |  CAST(true_pos * 1000 // greatest(true_pos + missed, 1) AS BIGINT) AS recall_pm
+         |FROM agg""".stripMargin,
     // Generated oracle: the portable SimHash sketch (bit j of the sketch
     // set iff the per-bit +1/−1 vote over the doc's 48-bit gram hashes is
     // strictly positive), 16-bit chunk blocking, Hamming verification.
