@@ -403,6 +403,58 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bh"))
   }
 
+  /** The rarest-first containment prefix: each doc's n − ⌈t·n⌉ + 1
+    * lowest-(df, s) index rows. ANY subset of that size carries the
+    * recall guarantee (missing all of it bounds common < t·n);
+    * rarest-first is purely the performance choice that concentrates
+    * probes on df≈1 shingles. Preserves `filtered`'s columns so
+    * callers can carry flags (is_b) through. Integer prefix length —
+    * engine-exact in Spark and an SQL oracle. SHARED by the production
+    * fronts and [[containmentAudit]], so the gate and the gated code
+    * cannot drift.
+    */
+  private def rarestPrefix(filtered: DataFrame, sizes: DataFrame,
+      ctPm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    filtered.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .join(sizes, Seq("id"))
+      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
+      .select(filtered.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Prefix rows probing an index: every (prefix doc, index doc) pair
+    * sharing a shingle, canonicalized to (min, max). NOT distinct —
+    * callers union fronts first and distinct once.
+    */
+  private def prefixProbe(pref: DataFrame, index: DataFrame): DataFrame =
+    pref.select(col("id"), col("s")).as("p")
+      .join(index.select(col("id"), col("s")).as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+        greatest(col("p.id"), col("f.id")).as("id_b"))
+
+  /** Candidate-vs-ground-truth classification shared by [[lshAudit]]
+    * and [[containmentAudit]]: one row of counts + integer per-mille
+    * precision/recall.
+    */
+  private def auditCounts(cand: DataFrame, exact: DataFrame): DataFrame =
+    cand.withColumn("is_cand", lit(true))
+      .join(exact.withColumn("is_true", lit(true)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        count(col("is_cand")).as("candidates"),
+        count(when(col("is_cand") && col("is_true"), 1)).as("true_pos"),
+        count(when(col("is_cand") && col("is_true").isNull, 1)).as("false_pos"),
+        count(when(col("is_cand").isNull && col("is_true"), 1)).as("missed"))
+      .select(col("candidates"), col("true_pos"), col("false_pos"),
+        col("missed"),
+        expr("true_pos * 1000 div greatest(candidates, 1)").as("precision_pm"),
+        expr("true_pos * 1000 div greatest(true_pos + missed, 1)")
+          .as("recall_pm"))
+
   private def bandCandidatesOf(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
@@ -523,19 +575,7 @@ object Dedup {
       .join(sizes.as("nb"), col("id_b") === col("nb.id"))
       .where(jac >= threshold)
       .select(col("id_a"), col("id_b"))
-    cand.withColumn("is_cand", lit(true))
-      .join(exact.withColumn("is_true", lit(true)), Seq("id_a", "id_b"),
-        "full_outer")
-      .agg(
-        count(col("is_cand")).as("candidates"),
-        count(when(col("is_cand") && col("is_true"), 1)).as("true_pos"),
-        count(when(col("is_cand") && col("is_true").isNull, 1)).as("false_pos"),
-        count(when(col("is_cand").isNull && col("is_true"), 1)).as("missed"))
-      .select(col("candidates"), col("true_pos"), col("false_pos"),
-        col("missed"),
-        expr("true_pos * 1000 div greatest(candidates, 1)").as("precision_pm"),
-        expr("true_pos * 1000 div greatest(true_pos + missed, 1)")
-          .as("recall_pm"))
+    auditCounts(cand, exact)
   }
 
   /** Containment-front audit: precision/recall of the rarest-first
@@ -553,7 +593,6 @@ object Dedup {
     */
   def containmentAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val shingled = portableHashedShingles(df, idCol, textCol)
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
     val filtered = maxShingleDf match {
@@ -564,20 +603,12 @@ object Dedup {
           idx0.join(broadcast(hot), Seq("s"), "left_anti"))
       case None => graft.ScratchCache.persist(idx0)
     }
-    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val ctPm = math.round(threshold * 1000)
-    val ranked = filtered.join(dfs, Seq("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
-    val pref = ranked.join(sizes, Seq("id"))
-      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
-      .select(col("id"), col("s"))
-    val cand = pref.as("p")
-      .join(filtered.as("f"),
-        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
-      .select(least(col("p.id"), col("f.id")).as("id_a"),
-        greatest(col("p.id"), col("f.id")).as("id_b"))
+    // the PRODUCTION front, not a copy: rarestPrefix/prefixProbe are
+    // the same code lshCandidateParts runs, so the audit gates what
+    // actually ships
+    val cand = prefixProbe(
+      rarestPrefix(filtered, sizes, math.round(threshold * 1000)), filtered)
       .distinct()
     val exact = filtered.as("a")
       .join(filtered.as("b"),
@@ -589,19 +620,7 @@ object Dedup {
       .where(col("common") * lit(1.0) / col("n_a") >= threshold ||
         col("common") * lit(1.0) / col("n_b") >= threshold)
       .select(col("id_a"), col("id_b"))
-    cand.withColumn("is_cand", lit(true))
-      .join(exact.withColumn("is_true", lit(true)), Seq("id_a", "id_b"),
-        "full_outer")
-      .agg(
-        count(col("is_cand")).as("candidates"),
-        count(when(col("is_cand") && col("is_true"), 1)).as("true_pos"),
-        count(when(col("is_cand") && col("is_true").isNull, 1)).as("false_pos"),
-        count(when(col("is_cand").isNull && col("is_true"), 1)).as("missed"))
-      .select(col("candidates"), col("true_pos"), col("false_pos"),
-        col("missed"),
-        expr("true_pos * 1000 div greatest(candidates, 1)").as("precision_pm"),
-        expr("true_pos * 1000 div greatest(true_pos + missed, 1)")
-          .as("recall_pm"))
+    auditCounts(cand, exact)
   }
 
   /** Quality-aware cluster representative selection: given near-dup
@@ -763,22 +782,9 @@ object Dedup {
           idx.join(broadcast(hot), Seq("s"), "left_anti"))
       case None => idx
     }
-    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    // integer prefix length: ⌈t·n⌉ via (n·t_pm + 999) div 1000 — engine-
-    // exact (no float rounding drift between Spark and an oracle)
-    val ctPm = math.round(containThreshold * 1000)
-    val ranked = filtered.join(dfs, Seq("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
-    val pref = ranked.join(sizes, Seq("id"))
-      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
-      .select(col("id"), col("s"))
-    val candC = pref.as("p")
-      .join(filtered.as("f"),
-        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
-      .select(least(col("p.id"), col("f.id")).as("id_a"),
-        greatest(col("p.id"), col("f.id")).as("id_b"))
+    val pref = rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+    val candC = prefixProbe(pref, filtered)
     (shingled, filtered, candJ.unionAll(candC).distinct())
   }
 
@@ -854,26 +860,10 @@ object Dedup {
           idx.join(broadcast(hot), Seq("s"), "left_anti"))
       case None => graft.ScratchCache.persist(idx)
     }
-    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val ctPm = math.round(containThreshold * 1000)
-    val ranked = filtered.join(dfs, Seq("s"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
-    val pref = ranked.join(sizes, Seq("id"))
-      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
-      .select(col("id"), col("is_b"), col("s"))
-    def pairOf(a: String, b: String) = Seq(
-      least(col(s"$a.id"), col(s"$b.id")).as("id_a"),
-      greatest(col(s"$a.id"), col(s"$b.id")).as("id_b"))
-    val candC = pref.where(col("is_b")).as("p")
-      .join(filtered.as("f"),
-        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
-      .select(pairOf("p", "f"): _*)
-      .unionAll(pref.as("p")
-        .join(filtered.where(col("is_b")).as("f"),
-          col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
-        .select(pairOf("p", "f"): _*))
+    val pref = rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+    val candC = prefixProbe(pref.where(col("is_b")), filtered)
+      .unionAll(prefixProbe(pref, filtered.where(col("is_b"))))
     // candidates persist (small: batch-touching only) so the scoring
     // sets can be restricted to the docs candidates actually touch —
     // the collect_list/array pass is increment-neighborhood-sized, not

@@ -68,13 +68,31 @@ final class ReleaseStore(spark: SparkSession, path: String,
   private def fs = hPath(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def docs: DataFrame = spark.read.parquet(s"$path/docs")
+  def docs: DataFrame = { recoverTable("docs"); spark.read.parquet(s"$path/docs") }
 
   /** The accumulated scored pair set. `batch` records which ingest
     * generated each row (−1 for un-id'd batch calls) — the water mark
     * [[productsCached]]'s incremental clustering folds by.
     */
-  def scored: DataFrame = spark.read.parquet(s"$path/scored")
+  def scored: DataFrame = { recoverTable("scored"); spark.read.parquet(s"$path/scored") }
+
+  /** Heal a compact() that died between its two renames: the complete
+    * table sits at `.compact.old` and nothing at the live path. This
+    * MUST run before any table access, not just inside the next
+    * compact(): an ingest against the missing dir would rebuild `docs`
+    * from one batch (accepting re-crawled ids, scoring no cross-batch
+    * pairs, all under committed markers), and the next compact() —
+    * seeing a live dir again — would delete the real corpus at `.old`.
+    */
+  private def recoverTable(name: String): Unit = {
+    val dir = s"$path/$name"
+    if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")))
+      writeLock.synchronized {
+        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")) &&
+            !fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
+          throw new java.io.IOException(s"cannot restore $name from .compact.old")
+      }
+  }
 
   /** Last streaming batch id durably written to `table` (−1 if none). */
   def lastCommitted(table: String): Long = markers.lastCommitted(table)
@@ -127,6 +145,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // this batch appended in between (while their commit marker says
     // they landed, so the replay would skip too)
     writeLock.synchronized {
+    recoverTable("docs"); recoverTable("scored")
     val accepted = acceptedIds(batch, batchId)
     markers.guarded("docs", batchId) {
       // anti-join against the LIVE table: a replay after a landed-but-
@@ -278,13 +297,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
   private def compactTable(name: String, targetBytes: Long): Unit =
     writeLock.synchronized {
       val dir = s"$path/$name"
-      // crash recovery: a previous compact that died between its two
-      // renames left the complete table at .compact.old and nothing at
-      // the live path — restore it instead of silently no-opping
-      if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old"))) {
-        if (!fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
-          throw new java.io.IOException(s"compact: cannot restore $name")
-      }
+      recoverTable(name)
       if (!fs.exists(hPath(dir))) return
       val bytes = fs.listStatus(hPath(dir))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum

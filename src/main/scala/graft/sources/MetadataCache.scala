@@ -111,18 +111,20 @@ final class MetadataCache(
             if (cached != null) { cached.accessedAt.set(clock()); cached.info }
             else {
               bump("polls")
-              // authoritative answers cache (Some, or an all-providers
-              // MISS — the dead-exporter negative entry). A fully-ERRORED
-              // poll does not: caching None from a transient outage would
-              // blind the flow plane to a hot interface for up to
-              // refreshAfterMs (access-expiry never fires on a hot key) —
-              // the same reasoning that makes the refresh path keep its
-              // known-good entry on all-error. Single-flight still
-              // coalesces the retries.
+              // authoritative answers cache normally (Some, or an
+              // all-providers MISS — the dead-exporter negative entry).
+              // A fully-ERRORED poll caches a BORN-STALE negative entry:
+              // lookups still hit it (a persistently-throwing provider —
+              // unresolvable hostname, broken poller — must not pay a
+              // blocking provider chain per flow), but its retrievedAt
+              // is back-dated past refreshAfter so the very next ticker
+              // cycle retries it — a transient outage heals in one
+              // CacheCheckInterval, not refreshAfterMs.
               val (g, answered) = pollMux(exporter, ifIndex)
-              if (answered)
-                entries.put(key, Entry(g, clock(), new AtomicLong(clock())))
-              else bump("poll_failures")
+              val retrievedAt =
+                if (answered) clock() else clock() - refreshAfterMs - 1
+              if (!answered) bump("poll_failures")
+              entries.put(key, Entry(g, retrievedAt, new AtomicLong(clock())))
               g
             }
           mine.complete(got)

@@ -128,28 +128,28 @@ object EventFlows {
     * `div 1000` truncation [[graft.Tables.load]]'s rebuild applies.
     */
   def newestFromFooters(spark: SparkSession, dir: String): Option[Timestamp] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return None
-    val status = fs.getFileStatus(root)
-    val files =
-      if (status.isDirectory)
-        fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      else Seq(status)
-    val maxMicros = files.flatMap { f =>
-      // a corrupt/foreign/half-written file must degrade this PROBE to
-      // None (the caller falls back to the MAX scan), never throw a
-      // widget request away
-      try readFooterMax(f, conf) catch {
-        case scala.util.control.NonFatal(_) => Seq.empty
+    // ANY failure degrades the WHOLE probe to None so the caller's
+    // MAX-scan fallback runs: skipping just the broken file would be
+    // worse than either outcome — if the half-written file is the
+    // NEWEST one, a per-file skip returns a confidently-stale max and
+    // nothing ever falls back
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) return None
+      val status = fs.getFileStatus(root)
+      val files =
+        if (status.isDirectory)
+          fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        else Seq(status)
+      files.flatMap(readFooterMax(_, conf)).maxOption.map { micros =>
+        Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
       }
-    }
-    maxMicros.maxOption.map { micros =>
-      Timestamp.from(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -140,10 +140,12 @@ class MetadataCacheSpec extends SparkSpec {
     assert(c.size == 2)
   }
 
-  test("an all-errored lookup poll is not negative-cached") {
+  test("an all-errored lookup poll caches born-stale: throttled now, retried next tick") {
     // transient outage on first contact: every provider THROWS once,
-    // then recovers. The miss must not freeze into a negative entry
-    // that a hot key's accesses keep alive for refreshAfterMs
+    // then recovers. Flow-plane lookups must NOT pay a blocking
+    // provider chain per flow (the entry caches), but the miss must
+    // not freeze for refreshAfterMs either — the back-dated entry is
+    // stale to the very next ticker cycle, which heals it
     val calls = new AtomicInteger
     val c = new MetadataCache(Seq(
       "flaky" -> ((_: String, i: Long) => {
@@ -151,11 +153,15 @@ class MetadataCacheSpec extends SparkSpec {
         info(s"if$i")
       })),
       cacheDurationMs = 1000L, refreshAfterMs = 1000L, clock = () => 0L)
-    assert(c.lookup("e", 1).isEmpty) // outage: miss, NOT cached
+    assert(c.lookup("e", 1).isEmpty) // outage: negative answer served
     assert(c.stats("poll_failures") == 1)
-    assert(c.size == 0)
-    assert(c.lookup("e", 1).map(_.name).contains("if1"), "retry never polled")
-    assert(c.stats("polls") == 2)
+    assert(c.size == 1)
+    assert(c.lookup("e", 1).isEmpty, "hot key re-polled before the ticker")
+    assert(c.stats("polls") == 1 && c.stats("hits") == 1)
+    // the very next ticker cycle retries (entry is born-stale) and heals
+    val (_, refreshed) = c.expireAndRefresh()
+    assert(refreshed == 1)
+    assert(c.lookup("e", 1).map(_.name).contains("if1"))
   }
 
   test("rejects refresh below duration like the reference") {
