@@ -187,6 +187,32 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a compact crash (table moved aside) heals on ANY next access") {
+    // simulate compact dying between its two renames: the whole table
+    // sits at .compact.old and nothing at the live path. docs/scored
+    // reads AND ingest must restore it first — an ingest that instead
+    // rebuilt docs from one batch (under committed markers) would
+    // permanently lose the corpus when the next compact deleted .old
+    val dir = Files.createTempDirectory("relheal").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    def crashCompact(): Unit = {
+      val live = new java.io.File(s"$dir/docs")
+      val aside = new java.io.File(s"$dir/docs.compact.old")
+      assert(live.renameTo(aside))
+    }
+    crashCompact()
+    assert(store.docs.count() == 3, "reader did not restore .compact.old")
+    crashCompact()
+    store.ingest(b1, batchId = Some(1L)) // ingest-first must also heal
+    assert(store.docs.count() == 5)
+    assert(!new java.io.File(s"$dir/docs.compact.old").exists())
+    // and the store still knows doc 1 exists: a re-crawl stays ignored
+    store.ingest(doc((1L, "different body")), batchId = Some(2L))
+    assert(store.docs.where(col("doc_id") === 1L).count() == 1)
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("soak: kill before commit + replay + compaction between restarts") {
     // the full lifecycle under fire: a batch (containing a re-crawled
     // duplicate id) lands, the checkpoint commit is dropped (crash
