@@ -279,6 +279,54 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH release equals from-scratch LSH on random corpora (property)") {
+    // the union-completeness argument under fuzz: random docs + random
+    // verbatim quoting, split at a random id cut into prior corpus and
+    // batch. The prior release's prefixes were chosen against
+    // corpus-only df; the from-scratch run's against combined df — the
+    // PREFIXES DRIFT, the sub-threshold scored sets differ, and every
+    // ≥-threshold product must still be identical (containment is
+    // pair-intrinsic, banding is per-doc). Three seeds, no recall
+    // assumption: both sides use the same banded candidates by
+    // construction, so equality holds even where banding misses.
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 3) {
+      val vocab = Vector.tabulate(35)(i => s"t${trial}w$i")
+      def words(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val base = (0 until 24).map { id =>
+        (id.toLong, words(5 + rnd.nextInt(25)).mkString(" "))
+      }
+      val quoting = (24 until 30).map { id =>
+        val src = base(rnd.nextInt(base.size))._2
+        (id.toLong, (words(rnd.nextInt(20)) :+ src).mkString(" "))
+      }
+      val all = (base ++ quoting).map { case (id, t) => (id, t, s"src${id % 2}") }
+      val cut = 12 + rnd.nextInt(14) // batch = ids >= cut, always nonempty
+      val d = all.toDF("doc_id", "text", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val q = d.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val prior = d.where(col("doc_id") < cut)
+      val r0 = Dedup.releasePipelineLsh(prior, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = None,
+        quality = prior.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      val priorScored = spark.createDataFrame(
+        java.util.Arrays.asList(r0.scored.collect(): _*), r0.scored.schema)
+      graft.ScratchCache.releaseAll(spark)
+      val inc = Dedup.incrementalReleaseLsh(d, "doc_id", "text",
+        isBatch = col("doc_id") >= cut, priorScored = priorScored,
+        threshold = 0.5, maxShingleDf = None, quality = q)
+      val full = Dedup.releasePipelineLsh(d, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = None, quality = q)
+      assert(rows(inc.pairs) == rows(full.pairs), s"trial $trial cut=$cut pairs")
+      assert(rows(inc.containment) == rows(full.containment),
+        s"trial $trial cut=$cut containment")
+      assert(rows(inc.clusters) == rows(full.clusters), s"trial $trial clusters")
+      assert(rows(inc.keepers) == rows(full.keepers), s"trial $trial keepers")
+      assert(rows(inc.split) == rows(full.split), s"trial $trial split")
+      graft.ScratchCache.releaseAll(spark)
+    }
+  }
+
   test("cluster products re-plan from the materialization, not the corpus") {
     val d = corpus
     val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
