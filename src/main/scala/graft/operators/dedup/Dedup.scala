@@ -623,6 +623,51 @@ object Dedup {
     auditCounts(cand, exact)
   }
 
+  /** Candidate-front cost plan: the EXACT pre-distinct pair volume each
+    * candidate-generation front would emit, in one row — the decision
+    * artifact for exact-vs-LSH front selection (the [[dfCapFrontier]]
+    * discipline applied to the front choice itself):
+    *
+    *  - `exact_pairs` = Σ_s df·(df−1)/2 over the capped index — the
+    *    inverted-index self-join's output volume;
+    *  - `band_pairs` = Σ_buckets c·(c−1)/2 over (band, slice) groups —
+    *    the banding join's output volume;
+    *  - `prefix_pairs` = Σ over prefix rows of (df(s)−1) — the
+    *    containment probe's output volume.
+    *
+    * All three are counting aggregations over structures the pipelines
+    * build anyway (index histogram, banded signatures, prefix rows) —
+    * no candidate pair is materialized, so the plan costs a small
+    * fraction of the cheapest front it prices. Portable signature
+    * family so an SQL oracle reproduces every number.
+    */
+  def lshFrontCostPlan(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
+      k: Int = 32, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val shingled = portableHashedShingles(df, idCol, textCol)
+    val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val hot = idx0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        graft.ScratchCache.persist(
+          idx0.join(broadcast(hot), Seq("s"), "left_anti"))
+      case None => graft.ScratchCache.persist(idx0)
+    }
+    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val exactPairs = dfs
+      .agg(sum(expr("df * (df - 1) div 2")).cast("long").as("exact_pairs"))
+    val bandPairs = portableBands(shingled, k, bands, seed)
+      .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("band_pairs"))
+    val prefixPairs =
+      rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+        .join(dfs, Seq("s"))
+        .agg(sum(col("df") - 1).cast("long").as("prefix_pairs"))
+    exactPairs.crossJoin(bandPairs).crossJoin(prefixPairs)
+  }
+
   /** Quality-aware cluster representative selection: given near-dup
     * cluster assignments (id, cluster) and a per-doc quality score, keep
     * the HIGHEST-quality member of each cluster (ties → min id) instead

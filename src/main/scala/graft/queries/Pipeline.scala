@@ -423,6 +423,17 @@ object Pipeline {
         maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())))
     }),
 
+    // candidate-front COST plan: the exact pre-distinct pair volume of
+    // each front (index self-join / banding / containment prefix) from
+    // counting aggregations alone — the front-selection twin of
+    // q_df_cap_plan, priced without materializing a single candidate
+    "q_front_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.lshFrontCostPlan(d, "doc_id", "text", containThreshold = 0.8,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
+        k = 32, bands = 16, seed = 42L)
+    }),
+
     // quality-aware purge keepers: per near-dup cluster, keep the
     // LONGEST member (ties → min id) instead of the arbitrary min-id —
     // what a curation pipeline actually ships
@@ -2522,6 +2533,44 @@ object Pipeline {
          |  CAST(true_pos * 1000 // greatest(candidates, 1) AS BIGINT) AS precision_pm,
          |  CAST(true_pos * 1000 // greatest(true_pos + missed, 1) AS BIGINT) AS recall_pm
          |FROM agg""".stripMargin
+    },
+    // Generated oracle: the three front volumes as counting sums over
+    // the hash-space index histogram, the banded-signature buckets
+    // (same seeded family, 2 rows/band), and the rarest-first prefix
+    // rows — no candidate pair materialized on either engine.
+    "q_front_plan" -> {
+      val (pa, pb) = Dedup.minhashParams(32, 42L)
+      val params = pa.zip(pb).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) r
+         |  WHERE len(w) >= 3),
+         |hv AS (SELECT DISTINCT doc_id, (${hex48("s")}) AS h FROM sh0),
+         |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
+         |dfs AS (SELECT h, count(*) AS df FROM hv GROUP BY 1),
+         |ex AS (SELECT CAST(sum(df * (df - 1) // 2) AS BIGINT) AS exact_pairs
+         |  FROM dfs),
+         |params AS (SELECT * FROM (VALUES $params) AS pr(i, a, b)),
+         |sig AS (SELECT doc_id, i,
+         |    min((a * (h % 2147483647) + b) % 2147483647) AS m
+         |  FROM hv CROSS JOIN params GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 2 AS band,
+         |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+         |  FROM sig GROUP BY 1, 2),
+         |bk AS (SELECT band, bkey, count(*) AS c FROM band GROUP BY 1, 2),
+         |bp AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS band_pairs
+         |  FROM bk),
+         |rk AS (SELECT hv.doc_id, hv.h,
+         |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
+         |  FROM hv JOIN dfs d ON hv.h = d.h),
+         |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
+         |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
+         |pp AS (SELECT CAST(sum(d.df - 1) AS BIGINT) AS prefix_pairs
+         |  FROM pref JOIN dfs d ON pref.h = d.h)
+         |SELECT exact_pairs, band_pairs, prefix_pairs
+         |FROM ex CROSS JOIN bp CROSS JOIN pp""".stripMargin
     },
     // Generated oracle: the rarest-first prefix containment candidates
     // (integer prefix length, (df, h) ordering) FULL OUTER JOINed
