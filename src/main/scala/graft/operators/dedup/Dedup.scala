@@ -929,14 +929,20 @@ object Dedup {
       containThreshold: Double, maxShingleDf: Option[Int],
       k: Int = 128, bands: Int = 32, seed: Long = 42L,
       portable: Boolean = false): DataFrame = {
-    val (shingled, filtered, cand) = lshCandidateParts(df, idCol, textCol,
+    val (shingled, filtered, cand0) = lshCandidateParts(df, idCol, textCol,
       containThreshold, maxShingleDf, k, bands, seed, portable)
     // exact scoring for candidates only: common/n over the same capped
-    // shingle universe the index join would have used
+    // shingle universe the index join would have used, and ONLY for
+    // docs candidates actually touch — at 100 TB most docs are unique,
+    // and the array-building pass must not pay for them
+    val cand = graft.ScratchCache.persist(cand0)
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
     val sets = maxShingleDf match {
       case Some(_) => graft.ScratchCache.persist(
-        filtered.groupBy("id").agg(collect_list(col("s")).as("sh")))
-      case None => shingled
+        filtered.join(candIds, Seq("id"), "left_semi")
+          .groupBy("id").agg(collect_list(col("s")).as("sh")))
+      case None => shingled.join(candIds, Seq("id"), "left_semi")
     }
     scoreCandidates(cand, sets)
   }
