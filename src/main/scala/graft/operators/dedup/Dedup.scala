@@ -403,6 +403,45 @@ object Dedup {
       .select(col("id"), col("bb.band"), col("bb.bh"))
   }
 
+  /** Capped inverted index + its document-frequency table, from ONE
+    * histogram pass: dropping whole shingles above the cap does not
+    * change the df of survivors, so `dfs` is the same histogram
+    * filtered — never a second groupBy. SHARED by every consumer of
+    * the capped index (candidate fronts, audits, the cost plan), so
+    * cap semantics cannot drift between the pipeline and what prices
+    * or gates it.
+    */
+  private def cappedIndexWithDf(idx: DataFrame,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
+    val hist = idx.groupBy("s").agg(count(lit(1)).as("df"))
+    maxShingleDf match {
+      case Some(cap) =>
+        val hot = hist.where(col("df") > cap).select("s")
+        (graft.ScratchCache.persist(
+          idx.join(broadcast(hot), Seq("s"), "left_anti")),
+          hist.where(col("df") <= cap))
+      case None => (graft.ScratchCache.persist(idx), hist)
+    }
+  }
+
+  /** Scoring sets restricted to candidate-touching docs: most docs are
+    * unique at scale and must not pay the array-building pass. `cand`
+    * must already be persisted (its plan feeds both the id restriction
+    * and the scoring join). Shared by the full and incremental LSH
+    * scored-pair paths.
+    */
+  private def candidateSets(cand: DataFrame, filtered: DataFrame,
+      shingled: DataFrame, maxShingleDf: Option[Int]): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    maxShingleDf match {
+      case Some(_) => graft.ScratchCache.persist(
+        filtered.join(candIds, Seq("id"), "left_semi")
+          .groupBy("id").agg(collect_list(col("s")).as("sh")))
+      case None => shingled.join(candIds, Seq("id"), "left_semi")
+    }
+  }
+
   /** The rarest-first containment prefix: each doc's n − ⌈t·n⌉ + 1
     * lowest-(df, s) index rows. ANY subset of that size carries the
     * recall guarantee (missing all of it bounds common < t·n);
@@ -414,9 +453,8 @@ object Dedup {
     * cannot drift.
     */
   private def rarestPrefix(filtered: DataFrame, sizes: DataFrame,
-      ctPm: Long): DataFrame = {
+      ctPm: Long, dfs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
     filtered.join(dfs, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
@@ -595,20 +633,14 @@ object Dedup {
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val shingled = portableHashedShingles(df, idCol, textCol)
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = idx0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
-        graft.ScratchCache.persist(
-          idx0.join(broadcast(hot), Seq("s"), "left_anti"))
-      case None => graft.ScratchCache.persist(idx0)
-    }
+    val (filtered, dfs) = cappedIndexWithDf(idx0, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     // the PRODUCTION front, not a copy: rarestPrefix/prefixProbe are
     // the same code lshCandidateParts runs, so the audit gates what
     // actually ships
     val cand = prefixProbe(
-      rarestPrefix(filtered, sizes, math.round(threshold * 1000)), filtered)
+      rarestPrefix(filtered, sizes, math.round(threshold * 1000), dfs),
+      filtered)
       .distinct()
     val exact = filtered.as("a")
       .join(filtered.as("b"),
@@ -643,18 +675,14 @@ object Dedup {
     */
   def lshFrontCostPlan(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
-      k: Int = 32, bands: Int = 16, seed: Long = 42L): DataFrame = {
+      k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    // defaults mirror the production front's band shape — a plan priced
+    // with one shape and a pipeline run with another steers the front
+    // decision with the wrong number; the oracle gate prices the
+    // portable gate shape (k=32/bands=16) explicitly
     val shingled = portableHashedShingles(df, idCol, textCol)
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = idx0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
-        graft.ScratchCache.persist(
-          idx0.join(broadcast(hot), Seq("s"), "left_anti"))
-      case None => graft.ScratchCache.persist(idx0)
-    }
-    val dfs = filtered.groupBy("s").agg(count(lit(1)).as("df"))
+    val (filtered, dfs) = cappedIndexWithDf(idx0, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     val exactPairs = dfs
       .agg(sum(expr("df * (df - 1) div 2")).cast("long").as("exact_pairs"))
@@ -662,7 +690,7 @@ object Dedup {
       .groupBy("band", "bh").agg(count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("band_pairs"))
     val prefixPairs =
-      rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+      rarestPrefix(filtered, sizes, math.round(containThreshold * 1000), dfs)
         .join(dfs, Seq("s"))
         .agg(sum(col("df") - 1).cast("long").as("prefix_pairs"))
     exactPairs.crossJoin(bandPairs).crossJoin(prefixPairs)
@@ -819,16 +847,10 @@ object Dedup {
       else fastBandCandidates(shingled, k, bands, seed)
     // containment front: rarest-first prefix probing the (capped) index
     val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
-        graft.ScratchCache.persist(
-          idx.join(broadcast(hot), Seq("s"), "left_anti"))
-      case None => idx
-    }
+    val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val pref = rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+    val pref = rarestPrefix(filtered, sizes,
+      math.round(containThreshold * 1000), dfs)
     val candC = prefixProbe(pref, filtered)
     (shingled, filtered, candJ.unionAll(candC).distinct())
   }
@@ -897,16 +919,10 @@ object Dedup {
     // containment front: same capped index/prefix machinery as the full
     // pipeline, but the probes are one-side-batch by construction
     val idx = flagged.select(col("id"), col("is_b"), explode(col("sh")).as("s"))
-    val filtered = maxShingleDf match {
-      case Some(cap) =>
-        val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
-        graft.ScratchCache.persist(
-          idx.join(broadcast(hot), Seq("s"), "left_anti"))
-      case None => graft.ScratchCache.persist(idx)
-    }
+    val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val pref = rarestPrefix(filtered, sizes, math.round(containThreshold * 1000))
+    val pref = rarestPrefix(filtered, sizes,
+      math.round(containThreshold * 1000), dfs)
     val candC = prefixProbe(pref.where(col("is_b")), filtered)
       .unionAll(prefixProbe(pref, filtered.where(col("is_b"))))
     // candidates persist (small: batch-touching only) so the scoring
@@ -914,15 +930,8 @@ object Dedup {
     // the collect_list/array pass is increment-neighborhood-sized, not
     // corpus-sized
     val cand = graft.ScratchCache.persist(candJ.unionAll(candC).distinct())
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    val sets = maxShingleDf match {
-      case Some(_) => graft.ScratchCache.persist(
-        filtered.join(candIds, Seq("id"), "left_semi")
-          .groupBy("id").agg(collect_list(col("s")).as("sh")))
-      case None => shingled.join(candIds, Seq("id"), "left_semi")
-    }
-    scoreCandidates(cand, sets)
+    scoreCandidates(cand,
+      candidateSets(cand, filtered, shingled, maxShingleDf))
   }
 
   def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
@@ -936,15 +945,8 @@ object Dedup {
     // docs candidates actually touch — at 100 TB most docs are unique,
     // and the array-building pass must not pay for them
     val cand = graft.ScratchCache.persist(cand0)
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    val sets = maxShingleDf match {
-      case Some(_) => graft.ScratchCache.persist(
-        filtered.join(candIds, Seq("id"), "left_semi")
-          .groupBy("id").agg(collect_list(col("s")).as("sh")))
-      case None => shingled.join(candIds, Seq("id"), "left_semi")
-    }
-    scoreCandidates(cand, sets)
+    scoreCandidates(cand,
+      candidateSets(cand, filtered, shingled, maxShingleDf))
   }
 
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
@@ -1026,10 +1028,22 @@ object Dedup {
     * SAME band shape and thresholds; completeness of the union follows
     * from containment being pair-intrinsic (see
     * [[incrementalLshScoredPairs]]) plus per-doc banding being
-    * corpus-independent. Products equal the from-scratch
-    * [[releasePipelineLsh]] over the combined corpus at every
-    * ≥-threshold row (sub-threshold scored rows may differ — they are
-    * candidate-set artifacts both pipelines filter out).
+    * corpus-independent.
+    *
+    * Product-equality contract vs the from-scratch
+    * [[releasePipelineLsh]] over the combined corpus, stated precisely:
+    * the CONTAINMENT product is equal UNCONDITIONALLY (each release's
+    * prefix front guarantees its own era's ≥-threshold pairs, and
+    * containment is pair-intrinsic, so df drift cannot retroactively
+    * un-score a settled pair). The JACCARD product (and the cluster
+    * products derived from it) is equal whenever banding catches the
+    * ≥-threshold Jaccard pairs — the condition [[lshAudit]] measures
+    * and the band shape is chosen for. A mid-similarity pair that
+    * banding misses can still be scored as prefix BYCATCH, and bycatch
+    * depends on df-drifted prefixes, so absent the recall condition
+    * the two runs' Jaccard products could differ by exactly such
+    * pairs. Sub-threshold scored rows differ freely either way
+    * (candidate-set artifacts both pipelines filter out).
     */
   def incrementalReleaseLsh(df: DataFrame, idCol: String, textCol: String,
       isBatch: Column, priorScored: DataFrame, threshold: Double,

@@ -426,13 +426,15 @@ object Pipeline {
     // candidate-front COST plan: the exact pre-distinct pair volume of
     // each front (index self-join / banding / containment prefix) from
     // counting aggregations alone — the front-selection twin of
-    // q_df_cap_plan, priced without materializing a single candidate
-    "q_front_plan" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.lshFrontCostPlan(d, "doc_id", "text", containThreshold = 0.8,
-        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
-        k = 32, bands = 16, seed = 42L)
-    }),
+    // q_df_cap_plan, priced without materializing a single candidate.
+    // UNCAPPED here so the oracle equality is unconditional (no bet on
+    // the cap never binding at the gate SFs); the capped pricing is the
+    // API's production knob, and the cap's own economics already have
+    // their priced gate in q_df_cap_plan
+    "q_front_plan" -> ((s, dir) =>
+      Dedup.lshFrontCostPlan(docs(s, dir), "doc_id", "text",
+        containThreshold = 0.8, maxShingleDf = None,
+        k = 32, bands = 16, seed = 42L)),
 
     // quality-aware purge keepers: per near-dup cluster, keep the
     // LONGEST member (ties → min id) instead of the arbitrary min-id —

@@ -284,11 +284,14 @@ class ReleaseSpec extends SparkSpec {
     // verbatim quoting, split at a random id cut into prior corpus and
     // batch. The prior release's prefixes were chosen against
     // corpus-only df; the from-scratch run's against combined df — the
-    // PREFIXES DRIFT, the sub-threshold scored sets differ, and every
-    // ≥-threshold product must still be identical (containment is
-    // pair-intrinsic, banding is per-doc). Three seeds, no recall
-    // assumption: both sides use the same banded candidates by
-    // construction, so equality holds even where banding misses.
+    // PREFIXES DRIFT and the sub-threshold scored sets differ. What is
+    // THEOREM-guaranteed equal is the containment product (asserted
+    // first); the Jaccard-side products are additionally equal HERE
+    // because these fixed seeds produce no mid-similarity pair that
+    // banding misses while prefix bycatch splits (the recall condition
+    // incrementalReleaseLsh documents — if a seed change ever fails a
+    // pairs assertion, check for exactly that pair class before
+    // suspecting the union logic).
     val rnd = new scala.util.Random(777)
     for (trial <- 1 to 3) {
       val vocab = Vector.tabulate(35)(i => s"t${trial}w$i")
@@ -317,9 +320,9 @@ class ReleaseSpec extends SparkSpec {
         threshold = 0.5, maxShingleDf = None, quality = q)
       val full = Dedup.releasePipelineLsh(d, "doc_id", "text",
         threshold = 0.5, maxShingleDf = None, quality = q)
-      assert(rows(inc.pairs) == rows(full.pairs), s"trial $trial cut=$cut pairs")
       assert(rows(inc.containment) == rows(full.containment),
-        s"trial $trial cut=$cut containment")
+        s"trial $trial cut=$cut containment (THEOREM-guaranteed)")
+      assert(rows(inc.pairs) == rows(full.pairs), s"trial $trial cut=$cut pairs")
       assert(rows(inc.clusters) == rows(full.clusters), s"trial $trial clusters")
       assert(rows(inc.keepers) == rows(full.keepers), s"trial $trial keepers")
       assert(rows(inc.split) == rows(full.split), s"trial $trial split")
