@@ -61,16 +61,41 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => Some(b)
       case _ => None
     }
-    def cpuNowMs(): Long =
+    // None (not 0) when the platform bean is absent or unsupported: a 0
+    // cpu_ms is indistinguishable from total CPU starvation — precisely
+    // the signal these columns exist to disambiguate — so absence of
+    // data lands as the -1 sentinel in the artifact instead
+    def cpuNowMs(): Option[Long] =
       osBean.map(_.getProcessCpuTime).filter(_ >= 0).map(_ / 1000000L)
-        .getOrElse(0L)
+    // HOST cpu from /proc/stat: hostBusy − processCpu = CPU burned by
+    // co-tenants during the rep. A rep where co-tenants held a material
+    // share of the machine is CONTENDED — its wall-clock measures
+    // scheduler luck, not the plan — so the committed min-of-N must not
+    // be built from contended reps alone (r10's committed artifact
+    // overstated the suite ~18% for exactly this reason).
+    def hostBusyMs(): Option[Long] = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val p = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // cpu fields: user nice system idle iowait irq softirq steal …
+        // busy = everything except idle(3) and iowait(4)
+        val busy = p.indices.collect { case i if i != 3 && i != 4 => p(i) }.sum
+        Some(busy * 10L) // USER_HZ = 100 ticks/s on Linux → ms
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val cores = Runtime.getRuntime.availableProcessors.toLong
     final case class Rep(sec: Double, rows: Long, gcMs: Long, peakMb: Long,
-        cpuMs: Long)
+        cpuMs: Long, extMs: Long, contended: Boolean)
+    // bounded global retry budget: a persistently-loaded host must not
+    // turn the suite into an unbounded wait — unresolved contention is
+    // FLAGGED in the artifact instead
+    var retryBudget = 40
     val timed = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def oneRep(): Rep = {
         heapPools.foreach(_.resetPeakUsage())
         val g0 = gcNowMs()
-        val c0 = cpuNowMs()
+        val c0 = cpuNowMs().getOrElse(0L)
+        val h0 = hostBusyMs()
         val t0 = System.nanoTime()
         // toRdd.count() materializes EVERY output column — a plain count()
         // would let Catalyst prune the projections being measured
@@ -80,24 +105,39 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val repGc = gcNowMs() - g0
-        val repCpu = cpuNowMs() - c0
+        val repCpu = cpuNowMs().map(_ - c0).getOrElse(-1L)
+        val ext = (for { a <- h0; b <- hostBusyMs() if repCpu >= 0 }
+          yield (b - a - repCpu).max(0L)).getOrElse(-1L)
+        // contended = co-tenants burned >20% of the machine's capacity
+        // over this rep's window (needs both host and process counters)
+        val cont = ext >= 0 && ext > (sec * 1000).toLong * cores / 5
         // release this query's scratch persists so cached partials never
         // carry into the next repetition or query (outside the timed window)
         ScratchCache.releaseAll(spark)
-        Rep(sec, n, repGc, peakHeapMb(), repCpu)
+        Rep(sec, n, repGc, peakHeapMb(), repCpu, ext, cont)
       }
+      var times = Vector.fill(reps)(()).map(_ => oneRep())
       // a failed repetition returns fast — its wall-clock must not become
       // the "best" time; min/worst come from successful reps only (a query
       // with zero successful reps keeps its failure times and the stderr
       // FAILED lines as the signal)
-      val ok = times.filter(_.rows >= 0)
-      val basis = if (ok.nonEmpty) ok else times
+      def ok = times.filter(_.rows >= 0)
+      def basis = if (ok.nonEmpty) ok else times
+      // re-run while the BEST rep is contended (bounded): one clean rep
+      // is all min-of-N needs to report the contention-free cost
+      var extraLeft = 2
+      while (basis.minBy(_.sec).contended && extraLeft > 0 && retryBudget > 0) {
+        System.err.println(s"[bench] $name best rep contended " +
+          s"(ext ${basis.minBy(_.sec).extMs} ms) — re-running")
+        times :+= oneRep(); extraLeft -= 1; retryBudget -= 1
+      }
       val bestRep = basis.minBy(_.sec)
       val worstRep = basis.maxBy(_.sec)
       System.err.println(
         f"[bench] $name%-22s ${bestRep.sec}%8.2f s  (worst ${worstRep.sec}%.2f, " +
           f"gc ${bestRep.gcMs}/${worstRep.gcMs} ms, " +
           f"cpu ${bestRep.cpuMs}/${worstRep.cpuMs} ms, " +
+          f"ext ${bestRep.extMs} ms${if (bestRep.contended) " CONTENDED" else ""}, " +
           f"peak ${basis.map(_.peakMb).max} MB, " +
           f"${basis.head.rows} rows)")
       (name, bestRep, worstRep, basis.map(_.peakMb).max)
@@ -112,6 +152,10 @@ object Bench {
     val gcBestTotal = timed.map(_._2.gcMs).sum
     val gcWorstTotal = timed.map(_._3.gcMs).sum
     val peakMbMax = if (timed.nonEmpty) timed.map(_._4).max else 0L
+    // queries whose best rep stayed contended after the bounded retries:
+    // their committed numbers overstate the plan's cost — the driver (or
+    // a reader) should re-run rather than read them as regressions
+    val contendedN = timed.count(_._2.contended)
     // The harness keeps only the tail of stdout, so the printed line must
     // stay well under 2000 chars: report a headline subset inline (one
     // query per major area) and dump the complete per-query map to
@@ -120,7 +164,7 @@ object Bench {
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
       s""","n_queries":${results.size},"reps":$reps""" +
       s""","gc_best_ms":$gcBestTotal,"gc_worst_ms":$gcWorstTotal""" +
-      s""","heap_peak_mb":$peakMbMax""" +
+      s""","heap_peak_mb":$peakMbMax,"contended_queries":$contendedN""" +
       s""","queries":${fmt(headlinePairs)}""" +
       s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // only a FULL run may refresh the committed per-query record — a
@@ -143,6 +187,9 @@ object Bench {
           s""","gc_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.gcMs })}""" +
           s""","cpu_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.cpuMs })}""" +
           s""","cpu_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.cpuMs })}""" +
+          s""","ext_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.extMs })}""" +
+          s""","contended":${fmtL(timed.filter(_._2.contended)
+            .map { case (n, _, _, _) => n -> 1L })}""" +
           s""","heap_peak_mb":${fmtL(timed.map { case (n, _, _, p) => n -> p })}""" +
           s""","sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))

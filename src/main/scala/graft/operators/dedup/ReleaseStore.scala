@@ -129,10 +129,22 @@ final class ReleaseStore(spark: SparkSession, path: String,
         else batch.select(col(idCol).as("__bid")).limit(0)
       case None =>
         // eager materialization: the set must be pinned BEFORE the docs
-        // append mutates the anti-join's right side
-        resolve().localCheckpoint(true)
+        // append mutates the anti-join's right side. The checkpoint's
+        // blocks are tracked (ScratchCache does not cover localCheckpoint)
+        // and freed at the end of ingest — without that, repeated un-id'd
+        // ingests accumulate checkpointed RDD blocks for the session's life
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = resolve().localCheckpoint(true)
+        checkpointIds = sc.getPersistentRDDs.keySet.toSet -- before
+        out
     }
   }
+
+  /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,
+    * freed by [[ingest]] once the scored append has landed.
+    */
+  private var checkpointIds: Set[Int] = Set.empty
 
   /** Ingest one micro-batch of documents (idCol, textCol + any carried
     * columns): append the batch's accepted rows to `docs` and their
@@ -177,6 +189,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
         .write.mode(SaveMode.Append).parquet(s"$path/scored")
       graft.ScratchCache.releaseAll(spark)
     }
+    // the accepted-set checkpoint (un-id'd ingests only) has served its
+    // last consumer — free its blocks
+    val sc = spark.sparkContext
+    checkpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    checkpointIds = Set.empty
   }
 
   /** The eight-product release over everything ingested so far, derived
@@ -288,6 +306,14 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * `_commits/` and are untouched, so replay accounting survives
     * compaction. File count after: ≤ ⌈bytes/target⌉ per table, bounded
     * regardless of how many micro-batches accumulated.
+    *
+    * READER CONTRACT: a `DataFrame` obtained from [[docs]]/[[scored]]
+    * (or a [[products]] result not yet fully consumed) BEFORE a
+    * `compact()` holds the old file listing and is INVALIDATED by the
+    * swap — executing it afterwards fails on missing files or reads
+    * nothing. Re-resolve through the accessors after compaction; the
+    * single-writer contract extends to sequencing reads around
+    * `compact()`, exactly as it sequences them around [[ingest]].
     */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     Seq("docs", "scored").foreach(compactTable(_, targetFileBytes))

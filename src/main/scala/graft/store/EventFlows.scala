@@ -175,14 +175,30 @@ object EventFlows {
             }
           case _ => _ / 1000L // bare INT64: the nanos-as-long encoding
         }
-      footer.getBlocks.asScala.flatMap { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == "ts")
-          .flatMap(c => Option(c.getStatistics))
-          .filter(s => !s.isEmpty && s.hasNonNullValue)
-          .map(s => toMicros(s.genericGetMax match {
-            case l: java.lang.Long => l.longValue()
-            case other => other.toString.toLong
-          }))
+      // a present `ts` chunk with MISSING/unusable statistics is a probe
+      // FAILURE, not a skippable row group: if the stats-less file is the
+      // newest one, silently dropping it returns a confidently-stale max
+      // and the caller's MAX-scan fallback never runs — exactly what the
+      // all-or-nothing contract above forbids. Throwing here lands in
+      // newestFromFooters' NonFatal => None.
+      footer.getBlocks.asScala.filter(_.getRowCount > 0).flatMap { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+          .getOrElse(throw new IllegalStateException(
+            s"${f.getPath}: row group without a ts column chunk"))
+        val s: org.apache.parquet.column.statistics.Statistics[_] =
+          Option(c.getStatistics).filter(!_.isEmpty)
+            .getOrElse(throw new IllegalStateException(
+              s"${f.getPath}: ts column chunk without statistics"))
+        if (!s.hasNonNullValue) {
+          // readable stats but no max value: legitimate only when the
+          // group's ts values are ALL null (no max exists to miss)
+          if (s.isNumNullsSet && s.getNumNulls == b.getRowCount) None
+          else throw new IllegalStateException(
+            s"${f.getPath}: ts statistics carry no max value")
+        } else Some(toMicros(s.genericGetMax match {
+          case l: java.lang.Long => l.longValue()
+          case other => other.toString.toLong
+        }))
       }.toSeq
     } finally reader.close()
   }
