@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * the JDK, so PNG/JPEG/BMP/GIF payloads decode to true dimensions,
   * format, mean luminance and a pixel checksum, with undecodable rows
   * routed per-cause instead of dropped (the DocJsonl reject
-  * discipline). Audio/video byte decode stays STUBBED (no codec libs in
-  * this build): [[StubDecoder]] derives deterministic fake features, and
-  * swapping in a real codec changes only the function body — the batch
-  * shape, schema and partitioning are what the plumbing tests pin.
+  * discipline). AUDIO decode is REAL too ([[decodeAudio]]):
+  * `javax.sound.sampled` ships with the JDK, so WAV/AIFF/AU payloads
+  * decode to header-true rate/channels/bit-depth and streamed integer
+  * RMS/peak, with the same per-cause routing. VIDEO byte decode stays
+  * STUBBED (the JDK ships no video codec — environment-blocked):
+  * [[StubDecoder]] derives deterministic fake features, and swapping in
+  * a real codec changes only the function body — the batch shape,
+  * schema and partitioning are what the plumbing tests pin.
   */
 object Multimodal {
 
@@ -162,6 +166,146 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** One audio payload's decode outcome. `cause` routes every row:
+    * `ok` rows carry real decoded features; `empty` (no payload),
+    * `no_reader` (no registered provider claims the bytes — not audio),
+    * `truncated` (the container header declares more frames than the
+    * payload carries — crawl-corrupt data) and `decode_failed` (a
+    * provider claimed it but reading broke) carry nulls. Nothing is
+    * silently dropped — the [[decodeImages]] routing discipline.
+    */
+  final case class AudioDecode(
+      media_id: Long,
+      cause: String,
+      format: Option[String],
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      bits: Option[Int],
+      /** frames actually decodable from the payload (= header-declared
+        * frames for intact files — the `ok` contract)
+        */
+      n_frames: Option[Long],
+      /** ⌊√(Σ s²/n)⌋ over all samples (16-bit signed PCM scale) — for a
+        * constant-amplitude fixture this is exactly the amplitude, which
+        * is what makes it oracle-predictable
+        */
+      rms: Option[Long],
+      /** max |sample| across channels (16-bit signed PCM scale) */
+      peak: Option[Long])
+
+  /** REAL audio decode via `javax.sound.sampled` (ships with the JDK —
+    * the [[decodeImages]] story for WAV/AIFF/AU): header-true sample
+    * rate, channel count and bit depth, then a streaming pass over the
+    * PCM frames for integer RMS and peak amplitude. Iterator→iterator
+    * per partition, constant memory (frames stream through a reusable
+    * buffer — a 4 GB WAV costs a 8 KB buffer, not an executor OOM).
+    *
+    * `maxFrames` is the [[decodeImages]] `maxPixels` twin: the frame
+    * count comes from the HEADER, and a payload declaring more than the
+    * cap routes to `too_large` before any sample is read.
+    *
+    * VIDEO stays stubbed ([[StubDecoder]]): the JDK ships no video
+    * codec, so real video decode is environment-blocked the way Kafka
+    * runtime is — the plumbing (schema, routing, batch shape) is what
+    * [[sampleFrames]]/[[decodeFeatures]] pin.
+    */
+  def decodeAudio(media: Dataset[MediaRow],
+      maxFrames: Long = 1L << 32): Dataset[AudioDecode] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val none = AudioDecode(r.media_id, "", None, None, None, None,
+          None, None, None)
+        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+        else {
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = in.getFormat
+              val fname = fmt.getEncoding.toString.toLowerCase
+              val (rate, ch, bits) =
+                (fmt.getSampleRate.toInt, fmt.getChannels,
+                  fmt.getSampleSizeInBits)
+              val declared = in.getFrameLength
+              val base = none.copy(format = Some(fname),
+                sample_rate = Some(rate), channels = Some(ch),
+                bits = Some(bits))
+              if (declared > maxFrames) base.copy(cause = "too_large")
+              else if (bits != 16)
+                // only 16-bit signed PCM gets the sample pass (the
+                // fixture/crawl norm); other depths still report header
+                // facts with a routed cause rather than wrong amplitudes
+                base.copy(cause = "unsupported_depth",
+                  n_frames = Some(declared))
+              else {
+                val frameBytes = fmt.getFrameSize
+                val big = fmt.isBigEndian
+                val buf = new Array[Byte](8192 - 8192 % frameBytes)
+                var sumSq = 0.0
+                var peak = 0L
+                var nSamples = 0L
+                var read = in.read(buf)
+                while (read > 0) {
+                  var i = 0
+                  while (i + 1 < read) {
+                    val s =
+                      if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                      else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                    sumSq += s.toDouble * s.toDouble
+                    val a = math.abs(s.toLong)
+                    if (a > peak) peak = a
+                    nSamples += 1
+                    i += 2
+                  }
+                  read = in.read(buf)
+                }
+                val frames = nSamples / ch
+                if (frames < declared)
+                  // the header promised more than the payload carries
+                  base.copy(cause = "truncated", n_frames = Some(frames))
+                else
+                  base.copy(cause = "ok", n_frames = Some(frames),
+                    rms = Some(
+                      if (nSamples == 0) 0L
+                      else math.sqrt(sumSq / nSamples).toLong),
+                    peak = Some(peak))
+              }
+            } finally in.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              none.copy(cause = "no_reader")
+            case scala.util.control.NonFatal(_) =>
+              none.copy(cause = "decode_failed")
+          }
+        }
+      }
+    }
+  }
+
+  /** WAV-encode a constant-amplitude 16-bit mono PCM clip (the
+    * deterministic fixture builder: WAV is lossless PCM, so decode
+    * returns exactly (rate, 1 channel, 16 bits, n frames, rms =
+    * |amplitude|, peak = |amplitude|) — every decoded feature is pure
+    * arithmetic of the parameters). Executor-safe: pure function.
+    */
+  def encodeConstWav(rate: Int, nFrames: Int, amplitude: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      pcm(2 * i) = (amplitude & 0xff).toByte
+      pcm(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** PNG-encode a solid-color image (the deterministic fixture builder:

@@ -819,6 +819,51 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).cause == "ok")
   }
 
+  test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {
+    import spark.implicits._
+    val wav = Multimodal.encodeConstWav(16000, 120, 2500)
+    val neg = Multimodal.encodeConstWav(8000, 77, -321)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "s"),
+      Multimodal.MediaRow(2L, "audio", neg, "s"),
+      Multimodal.MediaRow(3L, "audio", Array.fill(16)(0x55.toByte), "s"),
+      Multimodal.MediaRow(4L, "audio", wav.take(50), "s"),
+      Multimodal.MediaRow(5L, "audio", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    val a = got(0)
+    assert(a.cause == "ok" && a.format.contains("pcm_signed"))
+    assert(a.sample_rate.contains(16000) && a.channels.contains(1) &&
+      a.bits.contains(16))
+    // constant amplitude: RMS and peak are EXACTLY |a| (lossless PCM)
+    assert(a.n_frames.contains(120L) && a.rms.contains(2500L) &&
+      a.peak.contains(2500L))
+    val b = got(1)
+    assert(b.cause == "ok" && b.sample_rate.contains(8000))
+    assert(b.n_frames.contains(77L) && b.rms.contains(321L) &&
+      b.peak.contains(321L))
+    assert(got(2).cause == "no_reader" && got(2).sample_rate.isEmpty)
+    // header declares 120 frames, payload carries (50−44)/2 = 3
+    assert(got(3).cause == "truncated" && got(3).n_frames.contains(3L) &&
+      got(3).rms.isEmpty)
+    assert(got(4).cause == "empty")
+    val again = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("oversized audio routes to too_large from the header, undecoded") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio",
+        Multimodal.encodeConstWav(8000, 500, 10), "s"),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeConstWav(8000, 100, 10), "s")).toDS()
+    val got = Multimodal.decodeAudio(media, maxFrames = 200L)
+      .collect().sortBy(_.media_id)
+    assert(got(0).cause == "too_large" && got(0).sample_rate.contains(8000))
+    assert(got(0).rms.isEmpty && got(0).n_frames.isEmpty)
+    assert(got(1).cause == "ok" && got(1).n_frames.contains(100L))
+  }
+
   test("pixel checksum fingerprints content across container formats") {
     import spark.implicits._
     // the same pixels PNG- and BMP-encoded: payload hashes differ, the
