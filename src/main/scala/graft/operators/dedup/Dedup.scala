@@ -72,9 +72,11 @@ object Dedup {
     * (id_a, id_b, common, n_a, n_b). This is the output of the system's
     * most expensive stage; [[ngramJaccard]] and [[containment]] are thin
     * verification filters over it, and [[releasePipeline]] materializes
-    * it once to serve both semantics.
+    * it once to serve both semantics. Public as the exact ground truth
+    * the LSH-fronted scored set is pinned against (ReleaseSpec):
+    * [[lshScoredPairs]] must equal this restricted to its candidates.
     */
-  private def scoredPairs(df: DataFrame, idCol: String, textCol: String,
+  def scoredPairs(df: DataFrame, idCol: String, textCol: String,
       maxShingleDf: Option[Int]): DataFrame = {
     val (pairs, sizes) = shinglePairs(df, idCol, textCol, maxShingleDf)
     pairs
@@ -442,37 +444,104 @@ object Dedup {
     }
   }
 
-  /** The rarest-first containment prefix: each doc's n − ⌈t·n⌉ + 1
-    * lowest-(df, s) index rows. ANY subset of that size carries the
-    * recall guarantee (missing all of it bounds common < t·n);
-    * rarest-first is purely the performance choice that concentrates
-    * probes on df≈1 shingles. Preserves `filtered`'s columns so
-    * callers can carry flags (is_b) through. Integer prefix length —
-    * engine-exact in Spark and an SQL oracle. SHARED by the production
-    * fronts and [[containmentAudit]], so the gate and the gated code
-    * cannot drift.
+  /** The capped index with the per-doc rarest-first ranking attached:
+    * every row of `filtered` plus `df`, `rn` (1-based rank of the
+    * shingle within its doc by ascending global (df, s)) and `n` (the
+    * doc's surviving-shingle count). ONE window over the index,
+    * SHARED by the prefix selection and the positional filter — both
+    * read the same total order, so the subset-size theorem and the
+    * position bound compose.
     */
-  private def rarestPrefix(filtered: DataFrame, sizes: DataFrame,
-      ctPm: Long, dfs: DataFrame): DataFrame = {
+  private def rankedIndex(filtered: DataFrame, sizes: DataFrame,
+      dfs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     filtered.join(dfs, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
       .join(sizes, Seq("id"))
-      .where(col("rn") <= expr(s"n - ((n * $ctPm + 999) div 1000) + 1"))
-      .select(filtered.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** The containment prefix length n − ⌈t·n⌉ + 1 as a Column over `n`
+    * (integer math — engine-exact in Spark and an SQL oracle).
+    */
+  private def prefLen(ctPm: Long): Column =
+    expr(s"n - ((n * $ctPm + 999) div 1000) + 1")
+
+  /** The rarest-first containment prefix: each doc's n − ⌈t·n⌉ + 1
+    * lowest-(df, s) index rows. ANY subset of that size carries the
+    * recall guarantee (missing all of it bounds common < t·n);
+    * rarest-first is purely the performance choice that concentrates
+    * probes on df≈1 shingles. Preserves `filtered`'s columns so
+    * callers can carry flags (is_b) through.
+    */
+  private[dedup] def rarestPrefix(filtered: DataFrame, sizes: DataFrame,
+      ctPm: Long, dfs: DataFrame): DataFrame =
+    rankedIndex(filtered, sizes, dfs)
+      .where(col("rn") <= prefLen(ctPm))
+      .select(filtered.columns.map(col).toIndexedSeq: _*)
 
   /** Prefix rows probing an index: every (prefix doc, index doc) pair
     * sharing a shingle, canonicalized to (min, max). NOT distinct —
-    * callers union fronts first and distinct once.
+    * callers union fronts first and distinct once. The plain probe —
+    * exact recall, no positional pruning — used where the two sides'
+    * rankings come from different eras (the stored-state increment
+    * path, where a coherent single ranking would cost the corpus-wide
+    * window the path exists to avoid).
     */
-  private def prefixProbe(pref: DataFrame, index: DataFrame): DataFrame =
+  private[dedup] def prefixProbe(pref: DataFrame, index: DataFrame): DataFrame =
     pref.select(col("id"), col("s")).as("p")
       .join(index.select(col("id"), col("s")).as("f"),
         col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
       .select(least(col("p.id"), col("f.id")).as("id_a"),
         greatest(col("p.id"), col("f.id")).as("id_b"))
+
+  /** POSITIONAL prefix probe — PPJoin's position bound adapted to the
+    * one-sided containment test, applied at each directed pair's
+    * MINIMAL shared prefix shingle. For probing doc p and indexed doc
+    * f, let s* be the lowest-(df, s) shingle of p's prefix that f also
+    * holds, at rank i in p and j in f (both ranks from the SAME global
+    * (df, s) order — [[rankedIndex]]). Any shingle shared by p and f
+    * ordered below s* would sit in p's prefix at a rank < i,
+    * contradicting s*'s minimality — so nothing is shared below s* and
+    * common(p, f) ≤ 1 + min(n_p − i, n_f − j). A directed pair whose
+    * bound cannot reach ⌈t·n_p⌉ cannot satisfy cont_p ≥ t and is
+    * dropped BEFORE verification; the pair can still enter via the
+    * opposite direction's probe (which certifies cont_f) or the
+    * banding front. Recall for cont ≥ t stays EXACT — the bound is an
+    * upper bound on common, so a qualifying pair always passes
+    * ([[containmentAudit]] keeps measuring the theorem).
+    *
+    * This is the false-candidate fuel cut: a random collision on one
+    * rare shingle survives the plain probe unconditionally, but passes
+    * the position bound only when the shingle sits early enough in the
+    * INDEXED doc's own ordering — for uniform collision positions at
+    * t = 0.8 that rejects ~80% of single-shingle noise while every
+    * true pair is retained. Costs one aggregation keyed by the same
+    * (pair) columns the caller's distinct() would shuffle anyway.
+    *
+    * @param ranked [[rankedIndex]] output (id, s, …, df, rn, n)
+    * @param probeSide restricts which docs' prefixes probe
+    * @param indexSide restricts which docs are probed against
+    */
+  private[dedup] def prefixProbePos(ranked: DataFrame, ctPm: Long,
+      probeSide: Column = lit(true), indexSide: Column = lit(true)): DataFrame = {
+    val pref = ranked.where(col("rn") <= prefLen(ctPm)).where(probeSide)
+      .select(col("id"), col("s"), col("rn"), col("n"))
+    val idx = ranked.where(indexSide)
+      .select(col("id"), col("s"), col("rn"), col("n"))
+    pref.as("p")
+      .join(idx.as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .groupBy(col("p.id").as("pid"), col("f.id").as("fid"))
+      // ranks are unique per doc, so min over (i, j, …) structs is the
+      // row of the minimal shared prefix shingle
+      .agg(min(struct(col("p.rn").as("i"), col("f.rn").as("j"),
+        col("p.n").as("np"), col("f.n").as("nf"))).as("m"))
+      .where(lit(1) + least(col("m.np") - col("m.i"), col("m.nf") - col("m.j")) >=
+        expr(s"(m.np * $ctPm + 999) div 1000"))
+      .select(least(col("pid"), col("fid")).as("id_a"),
+        greatest(col("pid"), col("fid")).as("id_b"))
+  }
 
   /** Candidate-vs-ground-truth classification shared by [[lshAudit]]
     * and [[containmentAudit]]: one row of counts + integer per-mille
@@ -635,12 +704,11 @@ object Dedup {
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
     val (filtered, dfs) = cappedIndexWithDf(idx0, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    // the PRODUCTION front, not a copy: rarestPrefix/prefixProbe are
+    // the PRODUCTION front, not a copy: rankedIndex/prefixProbePos are
     // the same code lshCandidateParts runs, so the audit gates what
-    // actually ships
-    val cand = prefixProbe(
-      rarestPrefix(filtered, sizes, math.round(threshold * 1000), dfs),
-      filtered)
+    // actually ships — positional bound included
+    val cand = prefixProbePos(rankedIndex(filtered, sizes, dfs),
+      math.round(threshold * 1000))
       .distinct()
     val exact = filtered.as("a")
       .join(filtered.as("b"),
@@ -675,25 +743,94 @@ object Dedup {
     */
   def lshFrontCostPlan(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
-      k: Int = 128, bands: Int = 32, seed: Long = 42L): DataFrame = {
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      /** false → xxhash64 base hash + hashed banding (the hot-path
+        * family): ~3× cheaper counting for [[releaseAuto]]'s dispatch;
+        * true keeps the oracle-replicable md5 family the gate query
+        * prices. Volumes differ only by hash-collision noise.
+        */
+      portable: Boolean = true): DataFrame = {
     // defaults mirror the production front's band shape — a plan priced
     // with one shape and a pipeline run with another steers the front
     // decision with the wrong number; the oracle gate prices the
     // portable gate shape (k=32/bands=16) explicitly
-    val shingled = portableHashedShingles(df, idCol, textCol)
+    val shingled =
+      if (portable) portableHashedShingles(df, idCol, textCol)
+      else graft.ScratchCache.persist(df
+        .select(col(idCol).as("id"),
+          array_distinct(
+            transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
+            .as("sh"))
+        .where(size(col("sh")) > 0))
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
     val (filtered, dfs) = cappedIndexWithDf(idx0, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     val exactPairs = dfs
       .agg(sum(expr("df * (df - 1) div 2")).cast("long").as("exact_pairs"))
-    val bandPairs = portableBands(shingled, k, bands, seed)
-      .groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("band_pairs"))
+    val bandPairs =
+      (if (portable) portableBands(shingled, k, bands, seed)
+       else fastBands(shingled, k, bands, seed))
+        .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("band_pairs"))
     val prefixPairs =
       rarestPrefix(filtered, sizes, math.round(containThreshold * 1000), dfs)
         .join(dfs, Seq("s"))
         .agg(sum(col("df") - 1).cast("long").as("prefix_pairs"))
+    // prefix_pairs prices the PROBE join's output (the shuffle the
+    // cluster must absorb); the positional bound then cuts what
+    // survives into verification — so the plan's number is the
+    // conservative ceiling for the front's dominant stage
+    val idxRows = filtered
+      .agg(count(lit(1)).cast("long").as("index_rows"))
     exactPairs.crossJoin(bandPairs).crossJoin(prefixPairs)
+      .crossJoin(idxRows)
+  }
+
+  /** Should a release over `df` run the LSH front? Prices both fronts
+    * with [[lshFrontCostPlan]] (fast hash family — counting
+    * aggregations only, no candidate materialized) and applies the
+    * measured crossover: the LSH front pays a fixed per-index-row toll
+    * (signatures + banding + the prefix window ≈ a few passes over the
+    * index), so it wins only when the candidate pairs it AVOIDS exceed
+    * that toll. Calibrated against the ×10 rehearsal pair
+    * (PLANS.md round 10): sf0.1 — 1.13M exact vs 0.18M LSH candidates
+    * over ~1M index rows → exact front faster (measured), margin 0.95M
+    * < 5M; ×10 — 113.3M vs 18.3M over ~10M rows → LSH 17× faster
+    * (measured), margin 95M > 50M. The factor-5 toll sits comfortably
+    * between the two measured regimes.
+    */
+  def lshFrontWorthwhile(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L): Boolean = {
+    val r = lshFrontCostPlan(df, idCol, textCol, containThreshold,
+      maxShingleDf, k, bands, seed, portable = false).head()
+    val saved = r.getAs[Long]("exact_pairs") -
+      (r.getAs[Long]("band_pairs") + r.getAs[Long]("prefix_pairs"))
+    saved > 5L * r.getAs[Long]("index_rows")
+  }
+
+  /** Planner-dispatched release: run [[lshFrontWorthwhile]]'s counting
+    * plan and pick [[releasePipelineLsh]] or [[releasePipeline]] —
+    * the 100 TB default is self-tuning instead of a caller bet on
+    * corpus shape. Products are identical either way whenever the
+    * banding recall condition holds ([[releasePipelineLsh]]'s
+    * contract); the decision is logged so a release run records which
+    * front produced it.
+    */
+  def releaseAuto(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxShingleDf: Option[Int],
+      quality: DataFrame, sourceCol: String = "source",
+      containThreshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      seed: Long = 42L): ReleaseProducts = {
+    val useLsh = lshFrontWorthwhile(df, idCol, textCol, containThreshold,
+      maxShingleDf, k, bands, seed)
+    System.err.println(s"[releaseAuto] front = ${if (useLsh) "lsh" else "exact"}")
+    if (useLsh)
+      releasePipelineLsh(df, idCol, textCol, threshold, maxShingleDf,
+        quality, sourceCol, containThreshold, k, bands, seed)
+    else
+      releasePipeline(df, idCol, textCol, threshold, maxShingleDf,
+        quality, sourceCol, containThreshold)
   }
 
   /** Quality-aware cluster representative selection: given near-dup
@@ -825,6 +962,41 @@ object Dedup {
     * [[minhashLshPortable]] family) so an external oracle can replicate
     * candidates, scoring, and every release product bit-exactly.
     */
+  /** Distinct hashed shingle sets (id, sh), persisted — the LSH
+    * pipeline's base scan in either hash family.
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean): DataFrame =
+    if (portable) portableHashedShingles(df, idCol, textCol)
+    else graft.ScratchCache.persist(df
+      .select(col(idCol).as("id"),
+        array_distinct(
+          transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
+          .as("sh"))
+      .where(size(col("sh")) > 0))
+
+  /** (capped index, surviving sizes, candidate pairs) over an already
+    * hashed-shingled population — the candidate core shared by the
+    * direct and exact-collapse LSH paths.
+    */
+  private def lshCandidatePartsShingled(shingled: DataFrame,
+      containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int, bands: Int, seed: Long,
+      portable: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    // Jaccard front: banded MinHash over the full sets
+    val candJ =
+      if (portable) portableBandCandidates(shingled, k, bands, seed)
+      else fastBandCandidates(shingled, k, bands, seed)
+    // containment front: rarest-first prefix probing the (capped) index
+    // through the positional bound (exact recall, less false fuel)
+    val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
+    val candC = prefixProbePos(rankedIndex(filtered, sizes, dfs),
+      math.round(containThreshold * 1000))
+    (filtered, sizes, candJ.unionAll(candC).distinct())
+  }
+
   /** (shingled sets, capped index, candidate pairs) — the shared front
     * of [[lshCandidates]] / [[lshScoredPairs]].
     */
@@ -832,27 +1004,10 @@ object Dedup {
       containThreshold: Double, maxShingleDf: Option[Int],
       k: Int, bands: Int, seed: Long,
       portable: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val shingled =
-      if (portable) portableHashedShingles(df, idCol, textCol)
-      else graft.ScratchCache.persist(df
-        .select(col(idCol).as("id"),
-          array_distinct(
-            transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
-            .as("sh"))
-        .where(size(col("sh")) > 0))
-    // Jaccard front: banded MinHash over the full sets
-    val candJ =
-      if (portable) portableBandCandidates(shingled, k, bands, seed)
-      else fastBandCandidates(shingled, k, bands, seed)
-    // containment front: rarest-first prefix probing the (capped) index
-    val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val pref = rarestPrefix(filtered, sizes,
-      math.round(containThreshold * 1000), dfs)
-    val candC = prefixProbe(pref, filtered)
-    (shingled, filtered, candJ.unionAll(candC).distinct())
+    val shingled = hashedShingles(df, idCol, textCol, portable)
+    val (filtered, _, cand) = lshCandidatePartsShingled(shingled,
+      containThreshold, maxShingleDf, k, bands, seed, portable)
+    (shingled, filtered, cand)
   }
 
   /** The distinct LSH-front candidate pair list (both fronts unioned) —
@@ -917,14 +1072,17 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     // containment front: same capped index/prefix machinery as the full
-    // pipeline, but the probes are one-side-batch by construction
+    // pipeline (positional bound included — this path re-ranks from the
+    // current corpus, so both sides share one coherent order), but the
+    // probes are one-side-batch by construction
     val idx = flagged.select(col("id"), col("is_b"), explode(col("sh")).as("s"))
     val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val pref = rarestPrefix(filtered, sizes,
-      math.round(containThreshold * 1000), dfs)
-    val candC = prefixProbe(pref.where(col("is_b")), filtered)
-      .unionAll(prefixProbe(pref, filtered.where(col("is_b"))))
+    val ranked = graft.ScratchCache.persist(
+      rankedIndex(filtered, sizes, dfs))
+    val ctPm = math.round(containThreshold * 1000)
+    val candC = prefixProbePos(ranked, ctPm, probeSide = col("is_b"))
+      .unionAll(prefixProbePos(ranked, ctPm, indexSide = col("is_b")))
     // candidates persist (small: batch-touching only) so the scoring
     // sets can be restricted to the docs candidates actually touch —
     // the collect_list/array pass is increment-neighborhood-sized, not
@@ -937,7 +1095,11 @@ object Dedup {
   def lshScoredPairs(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double, maxShingleDf: Option[Int],
       k: Int = 128, bands: Int = 32, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      collapseExact: Boolean = false): DataFrame = {
+    if (collapseExact)
+      return lshScoredPairsCollapsed(df, idCol, textCol, containThreshold,
+        maxShingleDf, k, bands, seed, portable)
     val (shingled, filtered, cand0) = lshCandidateParts(df, idCol, textCol,
       containThreshold, maxShingleDf, k, bands, seed, portable)
     // exact scoring for candidates only: common/n over the same capped
@@ -947,6 +1109,84 @@ object Dedup {
     val cand = graft.ScratchCache.persist(cand0)
     scoreCandidates(cand,
       candidateSets(cand, filtered, shingled, maxShingleDf))
+  }
+
+  /** EXACT-DUPLICATE COLLAPSE front ([[lshScoredPairs]]
+    * `collapseExact = true`): group docs by their (sorted) hashed
+    * shingle SET, run banding + prefix probing + verification on one
+    * REPRESENTATIVE per group (the min id), then expand — each scored
+    * rep pair becomes |A|·|B| member pairs carrying the identical
+    * (common, n_a, n_b), and each group of g identical sets contributes
+    * its C(g, 2) within-group pairs with common = n_a = n_b = n
+    * directly, no verification at all.
+    *
+    * Exactness: identical shingle sets have identical scores against
+    * EVERY other doc, so scoring one member scores them all, and the
+    * candidate-front theorems (banding probability, prefix subset
+    * bound) apply to the representative exactly as to each member —
+    * every ≥-threshold pair still lands in the scored set
+    * (ReleaseSpec pins products against the exact release).
+    * Sub-threshold scored rows differ from the uncollapsed run only in
+    * which bycatch gets scored — the usual candidate-set artifact both
+    * pipelines filter out.
+    *
+    * Why this is the 100 TB default posture: web-crawl corpora are
+    * 30–50% EXACT duplicates, and an uncollapsed front pays candidate
+    * fuel per member PAIR — a doc duplicated g times amplifies every
+    * base collision by g², while the true work (one verification per
+    * base pair) grows not at all. The ×10 scale rehearsal is exactly
+    * this shape: collapse turns its 18M-candidate prefix stage back
+    * into the base corpus's, and only the OUTPUT expansion (true pair
+    * rows, which the release must ship anyway) stays quadratic in
+    * group size. Cost: one extra window keyed by the sorted set.
+    *
+    * df-cap semantics under collapse: document frequencies count
+    * DISTINCT SETS, not raw docs — boilerplate measured over unique
+    * content, which is the defensible definition at scale (a million
+    * mirror copies shouldn't cap a shingle out for everyone else).
+    * Uncapped (the gate shape) the two paths' products are identical.
+    */
+  private def lshScoredPairsCollapsed(df: DataFrame, idCol: String,
+      textCol: String, containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int, bands: Int, seed: Long, portable: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = hashedShingles(df, idCol, textCol, portable)
+    // one window keyed by the sorted set: members (id → rep)
+    val members = graft.ScratchCache.persist(shingled
+      .withColumn("rep",
+        min(col("id")).over(Window.partitionBy(sort_array(col("sh"))))))
+    val reps = graft.ScratchCache.persist(
+      members.where(col("id") === col("rep")).select(col("id"), col("sh")))
+    val (filtered, sizes, cand0) = lshCandidatePartsShingled(reps,
+      containThreshold, maxShingleDf, k, bands, seed, portable)
+    val cand = graft.ScratchCache.persist(cand0)
+    val scoredRep = scoreCandidates(cand,
+      candidateSets(cand, filtered, reps, maxShingleDf))
+    val m = members.select(col("id"), col("rep"))
+    // cross-group expansion: every member pair inherits its rep pair's
+    // scores; id order re-canonicalized, n_a/n_b swapped along with it
+    val cross = scoredRep
+      .join(m.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
+      .join(m.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("common"),
+        when(col("ma") <= col("mb"), col("n_a")).otherwise(col("n_b"))
+          .as("n_a"),
+        when(col("ma") <= col("mb"), col("n_b")).otherwise(col("n_a"))
+          .as("n_b"))
+    // within-group pairs: identical sets, common = n by definition (a
+    // group whose capped set is empty has no surviving shared shingle
+    // and, matching the exact contract, no scored row)
+    val intra = m.as("x")
+      .join(m.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.rep").as("id"))
+      .join(sizes, Seq("id"))
+      .select(col("id_a"), col("id_b"), col("n").as("common"),
+        col("n").as("n_a"), col("n").as("n_b"))
+    cross.unionAll(intra)
   }
 
   def releasePipeline(df: DataFrame, idCol: String, textCol: String,
@@ -979,10 +1219,15 @@ object Dedup {
       threshold: Double, maxShingleDf: Option[Int],
       quality: DataFrame, sourceCol: String = "source",
       containThreshold: Double = 0.8, k: Int = 128, bands: Int = 32,
-      seed: Long = 42L, portable: Boolean = false): ReleaseProducts = {
+      seed: Long = 42L, portable: Boolean = false,
+      /** collapse identical shingle sets before candidate generation —
+        * [[lshScoredPairsCollapsed]]; the crawl-corpus posture where
+        * exact duplicates amplify candidate fuel quadratically
+        */
+      collapseExact: Boolean = false): ReleaseProducts = {
     val scored = graft.ScratchCache.persist(
       lshScoredPairs(df, idCol, textCol, containThreshold, maxShingleDf,
-        k, bands, seed, portable))
+        k, bands, seed, portable, collapseExact))
     productsOf(scored, df, idCol, threshold, quality, sourceCol,
       containThreshold)
   }

@@ -395,6 +395,39 @@ object Pipeline {
           col("width"), col("height"), col("mean_rgb_milli"))
     }),
 
+    // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
+    // WAVs are ENCODED on the executors from doc_id-derived parameters
+    // (javax.sound.sampled, lossless), three corruption classes are
+    // planted deterministically, and Multimodal.decodeAudio REALLY
+    // decodes the rest — header-true rate/channels/bits plus streamed
+    // RMS/peak, each arithmetically predictable because constant
+    // amplitude makes RMS = peak = |amplitude| exactly. Corrupt rows
+    // route per-cause (no_reader / truncated / empty), never drop.
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 20 == 0) Array.fill(16)(0x55.toByte) // no provider claims it
+            else if (id % 10 == 0) // intact WAV header, then truncation
+              Multimodal.encodeConstWav(8000, 64, 1000).take(50)
+            else if (id % 10 == 5) Array.emptyByteArray
+            else {
+              val amp = (100 + id % 12000).toInt
+              Multimodal.encodeConstWav(
+                8000 + (id % 8).toInt * 1000, 64 + (id % 100).toInt,
+                (if (id % 2 == 1) -amp else amp).toShort)
+            }
+          Multimodal.MediaRow(id, "audio", payload, "synth")
+        }
+      }
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("cause"), col("format"),
+          col("sample_rate"), col("channels"), col("bits"),
+          col("n_frames"), col("rms"), col("peak"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponents(
@@ -516,6 +549,24 @@ object Pipeline {
         maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
         quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")),
         k = 32, bands = 16, seed = 42L, portable = true)
+      releaseTags(r)
+    }),
+
+    // the exact-duplicate COLLAPSE front: identical shingle sets are
+    // grouped before candidate generation, banding + prefix probing +
+    // verification run on one representative per group, and scored rep
+    // pairs expand back to member pairs. Products are identical to the
+    // uncollapsed LSH release (identical sets score identically against
+    // everything), so the same composed oracle gates it — this is the
+    // crawl-corpus default where exact dups amplify candidate fuel by
+    // group-size² while the true work grows not at all
+    "q_release_collapse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = Dedup.releasePipelineLsh(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")),
+        k = 32, bands = 16, seed = 42L, portable = true,
+        collapseExact = true)
       releaseTags(r)
     }),
 
@@ -1123,7 +1174,11 @@ object Pipeline {
     // delta covers every ≥-threshold pair with identical scores
     // (containment is pair-intrinsic; banding is per-doc), so the same
     // composed oracle applies
-    ("q_incr_release_lsh" -> oraclesBase("q_release_lsh"))
+    ("q_incr_release_lsh" -> oraclesBase("q_release_lsh")) +
+    // collapse-front products == uncollapsed LSH products (identical
+    // shingle sets score identically against everything; the fronts'
+    // recall theorems apply to representatives exactly as to members)
+    ("q_release_collapse" -> oraclesBase("q_release_lsh"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_bpe_pairs" ->
@@ -2570,15 +2625,18 @@ object Pipeline {
          |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
          |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
          |pp AS (SELECT CAST(sum(d.df - 1) AS BIGINT) AS prefix_pairs
-         |  FROM pref JOIN dfs d ON pref.h = d.h)
-         |SELECT exact_pairs, band_pairs, prefix_pairs
-         |FROM ex CROSS JOIN bp CROSS JOIN pp""".stripMargin
+         |  FROM pref JOIN dfs d ON pref.h = d.h),
+         |ir AS (SELECT CAST(count(*) AS BIGINT) AS index_rows FROM hv)
+         |SELECT exact_pairs, band_pairs, prefix_pairs, index_rows
+         |FROM ex CROSS JOIN bp CROSS JOIN pp CROSS JOIN ir""".stripMargin
     },
     // Generated oracle: the rarest-first prefix containment candidates
-    // (integer prefix length, (df, h) ordering) FULL OUTER JOINed
-    // against exact-containment ground truth in 48-bit hash space. The
-    // Spark side's df-cap is hash-neutral at gate SFs (cap >> max
-    // honest df), so the oracle omits it — the q_lsh_audit contract.
+    // (integer prefix length, (df, h) ordering, PPJoin-style positional
+    // bound at each directed pair's minimal shared prefix shingle)
+    // FULL OUTER JOINed against exact-containment ground truth in
+    // 48-bit hash space. The Spark side's df-cap is hash-neutral at
+    // gate SFs (cap >> max honest df), so the oracle omits it — the
+    // q_lsh_audit contract.
     "q_contain_audit" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
          |  FROM documents),
@@ -2588,14 +2646,20 @@ object Pipeline {
          |hv AS (SELECT DISTINCT doc_id, (${hex48("s")}) AS h FROM sh0),
          |n AS (SELECT doc_id, count(*) AS cnt FROM hv GROUP BY 1),
          |dfs AS (SELECT h, count(*) AS df FROM hv GROUP BY 1),
-         |rk AS (SELECT hv.doc_id, hv.h,
+         |rk AS (SELECT hv.doc_id, hv.h, n.cnt,
          |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
-         |  FROM hv JOIN dfs d ON hv.h = d.h),
-         |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
-         |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
-         |cand AS (SELECT DISTINCT least(pf.doc_id, f.doc_id) AS id_a,
-         |    greatest(pf.doc_id, f.doc_id) AS id_b
-         |  FROM pref pf JOIN hv f ON pf.h = f.h AND pf.doc_id != f.doc_id),
+         |  FROM hv JOIN dfs d ON hv.h = d.h JOIN n ON hv.doc_id = n.doc_id),
+         |pref AS (SELECT * FROM rk
+         |  WHERE rn <= cnt - ((cnt * 800 + 999) // 1000) + 1),
+         |probe AS (SELECT p.doc_id AS pid, f.doc_id AS fid,
+         |    min(p.rn) AS i, arg_min(f.rn, p.rn) AS j,
+         |    min(p.cnt) AS np, min(f.cnt) AS nf
+         |  FROM pref p JOIN rk f ON p.h = f.h AND p.doc_id != f.doc_id
+         |  GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT least(pid, fid) AS id_a,
+         |    greatest(pid, fid) AS id_b
+         |  FROM probe
+         |  WHERE 1 + least(np - i, nf - j) >= (np * 800 + 999) // 1000),
          |ex AS (SELECT ha.doc_id AS id_a, hb.doc_id AS id_b, count(*) AS c
          |  FROM hv ha JOIN hv hb ON ha.h = hb.h AND ha.doc_id < hb.doc_id
          |  GROUP BY 1, 2),
@@ -2866,6 +2930,34 @@ object Pipeline {
         |       ELSE ((doc_id % 256) + ((doc_id // 3) % 256)
         |             + ((doc_id // 7) % 256)) * 1000 // 3
         |       END AS BIGINT) AS mean_rgb_milli
+        |FROM documents""".stripMargin,
+    // Arithmetic oracle for the REAL audio decode: WAV is lossless PCM,
+    // so a constant-amplitude a clip decodes back to rms = peak = |a|
+    // exactly; rate/channels/bits/frames are the encode parameters; the
+    // planted truncation leaves exactly (50 − 44-byte header) / 2 = 3
+    // readable frames of the 64 the header declares.
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'no_reader'
+        |       WHEN doc_id % 10 = 0 THEN 'truncated'
+        |       WHEN doc_id % 10 = 5 THEN 'empty'
+        |       ELSE 'ok' END AS cause,
+        |  CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       ELSE 'pcm_signed' END AS format,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 8000
+        |       ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       ELSE 16 END AS INT) AS bits,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 3
+        |       ELSE 64 + doc_id % 100 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE 100 + doc_id % 12000 END AS BIGINT) AS rms,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE 100 + doc_id % 12000 END AS BIGINT) AS peak
         |FROM documents""".stripMargin,
     "q_rare_trigram" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),

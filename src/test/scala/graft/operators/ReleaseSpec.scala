@@ -330,6 +330,110 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("lshScoredPairs equals the exact scored set restricted to its candidates") {
+    // the direct contract pin (verdict r10 #5): the LSH-fronted scored
+    // rows are EXACTLY the exact scored rows for the candidate pairs the
+    // fronts generated — same common/n_a/n_b, nothing extra, nothing
+    // rescored. Uses the planted containment fixture so the candidate
+    // set exercises both fronts.
+    val d = corpus.unionByName(Seq(
+      (30L, "red orange yellow green blue purple", "en"),
+      (31L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight",
+        "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2)))))
+    val cand = Dedup.lshCandidates(d, "doc_id", "text",
+      containThreshold = 0.8, maxShingleDf = None)
+    val lsh = Dedup.lshScoredPairs(d, "doc_id", "text",
+      containThreshold = 0.8, maxShingleDf = None)
+    val expected = Dedup.scoredPairs(d, "doc_id", "text", None)
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    assert(rows(lsh) == rows(expected))
+    // and the planted quoted pair is in the candidate (and scored) set
+    assert(rows(cand.where(col("id_a") === 30L && col("id_b") === 31L)).nonEmpty)
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("exact-collapse release equals the uncollapsed one on a replicated corpus") {
+    // the crawl shape: every doc exists in g copies. Candidate work must
+    // collapse to the base corpus's; every product must stay identical
+    // to the exact release over the full replicated corpus (including
+    // within-group pairs at jaccard 1000 and the planted containment
+    // pair, replicated).
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (2L, "red orange yellow green blue purple"),
+      (3L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight"),
+      (4L, "totally unrelated text about completely different things"))
+    val g = 4
+    val d = (0 until g).flatMap(r => base.map { case (id, t) =>
+        (id + 100L * r, t) })
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+    val q = d.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val exact = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val coll = Dedup.releasePipelineLsh(d, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q, collapseExact = true)
+    assert(rows(coll.pairs) == rows(exact.pairs))
+    assert(rows(coll.clusters) == rows(exact.clusters))
+    assert(rows(coll.keepers) == rows(exact.keepers))
+    assert(rows(coll.clusterSizes) == rows(exact.clusterSizes))
+    assert(rows(coll.survivors) == rows(exact.survivors))
+    assert(rows(coll.split) == rows(exact.split))
+    assert(rows(coll.sourceOverlap) == rows(exact.sourceOverlap))
+    assert(rows(coll.containment) == rows(exact.containment))
+    assert(rows(coll.scored).subsetOf(rows(exact.scored)))
+    // replicas of the quoted pair all carry the containment row
+    val cont = coll.containment.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cont.contains((2L, 3L)) && cont.contains((2L, 103L)) &&
+      cont.contains((102L, 203L)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("releaseAuto picks the exact front on small corpora, the LSH front on big ones") {
+    // tiny corpus: the pairs the LSH front would avoid cannot pay its
+    // per-index-row toll — exact front
+    assert(!Dedup.lshFrontWorthwhile(corpus, "doc_id", "text"))
+    // heavily replicated corpus of long docs: the index self-join's
+    // Σ df² dwarfs the banding+prefix volume — LSH front
+    val base = (0 until 7).map(d =>
+      (d.toLong, (0 until 60).map(i => s"w${d}_$i").mkString(" ")))
+    val repl = (0 until 30).flatMap(r => base.map { case (id, t) =>
+        (id + 100L * r, t) })
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
+    assert(Dedup.lshFrontWorthwhile(repl, "doc_id", "text",
+      k = 64, bands = 8))
+    // and the dispatch produces the exact release's products either way
+    val q = corpus.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val auto = Dedup.releaseAuto(corpus, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val exact = Dedup.releasePipeline(corpus, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    assert(rows(auto.pairs) == rows(exact.pairs))
+    assert(rows(auto.containment) == rows(exact.containment))
+    assert(rows(auto.clusters) == rows(exact.clusters))
+    val qr = repl.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val autoR = Dedup.releaseAuto(repl, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = qr, k = 64, bands = 8)
+    val exactR = Dedup.releasePipeline(repl, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = qr)
+    assert(rows(autoR.pairs) == rows(exactR.pairs))
+    assert(rows(autoR.containment) == rows(exactR.containment))
+    assert(rows(autoR.clusters) == rows(exactR.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("cluster products re-plan from the materialization, not the corpus") {
     val d = corpus
     val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
