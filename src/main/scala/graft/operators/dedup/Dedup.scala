@@ -373,7 +373,7 @@ object Dedup {
   /** (id, band, bh) banded-signature rows over xxhash64-hashed shingle
     * arrays — band hash = xxhash64 of the long slice directly.
     */
-  private def fastBands(shingled: DataFrame, k: Int, bands: Int,
+  private[dedup] def fastBands(shingled: DataFrame, k: Int, bands: Int,
       seed: Long): DataFrame = {
     val rows = k / bands
     val (pa, pb) = hashParams(k, seed)
@@ -579,7 +579,7 @@ object Dedup {
     * work. A pair sharing no shingle gets no row (the exact scored
     * set's contract).
     */
-  private def scoreCandidates(cand: DataFrame, sets: DataFrame): DataFrame =
+  private[dedup] def scoreCandidates(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("id"), col("sh").as("sh_a")),
         col("id_a") === col("id")).drop("id")
@@ -965,7 +965,7 @@ object Dedup {
   /** Distinct hashed shingle sets (id, sh), persisted — the LSH
     * pipeline's base scan in either hash family.
     */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+  private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean): DataFrame =
     if (portable) portableHashedShingles(df, idCol, textCol)
     else graft.ScratchCache.persist(df

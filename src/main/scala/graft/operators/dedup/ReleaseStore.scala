@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * [[Dedup.incrementalRelease]] for streaming corpus ingest
   * (`writeStream.foreachBatch((b, id) => store.ingest(b, Some(id)))`).
   *
-  * Three parquet tables under `path` — `docs` (the corpus), `scored`
-  * (the accumulated scored pair set, (id_a, id_b, common, n_a, n_b,
-  * batch)) and `batches/batch=N` (the per-batch ACCEPTED-id sidecars) —
-  * each append guarded by the per-table commit markers every other
-  * store uses ([[graft.store.CommitMarkers]]), so at-least-once
-  * `foreachBatch` replays are exactly-once.
+  * Parquet tables under `path` — `docs` (the corpus), `scored` (the
+  * accumulated scored pair set, (id_a, id_b, common, n_a, n_b,
+  * batch)), `batches/batch=N` (the per-batch ACCEPTED-id sidecars)
+  * and, for uncapped `lshFront` stores, the per-doc LSH-front state
+  * (`shingles`/`bands`/`prefixes` — see below) — each append guarded
+  * by the per-table commit markers every other store uses
+  * ([[graft.store.CommitMarkers]]), so at-least-once `foreachBatch`
+  * replays are exactly-once.
   *
   * ID CONTRACT: doc ids are globally unique across the STORE, not
   * across the stream — a re-crawled id arriving in a later batch is
@@ -63,6 +65,35 @@ final class ReleaseStore(spark: SparkSession, path: String,
   // serializes table rewrites (compact) against each other; ingest and
   // products are driver-driven and sequential per store by contract
   private val writeLock = new Object
+
+  /** LSH-FRONT STATE TABLES — `shingles` (id, sh), `bands`
+    * (id, band, bh) and `prefixes` (id, s), appended per batch under
+    * the same marker discipline as `docs`/`scored`. All three are
+    * PER-DOC state: hashed shingle sets and banded MinHash signatures
+    * are corpus-independent, and a doc's rarest-first prefix — ranked
+    * by document frequency AS OF ITS INGEST — remains a valid prefix
+    * forever (ANY subset of size n − ⌈t·n⌉ + 1 carries the containment
+    * recall theorem; the ranking choice is performance only). So an
+    * increment touches batch-bands × stored-bands and
+    * batch-prefixes ⋈ stored-index instead of re-shingling, re-banding
+    * and re-window-ranking the WHOLE corpus per batch — the two
+    * corpus-linear passes [[Dedup.incrementalLshScoredPairs]] pays are
+    * replaced by columnar scans of stored state probed by
+    * broadcast-sized batch frames. Batch prefixes rank by batch-local
+    * df (no global df table to maintain; staleness costs probe fuel,
+    * never recall). Only the UNCAPPED lshFront store persists state —
+    * a df-cap is a population property whose drift would invalidate
+    * stored prefixes, so capped stores keep the recompute path (the
+    * documented [[Dedup.incrementalRelease]] drift contract).
+    *
+    * The positional prefix filter does NOT apply here: its minimal-
+    * shared-row argument needs both sides ranked by ONE coherent
+    * order, and stored prefixes deliberately keep their ingest-era
+    * ranks ([[Dedup.prefixProbe]]'s scaladoc) — the plain probe keeps
+    * recall exact at the cost of filterable fuel.
+    */
+  private val stateTables = Seq("shingles", "bands", "prefixes")
+  private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def fs = hPath(path)
@@ -158,7 +189,17 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // they landed, so the replay would skip too)
     writeLock.synchronized {
     recoverTable("docs"); recoverTable("scored")
+    if (stateEnabled) stateTables.foreach(recoverTable)
     val accepted = acceptedIds(batch, batchId)
+    // state backfill + appends run BEFORE the docs append: backfill
+    // derives state from docs MINUS the current batch's accepted ids
+    // (whose rows the marker-guarded appends below own), so a replay
+    // interleaved with a landed docs append cannot double-count them
+    val bState =
+      if (stateEnabled) {
+        ensureState(accepted)
+        Some(appendState(batch, accepted, batchId))
+      } else None
     markers.guarded("docs", batchId) {
       // anti-join against the LIVE table: a replay after a landed-but-
       // unmarked append finds its rows present and appends nothing
@@ -170,20 +211,24 @@ final class ReleaseStore(spark: SparkSession, path: String,
         else base
       fresh.write.mode(SaveMode.Append).parquet(s"$path/docs")
     }
-    // batch membership = the ACCEPTED ids (not "rows in this batch"):
-    // identical on every replay, and a re-crawled duplicate id never
-    // re-marks its previously-stored row
-    val marked = docs
-      .join(broadcast(accepted), col(idCol) === col("__bid"), "left")
-      .withColumn("__isb", col("__bid").isNotNull).drop("__bid")
     markers.guarded("scored", batchId) {
-      val delta =
-        if (lshFront)
-          Dedup.incrementalLshScoredPairs(marked, idCol, textCol,
-            col("__isb"), containThreshold, maxShingleDf, k, bands, seed)
-        else
-          Dedup.incrementalScoredPairs(marked, idCol, textCol,
-            col("__isb"), maxShingleDf)
+      val delta = bState match {
+        case Some((bsh, bBands, bPref)) =>
+          storedStateDelta(bsh, bBands, bPref)
+        case None =>
+          // batch membership = the ACCEPTED ids (not "rows in this
+          // batch"): identical on every replay, and a re-crawled
+          // duplicate id never re-marks its previously-stored row
+          val marked = docs
+            .join(broadcast(accepted), col(idCol) === col("__bid"), "left")
+            .withColumn("__isb", col("__bid").isNotNull).drop("__bid")
+          if (lshFront)
+            Dedup.incrementalLshScoredPairs(marked, idCol, textCol,
+              col("__isb"), containThreshold, maxShingleDf, k, bands, seed)
+          else
+            Dedup.incrementalScoredPairs(marked, idCol, textCol,
+              col("__isb"), maxShingleDf)
+      }
       delta
         .withColumn("batch", lit(batchId.getOrElse(-1L)))
         .write.mode(SaveMode.Append).parquet(s"$path/scored")
@@ -195,6 +240,102 @@ final class ReleaseStore(spark: SparkSession, path: String,
     checkpointIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     checkpointIds = Set.empty
+  }
+
+  /** Shingle, band and rarest-prefix the batch's accepted rows and
+    * append them to the state tables (marker-guarded, same crash
+    * window as `scored`). Returns the three batch-side frames — on a
+    * replay whose appends are skipped, the recomputed frames equal the
+    * stored ones (deterministic functions of the sidecar-pinned
+    * accepted set).
+    */
+  private def appendState(batch: DataFrame, accepted: DataFrame,
+      batchId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    val bdocs = batch.dropDuplicates(idCol)
+      .join(accepted, col(idCol) === col("__bid"), "left_semi")
+    val bsh = Dedup.hashedShingles(bdocs, idCol, textCol, portable = false)
+    val bBands = graft.ScratchCache.persist(
+      Dedup.fastBands(bsh, k, bands, seed))
+    val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
+    // batch-local df ranking: rare-in-batch tracks rare-globally well
+    // enough for probe economy, and ANY prefix choice keeps recall
+    val bdf = bIdx.groupBy("s").agg(count(lit(1)).as("df"))
+    val bSizes = bsh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    val bPref = graft.ScratchCache.persist(
+      Dedup.rarestPrefix(bIdx, bSizes,
+        math.round(containThreshold * 1000), bdf))
+    markers.guarded("shingles", batchId) {
+      bsh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+    }
+    markers.guarded("bands", batchId) {
+      bBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
+    }
+    markers.guarded("prefixes", batchId) {
+      bPref.write.mode(SaveMode.Append).parquet(s"$path/prefixes")
+    }
+    (bsh, bBands, bPref)
+  }
+
+  /** Backfill missing state tables from the stored corpus — a store
+    * whose `docs` predate the state tables (ingested exact-front or
+    * capped, or pre-state builds) upgrades on first state ingest by
+    * paying the corpus pass ONCE, atomically (write-temp-then-rename),
+    * instead of per increment.
+    */
+  private def ensureState(accepted: DataFrame): Unit = {
+    if (!fs.exists(hPath(s"$path/docs"))) return
+    val missing = stateTables.filterNot(t => fs.exists(hPath(s"$path/$t")))
+    if (missing.isEmpty) return
+    val base = docs.join(accepted, col(idCol) === col("__bid"), "left_anti")
+    val sh = Dedup.hashedShingles(base, idCol, textCol, portable = false)
+    def install(name: String, df: DataFrame): Unit = {
+      val tmp = s"$path/$name.backfill.tmp"
+      df.write.mode(SaveMode.Overwrite).parquet(tmp)
+      if (!fs.rename(hPath(tmp), hPath(s"$path/$name")))
+        throw new java.io.IOException(s"cannot install backfilled $name")
+    }
+    if (missing.contains("shingles")) install("shingles", sh)
+    if (missing.contains("bands"))
+      install("bands", Dedup.fastBands(sh, k, bands, seed))
+    if (missing.contains("prefixes")) {
+      val idx = sh.select(col("id"), explode(col("sh")).as("s"))
+      val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
+      val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
+      install("prefixes", Dedup.rarestPrefix(idx, sizes,
+        math.round(containThreshold * 1000), dfs))
+    }
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  /** The batch-touching scored delta from STORED state: batch bands
+    * join the stored banded set, batch prefixes probe the stored index
+    * (batch contained in anything) and stored prefixes probe the batch
+    * index (anything contained in batch) — no corpus row is
+    * re-shingled, re-banded or re-ranked; the corpus-side cost is
+    * columnar scans of the state tables. Explicit read schemas: an
+    * all-duplicate batch appends zero rows, and schema inference over
+    * a dir with no data files would fail.
+    */
+  private def storedStateDelta(bsh: DataFrame, bBands: DataFrame,
+      bPref: DataFrame): DataFrame = {
+    val storedSh = spark.read.schema(bsh.schema).parquet(s"$path/shingles")
+    val storedBands =
+      spark.read.schema(bBands.schema).parquet(s"$path/bands")
+    val storedPref = spark.read.schema(bPref.schema).parquet(s"$path/prefixes")
+    val storedIdx = storedSh.select(col("id"), explode(col("sh")).as("s"))
+    val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
+    val candJ = bBands.as("a")
+      .join(storedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val candC = Dedup.prefixProbe(bPref, storedIdx)
+      .unionAll(Dedup.prefixProbe(storedPref, bIdx))
+    val cand = graft.ScratchCache.persist(candJ.unionAll(candC).distinct())
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    Dedup.scoreCandidates(cand, storedSh.join(candIds, Seq("id"), "left_semi"))
   }
 
   /** The eight-product release over everything ingested so far, derived
@@ -316,7 +457,10 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * `compact()`, exactly as it sequences them around [[ingest]].
     */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
-    Seq("docs", "scored").foreach(compactTable(_, targetFileBytes))
+    // state tables compact under the same swap discipline; a missing
+    // table (exact-front store, pre-state history) is skipped
+    (Seq("docs", "scored") ++ stateTables)
+      .foreach(compactTable(_, targetFileBytes))
     pruneSidecars()
   }
 

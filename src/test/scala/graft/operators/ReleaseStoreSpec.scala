@@ -187,6 +187,109 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("stored-state LSH increments: both quote directions, replay, compaction") {
+    // the round-11 headliner pin: an uncapped lshFront store keeps
+    // per-doc shingles/bands/prefixes, and each increment probes STORED
+    // state instead of re-shingling/re-banding/re-ranking the corpus.
+    // Both containment quote directions must ride the stored tables —
+    // a stored doc quoted inside a later batch doc (stored prefix ⋈
+    // batch index) and a batch doc quoted by an earlier stored doc
+    // (batch prefix ⋈ stored index) — across a mid-stream compact()
+    // and a replay; products must equal BOTH the recompute-everything
+    // incremental cadence and a from-scratch release.
+    val bA = doc(
+      (1L, "red orange yellow green blue purple"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (50L, "totally unrelated text about completely different things"))
+    // doc 10 quotes stored doc 1 verbatim inside long padding — the
+    // stored side's prefix must find it (direction: stored-in-batch)
+    val bB = doc(
+      (10L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight"),
+      (3L, "alpha beta gamma delta epsilon eta"))
+    // doc 12 is a verbatim chunk of stored doc 10's padding — the
+    // batch side's prefix must find it (direction: batch-in-stored)
+    val bC = doc(
+      (12L, "runs far away into the deep dark forest"),
+      (51L, "another unique document with no shared trigrams at all"))
+    val dir = Files.createTempDirectory("relstate").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    store.ingest(bA, batchId = Some(0L))
+    // state tables exist and carry one shingle-set row per doc
+    assert(spark.read.parquet(s"$dir/shingles").count() == 3)
+    assert(spark.read.parquet(s"$dir/prefixes").count() > 0)
+    store.ingest(bB, batchId = Some(1L))
+    store.ingest(bB, batchId = Some(1L)) // replay stays exactly-once
+    store.compact(targetFileBytes = 1L << 20) // state survives the swap
+    store.ingest(bC, batchId = Some(2L))
+    val all = bA.unionByName(bB).unionByName(bC)
+    assert(store.docs.count() == all.count())
+    assert(spark.read.parquet(s"$dir/shingles").count() == all.count())
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    // recompute-everything incremental cadence over the same batches
+    val pAB = bA.unionByName(bB)
+    val r0 = Dedup.releasePipelineLsh(bA, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None,
+      quality = bA.select(col("doc_id").as("id"), col("n_chars").as("q")))
+    val r1 = Dedup.incrementalReleaseLsh(pAB, "doc_id", "text",
+      isBatch = col("doc_id").isin(10L, 3L), priorScored = r0.scored,
+      threshold = 0.5, maxShingleDf = None,
+      quality = pAB.select(col("doc_id").as("id"), col("n_chars").as("q")))
+    val r2 = Dedup.incrementalReleaseLsh(all, "doc_id", "text",
+      isBatch = col("doc_id").isin(12L, 51L), priorScored = r1.scored,
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    for (pair <- Seq((got, r2), (got, want))) {
+      val (a, b) = pair
+      assert(rows(a.pairs) == rows(b.pairs))
+      assert(rows(a.clusters) == rows(b.clusters))
+      assert(rows(a.keepers) == rows(b.keepers))
+      assert(rows(a.containment) == rows(b.containment))
+      assert(rows(a.survivors) == rows(b.survivors))
+      assert(rows(a.split) == rows(b.split))
+    }
+    // both planted quote directions actually landed
+    val cont = got.containment.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cont.contains((1L, 10L)), s"stored-in-batch direction lost: $cont")
+    assert(cont.contains((10L, 12L)), s"batch-in-stored direction lost: $cont")
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("an exact-front store upgrades to stored state by one-time backfill") {
+    // docs ingested before the state tables existed (exact front):
+    // constructing an lshFront store over the same path backfills
+    // shingles/bands/prefixes from the stored corpus once, and
+    // increments proceed against stored state — products unchanged
+    val dir = Files.createTempDirectory("relupg").toFile.getAbsolutePath
+    val exactStore = new ReleaseStore(spark, dir, "doc_id", "text")
+    exactStore.ingest(b0, batchId = Some(0L))
+    exactStore.ingest(b1, batchId = Some(1L))
+    assert(!new java.io.File(s"$dir/shingles").exists())
+    val lshStore = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    lshStore.ingest(b2, batchId = Some(2L))
+    val all = b0.unionByName(b1).unionByName(b2)
+    // backfill covered the pre-state corpus AND the new batch appended
+    assert(spark.read.parquet(s"$dir/shingles").count() == all.count())
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = lshStore.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(rows(got.containment) == rows(want.containment))
+    assert(rows(got.survivors) == rows(want.survivors))
+    // cross-batch near-dup found via stored state: 21 (new batch)
+    // joined 20's cluster (pre-state corpus)
+    val cl = got.clusters.as[(Long, Long)].collect().toMap
+    assert(cl(21L) == cl(20L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a compact crash (table moved aside) heals on ANY next access") {
     // simulate compact dying between its two renames: the whole table
     // sits at .compact.old and nothing at the live path. docs/scored
