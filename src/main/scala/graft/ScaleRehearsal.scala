@@ -18,8 +18,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,frontier (default: all) — the full rehearsal at 10× takes
-  * ~40 min, a single section minutes.
+  * increlease,collapse,storeincr,frontier (default: all) — the full
+  * rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -255,6 +255,77 @@ object ScaleRehearsal {
       }
       ScratchCache.releaseAll(spark)
       out += "full_release_sec" -> tFull
+    }
+
+    if (run("collapse")) {
+      // the exact-duplicate collapse front on THIS corpus: candidate
+      // volume and eight-product wall with collapseExact = true. On the
+      // ×10 replicated corpus (g = 10 exact copies of every doc) the
+      // uncollapsed front pays group-size² candidate amplification —
+      // collapse runs the fronts on the base corpus's representatives
+      // and only the true-pair OUTPUT expansion stays quadratic
+      val quality = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      var collPairs = 0L
+      val (_, tColl) = timed {
+        val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
+          threshold = 0.5, maxShingleDf = Some(cap), quality = quality,
+          collapseExact = true)
+        collPairs = r.pairs.count()
+        Seq(r.clusters, r.keepers, r.clusterSizes, r.survivors,
+          r.split, r.sourceOverlap, r.containment).foreach(_.count())
+      }
+      ScratchCache.releaseAll(spark)
+      out += "collapse_release_sec" -> tColl
+      out += "collapse_verified_pairs" -> collPairs
+    }
+
+    if (run("storeincr")) {
+      // the stored-state store lifecycle under streaming ingest: the
+      // corpus arrives as 10 id-sliced batches into an lshFront
+      // ReleaseStore (uncapped — the stateEnabled shape), compact()
+      // fires mid-stream, and each batch's wall-clock is recorded. The
+      // claim under test: per-batch cost stays ~flat as the stored
+      // corpus grows (stored state is probed, never recomputed), and
+      // the final products match a from-scratch LSH release
+      val dir = java.nio.file.Files.createTempDirectory("storeincr")
+        .toFile.getAbsolutePath
+      val store = new graft.operators.dedup.ReleaseStore(spark, dir,
+        "doc_id", "text", lshFront = true)
+      val slices = 10
+      val walls = (0 until slices).map { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(slices)) === i)
+        val (_, t) = timed(store.ingest(b, batchId = Some(i.toLong)))
+        if (i == slices / 2) store.compact(64L * 1024 * 1024)
+        t
+      }
+      out += "store_batch_secs" ->
+        walls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      val q = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      var storePairs = 0L
+      var storeCont = 0L
+      val (_, tProd) = timed {
+        val p = store.products(0.5, q)
+        storePairs = p.pairs.count()
+        storeCont = p.containment.count()
+      }
+      ScratchCache.releaseAll(spark)
+      out += "store_products_sec" -> tProd
+      out += "store_verified_pairs" -> storePairs
+      out += "store_containment_pairs" -> storeCont
+      // parity target: the from-scratch LSH release over the same
+      // corpus, uncapped like the store
+      var fullPairs = 0L
+      var fullCont = 0L
+      val (_, tFull) = timed {
+        val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
+          threshold = 0.5, maxShingleDf = None, quality = q)
+        fullPairs = r.pairs.count()
+        fullCont = r.containment.count()
+      }
+      ScratchCache.releaseAll(spark)
+      out += "store_scratch_sec" -> tFull
+      out += "store_scratch_pairs" -> fullPairs
+      out += "store_scratch_containment" -> fullCont
     }
 
     if (run("frontier")) {
