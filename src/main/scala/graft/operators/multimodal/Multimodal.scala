@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   * discipline). AUDIO decode is REAL too ([[decodeAudio]]):
   * `javax.sound.sampled` ships with the JDK, so WAV/AIFF/AU payloads
   * decode to header-true rate/channels/bit-depth and streamed integer
-  * RMS/peak, with the same per-cause routing. VIDEO byte decode stays
-  * STUBBED (the JDK ships no video codec — environment-blocked):
-  * [[StubDecoder]] derives deterministic fake features, and swapping in
-  * a real codec changes only the function body — the batch shape,
-  * schema and partitioning are what the plumbing tests pin.
+  * RMS/peak, with the same per-cause routing. VIDEO decode is REAL for
+  * the JDK-feasible subset ([[decodeVideo]]): the RIFF/AVI container is
+  * parsed byte-by-byte (the format is public and pure structure), and
+  * frames decode when the stream is uncompressed BI_RGB (raw DIB) or
+  * MJPEG (each frame is a JPEG — `javax.imageio` again). Inter-frame
+  * codecs (H.264 &c.) remain environment-blocked — no JDK codec — and
+  * route to `unsupported_codec` with header-true dimensions/fps rather
+  * than failing, so a crawl's codec mix is measurable before anyone
+  * pays for an external decoder. [[StubDecoder]] remains only as the
+  * generic batch-shape demonstration ([[decodeFeatures]]).
   */
 object Multimodal {
 
@@ -205,11 +210,6 @@ object Multimodal {
     * `maxFrames` is the [[decodeImages]] `maxPixels` twin: the frame
     * count comes from the HEADER, and a payload declaring more than the
     * cap routes to `too_large` before any sample is read.
-    *
-    * VIDEO stays stubbed ([[StubDecoder]]): the JDK ships no video
-    * codec, so real video decode is environment-blocked the way Kafka
-    * runtime is — the plumbing (schema, routing, batch shape) is what
-    * [[sampleFrames]]/[[decodeFeatures]] pin.
     */
   def decodeAudio(media: Dataset[MediaRow],
       maxFrames: Long = 1L << 32): Dataset[AudioDecode] = {
@@ -305,6 +305,362 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(in,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** One video payload's decode outcome. `cause` routes every row (the
+    * [[decodeImages]] discipline — nothing silently dropped): `ok`,
+    * `empty`, `no_reader` (not a RIFF/AVI container), `no_video_stream`
+    * (a well-formed AVI with no `vids` stream), `unsupported_codec`
+    * (an inter-frame codec the JDK cannot decode — header facts are
+    * still reported so a crawl's codec mix is measurable),
+    * `too_large` (header dimensions exceed the pixel guard),
+    * `truncated` (a frame chunk or chunk header runs past the payload,
+    * or the container closes with fewer frame chunks than the stream
+    * header declares) and `decode_failed` (a claimed frame's bytes are
+    * broken).
+    */
+  final case class VideoDecode(
+      media_id: Long,
+      cause: String,
+      /** `raw` (BI_RGB DIB), `mjpeg`, or the stream's fourcc for
+        * unsupported codecs
+        */
+      codec: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      /** frame chunks actually present in the container */
+      n_frames: Option[Long],
+      /** frames the `vids` stream header declares */
+      declared_frames: Option[Long],
+      /** stream frame rate ×1000 (strh dwRate·1000/dwScale) */
+      fps_milli: Option[Long],
+      /** declared_frames × µs-per-frame (avih) / 1000 */
+      duration_ms: Option[Long],
+      /** frames actually pixel-decoded (stride/cap sampling) */
+      sampled_frames: Option[Int],
+      /** mean of (R+G+B)·1000/3 over all sampled frames' pixels — the
+        * [[ImageDecode]] luminance on the sampled frame set
+        */
+      mean_rgb_milli: Option[Long],
+      /** CRC32 over the sampled frames' row-major ARGB pixel streams,
+        * frames in sample order — the content fingerprint
+        */
+      pixel_crc: Option[Long])
+
+  /** REAL video decode for the JDK-feasible subset: the RIFF/AVI
+    * container parsed byte-by-byte (header-true dimensions, frame rate,
+    * declared length), frames pixel-decoded when the stream is
+    * uncompressed BI_RGB (raw bottom-up DIB rows — decoded natively) or
+    * MJPEG (every frame chunk is a standalone JPEG — `javax.imageio`,
+    * the [[decodeImages]] path per frame). Iterator→iterator per
+    * partition, constant memory: the container is walked positionally
+    * (no allocation per chunk), and only SAMPLED frames materialize a
+    * raster.
+    *
+    * Sampling is the scale guard for the frame pass: every `stride`-th
+    * frame chunk decodes, up to `maxSampledFrames` — a 10k-frame clip
+    * costs `maxSampledFrames` raster decodes, never 10k. `maxPixels` is
+    * the [[decodeImages]] decompression-bomb guard on the HEADER
+    * dimensions (checked before any frame decode). Inter-frame codecs
+    * route to `unsupported_codec` with header facts intact — the JDK
+    * ships no such codec (environment-blocked the way Kafka runtime
+    * is), and a pipeline wants the codec census anyway before paying
+    * for an external decoder.
+    */
+  def decodeVideo(media: Dataset[MediaRow],
+      maxPixels: Long = 64L * 1024 * 1024,
+      stride: Int = 1,
+      maxSampledFrames: Int = 32): Dataset[VideoDecode] = {
+    require(stride >= 1 && maxSampledFrames >= 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => decodeOneVideo(r, maxPixels, stride, maxSampledFrames))
+    }
+  }
+
+  // single-payload AVI walk — executor-side, no allocations proportional
+  // to payload size beyond the sampled rasters
+  private def decodeOneVideo(r: MediaRow, maxPixels: Long, stride: Int,
+      maxSampledFrames: Int): VideoDecode = {
+    val none = VideoDecode(r.media_id, "", None, None, None, None, None,
+      None, None, None, None, None)
+    val p = r.payload
+    if (p == null || p.isEmpty) return none.copy(cause = "empty")
+    def u32(off: Int): Long =
+      if (off + 4 > p.length) -1L
+      else ((p(off) & 0xffL)) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      if (off + 4 > p.length) ""
+      else new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return none.copy(cause = "no_reader")
+
+    // header walk: avih (global header) + the first vids strh/strf pair
+    var usecPerFrame = -1L
+    var avihW = -1L; var avihH = -1L
+    var rate = -1L; var scale = -1L; var declared = -1L
+    var compression = -1L // vids strf biCompression
+    var moviStart = -1; var moviEnd = -1L
+    var truncated = false
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      var lastStrhVids = false
+      while (pos + 8 <= end && !truncated) {
+        val fc = fourcc(pos)
+        val sz = u32(pos + 4)
+        val dataOff = pos + 8
+        // a movi LIST whose declared size overruns the payload still
+        // yields its complete frames — the frame pass clamps and flags;
+        // any OTHER overrun is a cut header and fails the walk here
+        if (sz >= 0 && fc == "LIST" && fourcc(dataOff) == "movi") {
+          moviStart = dataOff + 4; moviEnd = dataOff.toLong + sz
+          pos = (dataOff.toLong + sz + (sz & 1)).min(Int.MaxValue.toLong).toInt
+        } else if (sz < 0 || pos + 8 + sz > end) { truncated = true }
+        else {
+          fc match {
+            case "LIST" =>
+              if (depth < 4) walk(dataOff + 4, dataOff + sz.toInt, depth + 1)
+            case "avih" if sz >= 40 =>
+              usecPerFrame = u32(dataOff)
+              avihW = u32(dataOff + 32); avihH = u32(dataOff + 36)
+            case "strh" if sz >= 36 =>
+              lastStrhVids = fourcc(dataOff) == "vids"
+              if (lastStrhVids && rate < 0) {
+                scale = u32(dataOff + 20); rate = u32(dataOff + 24)
+                declared = u32(dataOff + 32)
+              }
+            case "strf" if sz >= 40 =>
+              if (lastStrhVids && compression < 0) {
+                compression = u32(dataOff + 16)
+                // BITMAPINFOHEADER dims beat avih's when present
+                if (avihW <= 0) avihW = u32(dataOff + 4)
+                if (avihH <= 0) avihH = math.abs(u32(dataOff + 8).toInt).toLong
+              }
+            case _ => ()
+          }
+          pos = dataOff + sz.toInt + (sz.toInt & 1)
+        }
+      }
+    }
+    walk(12, p.length, 0)
+    if (rate < 0 && usecPerFrame < 0)
+      return none.copy(cause = if (truncated) "truncated" else "no_video_stream")
+    if (rate < 0) return none.copy(cause = "no_video_stream")
+
+    val codecName =
+      if (compression == 0L) "raw"
+      else {
+        val s = new String(Array[Byte](
+          (compression & 0xff).toByte, ((compression >> 8) & 0xff).toByte,
+          ((compression >> 16) & 0xff).toByte,
+          ((compression >> 24) & 0xff).toByte),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (s.equalsIgnoreCase("MJPG")) "mjpeg" else s.trim.toLowerCase
+      }
+    val w = avihW.toInt; val h = avihH.toInt
+    val fpsMilli = if (scale > 0) Some(rate * 1000L / scale) else None
+    val durationMs =
+      if (usecPerFrame > 0 && declared >= 0)
+        Some(declared * usecPerFrame / 1000L)
+      else None
+    val base = none.copy(codec = Some(codecName), width = Some(w),
+      height = Some(h), declared_frames = Some(declared),
+      fps_milli = fpsMilli, duration_ms = durationMs)
+    if (w <= 0 || h <= 0) return base.copy(cause = "decode_failed")
+    if (w.toLong * h > maxPixels) return base.copy(cause = "too_large")
+    if (codecName != "raw" && codecName != "mjpeg")
+      return base.copy(cause = "unsupported_codec")
+    if (moviStart < 0)
+      return base.copy(cause = if (truncated) "truncated" else "no_video_stream")
+
+    // frame pass over the movi list: count every stream-0 frame chunk,
+    // raster-decode the sampled subset
+    val rowBytes = (w * 3 + 3) & ~3
+    var nFrames = 0L
+    var sampled = 0
+    var sum = 0L
+    var pixels = 0L
+    val crc = new java.util.zip.CRC32()
+    val crcBuf = new Array[Byte](4)
+    var decodeFailed = false
+    var pos = moviStart
+    // clamp: a movi list declaring more bytes than the payload carries
+    // still yields its complete frames, then flags truncation below
+    val end = math.min(moviEnd, p.length.toLong).toInt
+    val moviCut = moviEnd > p.length
+    while (pos + 8 <= end && !truncated && !decodeFailed) {
+      val fc = fourcc(pos)
+      val sz = u32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > end) truncated = true
+      else {
+        val dataOff = pos + 8
+        val isFrame = fc.length == 4 && fc.startsWith("00") &&
+          (fc.endsWith("dc") || fc.endsWith("db"))
+        if (isFrame) {
+          val takeIt = nFrames % stride == 0 && sampled < maxSampledFrames
+          nFrames += 1
+          if (takeIt) {
+            if (codecName == "raw") {
+              if (sz < rowBytes.toLong * h) decodeFailed = true
+              else {
+                // bottom-up BGR rows, top-down accumulation for the crc
+                var y = h - 1
+                while (y >= 0) {
+                  val row = dataOff + y * rowBytes
+                  var x = 0
+                  while (x < w) {
+                    val b = p(row + 3 * x) & 0xff
+                    val g = p(row + 3 * x + 1) & 0xff
+                    val red = p(row + 3 * x + 2) & 0xff
+                    sum += red + g + b
+                    val argb = 0xff000000 | (red << 16) | (g << 8) | b
+                    crcBuf(0) = (argb >>> 24).toByte
+                    crcBuf(1) = (argb >>> 16).toByte
+                    crcBuf(2) = (argb >>> 8).toByte
+                    crcBuf(3) = argb.toByte
+                    crc.update(crcBuf)
+                    x += 1
+                  }
+                  y -= 1
+                }
+                pixels += w.toLong * h
+                sampled += 1
+              }
+            } else { // mjpeg: the chunk is a standalone JPEG
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(p, dataOff, sz.toInt))
+                if (img == null) decodeFailed = true
+                else {
+                  val fw = img.getWidth; val fh = img.getHeight
+                  var y = 0
+                  while (y < fh) {
+                    var x = 0
+                    while (x < fw) {
+                      val px = img.getRGB(x, y)
+                      sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) +
+                        (px & 0xff)
+                      crcBuf(0) = (px >>> 24).toByte
+                      crcBuf(1) = (px >>> 16).toByte
+                      crcBuf(2) = (px >>> 8).toByte
+                      crcBuf(3) = px.toByte
+                      crc.update(crcBuf)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  pixels += fw.toLong * fh
+                  sampled += 1
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) => decodeFailed = true
+              }
+            }
+          }
+        }
+        pos = dataOff + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (decodeFailed) base.copy(cause = "decode_failed",
+      n_frames = Some(nFrames))
+    else if (truncated || moviCut || (declared >= 0 && nFrames < declared))
+      base.copy(cause = "truncated", n_frames = Some(nFrames))
+    else base.copy(cause = "ok", n_frames = Some(nFrames),
+      sampled_frames = Some(sampled),
+      mean_rgb_milli = if (pixels > 0) Some(sum * 1000L / (3L * pixels)) else None,
+      pixel_crc = if (pixels > 0) Some(crc.getValue) else None)
+  }
+
+  /** AVI-encode a solid-color clip (the deterministic fixture builder:
+    * `codec = "raw"` writes lossless BI_RGB DIB frames, so decode
+    * returns exactly the encode parameters — width/height/frames/fps/
+    * mean are pure arithmetic, the [[encodeSolidPng]] story for video).
+    * `codec = "mjpeg"` writes real per-frame JPEGs via `javax.imageio`
+    * (lossy — spec material, not oracle material); any other 4-char
+    * value is stamped as the stream's fourcc with raw frame bytes (the
+    * unsupported-codec fixture). Executor-safe: pure function.
+    *
+    * Container layout is fixed: 12-byte RIFF header, 200-byte hdrl LIST
+    * (avih 56 + one vids strl with strh 56 / strf 40), then the movi
+    * LIST — the first frame chunk starts at byte 224.
+    */
+  def encodeSolidAvi(w: Int, h: Int, nFrames: Int, fps: Int,
+      r: Int, g: Int, b: Int, codec: String = "raw"): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames >= 0 && fps > 0)
+    val frames: IndexedSeq[Array[Byte]] =
+      if (codec == "mjpeg") {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val os = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.write(img, "jpg", os)
+        val one = os.toByteArray
+        IndexedSeq.fill(nFrames)(one)
+      } else {
+        val rowBytes = (w * 3 + 3) & ~3
+        val one = new Array[Byte](rowBytes * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            one(y * rowBytes + 3 * x) = b.toByte
+            one(y * rowBytes + 3 * x + 1) = g.toByte
+            one(y * rowBytes + 3 * x + 2) = r.toByte
+            x += 1
+          }
+          y += 1
+        }
+        IndexedSeq.fill(nFrames)(one)
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    val compression = codec match {
+      case "raw" => 0L
+      case "mjpeg" => // 'MJPG' little-endian
+        'M'.toLong | ('J'.toLong << 8) | ('P'.toLong << 16) | ('G'.toLong << 24)
+      case f =>
+        require(f.length == 4, s"fourcc must be 4 chars: $f")
+        f(0).toLong | (f(1).toLong << 8) | (f(2).toLong << 16) |
+          (f(3).toLong << 24)
+    }
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    tag("RIFF"); le32(riffBody); tag("AVI ")
+    tag("LIST"); le32(hdrlBody); tag("hdrl")
+    tag("avih"); le32(56)
+    le32(1000000L / fps); le32(0); le32(0); le32(0) // usec/frame, maxBps, pad, flags
+    le32(nFrames); le32(0); le32(1); le32(0) // total, initial, streams, sugBuf
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    tag("LIST"); le32(4 + 64 + 48); tag("strl")
+    tag("strh"); le32(56)
+    tag("vids"); le32(compression); le32(0); le32(0) // type, handler, flags, prio
+    le32(0); le32(1); le32(fps); le32(0) // initial, scale, rate, start
+    le32(nFrames); le32(0); le32(0xffffffffL); le32(0) // length, sugBuf, quality, sampleSize
+    le32(0); le32((w.toLong & 0xffff) | ((h.toLong & 0xffff) << 16)) // rcFrame: left|top, right|bottom
+    tag("strf"); le32(40)
+    le32(40); le32(w); le32(h); le32(1L | (24L << 16)) // biSize, w, h, planes|bitcount
+    le32(compression); le32(frames.headOption.map(_.length.toLong).getOrElse(0L))
+    le32(0); le32(0); le32(0); le32(0) // resolutions, clrUsed, clrImportant
+    tag("LIST"); le32(moviBody); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); le32(f.length); out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)
+    }
     out.toByteArray
   }
 

@@ -428,6 +428,43 @@ object Pipeline {
           col("n_frames"), col("rms"), col("peak"))
     }),
 
+    // REAL video decode, end to end: solid-color BI_RGB AVI clips are
+    // ENCODED on the executors from doc_id-derived parameters (the
+    // RIFF/AVI container written byte-by-byte, raw DIB frames —
+    // lossless), four corruption/routing classes are planted
+    // deterministically, and Multimodal.decodeVideo REALLY parses the
+    // container and raster-decodes the frames — dimensions, frame
+    // counts, fps, duration and mean luminance all arithmetically
+    // predictable. Corrupt rows route per-cause (no_reader / truncated /
+    // empty / unsupported_codec), never drop.
+    "q_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 20 == 0) Array.fill(16)(0x55.toByte) // not RIFF
+            else if (id % 10 == 0) // intact header, movi cut mid-chunk:
+              // 224-byte fixed header + one full 32-byte frame chunk +
+              // the next chunk's 8-byte header with no data
+              Multimodal.encodeSolidAvi(4, 2, 4, 10, 9, 9, 9).take(264)
+            else if (id % 10 == 5) Array.emptyByteArray
+            else if (id % 10 == 3) // inter-frame codec the JDK lacks
+              Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, "xvid")
+            else Multimodal.encodeSolidAvi(
+              4 + (id % 13).toInt, 2 + ((id / 13) % 11).toInt,
+              1 + (id % 7).toInt, 5 + (id % 25).toInt,
+              (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
+          Multimodal.MediaRow(id, "video", payload, "synth")
+        }
+      }
+      Multimodal.decodeVideo(media)
+        .select(col("media_id"), col("cause"), col("codec"),
+          col("width"), col("height"), col("n_frames"),
+          col("declared_frames"), col("fps_milli"), col("duration_ms"),
+          col("sampled_frames"), col("mean_rgb_milli"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.connectedComponents(
@@ -2958,6 +2995,53 @@ object Pipeline {
         |       ELSE 100 + doc_id % 12000 END AS BIGINT) AS rms,
         |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
         |       ELSE 100 + doc_id % 12000 END AS BIGINT) AS peak
+        |FROM documents""".stripMargin,
+    // Arithmetic oracle for the REAL video decode: BI_RGB AVI frames are
+    // lossless, so every decoded feature is pure encode-parameter
+    // arithmetic. The truncation fixture (4×2, 4 frames @10fps, cut at
+    // byte 264) leaves exactly 1 complete frame chunk; duration_ms uses
+    // the avih integer µs-per-frame (1000000 // fps), matching the
+    // decoder's header math.
+    "q_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'no_reader'
+        |       WHEN doc_id % 10 = 0 THEN 'truncated'
+        |       WHEN doc_id % 10 = 5 THEN 'empty'
+        |       WHEN doc_id % 10 = 3 THEN 'unsupported_codec'
+        |       ELSE 'ok' END AS cause,
+        |  CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 3 THEN 'xvid'
+        |       ELSE 'raw' END AS codec,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 4
+        |       WHEN doc_id % 10 = 3 THEN 6
+        |       ELSE 4 + doc_id % 13 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 2
+        |       WHEN doc_id % 10 = 3 THEN 4
+        |       ELSE 2 + (doc_id // 13) % 11 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 10 = 0 AND doc_id % 20 != 0 THEN 1
+        |       WHEN doc_id % 20 = 0 OR doc_id % 10 IN (3, 5) THEN NULL
+        |       ELSE 1 + doc_id % 7 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 4
+        |       WHEN doc_id % 10 = 3 THEN 2
+        |       ELSE 1 + doc_id % 7 END AS BIGINT) AS declared_frames,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 10000
+        |       WHEN doc_id % 10 = 3 THEN 8000
+        |       ELSE (5 + doc_id % 25) * 1000 END AS BIGINT) AS fps_milli,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 400
+        |       WHEN doc_id % 10 = 3 THEN 250
+        |       ELSE (1 + doc_id % 7) * (1000000 // (5 + doc_id % 25)) // 1000
+        |       END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 IN (0, 3, 5) THEN NULL
+        |       ELSE 1 + doc_id % 7 END AS INT) AS sampled_frames,
+        |  CAST(CASE WHEN doc_id % 20 = 0 OR doc_id % 10 IN (0, 3, 5) THEN NULL
+        |       ELSE ((doc_id % 256) + ((doc_id // 3) % 256)
+        |             + ((doc_id // 7) % 256)) * 1000 // 3
+        |       END AS BIGINT) AS mean_rgb_milli
         |FROM documents""".stripMargin,
     "q_rare_trigram" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -879,6 +879,102 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).pixel_crc == got(1).pixel_crc)
     assert(got(0).mean_rgb_milli == got(1).mean_rgb_milli)
   }
+
+  test("real video decode: container-true header facts, exact raster features; corrupt rows route") {
+    import spark.implicits._
+    val avi = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", avi, "s"),
+      Multimodal.MediaRow(2L, "video", Array.fill(16)(0x55.toByte), "s"),
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeSolidAvi(4, 2, 4, 10, 9, 9, 9).take(264), "s"),
+      Multimodal.MediaRow(4L, "video", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    val v = got(0)
+    assert(v.cause == "ok" && v.codec.contains("raw"))
+    assert(v.width.contains(10) && v.height.contains(6))
+    assert(v.n_frames.contains(5L) && v.declared_frames.contains(5L))
+    assert(v.fps_milli.contains(12000L))
+    // 5 frames × ⌊1000000/12⌋µs = 416665µs → 416ms (integer header math)
+    assert(v.duration_ms.contains(416L))
+    assert(v.sampled_frames.contains(5))
+    // raw BI_RGB is lossless: solid (20,40,60) means exactly (Σrgb)/3
+    assert(v.mean_rgb_milli.contains((20L + 40L + 60L) * 1000 / 3))
+    assert(v.pixel_crc.isDefined)
+    assert(got(1).cause == "no_reader" && got(1).width.isEmpty)
+    // header declares 4 frames; the cut leaves 1 complete chunk
+    val t = got(2)
+    assert(t.cause == "truncated" && t.n_frames.contains(1L) &&
+      t.declared_frames.contains(4L) && t.mean_rgb_milli.isEmpty)
+    assert(got(3).cause == "empty")
+    val again = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("mjpeg video frames decode via imageio") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.encodeSolidAvi(16, 8, 3, 10, 128, 128, 128, "mjpeg"), "s"))
+      .toDS()
+    val got = Multimodal.decodeVideo(media).collect()
+    val v = got(0)
+    assert(v.cause == "ok" && v.codec.contains("mjpeg"))
+    assert(v.width.contains(16) && v.height.contains(8))
+    assert(v.n_frames.contains(3L) && v.sampled_frames.contains(3))
+    // JPEG is lossy: solid gray decodes NEAR gray, not exactly
+    assert(math.abs(v.mean_rgb_milli.get - 128000L) < 4000L)
+    assert(v.pixel_crc.isDefined)
+  }
+
+  test("unsupported video codecs route with header facts intact") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, "xvid"), "s")).toDS()
+    val v = Multimodal.decodeVideo(media).collect()(0)
+    assert(v.cause == "unsupported_codec" && v.codec.contains("xvid"))
+    assert(v.width.contains(6) && v.height.contains(4))
+    assert(v.declared_frames.contains(2L) && v.fps_milli.contains(8000L))
+    assert(v.n_frames.isEmpty && v.mean_rgb_milli.isEmpty)
+  }
+
+  test("avi without a vids stream routes to no_video_stream") {
+    import spark.implicits._
+    val avi = Multimodal.encodeSolidAvi(4, 2, 1, 10, 1, 2, 3)
+    // rewrite the stream header's fccType: the container stays well-formed
+    val idx = avi.toSeq.indexOfSlice("vids".getBytes("US-ASCII").toSeq)
+    assert(idx > 0)
+    "auds".getBytes("US-ASCII").copyToArray(avi, idx)
+    val media = Seq(Multimodal.MediaRow(1L, "video", avi, "s")).toDS()
+    assert(Multimodal.decodeVideo(media).collect()(0).cause == "no_video_stream")
+  }
+
+  test("oversized video routes to too_large from the header, undecoded") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeSolidAvi(40, 30, 2, 10, 1, 2, 3), "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeSolidAvi(8, 8, 2, 10, 1, 2, 3), "s")).toDS()
+    val got = Multimodal.decodeVideo(media, maxPixels = 1000L)
+      .collect().sortBy(_.media_id)
+    assert(got(0).cause == "too_large")
+    assert(got(0).width.contains(40) && got(0).height.contains(30))
+    assert(got(0).mean_rgb_milli.isEmpty && got(0).sampled_frames.isEmpty)
+    assert(got(1).cause == "ok")
+  }
+
+  test("video frame sampling: stride and cap bound the raster work") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.encodeSolidAvi(4, 4, 10, 10, 7, 7, 7), "s")).toDS()
+    // every 3rd frame (0,3,6,9) capped at 2 decodes: the clip still
+    // reports all 10 container frames
+    val v = Multimodal.decodeVideo(media, stride = 3, maxSampledFrames = 2)
+      .collect()(0)
+    assert(v.cause == "ok" && v.n_frames.contains(10L))
+    assert(v.sampled_frames.contains(2))
+    assert(v.mean_rgb_milli.contains(7000L))
+  }
 }
 
 class PipelineOpsSpec extends SparkSpec {
