@@ -782,8 +782,20 @@ object Dedup {
     // conservative ceiling for the front's dominant stage
     val idxRows = filtered
       .agg(count(lit(1)).cast("long").as("index_rows"))
+    // collapse-front pricing: group docs by their sorted shingle SET
+    // (the lshScoredPairsCollapsed key) — collapsed_docs is the work the
+    // fronts stop paying for, dup_group_pairs the candidate rows that
+    // become synthesized instead of generated + verified. One counting
+    // aggregation over the already-persisted shingle table.
+    val collapse = shingled
+      .groupBy(sort_array(col("sh"))).agg(count(lit(1)).as("g"))
+      .agg(coalesce(sum(col("g") - 1), lit(0L)).cast("long")
+          .as("collapsed_docs"),
+        coalesce(sum(expr("g * (g - 1) div 2")), lit(0L)).cast("long")
+          .as("dup_group_pairs"))
+    val nDocs = shingled.agg(count(lit(1)).cast("long").as("n_docs"))
     exactPairs.crossJoin(bandPairs).crossJoin(prefixPairs)
-      .crossJoin(idxRows)
+      .crossJoin(idxRows).crossJoin(collapse).crossJoin(nDocs)
   }
 
   /** Should a release over `df` run the LSH front? Prices both fronts
@@ -801,12 +813,32 @@ object Dedup {
     */
   def lshFrontWorthwhile(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
-      k: Int = 128, bands: Int = 32, seed: Long = 42L): Boolean = {
+      k: Int = 128, bands: Int = 32, seed: Long = 42L): Boolean =
+    frontDecisions(df, idCol, textCol, containThreshold, maxShingleDf,
+      k, bands, seed)._1
+
+  /** Both priced front decisions from ONE counting plan:
+    * `(lsh front worthwhile, exact-dup collapse worthwhile)`.
+    *
+    * The LSH call applies [[lshFrontWorthwhile]]'s measured factor-5
+    * crossover. The collapse call is volume-based: the collapse front
+    * pays one sorted-set window over the corpus and wins when exact
+    * duplicates are a nontrivial share of it — `collapsed_docs > 5%`
+    * is the conservative threshold (the ×10 rehearsal corpus at ~90%
+    * duplicates HALVES the eight-product release under collapse, while
+    * an all-unique corpus pays only the wasted grouping pass).
+    */
+  def frontDecisions(df: DataFrame, idCol: String, textCol: String,
+      containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L): (Boolean, Boolean) = {
     val r = lshFrontCostPlan(df, idCol, textCol, containThreshold,
       maxShingleDf, k, bands, seed, portable = false).head()
     val saved = r.getAs[Long]("exact_pairs") -
       (r.getAs[Long]("band_pairs") + r.getAs[Long]("prefix_pairs"))
-    saved > 5L * r.getAs[Long]("index_rows")
+    val useLsh = saved > 5L * r.getAs[Long]("index_rows")
+    val useCollapse =
+      r.getAs[Long]("collapsed_docs") * 20L > r.getAs[Long]("n_docs")
+    (useLsh, useCollapse)
   }
 
   /** Planner-dispatched release: run [[lshFrontWorthwhile]]'s counting
@@ -822,12 +854,18 @@ object Dedup {
       quality: DataFrame, sourceCol: String = "source",
       containThreshold: Double = 0.8, k: Int = 128, bands: Int = 32,
       seed: Long = 42L): ReleaseProducts = {
-    val useLsh = lshFrontWorthwhile(df, idCol, textCol, containThreshold,
-      maxShingleDf, k, bands, seed)
-    System.err.println(s"[releaseAuto] front = ${if (useLsh) "lsh" else "exact"}")
-    if (useLsh)
+    val (useLsh, useCollapse) = frontDecisions(df, idCol, textCol,
+      containThreshold, maxShingleDf, k, bands, seed)
+    System.err.println(s"[releaseAuto] front = ${if (useLsh) "lsh" else "exact"}" +
+      s", collapseExact = $useCollapse")
+    // collapse rides the LSH pipeline (the only one that takes it); a
+    // duplicate-heavy corpus takes that branch even when the raw
+    // LSH-vs-exact margin alone wouldn't, because collapse removes the
+    // very amplification that made the exact front's Σ df² competitive
+    if (useLsh || useCollapse)
       releasePipelineLsh(df, idCol, textCol, threshold, maxShingleDf,
-        quality, sourceCol, containThreshold, k, bands, seed)
+        quality, sourceCol, containThreshold, k, bands, seed,
+        collapseExact = useCollapse)
     else
       releasePipeline(df, idCol, textCol, threshold, maxShingleDf,
         quality, sourceCol, containThreshold)

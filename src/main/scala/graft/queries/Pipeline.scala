@@ -2663,9 +2663,17 @@ object Pipeline {
          |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
          |pp AS (SELECT CAST(sum(d.df - 1) AS BIGINT) AS prefix_pairs
          |  FROM pref JOIN dfs d ON pref.h = d.h),
-         |ir AS (SELECT CAST(count(*) AS BIGINT) AS index_rows FROM hv)
-         |SELECT exact_pairs, band_pairs, prefix_pairs, index_rows
-         |FROM ex CROSS JOIN bp CROSS JOIN pp CROSS JOIN ir""".stripMargin
+         |ir AS (SELECT CAST(count(*) AS BIGINT) AS index_rows FROM hv),
+         |grp AS (SELECT doc_id, list_sort(list(h)) AS st FROM hv GROUP BY 1),
+         |gc AS (SELECT st, count(*) AS g FROM grp GROUP BY 1),
+         |cp AS (SELECT CAST(coalesce(sum(g - 1), 0) AS BIGINT) AS collapsed_docs,
+         |    CAST(coalesce(sum(g * (g - 1) // 2), 0) AS BIGINT) AS dup_group_pairs
+         |  FROM gc),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM n)
+         |SELECT exact_pairs, band_pairs, prefix_pairs, index_rows,
+         |  collapsed_docs, dup_group_pairs, n_docs
+         |FROM ex CROSS JOIN bp CROSS JOIN pp CROSS JOIN ir
+         |  CROSS JOIN cp CROSS JOIN nd""".stripMargin
     },
     // Generated oracle: the rarest-first prefix containment candidates
     // (integer prefix length, (df, h) ordering, PPJoin-style positional

@@ -414,6 +414,15 @@ class ReleaseSpec extends SparkSpec {
       .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
     assert(Dedup.lshFrontWorthwhile(repl, "doc_id", "text",
       k = 64, bands = 8))
+    // collapse decision from the same counting plan: the replicated
+    // corpus is ~97% exact duplicates (collapse fires, and the auto
+    // dispatch below therefore exercises the collapsed pipeline); with
+    // the corpus's one exact-dup pair removed, no doc shares a shingle
+    // set and collapse must not fire
+    assert(Dedup.frontDecisions(repl, "doc_id", "text",
+      k = 64, bands = 8)._2)
+    assert(!Dedup.frontDecisions(corpus.where(col("doc_id") =!= 2),
+      "doc_id", "text")._2)
     // and the dispatch produces the exact release's products either way
     val q = corpus.select(col("doc_id").as("id"), col("n_chars").as("q"))
     val auto = Dedup.releaseAuto(corpus, "doc_id", "text", threshold = 0.5,
