@@ -18,8 +18,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,frontier (default: all) — the full
-  * rehearsal at 10× takes ~40 min, a single section minutes.
+  * increlease,collapse,storeincr,storecollapse,frontier (default: all)
+  * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -326,6 +326,42 @@ object ScaleRehearsal {
       out += "store_scratch_sec" -> tFull
       out += "store_scratch_pairs" -> fullPairs
       out += "store_scratch_containment" -> fullCont
+    }
+
+    if (run("storecollapse")) {
+      // the collapse-front store on the replicated corpus: same 10
+      // id-sliced batches as storeincr, but state is keyed by distinct
+      // shingle set — after batch 1 lands the ~n_docs/10 distinct sets,
+      // later batches are ~100% exact dups and should append membership
+      // only (near-zero state growth, near-zero probe work). THE
+      // wall-flatness claim storeincr cannot make on this corpus.
+      val dir = java.nio.file.Files.createTempDirectory("storecoll")
+        .toFile.getAbsolutePath
+      val store = new graft.operators.dedup.ReleaseStore(spark, dir,
+        "doc_id", "text", lshFront = true, collapseFront = true)
+      val slices = 10
+      val walls = (0 until slices).map { i =>
+        val b = docs.where(pmod(col("doc_id"), lit(slices)) === i)
+        val (_, t) = timed(store.ingest(b, batchId = Some(i.toLong)))
+        if (i == slices / 2) store.compact(64L * 1024 * 1024)
+        t
+      }
+      out += "storecoll_batch_secs" ->
+        walls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      out += "storecoll_state_rows" ->
+        spark.read.parquet(s"$dir/shingles").count()
+      val q = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      var collPairs = 0L
+      var collCont = 0L
+      val (_, tProd) = timed {
+        val p = store.products(0.5, q)
+        collPairs = p.pairs.count()
+        collCont = p.containment.count()
+      }
+      ScratchCache.releaseAll(spark)
+      out += "storecoll_products_sec" -> tProd
+      out += "storecoll_verified_pairs" -> collPairs
+      out += "storecoll_containment_pairs" -> collCont
     }
 
     if (run("frontier")) {

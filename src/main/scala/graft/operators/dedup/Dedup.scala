@@ -1200,9 +1200,26 @@ object Dedup {
     val cand = graft.ScratchCache.persist(cand0)
     val scoredRep = scoreCandidates(cand,
       candidateSets(cand, filtered, reps, maxShingleDf))
-    val m = members.select(col("id"), col("rep"))
-    // cross-group expansion: every member pair inherits its rep pair's
-    // scores; id order re-canonicalized, n_a/n_b swapped along with it
+    expandCollapsedScored(scoredRep, members.select(col("id"), col("rep")),
+      sizes)
+  }
+
+  /** Expand REP-level scored pairs to member level: every member pair
+    * inherits its rep pair's scores (id order re-canonicalized, n_a/n_b
+    * swapped along with it), and each group's within-group pairs are
+    * synthesized at `common = n_a = n_b = n` — identical sets, full
+    * overlap by definition. A group whose (capped) set is empty has no
+    * surviving shared shingle and, matching the exact contract, no
+    * scored row. Shared by [[lshScoredPairsCollapsed]] and the
+    * collapse-front [[ReleaseStore]] (which stores rep-level pairs and
+    * expands on read).
+    *
+    * @param m     (id, rep) membership — every doc with a nonempty set,
+    *              including the rep's own (rep, rep) row
+    * @param sizes (id = rep, n) set sizes for the within-group rows
+    */
+  private[dedup] def expandCollapsedScored(scoredRep: DataFrame,
+      m: DataFrame, sizes: DataFrame): DataFrame = {
     val cross = scoredRep
       .join(m.select(col("rep").as("id_a"), col("id").as("ma")), "id_a")
       .join(m.select(col("rep").as("id_b"), col("id").as("mb")), "id_b")
@@ -1213,9 +1230,6 @@ object Dedup {
           .as("n_a"),
         when(col("ma") <= col("mb"), col("n_b")).otherwise(col("n_a"))
           .as("n_b"))
-    // within-group pairs: identical sets, common = n by definition (a
-    // group whose capped set is empty has no surviving shared shingle
-    // and, matching the exact contract, no scored row)
     val intra = m.as("x")
       .join(m.as("y"),
         col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))

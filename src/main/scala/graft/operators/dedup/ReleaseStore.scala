@@ -59,7 +59,31 @@ final class ReleaseStore(spark: SparkSession, path: String,
       */
     lshFront: Boolean = false,
     containThreshold: Double = 0.8,
-    k: Int = 128, bands: Int = 32, seed: Long = 42L) {
+    k: Int = 128, bands: Int = 32, seed: Long = 42L,
+    /** Store LSH-front state COLLAPSED by distinct shingle set (the
+      * [[Dedup.releasePipelineLsh]] `collapseExact` posture made
+      * durable): state tables hold one row per distinct set (its
+      * REPRESENTATIVE — the first-ingested min id), a `members`
+      * (id, rep, batch) table records which docs carry each set, and
+      * `scored` accumulates REP-level pairs that [[products]] expands
+      * to member level on read (cross pairs inherit the rep pair's
+      * scores; within-group pairs synthesize at common = n — exactness
+      * per [[Dedup.expandCollapsedScored]]). The crawl-store payoff: a
+      * batch that is mostly exact duplicates of stored content appends
+      * ONLY membership rows — no state rows, no probes, no scored
+      * rows — so per-batch ingest cost tracks NOVEL content, not batch
+      * size, and the store's state tables grow with distinct content,
+      * not the crawl. Requires the uncapped `lshFront` shape
+      * (stateEnabled); a construction-time property of the store — an
+      * existing per-doc store upgrades in place by a one-time backfill
+      * (state rebuilt rep-level, `scored` rewritten to rep pairs —
+      * identical sets score identically, so the rewrite is a pure
+      * dedup) on first ingest.
+      */
+    collapseFront: Boolean = false) {
+
+  require(!collapseFront || (lshFront && maxShingleDf.isEmpty),
+    "collapseFront requires the uncapped lshFront store (stateEnabled)")
 
   private val markers = new graft.store.CommitMarkers(spark, path)
   // serializes table rewrites (compact) against each other; ingest and
@@ -106,6 +130,37 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * [[productsCached]]'s incremental clustering folds by.
     */
   def scored: DataFrame = { recoverTable("scored"); spark.read.parquet(s"$path/scored") }
+
+  /** Collapse-front membership (id, rep, batch) — explicit schema so an
+    * all-unique corpus's empty table still reads.
+    */
+  private def membersTable: DataFrame = {
+    recoverTable("members")
+    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rep",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(s"$path/members")
+  }
+
+  /** Member-level scored rows for product derivation: the collapse
+    * store expands its REP-level pairs through `members`
+    * ([[Dedup.expandCollapsedScored]] — cross pairs inherit scores,
+    * within-group pairs synthesize at common = n); per-doc stores pass
+    * through.
+    */
+  private def expandedScored(sc: DataFrame): DataFrame =
+    if (!collapseFront || !fs.exists(hPath(s"$path/members"))) sc
+    else {
+      recoverTable("shingles")
+      val sizes = spark.read.parquet(s"$path/shingles")
+        .select(col("id"), size(col("sh")).cast("long").as("n"))
+      Dedup.expandCollapsedScored(sc,
+        membersTable.select(col("id"), col("rep")), sizes)
+    }
 
   /** Heal a compact() that died between its two renames: the complete
     * table sits at `.compact.old` and nothing at the live path. This
@@ -253,7 +308,37 @@ final class ReleaseStore(spark: SparkSession, path: String,
       batchId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
     val bdocs = batch.dropDuplicates(idCol)
       .join(accepted, col(idCol) === col("__bid"), "left_semi")
-    val bsh = Dedup.hashedShingles(bdocs, idCol, textCol, portable = false)
+    val bshAll = Dedup.hashedShingles(bdocs, idCol, textCol, portable = false)
+    val bsh = if (!collapseFront) bshAll else {
+      // group-membership resolution against PRIOR reps: stored state
+      // minus this batch's accepted rows (the replay view — a landed
+      // state append must not make the batch's own reps look prior).
+      // Docs matching a stored set become members of its rep; the rest
+      // group within the batch (rep = min id) and only THOSE reps get
+      // state rows and probes below.
+      val acc = accepted.select(col("__bid").as("id"))
+      val priorReps =
+        if (fs.exists(hPath(s"$path/shingles")))
+          spark.read.schema(bshAll.schema).parquet(s"$path/shingles")
+            .join(acc, Seq("id"), "left_anti")
+            .select(col("id").as("rep"), sort_array(col("sh")).as("skey"))
+        else bshAll.limit(0)
+          .select(col("id").as("rep"), sort_array(col("sh")).as("skey"))
+      val bKey = graft.ScratchCache.persist(
+        bshAll.withColumn("skey", sort_array(col("sh"))))
+      val matched = bKey.join(priorReps, Seq("skey"))
+        .select(col("id"), col("rep"))
+      val freshRep = bKey.join(priorReps, Seq("skey"), "left_anti")
+        .withColumn("rep", min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("skey")))
+      val members = matched.unionAll(freshRep.select(col("id"), col("rep")))
+        .withColumn("batch", lit(batchId.getOrElse(-1L)))
+      markers.guarded("members", batchId) {
+        members.write.mode(SaveMode.Append).parquet(s"$path/members")
+      }
+      graft.ScratchCache.persist(
+        freshRep.where(col("id") === col("rep")).select(col("id"), col("sh")))
+    }
     val bBands = graft.ScratchCache.persist(
       Dedup.fastBands(bsh, k, bands, seed))
     val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
@@ -284,15 +369,57 @@ final class ReleaseStore(spark: SparkSession, path: String,
     */
   private def ensureState(accepted: DataFrame): Unit = {
     if (!fs.exists(hPath(s"$path/docs"))) return
-    val missing = stateTables.filterNot(t => fs.exists(hPath(s"$path/$t")))
-    if (missing.isEmpty) return
+    // a collapse store without its members table is a per-doc (or
+    // pre-state) history upgrading in place: ALL state tables rebuild
+    // rep-level and `scored` rewrites to rep pairs, with the members
+    // install LAST — its presence is the upgrade's commit point, and
+    // every step before it is idempotent (deterministic rebuilds; the
+    // scored rewrite maps rep-level rows identically)
+    val upgrade = collapseFront && !fs.exists(hPath(s"$path/members"))
+    val missing =
+      if (upgrade) stateTables
+      else stateTables.filterNot(t => fs.exists(hPath(s"$path/$t")))
+    if (missing.isEmpty && !upgrade) return
     val base = docs.join(accepted, col(idCol) === col("__bid"), "left_anti")
-    val sh = Dedup.hashedShingles(base, idCol, textCol, portable = false)
+    val shAll = Dedup.hashedShingles(base, idCol, textCol, portable = false)
+    val (sh, members) =
+      if (!collapseFront) (shAll, None)
+      else if (!upgrade) {
+        // post-upgrade store healing a lost state table: rep assignment
+        // is pinned by the stored members table — first-ingested reps
+        // are NOT the global min id, so recomputing the grouping would
+        // desync the rebuilt table from members and scored
+        val acc = accepted.select(col("__bid").as("id"))
+        val reps = membersTable.join(acc, Seq("id"), "left_anti")
+          .where(col("id") === col("rep")).select(col("id"))
+        (graft.ScratchCache.persist(
+          shAll.join(reps, Seq("id"), "left_semi")), None)
+      } else {
+        val grouped = graft.ScratchCache.persist(shAll.withColumn("rep",
+          min(col("id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(sort_array(col("sh"))))))
+        // batch = −2: pre-history membership, folded only by FULL label
+        // rebuilds (distinct from −1 = un-id'd ingest, which forces the
+        // full-CC fallback)
+        (graft.ScratchCache.persist(grouped
+            .where(col("id") === col("rep")).select(col("id"), col("sh"))),
+          Some(grouped.select(col("id"), col("rep"))
+            .withColumn("batch", lit(-2L))))
+      }
+    // move-aside install: upgrades overwrite EXISTING per-doc tables; a
+    // crash mid-sequence re-enters here (members still missing) and
+    // rebuilds the same content
     def install(name: String, df: DataFrame): Unit = {
       val tmp = s"$path/$name.backfill.tmp"
+      val old = s"$path/$name.backfill.old"
       df.write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(hPath(old), true)
+      if (fs.exists(hPath(s"$path/$name")) &&
+          !fs.rename(hPath(s"$path/$name"), hPath(old)))
+        throw new java.io.IOException(s"cannot move $name aside")
       if (!fs.rename(hPath(tmp), hPath(s"$path/$name")))
         throw new java.io.IOException(s"cannot install backfilled $name")
+      fs.delete(hPath(old), true)
     }
     if (missing.contains("shingles")) install("shingles", sh)
     if (missing.contains("bands"))
@@ -303,6 +430,42 @@ final class ReleaseStore(spark: SparkSession, path: String,
       val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
       install("prefixes", Dedup.rarestPrefix(idx, sizes,
         math.round(containThreshold * 1000), dfs))
+    }
+    members.foreach { m =>
+      // rewrite the accumulated member-level pairs to rep level BEFORE
+      // the members install commits the upgrade. Identical sets score
+      // identically, so the rewrite is a pure dedup: map both ids to
+      // their reps, drop within-group rows (synthesized on read), keep
+      // the earliest batch stamp. Idempotent: reps are their own
+      // members, so a second pass maps every row to itself.
+      if (fs.exists(hPath(s"$path/scored"))) {
+        val sc = scored
+        val ma = m.select(col("id").as("id_a"), col("rep").as("ra"))
+        val mb = m.select(col("id").as("id_b"), col("rep").as("rb"))
+        val repScored = sc.join(ma, "id_a").join(mb, "id_b")
+          .where(col("ra") =!= col("rb"))
+          .select(least(col("ra"), col("rb")).as("id_a"),
+            greatest(col("ra"), col("rb")).as("id_b"),
+            col("common"),
+            when(col("ra") <= col("rb"), col("n_a")).otherwise(col("n_b"))
+              .as("n_a"),
+            when(col("ra") <= col("rb"), col("n_b")).otherwise(col("n_a"))
+              .as("n_b"),
+            col("batch"))
+          .groupBy("id_a", "id_b", "common", "n_a", "n_b")
+          .agg(min("batch").as("batch"))
+        install("scored", repScored)
+      }
+      // cached label tables' water marks predate the rep-level rewrite
+      // and the backfilled membership — drop tables AND markers so the
+      // next productsCached folds from scratch (one-time upgrade cost)
+      fs.delete(hPath(s"$path/clusters"), true)
+      val cDir = hPath(s"$path/_commits")
+      if (fs.exists(cDir))
+        fs.listStatus(cDir).map(_.getPath)
+          .filter(_.getName.startsWith("clusters_t"))
+          .foreach(fs.delete(_, false))
+      install("members", m)
     }
     graft.ScratchCache.releaseAll(spark)
   }
@@ -348,8 +511,8 @@ final class ReleaseStore(spark: SparkSession, path: String,
   def products(threshold: Double, quality: DataFrame,
       sourceCol: String = "source"): Dedup.ReleaseProducts =
     Dedup.productsOf(
-      graft.ScratchCache.persist(scored.drop("batch")), docs, idCol,
-      threshold, quality, sourceCol, containThreshold)
+      graft.ScratchCache.persist(expandedScored(scored.drop("batch"))),
+      docs, idCol, threshold, quality, sourceCol, containThreshold)
 
   /** [[products]] with store-maintained clustering: the CC label table
     * persists per threshold under `clusters/`, and each call folds in
@@ -377,11 +540,26 @@ final class ReleaseStore(spark: SparkSession, path: String,
     val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
     val top = markers.lastCommitted("scored")
     val sc = graft.ScratchCache.persist(scored)
+    // collapse-front member edges (id ↔ rep): identical sets are
+    // jaccard-1 pairs, so membership IS connectivity — the fold adds
+    // them alongside the rep-level pairs instead of expanding the whole
+    // pair set. Backfilled rows (batch = −2) enter full rebuilds only;
+    // their connectivity is pre-history by construction.
+    def memberEdges(sinceExclusive: Option[Long]): DataFrame = {
+      val me = membersTable.where(col("id") =!= col("rep"))
+      sinceExclusive.fold(me)(w => me.where(col("batch") > w))
+        .select(col("id").as("id_a"), col("rep").as("id_b"))
+    }
+    val hasMembers = collapseFront && fs.exists(hPath(s"$path/members"))
     val labels: DataFrame = writeLock.synchronized {
-      val unmarked = sc.where(col("batch") === -1L).limit(1).count() > 0
+      val unmarked = sc.where(col("batch") === -1L).limit(1).count() > 0 ||
+        (hasMembers &&
+          membersTable.where(col("batch") === -1L).limit(1).count() > 0)
       if (unmarked) {
         // no water mark exists for un-id'd rows — full CC, no cache write
-        Dedup.connectedComponents(jaccardPairs(sc.drop("batch"), threshold))
+        val base = jaccardPairs(sc.drop("batch"), threshold)
+        Dedup.connectedComponents(
+          if (hasMembers) base.unionAll(memberEdges(None)) else base)
       } else if (water >= top && fs.exists(hPath(dir))) {
         spark.read.parquet(dir) // nothing new since the last fold
       } else {
@@ -400,9 +578,15 @@ final class ReleaseStore(spark: SparkSession, path: String,
         val newPairs = jaccardPairs(
           sc.where(col("batch") > water).drop("batch"), threshold)
           .select(col("id_a"), col("id_b"))
+        // water < 0 is a full rebuild: backfilled (−2) member edges fold
+        // in here and only here
+        val newEdges =
+          if (!hasMembers) newPairs
+          else newPairs.unionAll(
+            memberEdges(if (water < 0L) None else Some(water)))
         val merged = Dedup.connectedComponents(
           prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
-            .unionAll(newPairs))
+            .unionAll(newEdges))
         // move-aside install (write tmp → dir aside → tmp in → drop old):
         // no window where the marker is ahead of a MISSING table; a crash
         // between the renames is healed by the water guard above (dir
@@ -423,7 +607,8 @@ final class ReleaseStore(spark: SparkSession, path: String,
         spark.read.parquet(dir)
       }
     }
-    Dedup.productsOf(graft.ScratchCache.persist(sc.drop("batch")), docs,
+    Dedup.productsOf(
+      graft.ScratchCache.persist(expandedScored(sc.drop("batch"))), docs,
       idCol, threshold, quality, sourceCol, containThreshold,
       clustersOverride = Some(labels))
   }
@@ -458,8 +643,9 @@ final class ReleaseStore(spark: SparkSession, path: String,
     */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     // state tables compact under the same swap discipline; a missing
-    // table (exact-front store, pre-state history) is skipped
-    (Seq("docs", "scored") ++ stateTables)
+    // table (exact-front store, pre-state history, per-doc store
+    // without members) is skipped
+    (Seq("docs", "scored", "members") ++ stateTables)
       .foreach(compactTable(_, targetFileBytes))
     pruneSidecars()
   }

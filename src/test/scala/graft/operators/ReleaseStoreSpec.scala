@@ -259,6 +259,118 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("collapse store: dup-heavy batches pay for novel content only, products stay exact") {
+    // the collapse-front store pin: state tables hold one row per
+    // DISTINCT shingle set, exact-dup arrivals append membership only,
+    // and products (expanded from rep-level pairs) equal both the
+    // from-scratch release and the collapsed pipeline — across replay,
+    // a mid-stream compact, a later dup with a SMALLER id than its rep,
+    // and an all-duplicate batch that must append zero state rows.
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t4 = "one two three four five six seven"
+    val cA = doc((1L, t1), (2L, "alpha beta gamma delta epsilon eta"),
+      (50L, "totally unrelated text about completely different things"))
+    val cB = doc((3L, t1), (20L, t4),
+      (21L, "one two three four five six seven eight nine ten"))
+    // doc 0 < rep 20: first-ingested rep keeps the group
+    val cC = doc((0L, t4), (4L, t1),
+      (51L, "another unique document with no shared trigrams at all"))
+    val cD = doc((5L, t1), (23L, t4)) // ALL exact dups of stored content
+    val dir = Files.createTempDirectory("relcoll").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    store.ingest(cA, batchId = Some(0L))
+    assert(spark.read.parquet(s"$dir/shingles").count() == 3)
+    store.ingest(cB, batchId = Some(1L))
+    store.ingest(cB, batchId = Some(1L)) // replay stays exactly-once
+    // 3 joined 1's group: only t4's and 21's sets are new
+    assert(spark.read.parquet(s"$dir/shingles").count() == 5)
+    store.compact(targetFileBytes = 1L << 20)
+    store.ingest(cC, batchId = Some(2L))
+    assert(spark.read.parquet(s"$dir/shingles").count() == 6)
+    val stateRows = spark.read.parquet(s"$dir/shingles").count()
+    val prefRows = spark.read.parquet(s"$dir/prefixes").count()
+    store.ingest(cD, batchId = Some(3L))
+    // zero state growth, membership only
+    assert(spark.read.parquet(s"$dir/shingles").count() == stateRows)
+    assert(spark.read.parquet(s"$dir/prefixes").count() == prefRows)
+    assert(store.lastCommitted("scored") == 3L)
+    val m = spark.read.parquet(s"$dir/members")
+    val all = cA.unionByName(cB).unionByName(cC).unionByName(cD)
+    assert(m.count() == all.count()) // every doc has a membership row
+    assert(m.where(col("id") === 0L).select("rep").head().getLong(0) == 20L)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val coll = Dedup.releasePipelineLsh(all, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q,
+      collapseExact = true)
+    for (b <- Seq(want, coll)) {
+      assert(rows(got.pairs) == rows(b.pairs))
+      assert(rows(got.clusters) == rows(b.clusters))
+      assert(rows(got.keepers) == rows(b.keepers))
+      assert(rows(got.containment) == rows(b.containment))
+      assert(rows(got.survivors) == rows(b.survivors))
+      assert(rows(got.split) == rows(b.split))
+      assert(rows(got.sourceOverlap) == rows(b.sourceOverlap))
+    }
+    // the incrementally-folded clusters agree (member edges ride the fold)
+    val cached = store.productsCached(threshold = 0.5, quality = q)
+    assert(rows(cached.clusters) == rows(want.clusters))
+    assert(rows(cached.pairs) == rows(want.pairs))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("a per-doc LSH store upgrades to collapse by one-time backfill") {
+    // history ingested per-doc (exact dups got their own state rows and
+    // member-level pairs), then the store reopens with collapseFront:
+    // the first ingest rebuilds state rep-level, rewrites scored to rep
+    // pairs, drops stale label tables, and installs members LAST — and
+    // every later product equals a from-scratch release
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val uA = doc((1L, t1), (2L, t1),
+      (50L, "totally unrelated text about completely different things"))
+    val uB = doc((3L, "alpha beta gamma delta epsilon eta"),
+      (20L, "one two three four five six seven"))
+    val dir = Files.createTempDirectory("relupgc").toFile.getAbsolutePath
+    val perDoc = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    perDoc.ingest(uA, batchId = Some(0L))
+    perDoc.ingest(uB, batchId = Some(1L))
+    // build a label table so the upgrade must invalidate it
+    val qAB = uA.unionByName(uB)
+      .select(col("doc_id").as("id"), col("n_chars").as("q"))
+    perDoc.productsCached(threshold = 0.5, quality = qAB)
+    assert(spark.read.parquet(s"$dir/shingles").count() == 5) // per-doc rows
+    val coll = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    val uC = doc((4L, t1), // dup of pre-upgrade content
+      (51L, "another unique document with no shared trigrams at all"))
+    coll.ingest(uC, batchId = Some(2L))
+    // state is rep-level now: 4 backfilled reps ({1,2}→1, 50, 3, 20) +
+    // doc 51's new set; doc 4 joined rep 1's group with no state row
+    assert(spark.read.parquet(s"$dir/shingles").count() == 5)
+    val m = spark.read.parquet(s"$dir/members")
+    assert(m.where(col("batch") === -2L).count() == 5) // backfilled history
+    assert(m.count() == 7)
+    val all = uA.unionByName(uB).unionByName(uC)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = coll.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(rows(got.keepers) == rows(want.keepers))
+    assert(rows(got.containment) == rows(want.containment))
+    assert(rows(got.survivors) == rows(want.survivors))
+    // the stale label table was dropped: the cached path full-rebuilds
+    // (backfilled −2 member edges fold in) and agrees
+    val cached = coll.productsCached(threshold = 0.5, quality = q)
+    assert(rows(cached.clusters) == rows(want.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("an exact-front store upgrades to stored state by one-time backfill") {
     // docs ingested before the state tables existed (exact front):
     // constructing an lshFront store over the same path backfills
