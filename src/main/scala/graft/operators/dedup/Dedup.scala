@@ -706,8 +706,11 @@ object Dedup {
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
     // the PRODUCTION front, not a copy: rankedIndex/prefixProbePos are
     // the same code lshCandidateParts runs, so the audit gates what
-    // actually ships — positional bound included
-    val cand = prefixProbePos(rankedIndex(filtered, sizes, dfs),
+    // actually ships — positional bound included. Persisted: the probe
+    // self-joins the ranked frame, and an unpersisted plan pays the
+    // ranking window once per join side
+    val cand = prefixProbePos(
+      graft.ScratchCache.persist(rankedIndex(filtered, sizes, dfs)),
       math.round(threshold * 1000))
       .distinct()
     val exact = filtered.as("a")
@@ -1030,7 +1033,10 @@ object Dedup {
     val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
     val (filtered, dfs) = cappedIndexWithDf(idx, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
-    val candC = prefixProbePos(rankedIndex(filtered, sizes, dfs),
+    // persisted: prefixProbePos self-joins the ranked frame — without
+    // the persist the per-doc ranking window runs once per join side
+    val candC = prefixProbePos(
+      graft.ScratchCache.persist(rankedIndex(filtered, sizes, dfs)),
       math.round(containThreshold * 1000))
     (filtered, sizes, candJ.unionAll(candC).distinct())
   }

@@ -607,6 +607,56 @@ object Pipeline {
       releaseTags(r)
     }),
 
+    // the PLANNER-DISPATCHED release: frontDecisions prices both fronts
+    // from one counting plan and picks the pipeline. At the gate SFs the
+    // margin math picks the EXACT front (ReleaseSpec pins the dispatch
+    // both ways on planted fixtures), so the composed q_dedup_release
+    // oracle applies verbatim — the gate proves the dispatcher's chosen
+    // pipeline still lands oracle-identical products, not just that a
+    // branch ran
+    "q_release_auto" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val r = Dedup.releaseAuto(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = Some(Dedup.defaultShingleDfCap(d.count())),
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      releaseTags(r)
+    }),
+
+    // the RELEASE-STORE lifecycle, gated end to end against the same
+    // composed oracle: the corpus arrives as three id-sliced batches
+    // into an exact-front store under a scratch dir (marker-guarded
+    // appends, accepted-id sidecars), compact() fires MID-STREAM after
+    // the second batch, and the eight products derive from the STORED
+    // scored set — ingest replay discipline, compaction and the
+    // products read path all sit inside the oracle equality. Exact
+    // front: its recall needs no banding bet, so store == from-scratch
+    // holds unconditionally (the LSH/collapse store is pinned equal to
+    // the oracle-gated releasePipelineLsh by ReleaseStoreSpec). The
+    // store is uncapped; the gate-SF corpora never bind the cap, so the
+    // uncapped scored set equals the capped from-scratch one.
+    "q_store_release" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // previous invocations' scratch stores are this query's garbage:
+      // collect them at entry (queries run sequentially by contract)
+      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_q_store_"))
+        .foreach(f => new org.apache.hadoop.fs.Path(f.toString)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(f.toString), true))
+      val dirS = java.nio.file.Files
+        .createTempDirectory("graft_q_store_").toString
+      val store = new graft.operators.dedup.ReleaseStore(
+        s, dirS, "doc_id", "text")
+      (0L to 2L).foreach { b =>
+        store.ingest(d.where(pmod(col("doc_id"), lit(3)) === b),
+          batchId = Some(b))
+        if (b == 1L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+      }
+      releaseTags(store.products(0.5,
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q"))))
+    }),
+
     // the incremental release, gated end to end: a prior release over
     // the non-src0 corpus, then src0 arrives as the increment —
     // batch×corpus probe + batch×batch only, never corpus×corpus — and
@@ -1206,6 +1256,11 @@ object Pipeline {
   // contract is documented on incrementalRelease)
   val oracles: Map[String, String] = oraclesBase +
     ("q_incr_release" -> oraclesBase("q_dedup_release")) +
+    // the planner picks the exact front at gate SFs (ReleaseSpec pins
+    // the dispatch), and the store's accumulated exact scored set
+    // equals a from-scratch release's — both ride the composed oracle
+    ("q_release_auto" -> oraclesBase("q_dedup_release")) +
+    ("q_store_release" -> oraclesBase("q_dedup_release")) +
     // incremental-LSH products == from-scratch-LSH products: the union
     // of the prior LSH release's scored set with the batch-touching
     // delta covers every ≥-threshold pair with identical scores
