@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * codecs (H.264 &c.) remain environment-blocked — no JDK codec — and
   * route to `unsupported_codec` with header-true dimensions/fps rather
   * than failing, so a crawl's codec mix is measurable before anyone
-  * pays for an external decoder. [[StubDecoder]] remains only as the
-  * generic batch-shape demonstration ([[decodeFeatures]]).
+  * pays for an external decoder. IMAGE RESIZE is REAL
+  * ([[resizeImages]]): `java.awt.Graphics2D` bilinear scaling with an
+  * integer-exact output-dimension contract and lossless PNG re-encode.
+  * [[StubDecoder]] remains only as the generic batch-shape
+  * demonstration ([[decodeFeatures]]), and [[resizeStub]] as the
+  * kind-agnostic binary downsampler.
   */
 object Multimodal {
 
@@ -702,6 +706,114 @@ object Multimodal {
           substring(col("payload"), i * stride * frameBytes + 1, lit(frameBytes))
             .as("frame")))).as("f"))
       .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
+  }
+
+  /** One image payload's resize outcome: per-cause routing exactly as
+    * [[decodeImages]], plus the re-encoded thumbnail bytes.
+    */
+  final case class ImageResize(
+      media_id: Long,
+      cause: String,
+      src_width: Option[Int],
+      src_height: Option[Int],
+      width: Option[Int],
+      height: Option[Int],
+      /** mean luminance of the RESIZED raster (milli-units) — for a
+        * solid-color source bilinear interpolation preserves the color
+        * exactly, which is what makes the gate oracle-predictable
+        */
+      mean_rgb_milli: Option[Long],
+      /** the thumbnail, re-encoded as PNG (lossless — a decode of these
+        * bytes reproduces the resized raster bit-for-bit)
+        */
+      thumb_png: Option[Array[Byte]])
+
+  /** REAL image resize via `java.awt.Graphics2D` (JDK-only, the
+    * [[decodeImages]] story continued): decode, BILINEAR-scale into a
+    * `targetW`×`targetH` box preserving aspect ratio (fit-within,
+    * never upscale), re-encode as PNG. The output dimension contract is
+    * integer-exact so an SQL oracle replicates it:
+    *
+    *  - `w ≤ targetW && h ≤ targetH` → pass through (w, h);
+    *  - wider-than-box aspect (`w·targetH ≥ h·targetW`) →
+    *    `(targetW, max(1, (h·targetW) div w))`;
+    *  - else → `(max(1, (w·targetH) div h), targetH)`.
+    *
+    * Iterator→iterator per partition, constant memory; `maxPixels`
+    * routes decompression bombs to `too_large` off the header probe
+    * before any raster allocates — at 100 TB the thumbnail pass is the
+    * first full-decode pass over a crawl, so it inherits every guard
+    * the decode pass has.
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int,
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageResize] = {
+    require(targetW > 0 && targetH > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val none = ImageResize(r.media_id, "", None, None, None, None,
+          None, None)
+        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) none.copy(cause = "no_reader")
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val (hw, hh) = (reader.getWidth(0).toLong,
+                  reader.getHeight(0).toLong)
+                if (hw * hh > maxPixels)
+                  none.copy(cause = "too_large",
+                    src_width = Some(hw.toInt), src_height = Some(hh.toInt))
+                else {
+                  val img = reader.read(0)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val (ow, oh) =
+                    if (w <= targetW && h <= targetH) (w, h)
+                    else if (w.toLong * targetH >= h.toLong * targetW)
+                      (targetW, math.max(1L, h.toLong * targetW / w).toInt)
+                    else
+                      (math.max(1L, w.toLong * targetH / h).toInt, targetH)
+                  val out = new java.awt.image.BufferedImage(ow, oh,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = out.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, ow, oh, null)
+                  } finally g.dispose()
+                  var sum = 0L
+                  var y = 0
+                  while (y < oh) {
+                    var x = 0
+                    while (x < ow) {
+                      val p = out.getRGB(x, y)
+                      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  ImageResize(r.media_id, "ok", Some(w), Some(h),
+                    Some(ow), Some(oh),
+                    Some(sum * 1000L / (3L * ow * oh)), Some(bos.toByteArray))
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  none.copy(cause = "decode_failed")
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }
   }
 
   /** A resized ("thumbnail") media row. */

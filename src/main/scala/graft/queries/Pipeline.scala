@@ -395,6 +395,34 @@ object Pipeline {
           col("width"), col("height"), col("mean_rgb_milli"))
     }),
 
+    // REAL image resize, end to end: the q_image_decode fixture (solid
+    // PNGs + three planted corruption classes) through
+    // Multimodal.resizeImages — Graphics2D bilinear into an 8×8 box.
+    // Solid color survives interpolation exactly (luma arithmetic
+    // unchanged), and the fit-within dims are integer math the oracle
+    // replicates; corrupt rows route per-cause exactly as the decode
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 20 == 0) Array.fill(16)(0x55.toByte)
+            else if (id % 10 == 0)
+              Multimodal.encodeSolidPng(8, 8, 1, 2, 3).take(16)
+            else if (id % 10 == 5) Array.emptyByteArray
+            else Multimodal.encodeSolidPng(
+              8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt,
+              (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
+          Multimodal.MediaRow(id, "image", payload, "synth")
+        }
+      }
+      Multimodal.resizeImages(media, targetW = 8, targetH = 8)
+        .select(col("media_id"), col("cause"),
+          col("src_width"), col("src_height"),
+          col("width"), col("height"), col("mean_rgb_milli"))
+    }),
+
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
     // WAVs are ENCODED on the executors from doc_id-derived parameters
     // (javax.sound.sampled, lossless), three corruption classes are
@@ -3031,6 +3059,38 @@ object Pipeline {
         |             + ((doc_id // 7) % 256)) * 1000 // 3
         |       END AS BIGINT) AS mean_rgb_milli
         |FROM documents""".stripMargin,
+    // Arithmetic oracle for the REAL image resize: fit-within dims are
+    // the operator's integer contract ((w,h) pass through iff both fit;
+    // else the box edge matching the wider aspect pins, the other
+    // floors); solid color makes the resized luma the source luma.
+    "q_image_resize" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'no_reader'
+        |       WHEN doc_id % 10 = 0 THEN 'decode_failed'
+        |       WHEN doc_id % 10 = 5 THEN 'empty'
+        |       ELSE 'ok' END AS cause,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE w END
+        |       AS INT) AS src_width,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE h END
+        |       AS INT) AS src_height,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       WHEN w <= 8 AND h <= 8 THEN w
+        |       WHEN w >= h THEN 8
+        |       ELSE greatest(1, (w * 8) // h) END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       WHEN w <= 8 AND h <= 8 THEN h
+        |       WHEN w >= h THEN greatest(1, (h * 8) // w)
+        |       ELSE 8 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+        |       ELSE ((doc_id % 256) + ((doc_id // 3) % 256)
+        |             + ((doc_id // 7) % 256)) * 1000 // 3
+        |       END AS BIGINT) AS mean_rgb_milli
+        |FROM f""".stripMargin,
+
     // Arithmetic oracle for the REAL audio decode: WAV is lossless PCM,
     // so a constant-amplitude a clip decodes back to rms = peak = |a|
     // exactly; rate/channels/bits/frames are the encode parameters; the

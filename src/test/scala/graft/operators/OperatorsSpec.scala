@@ -753,6 +753,41 @@ class MultimodalSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("real image resize scales, preserves solid color, and routes corrupt rows") {
+    import spark.implicits._
+    val media = Seq(
+      // 16×12, solid (10, 20, 30): lands (8, 6) in an 8×8 box
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.encodeSolidPng(16, 12, 10, 20, 30), "s"),
+      // 12×16 (taller aspect): lands (6, 8)
+      Multimodal.MediaRow(2L, "image",
+        Multimodal.encodeSolidPng(12, 16, 200, 100, 50), "s"),
+      // 5×4 already fits: passes through
+      Multimodal.MediaRow(3L, "image",
+        Multimodal.encodeSolidPng(5, 4, 1, 2, 3), "s"),
+      Multimodal.MediaRow(4L, "image", Array.fill(16)(0x55.toByte), "s"),
+      Multimodal.MediaRow(5L, "image", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.resizeImages(media, targetW = 8, targetH = 8)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(got(1L).cause == "ok" && got(1L).width == Some(8) &&
+      got(1L).height == Some(6) && got(1L).src_width == Some(16))
+    assert(got(2L).width == Some(6) && got(2L).height == Some(8))
+    assert(got(3L).width == Some(5) && got(3L).height == Some(4))
+    assert(got(4L).cause == "no_reader" && got(5L).cause == "empty")
+    // the thumbnail bytes ARE the resized raster: decode them back and
+    // check dimensions and the exact solid color survive the round trip
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).thumb_png.get))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    val px = for (y <- 0 until 6; x <- 0 until 8) yield img.getRGB(x, y)
+    assert(px.forall(_ == ((0xff << 24) | (10 << 16) | (20 << 8) | 30)))
+    assert(got(1L).mean_rgb_milli == Some((10 + 20 + 30) * 1000L / 3))
+    // determinism across runs (PNG re-encode is canonical enough to pin)
+    val again = Multimodal.resizeImages(media, targetW = 8, targetH = 8)
+      .collect().map(r => r.media_id -> r.thumb_png.map(_.toSeq)).toMap
+    assert(again(1L) == got(1L).thumb_png.map(_.toSeq))
+  }
+
   test("frame sampling yields stride-spaced frames") {
     import spark.implicits._
     val media = Seq(Multimodal.MediaRow(1L, "video",
