@@ -329,19 +329,30 @@ object ScaleRehearsal {
     }
 
     if (run("storecollapse")) {
-      // the collapse-front store on the replicated corpus: same 10
-      // id-sliced batches as storeincr, but state is keyed by distinct
-      // shingle set — after batch 1 lands the ~n_docs/10 distinct sets,
-      // later batches are ~100% exact dups and should append membership
-      // only (near-zero state growth, near-zero probe work). THE
-      // wall-flatness claim storeincr cannot make on this corpus.
+      // the collapse-front store under RE-CRAWL ingest: batches are
+      // contiguous id-RANGE deciles, which on the ×10 corpus makes each
+      // batch one crawl snapshot (replica ids live in disjoint high
+      // ranges — batch 0 is the distinct corpus, batches 1..9 are exact
+      // re-crawls of it). A per-doc store pays probes + scoring for
+      // every re-crawled doc; the collapse store matches stored sets
+      // and appends MEMBERSHIP ONLY — near-zero state growth and
+      // near-zero probe work from batch 1 on. THE wall-flatness claim
+      // storeincr's spread slicing cannot make on this corpus.
       val dir = java.nio.file.Files.createTempDirectory("storecoll")
         .toFile.getAbsolutePath
       val store = new graft.operators.dedup.ReleaseStore(spark, dir,
         "doc_id", "text", lshFront = true, collapseFront = true)
       val slices = 10
+      val splits = docs.stat.approxQuantile("doc_id",
+        (1 until slices).map(_.toDouble / slices).toArray, 0.0)
+        .map(_.toLong)
+      def sliceOf(i: Int) = {
+        val lo = if (i == 0) Long.MinValue else splits(i - 1)
+        val hi = if (i == slices - 1) Long.MaxValue else splits(i)
+        docs.where(col("doc_id") > lo && col("doc_id") <= hi)
+      }
       val walls = (0 until slices).map { i =>
-        val b = docs.where(pmod(col("doc_id"), lit(slices)) === i)
+        val b = sliceOf(i)
         val (_, t) = timed(store.ingest(b, batchId = Some(i.toLong)))
         if (i == slices / 2) store.compact(64L * 1024 * 1024)
         t
