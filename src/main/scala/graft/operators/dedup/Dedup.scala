@@ -467,17 +467,33 @@ object Dedup {
   private def prefLen(ctPm: Long): Column =
     expr(s"n - ((n * $ctPm + 999) div 1000) + 1")
 
-  /** The rarest-first containment prefix: each doc's n − ⌈t·n⌉ + 1
-    * lowest-(df, s) index rows. ANY subset of that size carries the
-    * recall guarantee (missing all of it bounds common < t·n);
-    * rarest-first is purely the performance choice that concentrates
-    * probes on df≈1 shingles. Preserves `filtered`'s columns so
-    * callers can carry flags (is_b) through.
+  /** Minimum shared-prefix rows the EXTENDED-prefix probe demands of a
+    * candidate (the AdaptJoin ℓ-prefix trade): a cont ≥ t pair leaves at
+    * most n − ⌈t·n⌉ of p's shingles unshared, so any
+    * n − ⌈t·n⌉ + k prefix rows contain ≥ min(k, ⌈t·n⌉) shared ones —
+    * probing k − 1 extra rows per doc (a few percent more probe-join
+    * fuel) buys the cnt ≥ k filter, which kills the single-rare-shingle
+    * collisions that are ~99% of the plain probe's false candidates
+    * (they rank early in BOTH docs precisely because ranks follow one
+    * global df order, so no positional bound can touch them). Recall
+    * stays exact by the same counting theorem; [[containmentAudit]]
+    * replicates the whole discipline so recall_pm = 1000 gates it.
+    */
+  private[dedup] val PrefixMinShared = 3
+
+  /** The rarest-first containment prefix: each doc's
+    * n − ⌈t·n⌉ + 1 + `extraRows` lowest-(df, s) index rows. ANY subset
+    * of the theorem size n − ⌈t·n⌉ + 1 carries the recall guarantee
+    * (missing all of it bounds common < t·n); `extraRows` widens it for
+    * the [[PrefixMinShared]] count filter; rarest-first is purely the
+    * performance choice that concentrates probes on df≈1 shingles.
+    * Preserves `filtered`'s columns so callers can carry flags (is_b)
+    * through.
     */
   private[dedup] def rarestPrefix(filtered: DataFrame, sizes: DataFrame,
-      ctPm: Long, dfs: DataFrame): DataFrame =
+      ctPm: Long, dfs: DataFrame, extraRows: Int = 0): DataFrame =
     rankedIndex(filtered, sizes, dfs)
-      .where(col("rn") <= prefLen(ctPm))
+      .where(col("rn") <= prefLen(ctPm) + extraRows)
       .select(filtered.columns.map(col).toIndexedSeq: _*)
 
   /** Prefix rows probing an index: every (prefix doc, index doc) pair
@@ -494,6 +510,29 @@ object Dedup {
         col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
       .select(least(col("p.id"), col("f.id")).as("id_a"),
         greatest(col("p.id"), col("f.id")).as("id_b"))
+
+  /** COUNT-FILTERED plain prefix probe — the [[PrefixMinShared]] fuel
+    * cut for the stored-state path, where per-doc ranks come from
+    * different ingest eras so positional bounds don't apply but the
+    * SUBSET argument still does, ranking-free: if `pref` holds ≥
+    * n − ⌈t·n⌉ + k rows of each probing doc (ANY rows — the ingest-era
+    * rarest-first choice is performance only), a cont ≥ t pair shares
+    * ≥ min(k, ⌈t·n⌉) of them, so the count filter keeps exact recall
+    * while killing single-collision fuel. `prefSizes` = (id, n) FULL
+    * set sizes of the probing side.
+    */
+  private[dedup] def prefixProbeCounted(pref: DataFrame, index: DataFrame,
+      prefSizes: DataFrame, ctPm: Long, minShared: Int): DataFrame =
+    pref.select(col("id"), col("s")).as("p")
+      .join(index.select(col("id"), col("s")).as("f"),
+        col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
+      .groupBy(col("p.id").as("pid"), col("f.id").as("fid"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(prefSizes.select(col("id").as("pid"), col("n")), Seq("pid"))
+      .where(col("cnt") >=
+        least(lit(minShared), expr(s"(n * $ctPm + 999) div 1000")))
+      .select(least(col("pid"), col("fid")).as("id_a"),
+        greatest(col("pid"), col("fid")).as("id_b"))
 
   /** POSITIONAL prefix probe — PPJoin's position bound adapted to the
     * one-sided containment test, applied at each directed pair's
@@ -524,8 +563,10 @@ object Dedup {
     * @param indexSide restricts which docs are probed against
     */
   private[dedup] def prefixProbePos(ranked: DataFrame, ctPm: Long,
-      probeSide: Column = lit(true), indexSide: Column = lit(true)): DataFrame = {
-    val pref = ranked.where(col("rn") <= prefLen(ctPm)).where(probeSide)
+      probeSide: Column = lit(true), indexSide: Column = lit(true),
+      minShared: Int = PrefixMinShared): DataFrame = {
+    val pref = ranked
+      .where(col("rn") <= prefLen(ctPm) + (minShared - 1)).where(probeSide)
       .select(col("id"), col("s"), col("rn"), col("n"))
     val idx = ranked.where(indexSide)
       .select(col("id"), col("s"), col("rn"), col("n"))
@@ -534,11 +575,27 @@ object Dedup {
         col("p.s") === col("f.s") && col("p.id") =!= col("f.id"))
       .groupBy(col("p.id").as("pid"), col("f.id").as("fid"))
       // ranks are unique per doc, so min over (i, j, …) structs is the
-      // row of the minimal shared prefix shingle
+      // row of the minimal shared prefix shingle; jmax/cnt feed the
+      // second (count) bound below
       .agg(min(struct(col("p.rn").as("i"), col("f.rn").as("j"),
-        col("p.n").as("np"), col("f.n").as("nf"))).as("m"))
+        col("p.n").as("np"), col("f.n").as("nf"))).as("m"),
+        max(col("f.rn")).as("jmax"), count(lit(1)).as("cnt"))
       .where(lit(1) + least(col("m.np") - col("m.i"), col("m.nf") - col("m.j")) >=
         expr(s"(m.np * $ctPm + 999) div 1000"))
+      // COUNT bound, independently exact: shared = (shared ∩ pref(p)) +
+      // (shared ∩ suffix(p)) = cnt + suffix-shared, and every shared
+      // suffix shingle orders above the LARGEST shared prefix row in
+      // BOTH docs' rankings (per-doc ranks follow one global (df, s)
+      // order), so suffix-shared ≤ nf − jmax. At cnt = 1 this is
+      // strictly tighter than the minimal-row bound; beyond that the
+      // two prune incomparable sets — both apply, both exact
+      .where(col("cnt") + col("m.nf") - col("jmax") >=
+        expr(s"(m.np * $ctPm + 999) div 1000"))
+      // MIN-SHARED filter (the [[PrefixMinShared]] contract): the
+      // extended prefix guarantees a qualifying pair ≥ min(k, ⌈t·np⌉)
+      // shared rows in it — the lever that kills single-collision fuel
+      .where(col("cnt") >=
+        least(lit(minShared), expr(s"(m.np * $ctPm + 999) div 1000")))
       .select(least(col("pid"), col("fid")).as("id_a"),
         greatest(col("pid"), col("fid")).as("id_b"))
   }
@@ -776,7 +833,8 @@ object Dedup {
         .groupBy("band", "bh").agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("band_pairs"))
     val prefixPairs =
-      rarestPrefix(filtered, sizes, math.round(containThreshold * 1000), dfs)
+      rarestPrefix(filtered, sizes, math.round(containThreshold * 1000), dfs,
+        extraRows = PrefixMinShared - 1)
         .join(dfs, Seq("s"))
         .agg(sum(col("df") - 1).cast("long").as("prefix_pairs"))
     // prefix_pairs prices the PROBE join's output (the shuffle the

@@ -110,13 +110,46 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * stored prefixes, so capped stores keep the recompute path (the
     * documented [[Dedup.incrementalRelease]] drift contract).
     *
-    * The positional prefix filter does NOT apply here: its minimal-
+    * The POSITIONAL prefix filter does NOT apply here (its minimal-
     * shared-row argument needs both sides ranked by ONE coherent
     * order, and stored prefixes deliberately keep their ingest-era
-    * ranks ([[Dedup.prefixProbe]]'s scaladoc) — the plain probe keeps
-    * recall exact at the cost of filterable fuel.
+    * ranks), but the COUNT filter does: the subset argument is
+    * ranking-free, so stores whose prefixes were written
+    * [[Dedup.PrefixMinShared]] − 1 rows wide probe through
+    * [[Dedup.prefixProbeCounted]] — single-collision fuel dies on the
+    * stored path too. The width is a STORE property persisted in
+    * `prefixes.meta` at state creation: legacy stores (no meta) keep
+    * theorem-width prefixes and the plain probe, because filtering
+    * against narrower stored rows would lose recall.
     */
   private val stateTables = Seq("shingles", "bands", "prefixes")
+
+  /** Extra prefix rows beyond the theorem width in the STORED prefixes
+    * table: the `prefixes.meta` value; 0 (plain-probe legacy) when the
+    * table predates the meta file; the [[Dedup.PrefixMinShared]] width
+    * for state not yet created.
+    */
+  private def prefixExtra: Int = {
+    val meta = hPath(s"$path/prefixes.meta")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else if (fs.exists(hPath(s"$path/prefixes"))) 0
+    else Dedup.PrefixMinShared - 1
+  }
+
+  /** Pin the store's prefix width the moment state is first written
+    * (idempotent — replay writes the same value).
+    */
+  private def writePrefixMeta(extra: Int): Unit = {
+    val meta = hPath(s"$path/prefixes.meta")
+    if (!fs.exists(meta)) {
+      val out = fs.create(meta, true)
+      try out.write(extra.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
   private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -346,9 +379,11 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // enough for probe economy, and ANY prefix choice keeps recall
     val bdf = bIdx.groupBy("s").agg(count(lit(1)).as("df"))
     val bSizes = bsh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    val pExtra = prefixExtra
+    writePrefixMeta(pExtra)
     val bPref = graft.ScratchCache.persist(
       Dedup.rarestPrefix(bIdx, bSizes,
-        math.round(containThreshold * 1000), bdf))
+        math.round(containThreshold * 1000), bdf, extraRows = pExtra))
     markers.guarded("shingles", batchId) {
       bsh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
     }
@@ -425,11 +460,15 @@ final class ReleaseStore(spark: SparkSession, path: String,
     if (missing.contains("bands"))
       install("bands", Dedup.fastBands(sh, k, bands, seed))
     if (missing.contains("prefixes")) {
+      // honor an existing width pin (meta is the single source of
+      // truth); a store with no pin yet rebuilds at the current width
+      val pExtra = prefixExtra
+      writePrefixMeta(pExtra)
       val idx = sh.select(col("id"), explode(col("sh")).as("s"))
       val dfs = idx.groupBy("s").agg(count(lit(1)).as("df"))
       val sizes = sh.select(col("id"), size(col("sh")).cast("long").as("n"))
       install("prefixes", Dedup.rarestPrefix(idx, sizes,
-        math.round(containThreshold * 1000), dfs))
+        math.round(containThreshold * 1000), dfs, extraRows = pExtra))
     }
     members.foreach { m =>
       // rewrite the accumulated member-level pairs to rep level BEFORE
@@ -493,8 +532,23 @@ final class ReleaseStore(spark: SparkSession, path: String,
           col("a.id") =!= col("b.id"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-    val candC = Dedup.prefixProbe(bPref, storedIdx)
-      .unionAll(Dedup.prefixProbe(storedPref, bIdx))
+    // width-pinned stores probe through the count filter (exact recall
+    // by the ranking-free subset argument); legacy theorem-width
+    // prefixes keep the plain probe — filtering them would lose recall
+    val minShared = prefixExtra + 1
+    val ctPm = math.round(containThreshold * 1000)
+    val candC =
+      if (minShared <= 1)
+        Dedup.prefixProbe(bPref, storedIdx)
+          .unionAll(Dedup.prefixProbe(storedPref, bIdx))
+      else {
+        val bSizes = bsh.select(col("id"), size(col("sh")).cast("long").as("n"))
+        val sSizes =
+          storedSh.select(col("id"), size(col("sh")).cast("long").as("n"))
+        Dedup.prefixProbeCounted(bPref, storedIdx, bSizes, ctPm, minShared)
+          .unionAll(
+            Dedup.prefixProbeCounted(storedPref, bIdx, sSizes, ctPm, minShared))
+      }
     val cand = graft.ScratchCache.persist(candJ.unionAll(candC).distinct())
     val candIds = cand.select(col("id_a").as("id"))
       .unionAll(cand.select(col("id_b").as("id"))).distinct()

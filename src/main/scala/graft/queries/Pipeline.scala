@@ -2743,7 +2743,7 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
          |  FROM hv JOIN dfs d ON hv.h = d.h),
          |pref AS (SELECT rk.doc_id, rk.h FROM rk JOIN n ON rk.doc_id = n.doc_id
-         |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 1),
+         |  WHERE rn <= n.cnt - ((n.cnt * 800 + 999) // 1000) + 3),
          |pp AS (SELECT CAST(sum(d.df - 1) AS BIGINT) AS prefix_pairs
          |  FROM pref JOIN dfs d ON pref.h = d.h),
          |ir AS (SELECT CAST(count(*) AS BIGINT) AS index_rows FROM hv),
@@ -2760,7 +2760,10 @@ object Pipeline {
     },
     // Generated oracle: the rarest-first prefix containment candidates
     // (integer prefix length, (df, h) ordering, PPJoin-style positional
-    // bound at each directed pair's minimal shared prefix shingle)
+    // bound at each directed pair's minimal shared prefix shingle PLUS
+    // the count bound sc + nf − jmax PLUS the extended-prefix min-shared
+    // filter sc ≥ min(3, ⌈t·np⌉) — all replicated here so the
+    // recall_pm = 1000 gate keeps gating what ships)
     // FULL OUTER JOINed against exact-containment ground truth in
     // 48-bit hash space. The Spark side's df-cap is hash-neutral at
     // gate SFs (cap >> max honest df), so the oracle omits it — the
@@ -2778,16 +2781,19 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY hv.doc_id ORDER BY d.df, hv.h) AS rn
          |  FROM hv JOIN dfs d ON hv.h = d.h JOIN n ON hv.doc_id = n.doc_id),
          |pref AS (SELECT * FROM rk
-         |  WHERE rn <= cnt - ((cnt * 800 + 999) // 1000) + 1),
+         |  WHERE rn <= cnt - ((cnt * 800 + 999) // 1000) + 3),
          |probe AS (SELECT p.doc_id AS pid, f.doc_id AS fid,
          |    min(p.rn) AS i, arg_min(f.rn, p.rn) AS j,
-         |    min(p.cnt) AS np, min(f.cnt) AS nf
+         |    min(p.cnt) AS np, min(f.cnt) AS nf,
+         |    max(f.rn) AS jmax, count(*) AS sc
          |  FROM pref p JOIN rk f ON p.h = f.h AND p.doc_id != f.doc_id
          |  GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT least(pid, fid) AS id_a,
          |    greatest(pid, fid) AS id_b
          |  FROM probe
-         |  WHERE 1 + least(np - i, nf - j) >= (np * 800 + 999) // 1000),
+         |  WHERE 1 + least(np - i, nf - j) >= (np * 800 + 999) // 1000
+         |    AND sc + nf - jmax >= (np * 800 + 999) // 1000
+         |    AND sc >= least(3, (np * 800 + 999) // 1000)),
          |ex AS (SELECT ha.doc_id AS id_a, hb.doc_id AS id_b, count(*) AS c
          |  FROM hv ha JOIN hv hb ON ha.h = hb.h AND ha.doc_id < hb.doc_id
          |  GROUP BY 1, 2),

@@ -259,6 +259,41 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a legacy width pin (prefixes.meta = 0) keeps the plain probe and parity") {
+    // stores whose prefixes were written at theorem width must NOT be
+    // count-filtered (recall would break); the meta file is the single
+    // source of truth, so pin width 0 before any state exists and run
+    // the full two-direction scenario — parity must hold via the plain
+    // probe path
+    val bA = doc(
+      (1L, "red orange yellow green blue purple"),
+      (50L, "totally unrelated text about completely different things"))
+    val bB = doc(
+      (10L, "the quick brown fox jumps over red orange yellow green blue " +
+        "purple and then runs far away into the deep dark forest tonight"))
+    val bC = doc((12L, "runs far away into the deep dark forest"))
+    val dir = Files.createTempDirectory("rellegacy").toFile.getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/prefixes.meta"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    val store = new ReleaseStore(spark, dir, "doc_id", "text", lshFront = true)
+    store.ingest(bA, batchId = Some(0L))
+    store.ingest(bB, batchId = Some(1L))
+    store.ingest(bC, batchId = Some(2L))
+    val all = bA.unionByName(bB).unionByName(bC)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.containment) == rows(want.containment))
+    val cont = got.containment.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cont.contains((1L, 10L)) && cont.contains((10L, 12L)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("collapse store: dup-heavy batches pay for novel content only, products stay exact") {
     // the collapse-front store pin: state tables hold one row per
     // DISTINCT shingle set, exact-dup arrivals append membership only,
