@@ -227,6 +227,29 @@ object Pipeline {
         .groupBy("fp")
         .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))),
 
+    // the SQL-callable surface: the same native expressions, but driven
+    // from a raw spark.sql string through the session FunctionRegistry
+    // (GraftFunctions.registerAll) — gates the REGISTRATION path the
+    // Column-API queries never touch. Witnesses are oracle-portable:
+    // md5 of the normalized text, the full-text window count + a
+    // 64-char-head md5 for char 3-grams, sorted-distinct word
+    // 2-shingles md5, and the Mersenne-61 rolling fingerprint
+    "q_sql_surface" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql("""
+        SELECT doc_id,
+          md5(normalize_text(text)) AS norm_md5,
+          CAST(size(char_ngrams(text, 3)) AS BIGINT) AS trigram_windows,
+          md5(array_join(char_ngrams(substring(text, 1, 64), 3), '|'))
+            AS head_trigrams_md5,
+          md5(array_join(array_sort(
+            word_shingles(split(trim(text), '\\s+'), 2)), '|'))
+            AS shingles2_md5,
+          rolling_hash64(text) AS fp
+        FROM graft_sql_docs""")
+    }),
+
     // corpus vocabulary: exact top-20 tokens by frequency
     "q_vocab_top" -> ((s, dir) =>
       docs(s, dir)
@@ -1845,6 +1868,28 @@ object Pipeline {
         |  FROM h)
         |SELECT fp, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keeper
         |FROM f GROUP BY 1""".stripMargin,
+    "q_sql_surface" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    substr(text, 1, 64) AS head,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    hex(encode(text)) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[\t\n\f\r ]+', ' ', 'g'))) AS norm_md5,
+        |  CAST(greatest(length(text) - 2, 0) AS BIGINT) AS trigram_windows,
+        |  md5(array_to_string(
+        |    [substr(head, i, 3) for i in range(1, greatest(length(head) - 1, 1))],
+        |    '|')) AS head_trigrams_md5,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    [w[i] || ' ' || w[i + 1] for i in range(1, len(w))])),
+        |    '|')) AS shingles2_md5,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    [CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |          + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS HUGEINT)
+        |     for i in range(1, length(hx)//2 + 1)]),
+        |    (acc, c) -> (acc * 131 + c) % 2305843009213693951) AS BIGINT) AS fp
+        |FROM base""".stripMargin,
     "q_vocab_top" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
         |  FROM documents)
