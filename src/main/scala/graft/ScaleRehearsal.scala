@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.dedup.Dedup
-import graft.operators.similarity.{KMeans, SemDedup}
+import graft.operators.similarity.{CosineSearch, KMeans, SemDedup}
 import graft.operators.text.{Dsir, TextAnalysis}
 
 /** Scale rehearsal for the pair-heavy operators: measures the INTERNAL
@@ -18,7 +18,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storecollapse,frontier (default: all)
+  * increlease,collapse,storeincr,storecollapse,annx,frontier
+  * (default: all)
   * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
@@ -373,6 +374,64 @@ object ScaleRehearsal {
       out += "storecoll_products_sec" -> tProd
       out += "storecoll_verified_pairs" -> collPairs
       out += "storecoll_containment_pairs" -> collCont
+    }
+
+    if (run("annx")) {
+      // ANN at scale: the replicated embeddings are 100%-identical
+      // copies (a degenerate ANN corpus — any copy is a perfect
+      // neighbor), so DISTINCT vectors are derived by a deterministic
+      // per-copy perturbation of each float (±0.125 from the element's
+      // xxhash64 — replica 0 keeps small offsets too, so every stored
+      // vector is unique but clusters stay put). Measures the honest
+      // trade the similarity family sells: brute-force ground truth vs
+      // in-memory IVF vs the PERSISTED cell-partitioned index
+      // (build-once-probe-many), with recall@10 against brute force.
+      val perturbed = embs.select(col("vec_id").as("id"),
+        expr("transform(embedding, (x, i) -> CAST(x + " +
+          "(pmod(xxhash64(concat(CAST(vec_id AS STRING), '_', " +
+          "CAST(i AS STRING))), 1000) / 4000.0 - 0.125) AS FLOAT))")
+          .as("embedding"))
+      val corpus = ScratchCache.persist(perturbed)
+      val nVecs = corpus.count()
+      out += "ann_corpus" -> nVecs
+      val queries = corpus.where(col("id") < 100)
+        .select(col("id").as("qid"), col("embedding"))
+      val k = 10
+      var truth: org.apache.spark.sql.DataFrame = null
+      val (_, tBrute) = timed {
+        truth = ScratchCache.persist(
+          CosineSearch.bruteForce(queries, corpus, k)
+            .select(col("qid"), col("id")))
+        truth.count()
+      }
+      out += "ann_brute_sec" -> tBrute
+      def recallPm(approx: org.apache.spark.sql.DataFrame): Long = {
+        val hits = truth.join(approx.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_semi").count()
+        hits * 1000 / truth.count()
+      }
+      val (ivf, tIvf) = timed {
+        val r = ScratchCache.persist(
+          CosineSearch.ivfTopK(queries, corpus, k, nlist = 64, nprobe = 8))
+        r.count()
+        r
+      }
+      out += "ann_ivf_sec" -> tIvf
+      out += "ann_ivf_recall_pm" -> recallPm(ivf)
+      val idxDir = java.nio.file.Files.createTempDirectory("annx")
+        .toFile.getAbsolutePath
+      val (_, tBuild) = timed(
+        CosineSearch.buildIvfIndex(corpus, idxDir, nlist = 64))
+      out += "ann_index_build_sec" -> tBuild
+      val (idx, tSearch) = timed {
+        val r = ScratchCache.persist(CosineSearch.searchIvfIndex(
+          spark, idxDir, queries, k, nprobe = 8))
+        r.count()
+        r
+      }
+      out += "ann_index_search_sec" -> tSearch
+      out += "ann_index_recall_pm" -> recallPm(idx)
+      ScratchCache.releaseAll(spark)
     }
 
     if (run("frontier")) {

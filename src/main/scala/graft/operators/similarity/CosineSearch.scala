@@ -369,24 +369,25 @@ object CosineSearch {
       .select(col("qid"), col("rank"), col("id"), col("sim_e6"))
   }
 
-  /** Centroid ranking for IVF cell assignment/probing: (neg dot/centNorm,
-    * cellId) structs sort ascending = best cell first; the row's own norm
-    * divides out of the argmax, so it is skipped. The denominator floors
-    * at 1e-12 like KMeans.bestCell — an all-zero centroid would otherwise
-    * score NaN and become unprobeable. Scores stay RAW doubles (not
+  /** Centroid ranking for IVF cell assignment/probing, via the native
+    * one-pass [[graft.expressions.NearestCells]] (bit-identical ordering
+    * to the former sort_array-of-structs form — see its scaladoc for
+    * the parity argument and the measured interpreted-SortArray cost it
+    * removes). The row's own norm divides out of the argmax, so it is
+    * skipped; the centroid-norm denominator floors at 1e-12 like
+    * KMeans.bestCell — an all-zero centroid would otherwise score NaN
+    * and become unprobeable. Scores stay RAW doubles internally (not
     * e6-quantized like KMeans.assign): the q_sim_ivf oracle replicates
     * this exact raw ordering, and the exact re-rank downstream makes
     * sub-ulp assignment ties harmless here.
     */
-  private[similarity] def cellRank(cents: Array[Array[Double]], vec: Column): Column = {
-    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    sort_array(array(
-      cents.zipWithIndex.map { case (c, i) =>
-        struct((-dots(vec, typedLit(c.toSeq)) /
-          math.max(centNorms(i), 1e-12)).as("negSim"),
-          lit(i).as("cell"))
-      }.toIndexedSeq: _*))
-  }
+  private[similarity] def cellOf(cents: Array[Array[Double]],
+      vec: Column): Column =
+    element_at(graft.expressions.NearestCells(vec, cents, 1), 1)
+
+  private[similarity] def probeCells(cents: Array[Array[Double]],
+      vec: Column, nprobe: Int): Column =
+    graft.expressions.NearestCells(vec, cents, nprobe)
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of `nlist`
     * centroids partitions the corpus into cells; each corpus vector is
@@ -410,10 +411,9 @@ object CosineSearch {
     val cents: Array[Array[Double]] = codebook.getOrElse(
       KMeans.seedCentroids(corpus, nlist, idCol, embCol))
     val c = withNorm(corpus, idCol, "id", embCol, "cv")
-      .withColumn("cell", element_at(cellRank(cents, col("cv")), 1).getField("cell"))
+      .withColumn("cell", cellOf(cents, col("cv")))
     val q = withNorm(queries, qidCol, "qid", embCol, "qv")
-      .withColumn("cell", explode(transform(
-        slice(cellRank(cents, col("qv")), 1, nprobe), s => s.getField("cell"))))
+      .withColumn("cell", explode(probeCells(cents, col("qv"), nprobe)))
     val w = Window.partitionBy("qid").orderBy(desc("sim_e6"), asc("id"))
     c.join(broadcast(q), Seq("cell"))
       .where(col("qid") =!= col("id"))
@@ -442,7 +442,7 @@ object CosineSearch {
       KMeans.seedCentroids(corpus, nlist, idCol, embCol))
     withNorm(corpus, idCol, "id", embCol, "cv")
       .withColumn("cell",
-        element_at(cellRank(cents, col("cv")), 1).getField("cell"))
+        cellOf(cents, col("cv")))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     import spark.implicits._
@@ -489,7 +489,7 @@ object CosineSearch {
     new graft.store.CommitMarkers(spark, path).guarded("cells", batchId) {
       withNorm(batch, idCol, "id", embCol, "cv")
         .withColumn("cell",
-          element_at(cellRank(cents, col("cv")), 1).getField("cell"))
+          cellOf(cents, col("cv")))
         .repartition(col("cell"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy("cell").parquet(s"$path/cells")
@@ -501,8 +501,7 @@ object CosineSearch {
       embCol: String = "embedding"): DataFrame = {
     val cents: Array[Array[Double]] = readCodebook(spark, path)
     val q = withNorm(queries, qidCol, "qid", embCol, "qv")
-      .withColumn("cell", explode(transform(
-        slice(cellRank(cents, col("qv")), 1, nprobe), s => s.getField("cell"))))
+      .withColumn("cell", explode(probeCells(cents, col("qv"), nprobe)))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
@@ -531,8 +530,7 @@ object CosineSearch {
     val cents = codebook.getOrElse(
       KMeans.seedCentroids(corpus, nlist, idCol, embCol))
     val occ = corpus
-      .select(element_at(cellRank(cents, col(embCol).cast("array<double>")), 1)
-        .getField("cell").as("cell"))
+      .select(cellOf(cents, col(embCol).cast("array<double>")).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n"))
     occ.crossJoin(broadcast(occ.agg(sum("n").as("__t"))))
       .select(col("cell"), col("n"),

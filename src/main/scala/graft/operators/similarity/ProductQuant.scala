@@ -114,15 +114,14 @@ object ProductQuant {
     // this is parquet partitioned by cell (buildIvfIndex's layout) and
     // the probe join below becomes partition pruning
     val enc = corpus.select(col(idCol).as("id"),
-      element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+      CosineSearch.cellOf(cents, cv)
         .as("cell"),
       Sketches.pqEncode(cv, cb).as("codes"))
     val qv = col(embCol).cast("array<double>")
     val q = queries.select(col(qidCol).as("qid"),
       Sketches.pqLut(qv, cb).as("lut"),
       qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"),
-      transform(slice(CosineSearch.cellRank(cents, qv), 1, nprobe),
-        s => s.getField("cell")).as("cells"))
+      CosineSearch.probeCells(cents, qv, nprobe).as("cells"))
     // each corpus row lives in exactly ONE cell, so multi-probe never
     // duplicates a candidate — no distinct needed
     val probe = q.select(col("qid"), col("lut"),
@@ -149,7 +148,7 @@ object ProductQuant {
     val cb = codebook(corpus, m, ksub, idCol, embCol)
     val cv = col(embCol).cast("array<double>")
     corpus.select(col(idCol).as("id"),
-        element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+        CosineSearch.cellOf(cents, cv)
           .as("cell"),
         Sketches.pqEncode(cv, cb).as("codes"))
       .repartition(col("cell"))
@@ -180,7 +179,7 @@ object ProductQuant {
     val cv = col(embCol).cast("array<double>")
     new graft.store.CommitMarkers(spark, path).guarded("cells", batchId) {
       batch.select(col(idCol).as("id"),
-          element_at(CosineSearch.cellRank(cents, cv), 1).getField("cell")
+          CosineSearch.cellOf(cents, cv)
             .as("cell"),
           Sketches.pqEncode(cv, cb).as("codes"))
         .repartition(col("cell"))
@@ -222,8 +221,7 @@ object ProductQuant {
     val q = queries.select(col(qidCol).as("qid"),
       Sketches.pqLut(qv, cb).as("lut"),
       qv.as("qv"), sqrt(Sketches.dotProduct(qv, qv)).as("qv_n"),
-      transform(slice(CosineSearch.cellRank(cents, qv), 1, nprobe),
-        s => s.getField("cell")).as("cells"))
+      CosineSearch.probeCells(cents, qv, nprobe).as("cells"))
     val probed = q.select(explode(col("cells")).as("cell"))
       .distinct().collect().map(_.getInt(0))
     val enc = spark.read.parquet(s"$path/cells")
