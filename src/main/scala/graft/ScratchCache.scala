@@ -52,6 +52,28 @@ object ScratchCache {
     }
   }
 
+  /** Run `f` and release every scratch frame persisted DURING it — for
+    * self-contained passes (a planner's counting plan, a one-shot audit)
+    * whose persists have no consumer once the block returns, without
+    * touching frames the caller already holds. Not re-entrancy-safe
+    * across concurrent sessions persisting interleaved scratch; the
+    * execution entry points run queries sequentially.
+    */
+  def scoped[T](f: => T): T = {
+    val before = new java.util.HashSet[Dataset[_]](tracked)
+    val r = f
+    val it = tracked.iterator()
+    while (it.hasNext) {
+      val ds = it.next()
+      if (!before.contains(ds)) {
+        try ds.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () } // session stopped
+        it.remove()
+      }
+    }
+    r
+  }
+
   /** Unpersist every tracked dataset belonging to `spark`. Non-blocking:
     * block removal proceeds in the background while the next query plans.
     */

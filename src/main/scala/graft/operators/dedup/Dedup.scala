@@ -814,14 +814,7 @@ object Dedup {
     // with one shape and a pipeline run with another steers the front
     // decision with the wrong number; the oracle gate prices the
     // portable gate shape (k=32/bands=16) explicitly
-    val shingled =
-      if (portable) portableHashedShingles(df, idCol, textCol)
-      else graft.ScratchCache.persist(df
-        .select(col(idCol).as("id"),
-          array_distinct(
-            transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
-            .as("sh"))
-        .where(size(col("sh")) > 0))
+    val shingled = hashedShingles(df, idCol, textCol, portable)
     val idx0 = shingled.select(col("id"), explode(col("sh")).as("s"))
     val (filtered, dfs) = cappedIndexWithDf(idx0, maxShingleDf)
     val sizes = filtered.groupBy("id").agg(count(lit(1)).as("n"))
@@ -892,8 +885,13 @@ object Dedup {
   def frontDecisions(df: DataFrame, idCol: String, textCol: String,
       containThreshold: Double = 0.8, maxShingleDf: Option[Int] = None,
       k: Int = 128, bands: Int = 32, seed: Long = 42L): (Boolean, Boolean) = {
-    val r = lshFrontCostPlan(df, idCol, textCol, containThreshold,
-      maxShingleDf, k, bands, seed, portable = false).head()
+    // scoped: the counting plan's persisted shingle table has no
+    // consumer after head() — without the release it would pin a
+    // corpus-scale cache entry for the whole release that follows
+    val r = graft.ScratchCache.scoped {
+      lshFrontCostPlan(df, idCol, textCol, containThreshold,
+        maxShingleDf, k, bands, seed, portable = false).head()
+    }
     val saved = r.getAs[Long]("exact_pairs") -
       (r.getAs[Long]("band_pairs") + r.getAs[Long]("prefix_pairs"))
     val useLsh = saved > 5L * r.getAs[Long]("index_rows")

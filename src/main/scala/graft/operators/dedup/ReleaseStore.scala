@@ -141,13 +141,20 @@ final class ReleaseStore(spark: SparkSession, path: String,
   }
 
   /** Pin the store's prefix width the moment state is first written
-    * (idempotent — replay writes the same value).
+    * (idempotent — replay writes the same value). Write-temp-then-rename
+    * like every other durable write here: a crash mid-write must not
+    * leave an empty meta file that [[prefixExtra]]'s toInt chokes on
+    * forever.
     */
   private def writePrefixMeta(extra: Int): Unit = {
     val meta = hPath(s"$path/prefixes.meta")
     if (!fs.exists(meta)) {
-      val out = fs.create(meta, true)
+      val tmp = hPath(s"$path/prefixes.meta.tmp")
+      val out = fs.create(tmp, true)
       try out.write(extra.toString.getBytes("UTF-8")) finally out.close()
+      // a lost rename race means another writer pinned the (identical)
+      // value first — drop the temp
+      if (!fs.rename(tmp, meta)) fs.delete(tmp, false)
     }
   }
   private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
@@ -339,6 +346,25 @@ final class ReleaseStore(spark: SparkSession, path: String,
     */
   private def appendState(batch: DataFrame, accepted: DataFrame,
       batchId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    // un-id'd ingests have NO marker protection (guarded(None) always
+    // writes), and state appends land BEFORE the docs append — a crash
+    // between them replays with the same accepted set (docs unchanged →
+    // same anti-join) and would append every state row a second time,
+    // durably corrupting the scored delta of every later batch. Dedup
+    // each un-id'd state append against the table's stored ids instead:
+    // the recomputed rows are deterministic functions of the accepted
+    // set, so skipping already-present ids is exactly replay semantics,
+    // per table (a crash between the shingles and bands appends skips
+    // one and lands the other).
+    def dedupAppend(frame: DataFrame, table: String): Unit = {
+      val fresh =
+        if (batchId.isEmpty && fs.exists(hPath(s"$path/$table")))
+          frame.join(spark.read.schema(frame.schema)
+              .parquet(s"$path/$table").select(col("id")),
+            Seq("id"), "left_anti")
+        else frame
+      fresh.write.mode(SaveMode.Append).parquet(s"$path/$table")
+    }
     val bdocs = batch.dropDuplicates(idCol)
       .join(accepted, col(idCol) === col("__bid"), "left_semi")
     val bshAll = Dedup.hashedShingles(bdocs, idCol, textCol, portable = false)
@@ -367,7 +393,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
       val members = matched.unionAll(freshRep.select(col("id"), col("rep")))
         .withColumn("batch", lit(batchId.getOrElse(-1L)))
       markers.guarded("members", batchId) {
-        members.write.mode(SaveMode.Append).parquet(s"$path/members")
+        dedupAppend(members, "members")
       }
       graft.ScratchCache.persist(
         freshRep.where(col("id") === col("rep")).select(col("id"), col("sh")))
@@ -385,13 +411,13 @@ final class ReleaseStore(spark: SparkSession, path: String,
       Dedup.rarestPrefix(bIdx, bSizes,
         math.round(containThreshold * 1000), bdf, extraRows = pExtra))
     markers.guarded("shingles", batchId) {
-      bsh.write.mode(SaveMode.Append).parquet(s"$path/shingles")
+      dedupAppend(bsh, "shingles")
     }
     markers.guarded("bands", batchId) {
-      bBands.write.mode(SaveMode.Append).parquet(s"$path/bands")
+      dedupAppend(bBands, "bands")
     }
     markers.guarded("prefixes", batchId) {
-      bPref.write.mode(SaveMode.Append).parquet(s"$path/prefixes")
+      dedupAppend(bPref, "prefixes")
     }
     (bsh, bBands, bPref)
   }

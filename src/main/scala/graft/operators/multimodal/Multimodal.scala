@@ -213,7 +213,11 @@ object Multimodal {
     *
     * `maxFrames` is the [[decodeImages]] `maxPixels` twin: the frame
     * count comes from the HEADER, and a payload declaring more than the
-    * cap routes to `too_large` before any sample is read.
+    * cap routes to `too_large` before any sample is read. A reader that
+    * reports UNKNOWN length (`AudioSystem.NOT_SPECIFIED`, e.g. an AU
+    * stream with the 0xffffffff data-size sentinel) cannot be pre-gated,
+    * so the sample pass itself stops and routes to `too_large` the
+    * moment it crosses the cap — the cap bounds work in both cases.
     */
   def decodeAudio(media: Dataset[MediaRow],
       maxFrames: Long = 1L << 32): Dataset[AudioDecode] = {
@@ -237,24 +241,32 @@ object Multimodal {
               val base = none.copy(format = Some(fname),
                 sample_rate = Some(rate), channels = Some(ch),
                 bits = Some(bits))
-              if (declared > maxFrames) base.copy(cause = "too_large")
+              if (declared >= 0 && declared > maxFrames)
+                base.copy(cause = "too_large")
               else if (bits != 16)
                 // only 16-bit signed PCM gets the sample pass (the
                 // fixture/crawl norm); other depths still report header
                 // facts with a routed cause rather than wrong amplitudes
                 base.copy(cause = "unsupported_depth",
-                  n_frames = Some(declared))
+                  n_frames = if (declared >= 0) Some(declared) else None)
               else {
                 val frameBytes = fmt.getFrameSize
                 val big = fmt.isBigEndian
                 val buf = new Array[Byte](8192 - 8192 % frameBytes)
+                // unknown-length streams (declared < 0) bypass the
+                // header gate above, so the pass itself enforces the
+                // cap: crossing maxFrames·ch samples aborts to too_large
+                val capSamples =
+                  if (maxFrames >= Long.MaxValue / ch) Long.MaxValue
+                  else maxFrames * ch
+                var over = false
                 var sumSq = 0.0
                 var peak = 0L
                 var nSamples = 0L
                 var read = in.read(buf)
-                while (read > 0) {
+                while (read > 0 && !over) {
                   var i = 0
-                  while (i + 1 < read) {
+                  while (i + 1 < read && !over) {
                     val s =
                       if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
                       else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
@@ -262,12 +274,14 @@ object Multimodal {
                     val a = math.abs(s.toLong)
                     if (a > peak) peak = a
                     nSamples += 1
+                    if (nSamples > capSamples) over = true
                     i += 2
                   }
-                  read = in.read(buf)
+                  if (!over) read = in.read(buf)
                 }
                 val frames = nSamples / ch
-                if (frames < declared)
+                if (over) base.copy(cause = "too_large")
+                else if (frames < declared)
                   // the header promised more than the payload carries
                   base.copy(cause = "truncated", n_frames = Some(frames))
                 else
@@ -318,6 +332,9 @@ object Multimodal {
     * (a well-formed AVI with no `vids` stream), `unsupported_codec`
     * (an inter-frame codec the JDK cannot decode — header facts are
     * still reported so a crawl's codec mix is measurable),
+    * `unsupported_depth` (BI_RGB at a biBitCount other than the 24bpp
+    * BGR the raster pass reads — 32bpp captures would otherwise decode
+    * to confidently-wrong features; header facts intact),
     * `too_large` (header dimensions exceed the pixel guard),
     * `truncated` (a frame chunk or chunk header runs past the payload,
     * or the container closes with fewer frame chunks than the stream
@@ -402,11 +419,19 @@ object Multimodal {
     if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return none.copy(cause = "no_reader")
 
-    // header walk: avih (global header) + the first vids strh/strf pair
+    // header walk: avih (global header) + the first vids strh/strf pair.
+    // Streams are NUMBERED by their strl's position among all strl
+    // LISTs (frame chunks are "NNdc"/"NNdb"), so the walk counts strh
+    // chunks to learn WHICH stream the vids one is — an AVI muxed with
+    // audio first carries its video frames as "01dc", not "00dc"
     var usecPerFrame = -1L
     var avihW = -1L; var avihH = -1L
     var rate = -1L; var scale = -1L; var declared = -1L
     var compression = -1L // vids strf biCompression
+    var bitCount = -1L    // vids strf biBitCount (raw depth gate)
+    var topDown = false   // vids strf biHeight < 0 (row order)
+    var streamIdx = -1    // position of the vids strh among all strh
+    var strhSeen = 0
     var moviStart = -1; var moviEnd = -1L
     var truncated = false
     def walk(start: Int, end: Int, depth: Int): Unit = {
@@ -433,15 +458,20 @@ object Multimodal {
             case "strh" if sz >= 36 =>
               lastStrhVids = fourcc(dataOff) == "vids"
               if (lastStrhVids && rate < 0) {
+                streamIdx = strhSeen
                 scale = u32(dataOff + 20); rate = u32(dataOff + 24)
                 declared = u32(dataOff + 32)
               }
+              strhSeen += 1
             case "strf" if sz >= 40 =>
               if (lastStrhVids && compression < 0) {
                 compression = u32(dataOff + 16)
+                bitCount = u32(dataOff + 14) & 0xffffL // 16-bit biBitCount
+                val bh = u32(dataOff + 8).toInt // signed biHeight
+                topDown = bh < 0
                 // BITMAPINFOHEADER dims beat avih's when present
                 if (avihW <= 0) avihW = u32(dataOff + 4)
-                if (avihH <= 0) avihH = math.abs(u32(dataOff + 8).toInt).toLong
+                if (avihH <= 0) avihH = math.abs(bh).toLong
               }
             case _ => ()
           }
@@ -477,11 +507,18 @@ object Multimodal {
     if (w.toLong * h > maxPixels) return base.copy(cause = "too_large")
     if (codecName != "raw" && codecName != "mjpeg")
       return base.copy(cause = "unsupported_codec")
+    // the raw raster pass below reads 3-byte BGR pixels; any other
+    // BI_RGB depth (32bpp BGRA captures, 8bpp paletted) would decode
+    // to confidently-wrong features — route it with header facts intact
+    if (codecName == "raw" && bitCount != 24)
+      return base.copy(cause = "unsupported_depth")
     if (moviStart < 0)
       return base.copy(cause = if (truncated) "truncated" else "no_video_stream")
 
-    // frame pass over the movi list: count every stream-0 frame chunk,
-    // raster-decode the sampled subset
+    // frame pass over the movi list: count every frame chunk of the
+    // VIDS stream (its index learned in the header walk — "NNdc"/"NNdb"
+    // where NN is the stream number), raster-decode the sampled subset
+    val framePrefix = f"$streamIdx%02d"
     val rowBytes = (w * 3 + 3) & ~3
     var nFrames = 0L
     var sampled = 0
@@ -501,7 +538,7 @@ object Multimodal {
       if (sz < 0 || pos + 8 + sz > end) truncated = true
       else {
         val dataOff = pos + 8
-        val isFrame = fc.length == 4 && fc.startsWith("00") &&
+        val isFrame = fc.length == 4 && fc.startsWith(framePrefix) &&
           (fc.endsWith("dc") || fc.endsWith("db"))
         if (isFrame) {
           val takeIt = nFrames % stride == 0 && sampled < maxSampledFrames
@@ -510,10 +547,14 @@ object Multimodal {
             if (codecName == "raw") {
               if (sz < rowBytes.toLong * h) decodeFailed = true
               else {
-                // bottom-up BGR rows, top-down accumulation for the crc
-                var y = h - 1
-                while (y >= 0) {
-                  val row = dataOff + y * rowBytes
+                // BGR rows stored bottom-up (positive biHeight) or
+                // top-down (negative); accumulate in VISUAL top-down
+                // order either way so the crc fingerprints the image,
+                // not the storage layout
+                var yv = 0
+                while (yv < h) {
+                  val row =
+                    dataOff + (if (topDown) yv else h - 1 - yv) * rowBytes
                   var x = 0
                   while (x < w) {
                     val b = p(row + 3 * x) & 0xff
@@ -528,7 +569,7 @@ object Multimodal {
                     crc.update(crcBuf)
                     x += 1
                   }
-                  y -= 1
+                  yv += 1
                 }
                 pixels += w.toLong * h
                 sampled += 1
@@ -592,7 +633,23 @@ object Multimodal {
     * LIST — the first frame chunk starts at byte 224.
     */
   def encodeSolidAvi(w: Int, h: Int, nFrames: Int, fps: Int,
-      r: Int, g: Int, b: Int, codec: String = "raw"): Array[Byte] = {
+      r: Int, g: Int, b: Int, codec: String = "raw",
+      /** strf biBitCount (header only — frame bytes stay 24bpp BGR, so
+        * a non-24 value exercises the `unsupported_depth` route)
+        */
+      bitCount: Int = 24,
+      /** negative-biHeight top-down layout: frame rows are written in
+        * VISUAL order instead of bottom-up
+        */
+      topDown: Boolean = false,
+      /** mux an audio strl BEFORE the vids strl — the video stream
+        * becomes stream 1 and its frame chunks "01dc"
+        */
+      audioFirst: Boolean = false,
+      /** paint the VISUAL top row this color instead of (r, g, b) — an
+        * orientation witness a solid frame cannot provide
+        */
+      topStripe: Option[(Int, Int, Int)] = None): Array[Byte] = {
     require(w > 0 && h > 0 && nFrames >= 0 && fps > 0)
     val frames: IndexedSeq[Array[Byte]] =
       if (codec == "mjpeg") {
@@ -613,16 +670,22 @@ object Multimodal {
       } else {
         val rowBytes = (w * 3 + 3) & ~3
         val one = new Array[Byte](rowBytes * h)
-        var y = 0
-        while (y < h) {
+        var ys = 0
+        while (ys < h) {
+          // storage row ys holds visual row yv
+          val yv = if (topDown) ys else h - 1 - ys
+          val (pr, pg, pb) = topStripe match {
+            case Some(c) if yv == 0 => c
+            case _ => (r, g, b)
+          }
           var x = 0
           while (x < w) {
-            one(y * rowBytes + 3 * x) = b.toByte
-            one(y * rowBytes + 3 * x + 1) = g.toByte
-            one(y * rowBytes + 3 * x + 2) = r.toByte
+            one(ys * rowBytes + 3 * x) = pb.toByte
+            one(ys * rowBytes + 3 * x + 1) = pg.toByte
+            one(ys * rowBytes + 3 * x + 2) = pr.toByte
             x += 1
           }
-          y += 1
+          ys += 1
         }
         IndexedSeq.fill(nFrames)(one)
       }
@@ -642,27 +705,43 @@ object Multimodal {
           (f(3).toLong << 24)
     }
     val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
-    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val audsStrlBody = 4 + (8 + 56) + (8 + 16) // strh + minimal WAVEFORMAT strf
+    val vidsStrlBody = 4 + (8 + 56) + (8 + 40)
+    val hdrlBody = 4 + (8 + 56) +
+      (if (audioFirst) 8 + audsStrlBody else 0) + (8 + vidsStrlBody)
     val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
     tag("RIFF"); le32(riffBody); tag("AVI ")
     tag("LIST"); le32(hdrlBody); tag("hdrl")
     tag("avih"); le32(56)
     le32(1000000L / fps); le32(0); le32(0); le32(0) // usec/frame, maxBps, pad, flags
-    le32(nFrames); le32(0); le32(1); le32(0) // total, initial, streams, sugBuf
+    le32(nFrames); le32(0); le32(if (audioFirst) 2 else 1); le32(0) // total, initial, streams, sugBuf
     le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + reserved
-    tag("LIST"); le32(4 + 64 + 48); tag("strl")
+    if (audioFirst) {
+      tag("LIST"); le32(audsStrlBody); tag("strl")
+      tag("strh"); le32(56)
+      tag("auds"); le32(0); le32(0); le32(0) // type, handler, flags, prio
+      le32(0); le32(1); le32(8000); le32(0) // initial, scale, rate, start
+      le32(0); le32(0); le32(0xffffffffL); le32(2) // length, sugBuf, quality, sampleSize
+      le32(0); le32(0) // rcFrame
+      tag("strf"); le32(16)
+      le32(1L | (1L << 16)); le32(8000); le32(16000); le32(2L | (16L << 16))
+    }
+    tag("LIST"); le32(vidsStrlBody); tag("strl")
     tag("strh"); le32(56)
     tag("vids"); le32(compression); le32(0); le32(0) // type, handler, flags, prio
     le32(0); le32(1); le32(fps); le32(0) // initial, scale, rate, start
     le32(nFrames); le32(0); le32(0xffffffffL); le32(0) // length, sugBuf, quality, sampleSize
     le32(0); le32((w.toLong & 0xffff) | ((h.toLong & 0xffff) << 16)) // rcFrame: left|top, right|bottom
     tag("strf"); le32(40)
-    le32(40); le32(w); le32(h); le32(1L | (24L << 16)) // biSize, w, h, planes|bitcount
+    le32(40); le32(w) // biSize, biWidth
+    le32((if (topDown) -h else h).toLong & 0xffffffffL) // biHeight (sign = row order)
+    le32(1L | (bitCount.toLong << 16)) // biPlanes | biBitCount
     le32(compression); le32(frames.headOption.map(_.length.toLong).getOrElse(0L))
     le32(0); le32(0); le32(0); le32(0) // resolutions, clrUsed, clrImportant
     tag("LIST"); le32(moviBody); tag("movi")
+    val chunkTag = if (audioFirst) "01dc" else "00dc"
     frames.foreach { f =>
-      tag("00dc"); le32(f.length); out.write(f, 0, f.length)
+      tag(chunkTag); le32(f.length); out.write(f, 0, f.length)
       if ((f.length & 1) == 1) out.write(0)
     }
     out.toByteArray

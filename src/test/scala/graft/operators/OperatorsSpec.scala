@@ -972,6 +972,78 @@ class MultimodalSpec extends SparkSpec {
     assert(v.n_frames.isEmpty && v.mean_rgb_milli.isEmpty)
   }
 
+  test("video stream muxed after audio decodes via its own chunk prefix (01dc)") {
+    import spark.implicits._
+    // same visual content, stream 0 vs stream 1: identical features
+    val s0 = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60)
+    val s1 = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60,
+      audioFirst = true)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", s0, "s"),
+      Multimodal.MediaRow(2L, "video", s1, "s")).toDS()
+    val got = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(got(1).cause == "ok", got(1).cause)
+    assert(got(1).n_frames.contains(5L) && got(1).sampled_frames.contains(5))
+    assert(got(1).pixel_crc == got(0).pixel_crc)
+    assert(got(1).mean_rgb_milli == got(0).mean_rgb_milli)
+  }
+
+  test("top-down (negative biHeight) raw frames fingerprint identically to bottom-up") {
+    import spark.implicits._
+    // the stripe makes orientation observable: a reader that ignored the
+    // biHeight sign would accumulate the striped row at the BOTTOM and
+    // produce a different crc (mean is orientation-blind by design)
+    val up = Multimodal.encodeSolidAvi(8, 4, 2, 10, 20, 40, 60,
+      topStripe = Some((200, 10, 5)))
+    val down = Multimodal.encodeSolidAvi(8, 4, 2, 10, 20, 40, 60,
+      topDown = true, topStripe = Some((200, 10, 5)))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", up, "s"),
+      Multimodal.MediaRow(2L, "video", down, "s")).toDS()
+    val got = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(1).cause == "ok")
+    assert(got(0).pixel_crc.isDefined)
+    assert(got(1).pixel_crc == got(0).pixel_crc)
+    assert(got(1).mean_rgb_milli == got(0).mean_rgb_milli)
+  }
+
+  test("raw BI_RGB at a non-24 bit depth routes to unsupported_depth, header facts intact") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, bitCount = 32), "s"))
+      .toDS()
+    val v = Multimodal.decodeVideo(media).collect()(0)
+    assert(v.cause == "unsupported_depth" && v.codec.contains("raw"))
+    assert(v.width.contains(6) && v.height.contains(4))
+    assert(v.declared_frames.contains(2L))
+    assert(v.n_frames.isEmpty && v.mean_rgb_milli.isEmpty)
+  }
+
+  test("unknown-length audio streams under the frame cap instead of bypassing it") {
+    import spark.implicits._
+    // AU container with the 0xffffffff unknown-data-size sentinel: the
+    // reader reports frame length NOT_SPECIFIED, so the header gate
+    // cannot fire — the sample pass itself must enforce maxFrames
+    def au(nFrames: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      out.write(".snd".getBytes("US-ASCII"))
+      be32(24); be32(0xffffffffL); be32(3); be32(8000); be32(1)
+      (0 until nFrames).foreach { _ => out.write(0x03); out.write(0xe8) } // 1000
+      out.toByteArray
+    }
+    val media = Seq(Multimodal.MediaRow(1L, "audio", au(100), "s")).toDS()
+    val ok = Multimodal.decodeAudio(media).collect()(0)
+    assert(ok.cause == "ok", ok.cause)
+    assert(ok.n_frames.contains(100L))
+    assert(ok.rms.contains(1000L) && ok.peak.contains(1000L))
+    val capped = Multimodal.decodeAudio(media, maxFrames = 10L).collect()(0)
+    assert(capped.cause == "too_large")
+  }
+
   test("avi without a vids stream routes to no_video_stream") {
     import spark.implicits._
     val avi = Multimodal.encodeSolidAvi(4, 2, 1, 10, 1, 2, 3)

@@ -294,6 +294,60 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("un-id'd ingest replayed from the state-landed crash window appends no duplicate state") {
+    // batchId = None has NO marker protection, and state appends land
+    // BEFORE the docs append — a crash between them replays with the
+    // SAME accepted set (docs unchanged → same anti-join). Reproduce
+    // the exact on-disk window: ingest fully, then delete the files
+    // the docs/scored appends created (state stays landed), and replay.
+    val bA = doc(
+      (1L, "red orange yellow green blue purple"),
+      (50L, "totally unrelated text about completely different things"))
+    val bB = doc(
+      (10L, "red orange yellow green blue purple indigo violet"),
+      (12L, "some fresh content that matches nothing else stored here"))
+    val dir = Files.createTempDirectory("relcrash").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    store.ingest(bA) // un-id'd
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(t: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.toString).toSet
+    }
+    val docsBefore = files("docs")
+    val scoredBefore = files("scored")
+    store.ingest(bB) // un-id'd — state + docs + scored all land
+    // roll docs and scored back to pre-bB (the crash window): state
+    // tables keep bB's rows, docs/scored do not
+    (files("docs") -- docsBefore).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    (files("scored") -- scoredBefore).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    store.ingest(bB) // the replay
+    // every state table holds exactly one row set per id — no dups
+    val shingleIds = spark.read.parquet(s"$dir/shingles")
+      .groupBy("id").count().where(col("count") > 1).count()
+    assert(shingleIds == 0L, "duplicated shingle state rows")
+    val prefixDup = spark.read.parquet(s"$dir/prefixes")
+      .groupBy("id", "s").count().where(col("count") > 1).count()
+    assert(prefixDup == 0L, "duplicated prefix state rows")
+    val bandDup = spark.read.parquet(s"$dir/bands")
+      .groupBy("id", "band").count().where(col("count") > 1).count()
+    assert(bandDup == 0L, "duplicated band state rows")
+    // and the store still answers exactly
+    val all = bA.unionByName(bB)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.containment) == rows(want.containment))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("collapse store: dup-heavy batches pay for novel content only, products stay exact") {
     // the collapse-front store pin: state tables hold one row per
     // DISTINCT shingle set, exact-dup arrivals append membership only,
