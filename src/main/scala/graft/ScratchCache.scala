@@ -61,17 +61,19 @@ object ScratchCache {
     */
   def scoped[T](f: => T): T = {
     val before = new java.util.HashSet[Dataset[_]](tracked)
-    val r = f
-    val it = tracked.iterator()
-    while (it.hasNext) {
-      val ds = it.next()
-      if (!before.contains(ds)) {
-        try ds.unpersist(blocking = false)
-        catch { case _: IllegalStateException => () } // session stopped
-        it.remove()
+    try f
+    finally {
+      // release in finally: a throwing pass must not leak its persists
+      val it = tracked.iterator()
+      while (it.hasNext) {
+        val ds = it.next()
+        if (!before.contains(ds)) {
+          try ds.unpersist(blocking = false)
+          catch { case _: IllegalStateException => () } // session stopped
+          it.remove()
+        }
       }
     }
-    r
   }
 
   /** Unpersist every tracked dataset belonging to `spark`. Non-blocking:

@@ -391,7 +391,7 @@ object Dedup {
     * (array equality — no band-hash collisions), the oracle-replicable
     * form.
     */
-  private def portableBands(shingled: DataFrame, k: Int, bands: Int,
+  private[dedup] def portableBands(shingled: DataFrame, k: Int, bands: Int,
       seed: Long): DataFrame = {
     val rows = k / bands
     val (pa, pb) = hashParams(k, seed)

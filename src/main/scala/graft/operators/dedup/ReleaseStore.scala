@@ -36,6 +36,13 @@ import org.apache.spark.sql.functions._
   * corpus (uncapped, bit-identically — ReleaseStoreSpec pins it; the
   * capped df-drift contract is [[Dedup.incrementalRelease]]'s).
   *
+  * SHAPE PIN: the constructor knobs that determine what the persisted
+  * tables mean (fronts, cap, band shape, seed, columns) are recorded
+  * in `store.meta` at first ingest and validated on every entry point
+  * — a reopen with a different shape throws instead of silently
+  * misreading the tables; the two in-place upgrades (either front
+  * false → true) stay legal and move the pin.
+  *
   * GROWTH DISCIPLINE (a year of 5-second batches must not mean ~6M
   * files): [[compact]] rewrites `docs`/`scored` to target-sized files
   * with the FlowStore write-temp-then-swap install (no reader window
@@ -60,6 +67,16 @@ final class ReleaseStore(spark: SparkSession, path: String,
     lshFront: Boolean = false,
     containThreshold: Double = 0.8,
     k: Int = 128, bands: Int = 32, seed: Long = 42L,
+    /** Hash the LSH front in the oracle-replicable family (48-bit md5
+      * shingles, slice-equality banding — [[Dedup.lshScoredPairs]]'
+      * `portable`): gate queries construct portable stores so an
+      * external SQL oracle can replicate the accumulated release;
+      * production stores keep the ~order-cheaper xxhash64 family. A
+      * STORE-WIDE property — the two families' shingle/band state rows
+      * are mutually unreadable — so it is pinned in `store.meta` like
+      * every other shape knob.
+      */
+    portable: Boolean = false,
     /** Store LSH-front state COLLAPSED by distinct shingle set (the
       * [[Dedup.releasePipelineLsh]] `collapseExact` posture made
       * durable): state tables hold one row per distinct set (its
@@ -158,6 +175,96 @@ final class ReleaseStore(spark: SparkSession, path: String,
     }
   }
   private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
+
+  /** Banded signatures in the store's pinned hash family. */
+  private def bandsOf(sh: DataFrame): DataFrame =
+    if (portable) Dedup.portableBands(sh, k, bands, seed)
+    else Dedup.fastBands(sh, k, bands, seed)
+
+  /** SHAPE PIN (`store.meta`): every constructor knob that determines
+    * what the persisted tables MEAN — hash/band shape behind `scored`
+    * and `bands`, the df-cap, the containment floor, id/text columns,
+    * and the two front flags — recorded at first ingest and validated
+    * on every subsequent entry point. Without it a reopen with
+    * different flags corrupts silently rather than failing loudly: a
+    * collapse store opened `collapseFront = false` reads REP-level
+    * scored rows as member-level (products quietly shrink); a
+    * state-enabled store opened `lshFront = false` recomputes deltas
+    * while its state tables go stale, poisoning every later
+    * state-probing reopen; a different `seed`/`k`/`bands` scores new
+    * batches in a different hash space than the accumulated pairs.
+    * The two documented in-place UPGRADES stay legal (false → true on
+    * either front — [[ensureState]] backfills), and the pin follows
+    * the upgrade; downgrades and every other mismatch throw. Legacy
+    * stores (no meta) pin the current shape on next write — nothing
+    * recorded means nothing to validate against.
+    */
+  private def shapeMap: Map[String, String] = Map(
+    "idCol" -> idCol, "textCol" -> textCol,
+    "maxShingleDf" -> maxShingleDf.map(_.toString).getOrElse("none"),
+    "lshFront" -> lshFront.toString,
+    "collapseFront" -> collapseFront.toString,
+    "portable" -> portable.toString,
+    "containPm" -> math.round(containThreshold * 1000).toString,
+    "k" -> k.toString, "bands" -> bands.toString, "seed" -> seed.toString)
+
+  private def shapePin = hPath(s"$path/store.meta")
+
+  private def readShape(): Option[Map[String, String]] =
+    if (!fs.exists(shapePin)) None
+    else {
+      val in = fs.open(shapePin)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      Some(txt.linesIterator.map(_.trim).filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap)
+    }
+
+  /** Write-temp-then-rename like [[writePrefixMeta]]; overwrite is
+    * legal here because upgrades legitimately move the pin, and a crash
+    * between delete and rename just demotes the store to legacy (the
+    * next write re-pins the same shape).
+    */
+  private def writeShape(): Unit = {
+    val tmp = hPath(s"$path/store.meta.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(shapeMap.toSeq.sortBy(_._1)
+      .map { case (f, v) => s"$f=$v" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(shapePin, false)
+    if (!fs.rename(tmp, shapePin)) fs.delete(tmp, false)
+  }
+
+  /** Validate this instance's shape against the pin; `pin = true`
+    * (write paths) records the shape when absent and moves it after a
+    * legal front upgrade. A field absent from an older pin adopts the
+    * current value — it was never recorded, so there is nothing to
+    * contradict.
+    */
+  private def checkShape(pin: Boolean): Unit = readShape() match {
+    case None => if (pin) writeShape()
+    case Some(m) =>
+      def bad(f: String, stored: String): Nothing =
+        throw new IllegalStateException(
+          s"ReleaseStore at $path was created with $f=$stored but opened " +
+          s"with $f=${shapeMap(f)}; reopen with the stored shape " +
+          "(fronts may only upgrade false -> true)")
+      Seq("idCol", "textCol", "maxShingleDf", "containPm", "k", "bands",
+        "seed", "portable").foreach { f =>
+        val stored = m.getOrElse(f, shapeMap(f))
+        if (stored != shapeMap(f)) bad(f, stored)
+      }
+      Seq("lshFront" -> lshFront, "collapseFront" -> collapseFront)
+        .foreach { case (f, cur) =>
+          if (m.get(f).exists(_.toBoolean && !cur)) bad(f, "true")
+        }
+      if (pin && m != shapeMap) writeShape()
+  }
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def fs = hPath(path)
@@ -283,6 +390,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // this batch appended in between (while their commit marker says
     // they landed, so the replay would skip too)
     writeLock.synchronized {
+    checkShape(pin = true)
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
     val accepted = acceptedIds(batch, batchId)
@@ -319,7 +427,8 @@ final class ReleaseStore(spark: SparkSession, path: String,
             .withColumn("__isb", col("__bid").isNotNull).drop("__bid")
           if (lshFront)
             Dedup.incrementalLshScoredPairs(marked, idCol, textCol,
-              col("__isb"), containThreshold, maxShingleDf, k, bands, seed)
+              col("__isb"), containThreshold, maxShingleDf, k, bands, seed,
+              portable)
           else
             Dedup.incrementalScoredPairs(marked, idCol, textCol,
               col("__isb"), maxShingleDf)
@@ -367,7 +476,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     }
     val bdocs = batch.dropDuplicates(idCol)
       .join(accepted, col(idCol) === col("__bid"), "left_semi")
-    val bshAll = Dedup.hashedShingles(bdocs, idCol, textCol, portable = false)
+    val bshAll = Dedup.hashedShingles(bdocs, idCol, textCol, portable)
     val bsh = if (!collapseFront) bshAll else {
       // group-membership resolution against PRIOR reps: stored state
       // minus this batch's accepted rows (the replay view — a landed
@@ -398,8 +507,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
       graft.ScratchCache.persist(
         freshRep.where(col("id") === col("rep")).select(col("id"), col("sh")))
     }
-    val bBands = graft.ScratchCache.persist(
-      Dedup.fastBands(bsh, k, bands, seed))
+    val bBands = graft.ScratchCache.persist(bandsOf(bsh))
     val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
     // batch-local df ranking: rare-in-batch tracks rare-globally well
     // enough for probe economy, and ANY prefix choice keeps recall
@@ -442,7 +550,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
       else stateTables.filterNot(t => fs.exists(hPath(s"$path/$t")))
     if (missing.isEmpty && !upgrade) return
     val base = docs.join(accepted, col(idCol) === col("__bid"), "left_anti")
-    val shAll = Dedup.hashedShingles(base, idCol, textCol, portable = false)
+    val shAll = Dedup.hashedShingles(base, idCol, textCol, portable)
     val (sh, members) =
       if (!collapseFront) (shAll, None)
       else if (!upgrade) {
@@ -484,7 +592,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     }
     if (missing.contains("shingles")) install("shingles", sh)
     if (missing.contains("bands"))
-      install("bands", Dedup.fastBands(sh, k, bands, seed))
+      install("bands", bandsOf(sh))
     if (missing.contains("prefixes")) {
       // honor an existing width pin (meta is the single source of
       // truth); a store with no pin yet rebuilds at the current width
@@ -589,10 +697,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * looser per-call value would silently miss pairs it never generated.
     */
   def products(threshold: Double, quality: DataFrame,
-      sourceCol: String = "source"): Dedup.ReleaseProducts =
+      sourceCol: String = "source"): Dedup.ReleaseProducts = {
+    checkShape(pin = false)
     Dedup.productsOf(
       graft.ScratchCache.persist(expandedScored(scored.drop("batch"))),
       docs, idCol, threshold, quality, sourceCol, containThreshold)
+  }
 
   /** [[products]] with store-maintained clustering: the CC label table
     * persists per threshold under `clusters/`, and each call folds in
@@ -609,6 +719,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     */
   def productsCached(threshold: Double, quality: DataFrame,
       sourceCol: String = "source"): Dedup.ReleaseProducts = {
+    checkShape(pin = false)
     val pm = math.round(threshold * 1000)
     val table = s"clusters_t$pm"
     val dir = s"$path/clusters/t=$pm"
@@ -722,6 +833,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     * `compact()`, exactly as it sequences them around [[ingest]].
     */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    checkShape(pin = false)
     // state tables compact under the same swap discipline; a missing
     // table (exact-front store, pre-state history, per-doc store
     // without members) is skipped
@@ -770,5 +882,41 @@ final class ReleaseStore(spark: SparkSession, path: String,
           ()
         }
       }
+  }
+}
+
+object ReleaseStore {
+  /** Reopen an existing store with its PINNED shape — the operational
+    * entry point that cannot drift: every flag comes from `store.meta`,
+    * not from the caller's memory of the original construction. Throws
+    * on a store with no pin (pre-pin history, or never ingested) —
+    * construct explicitly once and ingest to pin it.
+    */
+  def open(spark: SparkSession, path: String): ReleaseStore = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/store.meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"no shape pin at $path/store.meta - construct ReleaseStore " +
+        "explicitly (the first ingest records the shape)")
+    val in = fs.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    val m = txt.linesIterator.map(_.trim).filter(_.contains('='))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    new ReleaseStore(spark, path, m("idCol"), m("textCol"),
+      maxShingleDf = m.get("maxShingleDf").filter(_ != "none").map(_.toInt),
+      lshFront = m.get("lshFront").exists(_.toBoolean),
+      containThreshold =
+        m.get("containPm").map(_.toLong).getOrElse(800L) / 1000.0,
+      k = m.get("k").map(_.toInt).getOrElse(128),
+      bands = m.get("bands").map(_.toInt).getOrElse(32),
+      seed = m.get("seed").map(_.toLong).getOrElse(42L),
+      portable = m.get("portable").exists(_.toBoolean),
+      collapseFront = m.get("collapseFront").exists(_.toBoolean))
   }
 }

@@ -21,6 +21,36 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Fresh scratch dir for a release-store gate query, collecting the
+    * PREVIOUS invocations' dead stores first (queries run sequentially
+    * by contract, and a query's result is materialized before the next
+    * query runs, so an earlier store dir has no live reader).
+    */
+  private def storeScratchDir(s: SparkSession): String = {
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_q_store_"))
+      .foreach(f => new org.apache.hadoop.fs.Path(f.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(f.toString), true))
+    java.nio.file.Files.createTempDirectory("graft_q_store_").toString
+  }
+
+  /** Drive a release-store gate: three id-sliced batches, a mid-stream
+    * compact(), then the eight products from the stored pair set.
+    */
+  private def storeDrive(s: SparkSession, dir: String,
+      store: graft.operators.dedup.ReleaseStore): Dedup.ReleaseProducts = {
+    val d = docs(s, dir)
+    (0L to 2L).foreach { b =>
+      store.ingest(d.where(pmod(col("doc_id"), lit(3)) === b),
+        batchId = Some(b))
+      if (b == 1L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+    }
+    store.products(0.5,
+      quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+  }
+
   /** Long-format (product, row_md5) rendering of a release's eight
     * products — each branch hashes the same canonical string its
     * standalone oracle derives, so one CORRECTNESS row verifies every
@@ -686,26 +716,27 @@ object Pipeline {
     // store is uncapped; the gate-SF corpora never bind the cap, so the
     // uncapped scored set equals the capped from-scratch one.
     "q_store_release" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // previous invocations' scratch stores are this query's garbage:
-      // collect them at entry (queries run sequentially by contract)
-      val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_q_store_"))
-        .foreach(f => new org.apache.hadoop.fs.Path(f.toString)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(f.toString), true))
-      val dirS = java.nio.file.Files
-        .createTempDirectory("graft_q_store_").toString
       val store = new graft.operators.dedup.ReleaseStore(
-        s, dirS, "doc_id", "text")
-      (0L to 2L).foreach { b =>
-        store.ingest(d.where(pmod(col("doc_id"), lit(3)) === b),
-          batchId = Some(b))
-        if (b == 1L) store.compact(targetFileBytes = 8L * 1024 * 1024)
-      }
-      releaseTags(store.products(0.5,
-        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q"))))
+        s, storeScratchDir(s), "doc_id", "text")
+      releaseTags(storeDrive(s, dir, store))
+    }),
+
+    // the COLLAPSE-FRONT store, gated end to end: same three id-sliced
+    // batches and mid-stream compact(), but state keyed by distinct
+    // shingle set, rep-level stored pairs expanded on read, and the
+    // PORTABLE hash family so the accumulated release lands in the
+    // q_release_lsh oracle's hash space. The accumulated increments
+    // equal the one-shot pipeline by the same union-completeness
+    // argument q_incr_release_lsh rides, and collapse == uncollapsed by
+    // expandCollapsedScored's exactness (ReleaseStoreSpec pins both) —
+    // so the composed q_release_lsh oracle applies verbatim (the gate
+    // cap never binds at gate SFs, exactly as q_store_release vs the
+    // capped q_dedup_release oracle)
+    "q_store_collapse" -> ((s, dir) => {
+      val store = new graft.operators.dedup.ReleaseStore(
+        s, storeScratchDir(s), "doc_id", "text", lshFront = true,
+        k = 32, bands = 16, portable = true, collapseFront = true)
+      releaseTags(storeDrive(s, dir, store))
     }),
 
     // the incremental release, gated end to end: a prior release over
@@ -1321,7 +1352,11 @@ object Pipeline {
     // collapse-front products == uncollapsed LSH products (identical
     // shingle sets score identically against everything; the fronts'
     // recall theorems apply to representatives exactly as to members)
-    ("q_release_collapse" -> oraclesBase("q_release_lsh"))
+    ("q_release_collapse" -> oraclesBase("q_release_lsh")) +
+    // the collapse store's accumulated portable release: increments
+    // union-complete (q_incr_release_lsh's argument), collapse exact
+    // (q_release_collapse's), so the same composed oracle applies
+    ("q_store_collapse" -> oraclesBase("q_release_lsh"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_bpe_pairs" ->

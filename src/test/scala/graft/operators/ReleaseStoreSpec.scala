@@ -491,6 +491,70 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("the shape pin rejects mismatched reopens and follows upgrades") {
+    // store.meta records every meaning-bearing constructor knob at
+    // first ingest; a reopen with a different shape must FAIL, not
+    // silently misread the tables (a collapse store opened per-doc
+    // reads rep-level scored rows as member-level; a different seed
+    // scores new batches in a different hash space than the old pairs)
+    val dir = Files.createTempDirectory("relshape").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    store.ingest(b0, batchId = Some(0L))
+    def expectReject(s: ReleaseStore): Unit = {
+      intercept[IllegalStateException] { s.ingest(b1, batchId = Some(1L)) }
+      val q = b0.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      intercept[IllegalStateException] { s.products(0.5, q) }
+      intercept[IllegalStateException] { s.compact() }
+    }
+    // front downgrade: stored lshFront=true, opened exact-front
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "text"))
+    // hash-shape drift: same fronts, different seed
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, seed = 7L))
+    // cap drift: scored pairs accumulated uncapped
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, maxShingleDf = Some(10)))
+    // hash-family drift: portable state rows are unreadable by the
+    // fast family and vice versa
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, portable = true))
+    // column drift
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "n_chars",
+      lshFront = true))
+    // the documented upgrade stays legal and MOVES the pin: collapse
+    // reopen ingests fine, after which a per-doc reopen is the rejected
+    // downgrade
+    val coll = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    coll.ingest(b1, batchId = Some(1L))
+    expectReject(new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true))
+    // open() reconstructs from the pin — no flags to misremember —
+    // and the reopened store continues the release exactly
+    val reopened = ReleaseStore.open(spark, dir)
+    reopened.ingest(b2, batchId = Some(2L))
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = reopened.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    // a legacy store (no meta — predates the pin) adopts the current
+    // shape on next write instead of rejecting; open() has nothing to
+    // read and says so
+    assert(new java.io.File(s"$dir/store.meta").delete())
+    intercept[IllegalStateException] { ReleaseStore.open(spark, dir) }
+    val legacy = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    legacy.ingest(b2, batchId = Some(3L)) // dup ids ignored; re-pins
+    assert(new java.io.File(s"$dir/store.meta").exists())
+    assert(rows(legacy.products(threshold = 0.5, quality = q).pairs) ==
+      rows(want.pairs))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a compact crash (table moved aside) heals on ANY next access") {
     // simulate compact dying between its two renames: the whole table
     // sits at .compact.old and nothing at the live path. docs/scored
