@@ -36,16 +36,18 @@ object Pipeline {
     java.nio.file.Files.createTempDirectory("graft_q_store_").toString
   }
 
-  /** Drive a release-store gate: three id-sliced batches, a mid-stream
-    * compact(), then the eight products from the stored pair set.
+  /** Drive a release-store gate: `batches` id-sliced batches with a
+    * mid-stream compact() before the LAST ingest (so the gate covers
+    * ingest-after-compaction), then the eight products from the stored
+    * pair set.
     */
-  private def storeDrive(s: SparkSession, dir: String,
-      store: graft.operators.dedup.ReleaseStore): Dedup.ReleaseProducts = {
-    val d = docs(s, dir)
-    (0L to 2L).foreach { b =>
-      store.ingest(d.where(pmod(col("doc_id"), lit(3)) === b),
+  private def storeDrive(s: SparkSession, d: DataFrame,
+      store: graft.operators.dedup.ReleaseStore,
+      batches: Int = 3): Dedup.ReleaseProducts = {
+    (0L until batches.toLong).foreach { b =>
+      store.ingest(d.where(pmod(col("doc_id"), lit(batches)) === b),
         batchId = Some(b))
-      if (b == 1L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+      if (b == batches - 2L) store.compact(targetFileBytes = 8L * 1024 * 1024)
     }
     store.products(0.5,
       quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
@@ -718,25 +720,34 @@ object Pipeline {
     "q_store_release" -> ((s, dir) => {
       val store = new graft.operators.dedup.ReleaseStore(
         s, storeScratchDir(s), "doc_id", "text")
-      releaseTags(storeDrive(s, dir, store))
+      releaseTags(storeDrive(s, docs(s, dir), store))
     }),
 
-    // the COLLAPSE-FRONT store, gated end to end: same three id-sliced
-    // batches and mid-stream compact(), but state keyed by distinct
-    // shingle set, rep-level stored pairs expanded on read, and the
-    // PORTABLE hash family so the accumulated release lands in the
+    // the COLLAPSE-FRONT store, gated end to end: id-sliced batches
+    // with a mid-stream compact(), but state keyed by distinct shingle
+    // set, rep-level stored pairs expanded on read, and the PORTABLE
+    // hash family so the accumulated release lands in the
     // q_release_lsh oracle's hash space. The accumulated increments
     // equal the one-shot pipeline by the same union-completeness
     // argument q_incr_release_lsh rides, and collapse == uncollapsed by
     // expandCollapsedScored's exactness (ReleaseStoreSpec pins both) —
-    // so the composed q_release_lsh oracle applies verbatim (the gate
-    // cap never binds at gate SFs, exactly as q_store_release vs the
-    // capped q_dedup_release oracle)
+    // so the composed q_release_lsh oracle applies with the same
+    // half-corpus restriction (the gate cap never binds at gate SFs,
+    // exactly as q_store_release vs the capped q_dedup_release oracle).
+    // GATE ECONOMY: the portable md5 LSH front is ~an order costlier
+    // per shingle than production's xxhash64, and the full-corpus
+    // 3-batch drive cost 26 s at the bench SF — a deterministic half
+    // corpus in 2 batches (still increments + ingest-after-compact +
+    // replay view) keeps every code path under gate while paying
+    // bench-proportionate wall; ReleaseStoreSpec owns the exhaustive
+    // lifecycle matrix
     "q_store_collapse" -> ((s, dir) => {
       val store = new graft.operators.dedup.ReleaseStore(
         s, storeScratchDir(s), "doc_id", "text", lshFront = true,
         k = 32, bands = 16, portable = true, collapseFront = true)
-      releaseTags(storeDrive(s, dir, store))
+      releaseTags(storeDrive(s,
+        docs(s, dir).where(pmod(col("doc_id"), lit(2)) === 0),
+        store, batches = 2))
     }),
 
     // the incremental release, gated end to end: a prior release over
@@ -1355,8 +1366,15 @@ object Pipeline {
     ("q_release_collapse" -> oraclesBase("q_release_lsh")) +
     // the collapse store's accumulated portable release: increments
     // union-complete (q_incr_release_lsh's argument), collapse exact
-    // (q_release_collapse's), so the same composed oracle applies
-    ("q_store_collapse" -> oraclesBase("q_release_lsh"))
+    // (q_release_collapse's), so the same composed oracle applies —
+    // over the gate's deterministic half corpus (every `documents`
+    // reference rewritten to the filtered CTE; see the query's GATE
+    // ECONOMY note)
+    ("q_store_collapse" -> oraclesBase("q_release_lsh")
+      .replaceAll("(FROM|JOIN) documents\\b", "$1 docs_f")
+      .replaceFirst("WITH RECURSIVE ",
+        "WITH RECURSIVE docs_f AS (SELECT * FROM documents " +
+        "WHERE doc_id % 2 = 0),\n"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q_bpe_pairs" ->
