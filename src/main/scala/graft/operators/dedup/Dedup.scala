@@ -1466,6 +1466,46 @@ object Dedup {
   def simhash(tokenSet: Column): Column =
     Sketches.simhash64(transform(tokenSet, t => xxhash64(t)))
 
+  /** Banded-Hamming blocking join over 64-bit sketches — the shared
+    * engine under [[simhashPairs]], [[simhashPairsPortable]] and
+    * [[graft.operators.multimodal.Multimodal.imageDHash]]-based image
+    * near-dup: split each sketch into `chunks` 16-bit chunks; pairs
+    * agreeing on ≥1 chunk are candidates — by pigeonhole that catches
+    * EVERY pair with Hamming distance ≤ chunks − 1 — then exact
+    * `bit_count(xor)` verifies. With maxHamming < chunks the output is
+    * EXACTLY the ≤-maxHamming pair set (the default contract, enforced);
+    * a caller whose sketch width can't afford maxHamming + 1 chunks
+    * (the 48-bit portable SimHash: a chunk over constant-zero bits
+    * collides universally) may pass `strictRecall = false` to accept
+    * the documented banded semantics — candidates ∩ verified — instead.
+    * Input: (`id`, `sh`) with distinct ids; output: (id_a, id_b,
+    * hamming), id_a < id_b. The blocking join is an equi-join on
+    * (chunk, cv) — shuffle-partitioned by bucket, never a cross
+    * product; bucket skew means sketch skew (many all-alike documents),
+    * which is the caller's exclusion contract (empty-input sketches
+    * hash to one bucket).
+    */
+  def hammingPairs(sketches: DataFrame, maxHamming: Int,
+      chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
+    require(!strictRecall || maxHamming < chunks,
+      s"banded recall needs maxHamming < chunks ($maxHamming >= $chunks)")
+    val chunked = sketches.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+        .as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
+    val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dist.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs with banded Hamming blocking: 4×16-bit chunks;
     * pairs agreeing on ≥1 chunk are candidates (catches all pairs with
     * Hamming distance ≤ 3), verified by exact bit_count. Uses 3-gram
@@ -1484,21 +1524,7 @@ object Dedup {
         TextAnalysis.shingles(col(textCol)).as("sset"))
       .where(size(col("sset")) > 0)
       .select(col("id"), simhash(col("sset")).as("sh")))
-    val chunked = withSim.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
-        .as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
-    val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dist.as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    hammingPairs(withSim, maxHamming, chunks = 4)
   }
 
   /** [[simhashPairs]] with the engine-portable 48-bit md5-slice base hash
@@ -1519,21 +1545,7 @@ object Dedup {
         transform(TextAnalysis.shingles(col(textCol)), hash48(_)).as("hs"))
       .where(size(col("hs")) > 0)
       .select(col("id"), Sketches.simhash64(col("hs")).as("sh")))
-    val chunked = withSim.select(col("id"), col("sh"),
-      explode(array((0 until 3).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
-        .as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
-    val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dist.as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    hammingPairs(withSim, maxHamming, chunks = 3, strictRecall = false)
   }
 
   /** Embedding-cosine near-duplicate pairs via the similarity module's

@@ -768,6 +768,36 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Test/gate fixture: a 9×8 grayscale "path" PNG whose [[imageDHash]]
+    * is exactly `key` — each row starts at 128 and steps −8 where the
+    * corresponding key bit is set (making luma(x,y) > luma(x+1,y)) and
+    * +8 where clear, staying within 64..192 so no step saturates. Pixels
+    * are r=g=b, so integer luma equals the channel value and the whole
+    * construction is arithmetic an external SQL oracle can replicate
+    * from `key` alone — the PNG encode/decode round trip is the part
+    * under test.
+    */
+  def encodePathPng(key: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v += (if (((key >>> (y * 8 + x)) & 1L) == 1L) -8 else 8)
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Frame sampling for video-ish payloads: every `stride`-th chunk of
     * `frameBytes` becomes one frame row (media_id, frame_idx, frame bytes).
     * A payload shorter than one frame still yields its single partial
@@ -883,6 +913,110 @@ object Multimodal {
                   ImageResize(r.media_id, "ok", Some(w), Some(h),
                     Some(ow), Some(oh),
                     Some(sum * 1000L / (3L * ow * oh)), Some(bos.toByteArray))
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) =>
+                  none.copy(cause = "decode_failed")
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        }
+      }
+    }
+  }
+
+  /** One image payload's perceptual-hash outcome ([[imageDHash]]);
+    * `cause` routes exactly as [[ImageDecode]].
+    */
+  final case class ImageHash(
+      media_id: Long,
+      cause: String,
+      width: Option[Int],
+      height: Option[Int],
+      /** 64-bit difference hash: bit y·hashW + x is set iff
+        * luma(x, y) > luma(x + 1, y) on the (hashW+1)×hashH downsample
+        */
+      dhash: Option[Long])
+
+  /** REAL perceptual hashing for image near-dup detection: decode via
+    * `javax.imageio` (the [[decodeImages]] plumbing — per-cause routing,
+    * header-probed `maxPixels` bomb guard), bilinear-downsample to
+    * (hashW+1)×hashH, and emit the 64-bit DIFFERENCE HASH — bit
+    * (y·hashW + x) set iff luma(x,y) > luma(x+1,y). dHash is the
+    * standard crawl-pipeline near-dup fingerprint: it survives
+    * re-encoding, format conversion and uniform brightness shifts
+    * (adding a constant to every pixel preserves all comparisons),
+    * while a payload md5 or [[ImageDecode.pixel_crc]] breaks on any
+    * byte change. Pair generation is [[graft.operators.dedup.Dedup
+    * .hammingPairs]] over the `dhash` column — banded 16-bit blocking,
+    * never an all-pairs join, exactly the SimHash discipline.
+    *
+    * An image already exactly (hashW+1)×hashH skips the resampler, so
+    * fixture images of that geometry hash ARITHMETICALLY (luma of
+    * r=g=b pixels is the channel value — what makes the gate query's
+    * oracle exact); anything larger pays one Graphics2D bilinear pass,
+    * constant per row regardless of source size.
+    */
+  def imageDHash(media: Dataset[MediaRow], hashW: Int = 8, hashH: Int = 8,
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageHash] = {
+    require(hashW >= 1 && hashW <= 8 && hashH >= 1 && hashH <= 8,
+      "dhash bits must fit one long")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val none = ImageHash(r.media_id, "", None, None, None)
+        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) none.copy(cause = "no_reader")
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, true, true)
+                val (hw, hh) = (reader.getWidth(0).toLong,
+                  reader.getHeight(0).toLong)
+                if (hw * hh > maxPixels)
+                  none.copy(cause = "too_large",
+                    width = Some(hw.toInt), height = Some(hh.toInt))
+                else {
+                  val img = reader.read(0)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val small =
+                    if (w == hashW + 1 && h == hashH) img
+                    else {
+                      val out = new java.awt.image.BufferedImage(
+                        hashW + 1, hashH,
+                        java.awt.image.BufferedImage.TYPE_INT_RGB)
+                      val g = out.createGraphics()
+                      try {
+                        g.setRenderingHint(
+                          java.awt.RenderingHints.KEY_INTERPOLATION,
+                          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                        g.drawImage(img, 0, 0, hashW + 1, hashH, null)
+                      } finally g.dispose()
+                      out
+                    }
+                  def luma(x: Int, y: Int): Int = {
+                    val p = small.getRGB(x, y)
+                    (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                      (p & 0xff) * 114) / 1000
+                  }
+                  var bits = 0L
+                  var y = 0
+                  while (y < hashH) {
+                    var x = 0
+                    while (x < hashW) {
+                      if (luma(x, y) > luma(x + 1, y))
+                        bits |= 1L << (y * hashW + x)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  ImageHash(r.media_id, "ok", Some(w), Some(h), Some(bits))
                 }
               } catch {
                 case scala.util.control.NonFatal(_) =>

@@ -478,6 +478,34 @@ object Pipeline {
           col("width"), col("height"), col("mean_rgb_milli"))
     }),
 
+    // REAL image near-dup, end to end: 9×8 "path" PNGs whose dHash is
+    // exactly an md5-derived 63-bit key (4-doc groups at controlled
+    // Hamming 0/1/3/8 from the group base) are ENCODED on executors,
+    // Multimodal.imageDHash decodes them back through the real ImageIO
+    // + luma path, and Dedup.hammingPairs blocks (4×16-bit chunks) and
+    // verifies (bit_count ≤ 3). The oracle replicates key arithmetic,
+    // chunk blocking AND verification, so this row gates the decode
+    // round trip, the dHash bit layout, and the banded join's exact-
+    // recall pigeonhole at once. doc_id % 97 rows are planted empty to
+    // exercise the cause routing in the pair path
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else Multimodal.encodePathPng(pathKey(id))
+          Multimodal.MediaRow(id, "image", payload, "synth")
+        }
+      }
+      val hashes = Multimodal.imageDHash(media)
+      Dedup.hammingPairs(
+        hashes.where(col("cause") === "ok")
+          .select(col("media_id").as("id"), col("dhash").as("sh")).toDF(),
+        maxHamming = 3)
+    }),
+
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
     // WAVs are ENCODED on the executors from doc_id-derived parameters
     // (javax.sound.sampled, lossless), three corruption classes are
@@ -1275,6 +1303,33 @@ object Pipeline {
     * digits of md5 as a BIGINT) of SQL expression `e` — the oracle twin
     * of `conv(substring(md5(e), 1, 12), 16, 10)`.
     */
+  /** The q_image_neardup fixture key: a 63-bit md5-derived base per
+    * 4-doc group, with members at Hamming 0 / 1 / 3 / 8 from it. The
+    * 8-flip member spreads two bits into every 16-bit chunk, keeping
+    * every cross-member distance involving it ≥ 5 — firmly outside the
+    * gate's maxHamming — while 0/1/3 sit inside. Runs on executors
+    * (plain JVM md5, no Spark expressions), and the oracle rebuilds the
+    * identical value from `hex48` arithmetic.
+    */
+  private[queries] def pathKey(id: Long): Long = {
+    def h48(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 12), 16)
+    val gid = id / 4
+    val base = ((h48("h" + gid) % 32768) << 48) | h48("l" + gid)
+    val b1 = (gid % 62).toInt
+    val b2 = ((gid + 21) % 62).toInt
+    val b3 = ((gid + 42) % 62).toInt
+    val mask = (id % 4) match {
+      case 0 => 0L
+      case 1 => 1L << b1
+      case 2 => (1L << b1) | (1L << b2) | (1L << b3)
+      case _ => 0x0808080808080808L
+    }
+    base ^ mask
+  }
+
   private def hex48(e: String): String =
     (0 until 12).map { j =>
       val w = math.pow(16, 11 - j).toLong
@@ -3194,6 +3249,39 @@ object Pipeline {
         |             + ((doc_id // 7) % 256)) * 1000 // 3
         |       END AS BIGINT) AS mean_rgb_milli
         |FROM f""".stripMargin,
+
+    // Arithmetic oracle for the image-dHash near-dup gate: the fixture
+    // PNG is constructed so its dHash equals the md5-derived pathKey
+    // exactly (r=g=b path pixels — luma is the channel value, 9×8 skips
+    // the resampler), so the oracle rebuilds the key with hex48
+    // arithmetic and replicates the banded blocking (4×16-bit chunks,
+    // pigeonhole-exact for hamming ≤ 3) and the bit_count verification
+    "q_image_neardup" ->
+      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |  FROM documents WHERE doc_id % 97 != 0),
+        |b AS (SELECT doc_id,
+        |    ((${hex48("'h' || CAST(gid AS VARCHAR)")}) % 32768)
+        |      * 281474976710656
+        |      + (${hex48("'l' || CAST(gid AS VARCHAR)")}) AS base,
+        |    CASE m WHEN 0 THEN 0
+        |      WHEN 1 THEN (1::BIGINT << CAST(gid % 62 AS INT))
+        |      WHEN 2 THEN (1::BIGINT << CAST(gid % 62 AS INT))
+        |        | (1::BIGINT << CAST((gid + 21) % 62 AS INT))
+        |        | (1::BIGINT << CAST((gid + 42) % 62 AS INT))
+        |      ELSE 578721382704613384 END AS mask
+        |  FROM g),
+        |k AS (SELECT doc_id, xor(base, mask) AS dh FROM b),
+        |c AS (SELECT doc_id, dh, i AS chunk, (dh >> CAST(i * 16 AS INT))
+        |      & 65535 AS cv
+        |  FROM k, LATERAL (SELECT unnest(range(0, 4)) AS i) r),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.cv = b.cv
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
+        |FROM cand JOIN k da ON id_a = da.doc_id
+        |  JOIN k db ON id_b = db.doc_id
+        |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
 
     // Arithmetic oracle for the REAL audio decode: WAV is lossless PCM,
     // so a constant-amplitude a clip decodes back to rms = peak = |a|

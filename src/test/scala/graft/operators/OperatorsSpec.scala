@@ -854,6 +854,91 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).cause == "ok")
   }
 
+  test("image dhash: path fixture round-trips bits; shift/re-encode/resize invariants") {
+    import spark.implicits._
+    // bit 63 clear (the fixture key space), bit 62 set
+    val k1 = 0x7edcba9876543210L
+    val png = Multimodal.encodePathPng(k1)
+    // brightness-shifted twin: same ±8 steps from 150 instead of 128 —
+    // every comparison is preserved, so the dhash must be identical
+    val shifted = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 150
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((k1 >>> (y * 8 + x)) & 1L) == 1L) -8 else 8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // lossless container swap: decode the PNG, re-write as BMP — the
+    // perceptual hash must survive where a payload md5 or pixel CRC of
+    // the bytes would not
+    val bmp = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, "s"),
+      Multimodal.MediaRow(2L, "image", Multimodal.encodePathPng(0L), "s"),
+      Multimodal.MediaRow(3L, "image", shifted, "s"),
+      Multimodal.MediaRow(4L, "image", bmp, "s"),
+      // a larger image exercises the bilinear path; solid color stays
+      // solid under interpolation, so every comparison is false
+      Multimodal.MediaRow(5L, "image",
+        Multimodal.encodeSolidPng(32, 20, 90, 90, 90), "s"),
+      Multimodal.MediaRow(6L, "image", png.take(16), "s"),
+      Multimodal.MediaRow(7L, "image", Array.emptyByteArray, "s"),
+      Multimodal.MediaRow(8L, "image", Array.fill(16)(0x55.toByte), "s"))
+      .toDS()
+    val got = Multimodal.imageDHash(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(0).dhash.contains(k1))
+    assert(got(0).width.contains(9) && got(0).height.contains(8))
+    assert(got(1).dhash.contains(0L))
+    assert(got(2).dhash.contains(k1))
+    assert(got(3).dhash.contains(k1))
+    assert(got(4).cause == "ok" && got(4).dhash.contains(0L))
+    assert(got(4).width.contains(32) && got(4).height.contains(20))
+    assert(got(5).cause == "decode_failed" && got(5).dhash.isEmpty)
+    assert(got(6).cause == "empty")
+    assert(got(7).cause == "no_reader")
+    // the bomb guard routes from the header, before any raster work
+    val big = Seq(Multimodal.MediaRow(9L, "image",
+      Multimodal.encodeSolidPng(40, 30, 1, 2, 3), "s")).toDS()
+    val tl = Multimodal.imageDHash(big, maxPixels = 1000L).collect().head
+    assert(tl.cause == "too_large" && tl.dhash.isEmpty)
+    assert(tl.width.contains(40) && tl.height.contains(30))
+  }
+
+  test("banded hamming join: exact recall at <= chunks-1, verified exclusion above") {
+    import spark.implicits._
+    val base = 0x0123456789abcdL
+    // 3 flips across 3 DISTINCT chunks: only the 4th chunk carries the
+    // pair — the adversarial case for the pigeonhole
+    val h3 = base ^ (1L << 1) ^ (1L << 17) ^ (1L << 33)
+    // one flip in EVERY chunk: no shared chunk, and hamming 4 > max —
+    // correctly absent by both the blocking and the verification
+    val h4 = base ^ (1L << 2) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)
+    val df = Seq((1L, base), (2L, base ^ (1L << 5)), (3L, h3), (4L, h4))
+      .toDF("id", "sh")
+    val got = Dedup.hammingPairs(df, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L)))
+    assert(got((1L, 2L)) == 1L && got((1L, 3L)) == 3L)
+    // the recall theorem needs maxHamming < chunks — rejected loudly
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, maxHamming = 4)
+    }
+  }
+
   test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {
     import spark.implicits._
     val wav = Multimodal.encodeConstWav(16000, 120, 2500)
