@@ -886,6 +886,39 @@ final class ReleaseStore(spark: SparkSession, path: String,
 }
 
 object ReleaseStore {
+  /** Construct a NEW store whose front flags come from the counting
+    * planner instead of a caller bet — [[Dedup.releaseAuto]]'s
+    * self-tuning dispatch extended to the DURABLE layout choice: price
+    * the fronts on `sample` (the first corpus slice the caller has —
+    * [[Dedup.frontDecisions]]' thresholds, counting aggregations only,
+    * no candidate pair materialized), construct with the chosen shape,
+    * and let the first ingest pin it. Collapse rides the LSH front
+    * exactly as in `releaseAuto`. If `path` already holds a pinned
+    * store the sample is IGNORED and [[open]] reconstructs it — the
+    * pin, once made, IS the layout; re-pricing a later corpus must not
+    * silently re-shape accumulated tables (a front change stays an
+    * explicit upgrade through the constructor).
+    */
+  def createAuto(spark: SparkSession, path: String, sample: DataFrame,
+      idCol: String, textCol: String,
+      maxShingleDf: Option[Int] = None,
+      containThreshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      portable: Boolean = false): ReleaseStore = {
+    val pin = new org.apache.hadoop.fs.Path(s"$path/store.meta")
+    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pin)) return open(spark, path)
+    val (useLsh, useCollapse) = Dedup.frontDecisions(sample, idCol,
+      textCol, containThreshold, maxShingleDf, k, bands, seed)
+    System.err.println(
+      s"[ReleaseStore.createAuto] lshFront = ${useLsh || useCollapse}, " +
+      s"collapseFront = $useCollapse")
+    new ReleaseStore(spark, path, idCol, textCol,
+      maxShingleDf = maxShingleDf, lshFront = useLsh || useCollapse,
+      containThreshold = containThreshold, k = k, bands = bands,
+      seed = seed, portable = portable, collapseFront = useCollapse)
+  }
+
   /** Reopen an existing store with its PINNED shape — the operational
     * entry point that cannot drift: every flag comes from `store.meta`,
     * not from the caller's memory of the original construction. Throws

@@ -555,6 +555,46 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("createAuto prices fronts on the sample and the pin owns later reopens") {
+    // b0 carries an exact-dup pair (1, 2): collapsed_docs · 20 > n_docs,
+    // so the planner picks collapse — and with it the LSH front, the
+    // releaseAuto dispatch made durable
+    val dupDir = Files.createTempDirectory("relauto1").toFile.getAbsolutePath
+    val s1 = ReleaseStore.createAuto(spark, dupDir, b0, "doc_id", "text")
+    s1.ingest(b0, batchId = Some(0L))
+    s1.ingest(b1.unionByName(b2), batchId = Some(1L))
+    val meta1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dupDir/store.meta")), "UTF-8")
+    assert(meta1.contains("collapseFront=true"))
+    assert(meta1.contains("lshFront=true"))
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    val got = s1.products(threshold = 0.5, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.containment) == rows(want.containment))
+    // an all-unique sample leaves both margins negative: the exact front
+    val uniqDir = Files.createTempDirectory("relauto2").toFile.getAbsolutePath
+    val s2 = ReleaseStore.createAuto(spark, uniqDir,
+      b1.unionByName(b2), "doc_id", "text")
+    s2.ingest(b1, batchId = Some(0L))
+    val meta2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$uniqDir/store.meta")), "UTF-8")
+    assert(meta2.contains("collapseFront=false"))
+    assert(meta2.contains("lshFront=false"))
+    // an existing pin WINS over any later sample: createAuto over the
+    // pinned collapse store ignores the all-unique sample, reopens by
+    // pin, and continues the release exactly (re-crawled ids ignored)
+    val s3 = ReleaseStore.createAuto(spark, dupDir,
+      b1.unionByName(b2), "doc_id", "text")
+    s3.ingest(b2, batchId = Some(2L))
+    val got3 = s3.products(threshold = 0.5, quality = q)
+    assert(rows(got3.pairs) == rows(want.pairs))
+    assert(rows(got3.clusters) == rows(want.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a compact crash (table moved aside) heals on ANY next access") {
     // simulate compact dying between its two renames: the whole table
     // sits at .compact.old and nothing at the live path. docs/scored
