@@ -965,67 +965,75 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val none = ImageHash(r.media_id, "", None, None, None)
-        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
-        else {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.payload))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) none.copy(cause = "no_reader")
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis, true, true)
-                val (hw, hh) = (reader.getWidth(0).toLong,
-                  reader.getHeight(0).toLong)
-                if (hw * hh > maxPixels)
-                  none.copy(cause = "too_large",
-                    width = Some(hw.toInt), height = Some(hh.toInt))
-                else {
-                  val img = reader.read(0)
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  val small =
-                    if (w == hashW + 1 && h == hashH) img
-                    else {
-                      val out = new java.awt.image.BufferedImage(
-                        hashW + 1, hashH,
-                        java.awt.image.BufferedImage.TYPE_INT_RGB)
-                      val g = out.createGraphics()
-                      try {
-                        g.setRenderingHint(
-                          java.awt.RenderingHints.KEY_INTERPOLATION,
-                          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                        g.drawImage(img, 0, 0, hashW + 1, hashH, null)
-                      } finally g.dispose()
-                      out
-                    }
-                  def luma(x: Int, y: Int): Int = {
-                    val p = small.getRGB(x, y)
-                    (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
-                      (p & 0xff) * 114) / 1000
-                  }
-                  var bits = 0L
-                  var y = 0
-                  while (y < hashH) {
-                    var x = 0
-                    while (x < hashW) {
-                      if (luma(x, y) > luma(x + 1, y))
-                        bits |= 1L << (y * hashW + x)
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  ImageHash(r.media_id, "ok", Some(w), Some(h), Some(bits))
-                }
-              } catch {
-                case scala.util.control.NonFatal(_) =>
-                  none.copy(cause = "decode_failed")
-              } finally reader.dispose()
-            }
-          } finally iis.close()
-        }
+        val (cause, w, h, bits) = dhashOne(r.payload, hashW, hashH, maxPixels)
+        ImageHash(r.media_id, cause, w, h, bits)
       }
+    }
+  }
+
+  /** One payload's dHash: (cause, width, height, bits) — the shared
+    * decode under [[imageDHash]] and
+    * [[graft.streaming.StreamImageDedup]].
+    */
+  private[graft] def dhashOne(payload: Array[Byte], hashW: Int, hashH: Int,
+      maxPixels: Long): (String, Option[Int], Option[Int], Option[Long]) = {
+    if (payload == null || payload.isEmpty) ("empty", None, None, None)
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) ("no_reader", None, None, None)
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val (hw, hh) = (reader.getWidth(0).toLong,
+              reader.getHeight(0).toLong)
+            if (hw * hh > maxPixels)
+              ("too_large", Some(hw.toInt), Some(hh.toInt), None)
+            else {
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val small =
+                if (w == hashW + 1 && h == hashH) img
+                else {
+                  val out = new java.awt.image.BufferedImage(
+                    hashW + 1, hashH,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = out.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, hashW + 1, hashH, null)
+                  } finally g.dispose()
+                  out
+                }
+              def luma(x: Int, y: Int): Int = {
+                val p = small.getRGB(x, y)
+                (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                  (p & 0xff) * 114) / 1000
+              }
+              var bits = 0L
+              var y = 0
+              while (y < hashH) {
+                var x = 0
+                while (x < hashW) {
+                  if (luma(x, y) > luma(x + 1, y))
+                    bits |= 1L << (y * hashW + x)
+                  x += 1
+                }
+                y += 1
+              }
+              ("ok", Some(w), Some(h), Some(bits))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ("decode_failed", None, None, None)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     }
   }
 

@@ -665,6 +665,68 @@ class StreamDedupSpec extends SparkSpec {
   }
 }
 
+class StreamImageDedupSpec extends SparkSpec {
+
+  test("perceptual dupes drop across batches; undecodable rows pass through") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamImageDedup.MediaEvent
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val key = 0x5a5a0f0f33cc55aaL & ~(1L << 63)
+    val png = graft.operators.multimodal.Multimodal.encodePathPng(key)
+    // a brightness-shifted twin: every byte differs, the dHash does not
+    val shifted = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var v = 150
+        img.setRGB(0, y, (v << 16) | (v << 8) | v)
+        for (x <- 0 until 8) {
+          v += (if (((key >>> (y * 8 + x)) & 1L) == 1L) -8 else 8)
+          img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(!java.util.Arrays.equals(png, shifted))
+    val other = graft.operators.multimodal.Multimodal.encodePathPng(key ^ 7L)
+    val mem = MemoryStream[MediaEvent]
+    val q = graft.streaming.StreamImageDedup.dhashWithinWatermark(
+        mem.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simgdedup")
+      .outputMode("append").start()
+    mem.addData(
+      MediaEvent(1L, ts("2024-03-01T00:00:00Z"), png, "s"),
+      MediaEvent(2L, ts("2024-03-01T00:00:10Z"), shifted, "s"), // perceptual dup
+      MediaEvent(3L, ts("2024-03-01T00:00:20Z"), Array.emptyByteArray, "s"),
+      MediaEvent(4L, ts("2024-03-01T00:00:30Z"),
+        Array.fill(16)(0x55.toByte), "s"))
+    q.processAllAvailable()
+    val b1 = spark.table("simgdedup").select("media_id").as[Long]
+      .collect().toSet
+    // the re-encoded copy dropped; both undecodable rows passed through
+    assert(b1 == Set(1L, 3L, 4L), s"got $b1")
+    mem.addData(
+      MediaEvent(5L, ts("2024-03-01T00:01:00Z"), png, "s"), // dup across batches
+      MediaEvent(6L, ts("2024-03-01T00:01:10Z"), other, "s"),
+      // another undecodable row: the unique fallback key must not dedup
+      // it against batch 1's
+      MediaEvent(7L, ts("2024-03-01T00:01:20Z"), Array.emptyByteArray, "s"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("simgdedup").select("media_id").as[Long]
+      .collect().toSet
+    assert(all == Set(1L, 3L, 4L, 6L, 7L), s"got $all")
+    val causes = spark.table("simgdedup").select("media_id", "cause")
+      .as[(Long, String)].collect().toMap
+    assert(causes(1L) == "ok" && causes(3L) == "empty" &&
+      causes(4L) == "no_reader")
+    assert(!spark.table("simgdedup").columns.contains("__k"))
+  }
+}
+
 class StreamNearDupSpec extends SparkSpec {
 
   test("near-dup candidates surface across batches with a stable keeper") {
