@@ -18,7 +18,7 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storecollapse,annx,frontier
+  * increlease,collapse,storeincr,storecollapse,annx,imagedup,frontier
   * (default: all)
   * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
@@ -431,6 +431,33 @@ object ScaleRehearsal {
       }
       out += "ann_index_search_sec" -> tSearch
       out += "ann_index_recall_pm" -> recallPm(idx)
+      ScratchCache.releaseAll(spark)
+    }
+
+    if (run("imagedup")) {
+      // the perceptual-hash pair stage at this corpus size: encode one
+      // q_image_neardup path PNG per doc on the executors, REAL-decode
+      // back to dHash, then the banded-Hamming blocking join — measures
+      // the full decode + pair wall and the candidate economics of the
+      // 16-bit-chunk buckets at scale (the SimHash join shape on an
+      // image corpus)
+      import spark.implicits._
+      import graft.operators.multimodal.Multimodal
+      val ids = docs.select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodePathPng(graft.queries.Pipeline.pathKey(id)),
+          "synth")))
+      val h = ScratchCache.persist(Multimodal.imageDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+      val (hn, tHash) = timed(h.count())
+      out += "imagedup_hashes" -> hn
+      out += "imagedup_decode_sec" -> tHash
+      val (pairs, tPairs) = timed(
+        Dedup.hammingPairs(h, maxHamming = 3).count())
+      out += "imagedup_pairs" -> pairs
+      out += "imagedup_pairs_sec" -> tPairs
       ScratchCache.releaseAll(spark)
     }
 

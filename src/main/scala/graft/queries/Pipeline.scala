@@ -1311,7 +1311,7 @@ object Pipeline {
     * (plain JVM md5, no Spark expressions), and the oracle rebuilds the
     * identical value from `hex48` arithmetic.
     */
-  private[queries] def pathKey(id: Long): Long = {
+  private[graft] def pathKey(id: Long): Long = {
     def h48(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
