@@ -63,13 +63,16 @@ object ScratchCache {
     val before = new java.util.HashSet[Dataset[_]](tracked)
     try f
     finally {
-      // release in finally: a throwing pass must not leak its persists
+      // release in finally: a throwing pass must not leak its persists.
+      // Cleanup swallows ANY non-fatal error (not just the stopped-
+      // session IllegalStateException): on the error path a throwing
+      // unpersist would otherwise MASK f's real exception
       val it = tracked.iterator()
       while (it.hasNext) {
         val ds = it.next()
         if (!before.contains(ds)) {
           try ds.unpersist(blocking = false)
-          catch { case _: IllegalStateException => () } // session stopped
+          catch { case scala.util.control.NonFatal(_) => () }
           it.remove()
         }
       }

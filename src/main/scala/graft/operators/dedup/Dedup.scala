@@ -1487,6 +1487,11 @@ object Dedup {
     */
   def hammingPairs(sketches: DataFrame, maxHamming: Int,
       chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
+    // chunks beyond the sketch width would alias (a 64-bit shift wraps
+    // mod 64: "chunk 4" of a 64-bit sketch re-reads chunk 0), silently
+    // voiding the pigeonhole — reject rather than alias
+    require(chunks >= 1 && chunks * 16 <= 64,
+      s"16-bit chunks must fit the 64-bit sketch (chunks = $chunks)")
     require(!strictRecall || maxHamming < chunks,
       s"banded recall needs maxHamming < chunks ($maxHamming >= $chunks)")
     val chunked = sketches.select(col("id"), col("sh"),

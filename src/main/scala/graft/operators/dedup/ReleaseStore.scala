@@ -211,23 +211,15 @@ final class ReleaseStore(spark: SparkSession, path: String,
   private def shapePin = hPath(s"$path/store.meta")
 
   private def readShape(): Option[Map[String, String]] =
-    if (!fs.exists(shapePin)) None
-    else {
-      val in = fs.open(shapePin)
-      val txt = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      Some(txt.linesIterator.map(_.trim).filter(_.contains('='))
-        .map { l =>
-          val i = l.indexOf('=')
-          l.substring(0, i) -> l.substring(i + 1)
-        }.toMap)
-    }
+    ReleaseStore.readMeta(fs, shapePin)
 
   /** Write-temp-then-rename like [[writePrefixMeta]]; overwrite is
-    * legal here because upgrades legitimately move the pin, and a crash
+    * legal here because upgrades legitimately move the pin, and a CRASH
     * between delete and rename just demotes the store to legacy (the
-    * next write re-pins the same shape).
+    * next write re-pins the same shape). An in-process rename FAILURE
+    * is different: it is observable, and swallowing it would leave the
+    * pin silently gone — the mismatch detection disabled — so it
+    * throws.
     */
   private def writeShape(): Unit = {
     val tmp = hPath(s"$path/store.meta.tmp")
@@ -237,7 +229,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
       .getBytes("UTF-8"))
     finally out.close()
     fs.delete(shapePin, false)
-    if (!fs.rename(tmp, shapePin)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, shapePin)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not install shape pin at $shapePin - refusing to leave " +
+        "the store unpinned")
+    }
   }
 
   /** Validate this instance's shape against the pin; `pin = true`
@@ -886,6 +883,26 @@ final class ReleaseStore(spark: SparkSession, path: String,
 }
 
 object ReleaseStore {
+  /** The one key=value parse of a `store.meta` pin — shared by the
+    * instance validation ([[ReleaseStore!.readShape* readShape]]) and
+    * the operational reopen ([[open]]), so the two can never disagree
+    * about the same file.
+    */
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      pin: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+    if (!fs.exists(pin)) None
+    else {
+      val in = fs.open(pin)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      Some(txt.linesIterator.map(_.trim).filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap)
+    }
+
   /** Construct a NEW store whose front flags come from the counting
     * planner instead of a caller bet — [[Dedup.releaseAuto]]'s
     * self-tuning dispatch extended to the DURABLE layout choice: price
@@ -908,6 +925,15 @@ object ReleaseStore {
     val pin = new org.apache.hadoop.fs.Path(s"$path/store.meta")
     val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(pin)) return open(spark, path)
+    // tables without a pin = a legacy (pre-pin) store whose shape is
+    // UNKNOWN: re-pricing from the sample could construct the wrong
+    // fronts over existing tables — exactly the silent corruption the
+    // pin prevents. Refuse; an explicit construction with the original
+    // flags re-pins it on next write.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/docs")))
+      throw new IllegalStateException(
+        s"$path holds tables but no shape pin - construct ReleaseStore " +
+        "explicitly with its original flags (the next write re-pins)")
     val (useLsh, useCollapse) = Dedup.frontDecisions(sample, idCol,
       textCol, containThreshold, maxShingleDf, k, bands, seed)
     System.err.println(
@@ -928,20 +954,14 @@ object ReleaseStore {
   def open(spark: SparkSession, path: String): ReleaseStore = {
     val p = new org.apache.hadoop.fs.Path(s"$path/store.meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val m = readMeta(fs, p).getOrElse(throw new IllegalStateException(
+      s"no shape pin at $path/store.meta - construct ReleaseStore " +
+      "explicitly (the first ingest records the shape)"))
+    def req(f: String): String = m.getOrElse(f,
       throw new IllegalStateException(
-        s"no shape pin at $path/store.meta - construct ReleaseStore " +
-        "explicitly (the first ingest records the shape)")
-    val in = fs.open(p)
-    val txt = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
-    val m = txt.linesIterator.map(_.trim).filter(_.contains('='))
-      .map { l =>
-        val i = l.indexOf('=')
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap
-    new ReleaseStore(spark, path, m("idCol"), m("textCol"),
+        s"shape pin at $path/store.meta carries no '$f' - the pin is " +
+        "truncated or predates the field; construct explicitly"))
+    new ReleaseStore(spark, path, req("idCol"), req("textCol"),
       maxShingleDf = m.get("maxShingleDf").filter(_ != "none").map(_.toInt),
       lshFront = m.get("lshFront").exists(_.toBoolean),
       containThreshold =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.dedup.Dedup
@@ -36,16 +36,19 @@ object Pipeline {
     java.nio.file.Files.createTempDirectory("graft_q_store_").toString
   }
 
-  /** Drive a release-store gate: `batches` id-sliced batches with a
-    * mid-stream compact() before the LAST ingest (so the gate covers
-    * ingest-after-compaction), then the eight products from the stored
-    * pair set.
+  /** Drive a release-store gate: `batches` batches sliced by `sliceCol`
+    * (every residue class must be NON-EMPTY for the gate to actually
+    * cover increments — a pre-filtered corpus must pass a slice key the
+    * filter doesn't collapse), with a mid-stream compact() before the
+    * LAST ingest (so the gate covers ingest-after-compaction), then the
+    * eight products from the stored pair set.
     */
   private def storeDrive(s: SparkSession, d: DataFrame,
       store: graft.operators.dedup.ReleaseStore,
-      batches: Int = 3): Dedup.ReleaseProducts = {
+      batches: Int = 3,
+      sliceCol: Column = col("doc_id")): Dedup.ReleaseProducts = {
     (0L until batches.toLong).foreach { b =>
-      store.ingest(d.where(pmod(col("doc_id"), lit(batches)) === b),
+      store.ingest(d.where(pmod(sliceCol, lit(batches)) === b),
         batchId = Some(b))
       if (b == batches - 2L) store.compact(targetFileBytes = 8L * 1024 * 1024)
     }
@@ -499,11 +502,14 @@ object Pipeline {
           Multimodal.MediaRow(id, "image", payload, "synth")
         }
       }
-      val hashes = Multimodal.imageDHash(media)
-      Dedup.hammingPairs(
-        hashes.where(col("cause") === "ok")
-          .select(col("media_id").as("id"), col("dhash").as("sh")).toDF(),
-        maxHamming = 3)
+      // persisted: hammingPairs self-joins its input, and an unpersisted
+      // lineage would re-run the PNG encode + ImageIO decode per side
+      // (the simhashPairs hoisting pattern)
+      val hashes = graft.ScratchCache.persist(
+        Multimodal.imageDHash(media)
+          .where(col("cause") === "ok")
+          .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+      Dedup.hammingPairs(hashes, maxHamming = 3)
     }),
 
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
@@ -773,9 +779,13 @@ object Pipeline {
       val store = new graft.operators.dedup.ReleaseStore(
         s, storeScratchDir(s), "doc_id", "text", lshFront = true,
         k = 32, bands = 16, portable = true, collapseFront = true)
+      // slice by doc_id/2: the even-id filter collapses pmod(doc_id, 2)
+      // to one residue class, which would leave batch 1 EMPTY and the
+      // increment path un-gated
       releaseTags(storeDrive(s,
         docs(s, dir).where(pmod(col("doc_id"), lit(2)) === 0),
-        store, batches = 2))
+        store, batches = 2,
+        sliceCol = (col("doc_id") / 2).cast("long")))
     }),
 
     // the incremental release, gated end to end: a prior release over

@@ -937,6 +937,11 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.hammingPairs(df, maxHamming = 4)
     }
+    // chunks past the 64-bit sketch would alias (shift wraps mod 64:
+    // "chunk 4" re-reads chunk 0) — rejected, not silently voided
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, maxHamming = 4, chunks = 5)
+    }
   }
 
   test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {

@@ -592,6 +592,13 @@ class ReleaseStoreSpec extends SparkSpec {
     val got3 = s3.products(threshold = 0.5, quality = q)
     assert(rows(got3.pairs) == rows(want.pairs))
     assert(rows(got3.clusters) == rows(want.clusters))
+    // a LEGACY store (tables, no pin) must REFUSE createAuto: its shape
+    // is unknown, and re-pricing from a sample could construct the
+    // wrong fronts over the existing tables
+    assert(new java.io.File(s"$dupDir/store.meta").delete())
+    intercept[IllegalStateException] {
+      ReleaseStore.createAuto(spark, dupDir, b0, "doc_id", "text")
+    }
     graft.ScratchCache.releaseAll(spark)
   }
 
