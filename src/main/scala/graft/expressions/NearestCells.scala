@@ -29,9 +29,16 @@ import org.apache.spark.sql.types._
   * as before (an all-zero centroid would otherwise score NaN and
   * become unprobeable), and the `<`-only selection scan keeps the
   * lowest cell id on exact ties — the same (negSim, cell) struct order
-  * `sort_array` produced, so every caller's output rows are unchanged.
-  * Non-finite negSims (a NaN input vector) rank after all finite ones,
-  * matching Spark's Double ordering in `sort_array`.
+  * `sort_array` produced, so every caller's output rows are unchanged
+  * FOR NON-NULL vectors. Non-finite negSims (a NaN input vector) rank
+  * after all finite ones, matching Spark's Double ordering in
+  * `sort_array`. One deliberate divergence: a NULL input vector yields
+  * a NULL cell list (standard UnaryExpression null propagation), where
+  * the composed form assigned such rows a concrete cell from null
+  * negSims — NULL is the honest answer (a null vector has no nearest
+  * cell), and it composes consistently with the rest of the similarity
+  * family, where null embeddings already drop out of every dot-product
+  * ranking; they are unreachable by search either way.
   */
 case class NearestCells(child: Expression, cents: Array[Array[Double]],
     n: Int) extends UnaryExpression {

@@ -300,7 +300,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
     if (!collapseFront || !fs.exists(hPath(s"$path/members"))) sc
     else {
       recoverTable("shingles")
-      val sizes = spark.read.parquet(s"$path/shingles")
+      // explicit schema (derived like storedStateDelta's): a shingles
+      // dir whose only appends were all-empty frames has no data files
+      // to infer from
+      val shSchema = Dedup.hashedShingles(
+        docs.limit(0), idCol, textCol, portable).schema
+      val sizes = spark.read.schema(shSchema).parquet(s"$path/shingles")
         .select(col("id"), size(col("sh")).cast("long").as("n"))
       Dedup.expandCollapsedScored(sc,
         membersTable.select(col("id"), col("rep")), sizes)
@@ -433,8 +438,11 @@ final class ReleaseStore(spark: SparkSession, path: String,
       delta
         .withColumn("batch", lit(batchId.getOrElse(-1L)))
         .write.mode(SaveMode.Append).parquet(s"$path/scored")
-      graft.ScratchCache.releaseAll(spark)
     }
+    // outside the guarded block: a replay of a fully-committed batch
+    // skips the scored body but appendState still persisted its frames
+    // — releasing here frees them on every path, not just first runs
+    graft.ScratchCache.releaseAll(spark)
     // the accepted-set checkpoint (un-id'd ingests only) has served its
     // last consumer — free its blocks
     val sc = spark.sparkContext
@@ -452,19 +460,23 @@ final class ReleaseStore(spark: SparkSession, path: String,
     */
   private def appendState(batch: DataFrame, accepted: DataFrame,
       batchId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
-    // un-id'd ingests have NO marker protection (guarded(None) always
-    // writes), and state appends land BEFORE the docs append — a crash
-    // between them replays with the same accepted set (docs unchanged →
-    // same anti-join) and would append every state row a second time,
-    // durably corrupting the scored delta of every later batch. Dedup
-    // each un-id'd state append against the table's stored ids instead:
-    // the recomputed rows are deterministic functions of the accepted
-    // set, so skipping already-present ids is exactly replay semantics,
-    // per table (a crash between the shingles and bands appends skips
-    // one and lands the other).
+    // Every state append anti-joins the table's stored ids first. Two
+    // replay windows need it: un-id'd ingests have NO marker protection
+    // (guarded(None) always writes), and even an ID'D batch can land a
+    // state append and die BEFORE its marker commits — the replay's
+    // guarded re-runs the write, and without the anti-join every state
+    // row would append a second time, durably corrupting the scored
+    // delta of every later batch. The recomputed rows are deterministic
+    // functions of the sidecar-pinned accepted set, so skipping
+    // already-present ids is exactly replay semantics, per table (a
+    // crash between the shingles and bands appends skips one and lands
+    // the other). An id in the frame that is already stored can ONLY be
+    // that window — re-crawled ids never reach appendState (the
+    // accepted set excludes them) — and the join's right side is one
+    // column-pruned id scan.
     def dedupAppend(frame: DataFrame, table: String): Unit = {
       val fresh =
-        if (batchId.isEmpty && fs.exists(hPath(s"$path/$table")))
+        if (fs.exists(hPath(s"$path/$table")))
           frame.join(spark.read.schema(frame.schema)
               .parquet(s"$path/$table").select(col("id")),
             Seq("id"), "left_anti")
@@ -846,6 +858,10 @@ final class ReleaseStore(spark: SparkSession, path: String,
       if (!fs.exists(hPath(dir))) return
       val bytes = fs.listStatus(hPath(dir))
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      // a dir with ZERO data files (an append of an all-empty frame
+      // writes only _SUCCESS) is legal store state but unreadable
+      // without a schema — nothing to compact either way
+      if (bytes == 0L) return
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val tmp = s"$dir.compact.tmp"
       val old = s"$dir.compact.old"

@@ -455,9 +455,16 @@ object Multimodal {
             case "avih" if sz >= 40 =>
               usecPerFrame = u32(dataOff)
               avihW = u32(dataOff + 32); avihH = u32(dataOff + 36)
-            case "strh" if sz >= 36 =>
-              lastStrhVids = fourcc(dataOff) == "vids"
-              if (lastStrhVids && rate < 0) {
+            case "strh" =>
+              // EVERY strh advances the stream number — frame chunks
+              // are "NNdc" where NN is the strl's position among ALL
+              // streams, so skipping a nonstandard-short strh (sz < 36)
+              // would desync the numbering and miss every video frame
+              // of the streams after it. Only a full-size vids strh can
+              // CLAIM the video stream (its rate/scale/length fields
+              // must exist to be read).
+              lastStrhVids = sz >= 4 && fourcc(dataOff) == "vids"
+              if (lastStrhVids && rate < 0 && sz >= 36) {
                 streamIdx = strhSeen
                 scale = u32(dataOff + 20); rate = u32(dataOff + 24)
                 declared = u32(dataOff + 32)
@@ -529,13 +536,17 @@ object Multimodal {
     var decodeFailed = false
     var pos = moviStart
     // clamp: a movi list declaring more bytes than the payload carries
-    // still yields its complete frames, then flags truncation below
+    // still yields its complete frames, then flags truncation below.
+    // The frame pass keeps its OWN cut flag: a header-walk truncation
+    // (e.g. a trailing idx1 index cut after movi) must not veto frame
+    // counting — every frame chunk inside movi is still intact
+    var frameCut = false
     val end = math.min(moviEnd, p.length.toLong).toInt
     val moviCut = moviEnd > p.length
-    while (pos + 8 <= end && !truncated && !decodeFailed) {
+    while (pos + 8 <= end && !frameCut && !decodeFailed) {
       val fc = fourcc(pos)
       val sz = u32(pos + 4)
-      if (sz < 0 || pos + 8 + sz > end) truncated = true
+      if (sz < 0 || pos + 8 + sz > end) frameCut = true
       else {
         val dataOff = pos + 8
         val isFrame = fc.length == 4 && fc.startsWith(framePrefix) &&
@@ -611,7 +622,8 @@ object Multimodal {
     }
     if (decodeFailed) base.copy(cause = "decode_failed",
       n_frames = Some(nFrames))
-    else if (truncated || moviCut || (declared >= 0 && nFrames < declared))
+    else if (truncated || frameCut || moviCut ||
+        (declared >= 0 && nFrames < declared))
       base.copy(cause = "truncated", n_frames = Some(nFrames))
     else base.copy(cause = "ok", n_frames = Some(nFrames),
       sampled_frames = Some(sampled),

@@ -1062,6 +1062,44 @@ class MultimodalSpec extends SparkSpec {
     assert(v.n_frames.isEmpty && v.mean_rgb_milli.isEmpty)
   }
 
+  test("a cut trailing index or a short foreign strh cannot hide intact frames") {
+    import spark.implicits._
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // (a) a trailing idx1 index declaring 100 bytes while the payload
+    // carries 4: the HEADER walk flags truncation, but every frame
+    // chunk inside movi is intact — they must still count
+    val s0 = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60)
+    val cutIdx = s0 ++ "idx1".getBytes("US-ASCII") ++ le32(100) ++
+      Array[Byte](1, 2, 3, 4)
+    // (b) an audio-first AVI whose audio strh is nonstandard-SHORT
+    // (32 < 36 bytes): stream numbering must count it anyway, or the
+    // vids stream keeps index 0 and its "01dc" frames are invisible.
+    // Patch the fixture: drop the strh's last 24 bytes and fix every
+    // enclosing size (RIFF@4, hdrl LIST@16, auds strl LIST@92, strh@104)
+    val s1 = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60,
+      audioFirst = true)
+    val shortStrh = {
+      val b = s1.slice(0, 140) ++ s1.slice(164, s1.length)
+      def shrink(off: Int): Unit = {
+        val v = (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        le32(v - 24).copyToArray(b, off)
+      }
+      shrink(4); shrink(16); shrink(92); shrink(104)
+      b
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", cutIdx, "s"),
+      Multimodal.MediaRow(2L, "video", shortStrh, "s")).toDS()
+    val got = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "truncated", got(0).cause)
+    assert(got(0).n_frames.contains(5L), got(0).n_frames)
+    assert(got(1).cause == "ok", got(1).cause)
+    assert(got(1).n_frames.contains(5L) && got(1).sampled_frames.contains(5))
+  }
+
   test("video stream muxed after audio decodes via its own chunk prefix (01dc)") {
     import spark.implicits._
     // same visual content, stream 0 vs stream 1: identical features

@@ -602,6 +602,60 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a landed-but-unmarked STATE append does not duplicate on id'd replay") {
+    // the id'd crash window: shingles/bands/prefixes parquet appends
+    // land, the JVM dies BEFORE their markers commit, the batch
+    // replays — guarded re-runs the writes, and only the stored-id
+    // anti-join keeps the rows from doubling (doubled state would
+    // corrupt every later batch's scored delta durably)
+    val dir = Files.createTempDirectory("relstatewin").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true)
+    store.ingest(b0, batchId = Some(0L))
+    def cnt(t: String) = spark.read.parquet(s"$dir/$t").count()
+    val tables = Seq("shingles", "bands", "prefixes")
+    val before = tables.map(cnt)
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tables.foreach { t => // hadoop delete: takes the .crc sidecar too
+      assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/$t"),
+        false))
+    }
+    store.ingest(b0, batchId = Some(0L)) // replay re-runs the guarded writes
+    assert(tables.map(cnt) == before)
+    store.ingest(b1, batchId = Some(1L))
+    val all = b0.unionByName(b1)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.containment) == rows(want.containment))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("a shingle-less first batch leaves data-less state dirs that still compact and read") {
+    // hashedShingles drops <3-token docs, so a batch of tiny docs
+    // appends all-EMPTY state frames — dirs with _SUCCESS and zero data
+    // files. compact() must skip them (nothing to infer a schema from,
+    // nothing to rewrite) and the store must keep working
+    val dir = Files.createTempDirectory("relempty").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    val short = doc((100L, "too short"), (101L, "also tiny"))
+    store.ingest(short, batchId = Some(0L))
+    store.compact(targetFileBytes = 8L * 1024 * 1024)
+    store.ingest(b0, batchId = Some(1L))
+    val all = short.unionByName(b0)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text", threshold = 0.5,
+      maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.survivors) == rows(want.survivors))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a compact crash (table moved aside) heals on ANY next access") {
     // simulate compact dying between its two renames: the whole table
     // sits at .compact.old and nothing at the live path. docs/scored
