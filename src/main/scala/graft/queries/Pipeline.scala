@@ -491,26 +491,14 @@ object Pipeline {
     // round trip, the dHash bit layout, and the banded join's exact-
     // recall pigeonhole at once. doc_id % 97 rows are planted empty to
     // exercise the cause routing in the pair path
-    "q_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
-        it.map { id =>
-          val payload =
-            if (id % 97 == 0) Array.emptyByteArray
-            else Multimodal.encodePathPng(pathKey(id))
-          Multimodal.MediaRow(id, "image", payload, "synth")
-        }
-      }
-      // persisted: hammingPairs self-joins its input, and an unpersisted
-      // lineage would re-run the PNG encode + ImageIO decode per side
-      // (the simhashPairs hoisting pattern)
-      val hashes = graft.ScratchCache.persist(
-        Multimodal.imageDHash(media)
-          .where(col("cause") === "ok")
-          .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
-      Dedup.hammingPairs(hashes, maxHamming = 3)
-    }),
+    "q_image_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(neardupHashes(s, dir), maxHamming = 3)),
+
+    // the same verified pair set through the shared distributed CC —
+    // one cluster per planted group, exactly as text dedup clusters
+    "q_image_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.hammingPairs(neardupHashes(s, dir), maxHamming = 3))),
 
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
     // WAVs are ENCODED on the executors from doc_id-derived parameters
@@ -1321,6 +1309,31 @@ object Pipeline {
     * (plain JVM md5, no Spark expressions), and the oracle rebuilds the
     * identical value from `hex48` arithmetic.
     */
+  /** The q_image_neardup / q_image_clusters hash table: executors
+    * encode one 9×8 path-gradient PNG per doc (dHash == [[pathKey]] by
+    * construction, `% 97` rows planted empty to exercise the cause
+    * routing), REAL-decode via [[Multimodal.imageDHash]], and the
+    * result persists — `hammingPairs` self-joins its input, and an
+    * unpersisted lineage would re-run the PNG encode + ImageIO decode
+    * per side (the simhashPairs hoisting pattern).
+    */
+  private def neardupHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id")).as[Long]
+    val media = d.mapPartitions { it =>
+      it.map { id =>
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else Multimodal.encodePathPng(pathKey(id))
+        Multimodal.MediaRow(id, "image", payload, "synth")
+      }
+    }
+    graft.ScratchCache.persist(
+      Multimodal.imageDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+  }
+
   private[graft] def pathKey(id: Long): Long = {
     def h48(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
@@ -1345,6 +1358,34 @@ object Pipeline {
       val w = math.pow(16, 11 - j).toLong
       s"(strpos('0123456789abcdef', substr(md5($e), ${j + 1}, 1)) - 1) * $w"
     }.mkString(" + ")
+
+  /** Shared CTE chain for the two image-dHash oracles: rebuild each
+    * doc's pathKey (the fixture PNG's exact dHash) with hex48
+    * arithmetic, then replicate the banded blocking — `k(doc_id, dh)`
+    * carries the hashes and `cand(id_a, id_b)` the chunk-collision
+    * candidates.
+    */
+  private lazy val imageKeyCtes: String =
+    s"""g AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+      |  FROM documents WHERE doc_id % 97 != 0),
+      |b AS (SELECT doc_id,
+      |    ((${hex48("'h' || CAST(gid AS VARCHAR)")}) % 32768)
+      |      * 281474976710656
+      |      + (${hex48("'l' || CAST(gid AS VARCHAR)")}) AS base,
+      |    CASE m WHEN 0 THEN 0
+      |      WHEN 1 THEN (1::BIGINT << CAST(gid % 62 AS INT))
+      |      WHEN 2 THEN (1::BIGINT << CAST(gid % 62 AS INT)) |
+      |        (1::BIGINT << CAST((gid + 21) % 62 AS INT)) |
+      |        (1::BIGINT << CAST((gid + 42) % 62 AS INT))
+      |      ELSE 578721382704613384 END AS mask
+      |  FROM g),
+      |k AS (SELECT doc_id, xor(base, mask) AS dh FROM b),
+      |c AS (SELECT doc_id, dh, i AS chunk, (dh >> CAST(i * 16 AS INT))
+      |      & 65535 AS cv
+      |  FROM k, LATERAL (SELECT unnest(range(0, 4)) AS i) r),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id)""".stripMargin
 
   private val dsirCore: String = {
     val hexpr = hex48("f")
@@ -3267,31 +3308,24 @@ object Pipeline {
     // arithmetic and replicates the banded blocking (4×16-bit chunks,
     // pigeonhole-exact for hamming ≤ 3) and the bit_count verification
     "q_image_neardup" ->
-      s"""WITH g AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
-        |  FROM documents WHERE doc_id % 97 != 0),
-        |b AS (SELECT doc_id,
-        |    ((${hex48("'h' || CAST(gid AS VARCHAR)")}) % 32768)
-        |      * 281474976710656
-        |      + (${hex48("'l' || CAST(gid AS VARCHAR)")}) AS base,
-        |    CASE m WHEN 0 THEN 0
-        |      WHEN 1 THEN (1::BIGINT << CAST(gid % 62 AS INT))
-        |      WHEN 2 THEN (1::BIGINT << CAST(gid % 62 AS INT))
-        |        | (1::BIGINT << CAST((gid + 21) % 62 AS INT))
-        |        | (1::BIGINT << CAST((gid + 42) % 62 AS INT))
-        |      ELSE 578721382704613384 END AS mask
-        |  FROM g),
-        |k AS (SELECT doc_id, xor(base, mask) AS dh FROM b),
-        |c AS (SELECT doc_id, dh, i AS chunk, (dh >> CAST(i * 16 AS INT))
-        |      & 65535 AS cv
-        |  FROM k, LATERAL (SELECT unnest(range(0, 4)) AS i) r),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.cv = b.cv
-        |    AND a.doc_id < b.doc_id)
+      s"""WITH RECURSIVE $imageKeyCtes
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
         |FROM cand JOIN k da ON id_a = da.doc_id
         |  JOIN k db ON id_b = db.doc_id
         |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
+
+    // the same verified pair set through connected components — one
+    // cluster per planted 0/1/3-hamming group
+    "q_image_clusters" ->
+      s"""WITH RECURSIVE $imageKeyCtes,
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN k da ON id_a = da.doc_id
+        |    JOIN k db ON id_b = db.doc_id
+        |  WHERE bit_count(xor(da.dh, db.dh)) <= 3),
+        |$reachCte
+        |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1"""
+        .stripMargin,
 
     // Arithmetic oracle for the REAL audio decode: WAV is lossless PCM,
     // so a constant-amplitude a clip decodes back to rms = peak = |a|
