@@ -587,18 +587,8 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // move-aside install: upgrades overwrite EXISTING per-doc tables; a
     // crash mid-sequence re-enters here (members still missing) and
     // rebuilds the same content
-    def install(name: String, df: DataFrame): Unit = {
-      val tmp = s"$path/$name.backfill.tmp"
-      val old = s"$path/$name.backfill.old"
-      df.write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(hPath(old), true)
-      if (fs.exists(hPath(s"$path/$name")) &&
-          !fs.rename(hPath(s"$path/$name"), hPath(old)))
-        throw new java.io.IOException(s"cannot move $name aside")
-      if (!fs.rename(hPath(tmp), hPath(s"$path/$name")))
-        throw new java.io.IOException(s"cannot install backfilled $name")
-      fs.delete(hPath(old), true)
-    }
+    def install(name: String, df: DataFrame): Unit =
+      installTable(s"$path/$name", df, ".backfill")
     if (missing.contains("shingles")) install("shingles", sh)
     if (missing.contains("bands"))
       install("bands", bandsOf(sh))
@@ -787,22 +777,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
         val merged = Dedup.connectedComponents(
           prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
             .unionAll(newEdges))
-        // move-aside install (write tmp → dir aside → tmp in → drop old):
-        // no window where the marker is ahead of a MISSING table; a crash
-        // between the renames is healed by the water guard above (dir
-        // absent → full rebuild), and install-then-mark means a crash
-        // before the mark just re-folds idempotently (star edges)
-        val tmp = s"$dir.tmp"
-        val old = s"$dir.old"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-        fs.delete(hPath(old), true)
-        if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
-          throw new java.io.IOException(s"cannot move $dir aside")
-        if (!fs.rename(hPath(tmp), hPath(dir))) {
-          fs.rename(hPath(old), hPath(dir)) // roll back
-          throw new java.io.IOException(s"cannot install $dir")
-        }
-        fs.delete(hPath(old), true)
+        // move-aside install: no window where the marker is ahead of a
+        // MISSING table; a crash between the renames is healed by the
+        // water guard above (dir absent → full rebuild), and
+        // install-then-mark means a crash before the mark just re-folds
+        // idempotently (star edges)
+        installTable(dir, merged, "")
         markers.markCommitted(table, top)
         spark.read.parquet(dir)
       }
@@ -863,19 +843,35 @@ final class ReleaseStore(spark: SparkSession, path: String,
       // without a schema — nothing to compact either way
       if (bytes == 0L) return
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val tmp = s"$dir.compact.tmp"
-      val old = s"$dir.compact.old"
-      spark.read.parquet(dir).repartition(k)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(hPath(old), true)
-      if (!fs.rename(hPath(dir), hPath(old)))
-        throw new java.io.IOException(s"compact: cannot move $name aside")
-      if (!fs.rename(hPath(tmp), hPath(dir))) {
-        fs.rename(hPath(old), hPath(dir)) // roll back
-        throw new java.io.IOException(s"compact: cannot install $name")
-      }
-      fs.delete(hPath(old), true)
+      installTable(dir, spark.read.parquet(dir).repartition(k), ".compact")
     }
+
+  /** The one move-aside table swap every installer uses: write the
+    * frame to `<dir><suffix>.tmp`, move any live dir to
+    * `<dir><suffix>.old`, rename the tmp in (rolling the old back if
+    * that rename fails), then drop the old copy. The write fully
+    * materializes before either rename, so a source frame READ from
+    * `dir` itself (compaction) is safe. A crash between the two renames
+    * leaves the complete table at `.old` and nothing live — each call
+    * site owns the healing contract for that window (backfill re-enters
+    * and rebuilds; label installs fall to the water guard's full
+    * rebuild; compaction restores via [[recoverTable]], which is why
+    * the suffixes stay distinct).
+    */
+  private def installTable(dir: String, df: DataFrame,
+      suffix: String): Unit = {
+    val tmp = s"$dir$suffix.tmp"
+    val old = s"$dir$suffix.old"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hPath(old), true)
+    if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
+      throw new java.io.IOException(s"installTable: cannot move $dir aside")
+    if (!fs.rename(hPath(tmp), hPath(dir))) {
+      fs.rename(hPath(old), hPath(dir)) // roll back
+      throw new java.io.IOException(s"installTable: cannot install $dir")
+    }
+    fs.delete(hPath(old), true)
+  }
 
   private def pruneSidecars(): Unit = writeLock.synchronized {
     val root = hPath(s"$path/batches")
