@@ -401,10 +401,52 @@ object Multimodal {
     }
   }
 
-  // single-payload AVI walk — executor-side, no allocations proportional
-  // to payload size beyond the sampled rasters
+  // single-payload AVI feature decode: the shared walk with a streaming
+  // mean/crc sink — executor-side, one sampled raster live at a time
   private def decodeOneVideo(r: MediaRow, maxPixels: Long, stride: Int,
       maxSampledFrames: Int): VideoDecode = {
+    var sum = 0L
+    var pixels = 0L
+    val crc = new java.util.zip.CRC32()
+    val crcBuf = new Array[Byte](4)
+    val vd = walkOneVideo(r, maxPixels, stride, maxSampledFrames) { img =>
+      val fw = img.getWidth; val fh = img.getHeight
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val px = img.getRGB(x, y)
+          sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          crcBuf(0) = (px >>> 24).toByte
+          crcBuf(1) = (px >>> 16).toByte
+          crcBuf(2) = (px >>> 8).toByte
+          crcBuf(3) = px.toByte
+          crc.update(crcBuf)
+          x += 1
+        }
+        y += 1
+      }
+      pixels += fw.toLong * fh
+    }
+    if (vd.cause == "ok" && pixels > 0)
+      vd.copy(mean_rgb_milli = Some(sum * 1000L / (3L * pixels)),
+        pixel_crc = Some(crc.getValue))
+    else vd
+  }
+
+  /** The shared RIFF/AVI walk under [[decodeVideo]] and [[videoDHash]]:
+    * parse the container (header facts, per-cause routing, frame
+    * counting) and hand each SAMPLED frame to `sink` as a decoded
+    * raster in VISUAL orientation (bottom-up/top-down DIB rows
+    * normalized; MJPEG chunks via `javax.imageio`). Returns the
+    * header/count facts with the raster-derived feature fields left
+    * empty — callers derive those from the rasters they saw. One
+    * sampled raster is live at a time, bounded by `maxPixels` — the
+    * [[decodeImages]] memory posture.
+    */
+  private def walkOneVideo(r: MediaRow, maxPixels: Long, stride: Int,
+      maxSampledFrames: Int)(
+      sink: java.awt.image.BufferedImage => Unit): VideoDecode = {
     val none = VideoDecode(r.media_id, "", None, None, None, None, None,
       None, None, None, None, None)
     val p = r.payload
@@ -529,10 +571,6 @@ object Multimodal {
     val rowBytes = (w * 3 + 3) & ~3
     var nFrames = 0L
     var sampled = 0
-    var sum = 0L
-    var pixels = 0L
-    val crc = new java.util.zip.CRC32()
-    val crcBuf = new Array[Byte](4)
     var decodeFailed = false
     var pos = moviStart
     // clamp: a movi list declaring more bytes than the payload carries
@@ -559,9 +597,11 @@ object Multimodal {
               if (sz < rowBytes.toLong * h) decodeFailed = true
               else {
                 // BGR rows stored bottom-up (positive biHeight) or
-                // top-down (negative); accumulate in VISUAL top-down
-                // order either way so the crc fingerprints the image,
-                // not the storage layout
+                // top-down (negative); materialize in VISUAL top-down
+                // order either way so sinks see the image, not the
+                // storage layout
+                val img = new java.awt.image.BufferedImage(w, h,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
                 var yv = 0
                 while (yv < h) {
                   val row =
@@ -571,18 +611,12 @@ object Multimodal {
                     val b = p(row + 3 * x) & 0xff
                     val g = p(row + 3 * x + 1) & 0xff
                     val red = p(row + 3 * x + 2) & 0xff
-                    sum += red + g + b
-                    val argb = 0xff000000 | (red << 16) | (g << 8) | b
-                    crcBuf(0) = (argb >>> 24).toByte
-                    crcBuf(1) = (argb >>> 16).toByte
-                    crcBuf(2) = (argb >>> 8).toByte
-                    crcBuf(3) = argb.toByte
-                    crc.update(crcBuf)
+                    img.setRGB(x, yv, (red << 16) | (g << 8) | b)
                     x += 1
                   }
                   yv += 1
                 }
-                pixels += w.toLong * h
+                sink(img)
                 sampled += 1
               }
             } else { // mjpeg: the chunk is a standalone JPEG
@@ -591,24 +625,7 @@ object Multimodal {
                   new java.io.ByteArrayInputStream(p, dataOff, sz.toInt))
                 if (img == null) decodeFailed = true
                 else {
-                  val fw = img.getWidth; val fh = img.getHeight
-                  var y = 0
-                  while (y < fh) {
-                    var x = 0
-                    while (x < fw) {
-                      val px = img.getRGB(x, y)
-                      sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) +
-                        (px & 0xff)
-                      crcBuf(0) = (px >>> 24).toByte
-                      crcBuf(1) = (px >>> 16).toByte
-                      crcBuf(2) = (px >>> 8).toByte
-                      crcBuf(3) = px.toByte
-                      crc.update(crcBuf)
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  pixels += fw.toLong * fh
+                  sink(img)
                   sampled += 1
                 }
               } catch {
@@ -626,9 +643,86 @@ object Multimodal {
         (declared >= 0 && nFrames < declared))
       base.copy(cause = "truncated", n_frames = Some(nFrames))
     else base.copy(cause = "ok", n_frames = Some(nFrames),
-      sampled_frames = Some(sampled),
-      mean_rgb_milli = if (pixels > 0) Some(sum * 1000L / (3L * pixels)) else None,
-      pixel_crc = if (pixels > 0) Some(crc.getValue) else None)
+      sampled_frames = Some(sampled))
+  }
+
+  /** One clip's perceptual-hash outcome ([[videoDHash]]); `cause`,
+    * header facts and frame counts route exactly as [[VideoDecode]].
+    */
+  final case class VideoHash(
+      media_id: Long,
+      cause: String,
+      codec: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      n_frames: Option[Long],
+      sampled_frames: Option[Int],
+      /** per-sampled-frame difference hash ([[imageDHash]] bit layout),
+        * in sample order — the sequence fingerprint for alignment-aware
+        * matching
+        */
+      frame_dhash: Option[Seq[Long]],
+      /** strict-majority vote per bit over `frame_dhash` — the single
+        * 64-bit clip fingerprint
+        * [[graft.operators.dedup.Dedup.hammingPairs]] pairs on. Majority
+        * voting is what makes the fingerprint robust to a minority of
+        * divergent frames (an inserted intro/outro card, a re-encode
+        * artifact burst): as long as more than half the sampled frames
+        * agree on a bit, the clip hash keeps it
+        */
+      clip_dhash: Option[Long])
+
+  /** REAL video perceptual hashing for clip near-dup detection: the
+    * [[decodeVideo]] container walk (same per-cause routing, sampling
+    * and bomb guards), each sampled frame reduced to its 64-bit
+    * difference hash via the [[imageDHash]] core, and the clip
+    * fingerprinted by a strict per-bit majority over the sampled
+    * frames. Pair generation is [[graft.operators.dedup.Dedup
+    * .hammingPairs]] over `clip_dhash` — banded 16-bit blocking, never
+    * all-pairs, the image/SimHash discipline; a clip that survives
+    * re-encode, container rewrap or uniform brightness shift fingerprints
+    * identically because each FRAME's dHash does. At 100 TB the hash
+    * pass is a stateless per-partition map (scales with executors) and
+    * the pair stage an equi-join on 16-bit buckets, with the usual skew
+    * contract (solid/black clips collapse buckets — exclude them the
+    * way shingle-less documents are excluded).
+    */
+  def videoDHash(media: Dataset[MediaRow], hashW: Int = 8, hashH: Int = 8,
+      stride: Int = 1, maxSampledFrames: Int = 32,
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[VideoHash] = {
+    require(hashW >= 1 && hashW <= 8 && hashH >= 1 && hashH <= 8,
+      "dhash bits must fit one long")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vd = walkOneVideo(r, maxPixels, stride, maxSampledFrames) {
+          img => hashes += dhashOfImage(img, hashW, hashH)
+        }
+        val clip =
+          if (vd.cause != "ok" || hashes.isEmpty) None
+          else {
+            val n = hashes.length
+            var bits = 0L
+            var b = 0
+            while (b < 64) {
+              var cnt = 0
+              var i = 0
+              while (i < n) {
+                if (((hashes(i) >>> b) & 1L) == 1L) cnt += 1
+                i += 1
+              }
+              if (2 * cnt > n) bits |= 1L << b
+              b += 1
+            }
+            Some(bits)
+          }
+        VideoHash(r.media_id, vd.cause, vd.codec, vd.width, vd.height,
+          vd.n_frames, vd.sampled_frames,
+          if (vd.cause == "ok") Some(hashes.toSeq) else None, clip)
+      }
+    }
   }
 
   /** AVI-encode a solid-color clip (the deterministic fixture builder:
@@ -701,6 +795,55 @@ object Multimodal {
         }
         IndexedSeq.fill(nFrames)(one)
       }
+    writeAvi(w, h, fps, codec, bitCount, topDown, audioFirst, frames)
+  }
+
+  /** AVI-encode a clip of 9×8 "path" frames — [[encodePathPng]]'s
+    * construction as raw BI_RGB DIB frames, so frame i's [[videoDHash]]
+    * frame hash equals `keys(i)` exactly (lossless frames, raster
+    * already (hashW+1)×hashH, r=g=b pixels). A clip whose majority of
+    * frames carry one key fingerprints as that key by pure arithmetic —
+    * the deterministic fixture under the video near-dup gate.
+    * Executor-safe: pure function.
+    */
+  def encodePathAvi(keys: Seq[Long], fps: Int = 10): Array[Byte] = {
+    require(fps > 0)
+    val rowBytes = (9 * 3 + 3) & ~3
+    val frames = keys.toIndexedSeq.map { key =>
+      val one = new Array[Byte](rowBytes * 8)
+      var yv = 0
+      while (yv < 8) {
+        val ys = 7 - yv // bottom-up DIB storage of visual row yv
+        var v = 128
+        def put(x: Int, value: Int): Unit = {
+          val o = ys * rowBytes + 3 * x
+          one(o) = value.toByte
+          one(o + 1) = value.toByte
+          one(o + 2) = value.toByte
+        }
+        put(0, v)
+        var x = 0
+        while (x < 8) {
+          v += (if (((key >>> (yv * 8 + x)) & 1L) == 1L) -8 else 8)
+          put(x + 1, v)
+          x += 1
+        }
+        yv += 1
+      }
+      one
+    }
+    writeAvi(9, 8, fps, "raw", bitCount = 24, topDown = false,
+      audioFirst = false, frames)
+  }
+
+  /** The fixed AVI container around pre-encoded frame chunks — the
+    * shared writer under [[encodeSolidAvi]] and [[encodePathAvi]] (see
+    * [[encodeSolidAvi]] for the layout contract).
+    */
+  private def writeAvi(w: Int, h: Int, fps: Int, codec: String,
+      bitCount: Int, topDown: Boolean, audioFirst: Boolean,
+      frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val nFrames = frames.length
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Unit = {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
@@ -1006,39 +1149,8 @@ object Multimodal {
               ("too_large", Some(hw.toInt), Some(hh.toInt), None)
             else {
               val img = reader.read(0)
-              val (w, h) = (img.getWidth, img.getHeight)
-              val small =
-                if (w == hashW + 1 && h == hashH) img
-                else {
-                  val out = new java.awt.image.BufferedImage(
-                    hashW + 1, hashH,
-                    java.awt.image.BufferedImage.TYPE_INT_RGB)
-                  val g = out.createGraphics()
-                  try {
-                    g.setRenderingHint(
-                      java.awt.RenderingHints.KEY_INTERPOLATION,
-                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                    g.drawImage(img, 0, 0, hashW + 1, hashH, null)
-                  } finally g.dispose()
-                  out
-                }
-              def luma(x: Int, y: Int): Int = {
-                val p = small.getRGB(x, y)
-                (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
-                  (p & 0xff) * 114) / 1000
-              }
-              var bits = 0L
-              var y = 0
-              while (y < hashH) {
-                var x = 0
-                while (x < hashW) {
-                  if (luma(x, y) > luma(x + 1, y))
-                    bits |= 1L << (y * hashW + x)
-                  x += 1
-                }
-                y += 1
-              }
-              ("ok", Some(w), Some(h), Some(bits))
+              ("ok", Some(img.getWidth), Some(img.getHeight),
+                Some(dhashOfImage(img, hashW, hashH)))
             }
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -1047,6 +1159,47 @@ object Multimodal {
         }
       } finally iis.close()
     }
+  }
+
+  /** dHash of an already-decoded raster: bilinear downsample to
+    * (hashW+1)×hashH (a raster already exactly that geometry skips the
+    * resampler — what makes the path fixtures arithmetic), integer
+    * luma, difference bits. The shared core under [[dhashOne]] (images)
+    * and [[videoDHash]] (per-frame).
+    */
+  private[graft] def dhashOfImage(img: java.awt.image.BufferedImage,
+      hashW: Int, hashH: Int): Long = {
+    val small =
+      if (img.getWidth == hashW + 1 && img.getHeight == hashH) img
+      else {
+        val out = new java.awt.image.BufferedImage(hashW + 1, hashH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, hashW + 1, hashH, null)
+        } finally g.dispose()
+        out
+      }
+    def luma(x: Int, y: Int): Int = {
+      val p = small.getRGB(x, y)
+      (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+        (p & 0xff) * 114) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < hashH) {
+      var x = 0
+      while (x < hashW) {
+        if (luma(x, y) > luma(x + 1, y))
+          bits |= 1L << (y * hashW + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
   }
 
   /** A resized ("thumbnail") media row. */

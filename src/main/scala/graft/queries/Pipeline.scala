@@ -500,6 +500,18 @@ object Pipeline {
       Dedup.connectedComponents(
         Dedup.hammingPairs(neardupHashes(s, dir), maxHamming = 3))),
 
+    // REAL video near-dup, end to end: 3-frame path AVIs (majority clip
+    // fingerprint == the md5-derived pathKey; see videoClipHashes) are
+    // ENCODED on executors, Multimodal.videoDHash REALLY container-
+    // parses + raster-decodes every frame through the shared dHash
+    // core and majority-votes the clip hash, and Dedup.hammingPairs
+    // blocks (4×16-bit chunks) and verifies (bit_count ≤ 3). Same
+    // planted 0/1/3/8 group structure as q_image_neardup; one row gates
+    // the AVI frame walk, the per-frame dHash, the majority vote AND
+    // the banded join's recall theorem
+    "q_video_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(videoClipHashes(s, dir), maxHamming = 3)),
+
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
     // WAVs are ENCODED on the executors from doc_id-derived parameters
     // (javax.sound.sampled, lossless), three corruption classes are
@@ -1334,6 +1346,37 @@ object Pipeline {
         .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
   }
 
+  /** The q_video_neardup hash table: executors encode one 3-frame path
+    * AVI per doc (frames carry [[pathKey]] twice around a deterministic
+    * divergent middle frame — an "inserted card" the strict-majority
+    * vote must absorb, so `clip_dhash == pathKey` by the 2-of-3
+    * majority), [[Multimodal.videoDHash]] REALLY parses the container
+    * and raster-decodes every frame back through the shared dHash core,
+    * and the result persists for the pair self-join. `% 97` rows are
+    * planted empty and `% 89` rows truncated to exercise the cause
+    * routing in the pair path.
+    */
+  private def videoClipHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id")).as[Long]
+    val media = d.mapPartitions { it =>
+      it.map { id =>
+        val k = pathKey(id)
+        val noise = (id * 0x9e3779b97f4a7c15L) | 1L
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 89 == 0)
+            Multimodal.encodePathAvi(Seq(k, k, k)).dropRight(10)
+          else Multimodal.encodePathAvi(Seq(k, k ^ noise, k))
+        Multimodal.MediaRow(id, "video", payload, "synth")
+      }
+    }
+    graft.ScratchCache.persist(
+      Multimodal.videoDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("clip_dhash").as("sh")).toDF())
+  }
+
   private[graft] def pathKey(id: Long): Long = {
     def h48(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
@@ -1365,9 +1408,9 @@ object Pipeline {
     * carries the hashes and `cand(id_a, id_b)` the chunk-collision
     * candidates.
     */
-  private lazy val imageKeyCtes: String =
+  private def keyCtes(filter: String): String =
     s"""g AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
-      |  FROM documents WHERE doc_id % 97 != 0),
+      |  FROM documents WHERE $filter),
       |b AS (SELECT doc_id,
       |    ((${hex48("'h' || CAST(gid AS VARCHAR)")}) % 32768)
       |      * 281474976710656
@@ -1386,6 +1429,15 @@ object Pipeline {
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.cv = b.cv
       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val imageKeyCtes: String = keyCtes("doc_id % 97 != 0")
+
+  /** The video-clip variant: the `% 89` rows are planted TRUNCATED
+    * clips (routed out of the pair path by cause, like the `% 97`
+    * empties), so the oracle's corpus filter excludes both.
+    */
+  private lazy val videoKeyCtes: String =
+    keyCtes("doc_id % 97 != 0 AND doc_id % 89 != 0")
 
   private val dsirCore: String = {
     val hexpr = hex48("f")
@@ -3326,6 +3378,19 @@ object Pipeline {
         |$reachCte
         |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1"""
         .stripMargin,
+
+    // Arithmetic oracle for the video-clip near-dup gate: the fixture
+    // clip's strict-majority fingerprint equals the pathKey exactly
+    // (2-of-3 frames carry it; the divergent middle frame loses every
+    // vote), so the oracle is the image gate's key arithmetic + banded
+    // blocking + bit_count verification over the clip-filtered corpus
+    "q_video_neardup" ->
+      s"""WITH RECURSIVE $videoKeyCtes
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
+        |FROM cand JOIN k da ON id_a = da.doc_id
+        |  JOIN k db ON id_b = db.doc_id
+        |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
 
     // Arithmetic oracle for the REAL audio decode: WAV is lossless PCM,
     // so a constant-amplitude a clip decodes back to rms = peak = |a|

@@ -1100,6 +1100,68 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).n_frames.contains(5L) && got(1).sampled_frames.contains(5))
   }
 
+  test("video dhash: path frames round-trip keys; strict majority fingerprints the clip") {
+    import spark.implicits._
+    val k = 0x123456789abcdL
+    val noise = 0x8040201008040201L
+    val k2 = k ^ noise
+    val media = Seq(
+      // 2-of-3 majority: the divergent middle frame cannot move a bit
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodePathAvi(Seq(k, k2, k)), "s"),
+      // even split: only bits BOTH frames agree on survive (strict >)
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodePathAvi(Seq(k, k2)), "s"),
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray, "s"),
+      Multimodal.MediaRow(4L, "video",
+        Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, "xvid"), "s"))
+      .toDS()
+    val got = Multimodal.videoDHash(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(0).n_frames.contains(3L))
+    assert(got(0).frame_dhash.contains(Seq(k, k2, k)))
+    assert(got(0).clip_dhash.contains(k))
+    assert(got(1).frame_dhash.contains(Seq(k, k2)))
+    assert(got(1).clip_dhash.contains(k & k2))
+    assert(got(2).cause == "empty" && got(2).clip_dhash.isEmpty)
+    assert(got(3).cause == "unsupported_codec" && got(3).clip_dhash.isEmpty)
+  }
+
+  test("video frame dhash equals the image dhash of the same raster") {
+    import spark.implicits._
+    val k = 0x7e55aa00ff11223L
+    // one path frame as a clip vs the same construction as a PNG: the
+    // shared dhashOfImage core must see identical rasters either way
+    val clip = Seq(Multimodal.MediaRow(1L, "video",
+      Multimodal.encodePathAvi(Seq(k)), "s")).toDS()
+    val png = Seq(Multimodal.MediaRow(1L, "image",
+      Multimodal.encodePathPng(k), "s")).toDS()
+    val vh = Multimodal.videoDHash(clip).collect()(0)
+    val ih = Multimodal.imageDHash(png).collect()(0)
+    assert(vh.clip_dhash == ih.dhash && vh.clip_dhash.contains(k))
+  }
+
+  test("video dhash: mjpeg solid frames hash flat; truncation routes; stride samples") {
+    import spark.implicits._
+    val media = Seq(
+      // solid frames have no luma gradient anywhere — dhash 0 even
+      // through the lossy JPEG round trip
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeSolidAvi(16, 8, 3, 10, 90, 90, 90, "mjpeg"), "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodePathAvi(Seq(1L, 2L, 3L, 4L)).dropRight(10), "s"),
+      // stride 1 default elsewhere; here 4 frames, maxSampledFrames 2
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodePathAvi(Seq(5L, 6L, 7L, 8L)), "s")).toDS()
+    val a = Multimodal.videoDHash(media.filter(_.media_id == 1L)).collect()(0)
+    assert(a.cause == "ok" && a.clip_dhash.contains(0L))
+    val b = Multimodal.videoDHash(media.filter(_.media_id == 2L)).collect()(0)
+    assert(b.cause == "truncated" && b.clip_dhash.isEmpty)
+    val c = Multimodal.videoDHash(media.filter(_.media_id == 3L),
+      stride = 2, maxSampledFrames = 2).collect()(0)
+    assert(c.cause == "ok" && c.n_frames.contains(4L))
+    assert(c.frame_dhash.contains(Seq(5L, 7L)))
+  }
+
   test("video stream muxed after audio decodes via its own chunk prefix (01dc)") {
     import spark.implicits._
     // same visual content, stream 0 vs stream 1: identical features
