@@ -326,6 +326,187 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** One audio payload's perceptual-hash outcome ([[audioDHash]]);
+    * `cause` routes as [[AudioDecode]] plus `too_short` (fewer frames
+    * than one per comparison window — no meaningful envelope exists).
+    */
+  final case class AudioHash(
+      media_id: Long,
+      cause: String,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Long],
+      /** frames per energy window actually used (⌊n/(bits+1)⌋) */
+      window_frames: Option[Long],
+      /** bit i set iff energy(window i) > energy(window i+1) — the
+        * difference hash over the clip's energy envelope
+        */
+      dhash: Option[Long])
+
+  /** REAL audio perceptual hashing for clip near-dup detection: decode
+    * PCM via `javax.sound.sampled` (the [[decodeAudio]] plumbing —
+    * per-cause routing, 16-bit gate, `maxFrames` guard), split the
+    * frame stream into `bits + 1` equal energy windows (sum of |sample|
+    * across channels; the remainder tail is ignored), and emit the
+    * difference hash — bit i set iff window i's energy exceeds window
+    * i+1's. The audio twin of [[imageDHash]]: comparisons survive
+    * uniform GAIN (scaling every sample scales every window sum),
+    * lossless re-encode and container conversion, while a payload md5
+    * breaks on any byte change. Pair generation is
+    * [[graft.operators.dedup.Dedup.hammingPairs]] over `dhash` —
+    * banded 16-bit blocking, never all-pairs; silence/constant-tone
+    * clips hash to 0 and collapse buckets, so exclude them the way
+    * shingle-less documents are (the standard skew contract).
+    *
+    * Streaming passes through a reusable buffer (constant memory); a
+    * reader that reports UNKNOWN frame length pays one extra counting
+    * pass over the in-memory payload before the windowed pass.
+    */
+  def audioDHash(media: Dataset[MediaRow], bits: Int = 64,
+      maxFrames: Long = 1L << 32): Dataset[AudioHash] = {
+    require(bits >= 1 && bits <= 64, "dhash bits must fit one long")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val none = AudioHash(r.media_id, "", None, None, None, None, None)
+        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+        else {
+          try {
+            val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            val fmt = probe.getFormat
+            val (rate, ch, depth) = (fmt.getSampleRate.toInt,
+              fmt.getChannels, fmt.getSampleSizeInBits)
+            val declared = probe.getFrameLength
+            val base = none.copy(sample_rate = Some(rate),
+              channels = Some(ch))
+            if (declared >= 0 && declared > maxFrames) {
+              probe.close(); base.copy(cause = "too_large")
+            } else if (depth != 16) {
+              probe.close()
+              base.copy(cause = "unsupported_depth",
+                n_frames = if (declared >= 0) Some(declared) else None)
+            } else {
+              // window sizing needs the frame count up front: trust the
+              // header when it speaks (verified during the windowed
+              // pass), pay one counting pass when it does not
+              val n =
+                if (declared >= 0) { probe.close(); declared }
+                else {
+                  var c = 0L
+                  val buf = new Array[Byte](8192)
+                  var read = probe.read(buf)
+                  while (read > 0 && c <= maxFrames * 2 * ch) {
+                    c += read; read = probe.read(buf)
+                  }
+                  probe.close()
+                  c / (2L * ch)
+                }
+              if (n > maxFrames) base.copy(cause = "too_large")
+              else {
+                val win = n / (bits + 1)
+                if (win == 0L)
+                  base.copy(cause = "too_short", n_frames = Some(n))
+                else {
+                  val in = javax.sound.sampled.AudioSystem
+                    .getAudioInputStream(
+                      new java.io.ByteArrayInputStream(r.payload))
+                  try {
+                    val sums = new Array[Long](bits + 1)
+                    val hashedFrames = win * (bits + 1)
+                    val frameBytes = in.getFormat.getFrameSize
+                    val big = in.getFormat.isBigEndian
+                    val buf = new Array[Byte](8192 - 8192 % frameBytes)
+                    var nSamples = 0L
+                    var read = in.read(buf)
+                    while (read > 0) {
+                      var i = 0
+                      while (i + 1 < read) {
+                        val s =
+                          if (big)
+                            ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                          else
+                            ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                        val frame = nSamples / ch
+                        if (frame < hashedFrames)
+                          sums((frame / win).toInt) += math.abs(s.toLong)
+                        nSamples += 1
+                        i += 2
+                      }
+                      read = in.read(buf)
+                    }
+                    val frames = nSamples / ch
+                    if (frames < n)
+                      base.copy(cause = "truncated", n_frames = Some(frames))
+                    else {
+                      var h = 0L
+                      var b = 0
+                      while (b < bits) {
+                        if (sums(b) > sums(b + 1)) h |= 1L << b
+                        b += 1
+                      }
+                      base.copy(cause = "ok", n_frames = Some(frames),
+                        window_frames = Some(win), dhash = Some(h))
+                    }
+                  } finally in.close()
+                }
+              }
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException =>
+              none.copy(cause = "no_reader")
+            case scala.util.control.NonFatal(_) =>
+              none.copy(cause = "decode_failed")
+          }
+        }
+      }
+    }
+  }
+
+  /** WAV-encode a stepped-amplitude 16-bit mono PCM clip: `bits + 1`
+    * windows of `framesPerWindow` constant-amplitude frames, the
+    * amplitude starting at `base` and stepping −`step` where the
+    * corresponding key bit is set (making window i's energy exceed
+    * window i+1's) and +`step` where clear — [[encodePathPng]]'s
+    * construction on the energy envelope, `base ± bits·step` staying
+    * strictly inside (0, 32767] so no step clips or crosses zero.
+    * [[audioDHash]] of the result is exactly `key` by pure arithmetic,
+    * for ANY (base, step) — which is the gain-invariance witness:
+    * doubling both is a uniform 2× gain. Executor-safe: pure function.
+    */
+  def encodeStepWav(key: Long, framesPerWindow: Int = 4,
+      rate: Int = 8000, bits: Int = 64, base: Int = 2000,
+      step: Int = 16): Array[Byte] = {
+    require(framesPerWindow >= 1 && bits >= 1 && bits <= 64 && step > 0)
+    require(base - bits * step > 0 && base + bits * step <= 32767,
+      "amplitude walk must stay inside (0, 32767]")
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val n = framesPerWindow * (bits + 1)
+    val pcm = new Array[Byte](n * 2)
+    var a = base
+    var w = 0
+    var i = 0
+    while (w <= bits) {
+      var f = 0
+      while (f < framesPerWindow) {
+        pcm(2 * i) = (a & 0xff).toByte
+        pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+        f += 1
+        i += 1
+      }
+      if (w < bits)
+        a += (if (((key >>> w) & 1L) == 1L) -step else step)
+      w += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** One video payload's decode outcome. `cause` routes every row (the
     * [[decodeImages]] discipline — nothing silently dropped): `ok`,
     * `empty`, `no_reader` (not a RIFF/AVI container), `no_video_stream`

@@ -512,6 +512,16 @@ object Pipeline {
     "q_video_neardup" -> ((s, dir) =>
       Dedup.hammingPairs(videoClipHashes(s, dir), maxHamming = 3)),
 
+    // REAL audio near-dup, end to end: stepped-envelope WAVs (energy
+    // difference hash == the md5-derived pathKey, per-doc gain varied —
+    // see audioClipHashes) are ENCODED on executors, Multimodal
+    // .audioDHash REALLY decodes the PCM and hashes the energy
+    // envelope, and Dedup.hammingPairs blocks + verifies. Same planted
+    // 0/1/3/8 group structure; one row gates the WAV round trip, the
+    // envelope hash, its gain invariance AND the banded join
+    "q_audio_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(audioClipHashes(s, dir), maxHamming = 3)),
+
     // REAL audio decode, end to end: constant-amplitude 16-bit mono PCM
     // WAVs are ENCODED on the executors from doc_id-derived parameters
     // (javax.sound.sampled, lossless), three corruption classes are
@@ -1377,6 +1387,37 @@ object Pipeline {
         .select(col("media_id").as("id"), col("clip_dhash").as("sh")).toDF())
   }
 
+  /** The q_audio_neardup hash table: executors encode one
+    * stepped-envelope WAV per doc whose [[Multimodal.audioDHash]] is
+    * exactly [[pathKey]] (the energy-envelope difference hash of the
+    * amplitude walk), with per-doc GAIN varied by the id so the gate
+    * also witnesses gain invariance — the hash must come from the
+    * envelope comparisons, not the amplitudes. `% 97` rows empty,
+    * `% 83` rows too-short exercise the cause routing in the pair path.
+    */
+  private def audioClipHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id")).as[Long]
+    val media = d.mapPartitions { it =>
+      it.map { id =>
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 83 == 0)
+            Multimodal.encodeConstWav(8000, 32, 500)
+          else {
+            val g = 1 + (id % 3).toInt // per-doc uniform gain
+            Multimodal.encodeStepWav(pathKey(id),
+              base = 2000 * g, step = 16 * g)
+          }
+        Multimodal.MediaRow(id, "audio", payload, "synth")
+      }
+    }
+    graft.ScratchCache.persist(
+      Multimodal.audioDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+  }
+
   private[graft] def pathKey(id: Long): Long = {
     def h48(s: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
@@ -1438,6 +1479,12 @@ object Pipeline {
     */
   private lazy val videoKeyCtes: String =
     keyCtes("doc_id % 97 != 0 AND doc_id % 89 != 0")
+
+  /** The audio-clip variant: `% 83` rows are planted TOO-SHORT clips
+    * (and `% 97` empties), both routed out of the pair path by cause.
+    */
+  private lazy val audioKeyCtes: String =
+    keyCtes("doc_id % 97 != 0 AND doc_id % 83 != 0")
 
   private val dsirCore: String = {
     val hexpr = hex48("f")
@@ -3386,6 +3433,19 @@ object Pipeline {
     // blocking + bit_count verification over the clip-filtered corpus
     "q_video_neardup" ->
       s"""WITH RECURSIVE $videoKeyCtes
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
+        |FROM cand JOIN k da ON id_a = da.doc_id
+        |  JOIN k db ON id_b = db.doc_id
+        |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
+
+    // Arithmetic oracle for the audio-clip near-dup gate: the stepped
+    // envelope makes the energy difference hash equal the pathKey for
+    // ANY uniform gain, so the oracle is the shared key arithmetic +
+    // banded blocking + bit_count verification over the audio-filtered
+    // corpus
+    "q_audio_neardup" ->
+      s"""WITH RECURSIVE $audioKeyCtes
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
         |FROM cand JOIN k da ON id_a = da.doc_id

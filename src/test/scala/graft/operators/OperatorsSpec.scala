@@ -1005,6 +1005,50 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0).mean_rgb_milli == got(1).mean_rgb_milli)
   }
 
+  test("audio dhash: step fixture round-trips keys; gain-invariant; corrupt rows route") {
+    import spark.implicits._
+    val k = 0x6a5b4c3d2e1f007L
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.encodeStepWav(k), "s"),
+      // uniform 2x gain: every window sum doubles, comparisons hold
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeStepWav(k, base = 4000, step = 32), "s"),
+      // 32 frames < 65 windows: no envelope exists
+      Multimodal.MediaRow(3L, "audio",
+        Multimodal.encodeConstWav(8000, 32, 500), "s"),
+      // header declares 260 frames, payload cut mid-data
+      Multimodal.MediaRow(4L, "audio",
+        Multimodal.encodeStepWav(k).dropRight(64), "s"),
+      Multimodal.MediaRow(5L, "audio", Array.fill(16)(0x55.toByte), "s"),
+      Multimodal.MediaRow(6L, "audio", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.audioDHash(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(0).dhash.contains(k))
+    assert(got(0).n_frames.contains(260L) && got(0).window_frames.contains(4L))
+    assert(got(1).dhash.contains(k))
+    assert(got(2).cause == "too_short" && got(2).dhash.isEmpty)
+    assert(got(3).cause == "truncated" && got(3).dhash.isEmpty)
+    assert(got(4).cause == "no_reader")
+    assert(got(5).cause == "empty")
+  }
+
+  test("audio dhash: silence hashes flat; bits/windowing are parameterized") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio",
+        Multimodal.encodeConstWav(8000, 130, 700), "s")).toDS()
+    // constant amplitude: every window sum equal, strict > never fires
+    val flat = Multimodal.audioDHash(media).collect()(0)
+    assert(flat.cause == "ok" && flat.dhash.contains(0L))
+    assert(flat.window_frames.contains(2L)) // 130 / 65
+    // a 16-bit hash over the same clip: 17 windows of 7 frames
+    val k16 = 0x9a3cL
+    val m16 = Seq(Multimodal.MediaRow(2L, "audio",
+      Multimodal.encodeStepWav(k16, framesPerWindow = 7, bits = 16), "s"))
+      .toDS()
+    val h16 = Multimodal.audioDHash(m16, bits = 16).collect()(0)
+    assert(h16.dhash.contains(k16) && h16.window_frames.contains(7L))
+  }
+
   test("real video decode: container-true header facts, exact raster features; corrupt rows route") {
     import spark.implicits._
     val avi = Multimodal.encodeSolidAvi(10, 6, 5, 12, 20, 40, 60)
