@@ -367,10 +367,18 @@ object Multimodal {
     require(bits >= 1 && bits <= 64, "dhash bits must fit one long")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val none = AudioHash(r.media_id, "", None, None, None, None, None)
-        if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
-        else {
+      rows.map(r => audioDHashOne(r, bits, maxFrames))
+    }
+  }
+
+  /** One payload's envelope hash — the shared core under [[audioDHash]]
+    * and [[graft.streaming.StreamImageDedup]]'s audio path.
+    */
+  private[graft] def audioDHashOne(r: MediaRow, bits: Int,
+      maxFrames: Long): AudioHash = {
+    val none = AudioHash(r.media_id, "", None, None, None, None, None)
+    if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
+    else {
           try {
             val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.payload))
@@ -458,8 +466,6 @@ object Multimodal {
             case scala.util.control.NonFatal(_) =>
               none.copy(cause = "decode_failed")
           }
-        }
-      }
     }
   }
 
@@ -876,34 +882,41 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map { r =>
-        val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val vd = walkOneVideo(r, maxPixels, stride, maxSampledFrames) {
-          img => hashes += dhashOfImage(img, hashW, hashH)
-        }
-        val clip =
-          if (vd.cause != "ok" || hashes.isEmpty) None
-          else {
-            val n = hashes.length
-            var bits = 0L
-            var b = 0
-            while (b < 64) {
-              var cnt = 0
-              var i = 0
-              while (i < n) {
-                if (((hashes(i) >>> b) & 1L) == 1L) cnt += 1
-                i += 1
-              }
-              if (2 * cnt > n) bits |= 1L << b
-              b += 1
-            }
-            Some(bits)
-          }
-        VideoHash(r.media_id, vd.cause, vd.codec, vd.width, vd.height,
-          vd.n_frames, vd.sampled_frames,
-          if (vd.cause == "ok") Some(hashes.toSeq) else None, clip)
-      }
+      rows.map(r => clipDHashOne(r, hashW, hashH, stride,
+        maxSampledFrames, maxPixels))
     }
+  }
+
+  /** One payload's clip hash — the shared core under [[videoDHash]] and
+    * [[graft.streaming.StreamImageDedup]]'s video path.
+    */
+  private[graft] def clipDHashOne(r: MediaRow, hashW: Int, hashH: Int,
+      stride: Int, maxSampledFrames: Int, maxPixels: Long): VideoHash = {
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vd = walkOneVideo(r, maxPixels, stride, maxSampledFrames) {
+      img => hashes += dhashOfImage(img, hashW, hashH)
+    }
+    val clip =
+      if (vd.cause != "ok" || hashes.isEmpty) None
+      else {
+        val n = hashes.length
+        var bits = 0L
+        var b = 0
+        while (b < 64) {
+          var cnt = 0
+          var i = 0
+          while (i < n) {
+            if (((hashes(i) >>> b) & 1L) == 1L) cnt += 1
+            i += 1
+          }
+          if (2 * cnt > n) bits |= 1L << b
+          b += 1
+        }
+        Some(bits)
+      }
+    VideoHash(r.media_id, vd.cause, vd.codec, vd.width, vd.height,
+      vd.n_frames, vd.sampled_frames,
+      if (vd.cause == "ok") Some(hashes.toSeq) else None, clip)
   }
 
   /** AVI-encode a solid-color clip (the deterministic fixture builder:

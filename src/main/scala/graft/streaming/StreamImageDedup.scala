@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.operators.multimodal.Multimodal
 
-/** Streaming perceptual image deduplication: the stream analogue of
-  * [[Multimodal.imageDHash]] + exact-dhash grouping, for continuous
+/** Streaming perceptual media deduplication: the stream analogue of
+  * [[Multimodal.imageDHash]] / [[Multimodal.videoDHash]] /
+  * [[Multimodal.audioDHash]] + exact-hash grouping, for continuous
   * crawl ingestion. Each micro-batch decodes its payloads per partition
   * (stateless — the codec work is a map), then the first arrival of
-  * each dHash within the watermark horizon is kept;
+  * each perceptual hash within the watermark horizon is kept;
   * `dropDuplicatesWithinWatermark` bounds the keeper state exactly as
   * [[StreamDedup]] does for text content hashes. A dHash collision is
   * CONTENT identity at the perceptual level — re-encoded and
@@ -70,7 +71,67 @@ object StreamImageDedup {
   def dhashWithinWatermark(stream: Dataset[MediaEvent],
       watermark: String = "10 minutes", hashW: Int = 8, hashH: Int = 8,
       maxPixels: Long = 64L * 1024 * 1024): DataFrame =
-    dhashEvents(stream, hashW, hashH, maxPixels)
+    firstArrival(dhashEvents(stream, hashW, hashH, maxPixels), watermark)
+
+  /** Per-partition clip hash for VIDEO events — [[Multimodal
+    * .videoDHash]]'s container walk + per-frame dHash + majority vote,
+    * carried through the same [[HashedMediaEvent]] shape (`dhash` =
+    * `clip_dhash`).
+    */
+  def videoDHashEvents(stream: Dataset[MediaEvent], hashW: Int = 8,
+      hashH: Int = 8, stride: Int = 1, maxSampledFrames: Int = 32,
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[HashedMediaEvent] = {
+    import stream.sparkSession.implicits._
+    stream.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val vh = Multimodal.clipDHashOne(
+          Multimodal.MediaRow(r.media_id, "video", r.payload, r.source),
+          hashW, hashH, stride, maxSampledFrames, maxPixels)
+        HashedMediaEvent(r.media_id, r.ts, vh.cause, vh.clip_dhash, r.source)
+      }
+    }
+  }
+
+  /** Per-partition envelope hash for AUDIO events — [[Multimodal
+    * .audioDHash]]'s PCM decode + energy-window difference hash.
+    */
+  def audioDHashEvents(stream: Dataset[MediaEvent], bits: Int = 64,
+      maxFrames: Long = 1L << 32): Dataset[HashedMediaEvent] = {
+    import stream.sparkSession.implicits._
+    stream.mapPartitions { rows =>
+      rows.map { r =>
+        val ah = Multimodal.audioDHashOne(
+          Multimodal.MediaRow(r.media_id, "audio", r.payload, r.source),
+          bits, maxFrames)
+        HashedMediaEvent(r.media_id, r.ts, ah.cause, ah.dhash, r.source)
+      }
+    }
+  }
+
+  /** [[dhashWithinWatermark]] for video clips: first arrival of each
+    * majority clip fingerprint within the watermark horizon.
+    */
+  def videoWithinWatermark(stream: Dataset[MediaEvent],
+      watermark: String = "10 minutes", hashW: Int = 8, hashH: Int = 8,
+      stride: Int = 1, maxSampledFrames: Int = 32,
+      maxPixels: Long = 64L * 1024 * 1024): DataFrame =
+    firstArrival(videoDHashEvents(stream, hashW, hashH, stride,
+      maxSampledFrames, maxPixels), watermark)
+
+  /** [[dhashWithinWatermark]] for audio clips: first arrival of each
+    * energy-envelope fingerprint within the watermark horizon.
+    */
+  def audioWithinWatermark(stream: Dataset[MediaEvent],
+      watermark: String = "10 minutes", bits: Int = 64,
+      maxFrames: Long = 1L << 32): DataFrame =
+    firstArrival(audioDHashEvents(stream, bits, maxFrames), watermark)
+
+  // the shared stateful tail: key by the perceptual hash when one
+  // exists (content identity), by the media id otherwise (pass-through)
+  private def firstArrival(hashed: Dataset[HashedMediaEvent],
+      watermark: String): DataFrame =
+    hashed
       .withColumn("__k",
         when(col("cause") === "ok" && col("dhash").isNotNull,
           concat(lit("h:"), col("dhash")))

@@ -725,6 +725,55 @@ class StreamImageDedupSpec extends SparkSpec {
       causes(4L) == "no_reader")
     assert(!spark.table("simgdedup").columns.contains("__k"))
   }
+
+  test("video and audio clips dedup on their perceptual fingerprints in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamImageDedup.MediaEvent
+    import graft.operators.multimodal.Multimodal
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val k = 0x3c5a96e1d2b4078L
+    // two clips with DIFFERENT divergent middle frames: same majority
+    // fingerprint, every payload byte stream distinct
+    val clipA = Multimodal.encodePathAvi(Seq(k, k ^ 0xff00L, k))
+    val clipB = Multimodal.encodePathAvi(Seq(k, k ^ 0x33L, k))
+    val clipC = Multimodal.encodePathAvi(Seq(k ^ 0xf0f0f0L, k ^ 0xf0f0f0L))
+    val memV = MemoryStream[MediaEvent]
+    val qv = graft.streaming.StreamImageDedup.videoWithinWatermark(
+        memV.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("svideodedup")
+      .outputMode("append").start()
+    memV.addData(
+      MediaEvent(1L, ts("2024-03-01T00:00:00Z"), clipA, "s"),
+      MediaEvent(2L, ts("2024-03-01T00:00:10Z"), clipB, "s"), // same majority
+      MediaEvent(3L, ts("2024-03-01T00:00:20Z"), clipC, "s"),
+      MediaEvent(4L, ts("2024-03-01T00:00:30Z"), Array.emptyByteArray, "s"))
+    qv.processAllAvailable()
+    qv.stop()
+    val gotV = spark.table("svideodedup").select("media_id").as[Long]
+      .collect().toSet
+    assert(gotV == Set(1L, 3L, 4L), s"got $gotV")
+    // audio: gain-shifted twin dedups, distinct envelope passes
+    val wavA = Multimodal.encodeStepWav(k)
+    val wavB = Multimodal.encodeStepWav(k, base = 4000, step = 32)
+    val wavC = Multimodal.encodeStepWav(k ^ 0x5555L)
+    val memA = MemoryStream[MediaEvent]
+    val qa = graft.streaming.StreamImageDedup.audioWithinWatermark(
+        memA.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("saudiodedup")
+      .outputMode("append").start()
+    memA.addData(
+      MediaEvent(1L, ts("2024-03-01T00:00:00Z"), wavA, "s"),
+      MediaEvent(2L, ts("2024-03-01T00:00:10Z"), wavB, "s"), // gain twin
+      MediaEvent(3L, ts("2024-03-01T00:00:20Z"), wavC, "s"),
+      MediaEvent(4L, ts("2024-03-01T00:00:30Z"),
+        Multimodal.encodeConstWav(8000, 32, 500), "s")) // too_short passes
+    qa.processAllAvailable()
+    qa.stop()
+    val gotA = spark.table("saudiodedup").select("media_id").as[Long]
+      .collect().toSet
+    assert(gotA == Set(1L, 3L, 4L), s"got $gotA")
+  }
 }
 
 class StreamNearDupSpec extends SparkSpec {
