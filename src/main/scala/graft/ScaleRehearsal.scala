@@ -18,7 +18,7 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storecollapse,annx,imagedup,frontier
+  * increlease,collapse,storeincr,storecollapse,annx,imagedup,avdup,frontier
   * (default: all)
   * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
@@ -458,6 +458,52 @@ object ScaleRehearsal {
         Dedup.hammingPairs(h, maxHamming = 3).count())
       out += "imagedup_pairs" -> pairs
       out += "imagedup_pairs_sec" -> tPairs
+      ScratchCache.releaseAll(spark)
+    }
+
+    if (run("avdup")) {
+      // video/audio perceptual dedup at this corpus size: one 3-frame
+      // path AVI and one stepped-envelope WAV per doc, REAL container
+      // parse + raster/PCM decode back to the clip fingerprint, then
+      // the shared banded-Hamming join — the q_video_neardup /
+      // q_audio_neardup shapes at scale. Measures the codec-walk wall
+      // (a stateless per-partition map) and the pair stage separately
+      import spark.implicits._
+      import graft.operators.multimodal.Multimodal
+      val ids = docs.select(col("doc_id")).as[Long]
+      val vmedia = ids.mapPartitions(_.map { id =>
+        val k = graft.queries.Pipeline.pathKey(id)
+        val noise = (id * 0x9e3779b97f4a7c15L) | 1L
+        Multimodal.MediaRow(id, "video",
+          Multimodal.encodePathAvi(Seq(k, k ^ noise, k)), "synth")
+      })
+      val vh = ScratchCache.persist(Multimodal.videoDHash(vmedia)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("clip_dhash").as("sh")).toDF())
+      val (vn, tV) = timed(vh.count())
+      out += "videodup_hashes" -> vn
+      out += "videodup_decode_sec" -> tV
+      val (vPairs, tVp) = timed(
+        Dedup.hammingPairs(vh, maxHamming = 3).count())
+      out += "videodup_pairs" -> vPairs
+      out += "videodup_pairs_sec" -> tVp
+      ScratchCache.releaseAll(spark)
+      val amedia = ids.mapPartitions(_.map { id =>
+        val g = 1 + (id % 3).toInt
+        Multimodal.MediaRow(id, "audio",
+          Multimodal.encodeStepWav(graft.queries.Pipeline.pathKey(id),
+            base = 2000 * g, step = 16 * g), "synth")
+      })
+      val ah = ScratchCache.persist(Multimodal.audioDHash(amedia)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+      val (an, tA) = timed(ah.count())
+      out += "audiodup_hashes" -> an
+      out += "audiodup_decode_sec" -> tA
+      val (aPairs, tAp) = timed(
+        Dedup.hammingPairs(ah, maxHamming = 3).count())
+      out += "audiodup_pairs" -> aPairs
+      out += "audiodup_pairs_sec" -> tAp
       ScratchCache.releaseAll(spark)
     }
 
