@@ -1487,19 +1487,8 @@ object Dedup {
     */
   def hammingPairs(sketches: DataFrame, maxHamming: Int,
       chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
-    // chunks beyond the sketch width would alias (a 64-bit shift wraps
-    // mod 64: "chunk 4" of a 64-bit sketch re-reads chunk 0), silently
-    // voiding the pigeonhole — reject rather than alias
-    require(chunks >= 1 && chunks * 16 <= 64,
-      s"16-bit chunks must fit the 64-bit sketch (chunks = $chunks)")
-    require(!strictRecall || maxHamming < chunks,
-      s"banded recall needs maxHamming < chunks ($maxHamming >= $chunks)")
-    val chunked = sketches.select(col("id"), col("sh"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
-        .as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
+    requireHammingShape(maxHamming, chunks, strictRecall)
+    val chunked = chunkedSketches(sketches, chunks)
     val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
     chunked.as("a")
       .join(chunked.as("b"),
@@ -1510,6 +1499,50 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** The two-sided [[hammingPairs]]: every (left id, right id) pair
+    * whose sketches differ in ≤ maxHamming bits, blocked on the same
+    * 16-bit chunks (pigeonhole-exact recall at maxHamming < chunks,
+    * enforced the same way). No id ordering applies across tables —
+    * the CROSS-MODAL shape: e.g. crawl image dHashes against exploded
+    * video frame hashes ("which images appear inside which clips"),
+    * or a probe set against a stored fingerprint corpus. Both inputs:
+    * (`id`, `sh`) with per-table distinct ids; output (id_a from left,
+    * id_b from right, hamming). Same equi-join/skew contract as the
+    * self-join.
+    */
+  def hammingJoin(left: DataFrame, right: DataFrame, maxHamming: Int,
+      chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
+    requireHammingShape(maxHamming, chunks, strictRecall)
+    val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    chunkedSketches(left, chunks).as("a")
+      .join(chunkedSketches(right, chunks).as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dist.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  private def requireHammingShape(maxHamming: Int, chunks: Int,
+      strictRecall: Boolean): Unit = {
+    // chunks beyond the sketch width would alias (a 64-bit shift wraps
+    // mod 64: "chunk 4" of a 64-bit sketch re-reads chunk 0), silently
+    // voiding the pigeonhole — reject rather than alias
+    require(chunks >= 1 && chunks * 16 <= 64,
+      s"16-bit chunks must fit the 64-bit sketch (chunks = $chunks)")
+    require(!strictRecall || maxHamming < chunks,
+      s"banded recall needs maxHamming < chunks ($maxHamming >= $chunks)")
+  }
+
+  private def chunkedSketches(sketches: DataFrame,
+      chunks: Int): DataFrame =
+    sketches.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
+        .as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
 
   /** SimHash near-dup pairs with banded Hamming blocking: 4×16-bit chunks;
     * pairs agreeing on ≥1 chunk are candidates (catches all pairs with

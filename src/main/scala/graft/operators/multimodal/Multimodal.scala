@@ -401,10 +401,16 @@ object Multimodal {
               val n =
                 if (declared >= 0) { probe.close(); declared }
                 else {
+                  // overflow-safe byte cap (a huge maxFrames must mean
+                  // "unbounded", not a wrapped-negative instant stop)
+                  val capBytes =
+                    if (maxFrames >= Long.MaxValue / (2L * ch))
+                      Long.MaxValue
+                    else maxFrames * 2L * ch
                   var c = 0L
                   val buf = new Array[Byte](8192)
                   var read = probe.read(buf)
-                  while (read > 0 && c <= maxFrames * 2 * ch) {
+                  while (read > 0 && c <= capBytes) {
                     c += read; read = probe.read(buf)
                   }
                   probe.close()

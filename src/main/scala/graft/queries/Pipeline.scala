@@ -512,6 +512,42 @@ object Pipeline {
     "q_video_neardup" -> ((s, dir) =>
       Dedup.hammingPairs(videoClipHashes(s, dir), maxHamming = 3)),
 
+    // CROSS-MODAL near-dup, end to end: the image corpus's real dHash
+    // table joined two-sided (Dedup.hammingJoin) against the clips'
+    // per-frame hashes — "which crawl images appear inside which
+    // clips". Group-rep docs carry a 3-frame clip whose outer frames
+    // are the group key and whose middle frame is 32 bits away (an
+    // unrelated interstitial the per-frame granularity must NOT match);
+    // images at planted Hamming 0/1/3 from the key match, the 8-flip
+    // member does not. The oracle replicates the frame construction,
+    // the chunk blocking on BOTH sides and the verification
+    "q_frame_image_match" -> ((s, dir) => {
+      import s.implicits._
+      val images = neardupHashes(s, dir)
+      val vids = docs(s, dir)
+        .where(pmod(col("doc_id"), lit(4)) === 0 &&
+          pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id")).as[Long]
+      val media = vids.mapPartitions(_.map { id =>
+        val k = pathKey(id)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.encodePathAvi(Seq(k, k ^ 0x5555555555555555L, k)),
+          "synth")
+      })
+      val frames = graft.ScratchCache.persist(
+        Multimodal.videoDHash(media)
+          .where(col("cause") === "ok")
+          .select(col("media_id"),
+            posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh")))
+          .select((col("media_id") * 100 + col("frame_idx")).as("id"),
+            col("sh")).toDF())
+      Dedup.hammingJoin(images, frames, maxHamming = 3)
+        .select(col("id_a").as("image_id"),
+          expr("id_b div 100").as("video_id"),
+          pmod(col("id_b"), lit(100)).as("frame_idx"),
+          col("hamming"))
+    }),
+
     // REAL audio near-dup, end to end: stepped-envelope WAVs (energy
     // difference hash == the md5-derived pathKey, per-doc gain varied —
     // see audioClipHashes) are ENCODED on executors, Multimodal
@@ -3438,6 +3474,28 @@ object Pipeline {
         |FROM cand JOIN k da ON id_a = da.doc_id
         |  JOIN k db ON id_b = db.doc_id
         |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
+
+    // Arithmetic oracle for the cross-modal frame↔image match: image
+    // keys from the shared arithmetic, video frames rebuilt per rep doc
+    // (outer frames = the key, middle frame xor'd with the 32-bit
+    // 0x5555… interstitial mask), chunk blocking replicated on BOTH
+    // sides, bit_count verification
+    "q_frame_image_match" ->
+      s"""WITH RECURSIVE $imageKeyCtes,
+        |vf AS (SELECT doc_id AS video_id, CAST(i AS BIGINT) AS frame_idx,
+        |    CASE WHEN i = 1 THEN xor(dh, 6148914691236517205)
+        |      ELSE dh END AS fh
+        |  FROM k, LATERAL (SELECT unnest(range(0, 3)) AS i) r
+        |  WHERE doc_id % 4 = 0),
+        |vc AS (SELECT video_id, frame_idx, fh, i AS chunk,
+        |    (fh >> CAST(i * 16 AS INT)) & 65535 AS cv
+        |  FROM vf, LATERAL (SELECT unnest(range(0, 4)) AS i) r),
+        |mc AS (SELECT DISTINCT c.doc_id AS image_id, vc.video_id,
+        |    vc.frame_idx, c.dh, vc.fh
+        |  FROM c JOIN vc ON c.chunk = vc.chunk AND c.cv = vc.cv)
+        |SELECT image_id, video_id, frame_idx,
+        |  CAST(bit_count(xor(dh, fh)) AS BIGINT) AS hamming
+        |FROM mc WHERE bit_count(xor(dh, fh)) <= 3""".stripMargin,
 
     // Arithmetic oracle for the audio-clip near-dup gate: the stepped
     // envelope makes the energy difference hash equal the pathKey for

@@ -944,6 +944,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("two-sided hamming join equals the brute-force cross filter at <= chunks-1") {
+    import spark.implicits._
+    val base = 0x7f00aa33cc55e1L
+    val lefts = Seq(1L -> base, 2L -> (base ^ (1L << 7)),
+      3L -> (base ^ 0x5555555555555555L))
+    val rights = Seq(10L -> base,
+      // 3 flips across 3 distinct chunks — the pigeonhole edge again
+      11L -> (base ^ (1L << 3) ^ (1L << 19) ^ (1L << 35)),
+      12L -> (base ^ (1L << 2) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)))
+    val got = Dedup.hammingJoin(lefts.toDF("id", "sh"),
+        rights.toDF("id", "sh"), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      (la, ls) <- lefts; (rb, rs) <- rights
+      d = java.lang.Long.bitCount(ls ^ rs) if d <= 3
+    } yield (la, rb) -> d.toLong).toMap
+    assert(got == want && want.keySet == Set((1L, 10L), (1L, 11L), (2L, 10L)))
+    // no self/ordering semantics across tables: equal hashes on both
+    // sides pair in the (left, right) direction only
+    assert(got.contains((1L, 10L)) && !got.contains((10L, 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingJoin(lefts.toDF("id", "sh"), rights.toDF("id", "sh"),
+        maxHamming = 4)
+    }
+  }
+
   test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {
     import spark.implicits._
     val wav = Multimodal.encodeConstWav(16000, 120, 2500)
