@@ -893,6 +893,53 @@ object Multimodal {
     }
   }
 
+  /** Alignment-aware clip containment over per-frame hash sequences —
+    * the sub-clip detector the majority fingerprint cannot be: a short
+    * clip cut out of a longer one (or re-posted with an intro) matches
+    * frame-for-frame at one OFFSET, and that diagonal structure is what
+    * this measures. Input: one row per sampled frame (`id`, `frame_idx`,
+    * `sh` — [[videoDHash]]'s `frame_dhash` exploded; ids non-negative,
+    * `frame_idx < maxFrames`). Output, per ORDERED pair of distinct
+    * clips with ≥1 frame match: `id_a, id_b, frames_a, aligned, offset,
+    * containment_pm` where `aligned` is the largest number of a's
+    * frames matching b's at one common offset (ties → smallest offset)
+    * and `containment_pm = aligned·1000 div frames_a` — 1000‰ means
+    * every frame of a appears in b in order at that offset.
+    *
+    * Frame matching is the shared banded-Hamming primitive
+    * ([[graft.operators.dedup.Dedup.hammingJoin]] on (clip, frame)
+    * packed keys — never all-pairs; `maxHamming = 0` degrades to an
+    * exact equi-join on the hash). Aggregation cost tracks the MATCH
+    * volume: one groupBy on (a, b, offset), one per-pair window over
+    * the distinct diagonals — at 100 TB both are bounded by true
+    * frame-level duplication, not corpus size².
+    */
+  def clipAlignment(frames: DataFrame, maxHamming: Int = 0,
+      chunks: Int = 4, maxFrames: Int = 4096): DataFrame = {
+    require(maxFrames >= 1)
+    val packed = frames.select(
+      (col("id") * maxFrames + col("frame_idx")).as("id"), col("sh"))
+    val m = graft.operators.dedup.Dedup.hammingJoin(
+      packed, packed, maxHamming, chunks)
+    val a = expr(s"id_a div $maxFrames")
+    val b = expr(s"id_b div $maxFrames")
+    val diag = (col("id_b") % maxFrames) - (col("id_a") % maxFrames)
+    val byDiag = m.where(a =!= b)
+      .select(a.as("ca"), b.as("cb"), diag.as("offset"))
+      .groupBy("ca", "cb", "offset").agg(count(lit(1)).as("aligned"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ca", "cb")
+      .orderBy(col("aligned").desc, col("offset").asc)
+    val best = byDiag.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val na = frames.groupBy(col("id"))
+      .agg(count(lit(1)).as("frames_a"))
+    best.join(na, col("ca") === col("id"))
+      .select(col("ca").as("id_a"), col("cb").as("id_b"),
+        col("frames_a"), col("aligned"), col("offset"),
+        expr("aligned * 1000 div frames_a").as("containment_pm"))
+  }
+
   /** One payload's clip hash — the shared core under [[videoDHash]] and
     * [[graft.streaming.StreamImageDedup]]'s video path.
     */

@@ -548,6 +548,33 @@ object Pipeline {
           col("hamming"))
     }),
 
+    // SUB-CLIP detection, end to end: even docs carry a 4-frame clip
+    // with md5-derived frame keys, their odd sibling carries frames
+    // 1..2 of it — a cut-out re-post. Multimodal.videoDHash REALLY
+    // decodes every frame, clipAlignment finds the diagonal: the short
+    // clip is 1000-contained in the long one at offset +1, the long
+    // 500-contained at -1. The oracle rebuilds the frame keys and
+    // replays the diagonal/argmax arithmetic (maxHamming = 0: frame
+    // matching degrades to hash equality on both sides)
+    "q_clip_align" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions(_.map { id =>
+        val gid = id / 2
+        def fk(i: Int): Long = h48(s"f${i}_$gid")
+        val keys =
+          if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
+          else Seq(fk(1), fk(2))
+        Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
+          "synth")
+      })
+      val frames = graft.ScratchCache.persist(
+        Multimodal.videoDHash(media).where(col("cause") === "ok")
+          .select(col("media_id").as("id"),
+            posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh"))))
+      Multimodal.clipAlignment(frames, maxHamming = 0)
+    }),
+
     // REAL audio near-dup, end to end: stepped-envelope WAVs (energy
     // difference hash == the md5-derived pathKey, per-doc gain varied —
     // see audioClipHashes) are ENCODED on executors, Multimodal
@@ -1454,11 +1481,16 @@ object Pipeline {
         .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
   }
 
+  /** JVM twin of the engine-portable 48-bit hash (first 12 hex digits
+    * of md5) — fixture arithmetic executors share with the hex48
+    * oracle rendering.
+    */
+  private[graft] def h48(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 12), 16)
+
   private[graft] def pathKey(id: Long): Long = {
-    def h48(s: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .substring(0, 12), 16)
     val gid = id / 4
     val base = ((h48("h" + gid) % 32768) << 48) | h48("l" + gid)
     val b1 = (gid % 62).toInt
@@ -3496,6 +3528,41 @@ object Pipeline {
         |SELECT image_id, video_id, frame_idx,
         |  CAST(bit_count(xor(dh, fh)) AS BIGINT) AS hamming
         |FROM mc WHERE bit_count(xor(dh, fh)) <= 3""".stripMargin,
+
+    // Arithmetic oracle for sub-clip alignment: frame keys rebuilt with
+    // hex48 arithmetic (even docs frames 0..3, odd docs frames 1..2 of
+    // the same gid), equality matches across distinct docs, per-
+    // diagonal counts, argmax with the (count DESC, offset ASC) tie
+    // rule, containment in permille of a's frame count
+    "q_clip_align" -> {
+      val fk = hex48("'f' || CAST(i AS VARCHAR) || '_' || " +
+        "CAST(gid AS VARCHAR)")
+      s"""WITH d2 AS (SELECT doc_id, doc_id // 2 AS gid, doc_id % 2 AS par
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |      CAST($fk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(0, 4)) AS i) r
+        |    WHERE par = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
+        |      CAST($fk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(1, 3)) AS i) r
+        |    WHERE par = 1),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    b.frame_idx - a.frame_idx AS diag
+        |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id != b.doc_id),
+        |byd AS (SELECT id_a, id_b, diag, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |best AS (SELECT id_a, id_b, diag, cnt, row_number() OVER (
+        |    PARTITION BY id_a, id_b ORDER BY cnt DESC, diag ASC) AS rn
+        |  FROM byd),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS frames_a
+        |  FROM fr GROUP BY 1)
+        |SELECT id_a, id_b, frames_a, cnt AS aligned, diag AS offset,
+        |  cnt * 1000 // frames_a AS containment_pm
+        |FROM best JOIN na ON id_a = doc_id WHERE rn = 1""".stripMargin
+    },
 
     // Arithmetic oracle for the audio-clip near-dup gate: the stepped
     // envelope makes the energy difference hash equal the pathKey for

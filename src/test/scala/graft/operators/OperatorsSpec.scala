@@ -970,6 +970,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("clip alignment finds the sub-clip offset, containment and tie rule") {
+    import spark.implicits._
+    // clip 1 = [A B C D]; clip 2 = [B C] (cut from 1); clip 3 unrelated;
+    // clip 5 = [A C] (matches 1 on two DIFFERENT diagonals, 1 frame each)
+    val fr = Seq(
+      (1L, 0, 100L), (1L, 1, 200L), (1L, 2, 300L), (1L, 3, 400L),
+      (2L, 0, 200L), (2L, 1, 300L),
+      (3L, 0, 900L),
+      (5L, 0, 100L), (5L, 1, 300L)).toDF("id", "frame_idx", "sh")
+    val got = Multimodal.clipAlignment(fr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got((2L, 1L)) == ((2L, 2L, 1L, 1000L))) // fully contained at +1
+    assert(got((1L, 2L)) == ((4L, 2L, -1L, 500L)))
+    // ambiguous alignment: equal counts on offsets 0 and 1 → smallest
+    assert(got((5L, 1L)) == ((2L, 1L, 0L, 500L)))
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // near-match frames join under the banded primitive when allowed
+    val fuzz = Seq((1L, 0, 200L), (4L, 0, 201L)).toDF("id", "frame_idx", "sh")
+    assert(Multimodal.clipAlignment(fuzz).collect().isEmpty)
+    val f1 = Multimodal.clipAlignment(fuzz, maxHamming = 1).collect()
+    assert(f1.length == 2 && f1.forall(_.getLong(3) == 1L))
+  }
+
   test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {
     import spark.implicits._
     val wav = Multimodal.encodeConstWav(16000, 120, 2500)
