@@ -488,6 +488,29 @@ object ScaleRehearsal {
       out += "videodup_pairs" -> vPairs
       out += "videodup_pairs_sec" -> tVp
       ScratchCache.releaseAll(spark)
+      // sub-clip alignment at this corpus size: the q_clip_align shape
+      // (odd docs carry frames 1..2 of their even sibling's 4-frame
+      // clip) — decode + frame explode + diagonal argmax; output rows =
+      // 2 per sibling pair, so ~n_docs — the aggregation tracks match
+      // volume, not clips²
+      val amediaClips = ids.mapPartitions(_.map { id =>
+        val gid = id / 2
+        def fk(i: Int) = graft.queries.Pipeline.h48(s"f${i}_$gid")
+        val keys =
+          if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
+          else Seq(fk(1), fk(2))
+        Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
+          "synth")
+      })
+      val frames = ScratchCache.persist(
+        Multimodal.videoDHash(amediaClips).where(col("cause") === "ok")
+          .select(col("media_id").as("id"),
+            posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh"))))
+      val (alignRows, tAlign) = timed(
+        Multimodal.clipAlignment(frames, maxHamming = 0).count())
+      out += "clipalign_rows" -> alignRows
+      out += "clipalign_sec" -> tAlign
+      ScratchCache.releaseAll(spark)
       val amedia = ids.mapPartitions(_.map { id =>
         val g = 1 + (id % 3).toInt
         Multimodal.MediaRow(id, "audio",

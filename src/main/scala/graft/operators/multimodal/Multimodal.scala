@@ -898,29 +898,39 @@ object Multimodal {
     * clip cut out of a longer one (or re-posted with an intro) matches
     * frame-for-frame at one OFFSET, and that diagonal structure is what
     * this measures. Input: one row per sampled frame (`id`, `frame_idx`,
-    * `sh` — [[videoDHash]]'s `frame_dhash` exploded; ids non-negative,
-    * `frame_idx < maxFrames`). Output, per ORDERED pair of distinct
+    * `sh` — [[videoDHash]]'s `frame_dhash` exploded; ids non-negative
+    * with `id · maxFrames` fitting a long — the (clip, frame) packing
+    * the shared join primitive rides on — and `frame_idx < maxFrames`). Output, per ORDERED pair of distinct
     * clips with ≥1 frame match: `id_a, id_b, frames_a, aligned, offset,
     * containment_pm` where `aligned` is the largest number of a's
     * frames matching b's at one common offset (ties → smallest offset)
     * and `containment_pm = aligned·1000 div frames_a` — 1000‰ means
     * every frame of a appears in b in order at that offset.
     *
-    * Frame matching is the shared banded-Hamming primitive
+    * Frame matching at `maxHamming = 0` IS an exact equi-join on the
+    * hash — no banding (whose chunk buckets a constant-zero bit range,
+    * e.g. the high 16 bits of a 48-bit portable hash, would degenerate
+    * to one all-rows bucket and an n² join); fuzzy matching goes
+    * through the shared banded primitive
     * ([[graft.operators.dedup.Dedup.hammingJoin]] on (clip, frame)
-    * packed keys — never all-pairs; `maxHamming = 0` degrades to an
-    * exact equi-join on the hash). Aggregation cost tracks the MATCH
-    * volume: one groupBy on (a, b, offset), one per-pair window over
-    * the distinct diagonals — at 100 TB both are bounded by true
-    * frame-level duplication, not corpus size².
+    * packed keys — never all-pairs; pick `chunks` to fit the hash
+    * width exactly as [[graft.operators.dedup.Dedup.hammingPairs]]
+    * callers do). Aggregation cost tracks the MATCH volume: one
+    * groupBy on (a, b, offset), one per-pair window over the distinct
+    * diagonals — at 100 TB both are bounded by true frame-level
+    * duplication, not corpus size².
     */
   def clipAlignment(frames: DataFrame, maxHamming: Int = 0,
       chunks: Int = 4, maxFrames: Int = 4096): DataFrame = {
     require(maxFrames >= 1)
     val packed = frames.select(
       (col("id") * maxFrames + col("frame_idx")).as("id"), col("sh"))
-    val m = graft.operators.dedup.Dedup.hammingJoin(
-      packed, packed, maxHamming, chunks)
+    val m =
+      if (maxHamming == 0)
+        packed.as("a").join(packed.as("b"), col("a.sh") === col("b.sh"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      else graft.operators.dedup.Dedup.hammingJoin(
+        packed, packed, maxHamming, chunks)
     val a = expr(s"id_a div $maxFrames")
     val b = expr(s"id_b div $maxFrames")
     val diag = (col("id_b") % maxFrames) - (col("id_a") % maxFrames)
