@@ -475,6 +475,159 @@ object Multimodal {
     }
   }
 
+  /** One fixed-length audio segment's fingerprint ([[audioSegments]]);
+    * non-`ok` payloads yield a single routing row with `seg_idx = -1`.
+    */
+  final case class AudioSegment(
+      media_id: Long,
+      cause: String,
+      seg_idx: Int,
+      dhash: Option[Long])
+
+  /** Fixed-length segment fingerprints for audio ALIGNMENT: the PCM
+    * stream splits into consecutive `segFrames`-frame segments, each
+    * hashed independently by the [[audioDHash]] envelope construction
+    * (bits+1 windows of `segFrames div (bits+1)` frames; the per-
+    * segment remainder is ignored). One row per COMPLETE segment —
+    * feeding [[clipAlignment]] as (`id`, `seg_idx` → frame_idx, `sh`)
+    * finds sub-recordings at their offset exactly as video frames do,
+    * and each segment hash inherits the envelope hash's gain
+    * invariance. A payload CUT mid-segment still yields every complete
+    * segment it carries (the partial tail cannot produce a stable
+    * fingerprint and is dropped — the movi-clamp philosophy: truncation
+    * must not hide intact content); a payload with no complete segment
+    * routes to `too_short`. Single streaming pass, constant memory
+    * (bits+2 longs of state); `maxFrames` guards as in [[audioDHash]].
+    */
+  def audioSegments(media: Dataset[MediaRow], segFrames: Long,
+      bits: Int = 64,
+      maxFrames: Long = 1L << 32): Dataset[AudioSegment] = {
+    require(bits >= 1 && bits <= 64, "dhash bits must fit one long")
+    require(segFrames >= bits + 1, "a segment needs one frame per window")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => audioSegmentsOne(r, segFrames, bits, maxFrames))
+    }
+  }
+
+  private[graft] def audioSegmentsOne(r: MediaRow, segFrames: Long,
+      bits: Int, maxFrames: Long): Seq[AudioSegment] = {
+    def one(cause: String) =
+      Seq(AudioSegment(r.media_id, cause, -1, None))
+    if (r.payload == null || r.payload.isEmpty) one("empty")
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val fmt = in.getFormat
+          val ch = fmt.getChannels
+          val declared = in.getFrameLength
+          if (declared >= 0 && declared > maxFrames) one("too_large")
+          else if (fmt.getSampleSizeInBits != 16) one("unsupported_depth")
+          else {
+            val winFrames = segFrames / (bits + 1)
+            val hashedFrames = winFrames * (bits + 1)
+            val capSamples =
+              if (maxFrames >= Long.MaxValue / ch) Long.MaxValue
+              else maxFrames * ch
+            val frameBytes = fmt.getFrameSize
+            val big = fmt.isBigEndian
+            val buf = new Array[Byte](8192 - 8192 % frameBytes)
+            val sums = new Array[Long](bits + 1)
+            val segs = scala.collection.mutable.ArrayBuffer
+              .empty[AudioSegment]
+            def emit(segIdx: Long): Unit = {
+              var h = 0L
+              var b = 0
+              while (b < bits) {
+                if (sums(b) > sums(b + 1)) h |= 1L << b
+                b += 1
+              }
+              segs += AudioSegment(r.media_id, "ok", segIdx.toInt, Some(h))
+              java.util.Arrays.fill(sums, 0L)
+            }
+            var curSeg = 0L
+            var nSamples = 0L
+            var over = false
+            var read = in.read(buf)
+            while (read > 0 && !over) {
+              var i = 0
+              while (i + 1 < read && !over) {
+                val s =
+                  if (big) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                  else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                val f = nSamples / ch
+                val seg = f / segFrames
+                if (seg != curSeg) { emit(curSeg); curSeg = seg }
+                val fs = f - seg * segFrames
+                if (fs < hashedFrames) sums((fs / winFrames).toInt) +=
+                  math.abs(s.toLong)
+                nSamples += 1
+                if (nSamples > capSamples) over = true
+                i += 2
+              }
+              if (!over) read = in.read(buf)
+            }
+            if (over) one("too_large")
+            else {
+              // the final segment is complete only if the stream reached
+              // its last frame
+              if (nSamples / ch >= (curSeg + 1) * segFrames) emit(curSeg)
+              if (segs.isEmpty) one("too_short") else segs.toSeq
+            }
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          one("no_reader")
+        case scala.util.control.NonFatal(_) => one("decode_failed")
+      }
+    }
+  }
+
+  /** [[encodeStepWav]] segments concatenated back-to-back — segment i's
+    * [[audioSegments]] fingerprint (at `segFrames = framesPerWindow ·
+    * (bits + 1)`) is exactly `keys(i)`: the amplitude walk resets to
+    * `base` at each segment start, so segments hash independently.
+    * Executor-safe: pure function.
+    */
+  def encodeSegmentsWav(keys: Seq[Long], framesPerWindow: Int = 4,
+      rate: Int = 8000, bits: Int = 64, base: Int = 2000,
+      step: Int = 16): Array[Byte] = {
+    require(framesPerWindow >= 1 && bits >= 1 && bits <= 64 && step > 0)
+    require(base - bits * step > 0 && base + bits * step <= 32767,
+      "amplitude walk must stay inside (0, 32767]")
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val segFrames = framesPerWindow * (bits + 1)
+    val pcm = new Array[Byte](keys.length * segFrames * 2)
+    var i = 0
+    keys.foreach { key =>
+      var a = base
+      var w = 0
+      while (w <= bits) {
+        var f = 0
+        while (f < framesPerWindow) {
+          pcm(2 * i) = (a & 0xff).toByte
+          pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+          f += 1
+          i += 1
+        }
+        if (w < bits)
+          a += (if (((key >>> w) & 1L) == 1L) -step else step)
+        w += 1
+      }
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (keys.length * segFrames).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** WAV-encode a stepped-amplitude 16-bit mono PCM clip: `bits + 1`
     * windows of `framesPerWindow` constant-amplitude frames, the
     * amplitude starting at `base` and stepping −`step` where the

@@ -575,6 +575,42 @@ object Pipeline {
       Multimodal.clipAlignment(frames, maxHamming = 0)
     }),
 
+    // SUB-RECORDING detection, end to end: even docs carry a 4-segment
+    // WAV (md5-derived per-segment envelope keys), their odd sibling
+    // carries segments 1..2 of it. Multimodal.audioSegments REALLY
+    // decodes the PCM into per-segment fingerprints and the SAME
+    // clipAlignment diagonal argmax finds the offset — the operator is
+    // media-agnostic by construction. % 89 even docs are CUT mid
+    // segment 4: the three complete segments must survive (the
+    // truncation-must-not-hide-intact-content contract), shrinking
+    // that pair's even-side containment from 500 to 666 permille of 3
+    "q_audio_align" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id")).as[Long]
+      val segBytes = 65 * 4 * 2
+      val media = d.mapPartitions(_.map { id =>
+        val gid = id / 2
+        def sk(i: Int): Long = h48(s"a${i}_$gid")
+        val payload =
+          if (id % 2 == 1)
+            Multimodal.encodeSegmentsWav(Seq(sk(1), sk(2)))
+          else {
+            val full = Multimodal.encodeSegmentsWav(
+              Seq(sk(0), sk(1), sk(2), sk(3)))
+            if (id % 89 == 0) full.take(44 + 3 * segBytes + 100) else full
+          }
+        Multimodal.MediaRow(id, "audio", payload, "synth")
+      })
+      val segs = graft.ScratchCache.persist(
+        Multimodal.audioSegments(media, segFrames = 260)
+          .where(col("cause") === "ok")
+          .select(col("media_id").as("id"),
+            col("seg_idx").as("frame_idx"), col("dhash").as("sh")))
+      Multimodal.clipAlignment(segs, maxHamming = 0)
+    }),
+
     // REAL audio near-dup, end to end: stepped-envelope WAVs (energy
     // difference hash == the md5-derived pathKey, per-doc gain varied —
     // see audioClipHashes) are ENCODED on executors, Multimodal
@@ -3547,6 +3583,40 @@ object Pipeline {
         |  UNION ALL
         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
         |      CAST($fk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(1, 3)) AS i) r
+        |    WHERE par = 1),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    b.frame_idx - a.frame_idx AS diag
+        |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id != b.doc_id),
+        |byd AS (SELECT id_a, id_b, diag, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |best AS (SELECT id_a, id_b, diag, cnt, row_number() OVER (
+        |    PARTITION BY id_a, id_b ORDER BY cnt DESC, diag ASC) AS rn
+        |  FROM byd),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS frames_a
+        |  FROM fr GROUP BY 1)
+        |SELECT id_a, id_b, frames_a, cnt AS aligned, diag AS offset,
+        |  cnt * 1000 // frames_a AS containment_pm
+        |FROM best JOIN na ON id_a = doc_id WHERE rn = 1""".stripMargin
+    },
+
+    // Arithmetic oracle for sub-recording alignment: per-segment keys
+    // rebuilt with hex48 (even docs 4 segments — 3 when % 89 cuts the
+    // fourth — odd docs segments 1..2), then the q_clip_align diagonal/
+    // argmax arithmetic verbatim
+    "q_audio_align" -> {
+      val sk = hex48("'a' || CAST(i AS VARCHAR) || '_' || " +
+        "CAST(gid AS VARCHAR)")
+      s"""WITH d2 AS (SELECT doc_id, doc_id // 2 AS gid, doc_id % 2 AS par
+        |  FROM documents WHERE doc_id % 97 != 0),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |      CAST($sk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(0, 4)) AS i) r
+        |    WHERE par = 0 AND (doc_id % 89 != 0 OR i < 3)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
+        |      CAST($sk AS BIGINT) AS fh
         |    FROM d2, LATERAL (SELECT unnest(range(1, 3)) AS i) r
         |    WHERE par = 1),
         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

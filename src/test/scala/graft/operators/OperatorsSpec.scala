@@ -994,6 +994,41 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.length == 2 && f1.forall(_.getLong(3) == 1L))
   }
 
+  test("audio segments: per-segment keys round-trip; cut payloads keep complete segments") {
+    import spark.implicits._
+    val keys = Seq(0x111aaa222bbbL, 0x333ccc444dddL, 0x555eee666fffL)
+    val segBytes = 65 * 4 * 2 // one segment of 65 windows x 4 frames
+    val full = Multimodal.encodeSegmentsWav(keys)
+    // cut mid third segment: the two complete segments must survive
+    val cut = full.take(44 + 2 * segBytes + 100)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", full, "s"),
+      Multimodal.MediaRow(2L, "audio", cut, "s"),
+      Multimodal.MediaRow(3L, "audio",
+        Multimodal.encodeConstWav(8000, 100, 500), "s"), // < one segment
+      Multimodal.MediaRow(4L, "audio", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.audioSegments(media, segFrames = 260).collect()
+      .groupBy(_.media_id)
+    assert(got(1L).sortBy(_.seg_idx).map(_.dhash.get).toSeq == keys)
+    assert(got(1L).forall(_.cause == "ok"))
+    assert(got(2L).sortBy(_.seg_idx).map(_.dhash.get).toSeq ==
+      keys.take(2))
+    assert(got(3L).toSeq == Seq(
+      Multimodal.AudioSegment(3L, "too_short", -1, None)))
+    assert(got(4L).head.cause == "empty")
+    // segment hashes feed clipAlignment: the cut clip is fully
+    // contained in the full one at offset 0
+    val fr = Multimodal.audioSegments(media, segFrames = 260)
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"), col("seg_idx").as("frame_idx"),
+        col("dhash").as("sh"))
+    val align = Multimodal.clipAlignment(fr).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(align((2L, 1L)) == ((2L, 2L, 0L, 1000L)))
+    assert(align((1L, 2L)) == ((3L, 2L, 0L, 666L)))
+  }
+
   test("real audio decode: header-true format, exact RMS/peak; corrupt rows route") {
     import spark.implicits._
     val wav = Multimodal.encodeConstWav(16000, 120, 2500)
