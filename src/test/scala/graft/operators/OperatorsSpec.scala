@@ -944,6 +944,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hamming primitives match brute force on seeded random sketch clouds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    // clustered cloud: 40 bases, each with 3 derived sketches at 0-6
+    // random bit flips — plenty of pairs straddling the maxHamming=3
+    // boundary on both sides
+    val bases = IndexedSeq.fill(40)(rnd.nextLong())
+    def cloud(bs: Seq[Long], idBase: Long): Seq[(Long, Long)] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var id = idBase
+      bs.foreach { base =>
+        rows += ((id, base)); id += 1
+        (0 until 3).foreach { _ =>
+          var s = base
+          (0 until rnd.nextInt(7)).foreach(_ => s ^= 1L << rnd.nextInt(64))
+          rows += ((id, s)); id += 1
+        }
+      }
+      rows.toSeq
+    }
+    val a = cloud(bases, 0L)
+    // b shares 25 of a's bases, so the cross join has true near pairs
+    val b = cloud(bases.take(25), 100000L)
+    val gotPairs = Dedup.hammingPairs(a.toDF("id", "sh"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val wantPairs = (for {
+      (ia, sa) <- a; (ib, sb) <- a if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(gotPairs == wantPairs && wantPairs.nonEmpty)
+    val gotJoin = Dedup.hammingJoin(a.toDF("id", "sh"), b.toDF("id", "sh"),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val wantJoin = (for {
+      (ia, sa) <- a; (ib, sb) <- b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(gotJoin == wantJoin && wantJoin.nonEmpty)
+  }
+
   test("two-sided hamming join equals the brute-force cross filter at <= chunks-1") {
     import spark.implicits._
     val base = 0x7f00aa33cc55e1L
