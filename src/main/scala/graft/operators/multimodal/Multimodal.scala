@@ -227,7 +227,9 @@ object Multimodal {
         val none = AudioDecode(r.media_id, "", None, None, None, None,
           None, None, None)
         if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
-        else {
+        else wav16Fast(r.payload) match {
+          case Some(w) => decodeAudioFast(none, r.payload, w, maxFrames)
+          case None =>
           try {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.payload))
@@ -300,6 +302,96 @@ object Multimodal {
           }
         }
       }
+    }
+  }
+
+  /** The canonical 16-bit PCM WAV shape, located by a direct RIFF chunk
+    * walk ([[wav16Fast]]).
+    */
+  private[graft] final case class Wav16(rate: Int, ch: Int, dataOff: Int,
+      /** whole-frame bytes actually present (min of the data chunk's
+        * declared size and the payload remainder, frame-aligned)
+        */
+      dataBytes: Int,
+      /** frames the data chunk header declares */
+      declaredFrames: Long)
+
+  /** Fast-path probe: chunk-walk the RIFF/WAVE container directly and
+    * return the PCM layout when — and only when — the file is the
+    * strict canonical shape (RIFF/WAVE, `fmt ` audioFormat 1, 16-bit,
+    * little-endian, a `data` chunk after `fmt `). Everything else
+    * returns None and falls back to `javax.sound`, so causes and
+    * features stay identical across paths; what the fast path buys is
+    * skipping the AudioSystem stream factory (~170 µs per payload —
+    * it DOMINATES small-clip corpora, measured at ×100 in the avdup
+    * rehearsal) and reading samples straight from the payload array.
+    */
+  private[graft] def wav16Fast(p: Array[Byte]): Option[Wav16] = {
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def tag(o: Int, s: String): Boolean =
+      p(o) == s(0).toByte && p(o + 1) == s(1).toByte &&
+        p(o + 2) == s(2).toByte && p(o + 3) == s(3).toByte
+    if (p.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var rate = -1L
+    var ch = -1
+    var fmtOk = false
+    while (pos + 8 <= p.length) {
+      val sz = u32(pos + 4)
+      if (sz < 0) return None
+      val off = pos + 8
+      if (tag(pos, "fmt ")) {
+        if (sz < 16 || off + 16 > p.length) return None
+        val afmt = u16(off)
+        ch = u16(off + 2)
+        rate = u32(off + 4)
+        val bits = u16(off + 14)
+        fmtOk = afmt == 1 && bits == 16 && ch >= 1 &&
+          rate > 0 && rate <= Int.MaxValue
+        if (!fmtOk) return None // exotic encoding → javax.sound decides
+      } else if (tag(pos, "data")) {
+        if (!fmtOk) return None // data before fmt → not canonical
+        val frameBytes = 2L * ch
+        val avail = math.min(sz, math.max(0L, p.length.toLong - off))
+        return Some(Wav16(rate.toInt, ch, off,
+          (avail - avail % frameBytes).toInt, sz / frameBytes))
+      }
+      pos = off + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
+  // array-direct twin of decodeAudio's streaming pass — identical
+  // arithmetic (little-endian 16-bit samples, Σs², peak, frame count,
+  // truncated-vs-ok routing), no stream machinery
+  private def decodeAudioFast(none: AudioDecode, p: Array[Byte],
+      w: Wav16, maxFrames: Long): AudioDecode = {
+    val base = none.copy(format = Some("pcm_signed"),
+      sample_rate = Some(w.rate), channels = Some(w.ch), bits = Some(16))
+    if (w.declaredFrames > maxFrames) base.copy(cause = "too_large")
+    else {
+      var sumSq = 0.0
+      var peak = 0L
+      var n = 0L
+      var i = w.dataOff
+      val end = w.dataOff + w.dataBytes
+      while (i + 2 <= end) {
+        val s = ((p(i + 1) << 8) | (p(i) & 0xff)).toShort
+        sumSq += s.toDouble * s.toDouble
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        n += 1
+        i += 2
+      }
+      val frames = n / w.ch
+      if (frames < w.declaredFrames)
+        base.copy(cause = "truncated", n_frames = Some(frames))
+      else base.copy(cause = "ok", n_frames = Some(frames),
+        rms = Some(
+          if (n == 0) 0L else math.sqrt(sumSq / n).toLong),
+        peak = Some(peak))
     }
   }
 
@@ -378,7 +470,9 @@ object Multimodal {
       maxFrames: Long): AudioHash = {
     val none = AudioHash(r.media_id, "", None, None, None, None, None)
     if (r.payload == null || r.payload.isEmpty) none.copy(cause = "empty")
-    else {
+    else wav16Fast(r.payload) match {
+      case Some(w) => audioDHashFast(none, r.payload, w, bits, maxFrames)
+      case None =>
           try {
             val probe = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.payload))
@@ -475,6 +569,49 @@ object Multimodal {
     }
   }
 
+  // array-direct twin of audioDHashOne's streaming passes: declared
+  // frames size the windows (verified by the count), one pass, same
+  // envelope arithmetic
+  private def audioDHashFast(none: AudioHash, p: Array[Byte], w: Wav16,
+      bits: Int, maxFrames: Long): AudioHash = {
+    val base = none.copy(sample_rate = Some(w.rate),
+      channels = Some(w.ch))
+    if (w.declaredFrames > maxFrames) base.copy(cause = "too_large")
+    else {
+      val n = w.declaredFrames
+      val win = n / (bits + 1)
+      if (win == 0L) base.copy(cause = "too_short", n_frames = Some(n))
+      else {
+        val sums = new Array[Long](bits + 1)
+        val hashedFrames = win * (bits + 1)
+        var nSamples = 0L
+        var i = w.dataOff
+        val end = w.dataOff + w.dataBytes
+        while (i + 2 <= end) {
+          val s = ((p(i + 1) << 8) | (p(i) & 0xff)).toShort
+          val frame = nSamples / w.ch
+          if (frame < hashedFrames)
+            sums((frame / win).toInt) += math.abs(s.toLong)
+          nSamples += 1
+          i += 2
+        }
+        val frames = nSamples / w.ch
+        if (frames < n)
+          base.copy(cause = "truncated", n_frames = Some(frames))
+        else {
+          var h = 0L
+          var b = 0
+          while (b < bits) {
+            if (sums(b) > sums(b + 1)) h |= 1L << b
+            b += 1
+          }
+          base.copy(cause = "ok", n_frames = Some(frames),
+            window_frames = Some(win), dhash = Some(h))
+        }
+      }
+    }
+  }
+
   /** One fixed-length audio segment's fingerprint ([[audioSegments]]);
     * non-`ok` payloads yield a single routing row with `seg_idx = -1`.
     */
@@ -515,7 +652,11 @@ object Multimodal {
     def one(cause: String) =
       Seq(AudioSegment(r.media_id, cause, -1, None))
     if (r.payload == null || r.payload.isEmpty) one("empty")
-    else {
+    else wav16Fast(r.payload) match {
+      case Some(w) =>
+        audioSegmentsFast(r.media_id, r.payload, w, segFrames, bits,
+          maxFrames)
+      case None =>
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -583,6 +724,47 @@ object Multimodal {
           one("no_reader")
         case scala.util.control.NonFatal(_) => one("decode_failed")
       }
+    }
+  }
+
+  // array-direct twin of audioSegmentsOne's streaming pass: same
+  // segment/window assignment, same complete-segments-only contract
+  private def audioSegmentsFast(mediaId: Long, p: Array[Byte], w: Wav16,
+      segFrames: Long, bits: Int, maxFrames: Long): Seq[AudioSegment] = {
+    def one(cause: String) = Seq(AudioSegment(mediaId, cause, -1, None))
+    if (w.declaredFrames > maxFrames) one("too_large")
+    else {
+      val winFrames = segFrames / (bits + 1)
+      val hashedFrames = winFrames * (bits + 1)
+      val sums = new Array[Long](bits + 1)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+      def emit(segIdx: Long): Unit = {
+        var h = 0L
+        var b = 0
+        while (b < bits) {
+          if (sums(b) > sums(b + 1)) h |= 1L << b
+          b += 1
+        }
+        segs += AudioSegment(mediaId, "ok", segIdx.toInt, Some(h))
+        java.util.Arrays.fill(sums, 0L)
+      }
+      var curSeg = 0L
+      var nSamples = 0L
+      var i = w.dataOff
+      val end = w.dataOff + w.dataBytes
+      while (i + 2 <= end) {
+        val s = ((p(i + 1) << 8) | (p(i) & 0xff)).toShort
+        val f = nSamples / w.ch
+        val seg = f / segFrames
+        if (seg != curSeg) { emit(curSeg); curSeg = seg }
+        val fs = f - seg * segFrames
+        if (fs < hashedFrames)
+          sums((fs / winFrames).toInt) += math.abs(s.toLong)
+        nSamples += 1
+        i += 2
+      }
+      if (nSamples / w.ch >= (curSeg + 1) * segFrames) emit(curSeg)
+      if (segs.isEmpty) one("too_short") else segs.toSeq
     }
   }
 

@@ -1102,6 +1102,44 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("non-WAV containers fall back to javax.sound: AIFF decodes identically") {
+    import spark.implicits._
+    // big-endian AIFF with the same PCM content as the canonical WAV:
+    // the wav16Fast probe must decline it and the stream path must
+    // produce the same features — the fast path is a pure accelerator
+    def constAiff(rate: Int, n: Int, amp: Short): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, true)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        pcm(2 * i) = ((amp >> 8) & 0xff).toByte
+        pcm(2 * i + 1) = (amp & 0xff).toByte
+        i += 1
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+    val aiff = constAiff(16000, 120, 2500)
+    assert(Multimodal.wav16Fast(aiff).isEmpty)
+    assert(Multimodal.wav16Fast(
+      Multimodal.encodeConstWav(16000, 120, 2500)).isDefined)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", aiff, "s"),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeConstWav(16000, 120, 2500), "s")).toDS()
+    val got = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(1).cause == "ok")
+    assert(got(0).sample_rate == got(1).sample_rate)
+    assert(got(0).n_frames == got(1).n_frames)
+    assert(got(0).rms == got(1).rms && got(0).rms.contains(2500L))
+    assert(got(0).peak == got(1).peak)
+  }
+
   test("oversized audio routes to too_large from the header, undecoded") {
     import spark.implicits._
     val media = Seq(
