@@ -861,8 +861,9 @@ object Multimodal {
     * (an inter-frame codec the JDK cannot decode — header facts are
     * still reported so a crawl's codec mix is measurable),
     * `unsupported_depth` (BI_RGB at a biBitCount other than the 24bpp
-    * BGR the raster pass reads — 32bpp captures would otherwise decode
-    * to confidently-wrong features; header facts intact),
+    * BGR / 32bpp BGRX layouts the raster pass reads — 8bpp paletted or
+    * 16bpp bitfields would otherwise decode to confidently-wrong
+    * features; header facts intact),
     * `too_large` (header dimensions exceed the pixel guard),
     * `truncated` (a frame chunk or chunk header runs past the payload,
     * or the container closes with fewer frame chunks than the stream
@@ -1084,10 +1085,11 @@ object Multimodal {
     if (w.toLong * h > maxPixels) return base.copy(cause = "too_large")
     if (codecName != "raw" && codecName != "mjpeg")
       return base.copy(cause = "unsupported_codec")
-    // the raw raster pass below reads 3-byte BGR pixels; any other
-    // BI_RGB depth (32bpp BGRA captures, 8bpp paletted) would decode
-    // to confidently-wrong features — route it with header facts intact
-    if (codecName == "raw" && bitCount != 24)
+    // the raw raster pass below reads BGR(X) pixels at 24 or 32bpp (the
+    // two uncompressed layouts in the wild); any other BI_RGB depth
+    // (8bpp paletted, 16bpp bitfields) would decode to confidently-
+    // wrong features — route it with header facts intact
+    if (codecName == "raw" && bitCount != 24 && bitCount != 32)
       return base.copy(cause = "unsupported_depth")
     if (moviStart < 0)
       return base.copy(cause = if (truncated) "truncated" else "no_video_stream")
@@ -1096,7 +1098,8 @@ object Multimodal {
     // VIDS stream (its index learned in the header walk — "NNdc"/"NNdb"
     // where NN is the stream number), raster-decode the sampled subset
     val framePrefix = f"$streamIdx%02d"
-    val rowBytes = (w * 3 + 3) & ~3
+    val bpp = if (bitCount == 32) 4 else 3 // raw layouts: BGR / BGRX
+    val rowBytes = (w * bpp + 3) & ~3
     var nFrames = 0L
     var sampled = 0
     var decodeFailed = false
@@ -1136,9 +1139,9 @@ object Multimodal {
                     dataOff + (if (topDown) yv else h - 1 - yv) * rowBytes
                   var x = 0
                   while (x < w) {
-                    val b = p(row + 3 * x) & 0xff
-                    val g = p(row + 3 * x + 1) & 0xff
-                    val red = p(row + 3 * x + 2) & 0xff
+                    val b = p(row + bpp * x) & 0xff
+                    val g = p(row + bpp * x + 1) & 0xff
+                    val red = p(row + bpp * x + 2) & 0xff
                     img.setRGB(x, yv, (red << 16) | (g << 8) | b)
                     x += 1
                   }
@@ -1332,8 +1335,10 @@ object Multimodal {
     */
   def encodeSolidAvi(w: Int, h: Int, nFrames: Int, fps: Int,
       r: Int, g: Int, b: Int, codec: String = "raw",
-      /** strf biBitCount (header only — frame bytes stay 24bpp BGR, so
-        * a non-24 value exercises the `unsupported_depth` route)
+      /** strf biBitCount: 24 writes BGR rows, 32 writes real BGRX rows
+        * (both decodable); any OTHER value keeps 24bpp frame bytes
+        * under the lying header and exercises the `unsupported_depth`
+        * route
         */
       bitCount: Int = 24,
       /** negative-biHeight top-down layout: frame rows are written in
@@ -1366,7 +1371,12 @@ object Multimodal {
         val one = os.toByteArray
         IndexedSeq.fill(nFrames)(one)
       } else {
-        val rowBytes = (w * 3 + 3) & ~3
+        // real pixel bytes at the DECLARED depth for the two decodable
+        // layouts (24bpp BGR, 32bpp BGRX); any other bitCount keeps
+        // 24bpp bytes under the lying header — the unsupported_depth
+        // fixture stays header-only
+        val bpp = if (bitCount == 32) 4 else 3
+        val rowBytes = (w * bpp + 3) & ~3
         val one = new Array[Byte](rowBytes * h)
         var ys = 0
         while (ys < h) {
@@ -1378,9 +1388,9 @@ object Multimodal {
           }
           var x = 0
           while (x < w) {
-            one(ys * rowBytes + 3 * x) = pb.toByte
-            one(ys * rowBytes + 3 * x + 1) = pg.toByte
-            one(ys * rowBytes + 3 * x + 2) = pr.toByte
+            one(ys * rowBytes + bpp * x) = pb.toByte
+            one(ys * rowBytes + bpp * x + 1) = pg.toByte
+            one(ys * rowBytes + bpp * x + 2) = pr.toByte
             x += 1
           }
           ys += 1

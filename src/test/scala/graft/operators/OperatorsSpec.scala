@@ -1406,12 +1406,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).mean_rgb_milli == got(0).mean_rgb_milli)
   }
 
-  test("raw BI_RGB at a non-24 bit depth routes to unsupported_depth, header facts intact") {
+  test("raw 32bpp BGRX decodes to the same features as 24bpp; other depths route") {
     import spark.implicits._
-    val media = Seq(Multimodal.MediaRow(1L, "video",
-      Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, bitCount = 32), "s"))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeSolidAvi(6, 4, 2, 8, 10, 20, 30), "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeSolidAvi(6, 4, 2, 8, 10, 20, 30, bitCount = 32),
+        "s"),
+      // 8bpp paletted: a palette-less raster pass would be wrong — route
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeSolidAvi(6, 4, 2, 8, 1, 2, 3, bitCount = 8), "s"))
       .toDS()
-    val v = Multimodal.decodeVideo(media).collect()(0)
+    val got = Multimodal.decodeVideo(media).collect().sortBy(_.media_id)
+    assert(got(1).cause == "ok" && got(1).n_frames.contains(2L))
+    // the X byte is padding: the decoded ARGB stream — and so the crc
+    // and mean — must be identical to the 24bpp twin
+    assert(got(1).pixel_crc == got(0).pixel_crc)
+    assert(got(1).mean_rgb_milli == got(0).mean_rgb_milli)
+    val v = got(2)
     assert(v.cause == "unsupported_depth" && v.codec.contains("raw"))
     assert(v.width.contains(6) && v.height.contains(4))
     assert(v.declared_frames.contains(2L))
