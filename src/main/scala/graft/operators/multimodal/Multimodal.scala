@@ -1288,6 +1288,33 @@ object Multimodal {
         expr("aligned * 1000 div frames_a").as("containment_pm"))
   }
 
+  /** Shot-boundary detection over sampled frame hashes: the frames
+    * whose dHash sits ≥ `minHamming` bits from the PREVIOUS sampled
+    * frame — the standard cheap scene-change signal (a cut changes the
+    * luma gradient field wholesale; motion within a shot barely moves
+    * it). Feeds smarter frame sampling (keyframe-per-shot instead of
+    * blind stride) and per-shot downstream features. Input is
+    * [[videoDHash]]'s output; the first sampled frame is never a
+    * boundary (no predecessor). Output: (media_id, frame_idx,
+    * hamming_delta). One window per clip over its own sampled frames —
+    * embarrassingly parallel at any corpus size.
+    */
+  def videoScenes(clips: Dataset[VideoHash],
+      minHamming: Int = 16): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64)
+    val fr = clips.toDF().where(col("cause") === "ok")
+      .select(col("media_id"),
+        posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    fr.withColumn("__prev", lag(col("sh"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(col("sh").bitwiseXOR(col("__prev"))).cast("long")
+          .as("hamming_delta"))
+      .where(col("hamming_delta") >= minHamming)
+  }
+
   /** One payload's clip hash — the shared core under [[videoDHash]] and
     * [[graft.streaming.StreamImageDedup]]'s video path.
     */

@@ -575,6 +575,29 @@ object Pipeline {
       Multimodal.clipAlignment(frames, maxHamming = 0)
     }),
 
+    // SHOT-BOUNDARY detection, end to end: clips whose frames hold one
+    // md5-derived key except a planted 24-bit-away middle section —
+    // Multimodal.videoDHash REALLY decodes every frame and videoScenes
+    // surfaces exactly the two cuts at their indices with delta 24
+    // (any decode or dHash drift would perturb it); %7 docs are
+    // single-shot clips (no rows), %97 empty (cause-routed out)
+    "q_video_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions(_.map { id =>
+        val kA = h48(s"v0_$id")
+        val kB = kA ^ 0x0000ffffff000000L
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 7 == 0)
+            Multimodal.encodePathAvi(Seq(kA, kA, kA))
+          else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
+        Multimodal.MediaRow(id, "video", payload, "synth")
+      })
+      Multimodal.videoScenes(Multimodal.videoDHash(media),
+        minHamming = 16)
+    }),
+
     // SUB-RECORDING detection, end to end: even docs carry a 4-segment
     // WAV (md5-derived per-segment envelope keys), their odd sibling
     // carries segments 1..2 of it. Multimodal.audioSegments REALLY
@@ -3599,6 +3622,16 @@ object Pipeline {
         |  cnt * 1000 // frames_a AS containment_pm
         |FROM best JOIN na ON id_a = doc_id WHERE rn = 1""".stripMargin
     },
+
+    // Arithmetic oracle for shot boundaries: the planted cut structure
+    // is fully determined — frames [k, k, k^m24, k] yield boundaries at
+    // indices 2 and 3 with delta bit_count(m24) = 24, single-shot and
+    // empty docs yield nothing
+    "q_video_scenes" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(24 AS BIGINT) AS hamming_delta
+        |FROM documents, LATERAL (SELECT unnest([2, 3]) AS i) r
+        |WHERE doc_id % 97 != 0 AND doc_id % 7 != 0""".stripMargin,
 
     // Arithmetic oracle for sub-recording alignment: per-segment keys
     // rebuilt with hex48 (even docs 4 segments — 3 when % 89 cuts the

@@ -1012,6 +1012,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video scenes: cuts surface at their frame index; first frame never a boundary") {
+    import spark.implicits._
+    val kA = 0x1234567890abL
+    val kB = kA ^ 0x0000ffffff000000L // 24 bits away: a hard cut
+    val kC = kA ^ 3L                  // 2 bits: in-shot jitter
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodePathAvi(Seq(kA, kC, kB, kB, kA)), "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodePathAvi(Seq(kB, kB, kB)), "s"), // single shot
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.videoScenes(Multimodal.videoDHash(media),
+        minHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // boundaries: frame 2 (kC→kB: 24±2 bits) and frame 4 (kB→kA: 24);
+    // frame 1's 2-bit jitter stays below threshold; clip 2 has none
+    assert(got.keySet == Set((1L, 2), (1L, 4)))
+    assert(got((1L, 4)) == 24L)
+    assert(got((1L, 2)) == java.lang.Long.bitCount(kC ^ kB).toLong)
+  }
+
   test("clip alignment finds the sub-clip offset, containment and tie rule") {
     import spark.implicits._
     // clip 1 = [A B C D]; clip 2 = [B C] (cut from 1); clip 3 unrelated;
