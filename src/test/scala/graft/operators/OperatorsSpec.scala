@@ -986,6 +986,23 @@ class MultimodalSpec extends SparkSpec {
     assert(gotJoin == wantJoin && wantJoin.nonEmpty)
   }
 
+  test("hamming and alignment joins plan as equi-joins, never nested-loop") {
+    import spark.implicits._
+    val a = Seq((1L, 5L), (2L, 9L)).toDF("id", "sh")
+    val fr = Seq((1L, 0, 5L), (2L, 1, 9L)).toDF("id", "frame_idx", "sh")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    Seq(
+      planOf(Dedup.hammingPairs(a, maxHamming = 3)),
+      planOf(Dedup.hammingJoin(a, a, maxHamming = 3)),
+      planOf(Multimodal.clipAlignment(fr)),
+      planOf(Multimodal.clipAlignment(fr, maxHamming = 1))).foreach { p =>
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(3).mkString)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        p.linesIterator.take(3).mkString)
+    }
+  }
+
   test("two-sided hamming join equals the brute-force cross filter at <= chunks-1") {
     import spark.implicits._
     val base = 0x7f00aa33cc55e1L
