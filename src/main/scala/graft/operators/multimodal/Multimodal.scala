@@ -340,7 +340,12 @@ object Multimodal {
     var fmtOk = false
     while (pos + 8 <= p.length) {
       val sz = u32(pos + 4)
-      if (sz < 0) return None
+      // a declared chunk size beyond the payload cannot be walked past
+      // (and sz.toInt would wrap NEGATIVE for lying >=2^31 sizes,
+      // moving pos backwards — an infinite loop on a hostile payload;
+      // the AVI walk has the same guard). The data chunk is exempt:
+      // it is handled before the advance, clamped to what's present
+      if (!tag(pos, "data") && sz > p.length.toLong - pos - 8) return None
       val off = pos + 8
       if (tag(pos, "fmt ")) {
         if (sz < 16 || off + 16 > p.length) return None

@@ -1140,6 +1140,39 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("a lying RIFF chunk size cannot hang or crash the WAV fast path") {
+    import spark.implicits._
+    // RIFF/WAVE with a junk chunk declaring 0xFFFFFFF0 bytes before
+    // fmt: sz.toInt wraps negative — the walk must bail to the
+    // javax.sound fallback, not loop or scan backwards
+    val hostile = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def tag(s: String) = bos.write(s.getBytes("US-ASCII"))
+      def le32(v: Long) = (0 until 4).foreach(i =>
+        bos.write(((v >> (8 * i)) & 0xff).toInt))
+      tag("RIFF"); le32(100); tag("WAVE")
+      tag("junk"); le32(0xfffffff0L)
+      bos.write(new Array[Byte](16))
+      bos.toByteArray
+    }
+    assert(Multimodal.wav16Fast(hostile).isEmpty)
+    // a lying fmt size gets the same treatment
+    val hostileFmt = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def tag(s: String) = bos.write(s.getBytes("US-ASCII"))
+      def le32(v: Long) = (0 until 4).foreach(i =>
+        bos.write(((v >> (8 * i)) & 0xff).toInt))
+      tag("RIFF"); le32(100); tag("WAVE")
+      tag("fmt "); le32(0x80000010L)
+      bos.write(new Array[Byte](16))
+      bos.toByteArray
+    }
+    assert(Multimodal.wav16Fast(hostileFmt).isEmpty)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", hostile, "s")).toDS()
+    val v = Multimodal.decodeAudio(media).collect()(0)
+    assert(v.cause == "no_reader" || v.cause == "decode_failed", v.cause)
+  }
+
   test("non-WAV containers fall back to javax.sound: AIFF decodes identically") {
     import spark.implicits._
     // big-endian AIFF with the same PCM content as the canonical WAV:
