@@ -1261,7 +1261,10 @@ object Multimodal {
     * callers do). Aggregation cost tracks the MATCH volume: one
     * groupBy on (a, b, offset), one per-pair window over the distinct
     * diagonals — at 100 TB both are bounded by true frame-level
-    * duplication, not corpus size².
+    * duplication, not corpus size². The input frame table is consumed
+    * three times (both join sides + the per-clip frame count) — persist
+    * it when its lineage is expensive (a real decode), exactly as
+    * [[graft.operators.dedup.Dedup.simhashPairs]] hoists its sketches.
     */
   def clipAlignment(frames: DataFrame, maxHamming: Int = 0,
       chunks: Int = 4, maxFrames: Int = 4096): DataFrame = {
