@@ -1323,6 +1323,68 @@ object Multimodal {
       .where(col("hamming_delta") >= minHamming)
   }
 
+  /** One extracted keyframe ([[videoKeyframes]]); non-`ok` payloads
+    * yield a single routing row with `frame_idx = -1`.
+    */
+  final case class VideoKeyframe(
+      media_id: Long,
+      cause: String,
+      /** sampled-frame ordinal (the [[VideoHash.frame_dhash]] index) */
+      frame_idx: Int,
+      width: Option[Int],
+      height: Option[Int],
+      /** the keyframe thumbnail, losslessly PNG-encoded at the
+        * [[resizeImages]] fit-within dims
+        */
+      thumb_png: Option[Array[Byte]])
+
+  /** Keyframe-per-shot extraction — the production frame sampler: ONE
+    * pass over each clip decodes the sampled frames, detects shot
+    * boundaries exactly as [[videoScenes]] (consecutive-frame dHash
+    * distance ≥ `minHamming`), and emits the FIRST frame of every shot
+    * (frame 0 plus each boundary frame) as a fit-within bilinear PNG
+    * thumbnail ([[resizeImages]]' integer dim contract, shared core).
+    * A 10k-frame clip with 12 shots costs 12 thumbnails instead of a
+    * blind stride's arbitrary selection — the multimodal training-data
+    * shape. No shuffle anywhere: a stateless per-partition flatMap,
+    * scaling with executors; one raster live at a time under
+    * `maxPixels`.
+    */
+  def videoKeyframes(media: Dataset[MediaRow], minHamming: Int = 16,
+      targetW: Int = 256, targetH: Int = 256, stride: Int = 1,
+      maxSampledFrames: Int = 32,
+      maxPixels: Long = 64L * 1024 * 1024): Dataset[VideoKeyframe] = {
+    require(minHamming >= 1 && minHamming <= 64)
+    require(targetW > 0 && targetH > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val kfs = scala.collection.mutable.ArrayBuffer.empty[VideoKeyframe]
+        var prev = 0L
+        var first = true
+        var idx = 0
+        val vd = walkOneVideo(r, maxPixels, stride, maxSampledFrames) {
+          img =>
+            val h = dhashOfImage(img, 8, 8)
+            val boundary = first ||
+              java.lang.Long.bitCount(h ^ prev) >= minHamming
+            prev = h
+            first = false
+            if (boundary) {
+              val (ow, oh, _, png) = thumbOf(img, targetW, targetH)
+              kfs += VideoKeyframe(r.media_id, "ok", idx, Some(ow),
+                Some(oh), Some(png))
+            }
+            idx += 1
+        }
+        if (vd.cause != "ok")
+          Seq(VideoKeyframe(r.media_id, vd.cause, -1, None, None, None))
+        else kfs.toSeq
+      }
+    }
+  }
+
   /** One payload's clip hash — the shared core under [[videoDHash]] and
     * [[graft.streaming.StreamImageDedup]]'s video path.
     */
@@ -1674,37 +1736,9 @@ object Multimodal {
                 else {
                   val img = reader.read(0)
                   val (w, h) = (img.getWidth, img.getHeight)
-                  val (ow, oh) =
-                    if (w <= targetW && h <= targetH) (w, h)
-                    else if (w.toLong * targetH >= h.toLong * targetW)
-                      (targetW, math.max(1L, h.toLong * targetW / w).toInt)
-                    else
-                      (math.max(1L, w.toLong * targetH / h).toInt, targetH)
-                  val out = new java.awt.image.BufferedImage(ow, oh,
-                    java.awt.image.BufferedImage.TYPE_INT_RGB)
-                  val g = out.createGraphics()
-                  try {
-                    g.setRenderingHint(
-                      java.awt.RenderingHints.KEY_INTERPOLATION,
-                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                    g.drawImage(img, 0, 0, ow, oh, null)
-                  } finally g.dispose()
-                  var sum = 0L
-                  var y = 0
-                  while (y < oh) {
-                    var x = 0
-                    while (x < ow) {
-                      val p = out.getRGB(x, y)
-                      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(out, "png", bos)
+                  val (ow, oh, mean, png) = thumbOf(img, targetW, targetH)
                   ImageResize(r.media_id, "ok", Some(w), Some(h),
-                    Some(ow), Some(oh),
-                    Some(sum * 1000L / (3L * ow * oh)), Some(bos.toByteArray))
+                    Some(ow), Some(oh), Some(mean), Some(png))
                 }
               } catch {
                 case scala.util.control.NonFatal(_) =>
@@ -1715,6 +1749,45 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Fit-within bilinear thumbnail of a decoded raster ([[resizeImages]]'
+    * integer dim contract), returning (outW, outH, mean_rgb_milli,
+    * lossless PNG bytes) — the shared core under [[resizeImages]] and
+    * [[videoKeyframes]].
+    */
+  private def thumbOf(img: java.awt.image.BufferedImage, targetW: Int,
+      targetH: Int): (Int, Int, Long, Array[Byte]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ow, oh) =
+      if (w <= targetW && h <= targetH) (w, h)
+      else if (w.toLong * targetH >= h.toLong * targetW)
+        (targetW, math.max(1L, h.toLong * targetW / w).toInt)
+      else
+        (math.max(1L, w.toLong * targetH / h).toInt, targetH)
+    val out = new java.awt.image.BufferedImage(ow, oh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, ow, oh, null)
+    } finally g.dispose()
+    var sum = 0L
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val p = out.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    (ow, oh, sum * 1000L / (3L * ow * oh), bos.toByteArray)
   }
 
   /** One image payload's perceptual-hash outcome ([[imageDHash]]);

@@ -598,6 +598,30 @@ object Pipeline {
         minHamming = 16)
     }),
 
+    // KEYFRAME-per-shot extraction, end to end: the q_video_scenes
+    // fixture driven through videoKeyframes — frame 0 plus each
+    // planted 24-bit cut must surface as a 9×8 pass-through thumbnail
+    // (the PNG bytes are spec-pinned lossless; the gate pins the shot
+    // structure and the resize dim contract through the real decode)
+    "q_video_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions(_.map { id =>
+        val kA = h48(s"v0_$id")
+        val kB = kA ^ 0x0000ffffff000000L
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 7 == 0)
+            Multimodal.encodePathAvi(Seq(kA, kA, kA))
+          else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
+        Multimodal.MediaRow(id, "video", payload, "synth")
+      })
+      Multimodal.videoKeyframes(media, minHamming = 16)
+        .where(col("cause") === "ok")
+        .select(col("media_id"), col("frame_idx"),
+          col("width"), col("height"))
+    }),
+
     // SUB-RECORDING detection, end to end: even docs carry a 4-segment
     // WAV (md5-derived per-segment envelope keys), their odd sibling
     // carries segments 1..2 of it. Multimodal.audioSegments REALLY
@@ -3632,6 +3656,17 @@ object Pipeline {
         |  CAST(24 AS BIGINT) AS hamming_delta
         |FROM documents, LATERAL (SELECT unnest([2, 3]) AS i) r
         |WHERE doc_id % 97 != 0 AND doc_id % 7 != 0""".stripMargin,
+
+    // Arithmetic oracle for keyframe extraction: every clip's shot
+    // structure is planted (frame 0 always; cuts at 2 and 3 except
+    // single-shot %7 docs), and 9×8 frames pass the fit-within resize
+    // through unchanged
+    "q_video_keyframes" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(9 AS INT) AS width, CAST(8 AS INT) AS height
+        |FROM documents, LATERAL (SELECT unnest(
+        |    CASE WHEN doc_id % 7 = 0 THEN [0] ELSE [0, 2, 3] END) AS i) r
+        |WHERE doc_id % 97 != 0""".stripMargin,
 
     // Arithmetic oracle for sub-recording alignment: per-segment keys
     // rebuilt with hex48 (even docs 4 segments — 3 when % 89 cuts the

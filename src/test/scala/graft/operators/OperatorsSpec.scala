@@ -1050,6 +1050,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1L, 2)) == java.lang.Long.bitCount(kC ^ kB).toLong)
   }
 
+  test("video keyframes: first frame of every shot, lossless thumbs, resize contract") {
+    import spark.implicits._
+    val kA = 0x1234567890abL
+    val kB = kA ^ 0x0000ffffff000000L
+    val kC = kA ^ 3L
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodePathAvi(Seq(kA, kC, kB, kB, kA)), "s"),
+      // big solid frames force the fit-within resize path
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeSolidAvi(40, 20, 2, 8, 50, 100, 150), "s"),
+      Multimodal.MediaRow(3L, "video", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.videoKeyframes(media, minHamming = 16,
+        targetW = 10, targetH = 10).collect().groupBy(_.media_id)
+    // shots of clip 1 start at frames 0 (always), 2 (kC->kB) and 4
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    // 9x8 <= 10x10: pass-through, and the PNG is lossless - the
+    // thumbnail's dHash must round-trip the frame's key
+    val kf0 = got(1L).find(_.frame_idx == 0).get
+    assert(kf0.width.contains(9) && kf0.height.contains(8))
+    val img0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(kf0.thumb_png.get))
+    var bits = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if ((img0.getRGB(x, y) & 0xff) > (img0.getRGB(x + 1, y) & 0xff))
+        bits |= 1L << (y * 8 + x)
+    assert(bits == kA)
+    // 40x20 into 10x10: wider aspect pins width, height = 20*10/40 = 5;
+    // bilinear on a solid frame preserves the color exactly
+    val kf2 = got(2L).toSeq
+    assert(kf2.map(_.frame_idx) == Seq(0))
+    assert(kf2.head.width.contains(10) && kf2.head.height.contains(5))
+    val img2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(kf2.head.thumb_png.get))
+    assert((img2.getRGB(3, 2) & 0xffffff) == ((50 << 16) | (100 << 8) | 150))
+    assert(got(3L).toSeq.map(k => (k.cause, k.frame_idx)) ==
+      Seq(("empty", -1)))
+  }
+
   test("clip alignment finds the sub-clip offset, containment and tie rule") {
     import spark.implicits._
     // clip 1 = [A B C D]; clip 2 = [B C] (cut from 1); clip 3 unrelated;
