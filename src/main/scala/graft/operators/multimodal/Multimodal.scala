@@ -788,6 +788,23 @@ object Multimodal {
     val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
       true, false)
     val segFrames = framesPerWindow * (bits + 1)
+    val pcm = stepPcm(keys, framesPerWindow, bits, base, step)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (keys.length * segFrames).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The raw little-endian PCM of [[encodeSegmentsWav]]'s amplitude
+    * walk, one segment per key — for fixtures that carry the pattern
+    * inside another container (the AVI audio stream).
+    */
+  def stepPcm(keys: Seq[Long], framesPerWindow: Int = 4, bits: Int = 64,
+      base: Int = 2000, step: Int = 16): Array[Byte] = {
+    val segFrames = framesPerWindow * (bits + 1)
     val pcm = new Array[Byte](keys.length * segFrames * 2)
     var i = 0
     keys.foreach { key =>
@@ -806,13 +823,7 @@ object Multimodal {
         w += 1
       }
     }
-    val in = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt,
-      (keys.length * segFrames).toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(in,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    pcm
   }
 
   /** WAV-encode a stepped-amplitude 16-bit mono PCM clip: `bits + 1`
@@ -1323,6 +1334,167 @@ object Multimodal {
       .where(col("hamming_delta") >= minHamming)
   }
 
+  /** One clip's demuxed audio track ([[demuxAudio]]). */
+  final case class DemuxedAudio(
+      media_id: Long,
+      cause: String,
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      /** 16-bit PCM frames recovered from the audio stream's chunks */
+      n_frames: Option[Long],
+      /** the track re-wrapped as a canonical 16-bit PCM WAV — the
+        * [[decodeAudio]] / [[audioDHash]] / [[audioSegments]] input
+        * shape (the fast path reads it directly)
+        */
+      wav: Option[Array[Byte]])
+
+  /** AVI audio-track DEMUX: video files carry their audio interleaved
+    * as "NNwb" chunks of a separate stream; this walks the container
+    * (the [[decodeVideo]] parser pointed at the first `auds` stream —
+    * same stream-numbering discipline: EVERY strh advances the
+    * number), concatenates the stream's chunk bytes, and re-wraps them
+    * as a canonical WAV so the whole audio family composes downstream.
+    * Only uncompressed 16-bit PCM demuxes (WAVEFORMAT wFormatTag 1 —
+    * anything else routes to `unsupported_codec`/`unsupported_depth`
+    * with header facts intact, the codec-census posture); a clip with
+    * no auds stream routes to `no_audio_stream`, a cut chunk to
+    * `truncated`. `maxBytes` bounds the assembled track (decompression-
+    * bomb guard). Stateless per-partition map.
+    */
+  def demuxAudio(media: Dataset[MediaRow],
+      maxBytes: Long = 1L << 30): Dataset[DemuxedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(r => demuxOneAudio(r, maxBytes)))
+  }
+
+  private def demuxOneAudio(r: MediaRow,
+      maxBytes: Long): DemuxedAudio = {
+    val none = DemuxedAudio(r.media_id, "", None, None, None, None)
+    val p = r.payload
+    if (p == null || p.isEmpty) return none.copy(cause = "empty")
+    def u32(off: Int): Long =
+      if (off + 4 > p.length) -1L
+      else ((p(off) & 0xffL)) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int =
+      if (off + 2 > p.length) -1
+      else (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def fourcc(off: Int): String =
+      if (off + 4 > p.length) ""
+      else new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return none.copy(cause = "no_reader")
+
+    var formatTag = -1
+    var ch = -1
+    var rate = -1L
+    var bits = -1
+    var streamIdx = -1
+    var strhSeen = 0
+    var moviStart = -1
+    var moviEnd = -1L
+    var truncated = false
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      var lastStrhAuds = false
+      while (pos + 8 <= end && !truncated) {
+        val fc = fourcc(pos)
+        val sz = u32(pos + 4)
+        val dataOff = pos + 8
+        if (sz >= 0 && fc == "LIST" && fourcc(dataOff) == "movi") {
+          moviStart = dataOff + 4; moviEnd = dataOff.toLong + sz
+          pos = (dataOff.toLong + sz + (sz & 1)).min(Int.MaxValue.toLong).toInt
+        } else if (sz < 0 || pos + 8 + sz > end) { truncated = true }
+        else {
+          fc match {
+            case "LIST" =>
+              if (depth < 4) walk(dataOff + 4, dataOff + sz.toInt, depth + 1)
+            case "strh" =>
+              // EVERY strh advances the stream number (the decodeVideo
+              // lesson: a short foreign strh must not desync "NNwb")
+              lastStrhAuds = sz >= 4 && fourcc(dataOff) == "auds"
+              if (lastStrhAuds && streamIdx < 0) streamIdx = strhSeen
+              strhSeen += 1
+            case "strf" if sz >= 16 =>
+              if (lastStrhAuds && formatTag < 0) {
+                formatTag = u16(dataOff)
+                ch = u16(dataOff + 2)
+                rate = u32(dataOff + 4)
+                bits = u16(dataOff + 14)
+              }
+            case _ => ()
+          }
+          pos = dataOff + sz.toInt + (sz.toInt & 1)
+        }
+      }
+    }
+    walk(12, p.length, 0)
+    if (streamIdx < 0)
+      return none.copy(cause =
+        if (truncated) "truncated" else "no_audio_stream")
+    if (formatTag < 0 || ch < 1 || rate <= 0)
+      return none.copy(cause = if (truncated) "truncated" else "no_reader")
+    val base = none.copy(sample_rate = Some(rate.toInt),
+      channels = Some(ch))
+    if (formatTag != 1) return base.copy(cause = "unsupported_codec")
+    if (bits != 16) return base.copy(cause = "unsupported_depth")
+    if (moviStart < 0)
+      return base.copy(cause =
+        if (truncated) "truncated" else "no_audio_stream")
+
+    val chunkPrefix = f"$streamIdx%02d"
+    val pcm = new java.io.ByteArrayOutputStream()
+    var pos = moviStart
+    var cut = false
+    var over = false
+    val end = math.min(moviEnd, p.length.toLong).toInt
+    val moviCut = moviEnd > p.length
+    while (pos + 8 <= end && !cut && !over) {
+      val fc = fourcc(pos)
+      val sz = u32(pos + 4)
+      if (sz < 0 || pos + 8 + sz > end) cut = true
+      else {
+        if (fc.startsWith(chunkPrefix) && fc.endsWith("wb")) {
+          if (pcm.size.toLong + sz > maxBytes) over = true
+          else pcm.write(p, pos + 8, sz.toInt)
+        }
+        pos = pos + 8 + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (over) return base.copy(cause = "too_large")
+    if (truncated || cut || moviCut)
+      return base.copy(cause = "truncated",
+        n_frames = Some(pcm.size.toLong / (2L * ch)))
+    val bytes = pcm.toByteArray
+    val whole = bytes.length - bytes.length % (2 * ch)
+    base.copy(cause = "ok", n_frames = Some(whole.toLong / (2L * ch)),
+      wav = Some(wavWrap(rate.toInt, ch, bytes, whole)))
+  }
+
+  /** The canonical 44-byte 16-bit PCM WAV header around raw samples —
+    * exactly the shape [[wav16Fast]] reads back.
+    */
+  private def wavWrap(rate: Int, ch: Int, pcm: Array[Byte],
+      len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(44 + len)
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le16(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    tag("RIFF"); le32(36L + len); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1); le16(ch); le32(rate.toLong)
+    le32(rate.toLong * ch * 2); le16(ch * 2); le16(16)
+    tag("data"); le32(len.toLong)
+    out.write(pcm, 0, len)
+    out.toByteArray
+  }
+
   /** One extracted keyframe ([[videoKeyframes]]); non-`ok` payloads
     * yield a single routing row with `frame_idx = -1`.
     */
@@ -1449,7 +1621,12 @@ object Multimodal {
       /** paint the VISUAL top row this color instead of (r, g, b) — an
         * orientation witness a solid frame cannot provide
         */
-      topStripe: Option[(Int, Int, Int)] = None): Array[Byte] = {
+      topStripe: Option[(Int, Int, Int)] = None,
+      /** interleaved 16-bit 8 kHz mono PCM chunks for the auds stream
+        * (requires `audioFirst`) — the [[demuxAudio]] fixture
+        */
+      audioChunks: IndexedSeq[Array[Byte]] = IndexedSeq.empty)
+      : Array[Byte] = {
     require(w > 0 && h > 0 && nFrames >= 0 && fps > 0)
     val frames: IndexedSeq[Array[Byte]] =
       if (codec == "mjpeg") {
@@ -1494,7 +1671,8 @@ object Multimodal {
         }
         IndexedSeq.fill(nFrames)(one)
       }
-    writeAvi(w, h, fps, codec, bitCount, topDown, audioFirst, frames)
+    writeAvi(w, h, fps, codec, bitCount, topDown, audioFirst, frames,
+      audioChunks)
   }
 
   /** AVI-encode a clip of 9×8 "path" frames — [[encodePathPng]]'s
@@ -1541,7 +1719,15 @@ object Multimodal {
     */
   private def writeAvi(w: Int, h: Int, fps: Int, codec: String,
       bitCount: Int, topDown: Boolean, audioFirst: Boolean,
-      frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
+      frames: IndexedSeq[Array[Byte]],
+      /** interleaved 16-bit 8 kHz mono PCM audio chunks, written as the
+        * audio stream's "00wb" data (requires `audioFirst` so the auds
+        * strl exists)
+        */
+      audioChunks: IndexedSeq[Array[Byte]] = IndexedSeq.empty)
+      : Array[Byte] = {
+    require(audioChunks.isEmpty || audioFirst,
+      "audio chunks need the auds stream (audioFirst)")
     val nFrames = frames.length
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Unit = {
@@ -1558,7 +1744,8 @@ object Multimodal {
         f(0).toLong | (f(1).toLong << 8) | (f(2).toLong << 16) |
           (f(3).toLong << 24)
     }
-    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum +
+      audioChunks.map(a => 8 + a.length + (a.length & 1)).sum
     val audsStrlBody = 4 + (8 + 56) + (8 + 16) // strh + minimal WAVEFORMAT strf
     val vidsStrlBody = 4 + (8 + 56) + (8 + 40)
     val hdrlBody = 4 + (8 + 56) +
@@ -1594,9 +1781,19 @@ object Multimodal {
     le32(0); le32(0); le32(0); le32(0) // resolutions, clrUsed, clrImportant
     tag("LIST"); le32(moviBody); tag("movi")
     val chunkTag = if (audioFirst) "01dc" else "00dc"
-    frames.foreach { f =>
-      tag(chunkTag); le32(f.length); out.write(f, 0, f.length)
-      if ((f.length & 1) == 1) out.write(0)
+    // interleave: video frame i, then audio chunk i (the mux order a
+    // real recorder produces; demux must not depend on it)
+    (0 until math.max(frames.length, audioChunks.length)).foreach { i =>
+      if (i < frames.length) {
+        val f = frames(i)
+        tag(chunkTag); le32(f.length); out.write(f, 0, f.length)
+        if ((f.length & 1) == 1) out.write(0)
+      }
+      if (i < audioChunks.length) {
+        val a = audioChunks(i)
+        tag("00wb"); le32(a.length); out.write(a, 0, a.length)
+        if ((a.length & 1) == 1) out.write(0)
+      }
     }
     out.toByteArray
   }

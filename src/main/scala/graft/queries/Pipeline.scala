@@ -622,6 +622,35 @@ object Pipeline {
           col("width"), col("height"))
     }),
 
+    // AUDIO-TRACK DEMUX, end to end: AVIs carry their pathKey envelope
+    // pattern as interleaved 16-bit PCM "00wb" chunks; demuxAudio
+    // reassembles the stream into a canonical WAV and audioDHash
+    // recovers the key — container demux composed with the whole audio
+    // family in one row. %7 docs carry no auds stream, %97 are empty
+    // (both cause-routed out)
+    "q_demux_audio" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions(_.map { id =>
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 7 == 0)
+            Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3)
+          else Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3,
+            audioFirst = true,
+            audioChunks =
+              Multimodal.stepPcm(Seq(pathKey(id))).grouped(130).toIndexedSeq)
+        Multimodal.MediaRow(id, "video", payload, "synth")
+      })
+      val tracks = Multimodal.demuxAudio(media)
+        .filter(t => t.cause == "ok" && t.wav.isDefined)
+        .map(t => Multimodal.MediaRow(t.media_id, "audio", t.wav.get,
+          "demux"))
+      Multimodal.audioDHash(tracks)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("dhash"))
+    }),
+
     // SUB-RECORDING detection, end to end: even docs carry a 4-segment
     // WAV (md5-derived per-segment envelope keys), their odd sibling
     // carries segments 1..2 of it. Multimodal.audioSegments REALLY
@@ -1636,6 +1665,12 @@ object Pipeline {
     */
   private lazy val audioKeyCtes: String =
     keyCtes("doc_id % 97 != 0 AND doc_id % 83 != 0")
+
+  /** The demux variant: `% 7` rows carry no auds stream, `% 97` are
+    * empty — both cause-routed out before hashing.
+    */
+  private lazy val demuxKeyCtes: String =
+    keyCtes("doc_id % 97 != 0 AND doc_id % 7 != 0")
 
   private val dsirCore: String = {
     val hexpr = hex48("f")
@@ -3667,6 +3702,16 @@ object Pipeline {
         |FROM documents, LATERAL (SELECT unnest(
         |    CASE WHEN doc_id % 7 = 0 THEN [0] ELSE [0, 2, 3] END) AS i) r
         |WHERE doc_id % 97 != 0""".stripMargin,
+
+    // Arithmetic oracle for audio demux: the reassembled track's
+    // envelope hash is the shared pathKey arithmetic; rate/channels/
+    // frames are the fixed fixture parameters (one 260-frame segment)
+    "q_demux_audio" ->
+      s"""WITH RECURSIVE $demuxKeyCtes
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels, CAST(260 AS BIGINT) AS n_frames,
+        |  dh AS dhash
+        |FROM k""".stripMargin,
 
     // Arithmetic oracle for sub-recording alignment: per-segment keys
     // rebuilt with hex48 (even docs 4 segments — 3 when % 89 cuts the

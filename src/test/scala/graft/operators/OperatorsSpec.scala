@@ -1050,6 +1050,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1L, 2)) == java.lang.Long.bitCount(kC ^ kB).toLong)
   }
 
+  test("avi audio demux: interleaved chunks reassemble; the audio family composes") {
+    import spark.implicits._
+    val key = 0x4b1d5eedfacadeL
+    val pcm = Multimodal.stepPcm(Seq(key)) // 260 frames = 520 bytes
+    val chunks = pcm.grouped(130).toIndexedSeq
+    val avi = Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3,
+      audioFirst = true, audioChunks = chunks)
+    def patched(off: Int, v: Byte): Array[Byte] = {
+      val b = avi.clone(); b(off) = v; b
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", avi, "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3), "s"), // no auds
+      Multimodal.MediaRow(3L, "video", avi.dropRight(5), "s"),
+      // auds strf wFormatTag @172 (layout: 224-byte fixed header with
+      // audio-first strl at 100) — a compressed codec must route
+      Multimodal.MediaRow(4L, "video", patched(172, 2), "s"),
+      // wBitsPerSample @186
+      Multimodal.MediaRow(5L, "video", patched(186, 8), "s"),
+      Multimodal.MediaRow(6L, "video", Array.emptyByteArray, "s")).toDS()
+    val got = Multimodal.demuxAudio(media).collect().sortBy(_.media_id)
+    assert(got(0).cause == "ok" && got(0).sample_rate.contains(8000))
+    assert(got(0).channels.contains(1) && got(0).n_frames.contains(260L))
+    assert(got(1).cause == "no_audio_stream")
+    assert(got(2).cause == "truncated")
+    assert(got(3).cause == "unsupported_codec")
+    assert(got(4).cause == "unsupported_depth")
+    assert(got(5).cause == "empty")
+    // the demuxed track is a canonical WAV: the fast path reads it and
+    // the envelope hash recovers the planted key — full composition
+    val wav = got(0).wav.get
+    assert(Multimodal.wav16Fast(wav).isDefined)
+    val track = Seq(Multimodal.MediaRow(1L, "audio", wav, "demux")).toDS()
+    val ah = Multimodal.audioDHash(track).collect()(0)
+    assert(ah.cause == "ok" && ah.dhash.contains(key))
+    // demuxed == the directly-encoded WAV of the same pattern, bit
+    // for bit (same canonical wrapper)
+    assert(java.util.Arrays.equals(wav, Multimodal.encodeStepWav(key)))
+  }
+
   test("video keyframes: first frame of every shot, lossless thumbs, resize contract") {
     import spark.implicits._
     val kA = 0x1234567890abL
