@@ -1319,16 +1319,27 @@ object Multimodal {
     * embarrassingly parallel at any corpus size.
     */
   def videoScenes(clips: Dataset[VideoHash],
-      minHamming: Int = 16): DataFrame = {
+      minHamming: Int = 16): DataFrame =
+    hashCuts(clips.toDF().where(col("cause") === "ok")
+        .select(col("media_id").as("id"),
+          posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh"))),
+      minHamming)
+      .withColumnRenamed("id", "media_id")
+
+  /** The generic cut detector under [[videoScenes]] — works over ANY
+    * ordered 64-bit hash sequence (id, frame_idx, sh): emit the
+    * positions whose hash sits ≥ `minHamming` bits from the previous
+    * one. Feeding [[audioSegments]] rows finds acoustic scene changes
+    * (speaker turns, music↔speech) exactly as video frames find shot
+    * cuts. One window per id; output (id, frame_idx, hamming_delta).
+    */
+  def hashCuts(rows: DataFrame, minHamming: Int): DataFrame = {
     require(minHamming >= 1 && minHamming <= 64)
-    val fr = clips.toDF().where(col("cause") === "ok")
-      .select(col("media_id"),
-        posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("media_id").orderBy("frame_idx")
-    fr.withColumn("__prev", lag(col("sh"), 1).over(w))
+      .partitionBy("id").orderBy("frame_idx")
+    rows.withColumn("__prev", lag(col("sh"), 1).over(w))
       .where(col("__prev").isNotNull)
-      .select(col("media_id"), col("frame_idx"),
+      .select(col("id"), col("frame_idx"),
         bit_count(col("sh").bitwiseXOR(col("__prev"))).cast("long")
           .as("hamming_delta"))
       .where(col("hamming_delta") >= minHamming)
@@ -1683,7 +1694,13 @@ object Multimodal {
     * the deterministic fixture under the video near-dup gate.
     * Executor-safe: pure function.
     */
-  def encodePathAvi(keys: Seq[Long], fps: Int = 10): Array[Byte] = {
+  def encodePathAvi(keys: Seq[Long], fps: Int = 10,
+      /** interleaved 16-bit 8 kHz mono PCM chunks — adds the auds
+        * stream (the video frames become "01dc"; [[walkOneVideo]]'s
+        * stream numbering handles it), the A/V fixture
+        */
+      audioChunks: IndexedSeq[Array[Byte]] = IndexedSeq.empty)
+      : Array[Byte] = {
     require(fps > 0)
     val rowBytes = (9 * 3 + 3) & ~3
     val frames = keys.toIndexedSeq.map { key =>
@@ -1710,7 +1727,7 @@ object Multimodal {
       one
     }
     writeAvi(9, 8, fps, "raw", bitCount = 24, topDown = false,
-      audioFirst = false, frames)
+      audioFirst = audioChunks.nonEmpty, frames, audioChunks)
   }
 
   /** The fixed AVI container around pre-encoded frame chunks — the

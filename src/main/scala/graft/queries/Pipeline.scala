@@ -622,6 +622,65 @@ object Pipeline {
           col("width"), col("height"))
     }),
 
+    // ACOUSTIC scene cuts, end to end: the generic hashCuts detector
+    // over real per-segment envelope hashes — a planted 24-bit-away
+    // second segment must surface as cuts at segments 1 and 2 with
+    // exact deltas; %7 docs are single-tone (no rows), %97 empty
+    "q_audio_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions(_.map { id =>
+        val k = h48(s"as0_$id")
+        val kB = k ^ 0x0000ffffff000000L
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else if (id % 7 == 0)
+            Multimodal.encodeSegmentsWav(Seq(k, k, k))
+          else Multimodal.encodeSegmentsWav(Seq(k, kB, k, k))
+        Multimodal.MediaRow(id, "audio", payload, "synth")
+      })
+      Multimodal.hashCuts(
+        Multimodal.audioSegments(media, segFrames = 260)
+          .where(col("cause") === "ok")
+          .select(col("media_id").as("id"),
+            col("seg_idx").as("frame_idx"), col("dhash").as("sh")),
+        minHamming = 16)
+        .select(col("id").as("media_id"),
+          col("frame_idx").as("seg_idx"), col("hamming_delta"))
+    }),
+
+    // JOINT A/V fingerprint, end to end: ONE container carries a path
+    // video stream (majority clip key) AND an interleaved PCM audio
+    // stream (envelope key) — videoDHash and demuxAudio→audioDHash
+    // each recover their planted key from the same payload, joined on
+    // media_id. The cross-modal signature a re-encode-robust video
+    // dedup pipeline pairs on
+    "q_av_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = graft.ScratchCache.persist(d.mapPartitions(_.map { id =>
+        val kV = pathKey(id)
+        val noise = (id * 0x9e3779b97f4a7c15L) | 1L
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else Multimodal.encodePathAvi(Seq(kV, kV ^ noise, kV),
+            audioChunks = Multimodal.stepPcm(Seq(h48(s"av0_$id")))
+              .grouped(130).toIndexedSeq)
+        Multimodal.MediaRow(id, "video", payload, "synth")
+      }))
+      val v = Multimodal.videoDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id"), col("clip_dhash"))
+      val tracks = Multimodal.demuxAudio(media)
+        .filter(t => t.cause == "ok" && t.wav.isDefined)
+        .map(t => Multimodal.MediaRow(t.media_id, "audio", t.wav.get,
+          "demux"))
+      val a = Multimodal.audioDHash(tracks)
+        .where(col("cause") === "ok")
+        .select(col("media_id"), col("dhash").as("audio_dhash"))
+      v.join(a, "media_id")
+    }),
+
     // AUDIO-TRACK DEMUX, end to end: AVIs carry their pathKey envelope
     // pattern as interleaved 16-bit PCM "00wb" chunks; demuxAudio
     // reassembles the stream into a canonical WAV and audioDHash
@@ -3702,6 +3761,25 @@ object Pipeline {
         |FROM documents, LATERAL (SELECT unnest(
         |    CASE WHEN doc_id % 7 = 0 THEN [0] ELSE [0, 2, 3] END) AS i) r
         |WHERE doc_id % 97 != 0""".stripMargin,
+
+    // Arithmetic oracle for acoustic cuts: the planted structure is
+    // fully determined — segments [k, k^m24, k, k] cut at 1 and 2 with
+    // delta 24; single-tone and empty docs yield nothing
+    "q_audio_scenes" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS seg_idx,
+        |  CAST(24 AS BIGINT) AS hamming_delta
+        |FROM documents, LATERAL (SELECT unnest([1, 2]) AS i) r
+        |WHERE doc_id % 97 != 0 AND doc_id % 7 != 0""".stripMargin,
+
+    // Arithmetic oracle for the joint A/V fingerprint: the video key is
+    // the shared pathKey arithmetic, the audio key its own md5 slice —
+    // both recovered from ONE container by the engine
+    "q_av_fingerprint" ->
+      s"""WITH RECURSIVE $imageKeyCtes
+        |SELECT doc_id AS media_id, dh AS clip_dhash,
+        |  CAST((${hex48("'av0_' || CAST(doc_id AS VARCHAR)")})
+        |    AS BIGINT) AS audio_dhash
+        |FROM k""".stripMargin,
 
     // Arithmetic oracle for audio demux: the reassembled track's
     // envelope hash is the shared pathKey arithmetic; rate/channels/

@@ -1091,6 +1091,32 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(wav, Multimodal.encodeStepWav(key)))
   }
 
+  test("one container, both fingerprints: path video + step audio round-trip jointly") {
+    import spark.implicits._
+    val kV = 0x135792468aceL
+    val kA = 0x02468ace1357L
+    val avi = Multimodal.encodePathAvi(Seq(kV, kV, kV),
+      audioChunks = Multimodal.stepPcm(Seq(kA)).grouped(104).toIndexedSeq)
+    val media = Seq(Multimodal.MediaRow(1L, "video", avi, "s")).toDS()
+    val vh = Multimodal.videoDHash(media).collect()(0)
+    assert(vh.cause == "ok" && vh.clip_dhash.contains(kV))
+    val da = Multimodal.demuxAudio(media).collect()(0)
+    assert(da.cause == "ok" && da.n_frames.contains(260L))
+    val ah = Multimodal.audioDHash(Seq(Multimodal.MediaRow(1L, "audio",
+      da.wav.get, "d")).toDS()).collect()(0)
+    assert(ah.dhash.contains(kA))
+    // acoustic cuts via the generic detector over segment hashes
+    val wavCut = Multimodal.encodeSegmentsWav(Seq(kA, kV, kV))
+    val segs = Multimodal.audioSegments(
+      Seq(Multimodal.MediaRow(2L, "audio", wavCut, "s")).toDS(),
+      segFrames = 260)
+      .select(col("media_id").as("id"), col("seg_idx").as("frame_idx"),
+        col("dhash").as("sh"))
+    val cuts = Multimodal.hashCuts(segs, minHamming = 16).collect()
+    assert(cuts.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, java.lang.Long.bitCount(kA ^ kV).toLong)))
+  }
+
   test("video keyframes: first frame of every shot, lossless thumbs, resize contract") {
     import spark.implicits._
     val kA = 0x1234567890abL
