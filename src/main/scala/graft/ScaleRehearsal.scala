@@ -528,6 +528,28 @@ object ScaleRehearsal {
       out += "audiodup_pairs" -> aPairs
       out += "audiodup_pairs_sec" -> tAp
       ScratchCache.releaseAll(spark)
+      // the newest per-partition passes at this corpus size: one A/V
+      // container per doc (3 path frames with a 24-bit cut + one PCM
+      // audio segment), keyframe-per-shot extraction and audio demux —
+      // both stateless maps whose wall should track the decode stages
+      val avmedia = ScratchCache.persist(ids.mapPartitions(_.map { id =>
+        val k = graft.queries.Pipeline.pathKey(id)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.encodePathAvi(
+            Seq(k, k ^ 0x0000ffffff000000L, k),
+            audioChunks = Multimodal.stepPcm(Seq(k))
+              .grouped(130).toIndexedSeq), "synth")
+      }))
+      val (kfRows, tKf) = timed(
+        Multimodal.videoKeyframes(avmedia, minHamming = 16)
+          .filter(_.cause == "ok").count())
+      out += "keyframes_rows" -> kfRows
+      out += "keyframes_sec" -> tKf
+      val (dmRows, tDm) = timed(
+        Multimodal.demuxAudio(avmedia).filter(_.cause == "ok").count())
+      out += "demux_rows" -> dmRows
+      out += "demux_sec" -> tDm
+      ScratchCache.releaseAll(spark)
     }
 
     if (run("frontier")) {
