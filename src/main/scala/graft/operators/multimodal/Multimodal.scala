@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   * pays for an external decoder. IMAGE RESIZE is REAL
   * ([[resizeImages]]): `java.awt.Graphics2D` bilinear scaling with an
   * integer-exact output-dimension contract and lossless PNG re-encode.
-  * [[StubDecoder]] remains only as the generic batch-shape
-  * demonstration ([[decodeFeatures]]), and [[resizeStub]] as the
-  * kind-agnostic binary downsampler.
+  * [[decodeMedia]] dispatches a mixed-modality table across the three
+  * real decoders onto one feature schema; [[resizeStub]] remains as
+  * the kind-agnostic binary downsampler.
   */
 object Multimodal {
 
@@ -40,45 +40,52 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Features a decoder emits; deterministic stub values here. */
-  final case class MediaFeatures(
-      media_id: Long,
-      kind: String,
-      byte_len: Long,
-      checksum: String,
-      width: Int, // stub: derived from payload bytes
-      height: Int,
-      n_frames: Int)
-
-  /** The stub "decoder": replace with a real codec binding. Deterministic
-    * pure function of the payload so tests and oracles can replicate it.
+  /** Unified per-kind REAL decode: route each row by `kind` to
+    * [[decodeImages]] / [[decodeAudio]] / [[decodeVideo]] and project
+    * the three outcomes onto ONE narrow feature schema — the entry
+    * point a mixed-modality crawl table feeds. Columns a modality does
+    * not produce are null (`sample_rate`/`rms` are audio-only,
+    * `width`/`height`/`mean_rgb_milli` are raster-only); `format`
+    * carries the image format name, the audio encoding, or the video
+    * codec; `n_frames` is 1 for a decoded still, the PCM frame count
+    * for audio, and the container frame count for video. Rows whose
+    * kind is none of the three route to `unknown_kind` — the per-cause
+    * discipline of the underlying decoders, preserved at the dispatch
+    * layer (nothing is silently dropped).
+    *
+    * The union of three filters is the 100 TB shape on purpose: a
+    * media table partitioned by `kind` prunes each branch's scan to
+    * its own partitions, and each branch keeps its decoder's
+    * iterator→iterator batch contract and bomb guards.
     */
-  object StubDecoder {
-    def decode(r: MediaRow): MediaFeatures = {
-      val len = r.payload.length.toLong
-      val b0 = if (len > 0) r.payload(0) & 0xff else 0
-      val b1 = if (len > 1) r.payload(1) & 0xff else 0
-      MediaFeatures(
-        media_id = r.media_id,
-        kind = r.kind,
-        byte_len = len,
-        checksum = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.payload).map("%02x".format(_)).mkString,
-        width = 16 + b0 % 64 * 16,
-        height = 16 + b1 % 64 * 16,
-        n_frames = if (r.kind == "video") (len % 240 + 1).toInt else 1)
-    }
-  }
-
-  /** Batch decode: one decoder instance per partition, iterator-in /
-    * iterator-out (constant memory; the mapInPandas shape).
-    */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // a real implementation would initialize the codec here, once
-      rows.map(StubDecoder.decode)
-    }
+  def decodeMedia(media: Dataset[MediaRow]): DataFrame = {
+    val nullInt = lit(null).cast("int")
+    val nullLong = lit(null).cast("long")
+    val img = decodeImages(media.filter(col("kind") === "image"))
+      .select(col("media_id"), lit("image").as("kind"), col("cause"),
+        col("format"), col("width"), col("height"),
+        when(col("cause") === "ok", lit(1L)).as("n_frames"),
+        nullInt.as("sample_rate"), nullLong.as("rms"),
+        col("mean_rgb_milli"))
+    val aud = decodeAudio(media.filter(col("kind") === "audio"))
+      .select(col("media_id"), lit("audio").as("kind"), col("cause"),
+        col("format"), nullInt.as("width"), nullInt.as("height"),
+        col("n_frames"), col("sample_rate"), col("rms"),
+        nullLong.as("mean_rgb_milli"))
+    val vid = decodeVideo(media.filter(col("kind") === "video"))
+      .select(col("media_id"), lit("video").as("kind"), col("cause"),
+        col("codec").as("format"), col("width"), col("height"),
+        col("n_frames"), nullInt.as("sample_rate"), nullLong.as("rms"),
+        col("mean_rgb_milli"))
+    val other = media
+      .filter(!col("kind").isin("image", "audio", "video"))
+      .select(col("media_id"), col("kind"),
+        lit("unknown_kind").as("cause"),
+        lit(null).cast("string").as("format"), nullInt.as("width"),
+        nullInt.as("height"), nullLong.as("n_frames"),
+        nullInt.as("sample_rate"), nullLong.as("rms"),
+        nullLong.as("mean_rgb_milli"))
+    img.unionByName(aud).unionByName(vid).unionByName(other)
   }
 
   /** One image payload's decode outcome. `cause` routes every row:

@@ -1369,9 +1369,45 @@ object Pipeline {
         .withColumnRenamed("id", "doc_id")
     }),
 
-    "q_multimodal" -> ((s, dir) =>
-      Multimodal.decodeFeatures(
-        Multimodal.fromDocuments(s, docs(s, dir))).toDF()),
+    // MIXED-MODALITY real decode, end to end: doc_id % 3 picks the
+    // kind, executors encode one real payload per row (solid PNG /
+    // constant-amplitude WAV / solid BI_RGB AVI — each lossless, so
+    // every decoded feature is encode-parameter arithmetic), % 10 == 5
+    // rows are planted empty, and Multimodal.decodeMedia dispatches the
+    // table across the three REAL decoders onto one feature schema.
+    // One row gates the dispatch routing, the per-kind null contract
+    // AND each decoder's feature arithmetic at once.
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = d.mapPartitions { it =>
+        it.map { id =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val payload =
+            if (id % 10 == 5) Array.emptyByteArray
+            else (id % 3) match {
+              case 0 => Multimodal.encodeSolidPng(
+                8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt,
+                (id % 256).toInt, ((id / 3) % 256).toInt,
+                ((id / 7) % 256).toInt)
+              case 1 =>
+                val amp = (100 + id % 12000).toInt
+                Multimodal.encodeConstWav(
+                  8000 + (id % 8).toInt * 1000, 64 + (id % 100).toInt,
+                  (if (id % 2 == 1) -amp else amp).toShort)
+              case _ => Multimodal.encodeSolidAvi(
+                4 + (id % 13).toInt, 2 + ((id / 13) % 11).toInt,
+                1 + (id % 7).toInt, 5 + (id % 25).toInt,
+                (id % 256).toInt, ((id / 3) % 256).toInt,
+                ((id / 7) % 256).toInt)
+            }
+          Multimodal.MediaRow(id, kind, payload, "synth")
+        }
+      }
+      Multimodal.decodeMedia(media)
+    }),
 
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -3583,15 +3619,36 @@ object Pipeline {
         |  CAST(start_tok // 2048 AS BIGINT) AS window_id,
         |  (start_tok + toks - 1) // 2048 != start_tok // 2048 AS spans_boundary
         |FROM c""".stripMargin,
+    // Arithmetic oracle for the mixed-modality dispatch: every decoded
+    // feature is pure encode-parameter arithmetic (the three per-kind
+    // decode oracles' CASE arms composed over doc_id % 3), plus the
+    // per-kind null contract and the planted-empty routing
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  md5(text) AS checksum,
-        |  CAST(16 + ord(substr(text, 1, 1)) % 64 * 16 AS INT) AS width,
-        |  CAST(16 + ord(substr(text, 2, 1)) % 64 * 16 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 240 + 1
-        |       ELSE 1 END AS INT) AS n_frames
+        |  CASE WHEN doc_id % 10 = 5 THEN 'empty' ELSE 'ok' END AS cause,
+        |  CASE WHEN doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'pcm_signed'
+        |       ELSE 'raw' END AS format,
+        |  CAST(CASE WHEN doc_id % 10 = 5 OR doc_id % 3 = 1 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16
+        |       ELSE 4 + doc_id % 13 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 10 = 5 OR doc_id % 3 = 1 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 8 + (doc_id // 16) % 16
+        |       ELSE 2 + (doc_id // 13) % 11 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 10 = 5 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 1
+        |       WHEN doc_id % 3 = 1 THEN 64 + doc_id % 100
+        |       ELSE 1 + doc_id % 7 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 10 = 5 OR doc_id % 3 != 1 THEN NULL
+        |       ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 10 = 5 OR doc_id % 3 != 1 THEN NULL
+        |       ELSE 100 + doc_id % 12000 END AS BIGINT) AS rms,
+        |  CAST(CASE WHEN doc_id % 10 = 5 OR doc_id % 3 = 1 THEN NULL
+        |       ELSE ((doc_id % 256) + ((doc_id // 3) % 256)
+        |             + ((doc_id // 7) % 256)) * 1000 // 3 END AS BIGINT)
+        |    AS mean_rgb_milli
         |FROM documents""".stripMargin,
     // Arithmetic oracle for the REAL image decode: PNG is lossless, so a
     // solid-color (r,g,b) w×h image decodes back to exactly those

@@ -726,15 +726,45 @@ class CosineSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("stub decode is deterministic and batch-shaped") {
-    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val media = Multimodal.fromDocuments(spark, docs)
-    val f1 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(f => f.byte_len > 0 && f.checksum.length == 32))
-    assert(f1.filter(_.kind == "video").forall(_.n_frames >= 1))
-    assert(f1.filter(_.kind != "video").forall(_.n_frames == 1))
+  test("decodeMedia dispatches kinds to the real decoders with the per-kind null contract") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.encodeSolidPng(6, 4, 10, 20, 30), "s"),
+      Multimodal.MediaRow(2L, "audio",
+        Multimodal.encodeConstWav(8000, 32, 500), "s"),
+      Multimodal.MediaRow(3L, "video",
+        Multimodal.encodeSolidAvi(4, 2, 3, 10, 9, 9, 9), "s"),
+      Multimodal.MediaRow(4L, "text", Array[Byte](1, 2, 3), "s"),
+      Multimodal.MediaRow(5L, "image", Array.emptyByteArray, "s")
+    ).toDS()
+    val rows = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows.size == 5) // nothing dropped by the dispatch
+    val img = rows(1L)
+    assert(img.getAs[String]("cause") == "ok" &&
+      img.getAs[String]("format") == "png" &&
+      img.getAs[Int]("width") == 6 && img.getAs[Int]("height") == 4 &&
+      img.getAs[Long]("n_frames") == 1L &&
+      img.isNullAt(img.fieldIndex("sample_rate")) &&
+      img.isNullAt(img.fieldIndex("rms")) &&
+      img.getAs[Long]("mean_rgb_milli") == (10 + 20 + 30) * 1000L / 3)
+    val aud = rows(2L)
+    assert(aud.getAs[String]("cause") == "ok" &&
+      aud.getAs[Int]("sample_rate") == 8000 &&
+      aud.getAs[Long]("n_frames") == 32L &&
+      aud.getAs[Long]("rms") == 500L &&
+      aud.isNullAt(aud.fieldIndex("width")) &&
+      aud.isNullAt(aud.fieldIndex("mean_rgb_milli")))
+    val vid = rows(3L)
+    assert(vid.getAs[String]("cause") == "ok" &&
+      vid.getAs[String]("format") == "raw" &&
+      vid.getAs[Int]("width") == 4 && vid.getAs[Int]("height") == 2 &&
+      vid.getAs[Long]("n_frames") == 3L &&
+      vid.getAs[Long]("mean_rgb_milli") == (9 + 9 + 9) * 1000L / 3)
+    assert(rows(4L).getAs[String]("cause") == "unknown_kind")
+    assert(rows(5L).getAs[String]("cause") == "empty" &&
+      rows(5L).getAs[String]("kind") == "image")
   }
 
   test("resize stub emits fixed-size deterministic thumbnails") {
