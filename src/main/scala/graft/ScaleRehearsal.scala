@@ -45,6 +45,25 @@ object ScaleRehearsal {
     }
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
+    /** Materialize a deterministic media fixture to scratch parquet
+      * BEFORE any timed block reads it — measured decode walls time
+      * the decode, not the fixture's own PNG/AVI/WAV encode (which
+      * used to sit inside the measured lineage and dominate small
+      * payloads).
+      */
+    def matMedia(name: String,
+        ds: org.apache.spark.sql.Dataset[
+          graft.operators.multimodal.Multimodal.MediaRow])
+        : org.apache.spark.sql.Dataset[
+          graft.operators.multimodal.Multimodal.MediaRow] = {
+      import spark.implicits._
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_rehearsal_media_$name").toString
+      ds.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+        .as[graft.operators.multimodal.Multimodal.MediaRow]
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
     val embs = Tables.load(spark, sfDir, "embeddings")
     val nDocs = docs.count()
@@ -444,10 +463,10 @@ object ScaleRehearsal {
       import spark.implicits._
       import graft.operators.multimodal.Multimodal
       val ids = docs.select(col("doc_id")).as[Long]
-      val media = ids.mapPartitions(_.map(id =>
+      val media = matMedia("imagedup", ids.mapPartitions(_.map(id =>
         Multimodal.MediaRow(id, "image",
           Multimodal.encodePathPng(graft.queries.Pipeline.pathKey(id)),
-          "synth")))
+          "synth"))))
       val h = ScratchCache.persist(Multimodal.imageDHash(media)
         .where(col("cause") === "ok")
         .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
@@ -471,12 +490,12 @@ object ScaleRehearsal {
       import spark.implicits._
       import graft.operators.multimodal.Multimodal
       val ids = docs.select(col("doc_id")).as[Long]
-      val vmedia = ids.mapPartitions(_.map { id =>
+      val vmedia = matMedia("avdup_v", ids.mapPartitions(_.map { id =>
         val k = graft.queries.Pipeline.pathKey(id)
         val noise = (id * 0x9e3779b97f4a7c15L) | 1L
         Multimodal.MediaRow(id, "video",
           Multimodal.encodePathAvi(Seq(k, k ^ noise, k)), "synth")
-      })
+      }))
       val vh = ScratchCache.persist(Multimodal.videoDHash(vmedia)
         .where(col("cause") === "ok")
         .select(col("media_id").as("id"), col("clip_dhash").as("sh")).toDF())
@@ -493,15 +512,16 @@ object ScaleRehearsal {
       // clip) — decode + frame explode + diagonal argmax; output rows =
       // 2 per sibling pair, so ~n_docs — the aggregation tracks match
       // volume, not clips²
-      val amediaClips = ids.mapPartitions(_.map { id =>
-        val gid = id / 2
-        def fk(i: Int) = graft.queries.Pipeline.h48(s"f${i}_$gid")
-        val keys =
-          if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
-          else Seq(fk(1), fk(2))
-        Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
-          "synth")
-      })
+      val amediaClips = matMedia("avdup_clips",
+        ids.mapPartitions(_.map { id =>
+          val gid = id / 2
+          def fk(i: Int) = graft.queries.Pipeline.h48(s"f${i}_$gid")
+          val keys =
+            if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
+            else Seq(fk(1), fk(2))
+          Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
+            "synth")
+        }))
       val frames = ScratchCache.persist(
         Multimodal.videoDHash(amediaClips).where(col("cause") === "ok")
           .select(col("media_id").as("id"),
@@ -511,12 +531,12 @@ object ScaleRehearsal {
       out += "clipalign_rows" -> alignRows
       out += "clipalign_sec" -> tAlign
       ScratchCache.releaseAll(spark)
-      val amedia = ids.mapPartitions(_.map { id =>
+      val amedia = matMedia("avdup_a", ids.mapPartitions(_.map { id =>
         val g = 1 + (id % 3).toInt
         Multimodal.MediaRow(id, "audio",
           Multimodal.encodeStepWav(graft.queries.Pipeline.pathKey(id),
             base = 2000 * g, step = 16 * g), "synth")
-      })
+      }))
       val ah = ScratchCache.persist(Multimodal.audioDHash(amedia)
         .where(col("cause") === "ok")
         .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
@@ -532,7 +552,7 @@ object ScaleRehearsal {
       // container per doc (3 path frames with a 24-bit cut + one PCM
       // audio segment), keyframe-per-shot extraction and audio demux —
       // both stateless maps whose wall should track the decode stages
-      val avmedia = ScratchCache.persist(ids.mapPartitions(_.map { id =>
+      val avmedia = matMedia("avdup_av", ids.mapPartitions(_.map { id =>
         val k = graft.queries.Pipeline.pathKey(id)
         Multimodal.MediaRow(id, "video",
           Multimodal.encodePathAvi(

@@ -21,6 +21,41 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Per-JVM materialized media fixtures: the FIRST use of a named
+    * fixture in a session encodes it to scratch parquet; every later
+    * use — bench reps 2..n, and every query sharing the fixture —
+    * reads the parquet back. Measured decode walls therefore time the
+    * DECODE, not the fixture's own PNG/AVI/WAV encode (AudioSystem
+    * .write and the PNG deflater used to sit inside the measured
+    * lineage — min-of-3 now drops the encode with rep 1). Per-process
+    * scratch keyed by (name, sf dir): fixture-arithmetic changes can
+    * never go stale across runs, and the first call sweeps dead
+    * fixture dirs from previous processes (single-writer per host, the
+    * storeScratchDir contract).
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def fixtureMedia(s: SparkSession, dir: String,
+      name: String)(build: => org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val path = fixtureCache.computeIfAbsent(s"$name@$dir", _ => {
+      if (fixtureCache.isEmpty) {
+        val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+        Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("graft_media_fix_"))
+          .foreach(f => new org.apache.hadoop.fs.Path(f.toString)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(f.toString), true))
+      }
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_media_fix_").toString
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path).as[Multimodal.MediaRow]
+  }
+
   /** Fresh scratch dir for a release-store gate query, collecting the
     * PREVIOUS invocations' dead stores first (queries run sequentially
     * by contract, and a query's result is materialized before the next
@@ -435,7 +470,7 @@ object Pipeline {
     "q_image_decode" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
+      val media = fixtureMedia(s, dir, "image_decode")(d.mapPartitions { it =>
         it.map { id =>
           val payload =
             if (id % 20 == 0) Array.fill(16)(0x55.toByte) // no codec claims it
@@ -447,7 +482,7 @@ object Pipeline {
               (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
           Multimodal.MediaRow(id, "image", payload, "synth")
         }
-      }
+      })
       Multimodal.decodeImages(media)
         .select(col("media_id"), col("cause"), col("format"),
           col("width"), col("height"), col("mean_rgb_milli"))
@@ -462,7 +497,7 @@ object Pipeline {
     "q_image_resize" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
+      val media = fixtureMedia(s, dir, "image_resize")(d.mapPartitions { it =>
         it.map { id =>
           val payload =
             if (id % 20 == 0) Array.fill(16)(0x55.toByte)
@@ -474,7 +509,7 @@ object Pipeline {
               (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
           Multimodal.MediaRow(id, "image", payload, "synth")
         }
-      }
+      })
       Multimodal.resizeImages(media, targetW = 8, targetH = 8)
         .select(col("media_id"), col("cause"),
           col("src_width"), col("src_height"),
@@ -528,12 +563,13 @@ object Pipeline {
         .where(pmod(col("doc_id"), lit(4)) === 0 &&
           pmod(col("doc_id"), lit(97)) =!= 0)
         .select(col("doc_id")).as[Long]
-      val media = vids.mapPartitions(_.map { id =>
-        val k = pathKey(id)
-        Multimodal.MediaRow(id, "video",
-          Multimodal.encodePathAvi(Seq(k, k ^ 0x5555555555555555L, k)),
-          "synth")
-      })
+      val media = fixtureMedia(s, dir, "frame_image_match")(
+        vids.mapPartitions(_.map { id =>
+          val k = pathKey(id)
+          Multimodal.MediaRow(id, "video",
+            Multimodal.encodePathAvi(Seq(k, k ^ 0x5555555555555555L, k)),
+            "synth")
+        }))
       val frames = graft.ScratchCache.persist(
         Multimodal.videoDHash(media)
           .where(col("cause") === "ok")
@@ -559,15 +595,16 @@ object Pipeline {
     "q_clip_align" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions(_.map { id =>
-        val gid = id / 2
-        def fk(i: Int): Long = h48(s"f${i}_$gid")
-        val keys =
-          if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
-          else Seq(fk(1), fk(2))
-        Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
-          "synth")
-      })
+      val media = fixtureMedia(s, dir, "clip_align")(
+        d.mapPartitions(_.map { id =>
+          val gid = id / 2
+          def fk(i: Int): Long = h48(s"f${i}_$gid")
+          val keys =
+            if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
+            else Seq(fk(1), fk(2))
+          Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
+            "synth")
+        }))
       val frames = graft.ScratchCache.persist(
         Multimodal.videoDHash(media).where(col("cause") === "ok")
           .select(col("media_id").as("id"),
@@ -584,16 +621,17 @@ object Pipeline {
     "q_video_scenes" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions(_.map { id =>
-        val kA = h48(s"v0_$id")
-        val kB = kA ^ 0x0000ffffff000000L
-        val payload =
-          if (id % 97 == 0) Array.emptyByteArray
-          else if (id % 7 == 0)
-            Multimodal.encodePathAvi(Seq(kA, kA, kA))
-          else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
-        Multimodal.MediaRow(id, "video", payload, "synth")
-      })
+      val media = fixtureMedia(s, dir, "video_scenes")(
+        d.mapPartitions(_.map { id =>
+          val kA = h48(s"v0_$id")
+          val kB = kA ^ 0x0000ffffff000000L
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else if (id % 7 == 0)
+              Multimodal.encodePathAvi(Seq(kA, kA, kA))
+            else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
+          Multimodal.MediaRow(id, "video", payload, "synth")
+        }))
       Multimodal.videoScenes(Multimodal.videoDHash(media),
         minHamming = 16)
     }),
@@ -606,16 +644,17 @@ object Pipeline {
     "q_video_keyframes" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions(_.map { id =>
-        val kA = h48(s"v0_$id")
-        val kB = kA ^ 0x0000ffffff000000L
-        val payload =
-          if (id % 97 == 0) Array.emptyByteArray
-          else if (id % 7 == 0)
-            Multimodal.encodePathAvi(Seq(kA, kA, kA))
-          else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
-        Multimodal.MediaRow(id, "video", payload, "synth")
-      })
+      val media = fixtureMedia(s, dir, "video_keyframes")(
+        d.mapPartitions(_.map { id =>
+          val kA = h48(s"v0_$id")
+          val kB = kA ^ 0x0000ffffff000000L
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else if (id % 7 == 0)
+              Multimodal.encodePathAvi(Seq(kA, kA, kA))
+            else Multimodal.encodePathAvi(Seq(kA, kA, kB, kA))
+          Multimodal.MediaRow(id, "video", payload, "synth")
+        }))
       Multimodal.videoKeyframes(media, minHamming = 16)
         .where(col("cause") === "ok")
         .select(col("media_id"), col("frame_idx"),
@@ -629,16 +668,17 @@ object Pipeline {
     "q_audio_scenes" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions(_.map { id =>
-        val k = h48(s"as0_$id")
-        val kB = k ^ 0x0000ffffff000000L
-        val payload =
-          if (id % 97 == 0) Array.emptyByteArray
-          else if (id % 7 == 0)
-            Multimodal.encodeSegmentsWav(Seq(k, k, k))
-          else Multimodal.encodeSegmentsWav(Seq(k, kB, k, k))
-        Multimodal.MediaRow(id, "audio", payload, "synth")
-      })
+      val media = fixtureMedia(s, dir, "audio_scenes")(
+        d.mapPartitions(_.map { id =>
+          val k = h48(s"as0_$id")
+          val kB = k ^ 0x0000ffffff000000L
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else if (id % 7 == 0)
+              Multimodal.encodeSegmentsWav(Seq(k, k, k))
+            else Multimodal.encodeSegmentsWav(Seq(k, kB, k, k))
+          Multimodal.MediaRow(id, "audio", payload, "synth")
+        }))
       Multimodal.hashCuts(
         Multimodal.audioSegments(media, segFrames = 260)
           .where(col("cause") === "ok")
@@ -658,16 +698,19 @@ object Pipeline {
     "q_av_fingerprint" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = graft.ScratchCache.persist(d.mapPartitions(_.map { id =>
-        val kV = pathKey(id)
-        val noise = (id * 0x9e3779b97f4a7c15L) | 1L
-        val payload =
-          if (id % 97 == 0) Array.emptyByteArray
-          else Multimodal.encodePathAvi(Seq(kV, kV ^ noise, kV),
-            audioChunks = Multimodal.stepPcm(Seq(h48(s"av0_$id")))
-              .grouped(130).toIndexedSeq)
-        Multimodal.MediaRow(id, "video", payload, "synth")
-      }))
+      // fixtureMedia also plays the persist role here: both modality
+      // passes read the materialized parquet, never re-encode
+      val media = fixtureMedia(s, dir, "av_fingerprint")(
+        d.mapPartitions(_.map { id =>
+          val kV = pathKey(id)
+          val noise = (id * 0x9e3779b97f4a7c15L) | 1L
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else Multimodal.encodePathAvi(Seq(kV, kV ^ noise, kV),
+              audioChunks = Multimodal.stepPcm(Seq(h48(s"av0_$id")))
+                .grouped(130).toIndexedSeq)
+          Multimodal.MediaRow(id, "video", payload, "synth")
+        }))
       val v = Multimodal.videoDHash(media)
         .where(col("cause") === "ok")
         .select(col("media_id"), col("clip_dhash"))
@@ -690,17 +733,18 @@ object Pipeline {
     "q_demux_audio" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions(_.map { id =>
-        val payload =
-          if (id % 97 == 0) Array.emptyByteArray
-          else if (id % 7 == 0)
-            Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3)
-          else Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3,
-            audioFirst = true,
-            audioChunks =
-              Multimodal.stepPcm(Seq(pathKey(id))).grouped(130).toIndexedSeq)
-        Multimodal.MediaRow(id, "video", payload, "synth")
-      })
+      val media = fixtureMedia(s, dir, "demux_audio")(
+        d.mapPartitions(_.map { id =>
+          val payload =
+            if (id % 97 == 0) Array.emptyByteArray
+            else if (id % 7 == 0)
+              Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3)
+            else Multimodal.encodeSolidAvi(4, 2, 2, 10, 1, 2, 3,
+              audioFirst = true,
+              audioChunks = Multimodal.stepPcm(Seq(pathKey(id)))
+                .grouped(130).toIndexedSeq)
+          Multimodal.MediaRow(id, "video", payload, "synth")
+        }))
       val tracks = Multimodal.demuxAudio(media)
         .filter(t => t.cause == "ok" && t.wav.isDefined)
         .map(t => Multimodal.MediaRow(t.media_id, "audio", t.wav.get,
@@ -725,19 +769,20 @@ object Pipeline {
         .where(pmod(col("doc_id"), lit(97)) =!= 0)
         .select(col("doc_id")).as[Long]
       val segBytes = 65 * 4 * 2
-      val media = d.mapPartitions(_.map { id =>
-        val gid = id / 2
-        def sk(i: Int): Long = h48(s"a${i}_$gid")
-        val payload =
-          if (id % 2 == 1)
-            Multimodal.encodeSegmentsWav(Seq(sk(1), sk(2)))
-          else {
-            val full = Multimodal.encodeSegmentsWav(
-              Seq(sk(0), sk(1), sk(2), sk(3)))
-            if (id % 89 == 0) full.take(44 + 3 * segBytes + 100) else full
-          }
-        Multimodal.MediaRow(id, "audio", payload, "synth")
-      })
+      val media = fixtureMedia(s, dir, "audio_align")(
+        d.mapPartitions(_.map { id =>
+          val gid = id / 2
+          def sk(i: Int): Long = h48(s"a${i}_$gid")
+          val payload =
+            if (id % 2 == 1)
+              Multimodal.encodeSegmentsWav(Seq(sk(1), sk(2)))
+            else {
+              val full = Multimodal.encodeSegmentsWav(
+                Seq(sk(0), sk(1), sk(2), sk(3)))
+              if (id % 89 == 0) full.take(44 + 3 * segBytes + 100) else full
+            }
+          Multimodal.MediaRow(id, "audio", payload, "synth")
+        }))
       val segs = graft.ScratchCache.persist(
         Multimodal.audioSegments(media, segFrames = 260)
           .where(col("cause") === "ok")
@@ -767,7 +812,7 @@ object Pipeline {
     "q_audio_decode" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
+      val media = fixtureMedia(s, dir, "audio_decode")(d.mapPartitions { it =>
         it.map { id =>
           val payload =
             if (id % 20 == 0) Array.fill(16)(0x55.toByte) // no provider claims it
@@ -782,7 +827,7 @@ object Pipeline {
             }
           Multimodal.MediaRow(id, "audio", payload, "synth")
         }
-      }
+      })
       Multimodal.decodeAudio(media)
         .select(col("media_id"), col("cause"), col("format"),
           col("sample_rate"), col("channels"), col("bits"),
@@ -801,7 +846,7 @@ object Pipeline {
     "q_video_decode" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
+      val media = fixtureMedia(s, dir, "video_decode")(d.mapPartitions { it =>
         it.map { id =>
           val payload =
             if (id % 20 == 0) Array.fill(16)(0x55.toByte) // not RIFF
@@ -818,7 +863,7 @@ object Pipeline {
               (id % 256).toInt, ((id / 3) % 256).toInt, ((id / 7) % 256).toInt)
           Multimodal.MediaRow(id, "video", payload, "synth")
         }
-      }
+      })
       Multimodal.decodeVideo(media)
         .select(col("media_id"), col("cause"), col("codec"),
           col("width"), col("height"), col("n_frames"),
@@ -1380,7 +1425,7 @@ object Pipeline {
     "q_multimodal" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = d.mapPartitions { it =>
+      val media = fixtureMedia(s, dir, "multimodal")(d.mapPartitions { it =>
         it.map { id =>
           val kind = (id % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
@@ -1405,7 +1450,7 @@ object Pipeline {
             }
           Multimodal.MediaRow(id, kind, payload, "synth")
         }
-      }
+      })
       Multimodal.decodeMedia(media)
     }),
 
@@ -1612,14 +1657,14 @@ object Pipeline {
   private def neardupHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select(col("doc_id")).as[Long]
-    val media = d.mapPartitions { it =>
+    val media = fixtureMedia(s, dir, "neardup_png")(d.mapPartitions { it =>
       it.map { id =>
         val payload =
           if (id % 97 == 0) Array.emptyByteArray
           else Multimodal.encodePathPng(pathKey(id))
         Multimodal.MediaRow(id, "image", payload, "synth")
       }
-    }
+    })
     graft.ScratchCache.persist(
       Multimodal.imageDHash(media)
         .where(col("cause") === "ok")
@@ -1639,7 +1684,7 @@ object Pipeline {
   private def videoClipHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select(col("doc_id")).as[Long]
-    val media = d.mapPartitions { it =>
+    val media = fixtureMedia(s, dir, "neardup_avi")(d.mapPartitions { it =>
       it.map { id =>
         val k = pathKey(id)
         val noise = (id * 0x9e3779b97f4a7c15L) | 1L
@@ -1650,7 +1695,7 @@ object Pipeline {
           else Multimodal.encodePathAvi(Seq(k, k ^ noise, k))
         Multimodal.MediaRow(id, "video", payload, "synth")
       }
-    }
+    })
     graft.ScratchCache.persist(
       Multimodal.videoDHash(media)
         .where(col("cause") === "ok")
@@ -1668,7 +1713,7 @@ object Pipeline {
   private def audioClipHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select(col("doc_id")).as[Long]
-    val media = d.mapPartitions { it =>
+    val media = fixtureMedia(s, dir, "neardup_wav")(d.mapPartitions { it =>
       it.map { id =>
         val payload =
           if (id % 97 == 0) Array.emptyByteArray
@@ -1681,7 +1726,7 @@ object Pipeline {
           }
         Multimodal.MediaRow(id, "audio", payload, "synth")
       }
-    }
+    })
     graft.ScratchCache.persist(
       Multimodal.audioDHash(media)
         .where(col("cause") === "ok")
