@@ -53,7 +53,8 @@ import org.apache.spark.sql.functions._
   * over years of accumulated pairs re-clusters only what the latest
   * batches added.
   */
-final class ReleaseStore(spark: SparkSession, path: String,
+final class ReleaseStore(protected val spark: SparkSession,
+    protected val path: String,
     idCol: String, textCol: String, maxShingleDf: Option[Int] = None,
     /** LSH-front the per-batch delta ([[Dedup.incrementalLshScoredPairs]]):
       * banded batch×all + one-side-batch prefix probes instead of the
@@ -97,15 +98,10 @@ final class ReleaseStore(spark: SparkSession, path: String,
       * identical sets score identically, so the rewrite is a pure
       * dedup) on first ingest.
       */
-    collapseFront: Boolean = false) {
+    collapseFront: Boolean = false) extends graft.store.DurableStore {
 
   require(!collapseFront || (lshFront && maxShingleDf.isEmpty),
     "collapseFront requires the uncapped lshFront store (stateEnabled)")
-
-  private val markers = new graft.store.CommitMarkers(spark, path)
-  // serializes table rewrites (compact) against each other; ingest and
-  // products are driver-driven and sequential per store by contract
-  private val writeLock = new Object
 
   /** LSH-FRONT STATE TABLES — `shingles` (id, sh), `bands`
     * (id, band, bh) and `prefixes` (id, s), appended per batch under
@@ -211,7 +207,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
   private def shapePin = hPath(s"$path/store.meta")
 
   private def readShape(): Option[Map[String, String]] =
-    ReleaseStore.readMeta(fs, shapePin)
+    graft.store.DurableStore.readMeta(fs, shapePin)
 
   /** Write-temp-then-rename like [[writePrefixMeta]]; overwrite is
     * legal here because upgrades legitimately move the pin, and a CRASH
@@ -263,10 +259,6 @@ final class ReleaseStore(spark: SparkSession, path: String,
       if (pin && m != shapeMap) writeShape()
   }
 
-  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
-  private def fs = hPath(path)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   def docs: DataFrame = { recoverTable("docs"); spark.read.parquet(s"$path/docs") }
 
   /** The accumulated scored pair set. `batch` records which ingest
@@ -311,75 +303,12 @@ final class ReleaseStore(spark: SparkSession, path: String,
         membersTable.select(col("id"), col("rep")), sizes)
     }
 
-  /** Heal a compact() that died between its two renames: the complete
-    * table sits at `.compact.old` and nothing at the live path. This
-    * MUST run before any table access, not just inside the next
-    * compact(): an ingest against the missing dir would rebuild `docs`
-    * from one batch (accepting re-crawled ids, scoring no cross-batch
-    * pairs, all under committed markers), and the next compact() —
-    * seeing a live dir again — would delete the real corpus at `.old`.
+  /** This batch's ACCEPTED ids — the shared sidecar-pinned resolution
+    * ([[graft.store.DurableStore.resolveAccepted]]) against `docs`.
     */
-  private def recoverTable(name: String): Unit = {
-    val dir = s"$path/$name"
-    if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")))
-      writeLock.synchronized {
-        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")) &&
-            !fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
-          throw new java.io.IOException(s"cannot restore $name from .compact.old")
-      }
-  }
-
-  /** Last streaming batch id durably written to `table` (−1 if none). */
-  def lastCommitted(table: String): Long = markers.lastCommitted(table)
-
-  /** This batch's ACCEPTED ids: in-batch-deduped, minus ids already in
-    * the store — resolved once and persisted per batch id (the sidecar),
-    * so every replay sees the identical set regardless of what partial
-    * appends landed in between. Un-id'd calls resolve eagerly instead
-    * (no replay exists to protect).
-    */
-  private def acceptedIds(batch: DataFrame, batchId: Option[Long]): DataFrame = {
-    def resolve(): DataFrame = {
-      val ids = batch.select(col(idCol).as("__bid")).distinct()
-      if (fs.exists(hPath(s"$path/docs")))
-        ids.join(docs.select(col(idCol).as("__bid")), Seq("__bid"),
-          "left_anti")
-      else ids
-    }
-    batchId match {
-      case Some(id) =>
-        // marker-guarded, not _SUCCESS-guarded: a replay AFTER the docs
-        // append landed would re-resolve to an EMPTY set (its ids are in
-        // docs now) — an unguarded rewrite would silently unscore the
-        // batch. The marker commits only after the sidecar write, so
-        // the resolved set is immutable once any later step ran.
-        val side = s"$path/batches/batch=$id"
-        markers.guarded(s"batches/$id", Some(id)) {
-          resolve().write.mode(SaveMode.Overwrite).parquet(side)
-        }
-        // marker committed but sidecar pruned = the batch is fully
-        // committed in both tables (prune's precondition), so an empty
-        // membership is correct for this replay — never throw
-        if (fs.exists(hPath(side))) spark.read.parquet(side)
-        else batch.select(col(idCol).as("__bid")).limit(0)
-      case None =>
-        // eager materialization: the set must be pinned BEFORE the docs
-        // append mutates the anti-join's right side. The checkpoint's
-        // blocks are tracked (ScratchCache does not cover localCheckpoint)
-        // and freed at the end of ingest — without that, repeated un-id'd
-        // ingests accumulate checkpointed RDD blocks for the session's life
-        val sc = spark.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val out = resolve().localCheckpoint(true)
-        checkpointIds = sc.getPersistentRDDs.keySet.toSet -- before
-        out
-    }
-  }
-
-  /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,
-    * freed by [[ingest]] once the scored append has landed.
-    */
-  private var checkpointIds: Set[Int] = Set.empty
+  private def acceptedIds(batch: DataFrame,
+      batchId: Option[Long]): DataFrame =
+    resolveAccepted(batch, idCol, "docs", batchId)
 
   /** Ingest one micro-batch of documents (idCol, textCol + any carried
     * columns): append the batch's accepted rows to `docs` and their
@@ -445,10 +374,7 @@ final class ReleaseStore(spark: SparkSession, path: String,
     graft.ScratchCache.releaseAll(spark)
     // the accepted-set checkpoint (un-id'd ingests only) has served its
     // last consumer — free its blocks
-    val sc = spark.sparkContext
-    checkpointIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    checkpointIds = Set.empty
+    freeAcceptedCheckpoint()
   }
 
   /** Shingle, band and rarest-prefix the batch's accepted rows and
@@ -828,92 +754,17 @@ final class ReleaseStore(spark: SparkSession, path: String,
     // without members) is skipped
     (Seq("docs", "scored", "members") ++ stateTables)
       .foreach(compactTable(_, targetFileBytes))
-    pruneSidecars()
-  }
-
-  private def compactTable(name: String, targetBytes: Long): Unit =
-    writeLock.synchronized {
-      val dir = s"$path/$name"
-      recoverTable(name)
-      if (!fs.exists(hPath(dir))) return
-      val bytes = fs.listStatus(hPath(dir))
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
-      // a dir with ZERO data files (an append of an all-empty frame
-      // writes only _SUCCESS) is legal store state but unreadable
-      // without a schema — nothing to compact either way
-      if (bytes == 0L) return
-      val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      installTable(dir, spark.read.parquet(dir).repartition(k), ".compact")
-    }
-
-  /** The one move-aside table swap every installer uses: write the
-    * frame to `<dir><suffix>.tmp`, move any live dir to
-    * `<dir><suffix>.old`, rename the tmp in (rolling the old back if
-    * that rename fails), then drop the old copy. The write fully
-    * materializes before either rename, so a source frame READ from
-    * `dir` itself (compaction) is safe. A crash between the two renames
-    * leaves the complete table at `.old` and nothing live — each call
-    * site owns the healing contract for that window (backfill re-enters
-    * and rebuilds; label installs fall to the water guard's full
-    * rebuild; compaction restores via [[recoverTable]], which is why
-    * the suffixes stay distinct).
-    */
-  private def installTable(dir: String, df: DataFrame,
-      suffix: String): Unit = {
-    val tmp = s"$dir$suffix.tmp"
-    val old = s"$dir$suffix.old"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(hPath(old), true)
-    if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
-      throw new java.io.IOException(s"installTable: cannot move $dir aside")
-    if (!fs.rename(hPath(tmp), hPath(dir))) {
-      fs.rename(hPath(old), hPath(dir)) // roll back
-      throw new java.io.IOException(s"installTable: cannot install $dir")
-    }
-    fs.delete(hPath(old), true)
-  }
-
-  private def pruneSidecars(): Unit = writeLock.synchronized {
-    val root = hPath(s"$path/batches")
-    if (!fs.exists(root)) return
-    val safe = math.min(lastCommitted("docs"), lastCommitted("scored"))
-    fs.listStatus(root)
-      .filter(_.getPath.getName.startsWith("batch="))
-      .foreach { d =>
-        val id = d.getPath.getName.stripPrefix("batch=").toLong
-        if (id <= safe) {
-          // marker FIRST: a crash in between leaves an orphan sidecar
-          // (harmless — the next prune removes it), while the reverse
-          // order would leave a committed marker pointing at a missing
-          // sidecar and crash-loop every replay of that batch
-          fs.delete(hPath(s"$path/_commits/batches/$id"), false)
-          fs.delete(d.getPath, true)
-          ()
-        }
-      }
+    pruneSidecars(Seq("docs", "scored"))
   }
 }
 
 object ReleaseStore {
-  /** The one key=value parse of a `store.meta` pin — shared by the
-    * instance validation ([[ReleaseStore!.readShape* readShape]]) and
-    * the operational reopen ([[open]]), so the two can never disagree
-    * about the same file.
-    */
+  // the key=value pin parse lives in graft.store.DurableStore.readMeta,
+  // shared by instance validation (readShape) and the operational
+  // reopen ([[open]]) so the two can never disagree about the same file
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
       pin: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
-    if (!fs.exists(pin)) None
-    else {
-      val in = fs.open(pin)
-      val txt = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-      Some(txt.linesIterator.map(_.trim).filter(_.contains('='))
-        .map { l =>
-          val i = l.indexOf('=')
-          l.substring(0, i) -> l.substring(i + 1)
-        }.toMap)
-    }
+    graft.store.DurableStore.readMeta(fs, pin)
 
   /** Construct a NEW store whose front flags come from the counting
     * planner instead of a caller bet — [[Dedup.releaseAuto]]'s

@@ -1,0 +1,210 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The durable-table plumbing every parquet-backed incremental store
+  * shares — extracted from [[graft.operators.dedup.ReleaseStore]] so
+  * its siblings (the perceptual-fingerprint
+  * [[graft.operators.dedup.MediaStore]]) ride the SAME commit-marker /
+  * accepted-id-sidecar / move-aside-install / compaction-healing
+  * discipline instead of re-deriving it: per-table [[CommitMarkers]]
+  * make at-least-once `foreachBatch` replays exactly-once, sidecars pin
+  * a batch's accepted-id membership across replays, [[installTable]]
+  * is the one two-rename table swap, and [[recoverTable]] heals the
+  * crash window between its renames.
+  */
+private[graft] trait DurableStore {
+  protected def spark: SparkSession
+  protected def path: String
+
+  protected lazy val markers = new CommitMarkers(spark, path)
+  /** Serializes table rewrites (compact) against each other; ingest and
+    * reads are driver-driven and sequential per store by contract.
+    */
+  protected val writeLock = new Object
+
+  protected def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  protected def fs = hPath(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Last streaming batch id durably written to `table` (−1 if none). */
+  def lastCommitted(table: String): Long = markers.lastCommitted(table)
+
+  /** Heal a compact() that died between its two renames: the complete
+    * table sits at `.compact.old` and nothing at the live path. This
+    * MUST run before any table access, not just inside the next
+    * compact(): an ingest against the missing dir would rebuild the
+    * table from one batch (accepting re-crawled ids, scoring no
+    * cross-batch pairs, all under committed markers), and the next
+    * compact() — seeing a live dir again — would delete the real table
+    * at `.old`.
+    */
+  protected def recoverTable(name: String): Unit = {
+    val dir = s"$path/$name"
+    if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")))
+      writeLock.synchronized {
+        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")) &&
+            !fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
+          throw new java.io.IOException(
+            s"cannot restore $name from .compact.old")
+      }
+  }
+
+  /** The one move-aside table swap every installer uses: write the
+    * frame to `<dir><suffix>.tmp`, move any live dir to
+    * `<dir><suffix>.old`, rename the tmp in (rolling the old back if
+    * that rename fails), then drop the old copy. The write fully
+    * materializes before either rename, so a source frame READ from
+    * `dir` itself (compaction) is safe. A crash between the two renames
+    * leaves the complete table at `.old` and nothing live — each call
+    * site owns the healing contract for that window (backfill re-enters
+    * and rebuilds; label installs fall to the water guard's full
+    * rebuild; compaction restores via [[recoverTable]], which is why
+    * the suffixes stay distinct).
+    */
+  protected def installTable(dir: String, df: DataFrame,
+      suffix: String): Unit = {
+    val tmp = s"$dir$suffix.tmp"
+    val old = s"$dir$suffix.old"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(hPath(old), true)
+    if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
+      throw new java.io.IOException(s"installTable: cannot move $dir aside")
+    if (!fs.rename(hPath(tmp), hPath(dir))) {
+      fs.rename(hPath(old), hPath(dir)) // roll back
+      throw new java.io.IOException(s"installTable: cannot install $dir")
+    }
+    fs.delete(hPath(old), true)
+  }
+
+  /** Rewrite `name` to `targetBytes`-sized files via the
+    * write-temp-then-swap install (no reader window over a half-written
+    * table — the FlowStore.compactFiles discipline). A missing table is
+    * skipped; so is a dir with ZERO data files (an append of an
+    * all-empty frame writes only _SUCCESS) — legal store state but
+    * unreadable without a schema, and nothing to compact either way.
+    */
+  protected def compactTable(name: String, targetBytes: Long): Unit =
+    writeLock.synchronized {
+      val dir = s"$path/$name"
+      recoverTable(name)
+      if (!fs.exists(hPath(dir))) return
+      val bytes = fs.listStatus(hPath(dir))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      if (bytes == 0L) return
+      val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      installTable(dir, spark.read.parquet(dir).repartition(k), ".compact")
+    }
+
+  /** A batch's ACCEPTED ids: in-batch-deduped, minus ids already in the
+    * store's `storedTable` — resolved once and persisted per batch id
+    * (the sidecar), so every replay sees the identical set regardless
+    * of what partial appends landed in between; un-id'd calls resolve
+    * eagerly instead (no replay exists to protect). Returns one column
+    * `__bid`. The ID CONTRACT this encodes: ids are globally unique
+    * across the STORE, not the stream — a re-crawled id arriving in a
+    * later batch is ignored (first write wins).
+    */
+  protected def resolveAccepted(batch: DataFrame, idColName: String,
+      storedTable: String, batchId: Option[Long]): DataFrame = {
+    def resolve(): DataFrame = {
+      val ids = batch.select(col(idColName).as("__bid")).distinct()
+      if (fs.exists(hPath(s"$path/$storedTable"))) {
+        recoverTable(storedTable)
+        ids.join(spark.read.parquet(s"$path/$storedTable")
+            .select(col(idColName).as("__bid")),
+          Seq("__bid"), "left_anti")
+      } else ids
+    }
+    batchId match {
+      case Some(id) =>
+        // marker-guarded, not _SUCCESS-guarded: a replay AFTER the main
+        // append landed would re-resolve to an EMPTY set (its ids are
+        // stored now) — an unguarded rewrite would silently unscore the
+        // batch. The marker commits only after the sidecar write, so
+        // the resolved set is immutable once any later step ran.
+        val side = s"$path/batches/batch=$id"
+        markers.guarded(s"batches/$id", Some(id)) {
+          resolve().write.mode(SaveMode.Overwrite).parquet(side)
+        }
+        // marker committed but sidecar pruned = the batch is fully
+        // committed in every table (prune's precondition), so an empty
+        // membership is correct for this replay — never throw
+        if (fs.exists(hPath(side))) spark.read.parquet(side)
+        else batch.select(col(idColName).as("__bid")).limit(0)
+      case None =>
+        // eager materialization: the set must be pinned BEFORE the main
+        // append mutates the anti-join's right side. The checkpoint's
+        // blocks are tracked (ScratchCache does not cover
+        // localCheckpoint) and freed at the end of ingest — without
+        // that, repeated un-id'd ingests accumulate checkpointed RDD
+        // blocks for the session's life
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val out = resolve().localCheckpoint(true)
+        checkpointIds = sc.getPersistentRDDs.keySet.toSet -- before
+        out
+    }
+  }
+
+  /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,
+    * freed by [[freeAcceptedCheckpoint]] once the ingest's appends have
+    * landed.
+    */
+  private var checkpointIds: Set[Int] = Set.empty
+
+  protected def freeAcceptedCheckpoint(): Unit = {
+    val sc = spark.sparkContext
+    checkpointIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    checkpointIds = Set.empty
+  }
+
+  /** Prune the accepted-id sidecars of batches fully committed in every
+    * table in `tables` (a sidecar only matters while its batch could
+    * still replay). Commit markers live under `_commits/` and are
+    * untouched, so replay accounting survives compaction.
+    */
+  protected def pruneSidecars(tables: Seq[String]): Unit =
+    writeLock.synchronized {
+      val root = hPath(s"$path/batches")
+      if (!fs.exists(root)) return
+      val safe = tables.map(lastCommitted).min
+      fs.listStatus(root)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .foreach { d =>
+          val id = d.getPath.getName.stripPrefix("batch=").toLong
+          if (id <= safe) {
+            // marker FIRST: a crash in between leaves an orphan sidecar
+            // (harmless — the next prune removes it), while the reverse
+            // order would leave a committed marker pointing at a missing
+            // sidecar and crash-loop every replay of that batch
+            fs.delete(hPath(s"$path/_commits/batches/$id"), false)
+            fs.delete(d.getPath, true)
+            ()
+          }
+        }
+    }
+}
+
+private[graft] object DurableStore {
+  /** The one key=value parse of a `store.meta` shape pin — shared by
+    * instance validation and operational reopen, so the two can never
+    * disagree about the same file.
+    */
+  def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      pin: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+    if (!fs.exists(pin)) None
+    else {
+      val in = fs.open(pin)
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      Some(txt.linesIterator.map(_.trim).filter(_.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.substring(0, i) -> l.substring(i + 1)
+        }.toMap)
+    }
+}
