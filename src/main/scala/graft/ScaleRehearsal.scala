@@ -18,8 +18,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storecollapse,annx,imagedup,avdup,frontier
-  * (default: all)
+  * increlease,collapse,storeincr,storecollapse,annx,imagedup,avdup,
+  * mediastore,frontier (default: all)
   * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
@@ -569,6 +569,44 @@ object ScaleRehearsal {
         Multimodal.demuxAudio(avmedia).filter(_.cause == "ok").count())
       out += "demux_rows" -> dmRows
       out += "demux_sec" -> tDm
+      ScratchCache.releaseAll(spark)
+    }
+
+    if (run("mediastore")) {
+      // the DURABLE media-dedup cadence at this corpus size: the
+      // imagedup fingerprint corpus arrives as 5 id-sliced batches into
+      // a MediaStore (batch×stored hammingJoin + batch self-join,
+      // marker-guarded appends). Decode is paid once up front (its wall
+      // is the imagedup row); the per-batch walls here isolate the
+      // STORE cadence — they should track batch size + candidate
+      // volume, staying ~flat while the stored corpus grows 5×
+      import spark.implicits._
+      import graft.operators.multimodal.Multimodal
+      import graft.operators.dedup.MediaStore
+      val ids = docs.select(col("doc_id")).as[Long]
+      val media = matMedia("mediastore", ids.mapPartitions(_.map(id =>
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodePathPng(graft.queries.Pipeline.pathKey(id)),
+          "synth"))))
+      val h = ScratchCache.persist(Multimodal.imageDHash(media)
+        .where(col("cause") === "ok")
+        .select(col("media_id").as("id"), col("dhash").as("sh")).toDF())
+      h.count()
+      val dir = java.nio.file.Files.createTempDirectory("mediastore")
+        .toFile.getAbsolutePath
+      val store = new MediaStore(spark, dir)
+      (0L until 5L).foreach { b =>
+        val (_, t) = timed(
+          store.ingest(h.where(pmod(col("id"), lit(5)) === b), Some(b)))
+        out += s"mediastore_ingest${b}_sec" -> t
+        if (b == 2L) store.compact(targetFileBytes = 64L * 1024 * 1024)
+      }
+      val (pairsN, tPairs) = timed(store.pairs.count())
+      out += "mediastore_pairs" -> pairsN
+      out += "mediastore_pairs_read_sec" -> tPairs
+      val (clN, tCl) = timed(store.clusters().count())
+      out += "mediastore_clusters" -> clN
+      out += "mediastore_clusters_sec" -> tCl
       ScratchCache.releaseAll(spark)
     }
 

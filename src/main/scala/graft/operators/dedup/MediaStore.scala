@@ -1,0 +1,291 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.multimodal.Multimodal
+
+/** Persisted, continuously-maintained PERCEPTUAL near-dup state — the
+  * media twin of [[ReleaseStore]]: where text dedup accumulates scored
+  * shingle pairs, this store accumulates 64-bit perceptual fingerprints
+  * (image/video/audio dHash — [[Multimodal.imageDHash]] /
+  * [[Multimodal.videoDHash]] / [[Multimodal.audioDHash]], dispatched by
+  * [[MediaStore.fingerprints]]) and their ≤-`maxHamming` pair set, so a
+  * crawl's media dedup pays batch-proportional cost per ingest instead
+  * of re-running a full-corpus [[Dedup.hammingPairs]] per release.
+  *
+  * Parquet tables under `path` — `prints` (id, sh, batch: the
+  * fingerprint corpus), `pairs` (id_a, id_b, hamming, batch: the
+  * accumulated verified pair set, id_a < id_b), `batches/batch=N`
+  * accepted-id sidecars and `clusters/` (the cached CC label table) —
+  * all under the [[graft.store.DurableStore]] discipline shared with
+  * [[ReleaseStore]]: per-table commit markers make at-least-once
+  * `foreachBatch` replays exactly-once, the sidecar pins batch
+  * membership across replays, compaction swaps tables move-aside with
+  * crash healing. Same ID CONTRACT: ids are globally unique across the
+  * STORE; a re-crawled id in a later batch is ignored (first write
+  * wins).
+  *
+  * Each ingest pays the batch×stored two-sided [[Dedup.hammingJoin]]
+  * (both sides 16-bit-chunk blocked — an equi-join, never a cross
+  * product) plus the batch's [[Dedup.hammingPairs]] self-join;
+  * stored×stored is never re-paired. UNION COMPLETENESS: a ≤-maxHamming
+  * pair {a, b} with b accepted no earlier than a is generated exactly
+  * once — by b's batch (a on the stored side, b on the batch side; or
+  * the self-join when both arrive together) — so the accumulated pair
+  * set equals a from-scratch `hammingPairs` over the accumulated prints
+  * (MediaStoreSpec pins it; `q_media_store` drives two real batches
+  * through the `q_image_neardup` oracle). The 100 TB posture: the
+  * stored side of the probe is a columnar scan of two longs per stored
+  * fingerprint — ingest cost tracks the batch and the (pigeonhole-
+  * bounded) candidate volume, not corpus².
+  *
+  * [[clusters]] maintains the CC label table incrementally per the
+  * `pairs` water mark — prior components ride the merge as star edges
+  * (id → root), exactly [[ReleaseStore.productsCached]]'s fold — and
+  * [[purge]] serves keeper decisions from the stored pairs without
+  * re-pairing anything.
+  *
+  * SHAPE PIN: `maxHamming` and `chunks` determine what the persisted
+  * `pairs` MEAN (a reopen at a different radius would silently mix pair
+  * sets); both are recorded in `store.meta` at first ingest and
+  * validated on every entry point — [[MediaStore.open]] reconstructs a
+  * store from its pin.
+  */
+final class MediaStore(protected val spark: SparkSession,
+    protected val path: String,
+    maxHamming: Int = 3, chunks: Int = 4)
+    extends graft.store.DurableStore {
+
+  private val printsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("sh", LongType),
+    StructField("batch", LongType)))
+  private val pairsSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("hamming", LongType), StructField("batch", LongType)))
+
+  /** The fingerprint corpus (id, sh, batch) — explicit schema so a
+    * store whose only appends were all-empty frames still reads.
+    */
+  def prints: DataFrame = {
+    recoverTable("prints")
+    spark.read.schema(printsSchema).parquet(s"$path/prints")
+  }
+
+  /** The accumulated verified pair set (id_a < id_b, hamming ≤ the
+    * store's pinned radius, batch = the ingest that generated the row).
+    */
+  def pairs: DataFrame = {
+    recoverTable("pairs")
+    spark.read.schema(pairsSchema).parquet(s"$path/pairs")
+  }
+
+  private def shapeMap: Map[String, String] =
+    Map("maxHamming" -> maxHamming.toString, "chunks" -> chunks.toString)
+
+  private def checkShape(pin: Boolean): Unit =
+    graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
+      case None => if (pin) writeShapePin(shapeMap)
+      case Some(m) =>
+        shapeMap.foreach { case (f, v) =>
+          val stored = m.getOrElse(f, v)
+          if (stored != v) throw new IllegalStateException(
+            s"MediaStore at $path was created with $f=$stored but opened " +
+            s"with $f=$v; reopen with the stored shape")
+        }
+    }
+
+  /** Ingest one micro-batch of fingerprints (`id`, `sh` — extra columns
+    * are dropped): append the batch's accepted rows to `prints` and
+    * their batch-touching ≤-maxHamming pair delta to `pairs`, each
+    * exactly-once under `batchId` (the `foreachBatch` contract; un-id'd
+    * calls stay idempotent through the accepted-set resolution — a
+    * repeated batch resolves to an empty set).
+    */
+  def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit =
+    writeLock.synchronized {
+      checkShape(pin = true)
+      recoverTable("prints"); recoverTable("pairs")
+      val accepted = resolveAccepted(batch, "id", "prints", batchId)
+      val bPrints = graft.ScratchCache.persist(batch
+        .select(col("id"), col("sh")).dropDuplicates("id")
+        .join(accepted, col("id") === col("__bid"), "left_semi"))
+      markers.guarded("prints", batchId) {
+        // anti-join against the LIVE table: a replay after a
+        // landed-but-unmarked append finds its rows present and appends
+        // nothing
+        val fresh =
+          if (fs.exists(hPath(s"$path/prints")))
+            bPrints.join(prints.select(col("id")), Seq("id"), "left_anti")
+          else bPrints
+        fresh.withColumn("batch", lit(batchId.getOrElse(-1L)))
+          .write.mode(SaveMode.Append).parquet(s"$path/prints")
+      }
+      markers.guarded("pairs", batchId) {
+        // the stored side is prints MINUS this batch's accepted ids —
+        // the replay view: a landed prints append must not put the
+        // batch's own rows on the stored side (the self-join owns
+        // within-batch pairs)
+        val stored =
+          if (fs.exists(hPath(s"$path/prints")))
+            prints.join(accepted, col("id") === col("__bid"), "left_anti")
+              .select(col("id"), col("sh"))
+          else bPrints.limit(0)
+        val cross = Dedup.hammingJoin(bPrints, stored, maxHamming, chunks)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+        val self = Dedup.hammingPairs(bPrints, maxHamming, chunks)
+        val delta = cross.unionByName(self)
+        // anti-join on the pair key: a pair is generated by exactly one
+        // ingest, so an id already paired ⟺ the landed-append +
+        // uncommitted-marker replay window (the dedupAppend discipline,
+        // keyed by (id_a, id_b) instead of id)
+        val fresh =
+          if (fs.exists(hPath(s"$path/pairs")))
+            delta.join(pairs.select(col("id_a"), col("id_b")),
+              Seq("id_a", "id_b"), "left_anti")
+          else delta
+        fresh.withColumn("batch", lit(batchId.getOrElse(-1L)))
+          .write.mode(SaveMode.Append).parquet(s"$path/pairs")
+      }
+      graft.ScratchCache.releaseAll(spark)
+      freeAcceptedCheckpoint()
+    }
+
+  /** Decode one media micro-batch to fingerprints and ingest them —
+    * the `foreachBatch` entry a raw crawl stream uses
+    * (`writeStream.foreachBatch((b, id) => store.ingestMedia(b,
+    * Some(id)))`). Non-`ok` decode causes carry no fingerprint and are
+    * excluded here; count them from the decode plane.
+    */
+  def ingestMedia(batch: Dataset[Multimodal.MediaRow],
+      batchId: Option[Long] = None): Unit =
+    ingest(MediaStore.fingerprints(batch), batchId)
+
+  /** The duplicate-cluster labels over everything ingested so far,
+    * maintained INCREMENTALLY: the label table persists under
+    * `clusters/`, and each call folds in only the pair rows appended
+    * since the last call — prior components enter the merge as star
+    * edges (id → root), which preserves connectivity exactly, so the
+    * merged labels equal a from-scratch CC over all stored pairs
+    * (MediaStoreSpec pins it). Un-id'd rows (batch = −1) have no water
+    * mark, so their presence falls back to full CC for correctness.
+    */
+  def clusters(): DataFrame = {
+    checkShape(pin = false)
+    val dir = s"$path/clusters"
+    // a marker WITHOUT its label table means a crash interrupted a
+    // prior install — treat as no watermark and rebuild from everything
+    val water0 = markers.lastCommitted("clusters")
+    val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
+    val top = markers.lastCommitted("pairs")
+    val pr = graft.ScratchCache.persist(pairs)
+    writeLock.synchronized {
+      val unmarked = pr.where(col("batch") === -1L).limit(1).count() > 0
+      if (unmarked) {
+        // no water mark exists for un-id'd rows — full CC, no cache
+        Dedup.connectedComponents(pr.select(col("id_a"), col("id_b")))
+      } else if (water >= top && fs.exists(hPath(dir))) {
+        spark.read.parquet(dir) // nothing new since the last fold
+      } else {
+        val prior =
+          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("id", LongType),
+              StructField("cluster", LongType))))
+        val merged = Dedup.connectedComponents(
+          prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
+            .unionAll(pr.where(col("batch") > water)
+              .select(col("id_a"), col("id_b"))))
+        // install-then-mark: a crash before the mark re-folds
+        // idempotently (star edges); between the install's renames, the
+        // water guard's full rebuild heals
+        installTable(dir, merged, "")
+        markers.markCommitted("clusters", top)
+        spark.read.parquet(dir)
+      }
+    }
+  }
+
+  /** Per-cluster keeper decisions from the stored pairs:
+    * (cluster, keeper_id, quality, size) — max quality wins, smallest
+    * id breaks ties ([[Dedup.clusterKeepers]]).
+    *
+    * @param quality (id, q)
+    */
+  def keepers(quality: DataFrame): DataFrame =
+    Dedup.clusterKeepers(clusters(), quality)
+
+  /** Survivors of a near-dup purge over `corpus` (`idCol` + carried
+    * columns): per cluster only the keeper survives; documents outside
+    * any cluster always survive. Served entirely from stored pairs —
+    * no fingerprint is re-decoded, nothing is re-paired.
+    */
+  def purge(corpus: DataFrame, idCol: String,
+      quality: DataFrame): DataFrame = {
+    val cl = graft.ScratchCache.persist(clusters())
+    val losers = cl
+      .join(Dedup.clusterKeepers(cl, quality)
+          .select(col("cluster"), col("keeper_id")),
+        "cluster")
+      .where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Small-file compaction for `prints`/`pairs`/`clusters` plus sidecar
+    * pruning — the [[ReleaseStore.compact]] contract (including the
+    * reader invalidation: re-resolve frames through the accessors after
+    * compaction).
+    */
+  def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    checkShape(pin = false)
+    Seq("prints", "pairs", "clusters").foreach(compactTable(_, targetFileBytes))
+    pruneSidecars(Seq("prints", "pairs"))
+  }
+}
+
+object MediaStore {
+  /** Per-kind REAL fingerprint dispatch over a mixed-modality media
+    * table: images through [[Multimodal.imageDHash]], videos through
+    * the majority-vote [[Multimodal.videoDHash]] clip hash, audio
+    * through the gain-invariant [[Multimodal.audioDHash]] envelope —
+    * one (id, sh) frame for [[MediaStore.ingest]] or a batch
+    * [[Dedup.hammingPairs]]. Non-`ok` causes carry no fingerprint and
+    * are excluded (count them per cause from the decode plane); the
+    * three filters prune to kind partitions on a partitioned table,
+    * the [[Multimodal.decodeMedia]] posture.
+    */
+  def fingerprints(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    val img = Multimodal.imageDHash(media.filter(col("kind") === "image"))
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"), col("dhash").as("sh"))
+    val vid = Multimodal.videoDHash(media.filter(col("kind") === "video"))
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"), col("clip_dhash").as("sh"))
+    val aud = Multimodal.audioDHash(media.filter(col("kind") === "audio"))
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"), col("dhash").as("sh"))
+    img.unionByName(vid).unionByName(aud).toDF()
+  }
+
+  /** Reopen an existing store with its PINNED shape — every knob comes
+    * from `store.meta`, not the caller's memory. Throws on a store with
+    * no pin (never ingested): construct explicitly once to pin it.
+    */
+  def open(spark: SparkSession, path: String): MediaStore = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/store.meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.store.DurableStore.readMeta(fs, p)
+      .getOrElse(throw new IllegalStateException(
+        s"no shape pin at $path/store.meta - construct MediaStore " +
+        "explicitly (the first ingest records the shape)"))
+    def req(f: String): Int = m.getOrElse(f,
+      throw new IllegalStateException(
+        s"shape pin at $path/store.meta carries no '$f'")).toInt
+    new MediaStore(spark, path, maxHamming = req("maxHamming"),
+      chunks = req("chunks"))
+  }
+}

@@ -209,29 +209,11 @@ final class ReleaseStore(protected val spark: SparkSession,
   private def readShape(): Option[Map[String, String]] =
     graft.store.DurableStore.readMeta(fs, shapePin)
 
-  /** Write-temp-then-rename like [[writePrefixMeta]]; overwrite is
-    * legal here because upgrades legitimately move the pin, and a CRASH
-    * between delete and rename just demotes the store to legacy (the
-    * next write re-pins the same shape). An in-process rename FAILURE
-    * is different: it is observable, and swallowing it would leave the
-    * pin silently gone — the mismatch detection disabled — so it
-    * throws.
+  /** The shared write-temp-then-rename pin install
+    * ([[graft.store.DurableStore.writeShapePin]]); overwrite is legal
+    * here because front upgrades legitimately move the pin.
     */
-  private def writeShape(): Unit = {
-    val tmp = hPath(s"$path/store.meta.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(shapeMap.toSeq.sortBy(_._1)
-      .map { case (f, v) => s"$f=$v" }.mkString("", "\n", "\n")
-      .getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(shapePin, false)
-    if (!fs.rename(tmp, shapePin)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"could not install shape pin at $shapePin - refusing to leave " +
-        "the store unpinned")
-    }
-  }
+  private def writeShape(): Unit = writeShapePin(shapeMap)
 
   /** Validate this instance's shape against the pin; `pin = true`
     * (write paths) records the shape when absent and moves it after a

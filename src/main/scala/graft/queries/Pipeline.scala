@@ -91,6 +91,27 @@ object Pipeline {
       quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
   }
 
+  /** Drive a media-store gate: the q_image_neardup fingerprint table
+    * (REAL PNG decode → dHash) arrives as two id-sliced batches into a
+    * [[graft.operators.dedup.MediaStore]] under a scratch dir, with a
+    * mid-stream compact() before the second ingest — ingest replay
+    * discipline, compaction, and the stored-pair read path all sit
+    * inside the oracle equality. `foldPerBatch` additionally calls
+    * clusters() after EVERY ingest so the final labels come from a real
+    * incremental star-edge fold, not one full build.
+    */
+  private def mediaStoreDrive(s: SparkSession, dir: String,
+      foldPerBatch: Boolean = false): graft.operators.dedup.MediaStore = {
+    val store = new graft.operators.dedup.MediaStore(s, storeScratchDir(s))
+    val h = neardupHashes(s, dir)
+    (0L until 2L).foreach { b =>
+      store.ingest(h.where(pmod(col("id"), lit(2)) === b), batchId = Some(b))
+      if (foldPerBatch) store.clusters()
+      if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+    }
+    store
+  }
+
   /** Long-format (product, row_md5) rendering of a release's eight
     * products — each branch hashes the same canonical string its
     * standalone oracle derives, so one CORRECTNESS row verifies every
@@ -534,6 +555,27 @@ object Pipeline {
     "q_image_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.hammingPairs(neardupHashes(s, dir), maxHamming = 3))),
+
+    // the MEDIA-STORE lifecycle, gated end to end: the q_image_neardup
+    // fingerprint corpus arrives as two id-sliced batches into a
+    // MediaStore under a scratch dir (real PNG decode → dHash per
+    // batch, marker-guarded appends, accepted-id sidecars), compact()
+    // fires MID-STREAM, and the pair set serves from STORED state —
+    // batch×stored hammingJoin + batch self-join accumulate to exactly
+    // the from-scratch hammingPairs pair set (union completeness: each
+    // pair is generated by its later member's batch), so the composed
+    // q_image_neardup oracle applies verbatim
+    "q_media_store" -> ((s, dir) =>
+      mediaStoreDrive(s, dir).pairs
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+
+    // the store's INCREMENTALLY-maintained cluster labels (per-batch
+    // star-edge folds, the productsCached discipline) must equal the
+    // from-scratch CC over the same pairs — the q_image_clusters oracle
+    "q_media_clusters" -> ((s, dir) => {
+      val store = mediaStoreDrive(s, dir, foldPerBatch = true)
+      store.clusters()
+    }),
 
     // REAL video near-dup, end to end: 3-frame path AVIs (majority clip
     // fingerprint == the md5-derived pathKey; see videoClipHashes) are
@@ -1885,6 +1927,12 @@ object Pipeline {
     // equals a from-scratch release's — both ride the composed oracle
     ("q_release_auto" -> oraclesBase("q_dedup_release")) +
     ("q_store_release" -> oraclesBase("q_dedup_release")) +
+    // the media store's accumulated pair set == from-scratch
+    // hammingPairs over the accumulated prints (union completeness:
+    // every ≤-maxHamming pair is generated exactly once, by its later
+    // member's batch), so the image near-dup oracles apply verbatim
+    ("q_media_store" -> oraclesBase("q_image_neardup")) +
+    ("q_media_clusters" -> oraclesBase("q_image_clusters")) +
     // incremental-LSH products == from-scratch-LSH products: the union
     // of the prior LSH release's scored set with the batch-touching
     // delta covers every ≥-threshold pair with identical scores

@@ -161,6 +161,31 @@ private[graft] trait DurableStore {
     checkpointIds = Set.empty
   }
 
+  /** Install a `store.meta` shape pin: write-temp-then-rename like
+    * every other durable write here; overwrite is legal because legal
+    * shape upgrades move the pin, and a CRASH between delete and rename
+    * just demotes the store to legacy (the next write re-pins the same
+    * shape). An in-process rename FAILURE is different: it is
+    * observable, and swallowing it would leave the pin silently gone —
+    * the mismatch detection disabled — so it throws.
+    */
+  protected def writeShapePin(m: Map[String, String]): Unit = {
+    val pin = hPath(s"$path/store.meta")
+    val tmp = hPath(s"$path/store.meta.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (f, v) => s"$f=$v" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(pin, false)
+    if (!fs.rename(tmp, pin)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not install shape pin at $pin - refusing to leave " +
+        "the store unpinned")
+    }
+  }
+
   /** Prune the accepted-id sidecars of batches fully committed in every
     * table in `tables` (a sidecar only matters while its batch could
     * still replay). Commit markers live under `_commits/` and are

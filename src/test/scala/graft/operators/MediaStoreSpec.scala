@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.dedup.{Dedup, MediaStore}
+import graft.operators.multimodal.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The persisted perceptual near-dup store: batch-by-batch fingerprint
+  * ingest (with replay, crash windows, compaction) accumulates exactly
+  * the pair set a from-scratch banded-Hamming join derives, clusters
+  * fold incrementally to the from-scratch CC labels, and purges serve
+  * from stored pairs.
+  */
+class MediaStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 0x0123456789abcdefL
+  private def flips(base: Long, bits: Int*): Long =
+    bits.foldLeft(base)((v, b) => v ^ (1L << b))
+  // a second family far from K in every 16-bit chunk
+  private val K2 = ~K
+  private val K3 = K ^ 0x00ff00ff00ff00ffL
+
+  private def prints(rows: (Long, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "sh")
+
+  // near-dup relations deliberately SPAN batches: 1↔2 within b0, 1↔3
+  // and 2↔3 across b0/b1, 20↔21 across b1/b2; 50/51 unrelated
+  private val b0 = prints(1L -> K, 2L -> flips(K, 0), 50L -> K2)
+  private val b1 = prints(3L -> flips(K, 0, 17), 20L -> K3)
+  private val b2 = prints(21L -> flips(K3, 5), 51L -> flips(K2, 3, 20, 40, 55, 9))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def allPrints = b0.unionByName(b1).unionByName(b2)
+
+  private def wantPairs = Dedup.hammingPairs(allPrints, maxHamming = 3)
+
+  test("batch ingest with replay and re-crawled ids equals from-scratch hammingPairs") {
+    val dir = Files.createTempDirectory("mediastore").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b0, batchId = Some(0L)) // at-least-once replay
+    store.ingest(b1, batchId = Some(1L))
+    // a re-crawled id (1L, even with a DIFFERENT sketch) is ignored —
+    // first write wins
+    store.ingest(b2.unionByName(prints(1L -> K2)), batchId = Some(2L))
+    assert(store.lastCommitted("prints") == 2L &&
+      store.lastCommitted("pairs") == 2L)
+    assert(store.prints.count() == allPrints.count())
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+    // the relations genuinely span batches
+    val p = store.pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(p.contains((1L, 3L)) && p.contains((2L, 3L)) &&
+      p.contains((20L, 21L)) && p.contains((1L, 2L)))
+    assert(!p.exists { case (a, b) => a == 50L || b == 50L })
+  }
+
+  test("landed-but-unmarked appends do not duplicate on id'd replay") {
+    // the crash window: prints/pairs parquet appends land, the JVM dies
+    // BEFORE the markers commit, the batch replays — guarded re-runs
+    // the writes, and the id / pair-key anti-joins keep rows from
+    // doubling
+    val dir = Files.createTempDirectory("mediawin").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    def cnt(t: String) = spark.read.parquet(s"$dir/$t").count()
+    val before = Seq(cnt("prints"), cnt("pairs"))
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("prints", "pairs").foreach { t => // hadoop delete takes the .crc too
+      assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/$t"),
+        false))
+    }
+    store.ingest(b1, batchId = Some(1L)) // replay re-runs the guarded writes
+    assert(Seq(cnt("prints"), cnt("pairs")) == before)
+    store.ingest(b2, batchId = Some(2L))
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+  }
+
+  test("un-id'd ingest is idempotent and still accumulates the exact pair set") {
+    val dir = Files.createTempDirectory("mediaunid").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0)
+    store.ingest(b0) // repeated call: accepted set resolves empty
+    store.ingest(b1)
+    store.ingest(b2)
+    assert(store.prints.count() == allPrints.count())
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+    // un-id'd rows (batch = −1) force the full-CC fallback — labels
+    // still correct
+    assert(rows(store.clusters()) ==
+      rows(Dedup.connectedComponents(wantPairs)))
+  }
+
+  test("mid-stream compaction preserves parity and the crash window heals") {
+    val dir = Files.createTempDirectory("mediacompact").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.compact(targetFileBytes = 8L * 1024 * 1024)
+    store.ingest(b1, batchId = Some(1L))
+    // simulate compact dying between its two renames: the whole table
+    // moved aside, nothing live — any next access must heal it
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$dir/prints"),
+      new org.apache.hadoop.fs.Path(s"$dir/prints.compact.old")))
+    store.ingest(b2, batchId = Some(2L))
+    assert(store.prints.count() == allPrints.count())
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+    // sidecars of fully-committed batches are pruned by compact
+    store.compact(targetFileBytes = 8L * 1024 * 1024)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/batch=0")))
+    // an old batch replayed AFTER compaction is still a no-op
+    store.ingest(b0, batchId = Some(0L))
+    assert(store.prints.count() == allPrints.count())
+  }
+
+  test("incremental cluster folds equal from-scratch CC, and serve cached when nothing is new") {
+    val dir = Files.createTempDirectory("mediacc").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    val l0 = rows(store.clusters()) // first fold
+    assert(l0 == rows(Dedup.connectedComponents(
+      Dedup.hammingPairs(b0, maxHamming = 3))))
+    store.ingest(b1, batchId = Some(1L))
+    store.ingest(b2, batchId = Some(2L))
+    // folds in only the new batches' pairs (prior components as star
+    // edges) — must equal the from-scratch CC over ALL stored pairs
+    assert(rows(store.clusters()) ==
+      rows(Dedup.connectedComponents(wantPairs)))
+    // nothing new: served from the cached label table
+    assert(store.lastCommitted("clusters") == 2L)
+    assert(rows(store.clusters()) ==
+      rows(Dedup.connectedComponents(wantPairs)))
+  }
+
+  test("purge keeps the max-quality member per cluster and every unpaired doc") {
+    val dir = Files.createTempDirectory("mediapurge").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    store.ingest(b2, batchId = Some(2L))
+    val ids = allPrints.select(col("id"))
+    // quality = id, so the LARGEST id per cluster survives
+    val q = ids.select(col("id"), col("id").cast("long").as("q"))
+    val surv = store.purge(ids, "id", q).as[Long].collect().toSet
+    // cluster {1,2,3} keeps 3; {20,21} keeps 21; 50/51 unpaired survive
+    assert(surv == Set(3L, 21L, 50L, 51L))
+    val keep = store.keepers(q).select("cluster", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    assert(keep == Map(1L -> 3L, 20L -> 21L))
+  }
+
+  test("shape pin: a different radius refuses, open() reconstructs the pinned shape") {
+    val dir = Files.createTempDirectory("mediapin").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir, maxHamming = 3)
+    store.ingest(b0, batchId = Some(0L))
+    val bad = new MediaStore(spark, dir, maxHamming = 2)
+    val e = intercept[IllegalStateException] {
+      bad.ingest(b1, batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("maxHamming"))
+    val reopened = MediaStore.open(spark, dir)
+    reopened.ingest(b1, batchId = Some(1L))
+    reopened.ingest(b2, batchId = Some(2L))
+    assert(rows(reopened.pairs.drop("batch")) == rows(wantPairs))
+    intercept[IllegalStateException] {
+      MediaStore.open(spark,
+        Files.createTempDirectory("mediapin2").toFile.getAbsolutePath)
+    }
+  }
+
+  test("fingerprints dispatches all three modalities to their real dHash") {
+    val kI = graft.queries.Pipeline.h48("ms_img") // 48-bit: valid dHash keys
+    val kV = graft.queries.Pipeline.h48("ms_vid")
+    val kA = graft.queries.Pipeline.h48("ms_aud")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodePathPng(kI), "s"),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodePathAvi(Seq(kV, kV, kV)), "s"),
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodeStepWav(kA), "s"),
+      Multimodal.MediaRow(4L, "image", Array.emptyByteArray, "s")
+    ).toDS()
+    val got = MediaStore.fingerprints(media).as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> kI, 2L -> kV, 3L -> kA)) // empty row routed out
+  }
+
+  test("an all-duplicate batch appends nothing and the store keeps working") {
+    val dir = Files.createTempDirectory("mediadup").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b0.withColumn("sh", col("sh") + 1L), batchId = Some(1L))
+    assert(store.prints.count() == b0.count()) // re-crawled ids ignored
+    store.ingest(b1, batchId = Some(2L))
+    store.ingest(b2, batchId = Some(3L))
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+  }
+}
