@@ -1314,6 +1314,42 @@ object Multimodal {
         expr("aligned * 1000 div frames_a").as("containment_pm"))
   }
 
+  /** Sub-clip containment PURGE: [[clipAlignment]] composed into a
+    * release decision the way text containment feeds the release
+    * pipeline — a clip whose best alignment leaves it
+    * ≥ `thresholdPm`-contained in ANOTHER clip is a duplicate candidate
+    * (the cut-out re-post shape), candidates cluster through the shared
+    * distributed CC, ONE keeper per cluster survives by quality (ties →
+    * smallest id; pass frame/segment count as `q` so the longest upload
+    * wins), and everything else purges.
+    *
+    * `frames`: (id, frame_idx, sh) — [[videoDHash]] frame hashes or
+    * [[audioSegments]] rows; the operator is media-agnostic exactly
+    * like the alignment it rides. `quality`: (id, q). Returns `corpus`
+    * survivors (idCol + carried columns). Containment is DIRECTED
+    * (aligned/frames_a), so the short re-post pairs with its source
+    * even though the long side's own containment stays low — the pair
+    * normalizes to one undirected edge for clustering.
+    */
+  def clipContainmentPurge(corpus: DataFrame, idCol: String,
+      frames: DataFrame, quality: DataFrame, thresholdPm: Long = 800,
+      maxHamming: Int = 0, chunks: Int = 4,
+      maxFrames: Int = 4096): DataFrame = {
+    import graft.operators.dedup.Dedup
+    val pairs = clipAlignment(frames, maxHamming, chunks, maxFrames)
+      .where(col("containment_pm") >= thresholdPm)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val cl = graft.ScratchCache.persist(Dedup.connectedComponents(pairs))
+    val losers = cl
+      .join(Dedup.clusterKeepers(cl, quality)
+          .select(col("cluster"), col("keeper_id")), "cluster")
+      .where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Shot-boundary detection over sampled frame hashes: the frames
     * whose dHash sits ≥ `minHamming` bits from the PREVIOUS sampled
     * frame — the standard cheap scene-change signal (a cut changes the

@@ -91,6 +91,31 @@ object Pipeline {
       quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
   }
 
+  /** The q_clip_align / q_clip_purge frame table: even docs carry a
+    * 4-frame clip with md5-derived frame keys, their odd sibling
+    * carries frames 1..2 of it (a cut-out re-post) — REAL-decoded back
+    * to per-frame hashes and persisted (clipAlignment self-joins its
+    * input).
+    */
+  private def clipAlignFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id")).as[Long]
+    val media = fixtureMedia(s, dir, "clip_align")(
+      d.mapPartitions(_.map { id =>
+        val gid = id / 2
+        def fk(i: Int): Long = h48(s"f${i}_$gid")
+        val keys =
+          if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
+          else Seq(fk(1), fk(2))
+        Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
+          "synth")
+      }))
+    graft.ScratchCache.persist(
+      Multimodal.videoDHash(media).where(col("cause") === "ok")
+        .select(col("media_id").as("id"),
+          posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh"))))
+  }
+
   /** Drive a media-store gate: the q_image_neardup fingerprint table
     * (REAL PNG decode → dHash) arrives as two id-sliced batches into a
     * [[graft.operators.dedup.MediaStore]] under a scratch dir, with a
@@ -634,24 +659,22 @@ object Pipeline {
     // 500-contained at -1. The oracle rebuilds the frame keys and
     // replays the diagonal/argmax arithmetic (maxHamming = 0: frame
     // matching degrades to hash equality on both sides)
-    "q_clip_align" -> ((s, dir) => {
-      import s.implicits._
-      val d = docs(s, dir).select(col("doc_id")).as[Long]
-      val media = fixtureMedia(s, dir, "clip_align")(
-        d.mapPartitions(_.map { id =>
-          val gid = id / 2
-          def fk(i: Int): Long = h48(s"f${i}_$gid")
-          val keys =
-            if (id % 2 == 0) Seq(fk(0), fk(1), fk(2), fk(3))
-            else Seq(fk(1), fk(2))
-          Multimodal.MediaRow(id, "video", Multimodal.encodePathAvi(keys),
-            "synth")
-        }))
-      val frames = graft.ScratchCache.persist(
-        Multimodal.videoDHash(media).where(col("cause") === "ok")
-          .select(col("media_id").as("id"),
-            posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh"))))
-      Multimodal.clipAlignment(frames, maxHamming = 0)
+    "q_clip_align" -> ((s, dir) =>
+      Multimodal.clipAlignment(clipAlignFrames(s, dir), maxHamming = 0)),
+
+    // the SAME planted cut-out re-posts driven into a RELEASE decision:
+    // clipContainmentPurge pairs each ≥800‰-contained clip with its
+    // container, clusters through the shared CC, and keeps ONE clip per
+    // cluster by quality (frame count — the full upload wins over its
+    // cut-out, ties by id). The oracle replays the frame keys, the
+    // diagonal argmax, the containment threshold AND the keeper rule
+    "q_clip_purge" -> ((s, dir) => {
+      val frames = clipAlignFrames(s, dir)
+      val quality = frames.groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("q"))
+      Multimodal.clipContainmentPurge(
+        docs(s, dir).select(col("doc_id")), "doc_id",
+        frames, quality, thresholdPm = 800)
     }),
 
     // SHOT-BOUNDARY detection, end to end: clips whose frames hold one
@@ -3889,6 +3912,53 @@ object Pipeline {
         |SELECT id_a, id_b, frames_a, cnt AS aligned, diag AS offset,
         |  cnt * 1000 // frames_a AS containment_pm
         |FROM best JOIN na ON id_a = doc_id WHERE rn = 1""".stripMargin
+    },
+
+    // The clip-align chain extended into the purge decision: the same
+    // key/diagonal/argmax arithmetic, then the ≥800‰ containment edge
+    // set, CC via the shared reach CTE, and the keeper rule (max frame
+    // count, ties → smallest id) — survivors are everything minus the
+    // clusters' non-keepers
+    "q_clip_purge" -> {
+      val fk = hex48("'f' || CAST(i AS VARCHAR) || '_' || " +
+        "CAST(gid AS VARCHAR)")
+      s"""WITH RECURSIVE d2 AS (SELECT doc_id, doc_id // 2 AS gid,
+        |    doc_id % 2 AS par
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |      CAST($fk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(0, 4)) AS i) r
+        |    WHERE par = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS frame_idx,
+        |      CAST($fk AS BIGINT) AS fh
+        |    FROM d2, LATERAL (SELECT unnest(range(1, 3)) AS i) r
+        |    WHERE par = 1),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    b.frame_idx - a.frame_idx AS diag
+        |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id != b.doc_id),
+        |byd AS (SELECT id_a, id_b, diag, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |best AS (SELECT id_a, id_b, diag, cnt, row_number() OVER (
+        |    PARTITION BY id_a, id_b ORDER BY cnt DESC, diag ASC) AS rn
+        |  FROM byd),
+        |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS frames_a
+        |  FROM fr GROUP BY 1),
+        |pairs AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+        |    greatest(id_a, id_b) AS id_b
+        |  FROM best JOIN na ON best.id_a = na.doc_id
+        |  WHERE rn = 1 AND cnt * 1000 // frames_a >= 800),
+        |$reachCte,
+        |memb AS (SELECT node AS id, min(root) AS cluster
+        |  FROM reach GROUP BY 1),
+        |rk AS (SELECT id, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY q DESC, id ASC) AS krn
+        |  FROM memb JOIN (SELECT doc_id AS id, frames_a AS q FROM na) nq
+        |    USING (id))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM rk WHERE krn > 1)"""
+        .stripMargin
     },
 
     // Arithmetic oracle for shot boundaries: the planted cut structure

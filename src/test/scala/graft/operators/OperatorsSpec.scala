@@ -726,6 +726,33 @@ class CosineSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("clipContainmentPurge keeps the longest upload per containment cluster") {
+    import spark.implicits._
+    val (a, b, c, d, e, f) = (11L, 22L, 33L, 44L, 55L, 66L)
+    // clip 10: A B C D; clip 11: B C (a cut-out re-post, 1000-contained
+    // at offset +1); clip 12: unrelated E F; clip 13: just D (a single
+    // frame lifted from 10 — also 1000-contained)
+    val frames = Seq(
+      (10L, 0L, a), (10L, 1L, b), (10L, 2L, c), (10L, 3L, d),
+      (11L, 0L, b), (11L, 1L, c),
+      (12L, 0L, e), (12L, 1L, f),
+      (13L, 0L, d)).toDF("id", "frame_idx", "sh")
+    val quality = frames.groupBy($"id").agg(count(lit(1)).as("q"))
+    val corpus = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val surv = Multimodal.clipContainmentPurge(
+      corpus, "id", frames, quality, thresholdPm = 800)
+      .as[Long].collect().toSet
+    // {10, 11, 13} cluster via the directed containment edges; keeper =
+    // the 4-frame clip 10; unrelated 12 untouched
+    assert(surv == Set(10L, 12L))
+    // a looser threshold nothing meets keeps everything
+    val all = Multimodal.clipContainmentPurge(
+      corpus, "id", frames, quality, thresholdPm = 1001)
+      .as[Long].collect().toSet
+    assert(all == Set(10L, 11L, 12L, 13L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("decodeMedia dispatches kinds to the real decoders with the per-kind null contract") {
     import spark.implicits._
     val media = Seq(
