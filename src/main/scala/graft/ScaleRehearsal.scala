@@ -312,7 +312,8 @@ object ScaleRehearsal {
       val store = new graft.operators.dedup.ReleaseStore(spark, dir,
         "doc_id", "text", lshFront = true)
       val slices = 10
-      val walls = (0 until slices).map { i =>
+      // slice 9 is HELD OUT for the small-batch tail below
+      val walls = (0 until slices - 1).map { i =>
         val b = docs.where(pmod(col("doc_id"), lit(slices)) === i)
         val (_, t) = timed(store.ingest(b, batchId = Some(i.toLong)))
         if (i == slices / 2) store.compact(64L * 1024 * 1024)
@@ -320,6 +321,27 @@ object ScaleRehearsal {
       }
       out += "store_batch_secs" ->
         walls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      // the STEADY-STATE cadence: small novel batches (the 5-second
+      // micro-batch regime) against the full stored corpus — the
+      // id-hash bucket layout prunes every id-keyed anti-join and the
+      // candidate scoring read to the touched partition dirs, so these
+      // walls must track BATCH size, not stored-corpus size. Uses held
+      // out docs: the last big slice arrives as 5 small sub-batches.
+      val heldOut = docs.where(pmod(col("doc_id"), lit(slices)) === slices - 1)
+      val smallWalls = (0 until 5).map { j =>
+        val sb = heldOut.where(
+          pmod(xxhash64(col("doc_id")), lit(5)) === j)
+          .limit(500)
+        val (_, t) = timed(
+          store.ingest(sb, batchId = Some((slices + j).toLong)))
+        t
+      }
+      out += "store_small_batch_secs" ->
+        smallWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      // complete the corpus (already-ingested small-batch ids are
+      // ignored by the accepted-set resolution) so the parity target
+      // below compares equal corpora
+      store.ingest(heldOut, batchId = Some(20L))
       val q = docs.select(col("doc_id").as("id"), col("n_chars").as("q"))
       var storePairs = 0L
       var storeCont = 0L

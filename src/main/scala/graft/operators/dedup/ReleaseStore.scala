@@ -98,10 +98,103 @@ final class ReleaseStore(protected val spark: SparkSession,
       * identical sets score identically, so the rewrite is a pure
       * dedup) on first ingest.
       */
-    collapseFront: Boolean = false) extends graft.store.DurableStore {
+    collapseFront: Boolean = false,
+    /** Id-hash bucket count for the LAYOUT of the id-keyed tables
+      * (`docs`, `shingles`/`bands`/`prefixes`, `members`): rows are
+      * written under `__bucket = pmod(xxhash64(id), buckets)` partition
+      * dirs, so every id-keyed anti-join (accepted-id resolution, the
+      * dedupAppend replay guards) and the candidate scoring read prune
+      * to the buckets the probing ids can hash into instead of scanning
+      * the whole stored table — the lever that keeps small steady-state
+      * micro-batches flat-cost as the stored corpus grows. A LAYOUT
+      * property pinned at store creation (`store.meta`); the effective
+      * value always comes from the pin on reopen, and pre-pin legacy
+      * stores stay unbucketed (0). Candidate PROBES (bands, prefix
+      * index) are keyed by band/shingle, not id — they remain columnar
+      * scans of stored state by design.
+      */
+    stateBuckets: Int = 256) extends graft.store.DurableStore {
 
   require(!collapseFront || (lshFront && maxShingleDf.isEmpty),
     "collapseFront requires the uncapped lshFront store (stateEnabled)")
+
+  /** The LIVE bucket count: the pin wins; a pinned store without the
+    * field is pre-bucketing history (unbucketed, 0); an unpinned store
+    * with existing tables adopts the layout its files actually have;
+    * only a genuinely fresh store takes the constructor value.
+    */
+  private lazy val effectiveBuckets: Int = readShape() match {
+    case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
+    case None =>
+      if (fs.exists(hPath(s"$path/docs"))) {
+        val bucketed = fs.listStatus(hPath(s"$path/docs"))
+          .exists(_.getPath.getName.startsWith("__bucket="))
+        if (bucketed) stateBuckets else 0
+      } else stateBuckets
+  }
+
+  private def bucketOf(idc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(idc), lit(effectiveBuckets)).cast("int")
+
+  /** Read an id-keyed store table with an explicit logical schema,
+    * tolerating both layouts (the `__bucket` partition column is added
+    * to the read schema and dropped — callers see the logical shape).
+    * `buckets` prunes the scan to the given partition values: correct
+    * whenever the consuming join's probe ids all hash inside them.
+    */
+  private def readTable(table: String,
+      logical: org.apache.spark.sql.types.StructType,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    if (effectiveBuckets > 0) {
+      // a bucketed table with NO partition dirs yet (only all-empty
+      // appends so far) must read as a LITERAL empty frame, not a
+      // planned scan: a scan planned now freezes an empty partition
+      // schema, and a consumer executing after this ingest's own
+      // appends would meet newly-created __bucket dirs with the wrong
+      // partition arity. The literal is also semantically right — any
+      // rows arriving between plan and execution are the current
+      // batch's own, which every consumer excludes anyway.
+      val dirP = hPath(s"$path/$table")
+      val hasParts = fs.exists(dirP) && fs.listStatus(dirP)
+        .exists(_.getPath.getName.startsWith("__bucket="))
+      if (!hasParts)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          logical)
+      val schema = org.apache.spark.sql.types.StructType(logical.fields :+
+        org.apache.spark.sql.types.StructField("__bucket",
+          org.apache.spark.sql.types.IntegerType))
+      val df = spark.read.schema(schema).parquet(s"$path/$table")
+      (buckets match {
+        case Some(bs) => df.where(col("__bucket").isin(bs: _*))
+        case None => df
+      }).drop("__bucket")
+    } else spark.read.schema(logical).parquet(s"$path/$table")
+  }
+
+  /** The distinct buckets a frame's ids hash into — the prune set for
+    * id-keyed anti-joins (one tiny collect per ingest). None when the
+    * store is unbucketed or every bucket is touched anyway.
+    */
+  private def bucketsOf(ids: DataFrame,
+      idColName: String): Option[Seq[Int]] =
+    if (effectiveBuckets == 0) None
+    else {
+      val bs = ids.select(bucketOf(col(idColName)).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (bs.size >= effectiveBuckets) None else Some(bs)
+    }
+
+  /** Append `df` under the store's layout (bucket partition dirs when
+    * bucketed).
+    */
+  private def appendBucketed(df: DataFrame, idColName: String,
+      dir: String): Unit =
+    if (effectiveBuckets > 0)
+      df.withColumn("__bucket", bucketOf(col(idColName)))
+        .write.partitionBy("__bucket").mode(SaveMode.Append).parquet(dir)
+    else df.write.mode(SaveMode.Append).parquet(dir)
 
   /** LSH-FRONT STATE TABLES — `shingles` (id, sh), `bands`
     * (id, band, bh) and `prefixes` (id, s), appended per batch under
@@ -202,7 +295,10 @@ final class ReleaseStore(protected val spark: SparkSession,
     "collapseFront" -> collapseFront.toString,
     "portable" -> portable.toString,
     "containPm" -> math.round(containThreshold * 1000).toString,
-    "k" -> k.toString, "bands" -> bands.toString, "seed" -> seed.toString)
+    "k" -> k.toString, "bands" -> bands.toString, "seed" -> seed.toString,
+    // the EFFECTIVE layout, not the constructor default: a reopen can
+    // never re-shape existing partition dirs
+    "buckets" -> effectiveBuckets.toString)
 
   private def shapePin = hPath(s"$path/store.meta")
 
@@ -230,7 +326,7 @@ final class ReleaseStore(protected val spark: SparkSession,
           s"with $f=${shapeMap(f)}; reopen with the stored shape " +
           "(fronts may only upgrade false -> true)")
       Seq("idCol", "textCol", "maxShingleDf", "containPm", "k", "bands",
-        "seed", "portable").foreach { f =>
+        "seed", "portable", "buckets").foreach { f =>
         val stored = m.getOrElse(f, shapeMap(f))
         if (stored != shapeMap(f)) bad(f, stored)
       }
@@ -241,7 +337,24 @@ final class ReleaseStore(protected val spark: SparkSession,
       if (pin && m != shapeMap) writeShape()
   }
 
-  def docs: DataFrame = { recoverTable("docs"); spark.read.parquet(s"$path/docs") }
+  def docs: DataFrame = {
+    recoverTable("docs")
+    spark.read.parquet(s"$path/docs").drop("__bucket")
+  }
+
+  /** Bucket-pruned accepted-id resolution: a stored doc outside the
+    * batch ids' hash buckets cannot match any batch id, so the
+    * anti-join scans only the touched partition dirs.
+    */
+  protected override def storedAcceptIds(idColName: String, table: String,
+      batchIds: DataFrame): DataFrame =
+    bucketsOf(batchIds, "__bid") match {
+      case Some(bs) =>
+        spark.read.parquet(s"$path/$table")
+          .where(col("__bucket").isin(bs: _*))
+          .select(col(idColName).as("__bid"))
+      case None => super.storedAcceptIds(idColName, table, batchIds)
+    }
 
   /** The accumulated scored pair set. `batch` records which ingest
     * generated each row (−1 for un-id'd batch calls) — the water mark
@@ -254,14 +367,13 @@ final class ReleaseStore(protected val spark: SparkSession,
     */
   private def membersTable: DataFrame = {
     recoverTable("members")
-    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("rep",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("batch",
-          org.apache.spark.sql.types.LongType))))
-      .parquet(s"$path/members")
+    readTable("members", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** Member-level scored rows for product derivation: the collapse
@@ -279,7 +391,7 @@ final class ReleaseStore(protected val spark: SparkSession,
       // to infer from
       val shSchema = Dedup.hashedShingles(
         docs.limit(0), idCol, textCol, portable).schema
-      val sizes = spark.read.schema(shSchema).parquet(s"$path/shingles")
+      val sizes = readTable("shingles", shSchema)
         .select(col("id"), size(col("sh")).cast("long").as("n"))
       Dedup.expandCollapsedScored(sc,
         membersTable.select(col("id"), col("rep")), sizes)
@@ -307,6 +419,9 @@ final class ReleaseStore(protected val spark: SparkSession,
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
     val accepted = acceptedIds(batch, batchId)
+    // the touched-bucket set (one tiny collect): every id-keyed
+    // anti-join below prunes its stored-side scan to these partitions
+    val batchBuckets = bucketsOf(accepted, "__bid")
     // state backfill + appends run BEFORE the docs append: backfill
     // derives state from docs MINUS the current batch's accepted ids
     // (whose rows the marker-guarded appends below own), so a replay
@@ -314,18 +429,21 @@ final class ReleaseStore(protected val spark: SparkSession,
     val bState =
       if (stateEnabled) {
         ensureState(accepted)
-        Some(appendState(batch, accepted, batchId))
+        Some(appendState(batch, accepted, batchId, batchBuckets))
       } else None
     markers.guarded("docs", batchId) {
       // anti-join against the LIVE table: a replay after a landed-but-
       // unmarked append finds its rows present and appends nothing
+      // (bucket-pruned: rows outside the batch's buckets cannot match)
       val base = batch.dropDuplicates(idCol)
         .join(accepted, col(idCol) === col("__bid"), "left_semi")
       val fresh =
         if (fs.exists(hPath(s"$path/docs")))
-          base.join(docs.select(col(idCol)), Seq(idCol), "left_anti")
+          base.join(storedAcceptIds(idCol, "docs", accepted)
+              .select(col("__bid").as(idCol)),
+            Seq(idCol), "left_anti")
         else base
-      fresh.write.mode(SaveMode.Append).parquet(s"$path/docs")
+      appendBucketed(fresh, idCol, s"$path/docs")
     }
     markers.guarded("scored", batchId) {
       val delta = bState match {
@@ -367,7 +485,8 @@ final class ReleaseStore(protected val spark: SparkSession,
     * accepted set).
     */
   private def appendState(batch: DataFrame, accepted: DataFrame,
-      batchId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+      batchId: Option[Long],
+      batchBuckets: Option[Seq[Int]]): (DataFrame, DataFrame, DataFrame) = {
     // Every state append anti-joins the table's stored ids first. Two
     // replay windows need it: un-id'd ingests have NO marker protection
     // (guarded(None) always writes), and even an ID'D batch can land a
@@ -385,11 +504,13 @@ final class ReleaseStore(protected val spark: SparkSession,
     def dedupAppend(frame: DataFrame, table: String): Unit = {
       val fresh =
         if (fs.exists(hPath(s"$path/$table")))
-          frame.join(spark.read.schema(frame.schema)
-              .parquet(s"$path/$table").select(col("id")),
+          // bucket-pruned: the frame's ids are accepted ids, so stored
+          // rows outside the batch's buckets cannot collide
+          frame.join(
+            readTable(table, frame.schema, batchBuckets).select(col("id")),
             Seq("id"), "left_anti")
         else frame
-      fresh.write.mode(SaveMode.Append).parquet(s"$path/$table")
+      appendBucketed(fresh, "id", s"$path/$table")
     }
     val bdocs = batch.dropDuplicates(idCol)
       .join(accepted, col(idCol) === col("__bid"), "left_semi")
@@ -404,7 +525,7 @@ final class ReleaseStore(protected val spark: SparkSession,
       val acc = accepted.select(col("__bid").as("id"))
       val priorReps =
         if (fs.exists(hPath(s"$path/shingles")))
-          spark.read.schema(bshAll.schema).parquet(s"$path/shingles")
+          readTable("shingles", bshAll.schema)
             .join(acc, Seq("id"), "left_anti")
             .select(col("id").as("rep"), sort_array(col("sh")).as("skey"))
         else bshAll.limit(0)
@@ -494,9 +615,14 @@ final class ReleaseStore(protected val spark: SparkSession,
       }
     // move-aside install: upgrades overwrite EXISTING per-doc tables; a
     // crash mid-sequence re-enters here (members still missing) and
-    // rebuilds the same content
+    // rebuilds the same content. Id-keyed tables rebuild under the
+    // store's layout (scored is pair-keyed — plain).
     def install(name: String, df: DataFrame): Unit =
-      installTable(s"$path/$name", df, ".backfill")
+      if (effectiveBuckets > 0 && name != "scored")
+        installTable(s"$path/$name",
+          df.withColumn("__bucket", bucketOf(col("id"))),
+          ".backfill", Seq("__bucket"))
+      else installTable(s"$path/$name", df, ".backfill")
     if (missing.contains("shingles")) install("shingles", sh)
     if (missing.contains("bands"))
       install("bands", bandsOf(sh))
@@ -561,10 +687,9 @@ final class ReleaseStore(protected val spark: SparkSession,
     */
   private def storedStateDelta(bsh: DataFrame, bBands: DataFrame,
       bPref: DataFrame): DataFrame = {
-    val storedSh = spark.read.schema(bsh.schema).parquet(s"$path/shingles")
-    val storedBands =
-      spark.read.schema(bBands.schema).parquet(s"$path/bands")
-    val storedPref = spark.read.schema(bPref.schema).parquet(s"$path/prefixes")
+    val storedSh = readTable("shingles", bsh.schema)
+    val storedBands = readTable("bands", bBands.schema)
+    val storedPref = readTable("prefixes", bPref.schema)
     val storedIdx = storedSh.select(col("id"), explode(col("sh")).as("s"))
     val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
     val candJ = bBands.as("a")
@@ -591,9 +716,15 @@ final class ReleaseStore(protected val spark: SparkSession,
             Dedup.prefixProbeCounted(storedPref, bIdx, sSizes, ctPm, minShared))
       }
     val cand = graft.ScratchCache.persist(candJ.unionAll(candC).distinct())
-    val candIds = cand.select(col("id_a").as("id"))
-      .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    Dedup.scoreCandidates(cand, storedSh.join(candIds, Seq("id"), "left_semi"))
+    val candIds = graft.ScratchCache.persist(
+      cand.select(col("id_a").as("id"))
+        .unionAll(cand.select(col("id_b").as("id"))).distinct())
+    // the scoring read is the FAT scan (full shingle arrays) — prune it
+    // to the candidates' buckets; sparse candidate sets (the re-crawl
+    // steady state) touch a fraction of the partition dirs
+    val candSh = readTable("shingles", bsh.schema,
+      bucketsOf(candIds, "id"))
+    Dedup.scoreCandidates(cand, candSh.join(candIds, Seq("id"), "left_semi"))
   }
 
   /** The eight-product release over everything ingested so far, derived
@@ -734,8 +865,13 @@ final class ReleaseStore(protected val spark: SparkSession,
     // state tables compact under the same swap discipline; a missing
     // table (exact-front store, pre-state history, per-doc store
     // without members) is skipped
-    (Seq("docs", "scored", "members") ++ stateTables)
-      .foreach(compactTable(_, targetFileBytes))
+    val bucketed: Set[String] =
+      if (effectiveBuckets > 0) Set("docs", "members") ++ stateTables
+      else Set.empty
+    (Seq("docs", "scored", "members") ++ stateTables).foreach { t =>
+      compactTable(t, targetFileBytes,
+        if (bucketed(t)) Seq("__bucket") else Nil)
+    }
     pruneSidecars(Seq("docs", "scored"))
   }
 }

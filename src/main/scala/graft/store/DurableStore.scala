@@ -64,10 +64,12 @@ private[graft] trait DurableStore {
     * the suffixes stay distinct).
     */
   protected def installTable(dir: String, df: DataFrame,
-      suffix: String): Unit = {
+      suffix: String, partitionCols: Seq[String] = Nil): Unit = {
     val tmp = s"$dir$suffix.tmp"
     val old = s"$dir$suffix.old"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(tmp)
     fs.delete(hPath(old), true)
     if (fs.exists(hPath(dir)) && !fs.rename(hPath(dir), hPath(old)))
       throw new java.io.IOException(s"installTable: cannot move $dir aside")
@@ -85,16 +87,31 @@ private[graft] trait DurableStore {
     * all-empty frame writes only _SUCCESS) — legal store state but
     * unreadable without a schema, and nothing to compact either way.
     */
-  protected def compactTable(name: String, targetBytes: Long): Unit =
+  protected def compactTable(name: String, targetBytes: Long,
+      partitionCols: Seq[String] = Nil): Unit =
     writeLock.synchronized {
       val dir = s"$path/$name"
       recoverTable(name)
       if (!fs.exists(hPath(dir))) return
-      val bytes = fs.listStatus(hPath(dir))
-        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      // partitioned tables keep their layout: rows are clustered by the
+      // partition columns so each value lands in ONE task → one file
+      // per live partition dir, bounded regardless of how many
+      // micro-batch appends accumulated. Data bytes are summed
+      // recursively (partition layouts nest their files one dir down).
+      val it = fs.listFiles(hPath(dir), true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
       if (bytes == 0L) return
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      installTable(dir, spark.read.parquet(dir).repartition(k), ".compact")
+      val src = spark.read.parquet(dir)
+      val repart =
+        if (partitionCols.isEmpty) src.repartition(k)
+        else src.repartition(k, partitionCols.map(
+          org.apache.spark.sql.functions.col): _*)
+      installTable(dir, repart, ".compact", partitionCols)
     }
 
   /** A batch's ACCEPTED ids: in-batch-deduped, minus ids already in the
@@ -112,8 +129,7 @@ private[graft] trait DurableStore {
       val ids = batch.select(col(idColName).as("__bid")).distinct()
       if (fs.exists(hPath(s"$path/$storedTable"))) {
         recoverTable(storedTable)
-        ids.join(spark.read.parquet(s"$path/$storedTable")
-            .select(col(idColName).as("__bid")),
+        ids.join(storedAcceptIds(idColName, storedTable, ids),
           Seq("__bid"), "left_anti")
       } else ids
     }
@@ -147,6 +163,16 @@ private[graft] trait DurableStore {
         out
     }
   }
+
+  /** The stored-id frame [[resolveAccepted]]'s anti-join reads (one
+    * column `__bid`). Stores with a prunable layout override this to
+    * scan only the partitions `batchIds` (a `__bid` frame) can hash
+    * into — a stored row outside the batch's buckets cannot match any
+    * batch id, so pruning preserves the accepted set exactly.
+    */
+  protected def storedAcceptIds(idColName: String, table: String,
+      batchIds: DataFrame): DataFrame =
+    spark.read.parquet(s"$path/$table").select(col(idColName).as("__bid"))
 
   /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,
     * freed by [[freeAcceptedCheckpoint]] once the ingest's appends have

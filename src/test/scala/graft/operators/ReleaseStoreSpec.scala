@@ -96,8 +96,13 @@ class ReleaseStoreSpec extends SparkSpec {
     store.ingest(b0, batchId = Some(0L))
     store.ingest(b1, batchId = Some(1L))
     store.ingest(b2, batchId = Some(2L))
-    def files(t: String) = new java.io.File(s"$dir/$t").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // recursive: docs lives under __bucket= partition dirs
+    def files(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/$t"))
+    }
     val all = b0.unionByName(b1).unionByName(b2)
     val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
     val before = store.products(threshold = 0.5, quality = q)
@@ -111,9 +116,15 @@ class ReleaseStoreSpec extends SparkSpec {
       .count(_.getName.startsWith("batch=")) == 3)
 
     store.compact()
-    // bounded: tiny tables collapse to a single file each; committed
+    // bounded: the unbucketed scored table collapses to a single file;
+    // the bucketed docs table collapses to EXACTLY one file per live
+    // bucket dir (the layout-preserving compaction contract); committed
     // batches' sidecars are pruned; markers survive
-    assert(files("docs") == 1 && files("scored") == 1)
+    assert(files("scored") == 1)
+    val docsDirs = new java.io.File(s"$dir/docs").listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+    assert(docsDirs.nonEmpty && docsDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
     assert(!new java.io.File(s"$dir/batches").exists() ||
       new java.io.File(s"$dir/batches").listFiles()
         .count(_.getName.startsWith("batch=")) == 0)
@@ -313,9 +324,15 @@ class ReleaseStoreSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def files(t: String): Set[String] = {
+      // recursive: bucketed tables nest their files one dir down
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).map(_.getPath.toString).toSet
+      else {
+        val out = scala.collection.mutable.Set.empty[String]
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) out += it.next().getPath.toString
+        out.toSet
+      }
     }
     val docsBefore = files("docs")
     val scoredBefore = files("scored")
@@ -679,6 +696,34 @@ class ReleaseStoreSpec extends SparkSpec {
     // and the store still knows doc 1 exists: a re-crawl stays ignored
     store.ingest(doc((1L, "different body")), batchId = Some(2L))
     assert(store.docs.where(col("doc_id") === 1L).count() == 1)
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("bucketed layout: the pin wins over a different constructor default, parity holds") {
+    val dir = Files.createTempDirectory("relbuckets").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, stateBuckets = 8)
+    store.ingest(b0, batchId = Some(0L))
+    assert(new java.io.File(s"$dir/docs").listFiles()
+      .exists(_.getName.startsWith("__bucket=")), "docs not bucketed")
+    // a reopen with a DIFFERENT default adopts the pinned layout — no
+    // partition dir outside the pinned modulus ever appears
+    val re = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, stateBuckets = 64)
+    re.ingest(b1, batchId = Some(1L))
+    re.ingest(b2, batchId = Some(2L))
+    val bks = spark.read.parquet(s"$dir/shingles")
+      .select(col("__bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0))
+    assert(bks.nonEmpty && bks.forall(b => b >= 0 && b < 8),
+      s"stateBuckets pin violated: ${bks.mkString(",")}")
+    val all = b0.unionByName(b1).unionByName(b2)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = re.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipelineLsh(all, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.containment) == rows(want.containment))
     graft.ScratchCache.releaseAll(spark)
   }
 
