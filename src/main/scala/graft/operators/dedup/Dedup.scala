@@ -1249,6 +1249,21 @@ object Dedup {
   private def lshScoredPairsCollapsed(df: DataFrame, idCol: String,
       textCol: String, containThreshold: Double, maxShingleDf: Option[Int],
       k: Int, bands: Int, seed: Long, portable: Boolean): DataFrame = {
+    val (scoredRep, m, sizes) = lshCollapsedParts(df, idCol, textCol,
+      containThreshold, maxShingleDf, k, bands, seed, portable)
+    expandCollapsedScored(scoredRep, m, sizes)
+  }
+
+  /** The collapse front's three parts BEFORE expansion — (rep-level
+    * scored pairs, (id, rep) membership, capped rep set sizes) — so
+    * [[releasePipelineLsh]] can label clusters at REP granularity
+    * (see [[collapsedClusterLabels]]) while the member-level expansion
+    * stays lazy input to the output-sized products.
+    */
+  private def lshCollapsedParts(df: DataFrame, idCol: String,
+      textCol: String, containThreshold: Double, maxShingleDf: Option[Int],
+      k: Int, bands: Int, seed: Long, portable: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val shingled = hashedShingles(df, idCol, textCol, portable)
     // one window keyed by the sorted set: members (id → rep)
@@ -1262,8 +1277,33 @@ object Dedup {
     val cand = graft.ScratchCache.persist(cand0)
     val scoredRep = scoreCandidates(cand,
       candidateSets(cand, filtered, reps, maxShingleDf))
-    expandCollapsedScored(scoredRep, members.select(col("id"), col("rep")),
-      sizes)
+    (scoredRep, members.select(col("id"), col("rep")), sizes)
+  }
+
+  /** Cluster labels for a collapsed release computed at REP level:
+    * min-label CC over (≥-threshold rep pairs ∪ member→rep star edges)
+    * equals CC over the member-level expansion exactly — identical
+    * sets are jaccard-1 pairs, so group membership IS connectivity,
+    * every member is present as a node, and reachability (hence the
+    * min reachable id) is unchanged — while the edge set shrinks by
+    * the square of the dup-group size (at ×100 replication: ~250k rep
+    * pairs + one edge per doc instead of 27M expanded pairs).
+    * Members of a group whose CAPPED set is empty are EXCLUDED (their
+    * synthesized within-group rows carry common = n = 0, which the
+    * jaccard filter rejects — the expansion does not connect them, so
+    * neither may the star edges).
+    */
+  private[dedup] def collapsedClusterLabels(scoredRep: DataFrame,
+      m: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    val jac = col("common") * lit(1.0) /
+      (col("n_a") + col("n_b") - col("common"))
+    val repEdges = scoredRep.where(jac >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val starEdges = m.where(col("id") =!= col("rep"))
+      .join(sizes.where(col("n") > 0)
+          .select(col("id").as("rep")), Seq("rep"), "left_semi")
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    connectedComponents(repEdges.unionAll(starEdges))
   }
 
   /** Expand REP-level scored pairs to member level: every member pair
@@ -1339,6 +1379,20 @@ object Dedup {
         * exact duplicates amplify candidate fuel quadratically
         */
       collapseExact: Boolean = false): ReleaseProducts = {
+    if (collapseExact) {
+      // label clusters at REP level (see collapsedClusterLabels): the
+      // member-level expansion stays lazy input to the output-sized
+      // products instead of feeding an eager CC over group-size²
+      // expanded pairs
+      val (scoredRep0, m, sizes) = lshCollapsedParts(df, idCol, textCol,
+        containThreshold, maxShingleDf, k, bands, seed, portable)
+      val scoredRep = graft.ScratchCache.persist(scoredRep0)
+      val labels = collapsedClusterLabels(scoredRep, m, sizes, threshold)
+      val scored = graft.ScratchCache.persist(
+        expandCollapsedScored(scoredRep, m, sizes))
+      return productsOf(scored, df, idCol, threshold, quality, sourceCol,
+        containThreshold, clustersOverride = Some(labels))
+    }
     val scored = graft.ScratchCache.persist(
       lshScoredPairs(df, idCol, textCol, containThreshold, maxShingleDf,
         k, bands, seed, portable, collapseExact))

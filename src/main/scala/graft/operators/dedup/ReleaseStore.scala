@@ -737,9 +737,31 @@ final class ReleaseStore(protected val spark: SparkSession,
   def products(threshold: Double, quality: DataFrame,
       sourceCol: String = "source"): Dedup.ReleaseProducts = {
     checkShape(pin = false)
+    val sc0 = scored.drop("batch")
+    // collapse stores label clusters at REP level + member star edges
+    // instead of CC over the member-level expansion: identical sets are
+    // jaccard-1 pairs, so membership IS connectivity, and min-label CC
+    // over (rep pairs ∪ id→rep edges) equals CC over the expanded pair
+    // set exactly (every member is present, reachability unchanged) —
+    // while the edge set shrinks by the square of the dup-group size.
+    // At ×100 replication that is the difference between clustering
+    // 27.3M expanded pairs and ~250k rep pairs + one edge per doc; the
+    // expansion itself remains lazy input to the output-sized products
+    // (pairs/containment/overlap), which are inherently member-level.
+    val labels =
+      if (collapseFront && fs.exists(hPath(s"$path/members"))) {
+        recoverTable("shingles")
+        val shSchema = Dedup.hashedShingles(
+          docs.limit(0), idCol, textCol, portable).schema
+        val sizes = readTable("shingles", shSchema)
+          .select(col("id"), size(col("sh")).cast("long").as("n"))
+        Some(Dedup.collapsedClusterLabels(sc0,
+          membersTable.select(col("id"), col("rep")), sizes, threshold))
+      } else None
     Dedup.productsOf(
-      graft.ScratchCache.persist(expandedScored(scored.drop("batch"))),
-      docs, idCol, threshold, quality, sourceCol, containThreshold)
+      graft.ScratchCache.persist(expandedScored(sc0)),
+      docs, idCol, threshold, quality, sourceCol, containThreshold,
+      clustersOverride = labels)
   }
 
   /** [[products]] with store-maintained clustering: the CC label table
