@@ -18,8 +18,9 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storecollapse,annx,imagedup,avdup,
-  * mediastore,frontier (default: all)
+  * increlease,collapse,storeincr,storescratch,storecollapse,annx,
+  * imagedup,avdup,mediastore,frontier (default: all; storescratch is
+  * storeincr's from-scratch parity target and requires storeincr)
   * — the full rehearsal at 10× takes ~40 min, a single section minutes.
   */
 object ScaleRehearsal {
@@ -29,6 +30,9 @@ object ScaleRehearsal {
     val kCells = args.lift(2).map(_.toInt).getOrElse(8)
     val sections = args.lift(3).map(_.split(',').toSet)
     def run(s: String): Boolean = sections.forall(_.contains(s))
+    // id-hash bucket modulus for the durable-store sections (0 =
+    // unbucketed, the default layout; see ReleaseStore.stateBuckets)
+    val storeBuckets = args.lift(4).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -310,7 +314,7 @@ object ScaleRehearsal {
       val dir = java.nio.file.Files.createTempDirectory("storeincr")
         .toFile.getAbsolutePath
       val store = new graft.operators.dedup.ReleaseStore(spark, dir,
-        "doc_id", "text", lshFront = true)
+        "doc_id", "text", lshFront = true, stateBuckets = storeBuckets)
       val slices = 10
       // slice 9 is HELD OUT for the small-batch tail below
       val walls = (0 until slices - 1).map { i =>
@@ -355,19 +359,24 @@ object ScaleRehearsal {
       out += "store_verified_pairs" -> storePairs
       out += "store_containment_pairs" -> storeCont
       // parity target: the from-scratch LSH release over the same
-      // corpus, uncapped like the store
-      var fullPairs = 0L
-      var fullCont = 0L
-      val (_, tFull) = timed {
-        val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
-          threshold = 0.5, maxShingleDf = None, quality = q)
-        fullPairs = r.pairs.count()
-        fullCont = r.containment.count()
+      // corpus, uncapped like the store. Its own section so the ×100
+      // per-doc row can measure the store cadence without paying an
+      // uncapped 500k-doc from-scratch release (parity is pinned at
+      // ×10 and by ReleaseStoreSpec; walls are the ×100 question).
+      if (run("storescratch")) {
+        var fullPairs = 0L
+        var fullCont = 0L
+        val (_, tFull) = timed {
+          val r = Dedup.releasePipelineLsh(docs, "doc_id", "text",
+            threshold = 0.5, maxShingleDf = None, quality = q)
+          fullPairs = r.pairs.count()
+          fullCont = r.containment.count()
+        }
+        ScratchCache.releaseAll(spark)
+        out += "store_scratch_sec" -> tFull
+        out += "store_scratch_pairs" -> fullPairs
+        out += "store_scratch_containment" -> fullCont
       }
-      ScratchCache.releaseAll(spark)
-      out += "store_scratch_sec" -> tFull
-      out += "store_scratch_pairs" -> fullPairs
-      out += "store_scratch_containment" -> fullCont
     }
 
     if (run("storecollapse")) {
@@ -383,7 +392,8 @@ object ScaleRehearsal {
       val dir = java.nio.file.Files.createTempDirectory("storecoll")
         .toFile.getAbsolutePath
       val store = new graft.operators.dedup.ReleaseStore(spark, dir,
-        "doc_id", "text", lshFront = true, collapseFront = true)
+        "doc_id", "text", lshFront = true, collapseFront = true,
+        stateBuckets = storeBuckets)
       val slices = 10
       val splits = docs.stat.approxQuantile("doc_id",
         (1 until slices).map(_.toDouble / slices).toArray, 0.0)
@@ -616,7 +626,7 @@ object ScaleRehearsal {
       h.count()
       val dir = java.nio.file.Files.createTempDirectory("mediastore")
         .toFile.getAbsolutePath
-      val store = new MediaStore(spark, dir)
+      val store = new MediaStore(spark, dir, stateBuckets = storeBuckets)
       (0L until 5L).foreach { b =>
         val (_, t) = timed(
           store.ingest(h.where(pmod(col("id"), lit(5)) === b), Some(b)))

@@ -52,11 +52,25 @@ import graft.operators.multimodal.Multimodal
   * sets); both are recorded in `store.meta` at first ingest and
   * validated on every entry point — [[MediaStore.open]] reconstructs a
   * store from its pin.
+  *
+  * LAYOUT: with `stateBuckets` > 0, `prints` buckets by
+  * `pmod(xxhash64(id), stateBuckets)` and `pairs` by the same hash of
+  * `id_a` ([[graft.store.BucketedTables]]), so the id-keyed replay
+  * guards — accepted-id resolution, the prints dedup anti-join, the
+  * pair-key anti-join — prune to the buckets the batch (or its pair
+  * delta) actually touches instead of scanning the whole stored state
+  * per micro-batch. The [[Dedup.hammingJoin]] probe legitimately reads
+  * ALL stored prints (a content probe can match any id). A LAYOUT
+  * property pinned in `store.meta` (the pin wins on reopen). DEFAULT 0
+  * (unbucketed): the modulus must far exceed the typical batch's
+  * distinct-id count to prune at all — see the
+  * [[ReleaseStore.stateBuckets]] guidance; pin a large modulus only
+  * for stores whose print corpus outgrows cheap columnar scans.
   */
 final class MediaStore(protected val spark: SparkSession,
     protected val path: String,
-    maxHamming: Int = 3, chunks: Int = 4)
-    extends graft.store.DurableStore {
+    maxHamming: Int = 3, chunks: Int = 4, stateBuckets: Int = 0)
+    extends graft.store.DurableStore with graft.store.BucketedTables {
 
   private val printsSchema = StructType(Seq(
     StructField("id", LongType), StructField("sh", LongType),
@@ -65,12 +79,28 @@ final class MediaStore(protected val spark: SparkSession,
     StructField("id_a", LongType), StructField("id_b", LongType),
     StructField("hamming", LongType), StructField("batch", LongType)))
 
+  /** The LIVE bucket count: the pin wins; a pinned store without the
+    * field is pre-bucketing history (unbucketed, 0); an unpinned store
+    * with existing tables adopts the layout its files actually have;
+    * only a genuinely fresh store takes the constructor value.
+    */
+  protected lazy val effectiveBuckets: Int =
+    graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
+      case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
+      case None =>
+        if (fs.exists(hPath(s"$path/prints"))) {
+          val bucketed = fs.listStatus(hPath(s"$path/prints"))
+            .exists(_.getPath.getName.startsWith("__bucket="))
+          if (bucketed) stateBuckets else 0
+        } else stateBuckets
+    }
+
   /** The fingerprint corpus (id, sh, batch) — explicit schema so a
     * store whose only appends were all-empty frames still reads.
     */
   def prints: DataFrame = {
     recoverTable("prints")
-    spark.read.schema(printsSchema).parquet(s"$path/prints")
+    readTable("prints", printsSchema)
   }
 
   /** The accumulated verified pair set (id_a < id_b, hamming ≤ the
@@ -78,11 +108,12 @@ final class MediaStore(protected val spark: SparkSession,
     */
   def pairs: DataFrame = {
     recoverTable("pairs")
-    spark.read.schema(pairsSchema).parquet(s"$path/pairs")
+    readTable("pairs", pairsSchema)
   }
 
   private def shapeMap: Map[String, String] =
-    Map("maxHamming" -> maxHamming.toString, "chunks" -> chunks.toString)
+    Map("maxHamming" -> maxHamming.toString, "chunks" -> chunks.toString,
+      "buckets" -> effectiveBuckets.toString)
 
   private def checkShape(pin: Boolean): Unit =
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
@@ -114,13 +145,17 @@ final class MediaStore(protected val spark: SparkSession,
       markers.guarded("prints", batchId) {
         // anti-join against the LIVE table: a replay after a
         // landed-but-unmarked append finds its rows present and appends
-        // nothing
+        // nothing. Bucket-pruned — stored rows outside the batch ids'
+        // hash buckets cannot match.
         val fresh =
           if (fs.exists(hPath(s"$path/prints")))
-            bPrints.join(prints.select(col("id")), Seq("id"), "left_anti")
+            bPrints.join(
+              readTable("prints", printsSchema, bucketsOf(bPrints, "id"))
+                .select(col("id")),
+              Seq("id"), "left_anti")
           else bPrints
-        fresh.withColumn("batch", lit(batchId.getOrElse(-1L)))
-          .write.mode(SaveMode.Append).parquet(s"$path/prints")
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id", s"$path/prints")
       }
       markers.guarded("pairs", batchId) {
         // the stored side is prints MINUS this batch's accepted ids —
@@ -136,18 +171,23 @@ final class MediaStore(protected val spark: SparkSession,
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
         val self = Dedup.hammingPairs(bPrints, maxHamming, chunks)
-        val delta = cross.unionByName(self)
+        // the delta is candidate-volume-bounded — persist it so the
+        // replay guard can prune the stored-pairs scan to the buckets
+        // its id_a values hash into (one tiny collect)
+        val delta = graft.ScratchCache.persist(cross.unionByName(self))
         // anti-join on the pair key: a pair is generated by exactly one
         // ingest, so an id already paired ⟺ the landed-append +
         // uncommitted-marker replay window (the dedupAppend discipline,
-        // keyed by (id_a, id_b) instead of id)
+        // keyed by (id_a, id_b) instead of id). Bucket-pruned by id_a.
         val fresh =
           if (fs.exists(hPath(s"$path/pairs")))
-            delta.join(pairs.select(col("id_a"), col("id_b")),
+            delta.join(
+              readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
+                .select(col("id_a"), col("id_b")),
               Seq("id_a", "id_b"), "left_anti")
           else delta
-        fresh.withColumn("batch", lit(batchId.getOrElse(-1L)))
-          .write.mode(SaveMode.Append).parquet(s"$path/pairs")
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
       }
       graft.ScratchCache.releaseAll(spark)
       freeAcceptedCheckpoint()
@@ -242,7 +282,10 @@ final class MediaStore(protected val spark: SparkSession,
     */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     checkShape(pin = false)
-    Seq("prints", "pairs", "clusters").foreach(compactTable(_, targetFileBytes))
+    val layout =
+      if (effectiveBuckets > 0) Seq("__bucket") else Nil
+    Seq("prints", "pairs").foreach(compactTable(_, targetFileBytes, layout))
+    compactTable("clusters", targetFileBytes)
     pruneSidecars(Seq("prints", "pairs"))
   }
 }
@@ -286,6 +329,9 @@ object MediaStore {
       throw new IllegalStateException(
         s"shape pin at $path/store.meta carries no '$f'")).toInt
     new MediaStore(spark, path, maxHamming = req("maxHamming"),
-      chunks = req("chunks"))
+      chunks = req("chunks"),
+      // layout: effectiveBuckets reads the pin anyway (pin wins);
+      // passing it keeps the constructed shape equal to the pinned one
+      stateBuckets = m.get("buckets").map(_.toInt).getOrElse(0))
   }
 }

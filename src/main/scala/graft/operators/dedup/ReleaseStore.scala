@@ -100,20 +100,35 @@ final class ReleaseStore(protected val spark: SparkSession,
       */
     collapseFront: Boolean = false,
     /** Id-hash bucket count for the LAYOUT of the id-keyed tables
-      * (`docs`, `shingles`/`bands`/`prefixes`, `members`): rows are
-      * written under `__bucket = pmod(xxhash64(id), buckets)` partition
-      * dirs, so every id-keyed anti-join (accepted-id resolution, the
-      * dedupAppend replay guards) and the candidate scoring read prune
-      * to the buckets the probing ids can hash into instead of scanning
-      * the whole stored table — the lever that keeps small steady-state
-      * micro-batches flat-cost as the stored corpus grows. A LAYOUT
-      * property pinned at store creation (`store.meta`); the effective
-      * value always comes from the pin on reopen, and pre-pin legacy
-      * stores stay unbucketed (0). Candidate PROBES (bands, prefix
-      * index) are keyed by band/shingle, not id — they remain columnar
-      * scans of stored state by design.
+      * (`docs`, `shingles`/`bands`/`prefixes`, `members`): when > 0,
+      * rows are written under `__bucket = pmod(xxhash64(id), buckets)`
+      * partition dirs, so every id-keyed anti-join (accepted-id
+      * resolution, the dedupAppend replay guards) and the candidate
+      * scoring read prune to the buckets the probing ids can hash into
+      * instead of scanning the whole stored table. A LAYOUT property
+      * pinned at store creation (`store.meta`); the effective value
+      * always comes from the pin on reopen, and pre-pin legacy stores
+      * stay unbucketed (0). Candidate PROBES (bands, prefix index) are
+      * keyed by band/shingle, not id — they remain columnar scans of
+      * stored state by design.
+      *
+      * DEFAULT 0 (unbucketed) — this is a BIG-STORE lever, not a free
+      * win. A prune only removes the buckets a batch does NOT touch,
+      * and n random ids touch ~min(n, buckets) dirs, so the modulus
+      * must far exceed the typical batch's distinct-id count to prune
+      * at all (≥1000× for a ~99.9% cut: 500-doc micro-batches against
+      * a billion-doc store want ~64Ki buckets, reading ~0.8‰ of state
+      * instead of all of it). Below that the layout is pure overhead —
+      * measured at ×10: a 256-bucket layout made 5k-doc batch walls
+      * 25–32 s vs 7–10 s unbucketed (dynamic-partition writes + dir
+      * listing, no prune: every batch touched all 256 buckets), while
+      * the unbucketed columnar id scans it would replace cost seconds
+      * even at ×100. Pin a large modulus when creating a store whose
+      * id-keyed state outgrows cheap columnar scans (≳10⁹ rows);
+      * everything else should stay 0.
       */
-    stateBuckets: Int = 256) extends graft.store.DurableStore {
+    stateBuckets: Int = 0) extends graft.store.DurableStore
+    with graft.store.BucketedTables {
 
   require(!collapseFront || (lshFront && maxShingleDf.isEmpty),
     "collapseFront requires the uncapped lshFront store (stateEnabled)")
@@ -123,7 +138,7 @@ final class ReleaseStore(protected val spark: SparkSession,
     * with existing tables adopts the layout its files actually have;
     * only a genuinely fresh store takes the constructor value.
     */
-  private lazy val effectiveBuckets: Int = readShape() match {
+  protected lazy val effectiveBuckets: Int = readShape() match {
     case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
     case None =>
       if (fs.exists(hPath(s"$path/docs"))) {
@@ -133,68 +148,8 @@ final class ReleaseStore(protected val spark: SparkSession,
       } else stateBuckets
   }
 
-  private def bucketOf(idc: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    pmod(xxhash64(idc), lit(effectiveBuckets)).cast("int")
-
-  /** Read an id-keyed store table with an explicit logical schema,
-    * tolerating both layouts (the `__bucket` partition column is added
-    * to the read schema and dropped — callers see the logical shape).
-    * `buckets` prunes the scan to the given partition values: correct
-    * whenever the consuming join's probe ids all hash inside them.
-    */
-  private def readTable(table: String,
-      logical: org.apache.spark.sql.types.StructType,
-      buckets: Option[Seq[Int]] = None): DataFrame = {
-    if (effectiveBuckets > 0) {
-      // a bucketed table with NO partition dirs yet (only all-empty
-      // appends so far) must read as a LITERAL empty frame, not a
-      // planned scan: a scan planned now freezes an empty partition
-      // schema, and a consumer executing after this ingest's own
-      // appends would meet newly-created __bucket dirs with the wrong
-      // partition arity. The literal is also semantically right — any
-      // rows arriving between plan and execution are the current
-      // batch's own, which every consumer excludes anyway.
-      val dirP = hPath(s"$path/$table")
-      val hasParts = fs.exists(dirP) && fs.listStatus(dirP)
-        .exists(_.getPath.getName.startsWith("__bucket="))
-      if (!hasParts)
-        return spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          logical)
-      val schema = org.apache.spark.sql.types.StructType(logical.fields :+
-        org.apache.spark.sql.types.StructField("__bucket",
-          org.apache.spark.sql.types.IntegerType))
-      val df = spark.read.schema(schema).parquet(s"$path/$table")
-      (buckets match {
-        case Some(bs) => df.where(col("__bucket").isin(bs: _*))
-        case None => df
-      }).drop("__bucket")
-    } else spark.read.schema(logical).parquet(s"$path/$table")
-  }
-
-  /** The distinct buckets a frame's ids hash into — the prune set for
-    * id-keyed anti-joins (one tiny collect per ingest). None when the
-    * store is unbucketed or every bucket is touched anyway.
-    */
-  private def bucketsOf(ids: DataFrame,
-      idColName: String): Option[Seq[Int]] =
-    if (effectiveBuckets == 0) None
-    else {
-      val bs = ids.select(bucketOf(col(idColName)).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      if (bs.size >= effectiveBuckets) None else Some(bs)
-    }
-
-  /** Append `df` under the store's layout (bucket partition dirs when
-    * bucketed).
-    */
-  private def appendBucketed(df: DataFrame, idColName: String,
-      dir: String): Unit =
-    if (effectiveBuckets > 0)
-      df.withColumn("__bucket", bucketOf(col(idColName)))
-        .write.partitionBy("__bucket").mode(SaveMode.Append).parquet(dir)
-    else df.write.mode(SaveMode.Append).parquet(dir)
+  // bucketOf / readTable / bucketsOf / appendBucketed live in
+  // graft.store.BucketedTables (shared with MediaStore)
 
   /** LSH-FRONT STATE TABLES — `shingles` (id, sh), `bands`
     * (id, band, bh) and `prefixes` (id, s), appended per batch under
@@ -342,19 +297,8 @@ final class ReleaseStore(protected val spark: SparkSession,
     spark.read.parquet(s"$path/docs").drop("__bucket")
   }
 
-  /** Bucket-pruned accepted-id resolution: a stored doc outside the
-    * batch ids' hash buckets cannot match any batch id, so the
-    * anti-join scans only the touched partition dirs.
-    */
-  protected override def storedAcceptIds(idColName: String, table: String,
-      batchIds: DataFrame): DataFrame =
-    bucketsOf(batchIds, "__bid") match {
-      case Some(bs) =>
-        spark.read.parquet(s"$path/$table")
-          .where(col("__bucket").isin(bs: _*))
-          .select(col(idColName).as("__bid"))
-      case None => super.storedAcceptIds(idColName, table, batchIds)
-    }
+  // storedAcceptIds: the bucket-pruned override lives in
+  // graft.store.BucketedTables
 
   /** The accumulated scored pair set. `batch` records which ingest
     * generated each row (−1 for un-id'd batch calls) — the water mark

@@ -192,6 +192,30 @@ class MediaStoreSpec extends SparkSpec {
     assert(got == Map(1L -> kI, 2L -> kV, 3L -> kA)) // empty row routed out
   }
 
+  test("bucketed layout: the pin wins over a different constructor default, parity holds") {
+    val dir = Files.createTempDirectory("mediabuckets").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir, stateBuckets = 8)
+    store.ingest(b0, batchId = Some(0L))
+    assert(new java.io.File(s"$dir/prints").listFiles()
+      .exists(_.getName.startsWith("__bucket=")), "prints not bucketed")
+    // a reopen with a DIFFERENT default adopts the pinned layout — no
+    // partition dir outside the pinned modulus ever appears, in prints
+    // (keyed by id) OR pairs (keyed by id_a)
+    val re = new MediaStore(spark, dir, stateBuckets = 64)
+    re.ingest(b1, batchId = Some(1L))
+    re.ingest(b2, batchId = Some(2L))
+    re.compact(targetFileBytes = 1L)
+    Seq("prints", "pairs").foreach { t =>
+      val bks = spark.read.parquet(s"$dir/$t")
+        .select(col("__bucket").cast("int")).distinct()
+        .collect().map(_.getInt(0))
+      assert(bks.nonEmpty && bks.forall(b => b >= 0 && b < 8),
+        s"$t stateBuckets pin violated: ${bks.mkString(",")}")
+    }
+    assert(rows(re.pairs.drop("batch")) == rows(wantPairs))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("an all-duplicate batch appends nothing and the store keeps working") {
     val dir = Files.createTempDirectory("mediadup").toFile.getAbsolutePath
     val store = new MediaStore(spark, dir)

@@ -96,7 +96,7 @@ class ReleaseStoreSpec extends SparkSpec {
     store.ingest(b0, batchId = Some(0L))
     store.ingest(b1, batchId = Some(1L))
     store.ingest(b2, batchId = Some(2L))
-    // recursive: docs lives under __bucket= partition dirs
+    // recursive walk tolerates either layout
     def files(t: String): Int = {
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum
@@ -116,15 +116,12 @@ class ReleaseStoreSpec extends SparkSpec {
       .count(_.getName.startsWith("batch=")) == 3)
 
     store.compact()
-    // bounded: the unbucketed scored table collapses to a single file;
-    // the bucketed docs table collapses to EXACTLY one file per live
-    // bucket dir (the layout-preserving compaction contract); committed
+    // bounded: both tables collapse to a single file under the default
+    // (unbucketed) layout — the bucketed layout-preserving compaction
+    // contract is pinned by the dedicated layout specs; committed
     // batches' sidecars are pruned; markers survive
     assert(files("scored") == 1)
-    val docsDirs = new java.io.File(s"$dir/docs").listFiles()
-      .filter(_.getName.startsWith("__bucket="))
-    assert(docsDirs.nonEmpty && docsDirs.forall(
-      _.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    assert(files("docs") == 1)
     assert(!new java.io.File(s"$dir/batches").exists() ||
       new java.io.File(s"$dir/batches").listFiles()
         .count(_.getName.startsWith("batch=")) == 0)

@@ -1,0 +1,96 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import java.nio.file.Files
+
+/** The bucket-layout contracts the stores' performance posture rests
+  * on, pinned at the FILE level: a clustered append writes one file
+  * per touched bucket (not one per task × bucket — the small-files
+  * regression that made ×10 batch walls 10–20× worse before the
+  * repartition), and a pruned read opens only the probed buckets'
+  * files.
+  */
+class BucketedTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private class Probe(val s: SparkSession, val p: String, val mod: Int)
+      extends DurableStore with BucketedTables {
+    protected def spark: SparkSession = s
+    protected def path: String = p
+    protected lazy val effectiveBuckets: Int = mod
+    def read(table: String, logical: StructType,
+        buckets: Option[Seq[Int]]): DataFrame =
+      readTable(table, logical, buckets)
+    def append(df: DataFrame, idCol: String, dir: String): Unit =
+      appendBucketed(df, idCol, dir)
+    def bucketSet(ids: DataFrame, c: String): Option[Seq[Int]] =
+      bucketsOf(ids, c)
+    def bucketCol(c: org.apache.spark.sql.Column) = bucketOf(c)
+  }
+
+  private val logical = StructType(Seq(StructField("id", LongType)))
+
+  test("clustered append: one file per touched bucket per batch") {
+    val dir = Files.createTempDirectory("bt").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 8)
+    // 200 ids spread over >1 task: without the repartition this writes
+    // (tasks × buckets) files
+    probe.append(spark.range(200).select(col("id")).repartition(4),
+      "id", s"$dir/t")
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles()
+        .count(_.getName.endsWith(".parquet"))).toMap
+    assert(files.size == 8, s"expected 8 bucket dirs: $files")
+    assert(files.values.forall(_ == 1),
+      s"one file per bucket per append: $files")
+    // a second append adds at most one more per touched bucket
+    probe.append(spark.range(50).select(col("id")), "id", s"$dir/t")
+    val after = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(after.forall(_ <= 2))
+  }
+
+  test("pruned read opens only the probed buckets' files and keeps the logical shape") {
+    val dir = Files.createTempDirectory("bt2").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 8)
+    probe.append(spark.range(400).select(col("id")), "id", s"$dir/t")
+    // probe ids that hash into a known strict subset of buckets
+    val probeIds = spark.range(400).select(col("id"))
+      .where(probe.bucketCol(col("id")).isin(1, 5))
+    val bs = probe.bucketSet(probeIds, "id")
+    assert(bs == Some(Seq(1, 5)) || bs == Some(Seq(5, 1)), s"got $bs")
+    val pruned = probe.read("t", logical, bs)
+    assert(pruned.schema == logical) // __bucket never leaks
+    // the physical scan's partition pruning — inputFiles reports the
+    // relation's full listing regardless of filters, so assert on the
+    // planned scan's selected partition dirs
+    val scan = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val listing = scan.selectedPartitions
+    val dirs = listing.toPartitionArray
+      .map(f => new org.apache.hadoop.fs.Path(f.urlEncodedPath)
+        .getParent.getName).toSet
+    assert(listing.partitionCount == 2 &&
+      dirs == Set("__bucket=1", "__bucket=5"),
+      s"pruned read planned over: $dirs")
+    // and the pruned read IS the probed subset
+    assert(pruned.count() == probeIds.count())
+    // full read sees everything
+    assert(probe.read("t", logical, None).count() == 400)
+  }
+
+  test("a table with no partition dirs yet reads as a literal empty frame") {
+    val dir = Files.createTempDirectory("bt3").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 8)
+    probe.append(spark.range(10).where(lit(false)).select(col("id")),
+      "id", s"$dir/t") // all-empty append: only _SUCCESS lands
+    val df = probe.read("t", logical, Some(Seq(3)))
+    assert(df.schema == logical && df.count() == 0)
+  }
+}
