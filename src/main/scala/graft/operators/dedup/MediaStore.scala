@@ -203,6 +203,28 @@ final class MediaStore(protected val spark: SparkSession,
       batchId: Option[Long] = None): Unit =
     ingest(MediaStore.fingerprints(batch), batchId)
 
+  /** Start the continuous durable dedup over a raw media stream: each
+    * micro-batch real-decodes to per-kind fingerprints and ingests
+    * exactly-once ([[ingestMedia]] under the checkpoint's batch ids) —
+    * the durable complement of the within-watermark
+    * [[graft.streaming.StreamImageDedup]] twins: pairs against the
+    * WHOLE stored history accumulate here, not just the watermark
+    * window.
+    */
+  def start(stream: Dataset[Multimodal.MediaRow], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[Multimodal.MediaRow], id: Long) =>
+          ingestMedia(batch, Some(id))
+      }
+      .start()
+
   /** The duplicate-cluster labels over everything ingested so far,
     * maintained INCREMENTALLY: the label table persists under
     * `clusters/`, and each call folds in only the pair rows appended

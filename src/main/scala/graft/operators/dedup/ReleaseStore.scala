@@ -631,9 +631,24 @@ final class ReleaseStore(protected val spark: SparkSession,
     */
   private def storedStateDelta(bsh: DataFrame, bBands: DataFrame,
       bPref: DataFrame): DataFrame = {
-    val storedSh = readTable("shingles", bsh.schema)
-    val storedBands = readTable("bands", bBands.schema)
-    val storedPref = readTable("prefixes", bPref.schema)
+    // WIDEN the stored-side scans: a state table compacted to
+    // ≲ cores × maxPartitionBytes reads as a handful of partitions, and
+    // the probe pipelines here keep that partitioning through their
+    // whole fan-out — the batch side broadcasts, so the explode + join
+    // + partial pair-count aggregation all execute on the SCAN's
+    // partitions. Measured at ×100 right after the mid-stream compact:
+    // one task aggregating the probe fan-out for 20+ minutes while 31
+    // cores idled (per-batch wall 156 s → 1214/1415 s). A bounded
+    // shuffle of the stored side (its pre-fan-out scan size) restores
+    // width; once the table outgrows cores × maxPartitionBytes the scan
+    // is naturally wide and this is a no-op.
+    def widen(df: DataFrame): DataFrame = {
+      val cores = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    }
+    val storedSh = widen(readTable("shingles", bsh.schema))
+    val storedBands = widen(readTable("bands", bBands.schema))
+    val storedPref = widen(readTable("prefixes", bPref.schema))
     val storedIdx = storedSh.select(col("id"), explode(col("sh")).as("s"))
     val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
     val candJ = bBands.as("a")

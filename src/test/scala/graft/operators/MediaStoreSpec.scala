@@ -216,6 +216,44 @@ class MediaStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("soak: streaming ingest with kill before checkpoint commit + compaction between restarts") {
+    // the full streaming lifecycle: media rows arrive as a stream,
+    // each micro-batch real-decodes to fingerprints and ingests under
+    // the checkpoint's batch ids; a dropped checkpoint commit forces an
+    // at-least-once replay against a store the operator compacted
+    // while the stream was down. Pairs must equal a from-scratch
+    // hammingPairs over the decoded corpus; nothing duplicates.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("mediasoak").toFile.getAbsolutePath
+    val checkpoint = s"$dir/_ck"
+    val store = new MediaStore(spark, dir)
+    val mem = MemoryStream[Long]
+    def start() = store.start(
+      mem.toDS().map(MediaStoreSpec.image _), checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q1 = start()
+    mem.addData(1L, 2L)
+    q1.awaitTermination()
+    // crash window: the batch landed in the store but the CHECKPOINT
+    // never committed it — recovery must replay it as a no-op
+    val commitDir = new java.io.File(s"$checkpoint/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    store.compact(targetFileBytes = 1L)
+    mem.addData(3L, 50L)
+    val q2 = start()
+    q2.awaitTermination()
+    assert(store.prints.count() == 4)
+    val want = Dedup.hammingPairs(
+      MediaStore.fingerprints((1L to 3L).map(MediaStoreSpec.image)
+        .:+(MediaStoreSpec.image(50L)).toDS()), maxHamming = 3)
+    assert(rows(store.pairs.drop("batch")) == rows(want))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("an all-duplicate batch appends nothing and the store keeps working") {
     val dir = Files.createTempDirectory("mediadup").toFile.getAbsolutePath
     val store = new MediaStore(spark, dir)
@@ -225,5 +263,24 @@ class MediaStoreSpec extends SparkSpec {
     store.ingest(b1, batchId = Some(2L))
     store.ingest(b2, batchId = Some(3L))
     assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+  }
+}
+
+object MediaStoreSpec {
+  /** Path-PNG images whose REAL-decoded dHash equals a planted key:
+    * ids 1..3 form a ≤3-Hamming family (so the stream's batches pair
+    * across the kill/replay boundary), 50 is unrelated. An object
+    * member so stream lineages don't capture the spec class.
+    */
+  def image(id: Long): graft.operators.multimodal.Multimodal.MediaRow = {
+    val k = graft.queries.Pipeline.h48("mediasoak")
+    val sh = id match {
+      case 1L => k
+      case 2L => k ^ 1L
+      case 3L => k ^ 8L
+      case other => graft.queries.Pipeline.h48(s"far_$other")
+    }
+    graft.operators.multimodal.Multimodal.MediaRow(id, "image",
+      graft.operators.multimodal.Multimodal.encodePathPng(sh), "s")
   }
 }
