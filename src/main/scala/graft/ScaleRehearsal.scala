@@ -53,20 +53,18 @@ object ScaleRehearsal {
       * BEFORE any timed block reads it — measured decode walls time
       * the decode, not the fixture's own PNG/AVI/WAV encode (which
       * used to sit inside the measured lineage and dominate small
-      * payloads).
+      * payloads). Shares [[graft.queries.Pipeline.fixtureMedia]]'s
+      * keyed cache, which also sweeps prior processes' dead fixture
+      * dirs — a rehearsal never leaks a corpus-sized parquet per
+      * section.
       */
     def matMedia(name: String,
-        ds: org.apache.spark.sql.Dataset[
+        ds: => org.apache.spark.sql.Dataset[
           graft.operators.multimodal.Multimodal.MediaRow])
         : org.apache.spark.sql.Dataset[
-          graft.operators.multimodal.Multimodal.MediaRow] = {
-      import spark.implicits._
-      val p = java.nio.file.Files
-        .createTempDirectory(s"graft_rehearsal_media_$name").toString
-      ds.write.mode("overwrite").parquet(p)
-      spark.read.parquet(p)
-        .as[graft.operators.multimodal.Multimodal.MediaRow]
-    }
+          graft.operators.multimodal.Multimodal.MediaRow] =
+      graft.queries.Pipeline.fixtureMedia(spark, sfDir,
+        s"rehearsal_$name")(ds)
 
     val docs = Tables.load(spark, sfDir, "documents")
     val embs = Tables.load(spark, sfDir, "embeddings")

@@ -81,8 +81,10 @@ final class MediaStore(protected val spark: SparkSession,
 
   /** The LIVE bucket count: the pin wins; a pinned store without the
     * field is pre-bucketing history (unbucketed, 0); an unpinned store
-    * with existing tables adopts the layout its files actually have;
-    * only a genuinely fresh store takes the constructor value.
+    * with existing UNBUCKETED tables stays unbucketed; only a genuinely
+    * fresh store takes the constructor value. Bucketed-but-unpinned
+    * (a pin install crashed) refuses unless the caller re-states the
+    * original modulus — the [[ReleaseStore]] rule, same rationale.
     */
   protected lazy val effectiveBuckets: Int =
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
@@ -91,7 +93,13 @@ final class MediaStore(protected val spark: SparkSession,
         if (fs.exists(hPath(s"$path/prints"))) {
           val bucketed = fs.listStatus(hPath(s"$path/prints"))
             .exists(_.getPath.getName.startsWith("__bucket="))
-          if (bucketed) stateBuckets else 0
+          if (bucketed) {
+            if (stateBuckets <= 0) throw new IllegalStateException(
+              s"store at $path has a bucketed layout but no shape pin " +
+              "(a pin install crashed): reopen with the ORIGINAL " +
+              "stateBuckets to re-pin")
+            stateBuckets
+          } else 0
         } else stateBuckets
     }
 
@@ -136,6 +144,12 @@ final class MediaStore(protected val spark: SparkSession,
     */
   def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit =
     writeLock.synchronized {
+      // scoped, not releaseAll: the ingest's own persists (bPrints, the
+      // pair delta) die with the call, but a CALLER-persisted
+      // fingerprint corpus being sliced into batches must survive — a
+      // releaseAll here made every batch after the first silently
+      // re-run the full media decode inside its own ingest wall
+      graft.ScratchCache.scoped {
       checkShape(pin = true)
       recoverTable("prints"); recoverTable("pairs")
       val accepted = resolveAccepted(batch, "id", "prints", batchId)
@@ -189,7 +203,7 @@ final class MediaStore(protected val spark: SparkSession,
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
       }
-      graft.ScratchCache.releaseAll(spark)
+      }
       freeAcceptedCheckpoint()
     }
 

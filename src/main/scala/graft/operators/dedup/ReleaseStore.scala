@@ -135,8 +135,14 @@ final class ReleaseStore(protected val spark: SparkSession,
 
   /** The LIVE bucket count: the pin wins; a pinned store without the
     * field is pre-bucketing history (unbucketed, 0); an unpinned store
-    * with existing tables adopts the layout its files actually have;
-    * only a genuinely fresh store takes the constructor value.
+    * with existing UNBUCKETED tables stays unbucketed; only a genuinely
+    * fresh store takes the constructor value. An unpinned store whose
+    * tables ARE bucketed lost its pin mid-install — the dirs cannot
+    * reveal the modulus, and guessing wrong silently corrupts every
+    * replay guard (pruned anti-joins miss stored ids, re-accepted ids
+    * append duplicates under committed markers) — so the caller must
+    * re-state the original modulus to re-pin; a zero/absent constructor
+    * value refuses.
     */
   protected lazy val effectiveBuckets: Int = readShape() match {
     case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
@@ -144,7 +150,14 @@ final class ReleaseStore(protected val spark: SparkSession,
       if (fs.exists(hPath(s"$path/docs"))) {
         val bucketed = fs.listStatus(hPath(s"$path/docs"))
           .exists(_.getPath.getName.startsWith("__bucket="))
-        if (bucketed) stateBuckets else 0
+        if (bucketed) {
+          if (stateBuckets <= 0) throw new IllegalStateException(
+            s"store at $path has a bucketed layout but no shape pin " +
+            "(a pin install crashed): reopen with the ORIGINAL " +
+            "stateBuckets to re-pin - the layout cannot reveal its " +
+            "own modulus and a wrong guess corrupts the replay guards")
+          stateBuckets
+        } else 0
       } else stateBuckets
   }
 
@@ -359,6 +372,12 @@ final class ReleaseStore(protected val spark: SparkSession,
     // this batch appended in between (while their commit marker says
     // they landed, so the replay would skip too)
     writeLock.synchronized {
+    // scoped, not releaseAll: the ingest's own scratch persists (state
+    // frames, candidate sets) die with the call, but frames the CALLER
+    // holds — a persisted fingerprint/document corpus being sliced into
+    // batches — must survive, or every subsequent batch silently
+    // recomputes the caller's full lineage inside its own wall
+    graft.ScratchCache.scoped {
     checkShape(pin = true)
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
@@ -412,12 +431,10 @@ final class ReleaseStore(protected val spark: SparkSession,
         .withColumn("batch", lit(batchId.getOrElse(-1L)))
         .write.mode(SaveMode.Append).parquet(s"$path/scored")
     }
-    // outside the guarded block: a replay of a fully-committed batch
-    // skips the scored body but appendState still persisted its frames
-    // — releasing here frees them on every path, not just first runs
-    graft.ScratchCache.releaseAll(spark)
+    }
     // the accepted-set checkpoint (un-id'd ingests only) has served its
-    // last consumer — free its blocks
+    // last consumer — free its blocks (not ScratchCache-tracked:
+    // localCheckpoint blocks need their own release)
     freeAcceptedCheckpoint()
   }
 
@@ -563,8 +580,12 @@ final class ReleaseStore(protected val spark: SparkSession,
     // store's layout (scored is pair-keyed — plain).
     def install(name: String, df: DataFrame): Unit =
       if (effectiveBuckets > 0 && name != "scored")
+        // clustered like appendBucketed: without the repartition the
+        // partitioned write emits one file per (task × bucket) — the
+        // measured small-files regression
         installTable(s"$path/$name",
-          df.withColumn("__bucket", bucketOf(col("id"))),
+          df.withColumn("__bucket", bucketOf(col("id")))
+            .repartition(col("__bucket")),
           ".backfill", Seq("__bucket"))
       else installTable(s"$path/$name", df, ".backfill")
     if (missing.contains("shingles")) install("shingles", sh)
@@ -617,7 +638,8 @@ final class ReleaseStore(protected val spark: SparkSession,
           .foreach(fs.delete(_, false))
       install("members", m)
     }
-    graft.ScratchCache.releaseAll(spark)
+    // persists released by ingest's scoped block (ensureState only runs
+    // inside it) — a releaseAll here would nuke the caller's frames
   }
 
   /** The batch-touching scored delta from STORED state: batch bands

@@ -78,7 +78,11 @@ object Multimodal {
         col("n_frames"), nullInt.as("sample_rate"), nullLong.as("rms"),
         col("mean_rgb_milli"))
     val other = media
-      .filter(!col("kind").isin("image", "audio", "video"))
+      // NULL kind must route here too: `!isin(...)` evaluates to null
+      // (falsy) for null kinds, which would drop the row from every
+      // branch — violating the nothing-silently-dropped contract
+      .filter(col("kind").isNull ||
+        !col("kind").isin("image", "audio", "video"))
       .select(col("media_id"), col("kind"),
         lit("unknown_kind").as("cause"),
         lit(null).cast("string").as("format"), nullInt.as("width"),

@@ -50,6 +50,13 @@ private[graft] trait BucketedTables extends DurableStore {
   protected def readTable(table: String,
       logical: org.apache.spark.sql.types.StructType,
       buckets: Option[Seq[Int]] = None): DataFrame = {
+    // a never-ingested table reads as a literal empty frame in EITHER
+    // layout — accessor behavior must not depend on the bucket modulus
+    // (a monitoring read before the first micro-batch is legal)
+    if (!fs.exists(hPath(s"$path/$table")))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        logical)
     if (effectiveBuckets > 0) {
       // a bucketed table with NO partition dirs yet (only all-empty
       // appends so far) must read as a LITERAL empty frame, not a

@@ -40,11 +40,16 @@ final class KeyframeSink(protected val spark: SparkSession,
     StructField("batch", LongType)))
 
   /** The accumulated keyframe thumbnails — explicit schema so a sink
-    * whose only appends were all-empty frames still reads.
+    * whose only appends were all-empty frames still reads, and a
+    * never-written sink reads as a literal empty frame (a monitoring
+    * read before the first micro-batch is legal).
     */
   def thumbnails: DataFrame = {
     recoverTable("keyframes")
-    spark.read.schema(schema).parquet(s"$path/keyframes")
+    if (!fs.exists(hPath(s"$path/keyframes")))
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(s"$path/keyframes")
   }
 
   /** Append one micro-batch's keyframes exactly-once under `batchId`. */
@@ -52,8 +57,13 @@ final class KeyframeSink(protected val spark: SparkSession,
       batchId: Option[Long] = None): Unit = writeLock.synchronized {
     recoverTable("keyframes")
     markers.guarded("keyframes", batchId) {
+      // in-batch id dedup FIRST: a micro-batch can carry the same
+      // media_id twice (re-crawl inside one trigger interval), and the
+      // stored-side anti-join below can't see rows that aren't stored
+      // yet — without this, both copies' keyframes would land
       val kf = Multimodal
-        .videoKeyframes(media, minHamming, targetW, targetH)
+        .videoKeyframes(media.dropDuplicates("media_id"),
+          minHamming, targetW, targetH)
         .filter(col("cause") === "ok")
         .select(col("media_id"), col("frame_idx"), col("width"),
           col("height"), col("thumb_png"))

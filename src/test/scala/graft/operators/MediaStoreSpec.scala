@@ -192,6 +192,45 @@ class MediaStoreSpec extends SparkSpec {
     assert(got == Map(1L -> kI, 2L -> kV, 3L -> kA)) // empty row routed out
   }
 
+  test("a never-ingested store's accessors read empty instead of throwing") {
+    val dir = Files.createTempDirectory("mediafresh").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir) // default: unbucketed
+    assert(store.prints.count() == 0 && store.pairs.count() == 0)
+    assert(store.clusters().count() == 0)
+  }
+
+  test("ingest releases only its OWN scratch persists - caller-held caches survive") {
+    val dir = Files.createTempDirectory("mediascope").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    // the rehearsal/bench shape: a persisted fingerprint corpus sliced
+    // into batches — a releaseAll inside ingest would unpersist it and
+    // every later batch would silently recompute the full lineage
+    val corpus = graft.ScratchCache.persist(allPrints)
+    corpus.count()
+    store.ingest(corpus.where(col("id") < 10L), batchId = Some(0L))
+    assert(corpus.storageLevel.useMemory || corpus.storageLevel.useDisk,
+      "ingest unpersisted a caller-held frame")
+    store.ingest(corpus.where(col("id") >= 10L), batchId = Some(1L))
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("a bucketed store that lost its pin refuses to guess the modulus") {
+    val dir = Files.createTempDirectory("mediapinloss").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir, stateBuckets = 8)
+    store.ingest(b0, batchId = Some(0L))
+    assert(new java.io.File(s"$dir/store.meta").delete()) // pin-install crash
+    val e = intercept[IllegalStateException] {
+      new MediaStore(spark, dir).ingest(b1, batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("bucketed layout but no shape pin"))
+    // re-stating the original modulus re-pins and continues
+    val re = new MediaStore(spark, dir, stateBuckets = 8)
+    re.ingest(b1, batchId = Some(1L))
+    re.ingest(b2, batchId = Some(2L))
+    assert(rows(re.pairs.drop("batch")) == rows(wantPairs))
+  }
+
   test("bucketed layout: the pin wins over a different constructor default, parity holds") {
     val dir = Files.createTempDirectory("mediabuckets").toFile.getAbsolutePath
     val store = new MediaStore(spark, dir, stateBuckets = 8)

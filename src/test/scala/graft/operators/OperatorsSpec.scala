@@ -763,11 +763,15 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "video",
         Multimodal.encodeSolidAvi(4, 2, 3, 10, 9, 9, 9), "s"),
       Multimodal.MediaRow(4L, "text", Array[Byte](1, 2, 3), "s"),
-      Multimodal.MediaRow(5L, "image", Array.emptyByteArray, "s")
+      Multimodal.MediaRow(5L, "image", Array.emptyByteArray, "s"),
+      // NULL kind: must surface as unknown_kind, not silently vanish
+      // (a bare !isin(...) filter evaluates to null and drops the row)
+      Multimodal.MediaRow(6L, null, Array[Byte](9), "s")
     ).toDS()
     val rows = Multimodal.decodeMedia(media).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
-    assert(rows.size == 5) // nothing dropped by the dispatch
+    assert(rows.size == 6) // nothing dropped by the dispatch
+    assert(rows(6L).getAs[String]("cause") == "unknown_kind")
     val img = rows(1L)
     assert(img.getAs[String]("cause") == "ok" &&
       img.getAs[String]("format") == "png" &&

@@ -40,6 +40,24 @@ class KeyframeSinkSpec extends SparkSpec {
       img.getHeight == one.getAs[Int]("height"))
   }
 
+  test("a duplicate media_id WITHIN one micro-batch lands once") {
+    val dir = Files.createTempDirectory("kfdup").toFile.getAbsolutePath
+    val sink = new KeyframeSink(spark, dir)
+    // same id twice in one batch: the stored-side anti-join can't see
+    // rows that aren't stored yet — the in-batch dedup must
+    sink.writeBatch(media(1L, 1L), batchId = Some(0L))
+    val t = sink.thumbnails
+    assert(t.count() == 3) // one clip's keyframes {0, 2, 3}, once
+    assert(t.groupBy("media_id", "frame_idx").count()
+      .where(col("count") =!= 1).isEmpty)
+  }
+
+  test("a never-written sink reads as an empty frame") {
+    val dir = Files.createTempDirectory("kfempty").toFile.getAbsolutePath
+    val sink = new KeyframeSink(spark, dir)
+    assert(sink.thumbnails.count() == 0)
+  }
+
   test("a landed-but-unmarked append does not duplicate on id'd replay") {
     val dir = Files.createTempDirectory("kfwin").toFile.getAbsolutePath
     val sink = new KeyframeSink(spark, dir)
