@@ -26,6 +26,16 @@ object ReplicateCorpus {
     val reps = spark.range(n).select(col("id").as("replica"))
     def replicate(table: String, idCol: String): Unit = {
       val df = spark.read.parquet(s"$src/$table.parquet")
+      // the replica remap is only injective while source ids fit the
+      // stride — a source id ≥ 10⁷ (or negative) would silently merge
+      // replicas into duplicate ids, violating the stores'
+      // globally-unique-id contract the rehearsal then exercises
+      val Array(lo, hi) = df
+        .agg(min(col(idCol)), max(col(idCol))).head().toSeq.toArray
+      require(lo.asInstanceOf[Long] >= 0L &&
+        hi.asInstanceOf[Long] < 10000000L,
+        s"$table.$idCol range [$lo, $hi] does not fit the replica " +
+        "stride 10^7 - remapped ids would collide across replicas")
       df.crossJoin(broadcast(reps))
         .withColumn(idCol, col("replica") * lit(10000000L) + col(idCol))
         .drop("replica")

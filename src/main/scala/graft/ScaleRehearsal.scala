@@ -324,11 +324,13 @@ object ScaleRehearsal {
       out += "store_batch_secs" ->
         walls.map(w => f"$w%.1f").mkString("[", ",", "]")
       // the STEADY-STATE cadence: small novel batches (the 5-second
-      // micro-batch regime) against the full stored corpus — the
-      // id-hash bucket layout prunes every id-keyed anti-join and the
-      // candidate scoring read to the touched partition dirs, so these
-      // walls must track BATCH size, not stored-corpus size. Uses held
-      // out docs: the last big slice arrives as 5 small sub-batches.
+      // micro-batch regime) against the full stored corpus — these
+      // walls must track BATCH size, not stored-corpus size. When
+      // storeBuckets > 0, the id-hash bucket layout additionally prunes
+      // every id-keyed anti-join and the candidate scoring read to the
+      // touched partition dirs (the default run measures the unbucketed
+      // layout). Uses held out docs: the last big slice arrives as 5
+      // small sub-batches.
       val heldOut = docs.where(pmod(col("doc_id"), lit(slices)) === slices - 1)
       val smallWalls = (0 until 5).map { j =>
         val sb = heldOut.where(
@@ -625,9 +627,10 @@ object ScaleRehearsal {
       val dir = java.nio.file.Files.createTempDirectory("mediastore")
         .toFile.getAbsolutePath
       val store = new MediaStore(spark, dir, stateBuckets = storeBuckets)
+      val hk = h.withColumn("kind", lit("image"))
       (0L until 5L).foreach { b =>
         val (_, t) = timed(
-          store.ingest(h.where(pmod(col("id"), lit(5)) === b), Some(b)))
+          store.ingest(hk.where(pmod(col("id"), lit(5)) === b), Some(b)))
         out += s"mediastore_ingest${b}_sec" -> t
         if (b == 2L) store.compact(targetFileBytes = 64L * 1024 * 1024)
       }

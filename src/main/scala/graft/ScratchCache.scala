@@ -30,6 +30,20 @@ object ScratchCache {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[Dataset[_], java.lang.Boolean]())
 
+  /** The CURRENT THREAD's open [[scoped]] blocks, innermost on top:
+    * each records the frames persisted by this thread while it was
+    * open, so a scope releases exactly its own thread's scratch. Two
+    * concurrent streams (MediaStore.start + KeyframeSink.start in one
+    * process) each ingest on their own micro-batch thread — a global
+    * before/after snapshot would let one ingest's cleanup unpersist
+    * the other's in-flight frames.
+    */
+  private val scopes = new ThreadLocal[
+      java.util.ArrayDeque[java.util.Set[Dataset[_]]]] {
+    override def initialValue() =
+      new java.util.ArrayDeque[java.util.Set[Dataset[_]]]()
+  }
+
   /** Persist `ds` (recomputable lineage — executor loss recomputes) and
     * register it for the next [[releaseAll]] of its session.
     */
@@ -37,6 +51,8 @@ object ScratchCache {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
     tracked.add(ds)
+    val s = scopes.get().peek()
+    if (s != null) s.add(ds)
     ds
   }
 
@@ -52,28 +68,35 @@ object ScratchCache {
     }
   }
 
-  /** Run `f` and release every scratch frame persisted DURING it — for
-    * self-contained passes (a planner's counting plan, a one-shot audit)
-    * whose persists have no consumer once the block returns, without
-    * touching frames the caller already holds. Not re-entrancy-safe
-    * across concurrent sessions persisting interleaved scratch; the
-    * execution entry points run queries sequentially.
+  /** Run `f` and release every scratch frame THIS THREAD persisted
+    * during it — for self-contained passes (a planner's counting plan,
+    * a store ingest, a one-shot audit) whose persists have no consumer
+    * once the block returns, without touching frames the caller already
+    * holds. Thread-scoped tracking makes concurrent scopes safe: two
+    * streams ingesting in one process each clean up only their own
+    * scratch (another thread's frames persisted meanwhile belong to
+    * that thread's scope or the session's [[releaseAll]]). Nested
+    * scopes are fine — the inner scope owns its frames; the outer's
+    * release of an already-released frame is a no-op.
     */
   def scoped[T](f: => T): T = {
-    val before = new java.util.HashSet[Dataset[_]](tracked)
+    val mine: java.util.Set[Dataset[_]] =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    scopes.get().push(mine)
     try f
     finally {
       // release in finally: a throwing pass must not leak its persists.
       // Cleanup swallows ANY non-fatal error (not just the stopped-
       // session IllegalStateException): on the error path a throwing
       // unpersist would otherwise MASK f's real exception
-      val it = tracked.iterator()
+      scopes.get().pop()
+      val it = mine.iterator()
       while (it.hasNext) {
         val ds = it.next()
-        if (!before.contains(ds)) {
+        if (tracked.remove(ds)) {
           try ds.unpersist(blocking = false)
           catch { case scala.util.control.NonFatal(_) => () }
-          it.remove()
         }
       }
     }

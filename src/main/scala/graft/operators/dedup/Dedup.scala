@@ -1538,18 +1538,28 @@ object Dedup {
     * product; bucket skew means sketch skew (many all-alike documents),
     * which is the caller's exclusion contract (empty-input sketches
     * hash to one bucket).
+    *
+    * `blockCols` names extra NON-NULL input columns ADDED to the
+    * blocking equi-key and carried into the output: rows pair only
+    * when they agree on every block column — the modality guard a
+    * mixed-kind fingerprint corpus needs (an image dHash and an audio
+    * envelope hash landing within `maxHamming` must NOT pair; see
+    * [[MediaStore]]). Same shuffle shape — one more key column in the
+    * same equi-join, never a second pass.
     */
   def hammingPairs(sketches: DataFrame, maxHamming: Int,
-      chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
+      chunks: Int = 4, strictRecall: Boolean = true,
+      blockCols: Seq[String] = Nil): DataFrame = {
     requireHammingShape(maxHamming, chunks, strictRecall)
-    val chunked = chunkedSketches(sketches, chunks)
+    val chunked = chunkedSketches(sketches, chunks, blockCols)
     val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    val key = (Seq("chunk", "cv") ++ blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
     chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dist.as("hamming"))
+      .join(chunked.as("b"), key && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        dist.as("hamming") +: blockCols.map(c => col(s"a.$c")): _*)
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -1562,18 +1572,21 @@ object Dedup {
     * video frame hashes ("which images appear inside which clips"),
     * or a probe set against a stored fingerprint corpus. Both inputs:
     * (`id`, `sh`) with per-table distinct ids; output (id_a from left,
-    * id_b from right, hamming). Same equi-join/skew contract as the
-    * self-join.
+    * id_b from right, hamming). Same equi-join/skew contract — and the
+    * same `blockCols` modality guard — as the self-join.
     */
   def hammingJoin(left: DataFrame, right: DataFrame, maxHamming: Int,
-      chunks: Int = 4, strictRecall: Boolean = true): DataFrame = {
+      chunks: Int = 4, strictRecall: Boolean = true,
+      blockCols: Seq[String] = Nil): DataFrame = {
     requireHammingShape(maxHamming, chunks, strictRecall)
     val dist = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
-    chunkedSketches(left, chunks).as("a")
-      .join(chunkedSketches(right, chunks).as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dist.as("hamming"))
+    val key = (Seq("chunk", "cv") ++ blockCols)
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    chunkedSketches(left, chunks, blockCols).as("a")
+      .join(chunkedSketches(right, chunks, blockCols).as("b"), key)
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        dist.as("hamming") +: blockCols.map(c => col(s"a.$c")): _*)
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
@@ -1590,13 +1603,14 @@ object Dedup {
   }
 
   private def chunkedSketches(sketches: DataFrame,
-      chunks: Int): DataFrame =
-    sketches.select(col("id"), col("sh"),
+      chunks: Int, blockCols: Seq[String] = Nil): DataFrame =
+    sketches.select(col("id") +: col("sh") +: blockCols.map(col) :+
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("cv"))): _*))
-        .as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk"), col("cc.cv"))
+        .as("cc"): _*)
+      .select(col("id") +: col("sh") +: col("cc.chunk") +: col("cc.cv") +:
+        blockCols.map(col): _*)
 
   /** SimHash near-dup pairs with banded Hamming blocking: 4×16-bit chunks;
     * pairs agreeing on ≥1 chunk are candidates (catches all pairs with

@@ -2,7 +2,7 @@ package graft.operators.dedup
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.operators.multimodal.Multimodal
 
@@ -15,8 +15,8 @@ import graft.operators.multimodal.Multimodal
   * crawl's media dedup pays batch-proportional cost per ingest instead
   * of re-running a full-corpus [[Dedup.hammingPairs]] per release.
   *
-  * Parquet tables under `path` — `prints` (id, sh, batch: the
-  * fingerprint corpus), `pairs` (id_a, id_b, hamming, batch: the
+  * Parquet tables under `path` — `prints` (id, sh, kind, batch: the
+  * fingerprint corpus), `pairs` (id_a, id_b, hamming, kind, batch: the
   * accumulated verified pair set, id_a < id_b), `batches/batch=N`
   * accepted-id sidecars and `clusters/` (the cached CC label table) —
   * all under the [[graft.store.DurableStore]] discipline shared with
@@ -26,6 +26,18 @@ import graft.operators.multimodal.Multimodal
   * crash healing. Same ID CONTRACT: ids are globally unique across the
   * STORE; a re-crawled id in a later batch is ignored (first write
   * wins).
+  *
+  * KIND SAFETY: fingerprints of different modalities live in ONE hash
+  * space (64-bit dHash-family), and degenerate inputs hash degenerate
+  * (a solid image's gradient dHash and a constant audio envelope both
+  * land near all-zeros) — so `kind` is part of the pair semantics, not
+  * metadata. `prints` rows carry their modality, `pairs` form only
+  * within one (`kind` joins the [[Dedup.hammingJoin]] blocking
+  * equi-key — one more key column in the same join, no extra pass),
+  * and [[purge]] can therefore never delete an image as a "duplicate"
+  * of an audio clip. The property is pinned in `store.meta`
+  * (`kinded=1`); a pre-kind store refuses every entry point until
+  * [[backfillKinds]] migrates it.
   *
   * Each ingest pays the batch×stored two-sided [[Dedup.hammingJoin]]
   * (both sides 16-bit-chunk blocked — an equi-join, never a cross
@@ -74,10 +86,11 @@ final class MediaStore(protected val spark: SparkSession,
 
   private val printsSchema = StructType(Seq(
     StructField("id", LongType), StructField("sh", LongType),
-    StructField("batch", LongType)))
+    StructField("kind", StringType), StructField("batch", LongType)))
   private val pairsSchema = StructType(Seq(
     StructField("id_a", LongType), StructField("id_b", LongType),
-    StructField("hamming", LongType), StructField("batch", LongType)))
+    StructField("hamming", LongType), StructField("kind", StringType),
+    StructField("batch", LongType)))
 
   /** The LIVE bucket count: the pin wins; a pinned store without the
     * field is pre-bucketing history (unbucketed, 0); an unpinned store
@@ -98,6 +111,9 @@ final class MediaStore(protected val spark: SparkSession,
               s"store at $path has a bucketed layout but no shape pin " +
               "(a pin install crashed): reopen with the ORIGINAL " +
               "stateBuckets to re-pin")
+            // the re-stated modulus is checkable against the layout —
+            // refuse a refutable guess before it corrupts replay guards
+            validateRepin("prints", "id", stateBuckets)
             stateBuckets
           } else 0
         } else stateBuckets
@@ -107,6 +123,7 @@ final class MediaStore(protected val spark: SparkSession,
     * store whose only appends were all-empty frames still reads.
     */
   def prints: DataFrame = {
+    checkShape(pin = false)
     recoverTable("prints")
     readTable("prints", printsSchema)
   }
@@ -115,18 +132,29 @@ final class MediaStore(protected val spark: SparkSession,
     * store's pinned radius, batch = the ingest that generated the row).
     */
   def pairs: DataFrame = {
+    checkShape(pin = false)
     recoverTable("pairs")
     readTable("pairs", pairsSchema)
   }
 
   private def shapeMap: Map[String, String] =
     Map("maxHamming" -> maxHamming.toString, "chunks" -> chunks.toString,
-      "buckets" -> effectiveBuckets.toString)
+      "buckets" -> effectiveBuckets.toString, "kinded" -> "1")
 
   private def checkShape(pin: Boolean): Unit =
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
       case None => if (pin) writeShapePin(shapeMap)
       case Some(m) =>
+        // a pinned store WITHOUT the kinded field predates the kind
+        // column: its prints/pairs rows carry no modality, so reading
+        // them under the current schema would silently null every kind
+        // and a mixed ingest could cross-pair modalities — refuse every
+        // entry point until the one-time [[backfillKinds]] migrates it
+        if (!m.contains("kinded")) throw new IllegalStateException(
+          s"MediaStore at $path predates the kind-safe pair schema " +
+          "(prints/pairs carry no modality column): run " +
+          "backfillKinds((id, kind)) once to migrate, or recreate the " +
+          "store")
         shapeMap.foreach { case (f, v) =>
           val stored = m.getOrElse(f, v)
           if (stored != v) throw new IllegalStateException(
@@ -135,15 +163,22 @@ final class MediaStore(protected val spark: SparkSession,
         }
     }
 
-  /** Ingest one micro-batch of fingerprints (`id`, `sh` — extra columns
-    * are dropped): append the batch's accepted rows to `prints` and
-    * their batch-touching ≤-maxHamming pair delta to `pairs`, each
+  /** Ingest one micro-batch of fingerprints (`id`, `sh`, `kind` — extra
+    * columns are dropped): append the batch's accepted rows to `prints`
+    * and their batch-touching ≤-maxHamming pair delta to `pairs`, each
     * exactly-once under `batchId` (the `foreachBatch` contract; un-id'd
     * calls stay idempotent through the accepted-set resolution — a
-    * repeated batch resolves to an empty set).
+    * repeated batch resolves to an empty set). `kind` is the NON-NULL
+    * modality tag ([[MediaStore.fingerprints]] supplies it); pairs form
+    * only within one kind — see the class-level KIND SAFETY contract.
     */
   def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit =
     writeLock.synchronized {
+      require(batch.columns.contains("kind"),
+        "MediaStore.ingest needs a non-null `kind` column (the modality " +
+        "tag): fingerprints of different media kinds share one 64-bit " +
+        "hash space and must never pair — use MediaStore.fingerprints, " +
+        "or tag a single-modality frame with lit(\"image\") etc.")
       // scoped, not releaseAll: the ingest's own persists (bPrints, the
       // pair delta) die with the call, but a CALLER-persisted
       // fingerprint corpus being sliced into batches must survive — a
@@ -154,7 +189,7 @@ final class MediaStore(protected val spark: SparkSession,
       recoverTable("prints"); recoverTable("pairs")
       val accepted = resolveAccepted(batch, "id", "prints", batchId)
       val bPrints = graft.ScratchCache.persist(batch
-        .select(col("id"), col("sh")).dropDuplicates("id")
+        .select(col("id"), col("sh"), col("kind")).dropDuplicates("id")
         .join(accepted, col("id") === col("__bid"), "left_semi"))
       markers.guarded("prints", batchId) {
         // anti-join against the LIVE table: a replay after a
@@ -179,12 +214,18 @@ final class MediaStore(protected val spark: SparkSession,
         val stored =
           if (fs.exists(hPath(s"$path/prints")))
             prints.join(accepted, col("id") === col("__bid"), "left_anti")
-              .select(col("id"), col("sh"))
+              .select(col("id"), col("sh"), col("kind"))
           else bPrints.limit(0)
-        val cross = Dedup.hammingJoin(bPrints, stored, maxHamming, chunks)
+        // kind joins the blocking equi-key: pairs form only within one
+        // modality (the KIND SAFETY contract) — same join shape, one
+        // more key column
+        val cross = Dedup.hammingJoin(bPrints, stored, maxHamming, chunks,
+            blockCols = Seq("kind"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
-        val self = Dedup.hammingPairs(bPrints, maxHamming, chunks)
+            greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"),
+            col("kind"))
+        val self = Dedup.hammingPairs(bPrints, maxHamming, chunks,
+          blockCols = Seq("kind"))
         // the delta is candidate-volume-bounded — persist it so the
         // replay guard can prune the stored-pairs scan to the buckets
         // its id_a values hash into (one tiny collect)
@@ -311,6 +352,82 @@ final class MediaStore(protected val spark: SparkSession,
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** One-time migration of a PRE-KIND store (tables written before the
+    * `kind` column existed) to the kind-safe schema: every stored
+    * print gains its modality from the caller-supplied (`id`, `kind`)
+    * mapping, and stored pairs keep only rows whose BOTH ends share a
+    * kind — cross-kind rows were exactly the false pairs the kind
+    * guard exists to prevent, so dropping them is the correction, not
+    * a loss. The cached cluster labels are dropped (the next
+    * [[clusters]] rebuilds from the corrected pairs), and `kinded=1`
+    * moves into `store.meta` LAST — a crash anywhere re-enters
+    * idempotently (reads tolerate half-migrated tables: the legacy
+    * rows' null kinds are re-joined, already-kinded rows re-join to
+    * the same value).
+    *
+    * Refuses a mapping that does not cover every stored id: an
+    * unmapped print would carry a null kind, which pairs with nothing
+    * — silently dead to dedup forever.
+    */
+  def backfillKinds(kinds: DataFrame): Unit = writeLock.synchronized {
+    graft.ScratchCache.scoped {
+      val meta = graft.store.DurableStore
+        .readMeta(fs, hPath(s"$path/store.meta"))
+        .getOrElse(throw new IllegalStateException(
+          s"no shape pin at $path/store.meta - a never-ingested store " +
+          "has nothing to migrate"))
+      if (!meta.contains("kinded")) {
+        recoverTable("prints"); recoverTable("pairs")
+        // heal a prior backfill that died between installTable's two
+        // renames (complete table at `.kinds.old`, nothing live) — the
+        // schema'd read would otherwise see a MISSING table as empty
+        // and install the empty frame over the real data
+        Seq("prints", "pairs").foreach { t =>
+          val dir = hPath(s"$path/$t")
+          val old = hPath(s"$path/$t.kinds.old")
+          if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
+            throw new java.io.IOException(
+              s"cannot restore $t from .kinds.old")
+        }
+        val km = graft.ScratchCache.persist(
+          kinds.select(col("id"), col("kind")).dropDuplicates("id"))
+        val layout = if (effectiveBuckets > 0) Seq("__bucket") else Nil
+        def install(name: String, df: DataFrame, idc: String): Unit =
+          if (fs.exists(hPath(s"$path/$name")))
+            installTable(s"$path/$name",
+              if (layout.isEmpty) df
+              else df.withColumn("__bucket", bucketOf(col(idc)))
+                .repartition(col("__bucket")),
+              ".kinds", layout)
+        // legacy parquet footers lack `kind`: the schema'd read nulls
+        // it, the join refills it — so a re-entered half-migration
+        // re-derives the same rows
+        val pr = graft.ScratchCache.persist(
+          readTable("prints", printsSchema).drop("kind")
+            .join(km, Seq("id"), "left"))
+        if (pr.where(col("kind").isNull).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"backfillKinds mapping does not cover every stored id at " +
+            s"$path/prints - an unmapped print would carry a null kind " +
+            "and silently pair with nothing")
+        install("prints", pr.select(printsSchema.fieldNames.map(col): _*),
+          "id")
+        val ka = km.select(col("id").as("id_a"), col("kind"))
+        install("pairs",
+          readTable("pairs", pairsSchema).drop("kind")
+            .join(ka, Seq("id_a"))
+            .join(km.select(col("id").as("id_b"),
+              col("kind").as("__kb")), Seq("id_b"))
+            .where(col("kind") === col("__kb"))
+            .select(pairsSchema.fieldNames.map(col): _*),
+          "id_a")
+        // label water marks predate the pair correction — rebuild
+        fs.delete(hPath(s"$path/clusters"), true)
+        writeShapePin(meta + ("kinded" -> "1"))
+      }
+    }
+  }
+
   /** Small-file compaction for `prints`/`pairs`/`clusters` plus sidecar
     * pruning — the [[ReleaseStore.compact]] contract (including the
     * reader invalidation: re-resolve frames through the accessors after
@@ -340,13 +457,16 @@ object MediaStore {
   def fingerprints(media: Dataset[Multimodal.MediaRow]): DataFrame = {
     val img = Multimodal.imageDHash(media.filter(col("kind") === "image"))
       .where(col("cause") === "ok")
-      .select(col("media_id").as("id"), col("dhash").as("sh"))
+      .select(col("media_id").as("id"), col("dhash").as("sh"),
+        lit("image").as("kind"))
     val vid = Multimodal.videoDHash(media.filter(col("kind") === "video"))
       .where(col("cause") === "ok")
-      .select(col("media_id").as("id"), col("clip_dhash").as("sh"))
+      .select(col("media_id").as("id"), col("clip_dhash").as("sh"),
+        lit("video").as("kind"))
     val aud = Multimodal.audioDHash(media.filter(col("kind") === "audio"))
       .where(col("cause") === "ok")
-      .select(col("media_id").as("id"), col("dhash").as("sh"))
+      .select(col("media_id").as("id"), col("dhash").as("sh"),
+        lit("audio").as("kind"))
     img.unionByName(vid).unionByName(aud).toDF()
   }
 

@@ -156,6 +156,9 @@ final class ReleaseStore(protected val spark: SparkSession,
             "(a pin install crashed): reopen with the ORIGINAL " +
             "stateBuckets to re-pin - the layout cannot reveal its " +
             "own modulus and a wrong guess corrupts the replay guards")
+          // the re-stated modulus is checkable against the layout —
+          // refuse a refutable guess before it corrupts replay guards
+          validateRepin("docs", idCol, stateBuckets)
           stateBuckets
         } else 0
       } else stateBuckets

@@ -126,15 +126,54 @@ object Pipeline {
     * incremental star-edge fold, not one full build.
     */
   private def mediaStoreDrive(s: SparkSession, dir: String,
-      foldPerBatch: Boolean = false): graft.operators.dedup.MediaStore = {
+      foldPerBatch: Boolean = false,
+      hashesOverride: Option[DataFrame] = None)
+      : graft.operators.dedup.MediaStore = {
     val store = new graft.operators.dedup.MediaStore(s, storeScratchDir(s))
-    val h = neardupHashes(s, dir)
+    val h = hashesOverride.getOrElse(
+      neardupHashes(s, dir).withColumn("kind", lit("image")))
     (0L until 2L).foreach { b =>
       store.ingest(h.where(pmod(col("id"), lit(2)) === b), batchId = Some(b))
       if (foldPerBatch) store.clusters()
       if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
     }
     store
+  }
+
+  /** The q_media_store_mixed fingerprint table: ONE corpus interleaves
+    * all three modalities whose REAL-decoded fingerprints share the
+    * SAME planted [[pathKey]] families — cross-kind 64-bit hash
+    * collisions by construction. Within a 4-doc key group, members
+    * `m = id % 4` sit at Hamming 0/1/3/8 from the group base while the
+    * kind assignment (m ≤ 1 image, m = 2 audio, m = 3 video) leaves
+    * exactly ONE in-kind pair (m 0↔1, Hamming 1) and puts the other
+    * ≤3-Hamming relations (0↔2 at 3, 1↔2 at 2) ACROSS kinds — a
+    * kind-blind store would pair and purge across modalities here.
+    * `% 97` rows are planted empty for the cause routing, uniformly
+    * across kinds.
+    */
+  private def mixedKindHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id")).as[Long]
+    val media = fixtureMedia(s, dir, "mixed_kind")(d.mapPartitions(_.map {
+      id =>
+        val k = pathKey(id)
+        val kind = (id % 4) match {
+          case 0 | 1 => "image"
+          case 2 => "audio"
+          case _ => "video"
+        }
+        val payload =
+          if (id % 97 == 0) Array.emptyByteArray
+          else kind match {
+            case "image" => Multimodal.encodePathPng(k)
+            case "audio" => Multimodal.encodeStepWav(k)
+            case _ => Multimodal.encodePathAvi(Seq(k, k, k))
+          }
+        Multimodal.MediaRow(id, kind, payload, "synth")
+    }))
+    graft.ScratchCache.persist(
+      graft.operators.dedup.MediaStore.fingerprints(media))
   }
 
   /** Long-format (product, row_md5) rendering of a release's eight
@@ -601,6 +640,19 @@ object Pipeline {
       val store = mediaStoreDrive(s, dir, foldPerBatch = true)
       store.clusters()
     }),
+
+    // KIND SAFETY, gated end to end: a MIXED image/audio/video corpus
+    // with PLANTED cross-kind 64-bit hash collisions (see
+    // mixedKindHashes — every key group holds ≤3-Hamming relations
+    // ACROSS kinds) drives the same 2-batch store lifecycle; pairs must
+    // form only within a modality (`kind` in the blocking equi-key),
+    // and the oracle replays the key arithmetic, the kind assignment,
+    // the kind-blocked banding and the bit_count verification
+    "q_media_store_mixed" -> ((s, dir) =>
+      mediaStoreDrive(s, dir,
+        hashesOverride = Some(mixedKindHashes(s, dir)))
+        .pairs
+        .select(col("id_a"), col("id_b"), col("hamming"), col("kind"))),
 
     // REAL video near-dup, end to end: 3-frame path AVIs (majority clip
     // fingerprint == the md5-derived pathKey; see videoClipHashes) are
@@ -1857,6 +1909,36 @@ object Pipeline {
       |    AND a.doc_id < b.doc_id)""".stripMargin
 
   private lazy val imageKeyCtes: String = keyCtes("doc_id % 97 != 0")
+
+  /** The mixed-modality variant: same pathKey arithmetic, plus the
+    * fixture's kind assignment (m ≤ 1 image, m = 2 audio, m = 3 video)
+    * carried into the chunk blocking — candidates must agree on kind,
+    * exactly the store's blocked equi-key.
+    */
+  private lazy val mixedKindCtes: String =
+    s"""g AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+      |  FROM documents WHERE doc_id % 97 != 0),
+      |b AS (SELECT doc_id,
+      |    CASE WHEN m <= 1 THEN 'image' WHEN m = 2 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    ((${hex48("'h' || CAST(gid AS VARCHAR)")}) % 32768)
+      |      * 281474976710656
+      |      + (${hex48("'l' || CAST(gid AS VARCHAR)")}) AS base,
+      |    CASE m WHEN 0 THEN 0
+      |      WHEN 1 THEN (1::BIGINT << CAST(gid % 62 AS INT))
+      |      WHEN 2 THEN (1::BIGINT << CAST(gid % 62 AS INT)) |
+      |        (1::BIGINT << CAST((gid + 21) % 62 AS INT)) |
+      |        (1::BIGINT << CAST((gid + 42) % 62 AS INT))
+      |      ELSE 578721382704613384 END AS mask
+      |  FROM g),
+      |k AS (SELECT doc_id, kind, xor(base, mask) AS dh FROM b),
+      |c AS (SELECT doc_id, kind, dh, i AS chunk,
+      |      (dh >> CAST(i * 16 AS INT)) & 65535 AS cv
+      |  FROM k, LATERAL (SELECT unnest(range(0, 4)) AS i) r),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.kind AS kind
+      |  FROM c a JOIN c b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.kind = b.kind AND a.doc_id < b.doc_id)""".stripMargin
 
   /** The video-clip variant: the `% 89` rows are planted TRUNCATED
     * clips (routed out of the pair path by cause, like the `% 97`
@@ -3828,6 +3910,20 @@ object Pipeline {
       s"""WITH RECURSIVE $imageKeyCtes
         |SELECT id_a, id_b,
         |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming
+        |FROM cand JOIN k da ON id_a = da.doc_id
+        |  JOIN k db ON id_b = db.doc_id
+        |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,
+
+    // the mixed-modality store-safety gate: the same key arithmetic
+    // with the fixture's kind assignment joined into the chunk
+    // blocking — pairs exist only within a modality, so the planted
+    // cross-kind ≤3-Hamming relations (m 0↔2 at 3, 1↔2 at 2) are
+    // ABSENT and the one in-kind relation (m 0↔1 at 1) survives
+    "q_media_store_mixed" ->
+      s"""WITH RECURSIVE $mixedKindCtes
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(da.dh, db.dh)) AS BIGINT) AS hamming,
+        |  cand.kind AS kind
         |FROM cand JOIN k da ON id_a = da.doc_id
         |  JOIN k db ON id_b = db.doc_id
         |WHERE bit_count(xor(da.dh, db.dh)) <= 3""".stripMargin,

@@ -84,6 +84,45 @@ private[graft] trait BucketedTables extends DurableStore {
     } else spark.read.schema(logical).parquet(s"$path/$table")
   }
 
+  /** Cheap invariants a caller-re-stated modulus must pass BEFORE a
+    * pin-loss re-pin is accepted ([[effectiveBuckets]]' bucketed-but-
+    * unpinned branch): the layout cannot reveal its own modulus, but it
+    * CAN refute a wrong guess — (a) every on-disk `__bucket=N` dir must
+    * have N < buckets (a layout containing `__bucket=7` refutes a
+    * re-pin of 4), and (b) the ids inside one sampled dir must hash to
+    * exactly that dir value under the candidate modulus (a re-pin of
+    * 512 against a 256-bucket layout passes (a) but scatters half of
+    * any dir's ids elsewhere). A wrong modulus accepted here would
+    * silently corrupt every replay guard — pruned anti-joins missing
+    * stored ids, duplicates appending under committed markers — so
+    * refusal is the only safe failure mode. One dir listing plus one
+    * single-dir scan, paid once per pin-loss recovery (never on the
+    * ingest path).
+    */
+  protected def validateRepin(table: String, idColName: String,
+      buckets: Int): Unit = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return
+    val parts = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt)
+    parts.find(_ >= buckets).foreach { b =>
+      throw new IllegalStateException(
+        s"re-pin stateBuckets=$buckets rejected: $table contains " +
+        s"__bucket=$b - the original modulus must exceed every " +
+        "existing bucket value")
+    }
+    parts.sorted.headOption.foreach { b =>
+      val bad = spark.read.parquet(s"$path/$table/__bucket=$b")
+        .where(pmod(xxhash64(col(idColName)), lit(buckets)) =!= b)
+        .limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"re-pin stateBuckets=$buckets rejected: ids under " +
+        s"$table/__bucket=$b do not hash to $b at that modulus - " +
+        "re-state the ORIGINAL bucket count")
+    }
+  }
+
   /** The distinct buckets a frame's ids hash into — the prune set for
     * id-keyed anti-joins (one tiny collect per ingest). None when the
     * store is unbucketed or every bucket is touched anyway.

@@ -24,7 +24,7 @@ class MediaStoreSpec extends SparkSpec {
   private val K3 = K ^ 0x00ff00ff00ff00ffL
 
   private def prints(rows: (Long, Long)*): DataFrame =
-    rows.toSeq.toDF("id", "sh")
+    rows.toSeq.toDF("id", "sh").withColumn("kind", lit("image"))
 
   // near-dup relations deliberately SPAN batches: 1↔2 within b0, 1↔3
   // and 2↔3 across b0/b1, 20↔21 across b1/b2; 50/51 unrelated
@@ -37,7 +37,8 @@ class MediaStoreSpec extends SparkSpec {
 
   private def allPrints = b0.unionByName(b1).unionByName(b2)
 
-  private def wantPairs = Dedup.hammingPairs(allPrints, maxHamming = 3)
+  private def wantPairs =
+    Dedup.hammingPairs(allPrints, maxHamming = 3, blockCols = Seq("kind"))
 
   test("batch ingest with replay and re-crawled ids equals from-scratch hammingPairs") {
     val dir = Files.createTempDirectory("mediastore").toFile.getAbsolutePath
@@ -187,9 +188,10 @@ class MediaStoreSpec extends SparkSpec {
       Multimodal.MediaRow(3L, "audio", Multimodal.encodeStepWav(kA), "s"),
       Multimodal.MediaRow(4L, "image", Array.emptyByteArray, "s")
     ).toDS()
-    val got = MediaStore.fingerprints(media).as[(Long, Long)]
-      .collect().toMap
-    assert(got == Map(1L -> kI, 2L -> kV, 3L -> kA)) // empty row routed out
+    val got = MediaStore.fingerprints(media).as[(Long, Long, String)]
+      .collect().map { case (id, sh, kind) => id -> ((sh, kind)) }.toMap
+    assert(got == Map(1L -> ((kI, "image")), 2L -> ((kV, "video")),
+      3L -> ((kA, "audio")))) // empty row routed out
   }
 
   test("a never-ingested store's accessors read empty instead of throwing") {
@@ -218,17 +220,37 @@ class MediaStoreSpec extends SparkSpec {
   test("a bucketed store that lost its pin refuses to guess the modulus") {
     val dir = Files.createTempDirectory("mediapinloss").toFile.getAbsolutePath
     val store = new MediaStore(spark, dir, stateBuckets = 8)
-    store.ingest(b0, batchId = Some(0L))
+    // enough ids that every bucket dir exists (makes the wrong-modulus
+    // refutations below deterministic)
+    store.ingest(prints((100L to 131L).map(i =>
+      i -> (i * 0x9e3779b97f4a7c15L)): _*), batchId = Some(0L))
+    store.ingest(b0, batchId = Some(1L))
     assert(new java.io.File(s"$dir/store.meta").delete()) // pin-install crash
     val e = intercept[IllegalStateException] {
-      new MediaStore(spark, dir).ingest(b1, batchId = Some(1L))
+      new MediaStore(spark, dir).ingest(b1, batchId = Some(2L))
     }
     assert(e.getMessage.contains("bucketed layout but no shape pin"))
+    // a re-stated modulus is VALIDATED against the layout, not trusted:
+    // 4 is refuted by the existing __bucket=7 dir; 16 passes the dir
+    // range but the sampled dir's ids don't hash to it at that modulus
+    val e4 = intercept[IllegalStateException] {
+      new MediaStore(spark, dir, stateBuckets = 4)
+        .ingest(b1, batchId = Some(2L))
+    }
+    assert(e4.getMessage.contains("rejected"))
+    val e16 = intercept[IllegalStateException] {
+      new MediaStore(spark, dir, stateBuckets = 16)
+        .ingest(b1, batchId = Some(2L))
+    }
+    assert(e16.getMessage.contains("rejected"))
     // re-stating the original modulus re-pins and continues
     val re = new MediaStore(spark, dir, stateBuckets = 8)
-    re.ingest(b1, batchId = Some(1L))
-    re.ingest(b2, batchId = Some(2L))
-    assert(rows(re.pairs.drop("batch")) == rows(wantPairs))
+    re.ingest(b1, batchId = Some(2L))
+    re.ingest(b2, batchId = Some(3L))
+    assert(rows(re.pairs.drop("batch")) == rows(Dedup.hammingPairs(
+      allPrints.unionByName(prints((100L to 131L).map(i =>
+        i -> (i * 0x9e3779b97f4a7c15L)): _*)),
+      maxHamming = 3, blockCols = Seq("kind"))))
   }
 
   test("bucketed layout: the pin wins over a different constructor default, parity holds") {
@@ -288,9 +310,95 @@ class MediaStoreSpec extends SparkSpec {
     assert(store.prints.count() == 4)
     val want = Dedup.hammingPairs(
       MediaStore.fingerprints((1L to 3L).map(MediaStoreSpec.image)
-        .:+(MediaStoreSpec.image(50L)).toDS()), maxHamming = 3)
+        .:+(MediaStoreSpec.image(50L)).toDS()), maxHamming = 3,
+      blockCols = Seq("kind"))
     assert(rows(store.pairs.drop("batch")) == rows(want))
     graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("mixed-modality ingest never pairs across kinds, even at Hamming 0") {
+    // the degenerate-hash scenario: an image, an audio clip and a video
+    // whose 64-bit fingerprints are IDENTICAL (planted collision — a
+    // solid PNG's gradient dHash and a constant envelope both land
+    // degenerate in the wild), plus a genuine in-kind near-dup per
+    // modality. Pairs must form within a kind only.
+    val dir = Files.createTempDirectory("mediakinds").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    def kinded(kind: String, rows: (Long, Long)*): DataFrame =
+      rows.toSeq.toDF("id", "sh").withColumn("kind", lit(kind))
+    val m0 = kinded("image", 1L -> K, 2L -> flips(K, 0))
+      .unionByName(kinded("audio", 3L -> K))
+    val m1 = kinded("video", 4L -> K, 5L -> flips(K, 2))
+      .unionByName(kinded("audio", 6L -> flips(K, 1)))
+    store.ingest(m0, batchId = Some(0L))
+    store.ingest(m1, batchId = Some(1L)) // cross-batch probes too
+    val got = store.pairs.select("id_a", "id_b", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    // in-kind: image 1↔2, audio 3↔6, video 4↔5; NOTHING across kinds
+    // despite six fingerprints within Hamming ≤ 2 of each other
+    assert(got == Set((1L, 2L, "image"), (3L, 6L, "audio"),
+      (4L, 5L, "video")))
+    // purge can therefore never delete across modalities
+    val ids = store.prints.select(col("id"))
+    val q = ids.select(col("id"), col("id").cast("long").as("q"))
+    assert(store.purge(ids, "id", q).as[Long].collect().toSet ==
+      Set(2L, 6L, 5L))
+  }
+
+  test("ingest without a kind column refuses instead of guessing") {
+    val dir = Files.createTempDirectory("mediareq").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      store.ingest(Seq(1L -> K).toDF("id", "sh"), batchId = Some(0L))
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+
+  test("a pre-kind store refuses every entry point until backfillKinds migrates it") {
+    // fabricate the LEGACY layout: old-schema tables (no kind column)
+    // whose pairs include a cross-kind false positive, plus a pin
+    // without the kinded field
+    val dir = Files.createTempDirectory("medialegacy").toFile.getAbsolutePath
+    val oldPrints = Seq((1L, K, 0L), (2L, flips(K, 0), 0L), (3L, K, 0L))
+      .toDF("id", "sh", "batch")
+    oldPrints.write.parquet(s"$dir/prints")
+    // legacy pairs: kind-blind — 1↔2 (true, both image), 1↔3 and 2↔3
+    // (false: 3 is audio)
+    Seq((1L, 2L, 1L, 0L), (1L, 3L, 0L, 0L), (2L, 3L, 1L, 0L))
+      .toDF("id_a", "id_b", "hamming", "batch").write.parquet(s"$dir/pairs")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/store.meta"),
+      "buckets=0\nchunks=4\nmaxHamming=3\n".getBytes("UTF-8"))
+    val store = new MediaStore(spark, dir)
+    val e = intercept[IllegalStateException] {
+      store.ingest(prints(9L -> K2), batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("backfillKinds"))
+    intercept[IllegalStateException](store.clusters())
+    // a mapping that misses a stored id refuses (a null kind would
+    // silently never pair)
+    intercept[IllegalArgumentException] {
+      store.backfillKinds(Seq(1L -> "image").toDF("id", "kind"))
+    }
+    val kinds = Seq(1L -> "image", 2L -> "image", 3L -> "audio")
+      .toDF("id", "kind")
+    store.backfillKinds(kinds)
+    store.backfillKinds(kinds) // idempotent re-entry
+    // the cross-kind false pairs are gone, the true pair keeps its kind
+    assert(store.pairs.select("id_a", "id_b", "kind")
+      .as[(Long, Long, String)].collect().toSet == Set((1L, 2L, "image")))
+    assert(store.prints.where(col("kind").isNull).count() == 0)
+    // the store works again: a later batch pairs in-kind against
+    // migrated state (4 is audio at Hamming 0 from print 3)
+    store.ingest(prints(5L -> flips(K, 1)).unionByName(
+      Seq((4L, K)).toDF("id", "sh").withColumn("kind", lit("audio"))),
+      batchId = Some(1L))
+    val got = store.pairs.select("id_a", "id_b", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "image"), (1L, 5L, "image"),
+      (2L, 5L, "image"), (3L, 4L, "audio")))
+    assert(rows(store.clusters()) == rows(Dedup.connectedComponents(
+      store.pairs.select(col("id_a"), col("id_b")))))
   }
 
   test("an all-duplicate batch appends nothing and the store keeps working") {
