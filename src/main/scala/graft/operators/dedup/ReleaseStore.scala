@@ -666,14 +666,17 @@ final class ReleaseStore(protected val spark: SparkSession,
     // cores idled (per-batch wall 156 s → 1214/1415 s). A bounded
     // shuffle of the stored side (its pre-fan-out scan size) restores
     // width; once the table outgrows cores × maxPartitionBytes the scan
-    // is naturally wide and this is a no-op.
-    def widen(df: DataFrame): DataFrame = {
+    // is naturally wide and this is a no-op. Width comes from the
+    // FileIndex side (plannedScanWidth's one listing), not from
+    // df.rdd.getNumPartitions — instantiating the RDD forces split
+    // planning on the driver per ingest.
+    def widen(table: String, df: DataFrame): DataFrame = {
       val cores = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+      if (plannedScanWidth(table) < cores) df.repartition(cores) else df
     }
-    val storedSh = widen(readTable("shingles", bsh.schema))
-    val storedBands = widen(readTable("bands", bBands.schema))
-    val storedPref = widen(readTable("prefixes", bPref.schema))
+    val storedSh = widen("shingles", readTable("shingles", bsh.schema))
+    val storedBands = widen("bands", readTable("bands", bBands.schema))
+    val storedPref = widen("prefixes", readTable("prefixes", bPref.schema))
     val storedIdx = storedSh.select(col("id"), explode(col("sh")).as("s"))
     val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
     val candJ = bBands.as("a")
@@ -710,6 +713,34 @@ final class ReleaseStore(protected val spark: SparkSession,
       bucketsOf(candIds, "id"))
     Dedup.scoreCandidates(cand, candSh.join(candIds, Seq("id"), "left_semi"))
   }
+
+  /** Start the continuous durable release over a document STREAM: each
+    * micro-batch ingests exactly-once under the checkpoint's batch ids
+    * ([[ingest]] with `foreachBatch`'s id — the dedupAppend markers
+    * make the sink's at-least-once replays no-ops). This is the durable
+    * complement of the within-watermark streaming dedup twins
+    * ([[graft.streaming.StreamDedup]] and friends): pairs accumulate
+    * against the WHOLE stored corpus here, not just the watermark
+    * window, and [[products]]/[[productsCached]] read the release at
+    * any time while the stream runs (reads are driver-sequential per
+    * store by the DurableStore contract). One active stream per store
+    * per process — same contract as
+    * [[graft.operators.dedup.MediaStore.start]].
+    */
+  def start(stream: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          ingest(batch.toDF(), Some(id))
+      }
+      .start()
 
   /** The eight-product release over everything ingested so far, derived
     * from the STORED pair set — the pair join is never re-run.

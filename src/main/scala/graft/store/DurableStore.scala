@@ -31,6 +31,46 @@ private[graft] trait DurableStore {
   /** Last streaming batch id durably written to `table` (−1 if none). */
   def lastCommitted(table: String): Long = markers.lastCommitted(table)
 
+  /** The scan width Spark would PLAN for `table`, estimated from one
+    * recursive file listing instead of instantiating the scan's RDD
+    * (`df.rdd.getNumPartitions` forces split planning through a fresh
+    * RDD lineage on every ingest — driver work that grows with the
+    * table's file count). Reproduces `FilePartition.maxSplitBytes`:
+    * splits pack up to `min(maxPartitionBytes, max(openCostInBytes,
+    * Σ(size + openCost) / defaultParallelism))`, so planned width ≈
+    * `ceil(Σ(size + openCost) / maxSplitBytes)`. The estimate errs LOW
+    * (file boundaries can only split a packing further), which is the
+    * safe direction for its one consumer — the post-compact widen
+    * compares it against `defaultParallelism` and repartitions when
+    * narrow, so an underestimate can only widen a scan that was
+    * already wide enough (a bounded no-op-ish shuffle), never skip a
+    * widen the real plan needed.
+    */
+  protected def plannedScanWidth(table: String): Int = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return 0
+    var bytes = 0L
+    var files = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        bytes += st.getLen
+        files += 1
+      }
+    }
+    if (files == 0) return 0
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val total = bytes + files * openCost
+    val perCore = total / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit =
+      math.max(1L, math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, perCore)))
+    math.ceil(total.toDouble / maxSplit).toInt
+  }
+
   /** Heal a compact() that died between its two renames: the complete
     * table sits at `.compact.old` and nothing at the live path. This
     * MUST run before any table access, not just inside the next
@@ -124,7 +164,14 @@ private[graft] trait DurableStore {
     * later batch is ignored (first write wins).
     */
   protected def resolveAccepted(batch: DataFrame, idColName: String,
-      storedTable: String, batchId: Option[Long]): DataFrame = {
+      storedTable: String, batchId: Option[Long],
+      ns: String = ""): DataFrame = {
+    // `ns` separates the sidecar namespaces of INDEPENDENT ingest
+    // planes on one store (e.g. MediaStore's whole-clip prints vs its
+    // per-frame clip sequences): each plane's foreachBatch numbers its
+    // own batches from 0, so un-namespaced sidecars would collide —
+    // plane B's batch 0 reading plane A's pinned membership
+    val nsDir = if (ns.isEmpty) "batches" else s"batches_$ns"
     def resolve(): DataFrame = {
       val ids = batch.select(col(idColName).as("__bid")).distinct()
       if (fs.exists(hPath(s"$path/$storedTable"))) {
@@ -140,8 +187,8 @@ private[graft] trait DurableStore {
         // stored now) — an unguarded rewrite would silently unscore the
         // batch. The marker commits only after the sidecar write, so
         // the resolved set is immutable once any later step ran.
-        val side = s"$path/batches/batch=$id"
-        markers.guarded(s"batches/$id", Some(id)) {
+        val side = s"$path/$nsDir/batch=$id"
+        markers.guarded(s"$nsDir/$id", Some(id)) {
           resolve().write.mode(SaveMode.Overwrite).parquet(side)
         }
         // marker committed but sidecar pruned = the batch is fully
@@ -217,9 +264,10 @@ private[graft] trait DurableStore {
     * still replay). Commit markers live under `_commits/` and are
     * untouched, so replay accounting survives compaction.
     */
-  protected def pruneSidecars(tables: Seq[String]): Unit =
+  protected def pruneSidecars(tables: Seq[String], ns: String = ""): Unit =
     writeLock.synchronized {
-      val root = hPath(s"$path/batches")
+      val nsDir = if (ns.isEmpty) "batches" else s"batches_$ns"
+      val root = hPath(s"$path/$nsDir")
       if (!fs.exists(root)) return
       val safe = tables.map(lastCommitted).min
       fs.listStatus(root)
@@ -231,7 +279,7 @@ private[graft] trait DurableStore {
             // (harmless — the next prune removes it), while the reverse
             // order would leave a committed marker pointing at a missing
             // sidecar and crash-loop every replay of that batch
-            fs.delete(hPath(s"$path/_commits/batches/$id"), false)
+            fs.delete(hPath(s"$path/_commits/$nsDir/$id"), false)
             fs.delete(d.getPath, true)
             ()
           }

@@ -737,15 +737,12 @@ class ReleaseStoreSpec extends SparkSpec {
     val checkpoint = s"$dir/_ck"
     val store = new ReleaseStore(spark, dir, "doc_id", "text")
     val mem = MemoryStream[(Long, String)]
-    def start() = mem.toDF().toDF("doc_id", "text")
+    // the PACKAGED streaming entry: store.start wires foreachBatch →
+    // ingest under the checkpoint's batch ids
+    def start() = store.start(mem.toDF().toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        store.ingest(b, batchId = Some(id))
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2)))),
+      checkpoint)
     val q1 = start()
     mem.addData((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
@@ -807,16 +804,10 @@ class ReleaseStoreSpec extends SparkSpec {
     val dir = Files.createTempDirectory("relstream").toFile.getAbsolutePath
     val store = new ReleaseStore(spark, dir, "doc_id", "text")
     val in = MemoryStream[(Long, String)]
-    val stream = in.toDF().toDF("doc_id", "text")
+    val stream = store.start(in.toDF().toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2))))
-      .writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        store.ingest(b, batchId = Some(id))
-      }
-      .option("checkpointLocation",
-        Files.createTempDirectory("relck").toFile.getAbsolutePath)
-      .start()
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(2)))),
+      Files.createTempDirectory("relck").toFile.getAbsolutePath)
     try {
       in.addData((1L, "alpha beta gamma delta epsilon zeta"),
         (50L, "totally unrelated text about completely different things"))
