@@ -81,7 +81,19 @@ import graft.operators.multimodal.Multimodal
   */
 final class MediaStore(protected val spark: SparkSession,
     protected val path: String,
-    maxHamming: Int = 3, chunks: Int = 4, stateBuckets: Int = 0)
+    maxHamming: Int = 3, chunks: Int = 4, stateBuckets: Int = 0,
+    /** Frame-level Hamming radius of the CLIP plane's alignment
+      * matches (0 = exact hash equality, [[Multimodal.clipAlignment]]'s
+      * default). Pinned: the stored `clippairs` mean nothing at a
+      * different radius.
+      */
+    clipMaxHamming: Int = 0,
+    /** Frame-index packing modulus of the clip plane
+      * ([[Multimodal.clipAlignment]]'s `maxFrames`) — every ingested
+      * `frame_idx` must sit in [0, clipMaxFrames). Pinned with the
+      * radius.
+      */
+    clipMaxFrames: Int = 4096)
     extends graft.store.DurableStore with graft.store.BucketedTables {
 
   private val printsSchema = StructType(Seq(
@@ -91,6 +103,16 @@ final class MediaStore(protected val spark: SparkSession,
     StructField("id_a", LongType), StructField("id_b", LongType),
     StructField("hamming", LongType), StructField("kind", StringType),
     StructField("batch", LongType)))
+  private val clipFramesSchema = StructType(Seq(
+    StructField("id", LongType), StructField("frame_idx", LongType),
+    StructField("sh", LongType), StructField("kind", StringType),
+    StructField("batch", LongType)))
+  private val clipPairsSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("frames_a", LongType), StructField("aligned", LongType),
+    StructField("offset", LongType),
+    StructField("containment_pm", LongType),
+    StructField("kind", StringType), StructField("batch", LongType)))
 
   /** The LIVE bucket count: the pin wins; a pinned store without the
     * field is pre-bucketing history (unbucketed, 0); an unpinned store
@@ -137,9 +159,31 @@ final class MediaStore(protected val spark: SparkSession,
     readTable("pairs", pairsSchema)
   }
 
+  /** The stored per-clip frame-hash sequences (id, frame_idx, sh, kind,
+    * batch) — the CLIP plane's state ([[ingestClips]]).
+    */
+  def clipFrames: DataFrame = {
+    checkShape(pin = false)
+    recoverTable("clipframes")
+    readTable("clipframes", clipFramesSchema)
+  }
+
+  /** The accumulated DIRECTED best-offset alignment rows (id_a's
+    * containment in id_b, [[Multimodal.clipAlignment]]'s shape + kind
+    * + batch) — every clip pair with ≥1 frame-level match, scored by
+    * the ingest that brought its LATER clip.
+    */
+  def clipPairs: DataFrame = {
+    checkShape(pin = false)
+    recoverTable("clippairs")
+    readTable("clippairs", clipPairsSchema)
+  }
+
   private def shapeMap: Map[String, String] =
     Map("maxHamming" -> maxHamming.toString, "chunks" -> chunks.toString,
-      "buckets" -> effectiveBuckets.toString, "kinded" -> "1")
+      "buckets" -> effectiveBuckets.toString, "kinded" -> "1",
+      "clipHamming" -> clipMaxHamming.toString,
+      "clipMaxFrames" -> clipMaxFrames.toString)
 
   private def checkShape(pin: Boolean): Unit =
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
@@ -279,6 +323,196 @@ final class MediaStore(protected val spark: SparkSession,
           ingestMedia(batch, Some(id))
       }
       .start()
+
+  /** Ingest one micro-batch of per-clip frame-hash SEQUENCES (`id`,
+    * `frame_idx`, `sh`, `kind` — [[Multimodal.videoDHash]] frame hashes
+    * or [[Multimodal.audioSegments]] rows, see
+    * [[MediaStore.frameSequences]]): append the accepted clips' frames
+    * to `clipframes` and their batch-touching DIRECTED alignment delta
+    * to `clippairs`, each exactly-once under `batchId`. This is the
+    * incremental twin of [[Multimodal.clipContainmentPurge]]'s
+    * alignment: each ingest pays batch-self + batch×stored frame
+    * matching (kind-blocked equi-joins, never a cross product) and the
+    * diagonal vote over ITS OWN match volume — stored×stored is never
+    * re-aligned, so a release's purge decision
+    * ([[purgeClips]]) reads accumulated alignment instead of
+    * re-aligning the corpus.
+    *
+    * CLIP ATOMICITY: all frames of a clip must arrive in ONE
+    * micro-batch (the id contract extended to sequences — a clip split
+    * across batches would align on its first fragment only, and the
+    * second fragment's rows would be refused as a re-crawled id).
+    * DELTA COMPLETENESS: for a clip pair {a, b} with b accepted no
+    * later than a... every frame match between them sits in a's
+    * ingest (b fully stored, a fully in batch), so the best-offset
+    * vote over the delta equals the from-scratch vote
+    * (MediaStoreSpec pins it against [[Multimodal.clipAlignment]]).
+    */
+  def ingestClips(frames: DataFrame, batchId: Option[Long] = None): Unit =
+    writeLock.synchronized {
+      require(frames.columns.contains("kind"),
+        "MediaStore.ingestClips needs a non-null `kind` column: frame " +
+        "hashes of different modalities share one 64-bit hash space " +
+        "and must never align — tag video frames lit(\"video\"), audio " +
+        "segments lit(\"audio\"), or use MediaStore.frameSequences")
+      graft.ScratchCache.scoped {
+      checkShape(pin = true)
+      // pre-clip pins lack the clip fields (checkShape tolerates absent
+      // fields) — record them the first time the clip plane is used so
+      // later reopens validate against them
+      graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta"))
+        .foreach { m =>
+          if (!m.contains("clipHamming")) writeShapePin(
+            m + ("clipHamming" -> clipMaxHamming.toString)
+              + ("clipMaxFrames" -> clipMaxFrames.toString))
+        }
+      recoverTable("clipframes"); recoverTable("clippairs")
+      val accepted =
+        resolveAccepted(frames, "id", "clipframes", batchId, ns = "clips")
+      val bFrames = graft.ScratchCache.persist(frames
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("sh"), col("kind"))
+        .dropDuplicates("id", "frame_idx")
+        .join(accepted, col("id") === col("__bid"), "left_semi"))
+      // the packing modulus is a SHAPE property: an index outside
+      // [0, clipMaxFrames) would alias into another clip's packed key
+      // and silently corrupt the diagonal vote — refuse the batch
+      if (bFrames.where(col("frame_idx") < 0 ||
+          col("frame_idx") >= clipMaxFrames).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"ingestClips frame_idx outside [0, $clipMaxFrames): reopen " +
+          "the store with a larger clipMaxFrames (a NEW store - the " +
+          "packing modulus is pinned) or truncate the sequences")
+      markers.guarded("clipframes", batchId) {
+        // anti-join by clip id against the LIVE table: a replay after a
+        // landed-but-unmarked append finds its ids present and appends
+        // nothing (clip atomicity makes the id the replay key)
+        val fresh =
+          if (fs.exists(hPath(s"$path/clipframes")))
+            bFrames.join(
+              readTable("clipframes", clipFramesSchema,
+                bucketsOf(bFrames, "id")).select(col("id")).distinct(),
+              Seq("id"), "left_anti")
+          else bFrames
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id", s"$path/clipframes")
+      }
+      markers.guarded("clippairs", batchId) {
+        val packedKey =
+          (col("id") * clipMaxFrames + col("frame_idx")).as("id")
+        val packedB = bFrames.select(packedKey, col("sh"), col("kind"))
+        // the stored side is clipframes MINUS this batch's accepted ids
+        // (the replay view — a landed clipframes append must not put
+        // the batch's own frames on the stored side)
+        val storedF =
+          if (fs.exists(hPath(s"$path/clipframes")))
+            clipFramesWide(readTable("clipframes", clipFramesSchema))
+              .join(accepted, col("id") === col("__bid"), "left_anti")
+          else bFrames.limit(0)
+        val packedS = storedF.select(packedKey, col("sh"), col("kind"))
+        // frame-level matches, kind-blocked: batch self-join (both
+        // orientations fall out of the join) + batch×stored in BOTH
+        // orientations (containment is directed — the swap rows let the
+        // stored clip's own containment in the batch clip score too)
+        def matches(l: DataFrame, r: DataFrame): DataFrame =
+          if (clipMaxHamming == 0)
+            l.as("a").join(r.as("b"),
+              col("a.sh") === col("b.sh") &&
+                col("a.kind") === col("b.kind"))
+              .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          else Dedup.hammingJoin(l, r, clipMaxHamming, chunks,
+              blockCols = Seq("kind"))
+            .select(col("id_a"), col("id_b"))
+        val crossM = graft.ScratchCache.persist(
+          matches(packedB, packedS))
+        val m = matches(packedB, packedB)
+          .unionAll(crossM)
+          .unionAll(crossM.select(col("id_b").as("id_a"),
+            col("id_a").as("id_b")))
+        // per-clip frame counts: the batch's own, plus ONLY the stored
+        // clips the cross matches touched (bucket-pruned scan — count
+        // cost tracks candidate volume, not corpus)
+        val bCounts = bFrames.groupBy(col("id"), col("kind"))
+          .agg(count(lit(1)).as("frames_a"))
+          .select(col("id"), col("frames_a"), col("kind"))
+        val candS = graft.ScratchCache.persist(crossM
+          .select(expr(s"id_b div $clipMaxFrames").as("id")).distinct())
+        val sCounts = readTable("clipframes", clipFramesSchema,
+            bucketsOf(candS, "id"))
+          .join(candS, Seq("id"), "left_semi")
+          .groupBy(col("id"), col("kind"))
+          .agg(count(lit(1)).as("frames_a"))
+          .select(col("id"), col("frames_a"), col("kind"))
+        val delta = graft.ScratchCache.persist(Multimodal.bestAlignment(
+          m, bCounts.unionByName(sCounts), clipMaxFrames))
+        // anti-join on the DIRECTED pair key: an alignment row is
+        // generated by exactly one ingest (its later clip's), so a row
+        // already stored ⟺ the landed-append replay window
+        val fresh =
+          if (fs.exists(hPath(s"$path/clippairs")))
+            delta.join(
+              readTable("clippairs", clipPairsSchema,
+                bucketsOf(delta, "id_a"))
+                .select(col("id_a"), col("id_b")),
+              Seq("id_a", "id_b"), "left_anti")
+          else delta
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id_a", s"$path/clippairs")
+      }
+      }
+      freeAcceptedCheckpoint()
+    }
+
+  /** Survivors of a sub-clip containment purge over `corpus`: the
+    * accumulated DIRECTED alignment rows threshold at `thresholdPm`,
+    * normalize to undirected edges, cluster, and one keeper per
+    * cluster survives by quality ([[Multimodal.clipContainmentPurge]]'s
+    * decision served from STORED alignment — nothing is re-decoded or
+    * re-aligned; MediaStoreSpec pins the equality).
+    *
+    * @param quality (id, q) — pass frame/segment counts so the longest
+    *   upload wins over its cut-outs
+    */
+  def purgeClips(corpus: DataFrame, idCol: String, quality: DataFrame,
+      thresholdPm: Long = 800): DataFrame =
+    Multimodal.containmentPurgeTail(corpus, idCol, clipPairs, quality,
+      thresholdPm)
+
+  /** Start the continuous durable sub-clip dedup over a raw media
+    * stream: each micro-batch real-decodes to per-clip frame sequences
+    * ([[MediaStore.frameSequences]] — video frame hashes + audio
+    * segment hashes) and ingests exactly-once under the checkpoint's
+    * batch ids. The clip plane's own sidecar namespace makes this
+    * stream independent of a [[start]] prints stream — but the two
+    * must not run CONCURRENTLY in one process against one store (the
+    * writeLock serializes them; run them as one stream over
+    * [[ingestMedia]] + [[ingestClips]] in a shared foreachBatch if
+    * both planes ingest the same crawl).
+    */
+  def startClips(stream: Dataset[Multimodal.MediaRow], checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[Multimodal.MediaRow], id: Long) =>
+          ingestClips(MediaStore.frameSequences(batch), Some(id))
+      }
+      .start()
+
+  /** Widen a possibly-compacted clipframes scan before its probe
+    * fan-out — the [[ReleaseStore]] post-compact scan-width lesson
+    * applied to the clip plane (the FileIndex-side estimate, no RDD
+    * instantiation).
+    */
+  private def clipFramesWide(df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (plannedScanWidth("clipframes") < cores) df.repartition(cores)
+    else df
+  }
 
   /** The duplicate-cluster labels over everything ingested so far,
     * maintained INCREMENTALLY: the label table persists under
@@ -437,9 +671,14 @@ final class MediaStore(protected val spark: SparkSession,
     checkShape(pin = false)
     val layout =
       if (effectiveBuckets > 0) Seq("__bucket") else Nil
-    Seq("prints", "pairs").foreach(compactTable(_, targetFileBytes, layout))
+    Seq("prints", "pairs", "clipframes", "clippairs")
+      .foreach(compactTable(_, targetFileBytes, layout))
     compactTable("clusters", targetFileBytes)
     pruneSidecars(Seq("prints", "pairs"))
+    // the clip plane's own namespace: its sidecars prune against ITS
+    // tables' markers (never written ⇒ lastCommitted −1 ⇒ no-op)
+    if (fs.exists(hPath(s"$path/batches_clips")))
+      pruneSidecars(Seq("clipframes", "clippairs"), ns = "clips")
   }
 }
 
@@ -470,6 +709,35 @@ object MediaStore {
     img.unionByName(vid).unionByName(aud).toDF()
   }
 
+  /** Per-kind REAL frame-SEQUENCE dispatch over a mixed-modality media
+    * table — the [[MediaStore.ingestClips]] input shape (id, frame_idx,
+    * sh, kind): videos explode [[Multimodal.videoDHash]]'s per-frame
+    * hashes, audio rides [[Multimodal.audioSegments]]'s windowed
+    * envelope hashes (an acoustic "frame" sequence — sub-clip
+    * containment works for cut-out audio re-posts exactly as for
+    * video). Images carry no sequence (a single hash can't vote a
+    * diagonal); the print plane owns them.
+    */
+  def frameSequences(media: Dataset[Multimodal.MediaRow],
+      /** PCM frames per audio segment hash — 44100 ≈ one second at CD
+        * rate; must stay FIXED for a store's life (segment hashes at
+        * different granularities never align).
+        */
+      audioSegFrames: Long = 44100L): DataFrame = {
+    val vid = Multimodal.videoDHash(media.filter(col("kind") === "video"))
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"),
+        posexplode(col("frame_dhash")).as(Seq("frame_idx", "sh")),
+        lit("video").as("kind"))
+    val aud = Multimodal.audioSegments(
+        media.filter(col("kind") === "audio"), segFrames = audioSegFrames)
+      .where(col("cause") === "ok")
+      .select(col("media_id").as("id"),
+        col("seg_idx").cast("long").as("frame_idx"),
+        col("dhash").as("sh"), lit("audio").as("kind"))
+    vid.unionByName(aud)
+  }
+
   /** Reopen an existing store with its PINNED shape — every knob comes
     * from `store.meta`, not the caller's memory. Throws on a store with
     * no pin (never ingested): construct explicitly once to pin it.
@@ -488,6 +756,10 @@ object MediaStore {
       chunks = req("chunks"),
       // layout: effectiveBuckets reads the pin anyway (pin wins);
       // passing it keeps the constructed shape equal to the pinned one
-      stateBuckets = m.get("buckets").map(_.toInt).getOrElse(0))
+      stateBuckets = m.get("buckets").map(_.toInt).getOrElse(0),
+      // clip-plane pins appear at first ingestClips; a pre-clip pin
+      // reopens with the defaults (validated when the plane is used)
+      clipMaxHamming = m.get("clipHamming").map(_.toInt).getOrElse(0),
+      clipMaxFrames = m.get("clipMaxFrames").map(_.toInt).getOrElse(4096))
   }
 }

@@ -1298,7 +1298,25 @@ object Multimodal {
         packed.as("a").join(packed.as("b"), col("a.sh") === col("b.sh"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       else graft.operators.dedup.Dedup.hammingJoin(
-        packed, packed, maxHamming, chunks)
+          packed, packed, maxHamming, chunks)
+        .select(col("id_a"), col("id_b"))
+    val na = frames.groupBy(col("id"))
+      .agg(count(lit(1)).as("frames_a"))
+    bestAlignment(m, na, maxFrames)
+  }
+
+  /** The diagonal-voting tail [[clipAlignment]] and the incremental
+    * store delta ([[graft.operators.dedup.MediaStore.ingestClips]])
+    * share: from a PACKED frame-match set `m` (id_a, id_b — both
+    * `clip * maxFrames + frame_idx`, BOTH orientations present for
+    * every clip pair) and per-clip frame counts `counts` (id,
+    * frames_a + any carried columns, e.g. kind), vote the best offset
+    * per directed clip pair and emit (id_a, id_b, frames_a, aligned,
+    * offset, containment_pm, carried…). Aggregation cost tracks the
+    * match volume — true frame-level duplication, never corpus².
+    */
+  private[graft] def bestAlignment(m: DataFrame, counts: DataFrame,
+      maxFrames: Int): DataFrame = {
     val a = expr(s"id_a div $maxFrames")
     val b = expr(s"id_b div $maxFrames")
     val diag = (col("id_b") % maxFrames) - (col("id_a") % maxFrames)
@@ -1310,12 +1328,13 @@ object Multimodal {
       .orderBy(col("aligned").desc, col("offset").asc)
     val best = byDiag.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    val na = frames.groupBy(col("id"))
-      .agg(count(lit(1)).as("frames_a"))
-    best.join(na, col("ca") === col("id"))
-      .select(col("ca").as("id_a"), col("cb").as("id_b"),
+    val carried = counts.columns.toSeq
+      .filter(c => c != "id" && c != "frames_a")
+    best.join(counts, col("ca") === col("id"))
+      .select(Seq(col("ca").as("id_a"), col("cb").as("id_b"),
         col("frames_a"), col("aligned"), col("offset"),
-        expr("aligned * 1000 div frames_a").as("containment_pm"))
+        expr("aligned * 1000 div frames_a").as("containment_pm")) ++
+        carried.map(col): _*)
   }
 
   /** Sub-clip containment PURGE: [[clipAlignment]] composed into a
@@ -1338,9 +1357,24 @@ object Multimodal {
   def clipContainmentPurge(corpus: DataFrame, idCol: String,
       frames: DataFrame, quality: DataFrame, thresholdPm: Long = 800,
       maxHamming: Int = 0, chunks: Int = 4,
-      maxFrames: Int = 4096): DataFrame = {
+      maxFrames: Int = 4096): DataFrame =
+    containmentPurgeTail(corpus, idCol,
+      clipAlignment(frames, maxHamming, chunks, maxFrames),
+      quality, thresholdPm)
+
+  /** The release-decision tail [[clipContainmentPurge]] and the
+    * incremental store purge
+    * ([[graft.operators.dedup.MediaStore.purgeClips]]) share: threshold
+    * the DIRECTED alignment rows, normalize to undirected edges,
+    * cluster through the shared distributed CC, keep ONE winner per
+    * cluster by quality (ties → smallest id), anti-join the losers out
+    * of `corpus`.
+    */
+  private[graft] def containmentPurgeTail(corpus: DataFrame, idCol: String,
+      alignment: DataFrame, quality: DataFrame,
+      thresholdPm: Long): DataFrame = {
     import graft.operators.dedup.Dedup
-    val pairs = clipAlignment(frames, maxHamming, chunks, maxFrames)
+    val pairs = alignment
       .where(col("containment_pm") >= thresholdPm)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))

@@ -729,6 +729,30 @@ object Pipeline {
         frames, quality, thresholdPm = 800)
     }),
 
+    // the INCREMENTAL twin of q_clip_purge: the full clips (even ids)
+    // ingest as batch 0 of a MediaStore's CLIP plane, compact() fires
+    // mid-stream, and the cut-out re-posts (odd ids) arrive as batch 1
+    // — aligned batch×stored against the compacted state, never
+    // re-aligning the corpus. purgeClips serves the release decision
+    // from accumulated DIRECTED alignment rows; delta completeness
+    // (every frame match of a clip pair sits in its later clip's
+    // ingest) makes the composed q_clip_purge oracle apply verbatim
+    "q_clip_store" -> ((s, dir) => {
+      val store = new graft.operators.dedup.MediaStore(s,
+        storeScratchDir(s))
+      val frames = clipAlignFrames(s, dir)
+        .withColumn("kind", lit("video"))
+      (0L until 2L).foreach { b =>
+        store.ingestClips(frames.where(pmod(col("id"), lit(2)) === b),
+          batchId = Some(b))
+        if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+      }
+      val quality = frames.groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("q"))
+      store.purgeClips(docs(s, dir).select(col("doc_id")), "doc_id",
+        quality, thresholdPm = 800)
+    }),
+
     // SHOT-BOUNDARY detection, end to end: clips whose frames hold one
     // md5-derived key except a planted 24-bit-away middle section —
     // Multimodal.videoDHash REALLY decodes every frame and videoScenes
@@ -2038,6 +2062,12 @@ object Pipeline {
     // member's batch), so the image near-dup oracles apply verbatim
     ("q_media_store" -> oraclesBase("q_image_neardup")) +
     ("q_media_clusters" -> oraclesBase("q_image_clusters")) +
+    // the clip plane's accumulated alignment == from-scratch
+    // clipAlignment (delta completeness: every frame match of a clip
+    // pair sits in its later clip's ingest), so the purge decision —
+    // and the composed q_clip_purge oracle — apply verbatim to the
+    // 2-batch store drive
+    ("q_clip_store" -> oraclesBase("q_clip_purge")) +
     // incremental-LSH products == from-scratch-LSH products: the union
     // of the prior LSH release's scored set with the batch-touching
     // delta covers every ≥-threshold pair with identical scores

@@ -411,6 +411,104 @@ class MediaStoreSpec extends SparkSpec {
     store.ingest(b2, batchId = Some(3L))
     assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
   }
+
+  // ---- the CLIP plane: per-clip frame sequences, incremental
+  // alignment, sub-clip purge served from stored state
+
+  private def clipRows(kind: String, rs: (Long, Seq[Long])*): DataFrame =
+    rs.toSeq.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (id, i.toLong, h) }
+    }.toDF("id", "frame_idx", "sh").withColumn("kind", lit(kind))
+
+  private def fh(i: Int): Long = graft.queries.Pipeline.h48(s"clipframe_$i")
+
+  test("incremental clip ingest equals from-scratch alignment; purge matches the batch operator") {
+    val dir = Files.createTempDirectory("clipstore").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    // batch 0: the full clip (frames 0..3) + an unrelated clip
+    val c0 = clipRows("video", 10L -> Seq(fh(0), fh(1), fh(2), fh(3)),
+      12L -> Seq(fh(10), fh(11), fh(12)))
+    // batch 1: cut-out re-posts of frames 1..2 and 2..3 — both align
+    // against the STORED full clip; 11 and 13 also share one frame
+    val c1 = clipRows("video", 11L -> Seq(fh(1), fh(2)),
+      13L -> Seq(fh(2), fh(3)))
+    store.ingestClips(c0, batchId = Some(0L))
+    store.compact(targetFileBytes = 1L) // the post-compact widen path
+    store.ingestClips(c1, batchId = Some(1L))
+    store.ingestClips(c1, batchId = Some(1L)) // at-least-once replay
+    assert(store.lastCommitted("clipframes") == 1L &&
+      store.lastCommitted("clippairs") == 1L)
+    val all = c0.unionByName(c1)
+    assert(store.clipFrames.count() == all.count()) // no duplicates
+    val want = Multimodal.clipAlignment(all, maxHamming = 0)
+    assert(rows(store.clipPairs.drop("kind", "batch")) == rows(want))
+    // the release decision from STORED alignment: quality = frame
+    // count, so the full upload beats both its cut-outs (one cluster
+    // {10, 11, 13} via the ≥800‰ directed containments, keeper 10)
+    val corpus = Seq(10L, 11L, 12L, 13L).toDF("id")
+    val quality = all.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("q"))
+    val got = store.purgeClips(corpus, "id", quality, thresholdPm = 800)
+    val wantP = Multimodal.clipContainmentPurge(corpus, "id", all,
+      quality, thresholdPm = 800)
+    assert(rows(got) == rows(wantP))
+    assert(got.as[Long].collect().toSet == Set(10L, 12L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("clip alignment never crosses kinds, even on identical hash sequences") {
+    val dir = Files.createTempDirectory("clipkinds").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    // a video and an audio clip with IDENTICAL frame-hash sequences
+    // (degenerate inputs hash degenerate) — must never align
+    val v = clipRows("video", 1L -> Seq(fh(0), fh(1), fh(2)))
+    val a = clipRows("audio", 2L -> Seq(fh(0), fh(1), fh(2)))
+    store.ingestClips(v.unionByName(a), batchId = Some(0L))
+    // cross-batch too: an audio cut-out aligns with its audio source
+    // but not with the hash-identical video
+    store.ingestClips(clipRows("audio", 3L -> Seq(fh(1), fh(2))),
+      batchId = Some(1L))
+    val got = store.clipPairs.select("id_a", "id_b", "kind")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((2L, 3L, "audio"), (3L, 2L, "audio")), s"got $got")
+  }
+
+  test("startClips soaks: kill before checkpoint commit + compaction between restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("clipsoak").toFile.getAbsolutePath
+    val checkpoint = s"$dir/_ck"
+    val store = new MediaStore(spark, dir)
+    val mem = MemoryStream[Long]
+    def start() = store.startClips(
+      mem.toDS().map(MediaStoreSpec.video _), checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q1 = start()
+    mem.addData(1L) // the full 4-frame clip
+    q1.awaitTermination()
+    // crash window: the batch landed but the checkpoint never
+    // committed — recovery must replay it as a no-op
+    val commitDir = new java.io.File(s"$checkpoint/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    store.compact(targetFileBytes = 1L)
+    mem.addData(2L) // the cut-out re-post, against the stored full clip
+    val q2 = start()
+    q2.awaitTermination()
+    val seqs = MediaStore.frameSequences(
+      Seq(1L, 2L).map(MediaStoreSpec.video).toDS())
+    assert(store.clipFrames.count() == seqs.count())
+    assert(rows(store.clipPairs.drop("kind", "batch")) ==
+      rows(Multimodal.clipAlignment(seqs, maxHamming = 0)))
+    // the cut-out is fully contained → purged in favor of the original
+    val quality = seqs.groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("q"))
+    assert(store.purgeClips(Seq(1L, 2L).toDF("id"), "id", quality)
+      .as[Long].collect().toSet == Set(1L))
+    graft.ScratchCache.releaseAll(spark)
+  }
 }
 
 object MediaStoreSpec {
@@ -429,5 +527,17 @@ object MediaStoreSpec {
     }
     graft.operators.multimodal.Multimodal.MediaRow(id, "image",
       graft.operators.multimodal.Multimodal.encodePathPng(sh), "s")
+  }
+
+  /** Path-AVI clips for the clip-plane soak: id 1 carries the full
+    * 4-frame sequence, id 2 the frames-1..2 cut-out re-post.
+    */
+  def video(id: Long): graft.operators.multimodal.Multimodal.MediaRow = {
+    def fk(i: Int): Long = graft.queries.Pipeline.h48(s"clipsoak_f$i")
+    val keys =
+      if (id == 1L) Seq(fk(0), fk(1), fk(2), fk(3))
+      else Seq(fk(1), fk(2))
+    graft.operators.multimodal.Multimodal.MediaRow(id, "video",
+      graft.operators.multimodal.Multimodal.encodePathAvi(keys), "s")
   }
 }
