@@ -19,9 +19,13 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
   * increlease,collapse,storeincr,storescratch,storecollapse,annx,
-  * imagedup,avdup,mediastore,frontier (default: all; storescratch is
-  * storeincr's from-scratch parity target and requires storeincr)
-  * — the full rehearsal at 10× takes ~40 min, a single section minutes.
+  * imagedup,avdup,mediastore,clipstore,bucketregime,frontier (default:
+  * all EXCEPT bucketregime, whose 10⁸-row synthetic seed is its own
+  * workload — request it explicitly; storescratch is storeincr's
+  * from-scratch parity target and requires storeincr) — the full
+  * rehearsal at 10× takes ~40 min, a single section minutes. arg 4 is
+  * the durable stores' id-hash bucket modulus (0 = unbucketed), arg 5
+  * the bucketregime seed row count (default 10⁸).
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -29,7 +33,9 @@ object ScaleRehearsal {
     val capOverride = args.lift(1).map(_.toInt)
     val kCells = args.lift(2).map(_.toInt).getOrElse(8)
     val sections = args.lift(3).map(_.split(',').toSet)
-    def run(s: String): Boolean = sections.forall(_.contains(s))
+    def run(s: String): Boolean =
+      if (s == "bucketregime") sections.exists(_.contains(s))
+      else sections.forall(_.contains(s))
     // id-hash bucket modulus for the durable-store sections (0 =
     // unbucketed, the default layout; see ReleaseStore.stateBuckets)
     val storeBuckets = args.lift(4).map(_.toInt).getOrElse(0)
@@ -641,6 +647,143 @@ object ScaleRehearsal {
       out += "mediastore_clusters" -> clN
       out += "mediastore_clusters_sec" -> tCl
       ScratchCache.releaseAll(spark)
+    }
+
+    if (run("clipstore")) {
+      // the DURABLE sub-clip purge cadence: per-clip frame sequences
+      // arrive as 10 id-sliced batches into the MediaStore CLIP plane
+      // (batch-self + batch×stored frame matching + the diagonal vote
+      // over the delta's own match volume — stored×stored never
+      // re-aligns). Even ids carry the full 4-frame clip of group
+      // id/2, odd ids its frames-1..2 cut-out, and the full clip and
+      // its cut-out land in DIFFERENT batches (pmod slicing), so every
+      // containment pair genuinely crosses the batch/stored boundary.
+      // Frame keys salt by group: alignment pairs are within-sibling
+      // only (the cut-out↔source relation the operator exists for) —
+      // exact-dup cliques are the PRINT plane's job, so the match
+      // volume here is linear in the corpus by construction. Per-batch
+      // walls should track batch size while stored frames grow 10×;
+      // the from-scratch alignment wall is the comparison target a
+      // per-release re-alignment would pay.
+      import graft.operators.dedup.MediaStore
+      import graft.operators.multimodal.Multimodal
+      val base = docs.select(col("doc_id").as("id"),
+        expr("doc_id div 2").as("gid"),
+        pmod(col("doc_id"), lit(2)).as("par"))
+      val fr = ScratchCache.persist(base.select(col("id"), col("gid"),
+          col("par"),
+          explode(when(col("par") === 0,
+              array((0 to 3).map(i => lit(i)): _*))
+            .otherwise(array(lit(1), lit(2)))).as("i"))
+        .select(col("id"),
+          when(col("par") === 0, col("i")).otherwise(col("i") - 1)
+            .cast("long").as("frame_idx"),
+          xxhash64(concat(lit("cf"), col("i"), lit("_"), col("gid")))
+            .as("sh"),
+          lit("video").as("kind")))
+      out += "clipstore_frames" -> fr.count()
+      val dir = java.nio.file.Files.createTempDirectory("clipstore")
+        .toFile.getAbsolutePath
+      val store = new MediaStore(spark, dir)
+      (0L until 10L).foreach { b =>
+        val (_, t) = timed(
+          store.ingestClips(fr.where(pmod(col("id"), lit(10)) === b),
+            Some(b)))
+        out += s"clipstore_ingest${b}_sec" -> t
+        if (b == 4L) store.compact(targetFileBytes = 64L * 1024 * 1024)
+      }
+      val (cpN, tRead) = timed(store.clipPairs.count())
+      out += "clipstore_pairs" -> cpN
+      out += "clipstore_pairs_read_sec" -> tRead
+      // parity: the accumulated directed alignment must equal the
+      // from-scratch one row-for-row (0 = exact), and the from-scratch
+      // wall is what a per-release re-alignment would re-pay
+      var scratchPairs = 0L
+      val (_, tScratch) = timed {
+        val w = Multimodal.clipAlignment(fr, maxHamming = 0)
+        scratchPairs = w.count()
+        val got = store.clipPairs.select(col("id_a"), col("id_b"),
+          col("frames_a"), col("aligned"), col("offset"),
+          col("containment_pm"))
+        out += "clipstore_parity_diff" ->
+          (got.exceptAll(w).count() + w.exceptAll(got).count())
+      }
+      out += "clipstore_scratch_pairs" -> scratchPairs
+      out += "clipstore_scratch_align_sec" -> tScratch
+      val quality = fr.groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("q"))
+      val (survN, tPurge) = timed(store.purgeClips(
+        docs.select(col("doc_id")), "doc_id", quality).count())
+      out += "clipstore_survivors" -> survN
+      out += "clipstore_purge_sec" -> tPurge
+      ScratchCache.releaseAll(spark)
+    }
+
+    if (run("bucketregime")) {
+      // THE BUCKETED LAYOUT IN ITS CLAIMED REGIME (round-12 verdict
+      // #2): the stateBuckets scaladoc argues the id-hash layout wins
+      // once id-keyed state outgrows cheap columnar scans, with
+      // modulus ≫ batch ids and small micro-batches. This section
+      // MEASURES that regime's shape — 10⁸ stored prints (arg 5), 16
+      // Ki buckets (arg 4 overrides), 500-id micro-batches — in BOTH
+      // layouts, end to end: accepted-id resolution + prints replay
+      // guard (the id-keyed anti-joins the prune accelerates) + the
+      // content hammingJoin (a full columnar scan by design in either
+      // layout) + the pair-key guard. Seeding writes DIRECTLY into
+      // each table layout: at 10⁸ random hashes every 16-bit chunk
+      // value carries ~6k rows, so seeding through ingest would pay a
+      // near-quadratic banded self-join no production store pays in
+      // one batch (state accretes across many). 10 plants per batch
+      // hit distinct seed hashes at Hamming 0, so pair parity across
+      // layouts is a positive check (12 × 10 = 120 expected).
+      import graft.operators.dedup.MediaStore
+      val regimeRows = args.lift(5).map(_.toLong).getOrElse(100000000L)
+      val regimeBuckets = if (storeBuckets > 0) storeBuckets else 16384
+      val batchSize = 500L
+      val nBatches = 12
+      out += "bucketregime_rows" -> regimeRows
+      out += "bucketregime_buckets" -> regimeBuckets
+      Seq(0, regimeBuckets).foreach { layout =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"bucketregime$layout")
+          .toFile.getAbsolutePath
+        val store = new MediaStore(spark, dir, stateBuckets = layout)
+        // pin the shape + create the tables with one probe row, then
+        // seed the bulk directly in the pinned layout
+        store.ingest(spark.range(1)
+          .select((col("id") + lit(3000000000L)).as("id"),
+            xxhash64(col("id"), lit("pin")).as("sh"),
+            lit("image").as("kind")), Some(0L))
+        val seed = spark.range(regimeRows).select(col("id"),
+          xxhash64(col("id"), lit("seed")).as("sh"),
+          lit("image").as("kind"), lit(0L).as("batch"))
+        val (_, tSeed) = timed {
+          if (layout > 0)
+            seed.withColumn("__bucket",
+                pmod(xxhash64(col("id")), lit(layout)).cast("int"))
+              .repartition(col("__bucket"))
+              .write.partitionBy("__bucket").mode("append")
+              .parquet(s"$dir/prints")
+          else seed.write.mode("append").parquet(s"$dir/prints")
+        }
+        out += s"bucketregime_${layout}_seed_sec" -> tSeed
+        (1 to nBatches).foreach { b =>
+          val idBase = regimeRows + 1000000L * b
+          val batch = spark.range(batchSize).select(
+            (col("id") + lit(idBase)).as("id"),
+            when(col("id") < 10,
+                xxhash64(col("id") + lit(b * 1000L), lit("seed")))
+              .otherwise(xxhash64(col("id") + lit(idBase), lit("novel")))
+              .as("sh"),
+            lit("image").as("kind"))
+          val (_, t) = timed(store.ingest(batch, Some(b.toLong)))
+          out += s"bucketregime_${layout}_batch${b}_sec" -> t
+        }
+        val (pn, tp) = timed(store.pairs.count())
+        out += s"bucketregime_${layout}_pairs" -> pn
+        out += s"bucketregime_${layout}_pairs_read_sec" -> tp
+        ScratchCache.releaseAll(spark)
+      }
     }
 
     if (run("frontier")) {
