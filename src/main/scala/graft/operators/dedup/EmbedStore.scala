@@ -1,0 +1,334 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType,
+  LongType, StructField, StructType}
+
+import graft.operators.similarity.CosineSearch
+
+/** Persisted, continuously-maintained EMBEDDING near-dup state — the
+  * vector twin of [[MediaStore]]: where media dedup accumulates 64-bit
+  * perceptual fingerprints, this store accumulates normalized vector
+  * projections (`vecs`: id, cv, cv_n — [[CosineSearch]]'s exact
+  * cast/norm arithmetic), their sign-LSH postings (`postings`: id, tbl,
+  * bucket — the [[CosineSearch.nearDupPairs]] candidate keys), and the
+  * verified ≥-`thresholdE6` cosine pair set (`pairs`), so a crawl's
+  * embedding dedup pays batch-proportional cost per ingest instead of
+  * re-running a corpus-wide LSH join per release.
+  *
+  * Each ingest pays the batch self-join plus the batch×stored postings
+  * join on (tbl, bucket) — equi-joins on data-INDEPENDENT signatures
+  * (seeded hyperplanes), so batch and stored sides hashed in different
+  * ingests collide exactly as a one-shot corpus would — and verifies
+  * candidates by exact cosine over bucket-pruned stored vectors.
+  * Stored×stored is never re-paired. UNION COMPLETENESS: a candidate
+  * pair {a, b} with b accepted no earlier than a is generated exactly
+  * once, by b's batch (a's postings stored, b's in batch; or the batch
+  * self-join when both arrive together), so the accumulated pair set
+  * equals a from-scratch [[CosineSearch.nearDupPairs]] over the
+  * accumulated vectors — EmbedStoreSpec pins it, and the `q_embed_store`
+  * gate drives two real batches through the composed `q_sim_neardup`
+  * oracle. The 100 TB posture: the stored probe side is a columnar
+  * scan of three longs per posting (id, tbl, bucket); candidate volume
+  * is ~ tables·n/2^bits per batch row, never corpus².
+  *
+  * Tables ride the [[graft.store.DurableStore]] discipline shared with
+  * [[ReleaseStore]]/[[MediaStore]] (commit markers, accepted-id
+  * sidecars, move-aside installs, compaction healing) and the
+  * [[graft.store.BucketedTables]] opt-in id-hash layout. Same ID
+  * CONTRACT: first write wins; a re-crawled id is ignored.
+  *
+  * SHAPE PIN: `thresholdE6`/`bits`/`tables`/`seed` determine what the
+  * persisted postings and pairs MEAN; all are pinned in `store.meta`
+  * at first ingest, plus the data-derived embedding `dim` (signatures
+  * of different dimensionalities never collide meaningfully — a batch
+  * at a different dim is refused).
+  */
+final class EmbedStore(protected val spark: SparkSession,
+    protected val path: String,
+    /** Verified-pair floor in cosine·10⁶ ([[CosineSearch.nearDupPairs]]
+      * semantics). Pinned.
+      */
+    thresholdE6: Long,
+    bits: Int = 8, tables: Int = 4, seed: Long = 7L,
+    stateBuckets: Int = 0)
+    extends graft.store.DurableStore with graft.store.BucketedTables {
+
+  private val vecsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cv", ArrayType(DoubleType)),
+    StructField("cv_n", DoubleType),
+    StructField("batch", LongType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("tbl", IntegerType),
+    StructField("bucket", LongType), StructField("batch", LongType)))
+  private val pairsSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("sim_e6", LongType), StructField("batch", LongType)))
+
+  /** The LIVE bucket count — the [[MediaStore]] pin-wins rule, probed
+    * against `vecs`.
+    */
+  protected lazy val effectiveBuckets: Int =
+    graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
+      case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
+      case None =>
+        if (fs.exists(hPath(s"$path/vecs"))) {
+          val bucketed = fs.listStatus(hPath(s"$path/vecs"))
+            .exists(_.getPath.getName.startsWith("__bucket="))
+          if (bucketed) {
+            if (stateBuckets <= 0) throw new IllegalStateException(
+              s"store at $path has a bucketed layout but no shape pin " +
+              "(a pin install crashed): reopen with the ORIGINAL " +
+              "stateBuckets to re-pin")
+            validateRepin("vecs", "id", stateBuckets)
+            stateBuckets
+          } else 0
+        } else stateBuckets
+    }
+
+  /** The stored vector projections (id, cv, cv_n, batch). */
+  def vectors: DataFrame = {
+    checkShape(pin = false)
+    recoverTable("vecs")
+    readTable("vecs", vecsSchema)
+  }
+
+  /** The accumulated verified pair set (id_a < id_b,
+    * sim_e6 ≥ the pinned threshold, batch = the generating ingest).
+    */
+  def pairs: DataFrame = {
+    checkShape(pin = false)
+    recoverTable("pairs")
+    readTable("pairs", pairsSchema)
+  }
+
+  private def shapeMap: Map[String, String] =
+    Map("thresholdE6" -> thresholdE6.toString, "bits" -> bits.toString,
+      "tables" -> tables.toString, "seed" -> seed.toString,
+      "buckets" -> effectiveBuckets.toString)
+
+  private def checkShape(pin: Boolean): Unit =
+    graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
+      case None => if (pin) writeShapePin(shapeMap)
+      case Some(m) =>
+        shapeMap.foreach { case (f, v) =>
+          val stored = m.getOrElse(f, v)
+          if (stored != v) throw new IllegalStateException(
+            s"EmbedStore at $path was created with $f=$stored but opened " +
+            s"with $f=$v; reopen with the stored shape")
+        }
+    }
+
+  /** Ingest one micro-batch of embeddings (`id`, `embedding` — extra
+    * columns are dropped): append the batch's accepted vector
+    * projections and LSH postings, and their batch-touching verified
+    * pair delta, each exactly-once under `batchId` (the `foreachBatch`
+    * contract; un-id'd calls stay idempotent through the accepted-set
+    * resolution).
+    */
+  def ingest(batch: DataFrame, batchId: Option[Long] = None): Unit =
+    writeLock.synchronized {
+      graft.ScratchCache.scoped {
+      checkShape(pin = true)
+      recoverTable("vecs"); recoverTable("postings"); recoverTable("pairs")
+      // the embedding DIMENSION is a shape property derived from data:
+      // postings of different dims never collide meaningfully, and a
+      // mixed-dim corpus would silently never pair across the split —
+      // pin at first ingest, refuse mismatches. Validated on the RAW
+      // batch BEFORE membership resolution, so a malformed batch
+      // refuses without pinning its batch id's accepted-id sidecar
+      val bDims = batch.select(size(col("embedding")).as("d")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      require(bDims.size <= 1,
+        s"mixed embedding dimensions in one batch: $bDims")
+      val meta = graft.store.DurableStore
+        .readMeta(fs, hPath(s"$path/store.meta")).getOrElse(Map.empty)
+      val pinnedDim = meta.get("dim").map(_.toInt)
+      (pinnedDim, bDims.headOption) match {
+        case (Some(p), Some(d)) => require(p == d,
+          s"EmbedStore at $path holds $p-dim embeddings; batch is $d-dim")
+        case (None, Some(d)) =>
+          writeShapePin(meta + ("dim" -> d.toString))
+        case _ => () // empty batch against an unpinned dim: nothing to do
+      }
+      val dim = pinnedDim.orElse(bDims.headOption).getOrElse(0)
+      val accepted = resolveAccepted(batch, "id", "vecs", batchId)
+      val bNorm = graft.ScratchCache.persist(
+        CosineSearch.normProjection(
+            batch.dropDuplicates("id"), "id", "embedding")
+          .join(accepted, col("id") === col("__bid"), "left_semi"))
+      val bPost = graft.ScratchCache.persist(
+        if (dim == 0)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(postingsSchema.fields.dropRight(1)))
+        else CosineSearch.postingsOf(bNorm, dim, bits, tables, seed))
+      markers.guarded("vecs", batchId) {
+        val bv = bNorm.select(col("id"), col("cv"), col("cv_n"))
+        val fresh =
+          if (fs.exists(hPath(s"$path/vecs")))
+            bv.join(
+              readTable("vecs", vecsSchema, bucketsOf(bv, "id"))
+                .select(col("id")),
+              Seq("id"), "left_anti")
+          else bv
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id", s"$path/vecs")
+      }
+      markers.guarded("postings", batchId) {
+        val fresh =
+          if (fs.exists(hPath(s"$path/postings")))
+            bPost.join(
+              readTable("postings", postingsSchema,
+                bucketsOf(bPost, "id")).select(col("id")).distinct(),
+              Seq("id"), "left_anti")
+          else bPost
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id", s"$path/postings")
+      }
+      markers.guarded("pairs", batchId) {
+        // the stored probe side is postings MINUS this batch's accepted
+        // ids (the replay view); widened post-compact like every stored
+        // probe fan-out
+        val storedPost =
+          if (fs.exists(hPath(s"$path/postings")))
+            widenStored("postings",
+              readTable("postings", postingsSchema))
+              .join(accepted, col("id") === col("__bid"), "left_anti")
+          else bPost.limit(0)
+        val key = col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket")
+        val cSelf = bPost.as("a").join(bPost.as("b"),
+            key && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val cCross = bPost.as("a").join(storedPost.as("b"), key)
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"))
+        val cand = graft.ScratchCache.persist(
+          cSelf.unionAll(cCross).distinct())
+        // verification vectors: the batch's own plus ONLY the stored
+        // candidates' (bucket-pruned scan — the FAT read tracks
+        // candidate volume, not corpus)
+        val candIds = graft.ScratchCache.persist(
+          cand.select(col("id_a").as("id"))
+            .unionAll(cand.select(col("id_b").as("id"))).distinct())
+        val storedV =
+          if (fs.exists(hPath(s"$path/vecs")))
+            readTable("vecs", vecsSchema, bucketsOf(candIds, "id"))
+              .join(candIds, Seq("id"), "left_semi")
+              .join(accepted, col("id") === col("__bid"), "left_anti")
+              .select(col("id"), col("cv"), col("cv_n"))
+          else bNorm.select(col("id"), col("cv"), col("cv_n")).limit(0)
+        val allV = bNorm.select(col("id"), col("cv"), col("cv_n"))
+          .unionByName(storedV)
+        val delta = graft.ScratchCache.persist(cand
+          .join(allV.as("a"), col("id_a") === col("a.id"))
+          .join(allV.as("b"), col("id_b") === col("b.id"))
+          .select(col("id_a"), col("id_b"),
+            CosineSearch.storedPairSimE6.as("sim_e6"))
+          .where(col("sim_e6") >= thresholdE6))
+        val fresh =
+          if (fs.exists(hPath(s"$path/pairs")))
+            delta.join(
+              readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
+                .select(col("id_a"), col("id_b")),
+              Seq("id_a", "id_b"), "left_anti")
+          else delta
+        appendBucketed(fresh.withColumn("batch",
+          lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
+      }
+      }
+      freeAcceptedCheckpoint()
+    }
+
+  /** Widen a possibly-compacted stored scan before its probe fan-out —
+    * the [[ReleaseStore]] post-compact scan-width rule (FileIndex-side
+    * estimate, no RDD instantiation).
+    */
+  private def widenStored(table: String, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (plannedScanWidth(table) < cores) df.repartition(cores) else df
+  }
+
+  /** Start the continuous durable embedding dedup over a vector
+    * stream (`id`, `embedding`): each micro-batch ingests exactly-once
+    * under the checkpoint's batch ids — the durable complement of a
+    * within-watermark streaming dedup, accumulating pairs against the
+    * WHOLE stored corpus. One active stream per store per process.
+    */
+  def start(stream: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          ingest(batch.toDF(), Some(id))
+      }
+      .start()
+
+  /** The incrementally-folded duplicate-cluster labels over everything
+    * ingested so far ([[graft.store.DurableStore.foldClusterLabels]]).
+    */
+  def clusters(): DataFrame = {
+    checkShape(pin = false)
+    foldClusterLabels(graft.ScratchCache.persist(pairs), "pairs")
+  }
+
+  /** Per-cluster keeper decisions ([[Dedup.clusterKeepers]]).
+    * @param quality (id, q)
+    */
+  def keepers(quality: DataFrame): DataFrame =
+    Dedup.clusterKeepers(clusters(), quality)
+
+  /** Survivors of an embedding near-dup purge over `corpus`: per
+    * cluster only the keeper survives — served entirely from stored
+    * pairs; nothing is re-hashed or re-verified.
+    */
+  def purge(corpus: DataFrame, idCol: String,
+      quality: DataFrame): DataFrame = {
+    val cl = graft.ScratchCache.persist(clusters())
+    val losers = cl
+      .join(Dedup.clusterKeepers(cl, quality)
+          .select(col("cluster"), col("keeper_id")), "cluster")
+      .where(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Small-file compaction + sidecar pruning — the shared contract. */
+  def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+    checkShape(pin = false)
+    val layout = if (effectiveBuckets > 0) Seq("__bucket") else Nil
+    Seq("vecs", "postings", "pairs")
+      .foreach(compactTable(_, targetFileBytes, layout))
+    compactTable("clusters", targetFileBytes)
+    pruneSidecars(Seq("vecs", "postings", "pairs"))
+  }
+}
+
+object EmbedStore {
+  /** Reopen an existing store with its PINNED shape. Throws on a store
+    * with no pin (never ingested): construct explicitly once to pin.
+    */
+  def open(spark: SparkSession, path: String): EmbedStore = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/store.meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.store.DurableStore.readMeta(fs, p)
+      .getOrElse(throw new IllegalStateException(
+        s"no shape pin at $path/store.meta - construct EmbedStore " +
+        "explicitly (the first ingest records the shape)"))
+    def req(f: String): String = m.getOrElse(f,
+      throw new IllegalStateException(
+        s"shape pin at $path/store.meta carries no '$f'"))
+    new EmbedStore(spark, path, thresholdE6 = req("thresholdE6").toLong,
+      bits = req("bits").toInt, tables = req("tables").toInt,
+      seed = req("seed").toLong,
+      stateBuckets = m.get("buckets").map(_.toInt).getOrElse(0))
+  }
+}

@@ -525,39 +525,7 @@ final class MediaStore(protected val spark: SparkSession,
     */
   def clusters(): DataFrame = {
     checkShape(pin = false)
-    val dir = s"$path/clusters"
-    // a marker WITHOUT its label table means a crash interrupted a
-    // prior install — treat as no watermark and rebuild from everything
-    val water0 = markers.lastCommitted("clusters")
-    val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
-    val top = markers.lastCommitted("pairs")
-    val pr = graft.ScratchCache.persist(pairs)
-    writeLock.synchronized {
-      val unmarked = pr.where(col("batch") === -1L).limit(1).count() > 0
-      if (unmarked) {
-        // no water mark exists for un-id'd rows — full CC, no cache
-        Dedup.connectedComponents(pr.select(col("id_a"), col("id_b")))
-      } else if (water >= top && fs.exists(hPath(dir))) {
-        spark.read.parquet(dir) // nothing new since the last fold
-      } else {
-        val prior =
-          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
-          else spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            StructType(Seq(StructField("id", LongType),
-              StructField("cluster", LongType))))
-        val merged = Dedup.connectedComponents(
-          prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
-            .unionAll(pr.where(col("batch") > water)
-              .select(col("id_a"), col("id_b"))))
-        // install-then-mark: a crash before the mark re-folds
-        // idempotently (star edges); between the install's renames, the
-        // water guard's full rebuild heals
-        installTable(dir, merged, "")
-        markers.markCommitted("clusters", top)
-        spark.read.parquet(dir)
-      }
-    }
+    foldClusterLabels(graft.ScratchCache.persist(pairs), "pairs")
   }
 
   /** Per-cluster keeper decisions from the stored pairs:

@@ -332,6 +332,35 @@ object CosineSearch {
       seed: Long): Array[Array[Array[Double]]] =
     Array.tabulate(tables)(l => hyperplanes(dim, bits, seed + l))
 
+  /** The (id, cv, cv_n) projection [[nearDupPairs]] verifies over,
+    * exposed for the durable store
+    * ([[graft.operators.dedup.EmbedStore]]): the cast/norm arithmetic
+    * must be THE SAME expression tree there, or stored-state
+    * verification would drift from the from-scratch operator by a
+    * float path difference.
+    */
+  private[graft] def normProjection(df: DataFrame, idCol: String,
+      embCol: String): DataFrame = withNorm(df, idCol, "id", embCol, "cv")
+
+  /** The exploded (id, tbl, bucket) sign-LSH postings of
+    * [[nearDupPairs]]'s candidate join, for the durable store's
+    * batch×stored probe — signatures are data-independent (seeded
+    * hyperplanes), so batch and stored sides computed in different
+    * ingests still collide exactly as a one-shot corpus would.
+    */
+  private[graft] def postingsOf(vecs: DataFrame, dim: Int, bits: Int,
+      tables: Int, seed: Long): DataFrame =
+    vecs.withColumn("tb",
+        explode(tableBuckets(col("cv"), dim, bits, tables, seed)))
+      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+
+  /** [[nearDupPairs]]' verification expression over aliased
+    * projections `a`/`b` — shared with the store for bit-equality.
+    */
+  private[graft] val storedPairSimE6: Column =
+    round(dots(col("a.cv"), col("b.cv")) /
+      (col("a.cv_n") * col("b.cv_n")) * 1e6).cast("long")
+
   /** (table_id, bucket) pairs for a row under L independent hash tables
     * (classic multi-table sign-LSH: collision prob for similarity s is
     * 1−(1−p^bits)^tables with p = 1−θ(s)/π).

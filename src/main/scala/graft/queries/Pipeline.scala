@@ -1510,6 +1510,27 @@ object Pipeline {
         embs(s, dir).select(col("vec_id").as("id"), col("embedding")),
         thresholdE6 = 400000L)),
 
+    // the EMBED-STORE lifecycle, gated end to end: the embeddings
+    // corpus arrives as two vec_id-sliced batches into an EmbedStore
+    // under a scratch dir (vector projections + sign-LSH postings +
+    // verified pairs, marker-guarded), compact() fires MID-STREAM, and
+    // the pair set serves from STORED state — batch×stored postings
+    // join + batch self-join accumulate to exactly the from-scratch
+    // nearDupPairs set (union completeness: signatures are
+    // data-independent, so a pair is generated by its later member's
+    // batch), so the composed q_sim_neardup oracle applies verbatim
+    "q_embed_store" -> ((s, dir) => {
+      val store = new graft.operators.dedup.EmbedStore(s,
+        storeScratchDir(s), thresholdE6 = 400000L)
+      val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      (0L until 2L).foreach { b =>
+        store.ingest(e.where(pmod(col("id"), lit(2)) === b),
+          batchId = Some(b))
+        if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+      }
+      store.pairs.select(col("id_a"), col("id_b"), col("sim_e6"))
+    }),
+
     // exact all-pairs cosine ≥ 0.4 — the oracle-checked ground truth the
     // approximate near-dup paths are audited against
     "q_sim_pairs" -> ((s, dir) =>
@@ -2068,6 +2089,12 @@ object Pipeline {
     // and the composed q_clip_purge oracle — apply verbatim to the
     // 2-batch store drive
     ("q_clip_store" -> oraclesBase("q_clip_purge")) +
+    // the embed store's accumulated pair set == from-scratch
+    // nearDupPairs over the accumulated vectors (data-independent
+    // signatures + union completeness), so the q_sim_neardup oracle —
+    // which replicates the hyperplanes, the bucketing and the exact
+    // verification — applies verbatim to the 2-batch store drive
+    ("q_embed_store" -> oraclesBase("q_sim_neardup")) +
     // incremental-LSH products == from-scratch-LSH products: the union
     // of the prior LSH release's scored set with the batch-touching
     // delta covers every ≥-threshold pair with identical scores

@@ -234,6 +234,57 @@ private[graft] trait DurableStore {
     checkpointIds = Set.empty
   }
 
+  /** The INCREMENTALLY-maintained duplicate-cluster labels over a
+    * store's accumulated pair table — extracted from MediaStore so its
+    * siblings (EmbedStore) fold identically: the label table persists
+    * under `clusters/` with a `pairs`-marker water mark, and each call
+    * folds in only the pair rows appended since the last fold — prior
+    * components enter the merge as star edges (id → root), which
+    * preserves connectivity exactly, so the merged labels equal a
+    * from-scratch CC over all stored pairs. Un-id'd rows (batch = −1)
+    * carry no water mark: their presence falls back to full CC.
+    *
+    * @param pr the store's persisted pair frame (id_a, id_b, …, batch)
+    * @param pairsTable the marker name its appends commit under
+    */
+  protected def foldClusterLabels(pr: DataFrame,
+      pairsTable: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = s"$path/clusters"
+    // a marker WITHOUT its label table means a crash interrupted a
+    // prior install — treat as no watermark and rebuild from everything
+    val water0 = markers.lastCommitted("clusters")
+    val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
+    val top = markers.lastCommitted(pairsTable)
+    writeLock.synchronized {
+      val unmarked = pr.where(col("batch") === -1L).limit(1).count() > 0
+      if (unmarked) {
+        // no water mark exists for un-id'd rows — full CC, no cache
+        graft.operators.dedup.Dedup.connectedComponents(
+          pr.select(col("id_a"), col("id_b")))
+      } else if (water >= top && fs.exists(hPath(dir))) {
+        spark.read.parquet(dir) // nothing new since the last fold
+      } else {
+        val prior =
+          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
+          else spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("id", LongType),
+              StructField("cluster", LongType))))
+        val merged = graft.operators.dedup.Dedup.connectedComponents(
+          prior.select(col("id").as("id_a"), col("cluster").as("id_b"))
+            .unionAll(pr.where(col("batch") > water)
+              .select(col("id_a"), col("id_b"))))
+        // install-then-mark: a crash before the mark re-folds
+        // idempotently (star edges); between the install's renames, the
+        // water guard's full rebuild heals
+        installTable(dir, merged, "")
+        markers.markCommitted("clusters", top)
+        spark.read.parquet(dir)
+      }
+    }
+  }
+
   /** Install a `store.meta` shape pin: write-temp-then-rename like
     * every other durable write here; overwrite is legal because legal
     * shape upgrades move the pin, and a CRASH between delete and rename

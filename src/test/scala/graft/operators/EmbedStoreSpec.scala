@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.dedup.{Dedup, EmbedStore}
+import graft.operators.similarity.CosineSearch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The persisted embedding near-dup store: batch-by-batch vector
+  * ingest (with replay, crash windows, compaction) accumulates exactly
+  * the verified pair set a from-scratch [[CosineSearch.nearDupPairs]]
+  * derives (same seeded hyperplanes, same cast/norm/verify
+  * arithmetic), clusters fold incrementally, purges serve from stored
+  * pairs.
+  */
+class EmbedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T = 400000L // thresholdE6, the q_sim_neardup knob
+
+  /** Deterministic 8-dim bases far apart in cosine; members of one
+    * group are SCALED copies (cosine exactly 1, identical sign
+    * sketches in every table — bucket collision guaranteed, so the
+    * planted pair structure is deterministic even under random
+    * hyperplanes).
+    */
+  private def base(g: Int): Seq[Double] =
+    (0 until 8).map(i => if (i == g % 8) 1.0 else 0.0)
+
+  private def vecs(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toSeq.toDF("id", "embedding")
+
+  private val b0 = vecs(1L -> base(0), 50L -> base(5))
+  private val b1 = vecs(2L -> base(0).map(_ * 3.0), 20L -> base(1))
+  private val b2 = vecs(3L -> base(0).map(_ * 0.5),
+    21L -> base(1).map(_ * 2.0), 51L -> base(6))
+  private def all = b0.unionByName(b1).unionByName(b2)
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private def want = CosineSearch.nearDupPairs(all, thresholdE6 = T)
+
+  test("batch ingest with replay and re-crawled ids equals from-scratch nearDupPairs") {
+    val dir = Files.createTempDirectory("embstore").toFile.getAbsolutePath
+    val store = new EmbedStore(spark, dir, thresholdE6 = T)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b0, batchId = Some(0L)) // at-least-once replay
+    store.ingest(b1, batchId = Some(1L))
+    store.compact(targetFileBytes = 1L) // post-compact probe path
+    // a re-crawled id (1L, with a DIFFERENT vector) is ignored
+    store.ingest(b2.unionByName(vecs(1L -> base(7))), batchId = Some(2L))
+    assert(store.lastCommitted("vecs") == 2L &&
+      store.lastCommitted("pairs") == 2L)
+    assert(store.vectors.count() == all.count())
+    assert(rows(store.pairs.drop("batch")) == rows(want))
+    // the planted relations genuinely span batches: scaled copies are
+    // cosine-1 pairs with identical buckets in every table
+    val p = store.pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(p.contains((1L, 2L)) && p.contains((1L, 3L)) &&
+      p.contains((2L, 3L)) && p.contains((20L, 21L)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("incremental clusters fold to full CC; purge keeps one keeper per cluster") {
+    val dir = Files.createTempDirectory("embclust").toFile.getAbsolutePath
+    val store = new EmbedStore(spark, dir, thresholdE6 = T)
+    store.ingest(b0, batchId = Some(0L))
+    store.clusters() // fold after every batch — real incremental path
+    store.ingest(b1, batchId = Some(1L))
+    store.clusters()
+    store.ingest(b2, batchId = Some(2L))
+    val got = store.clusters()
+    val wantCl = Dedup.connectedComponents(
+      want.select(col("id_a"), col("id_b")))
+    assert(rows(got) == rows(wantCl))
+    // quality = id: the highest id wins each cluster
+    val q = all.select(col("id"), col("id").cast("long").as("q"))
+    val surv = store.purge(all.select(col("id")), "id", q)
+      .as[Long].collect().toSet
+    assert(surv == Set(3L, 21L, 50L, 51L), s"got $surv")
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("the dim pin refuses a mismatched batch and mixed-dim batches") {
+    val dir = Files.createTempDirectory("embdim").toFile.getAbsolutePath
+    val store = new EmbedStore(spark, dir, thresholdE6 = T)
+    store.ingest(b0, batchId = Some(0L))
+    val e1 = intercept[IllegalArgumentException] {
+      store.ingest(Seq((99L, Seq(1.0, 0.0))).toDF("id", "embedding"),
+        batchId = Some(1L))
+    }
+    assert(e1.getMessage.contains("dim"))
+    // a fresh batch id keeps the two refusal cases independent (dim
+    // refusals fire before membership resolution, so nothing was
+    // pinned — but independence shouldn't rest on that)
+    val e2 = intercept[IllegalArgumentException] {
+      store.ingest(Seq((98L, Seq(1.0, 0.0)),
+        (97L, Seq(1.0, 0.0, 0.0))).toDF("id", "embedding"),
+        batchId = Some(2L))
+    }
+    assert(e2.getMessage.contains("mixed"))
+    // the shape pin owns reopens: a different threshold is refused
+    val e3 = intercept[IllegalStateException] {
+      new EmbedStore(spark, dir, thresholdE6 = T + 1).pairs
+    }
+    assert(e3.getMessage.contains("thresholdE6"))
+    // open() reconstructs the pinned shape
+    assert(rows(EmbedStore.open(spark, dir).pairs.drop("batch")) ==
+      rows(CosineSearch.nearDupPairs(b0, thresholdE6 = T)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("soak: streaming ingest with kill before checkpoint commit + compaction between restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("embsoak").toFile.getAbsolutePath
+    val checkpoint = s"$dir/_ck"
+    val store = new EmbedStore(spark, dir, thresholdE6 = T)
+    val mem = MemoryStream[Long]
+    def start() = store.start(
+      mem.toDS().map(EmbedStoreSpec.row _).toDF("id", "embedding"),
+      checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q1 = start()
+    mem.addData(1L, 50L)
+    q1.awaitTermination()
+    // crash window: the batch landed but the checkpoint never committed
+    val commitDir = new java.io.File(s"$checkpoint/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    store.compact(targetFileBytes = 1L)
+    mem.addData(2L, 51L)
+    val q2 = start()
+    q2.awaitTermination()
+    assert(store.vectors.count() == 4)
+    val corpus = Seq(1L, 50L, 2L, 51L).map(i => i -> EmbedStoreSpec.vec(i))
+      .toDF("id", "embedding")
+    assert(rows(store.pairs.drop("batch")) ==
+      rows(CosineSearch.nearDupPairs(corpus, thresholdE6 = T)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+}
+
+object EmbedStoreSpec {
+  /** Deterministic vectors for the stream soak: ids 1 and 2 are scaled
+    * copies (cosine 1), 50/51 unrelated one-hots. An object member so
+    * stream lineages don't capture the spec class.
+    */
+  def row(id: Long): (Long, Seq[Double]) = (id, vec(id))
+
+  def vec(id: Long): Seq[Double] = id match {
+    case 1L => Seq(1.0, 2.0, 3.0, 4.0)
+    case 2L => Seq(0.5, 1.0, 1.5, 2.0)
+    case 50L => Seq(1.0, 0.0, 0.0, 0.0)
+    case _ => Seq(0.0, 0.0, 0.0, 1.0)
+  }
+}
