@@ -743,7 +743,14 @@ object ScaleRehearsal {
       val nBatches = 12
       out += "bucketregime_rows" -> regimeRows
       out += "bucketregime_buckets" -> regimeBuckets
-      Seq(0, regimeBuckets).foreach { layout =>
+      // arg 6 restricts the layouts (flat | bucketed) — an A/B against
+      // a code change only needs the side the change touches
+      val layouts = args.lift(6) match {
+        case Some("flat") => Seq(0)
+        case Some("bucketed") => Seq(regimeBuckets)
+        case _ => Seq(0, regimeBuckets)
+      }
+      layouts.foreach { layout =>
         val dir = java.nio.file.Files
           .createTempDirectory(s"bucketregime$layout")
           .toFile.getAbsolutePath

@@ -1591,6 +1591,39 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Chunk-value PRE-PRUNE for a two-sided banded-Hamming join whose
+    * left side is MICRO (a store ingest's batch): a right-side row can
+    * participate in [[hammingJoin]]'s candidate join only if some
+    * 16-bit chunk of its sketch equals the same chunk of some left
+    * sketch — so a codegen'd `isin` over the left side's collected
+    * chunk values drops it BEFORE [[chunkedSketches]]' 4× explode and
+    * the join machinery ever see it. A strict superset of the banded
+    * join's right-side participants (extra blockCols only narrow
+    * further), so composing it changes nothing about the result —
+    * MediaStoreSpec's parity pins it. At 10⁸ stored prints a 500-print
+    * batch keeps ~3% of rows: the probe becomes one vectorized
+    * filtered scan instead of a 4×10⁸-row explode+join. No-op above
+    * `maxProbe` sketches (the isin set must stay a broadcast-literal
+    * hash set) — big batches amortize the full join they fall back to.
+    */
+  def hammingPrefilter(leftSketches: Array[Long], right: DataFrame,
+      chunks: Int, shCol: String = "sh"): DataFrame = {
+    require(chunks >= 1 && chunks * 16 <= 64)
+    if (leftSketches.isEmpty) return right.limit(0)
+    val preds = (0 until chunks).map { c =>
+      val cvs = leftSketches.map(sh => (sh >>> (c * 16)) & 0xffffL)
+        .distinct.toSeq
+      shiftright(col(shCol), c * 16).bitwiseAND(lit(0xffffL))
+        .isin(cvs: _*)
+    }
+    right.where(preds.reduce(_ || _))
+  }
+
+  /** [[hammingPrefilter]]'s probe-size ceiling: above this the left
+    * side is no longer "micro" and callers keep the plain join.
+    */
+  val hammingPrefilterMaxProbe: Int = 100000
+
   private def requireHammingShape(maxHamming: Int, chunks: Int,
       strictRecall: Boolean): Unit = {
     // chunks beyond the sketch width would alias (a 64-bit shift wraps

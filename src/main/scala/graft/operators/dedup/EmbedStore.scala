@@ -158,7 +158,8 @@ final class EmbedStore(protected val spark: SparkSession,
       val bNorm = graft.ScratchCache.persist(
         CosineSearch.normProjection(
             batch.dropDuplicates("id"), "id", "embedding")
-          .join(accepted, col("id") === col("__bid"), "left_semi"))
+          .join(broadcast(accepted), col("id") === col("__bid"),
+            "left_semi"))
       val bPost = graft.ScratchCache.persist(
         if (dim == 0)
           spark.createDataFrame(
@@ -169,10 +170,10 @@ final class EmbedStore(protected val spark: SparkSession,
         val bv = bNorm.select(col("id"), col("cv"), col("cv_n"))
         val fresh =
           if (fs.exists(hPath(s"$path/vecs")))
-            bv.join(
+            probeAntiJoin(bv,
               readTable("vecs", vecsSchema, bucketsOf(bv, "id"))
                 .select(col("id")),
-              Seq("id"), "left_anti")
+              Seq("id"))
           else bv
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/vecs")
@@ -180,10 +181,10 @@ final class EmbedStore(protected val spark: SparkSession,
       markers.guarded("postings", batchId) {
         val fresh =
           if (fs.exists(hPath(s"$path/postings")))
-            bPost.join(
+            probeAntiJoin(bPost,
               readTable("postings", postingsSchema,
-                bucketsOf(bPost, "id")).select(col("id")).distinct(),
-              Seq("id"), "left_anti")
+                bucketsOf(bPost, "id")).select(col("id")),
+              Seq("id"))
           else bPost
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/postings")
@@ -196,7 +197,8 @@ final class EmbedStore(protected val spark: SparkSession,
           if (fs.exists(hPath(s"$path/postings")))
             widenStored("postings",
               readTable("postings", postingsSchema))
-              .join(accepted, col("id") === col("__bid"), "left_anti")
+              .join(broadcast(accepted), col("id") === col("__bid"),
+                "left_anti")
           else bPost.limit(0)
         val key = col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket")
@@ -217,8 +219,9 @@ final class EmbedStore(protected val spark: SparkSession,
         val storedV =
           if (fs.exists(hPath(s"$path/vecs")))
             readTable("vecs", vecsSchema, bucketsOf(candIds, "id"))
-              .join(candIds, Seq("id"), "left_semi")
-              .join(accepted, col("id") === col("__bid"), "left_anti")
+              .join(broadcast(candIds), Seq("id"), "left_semi")
+              .join(broadcast(accepted), col("id") === col("__bid"),
+                "left_anti")
               .select(col("id"), col("cv"), col("cv_n"))
           else bNorm.select(col("id"), col("cv"), col("cv_n")).limit(0)
         val allV = bNorm.select(col("id"), col("cv"), col("cv_n"))
@@ -231,10 +234,10 @@ final class EmbedStore(protected val spark: SparkSession,
           .where(col("sim_e6") >= thresholdE6))
         val fresh =
           if (fs.exists(hPath(s"$path/pairs")))
-            delta.join(
+            probeAntiJoin(delta,
               readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"), "left_anti")
+              Seq("id_a", "id_b"))
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")

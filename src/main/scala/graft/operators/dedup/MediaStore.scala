@@ -72,12 +72,13 @@ import graft.operators.multimodal.Multimodal
   * pair-key anti-join — prune to the buckets the batch (or its pair
   * delta) actually touches instead of scanning the whole stored state
   * per micro-batch. The [[Dedup.hammingJoin]] probe legitimately reads
-  * ALL stored prints (a content probe can match any id). A LAYOUT
+  * ALL stored prints (a content probe can match any id — though a
+  * micro batch's collected chunk values pre-prune it to the rows that
+  * can candidate at all, [[Dedup.hammingPrefilter]]). A LAYOUT
   * property pinned in `store.meta` (the pin wins on reopen). DEFAULT 0
-  * (unbucketed): the modulus must far exceed the typical batch's
-  * distinct-id count to prune at all — see the
-  * [[ReleaseStore.stateBuckets]] guidance; pin a large modulus only
-  * for stores whose print corpus outgrows cheap columnar scans.
+  * (unbucketed) — measured at 10⁸ prints / 16 Ki buckets / 500-id
+  * batches, the layout only ever lost (~2×): see the rewritten
+  * [[ReleaseStore.stateBuckets]] guidance and PLANS.md round 13.
   */
 final class MediaStore(protected val spark: SparkSession,
     protected val path: String,
@@ -234,18 +235,20 @@ final class MediaStore(protected val spark: SparkSession,
       val accepted = resolveAccepted(batch, "id", "prints", batchId)
       val bPrints = graft.ScratchCache.persist(batch
         .select(col("id"), col("sh"), col("kind")).dropDuplicates("id")
-        .join(accepted, col("id") === col("__bid"), "left_semi"))
+        .join(broadcast(accepted), col("id") === col("__bid"),
+          "left_semi"))
       markers.guarded("prints", batchId) {
-        // anti-join against the LIVE table: a replay after a
-        // landed-but-unmarked append finds its rows present and appends
-        // nothing. Bucket-pruned — stored rows outside the batch ids'
-        // hash buckets cannot match.
+        // probe-inverted anti-join against the LIVE table: a replay
+        // after a landed-but-unmarked append finds its rows present and
+        // appends nothing. Bucket-pruned — stored rows outside the
+        // batch ids' hash buckets cannot match — and never sorted
+        // (probeAntiJoin streams the store against a broadcast probe).
         val fresh =
           if (fs.exists(hPath(s"$path/prints")))
-            bPrints.join(
+            probeAntiJoin(bPrints,
               readTable("prints", printsSchema, bucketsOf(bPrints, "id"))
                 .select(col("id")),
-              Seq("id"), "left_anti")
+              Seq("id"))
           else bPrints
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/prints")
@@ -257,14 +260,27 @@ final class MediaStore(protected val spark: SparkSession,
         // within-batch pairs)
         val stored =
           if (fs.exists(hPath(s"$path/prints")))
-            prints.join(accepted, col("id") === col("__bid"), "left_anti")
+            prints.join(broadcast(accepted),
+                col("id") === col("__bid"), "left_anti")
               .select(col("id"), col("sh"), col("kind"))
           else bPrints.limit(0)
+        // chunk-value pre-prune: a micro batch's 16-bit chunk values
+        // collect into a codegen'd isin that drops ~97% of stored rows
+        // BEFORE the 4× explode (a strict superset of the banded
+        // join's participants — result unchanged, spec-pinned); big
+        // batches skip the collect and keep the full join
+        val bShs = bPrints.select(col("sh"))
+          .limit(Dedup.hammingPrefilterMaxProbe + 1)
+          .collect().map(_.getLong(0))
+        val storedPre =
+          if (bShs.length <= Dedup.hammingPrefilterMaxProbe)
+            Dedup.hammingPrefilter(bShs, stored, chunks)
+          else stored
         // kind joins the blocking equi-key: pairs form only within one
         // modality (the KIND SAFETY contract) — same join shape, one
         // more key column
-        val cross = Dedup.hammingJoin(bPrints, stored, maxHamming, chunks,
-            blockCols = Seq("kind"))
+        val cross = Dedup.hammingJoin(bPrints, storedPre, maxHamming,
+            chunks, blockCols = Seq("kind"))
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"),
             col("kind"))
@@ -280,10 +296,10 @@ final class MediaStore(protected val spark: SparkSession,
         // keyed by (id_a, id_b) instead of id). Bucket-pruned by id_a.
         val fresh =
           if (fs.exists(hPath(s"$path/pairs")))
-            delta.join(
+            probeAntiJoin(delta,
               readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"), "left_anti")
+              Seq("id_a", "id_b"))
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
@@ -373,7 +389,8 @@ final class MediaStore(protected val spark: SparkSession,
         .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
           col("sh"), col("kind"))
         .dropDuplicates("id", "frame_idx")
-        .join(accepted, col("id") === col("__bid"), "left_semi"))
+        .join(broadcast(accepted), col("id") === col("__bid"),
+          "left_semi"))
       // the packing modulus is a SHAPE property: an index outside
       // [0, clipMaxFrames) would alias into another clip's packed key
       // and silently corrupt the diagonal vote — refuse the batch
@@ -389,10 +406,10 @@ final class MediaStore(protected val spark: SparkSession,
         // nothing (clip atomicity makes the id the replay key)
         val fresh =
           if (fs.exists(hPath(s"$path/clipframes")))
-            bFrames.join(
+            probeAntiJoin(bFrames,
               readTable("clipframes", clipFramesSchema,
-                bucketsOf(bFrames, "id")).select(col("id")).distinct(),
-              Seq("id"), "left_anti")
+                bucketsOf(bFrames, "id")).select(col("id")),
+              Seq("id"))
           else bFrames
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/clipframes")
@@ -407,7 +424,8 @@ final class MediaStore(protected val spark: SparkSession,
         val storedF =
           if (fs.exists(hPath(s"$path/clipframes")))
             clipFramesWide(readTable("clipframes", clipFramesSchema))
-              .join(accepted, col("id") === col("__bid"), "left_anti")
+              .join(broadcast(accepted), col("id") === col("__bid"),
+                "left_anti")
           else bFrames.limit(0)
         val packedS = storedF.select(packedKey, col("sh"), col("kind"))
         // frame-level matches, kind-blocked: batch self-join (both
@@ -439,7 +457,7 @@ final class MediaStore(protected val spark: SparkSession,
           .select(expr(s"id_b div $clipMaxFrames").as("id")).distinct())
         val sCounts = readTable("clipframes", clipFramesSchema,
             bucketsOf(candS, "id"))
-          .join(candS, Seq("id"), "left_semi")
+          .join(broadcast(candS), Seq("id"), "left_semi")
           .groupBy(col("id"), col("kind"))
           .agg(count(lit(1)).as("frames_a"))
           .select(col("id"), col("frames_a"), col("kind"))
@@ -450,11 +468,11 @@ final class MediaStore(protected val spark: SparkSession,
         // already stored ⟺ the landed-append replay window
         val fresh =
           if (fs.exists(hPath(s"$path/clippairs")))
-            delta.join(
+            probeAntiJoin(delta,
               readTable("clippairs", clipPairsSchema,
                 bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"), "left_anti")
+              Seq("id_a", "id_b"))
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/clippairs")

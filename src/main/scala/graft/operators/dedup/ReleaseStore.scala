@@ -112,20 +112,23 @@ final class ReleaseStore(protected val spark: SparkSession,
       * keyed by band/shingle, not id — they remain columnar scans of
       * stored state by design.
       *
-      * DEFAULT 0 (unbucketed) — this is a BIG-STORE lever, not a free
-      * win. A prune only removes the buckets a batch does NOT touch,
-      * and n random ids touch ~min(n, buckets) dirs, so the modulus
-      * must far exceed the typical batch's distinct-id count to prune
-      * at all (≥1000× for a ~99.9% cut: 500-doc micro-batches against
-      * a billion-doc store want ~64Ki buckets, reading ~0.8‰ of state
-      * instead of all of it). Below that the layout is pure overhead —
-      * measured at ×10: a 256-bucket layout made 5k-doc batch walls
-      * 25–32 s vs 7–10 s unbucketed (dynamic-partition writes + dir
-      * listing, no prune: every batch touched all 256 buckets), while
-      * the unbucketed columnar id scans it would replace cost seconds
-      * even at ×100. Pin a large modulus when creating a store whose
-      * id-keyed state outgrows cheap columnar scans (≳10⁹ rows);
-      * everything else should stay 0.
+      * DEFAULT 0 (unbucketed) — and MEASUREMENT FOUND NO WINNING
+      * REGIME (PLANS.md round 13, `bucketregime`): at 10⁸ id-keyed
+      * rows / 16 Ki buckets / 500-id micro-batches — the exact shape
+      * the layout was argued for — the bucketed store ran ~2× SLOWER
+      * end to end, because the costs the prune was aimed at are
+      * better removed elsewhere: the replay-guard anti-joins that
+      * used to sort the whole store per batch are probe-INVERTED now
+      * ([[graft.store.DurableStore.probeAntiJoin]] streams the store
+      * against a broadcast probe), and content probes were never
+      * id-prunable. Meanwhile the layout taxes EVERY scan with
+      * per-dir listing/open overhead and its partition metadata
+      * overflows the planner's file-listing cache. (Earlier ×10
+      * measurement, same verdict from the small side: 256 buckets
+      * made 5k-doc batch walls 25–32 s vs 7–10 s unbucketed.) The
+      * machinery stays pin-governed and spec-pinned for tables that
+      * genuinely need dir-level pruning; nothing in this repo
+      * recommends setting it.
       */
     stateBuckets: Int = 0) extends graft.store.DurableStore
     with graft.store.BucketedTables {
@@ -402,12 +405,14 @@ final class ReleaseStore(protected val spark: SparkSession,
       // unmarked append finds its rows present and appends nothing
       // (bucket-pruned: rows outside the batch's buckets cannot match)
       val base = batch.dropDuplicates(idCol)
-        .join(accepted, col(idCol) === col("__bid"), "left_semi")
+        .join(broadcast(accepted), col(idCol) === col("__bid"),
+          "left_semi")
       val fresh =
         if (fs.exists(hPath(s"$path/docs")))
-          base.join(storedAcceptIds(idCol, "docs", accepted)
+          probeAntiJoin(base, storedAcceptIds(idCol, "docs", accepted)
               .select(col("__bid").as(idCol)),
-            Seq(idCol), "left_anti")
+            Seq(idCol),
+            probeKeys = Some(accepted.select(col("__bid").as(idCol))))
         else base
       appendBucketed(fresh, idCol, s"$path/docs")
     }
@@ -468,11 +473,15 @@ final class ReleaseStore(protected val spark: SparkSession,
     def dedupAppend(frame: DataFrame, table: String): Unit = {
       val fresh =
         if (fs.exists(hPath(s"$path/$table")))
-          // bucket-pruned: the frame's ids are accepted ids, so stored
-          // rows outside the batch's buckets cannot collide
-          frame.join(
+          // bucket-pruned (the frame's ids are accepted ids, so stored
+          // rows outside the batch's buckets cannot collide) and
+          // probe-inverted: the probe key set IS the accepted ids —
+          // already materialized as the sidecar — so the store is
+          // streamed against a broadcast, never sorted
+          probeAntiJoin(frame,
             readTable(table, frame.schema, batchBuckets).select(col("id")),
-            Seq("id"), "left_anti")
+            Seq("id"),
+            probeKeys = Some(accepted.select(col("__bid").as("id"))))
         else frame
       appendBucketed(fresh, "id", s"$path/$table")
     }
@@ -490,7 +499,7 @@ final class ReleaseStore(protected val spark: SparkSession,
       val priorReps =
         if (fs.exists(hPath(s"$path/shingles")))
           readTable("shingles", bshAll.schema)
-            .join(acc, Seq("id"), "left_anti")
+            .join(broadcast(acc), Seq("id"), "left_anti")
             .select(col("id").as("rep"), sort_array(col("sh")).as("skey"))
         else bshAll.limit(0)
           .select(col("id").as("rep"), sort_array(col("sh")).as("skey"))
@@ -551,7 +560,8 @@ final class ReleaseStore(protected val spark: SparkSession,
       if (upgrade) stateTables
       else stateTables.filterNot(t => fs.exists(hPath(s"$path/$t")))
     if (missing.isEmpty && !upgrade) return
-    val base = docs.join(accepted, col(idCol) === col("__bid"), "left_anti")
+    val base = docs.join(broadcast(accepted),
+      col(idCol) === col("__bid"), "left_anti")
     val shAll = Dedup.hashedShingles(base, idCol, textCol, portable)
     val (sh, members) =
       if (!collapseFront) (shAll, None)
@@ -561,7 +571,8 @@ final class ReleaseStore(protected val spark: SparkSession,
         // are NOT the global min id, so recomputing the grouping would
         // desync the rebuilt table from members and scored
         val acc = accepted.select(col("__bid").as("id"))
-        val reps = membersTable.join(acc, Seq("id"), "left_anti")
+        val reps = membersTable.join(broadcast(acc), Seq("id"),
+          "left_anti")
           .where(col("id") === col("rep")).select(col("id"))
         (graft.ScratchCache.persist(
           shAll.join(reps, Seq("id"), "left_semi")), None)
@@ -711,7 +722,8 @@ final class ReleaseStore(protected val spark: SparkSession,
     // steady state) touch a fraction of the partition dirs
     val candSh = readTable("shingles", bsh.schema,
       bucketsOf(candIds, "id"))
-    Dedup.scoreCandidates(cand, candSh.join(candIds, Seq("id"), "left_semi"))
+    Dedup.scoreCandidates(cand,
+      candSh.join(broadcast(candIds), Seq("id"), "left_semi"))
   }
 
   /** Start the continuous durable release over a document STREAM: each

@@ -173,11 +173,12 @@ private[graft] trait DurableStore {
     // plane B's batch 0 reading plane A's pinned membership
     val nsDir = if (ns.isEmpty) "batches" else s"batches_$ns"
     def resolve(): DataFrame = {
-      val ids = batch.select(col(idColName).as("__bid")).distinct()
+      val ids = graft.ScratchCache.persist(
+        batch.select(col(idColName).as("__bid")).distinct())
       if (fs.exists(hPath(s"$path/$storedTable"))) {
         recoverTable(storedTable)
-        ids.join(storedAcceptIds(idColName, storedTable, ids),
-          Seq("__bid"), "left_anti")
+        probeAntiJoin(ids,
+          storedAcceptIds(idColName, storedTable, ids), Seq("__bid"))
       } else ids
     }
     batchId match {
@@ -232,6 +233,36 @@ private[graft] trait DurableStore {
     checkpointIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     checkpointIds = Set.empty
+  }
+
+  /** Replay-guard anti-join for a SMALL probe frame against a HUGE
+    * stored key set, without shuffling the store: `probe LEFT ANTI
+    * stored` hashes its RIGHT side, so Catalyst cannot broadcast the
+    * store and plans a sort-merge join — a full shuffle + sort of
+    * EVERY stored key per micro-batch (measured at 10⁸ stored prints:
+    * ~100 s per 500-id batch, in either bucket layout; the id-hash
+    * prune was aimed at exactly this cost and lost to it). Inverting
+    * streams the store ONCE against a broadcast probe: `present =
+    * stored SEMI broadcast(probe)` is bounded by the probe size, and
+    * the final `probe ANTI broadcast(present)` touches only tiny
+    * frames. Falls back to the plain anti-join when the probe is too
+    * big to broadcast — the count is one action on a frame every
+    * caller already persists.
+    */
+  protected def probeAntiJoin(probe: DataFrame, stored: DataFrame,
+      keys: Seq[String], probeRows: Option[Long] = None,
+      probeKeys: Option[DataFrame] = None): DataFrame = {
+    lazy val pk = probeKeys.getOrElse(
+      probe.select(keys.map(col): _*).distinct())
+    val n = probeRows.getOrElse(pk.count())
+    if (n <= DurableStore.probeInvertRows) {
+      val present = stored
+        .join(org.apache.spark.sql.functions.broadcast(pk), keys,
+          "left_semi")
+        .select(keys.map(col): _*).distinct()
+      probe.join(org.apache.spark.sql.functions.broadcast(present), keys,
+        "left_anti")
+    } else probe.join(stored, keys, "left_anti")
   }
 
   /** The INCREMENTALLY-maintained duplicate-cluster labels over a
@@ -339,6 +370,13 @@ private[graft] trait DurableStore {
 }
 
 private[graft] object DurableStore {
+  /** Probe-size ceiling for [[DurableStore.probeAntiJoin]]'s broadcast
+    * inversion: 5M ids ≈ 40 MB broadcast — comfortably under driver
+    * limits, far above any micro-batch; bigger probes take the plain
+    * shuffle join, whose cost they amortize.
+    */
+  val probeInvertRows: Long = 5000000L
+
   /** The one key=value parse of a `store.meta` shape pin — shared by
     * instance validation and operational reopen, so the two can never
     * disagree about the same file.
