@@ -19,7 +19,8 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
   * increlease,collapse,storeincr,storescratch,storecollapse,annx,
-  * imagedup,avdup,mediastore,clipstore,bucketregime,frontier (default:
+  * imagedup,avdup,mediastore,clipstore,embedstore,bucketregime,frontier
+  * (default:
   * all EXCEPT bucketregime, whose 10⁸-row synthetic seed is its own
   * workload — request it explicitly; storescratch is storeincr's
   * from-scratch parity target and requires storeincr) — the full
@@ -716,6 +717,66 @@ object ScaleRehearsal {
         docs.select(col("doc_id")), "doc_id", quality).count())
       out += "clipstore_survivors" -> survN
       out += "clipstore_purge_sec" -> tPurge
+      ScratchCache.releaseAll(spark)
+    }
+
+    if (run("embedstore")) {
+      // the DURABLE embedding-dedup cadence at this corpus size: the
+      // (replicated) embeddings arrive as 10 id-sliced batches into an
+      // EmbedStore (batch self-join + batch×stored sign-LSH postings
+      // equi-join + bucket-pruned exact-cosine verification, marker-
+      // guarded appends). The replicated corpus is the WORST case —
+      // every source vector is an N-member exact-duplicate clique, so
+      // the verified pair OUTPUT is quadratic in the replication
+      // factor by the operator's semantics. The claims under test:
+      // per-batch walls track batch size + candidate volume
+      // (~tables·n/2^bits stored collisions per batch row — the
+      // printed postings pair volume is that economics, measured from
+      // stored state), NOT stored-corpus re-verification; vectors are
+      // 100–1000× heavier per row than 64-bit prints, so the "fat
+      // read tracks candidate volume" claim is what the walls price.
+      // Parity: the accumulated pair set must equal a from-scratch
+      // nearDupPairs run row-for-row (0 = exact), whose wall is what
+      // a per-release re-pair would re-pay.
+      import graft.operators.dedup.EmbedStore
+      val e = ScratchCache.persist(
+        embs.select(col("vec_id").as("id"), col("embedding")))
+      out += "embedstore_vectors" -> e.count()
+      val dir = java.nio.file.Files.createTempDirectory("embedstore")
+        .toFile.getAbsolutePath
+      val store = new EmbedStore(spark, dir, thresholdE6 = 400000L)
+      (0L until 10L).foreach { b =>
+        val (_, t) = timed(
+          store.ingest(e.where(pmod(col("id"), lit(10)) === b), Some(b)))
+        out += s"embedstore_ingest${b}_sec" -> t
+        if (b == 4L) store.compact(targetFileBytes = 64L * 1024 * 1024)
+      }
+      // the one-shot candidate volume the ingests amortized:
+      // Σ c·(c−1)/2 over stored (tbl, bucket) occupancies — compare
+      // against tables·n²/2^(bits+1) for the uniform-spread claim
+      out += "embedstore_candidate_volume" ->
+        spark.read.parquet(s"$dir/postings")
+          .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
+          .agg(sum(expr("(c * (c - 1)) div 2"))).head().getLong(0)
+      val (pn, tRead) = timed(store.pairs.count())
+      out += "embedstore_pairs" -> pn
+      out += "embedstore_pairs_read_sec" -> tRead
+      var scratchPairs = 0L
+      val (_, tScratch) = timed {
+        val w = CosineSearch.nearDupPairs(e, thresholdE6 = 400000L)
+          .select(col("id_a"), col("id_b"), col("sim_e6"))
+        scratchPairs = w.count()
+        val got = store.pairs
+          .select(col("id_a"), col("id_b"), col("sim_e6"))
+        out += "embedstore_parity_diff" ->
+          (got.exceptAll(w).count() + w.exceptAll(got).count())
+      }
+      out += "embedstore_scratch_pairs" -> scratchPairs
+      out += "embedstore_scratch_sec" -> tScratch
+      // the incremental star-edge fold over the accumulated pairs
+      val (clN, tCl) = timed(store.clusters().count())
+      out += "embedstore_clusters" -> clN
+      out += "embedstore_clusters_sec" -> tCl
       ScratchCache.releaseAll(spark)
     }
 

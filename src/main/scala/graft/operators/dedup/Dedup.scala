@@ -1610,19 +1610,36 @@ object Dedup {
       chunks: Int, shCol: String = "sh"): DataFrame = {
     require(chunks >= 1 && chunks * 16 <= 64)
     if (leftSketches.isEmpty) return right.limit(0)
-    val preds = (0 until chunks).map { c =>
-      val cvs = leftSketches.map(sh => (sh >>> (c * 16)) & 0xffffL)
-        .distinct.toSeq
+    val cvSets = (0 until chunks).map { c =>
+      leftSketches.map(sh => (sh >>> (c * 16)) & 0xffffL).distinct
+    }
+    // selectivity guard: each chunk has only 2^16 possible values, so a
+    // probe whose distinct chunk values cover much of that space keeps
+    // ~all stored rows anyway — the OR of near-full InSets would pay
+    // the predicate scan and a huge literal-set build for nothing.
+    // Expected keep fraction under uniform stored chunk values is
+    // 1 − Π(1 − d_c/65536); skip the filter (identity — it is an
+    // optimization, never a semantic) when that exceeds one half
+    val keep = 1.0 - cvSets.map(s => 1.0 - s.length / 65536.0).product
+    if (keep > 0.5) return right
+    val preds = cvSets.zipWithIndex.map { case (cvs, c) =>
       shiftright(col(shCol), c * 16).bitwiseAND(lit(0xffffL))
-        .isin(cvs: _*)
+        .isin(cvs.toSeq: _*)
     }
     right.where(preds.reduce(_ || _))
   }
 
   /** [[hammingPrefilter]]'s probe-size ceiling: above this the left
-    * side is no longer "micro" and callers keep the plain join.
+    * side is no longer "micro" and callers keep the plain join without
+    * even collecting the sketches. 8192 distinct sketches already put
+    * each chunk's isin at up to 1/8 of the 2^16 value space — expected
+    * keep ≈ 1 − (1 − 1/8)⁴ ≈ 41%, the edge of usefulness; the old
+    * 100k ceiling admitted probes whose near-full InSets kept ~every
+    * stored row while still paying the scan (the selectivity guard
+    * inside [[hammingPrefilter]] now catches skewed cases below the
+    * ceiling too).
     */
-  val hammingPrefilterMaxProbe: Int = 100000
+  val hammingPrefilterMaxProbe: Int = 8192
 
   private def requireHammingShape(maxHamming: Int, chunks: Int,
       strictRecall: Boolean): Unit = {

@@ -173,7 +173,8 @@ final class EmbedStore(protected val spark: SparkSession,
             probeAntiJoin(bv,
               readTable("vecs", vecsSchema, bucketsOf(bv, "id"))
                 .select(col("id")),
-              Seq("id"))
+              Seq("id"), "vecs",
+              probeKeys = Some(accepted.select(col("__bid").as("id"))))
           else bv
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/vecs")
@@ -184,7 +185,8 @@ final class EmbedStore(protected val spark: SparkSession,
             probeAntiJoin(bPost,
               readTable("postings", postingsSchema,
                 bucketsOf(bPost, "id")).select(col("id")),
-              Seq("id"))
+              Seq("id"), "postings",
+              probeKeys = Some(accepted.select(col("__bid").as("id"))))
           else bPost
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/postings")
@@ -195,7 +197,7 @@ final class EmbedStore(protected val spark: SparkSession,
         // probe fan-out
         val storedPost =
           if (fs.exists(hPath(s"$path/postings")))
-            widenStored("postings",
+            widen("postings",
               readTable("postings", postingsSchema))
               .join(broadcast(accepted), col("id") === col("__bid"),
                 "left_anti")
@@ -237,7 +239,7 @@ final class EmbedStore(protected val spark: SparkSession,
             probeAntiJoin(delta,
               readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"))
+              Seq("id_a", "id_b"), "pairs")
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
@@ -245,15 +247,6 @@ final class EmbedStore(protected val spark: SparkSession,
       }
       freeAcceptedCheckpoint()
     }
-
-  /** Widen a possibly-compacted stored scan before its probe fan-out —
-    * the [[ReleaseStore]] post-compact scan-width rule (FileIndex-side
-    * estimate, no RDD instantiation).
-    */
-  private def widenStored(table: String, df: DataFrame): DataFrame = {
-    val cores = spark.sparkContext.defaultParallelism
-    if (plannedScanWidth(table) < cores) df.repartition(cores) else df
-  }
 
   /** Start the continuous durable embedding dedup over a vector
     * stream (`id`, `embedding`): each micro-batch ingests exactly-once

@@ -237,6 +237,18 @@ final class MediaStore(protected val spark: SparkSession,
         .select(col("id"), col("sh"), col("kind")).dropDuplicates("id")
         .join(broadcast(accepted), col("id") === col("__bid"),
           "left_semi"))
+      // collected ONCE, ahead of both guards: the pair guard's
+      // chunk-value pre-prune needs the sketch values, and its length
+      // (when under the cap) IS the accepted print count — threaded as
+      // probeRows so a big-store replay guard schedules no extra count
+      // job (ids are distinct in bPrints, so rows == ids)
+      val bShs = bPrints.select(col("sh"))
+        .limit(Dedup.hammingPrefilterMaxProbe + 1)
+        .collect().map(_.getLong(0))
+      val bRows =
+        if (bShs.length <= Dedup.hammingPrefilterMaxProbe)
+          Some(bShs.length.toLong)
+        else None
       markers.guarded("prints", batchId) {
         // probe-inverted anti-join against the LIVE table: a replay
         // after a landed-but-unmarked append finds its rows present and
@@ -248,7 +260,8 @@ final class MediaStore(protected val spark: SparkSession,
             probeAntiJoin(bPrints,
               readTable("prints", printsSchema, bucketsOf(bPrints, "id"))
                 .select(col("id")),
-              Seq("id"))
+              Seq("id"), "prints", probeRows = bRows,
+              probeKeys = Some(accepted.select(col("__bid").as("id"))))
           else bPrints
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/prints")
@@ -265,13 +278,10 @@ final class MediaStore(protected val spark: SparkSession,
               .select(col("id"), col("sh"), col("kind"))
           else bPrints.limit(0)
         // chunk-value pre-prune: a micro batch's 16-bit chunk values
-        // collect into a codegen'd isin that drops ~97% of stored rows
-        // BEFORE the 4× explode (a strict superset of the banded
-        // join's participants — result unchanged, spec-pinned); big
-        // batches skip the collect and keep the full join
-        val bShs = bPrints.select(col("sh"))
-          .limit(Dedup.hammingPrefilterMaxProbe + 1)
-          .collect().map(_.getLong(0))
+        // (collected once, above the guards) become a codegen'd isin
+        // that drops ~97% of stored rows BEFORE the 4× explode (a
+        // strict superset of the banded join's participants — result
+        // unchanged, spec-pinned); big batches keep the full join
         val storedPre =
           if (bShs.length <= Dedup.hammingPrefilterMaxProbe)
             Dedup.hammingPrefilter(bShs, stored, chunks)
@@ -299,7 +309,7 @@ final class MediaStore(protected val spark: SparkSession,
             probeAntiJoin(delta,
               readTable("pairs", pairsSchema, bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"))
+              Seq("id_a", "id_b"), "pairs")
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
@@ -383,6 +393,21 @@ final class MediaStore(protected val spark: SparkSession,
               + ("clipMaxFrames" -> clipMaxFrames.toString))
         }
       recoverTable("clipframes"); recoverTable("clippairs")
+      // the packing modulus is a SHAPE property: an index outside
+      // [0, clipMaxFrames) would alias into another clip's packed key
+      // and silently corrupt the diagonal vote — refuse the batch.
+      // Validated on the RAW input BEFORE resolveAccepted durably pins
+      // the batch's accepted-id sidecar (the EmbedStore dim-validation
+      // ordering): a refused batch must leave NO committed membership,
+      // or a retry under the same batch id that drops or renames the
+      // offending clip would silently reuse the stale pinned set
+      if (frames.where(col("frame_idx").cast("long") < 0 ||
+          col("frame_idx").cast("long") >= clipMaxFrames)
+          .limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"ingestClips frame_idx outside [0, $clipMaxFrames): reopen " +
+          "the store with a larger clipMaxFrames (a NEW store - the " +
+          "packing modulus is pinned) or truncate the sequences")
       val accepted =
         resolveAccepted(frames, "id", "clipframes", batchId, ns = "clips")
       val bFrames = graft.ScratchCache.persist(frames
@@ -391,15 +416,6 @@ final class MediaStore(protected val spark: SparkSession,
         .dropDuplicates("id", "frame_idx")
         .join(broadcast(accepted), col("id") === col("__bid"),
           "left_semi"))
-      // the packing modulus is a SHAPE property: an index outside
-      // [0, clipMaxFrames) would alias into another clip's packed key
-      // and silently corrupt the diagonal vote — refuse the batch
-      if (bFrames.where(col("frame_idx") < 0 ||
-          col("frame_idx") >= clipMaxFrames).limit(1).count() > 0)
-        throw new IllegalArgumentException(
-          s"ingestClips frame_idx outside [0, $clipMaxFrames): reopen " +
-          "the store with a larger clipMaxFrames (a NEW store - the " +
-          "packing modulus is pinned) or truncate the sequences")
       markers.guarded("clipframes", batchId) {
         // anti-join by clip id against the LIVE table: a replay after a
         // landed-but-unmarked append finds its ids present and appends
@@ -409,7 +425,8 @@ final class MediaStore(protected val spark: SparkSession,
             probeAntiJoin(bFrames,
               readTable("clipframes", clipFramesSchema,
                 bucketsOf(bFrames, "id")).select(col("id")),
-              Seq("id"))
+              Seq("id"), "clipframes",
+              probeKeys = Some(accepted.select(col("__bid").as("id"))))
           else bFrames
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id", s"$path/clipframes")
@@ -423,7 +440,7 @@ final class MediaStore(protected val spark: SparkSession,
         // the batch's own frames on the stored side)
         val storedF =
           if (fs.exists(hPath(s"$path/clipframes")))
-            clipFramesWide(readTable("clipframes", clipFramesSchema))
+            widen("clipframes", readTable("clipframes", clipFramesSchema))
               .join(broadcast(accepted), col("id") === col("__bid"),
                 "left_anti")
           else bFrames.limit(0)
@@ -472,7 +489,7 @@ final class MediaStore(protected val spark: SparkSession,
               readTable("clippairs", clipPairsSchema,
                 bucketsOf(delta, "id_a"))
                 .select(col("id_a"), col("id_b")),
-              Seq("id_a", "id_b"))
+              Seq("id_a", "id_b"), "clippairs")
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/clippairs")
@@ -520,17 +537,6 @@ final class MediaStore(protected val spark: SparkSession,
           ingestClips(MediaStore.frameSequences(batch), Some(id))
       }
       .start()
-
-  /** Widen a possibly-compacted clipframes scan before its probe
-    * fan-out — the [[ReleaseStore]] post-compact scan-width lesson
-    * applied to the clip plane (the FileIndex-side estimate, no RDD
-    * instantiation).
-    */
-  private def clipFramesWide(df: DataFrame): DataFrame = {
-    val cores = spark.sparkContext.defaultParallelism
-    if (plannedScanWidth("clipframes") < cores) df.repartition(cores)
-    else df
-  }
 
   /** The duplicate-cluster labels over everything ingested so far,
     * maintained INCREMENTALLY: the label table persists under

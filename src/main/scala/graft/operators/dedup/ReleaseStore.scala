@@ -411,7 +411,7 @@ final class ReleaseStore(protected val spark: SparkSession,
         if (fs.exists(hPath(s"$path/docs")))
           probeAntiJoin(base, storedAcceptIds(idCol, "docs", accepted)
               .select(col("__bid").as(idCol)),
-            Seq(idCol),
+            Seq(idCol), "docs",
             probeKeys = Some(accepted.select(col("__bid").as(idCol))))
         else base
       appendBucketed(fresh, idCol, s"$path/docs")
@@ -480,7 +480,7 @@ final class ReleaseStore(protected val spark: SparkSession,
           // streamed against a broadcast, never sorted
           probeAntiJoin(frame,
             readTable(table, frame.schema, batchBuckets).select(col("id")),
-            Seq("id"),
+            Seq("id"), table,
             probeKeys = Some(accepted.select(col("__bid").as("id"))))
         else frame
       appendBucketed(fresh, "id", s"$path/$table")
@@ -678,13 +678,9 @@ final class ReleaseStore(protected val spark: SparkSession,
     // shuffle of the stored side (its pre-fan-out scan size) restores
     // width; once the table outgrows cores × maxPartitionBytes the scan
     // is naturally wide and this is a no-op. Width comes from the
-    // FileIndex side (plannedScanWidth's one listing), not from
+    // FileIndex side (DurableStore.widen's one listing), not from
     // df.rdd.getNumPartitions — instantiating the RDD forces split
     // planning on the driver per ingest.
-    def widen(table: String, df: DataFrame): DataFrame = {
-      val cores = spark.sparkContext.defaultParallelism
-      if (plannedScanWidth(table) < cores) df.repartition(cores) else df
-    }
     val storedSh = widen("shingles", readTable("shingles", bsh.schema))
     val storedBands = widen("bands", readTable("bands", bBands.schema))
     val storedPref = widen("prefixes", readTable("prefixes", bPref.schema))

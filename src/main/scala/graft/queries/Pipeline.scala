@@ -125,6 +125,30 @@ object Pipeline {
     * clusters() after EVERY ingest so the final labels come from a real
     * incremental star-edge fold, not one full build.
     */
+  /** Drive an embed-store gate: the embeddings corpus arrives as two
+    * vec_id-sliced batches into an [[graft.operators.dedup.EmbedStore]]
+    * under a scratch dir (vector projections + sign-LSH postings +
+    * verified pairs, marker-guarded), with a mid-stream compact()
+    * before the second ingest. `foldPerBatch` additionally calls
+    * clusters() after EVERY ingest so the final labels come from a
+    * real incremental star-edge fold, not one full build — the
+    * mediaStoreDrive discipline on the vector plane.
+    */
+  private def embedStoreDrive(s: SparkSession, dir: String,
+      foldPerBatch: Boolean = false)
+      : graft.operators.dedup.EmbedStore = {
+    val store = new graft.operators.dedup.EmbedStore(s,
+      storeScratchDir(s), thresholdE6 = 400000L)
+    val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+    (0L until 2L).foreach { b =>
+      store.ingest(e.where(pmod(col("id"), lit(2)) === b),
+        batchId = Some(b))
+      if (foldPerBatch) store.clusters()
+      if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
+    }
+    store
+  }
+
   private def mediaStoreDrive(s: SparkSession, dir: String,
       foldPerBatch: Boolean = false,
       hashesOverride: Option[DataFrame] = None)
@@ -1519,16 +1543,19 @@ object Pipeline {
     // nearDupPairs set (union completeness: signatures are
     // data-independent, so a pair is generated by its later member's
     // batch), so the composed q_sim_neardup oracle applies verbatim
-    "q_embed_store" -> ((s, dir) => {
-      val store = new graft.operators.dedup.EmbedStore(s,
-        storeScratchDir(s), thresholdE6 = 400000L)
-      val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
-      (0L until 2L).foreach { b =>
-        store.ingest(e.where(pmod(col("id"), lit(2)) === b),
-          batchId = Some(b))
-        if (b == 0L) store.compact(targetFileBytes = 8L * 1024 * 1024)
-      }
-      store.pairs.select(col("id_a"), col("id_b"), col("sim_e6"))
+    "q_embed_store" -> ((s, dir) =>
+      embedStoreDrive(s, dir).pairs
+        .select(col("id_a"), col("id_b"), col("sim_e6"))),
+
+    // the embed store's INCREMENTALLY-maintained cluster labels
+    // (per-batch star-edge folds through the shared
+    // DurableStore.foldClusterLabels) must equal the from-scratch CC
+    // over the same verified pair set — the q_media_clusters shape on
+    // the vector plane, against a composed recursive-CTE oracle over
+    // the q_sim_neardup pair SQL
+    "q_embed_clusters" -> ((s, dir) => {
+      val store = embedStoreDrive(s, dir, foldPerBatch = true)
+      store.clusters()
     }),
 
     // exact all-pairs cosine ≥ 0.4 — the oracle-checked ground truth the
@@ -1784,6 +1811,32 @@ object Pipeline {
     * is the component keeper. Interpolated into every CC oracle so the
     * traversal logic cannot drift between them.
     */
+  /** Shared CTE chain of the sign-LSH near-dup oracles
+    * (`q_sim_neardup`, `q_embed_clusters`): the normalized-cast vector
+    * table `c0`, the table index `tb` and the per-(vec, table) bucket
+    * assignment `cb`, with the seeded hyperplanes rendered as DuckDB
+    * literals — the plane arithmetic cannot drift between the pair
+    * oracle and its CC composition.
+    */
+  private lazy val simNeardupCtes: String = {
+    val planes = graft.operators.similarity.CosineSearch.lshPlanes(
+      dim = 64, bits = 8, tables = 4, seed = 7L)
+    def bucketExpr(vec: String, tp: Array[Array[Double]]): String =
+      tp.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 " +
+          s"THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val tblCase =
+      planes.zipWithIndex.map { case (tp, l) =>
+        s"WHEN $l THEN ${bucketExpr("cv", tp)}"
+      }.mkString("CASE tbl ", " ", " END")
+    s"""c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings),
+       |tb AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(tbl)),
+       |cb AS (SELECT id, cv, tbl, $tblCase AS bucket FROM c0, tb)"""
+      .stripMargin
+  }
+
   private val reachCte: String =
     """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
@@ -3714,30 +3767,31 @@ object Pipeline {
     // Generated oracle for the LSH near-dup pairs (same plane-literal
     // technique; 8-bit sketches, 4 tables, threshold on the quantized
     // cosine)
-    "q_sim_neardup" -> {
-      val planes = CosineSearch.lshPlanes(dim = 64, bits = 8, tables = 4,
-        seed = 7L)
-      def bucketExpr(vec: String, tp: Array[Array[Double]]): String =
-        tp.zipWithIndex.map { case (p, i) =>
-          s"CASE WHEN list_dot_product($vec, ${p.mkString("[", ", ", "]")}) >= 0 " +
-            s"THEN ${1L << i} ELSE 0 END"
-        }.mkString("(", " + ", ")")
-      val tblCase =
-        planes.zipWithIndex.map { case (tp, l) =>
-          s"WHEN $l THEN ${bucketExpr("cv", tp)}"
-        }.mkString("CASE tbl ", " ", " END")
-      s"""WITH c0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings),
-         |tb AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(tbl)),
-         |cb AS (SELECT id, cv, tbl, $tblCase AS bucket FROM c0, tb)
+    "q_sim_neardup" ->
+      s"""WITH $simNeardupCtes
          |SELECT id_a, id_b, sim_e6 FROM (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |    CAST(round(list_cosine_similarity(a.cv, b.cv) * 1000000) AS BIGINT)
          |      AS sim_e6
          |  FROM cb a JOIN cb b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
-         |WHERE sim_e6 >= 400000""".stripMargin
-    },
+         |WHERE sim_e6 >= 400000""".stripMargin,
+
+    // the same verified pair set through connected components — the
+    // embed store's incrementally-folded labels must land on the
+    // min-id component roots exactly as a from-scratch CC does
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE $simNeardupCtes,
+         |pairs AS (SELECT id_a, id_b FROM (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    CAST(round(list_cosine_similarity(a.cv, b.cv) * 1000000) AS BIGINT)
+         |      AS sim_e6
+         |  FROM cb a JOIN cb b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+         |  WHERE sim_e6 >= 400000),
+         |$reachCte
+         |SELECT node AS id, min(root) AS cluster FROM reach GROUP BY 1"""
+        .stripMargin,
     "q_sim_pairs" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)

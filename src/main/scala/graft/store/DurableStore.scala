@@ -64,11 +64,57 @@ private[graft] trait DurableStore {
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val total = bytes + files * openCost
-    val perCore = total / math.max(1, spark.sparkContext.defaultParallelism)
+    // the same divisor FilePartition.maxSplitBytes uses —
+    // filesMinPartitionNum, falling back to leafNodeDefaultParallelism
+    // (itself defaulting to defaultParallelism). Dividing by
+    // defaultParallelism unconditionally broke the 'errs LOW' guarantee
+    // whenever spark.sql.files.minPartitionNum was configured below it:
+    // the real maxSplitBytes would be LARGER, the real scan NARROWER
+    // than the estimate, and a needed post-compact widen skipped.
+    val minPartNum = conf.filesMinPartitionNum.getOrElse(
+      spark.conf.getOption("spark.sql.leafNodeDefaultParallelism")
+        .map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val perCore = total / math.max(1, minPartNum)
     val maxSplit =
       math.max(1L, math.min(conf.filesMaxPartitionBytes,
         math.max(openCost, perCore)))
     math.ceil(total.toDouble / maxSplit).toInt
+  }
+
+  /** Widen a possibly-compacted stored scan before a probe fan-out:
+    * compaction packs a table into few large files, so the scan Spark
+    * plans for it can be narrower than the cores available — a
+    * store-wide probe (candidate scoring, a hammingJoin's stored side)
+    * would then run on a handful of tasks. One FileIndex-side estimate
+    * ([[plannedScanWidth]] — no RDD instantiation), one repartition
+    * only when narrow. The ONE copy of the post-compact scan-width
+    * rule; every store's probe fan-out calls it.
+    */
+  protected def widen(table: String, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (plannedScanWidth(table) < cores) df.repartition(cores) else df
+  }
+
+  /** Whether `table`'s data bytes are ≤ `cap` — one recursive listing
+    * that stops as soon as the cap is exceeded, so a huge store pays a
+    * bounded prefix of its file walk, never the whole listing. Missing
+    * table counts as small (nothing stored).
+    */
+  protected def tableBytesAtMost(table: String, cap: Long): Boolean = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return true
+    var bytes = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        bytes += st.getLen
+        if (bytes > cap) return false
+      }
+    }
+    true
   }
 
   /** Heal a compact() that died between its two renames: the complete
@@ -178,7 +224,8 @@ private[graft] trait DurableStore {
       if (fs.exists(hPath(s"$path/$storedTable"))) {
         recoverTable(storedTable)
         probeAntiJoin(ids,
-          storedAcceptIds(idColName, storedTable, ids), Seq("__bid"))
+          storedAcceptIds(idColName, storedTable, ids), Seq("__bid"),
+          storedTable, probeKeys = Some(ids))
       } else ids
     }
     batchId match {
@@ -235,23 +282,47 @@ private[graft] trait DurableStore {
     checkpointIds = Set.empty
   }
 
-  /** Replay-guard anti-join for a SMALL probe frame against a HUGE
-    * stored key set, without shuffling the store: `probe LEFT ANTI
-    * stored` hashes its RIGHT side, so Catalyst cannot broadcast the
-    * store and plans a sort-merge join — a full shuffle + sort of
-    * EVERY stored key per micro-batch (measured at 10⁸ stored prints:
-    * ~100 s per 500-id batch, in either bucket layout; the id-hash
-    * prune was aimed at exactly this cost and lost to it). Inverting
-    * streams the store ONCE against a broadcast probe: `present =
-    * stored SEMI broadcast(probe)` is bounded by the probe size, and
-    * the final `probe ANTI broadcast(present)` touches only tiny
-    * frames. Falls back to the plain anti-join when the probe is too
-    * big to broadcast — the count is one action on a frame every
-    * caller already persists.
+  /** Replay-guard anti-join for a probe frame against a stored key
+    * set, dispatched on the STORE's size (one cap-bounded file
+    * listing, [[tableBytesAtMost]]):
+    *
+    * SMALL store (data bytes ≤ `autoBroadcastJoinThreshold`): the
+    * plain `probe LEFT ANTI stored` — Catalyst broadcasts the small
+    * stored side itself, and the guard costs ZERO extra driver
+    * actions. This is the gate-scale / young-store regime; running
+    * the inversion here paid an extra count action, a distinct and
+    * two joins per guard per batch for nothing (the round-13
+    * durable-store bench regression, ~+18 s at sf0.1).
+    *
+    * BIG store: `probe LEFT ANTI stored` hashes its RIGHT side, so
+    * Catalyst cannot broadcast the store and plans a sort-merge join
+    * — a full shuffle + sort of EVERY stored key per micro-batch
+    * (measured at 10⁸ stored prints: ~100 s per 500-id batch, in
+    * either bucket layout). Inverting streams the store ONCE against
+    * a broadcast probe: `present = stored SEMI broadcast(probe)` is
+    * bounded by the probe size, and the final `probe ANTI
+    * broadcast(present)` touches only tiny frames. Falls back to the
+    * plain anti-join when the probe is too big to broadcast. Callers
+    * that already know the probe's cardinality or hold its
+    * materialized key set pass `probeRows`/`probeKeys` so the
+    * big-store path schedules no redundant count job. `probeKeys` may
+    * be a SUPERSET of the probe's actual key set (e.g. the accepted-id
+    * sidecar when the probe is a projection of the accepted rows):
+    * extra keys can only add `present` rows that match no probe row,
+    * so the anti-join's result is unchanged.
+    *
+    * `storedTable` names the table `stored` scans — the dispatch
+    * lists the FULL table even when the scan is bucket-pruned, which
+    * can only err toward the inversion (still correct, still probe-
+    * bounded).
     */
   protected def probeAntiJoin(probe: DataFrame, stored: DataFrame,
-      keys: Seq[String], probeRows: Option[Long] = None,
+      keys: Seq[String], storedTable: String,
+      probeRows: Option[Long] = None,
       probeKeys: Option[DataFrame] = None): DataFrame = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && tableBytesAtMost(storedTable, thr))
+      return probe.join(stored, keys, "left_anti")
     lazy val pk = probeKeys.getOrElse(
       probe.select(keys.map(col): _*).distinct())
     val n = probeRows.getOrElse(pk.count())
