@@ -241,12 +241,21 @@ final class MediaStore(protected val spark: SparkSession,
       // chunk-value pre-prune needs the sketch values, and its length
       // (when under the cap) IS the accepted print count — threaded as
       // probeRows so a big-store replay guard schedules no extra count
-      // job (ids are distinct in bPrints, so rows == ids)
-      val bShs = bPrints.select(col("sh"))
-        .limit(Dedup.hammingPrefilterMaxProbe + 1)
-        .collect().map(_.getLong(0))
+      // job (ids are distinct in bPrints, so rows == ids). Only worth
+      // collecting against a BIG stored table: under the broadcast
+      // threshold the hammingJoin's stored side broadcasts whole and
+      // the replay guards take the plain anti-join (probeRows unused),
+      // so the collect would be a pure extra driver job per ingest
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val printsBig = !(thr > 0 && tableBytesAtMost("prints", thr))
+      val bShs =
+        if (printsBig)
+          bPrints.select(col("sh"))
+            .limit(Dedup.hammingPrefilterMaxProbe + 1)
+            .collect().map(_.getLong(0))
+        else Array.empty[Long]
       val bRows =
-        if (bShs.length <= Dedup.hammingPrefilterMaxProbe)
+        if (printsBig && bShs.length <= Dedup.hammingPrefilterMaxProbe)
           Some(bShs.length.toLong)
         else None
       markers.guarded("prints", batchId) {
@@ -278,12 +287,14 @@ final class MediaStore(protected val spark: SparkSession,
               .select(col("id"), col("sh"), col("kind"))
           else bPrints.limit(0)
         // chunk-value pre-prune: a micro batch's 16-bit chunk values
-        // (collected once, above the guards) become a codegen'd isin
-        // that drops ~97% of stored rows BEFORE the 4× explode (a
-        // strict superset of the banded join's participants — result
-        // unchanged, spec-pinned); big batches keep the full join
+        // (collected once, above the guards — big stores only) become
+        // a codegen'd isin that drops ~97% of stored rows BEFORE the
+        // 4× explode (a strict superset of the banded join's
+        // participants — result unchanged, spec-pinned); big batches
+        // and small stores keep the full join
         val storedPre =
-          if (bShs.length <= Dedup.hammingPrefilterMaxProbe)
+          if (printsBig && bShs.nonEmpty &&
+              bShs.length <= Dedup.hammingPrefilterMaxProbe)
             Dedup.hammingPrefilter(bShs, stored, chunks)
           else stored
         // kind joins the blocking equi-key: pairs form only within one
@@ -518,11 +529,15 @@ final class MediaStore(protected val spark: SparkSession,
     * ([[MediaStore.frameSequences]] — video frame hashes + audio
     * segment hashes) and ingests exactly-once under the checkpoint's
     * batch ids. The clip plane's own sidecar namespace makes this
-    * stream independent of a [[start]] prints stream — but the two
-    * must not run CONCURRENTLY in one process against one store (the
-    * writeLock serializes them; run them as one stream over
-    * [[ingestMedia]] + [[ingestClips]] in a shared foreachBatch if
-    * both planes ingest the same crawl).
+    * stream independent of a [[start]] prints stream — the two CAN run
+    * concurrently in one process against one store: the writeLock
+    * serializes their ingest bodies, each stream thread gets its own
+    * ScratchCache scope, and the namespaced sidecars keep their batch
+    * numbering apart (MediaStoreSpec's two-plane soak drives both
+    * through a kill/replay + live-compact window). When both planes
+    * ingest the SAME crawl, one stream over [[ingestMedia]] +
+    * [[ingestClips]] in a shared foreachBatch still decodes each
+    * payload once instead of twice.
     */
   def startClips(stream: Dataset[Multimodal.MediaRow], checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =

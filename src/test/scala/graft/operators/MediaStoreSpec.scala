@@ -509,6 +509,76 @@ class MediaStoreSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L))
     graft.ScratchCache.releaseAll(spark)
   }
+
+  test("two-plane concurrency soak: prints + clips streams share one store and process") {
+    // the per-thread ScratchCache scope and the clip plane's namespaced
+    // sidecars exist precisely so two streams can share one store in
+    // one process (the writeLock serializes the ingest bodies; nothing
+    // else is shared mutable state): prove it. Both planes run
+    // CONCURRENTLY on ProcessingTime triggers — their foreachBatch
+    // bodies genuinely contend for the lock — with a kill-before-
+    // checkpoint-commit window on the prints stream and a compact()
+    // while the clip stream stays LIVE. Each plane's state must equal
+    // its from-scratch target, and neither plane's scratch persists or
+    // sidecars may perturb the other's.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("twoplane").toFile.getAbsolutePath
+    val ckA = s"$dir/_ckA"
+    val ckB = s"$dir/_ckB"
+    val store = new MediaStore(spark, dir)
+    val memA = MemoryStream[Long]
+    val memB = MemoryStream[Long]
+    val trig = org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime("50 milliseconds")
+    def startA() = store.start(memA.toDS().map(MediaStoreSpec.image _),
+      ckA, trigger = trig)
+    val qB = store.startClips(memB.toDS().map(MediaStoreSpec.video _),
+      ckB, trigger = trig)
+    val qA1 = startA()
+    memA.addData(1L, 2L)
+    memB.addData(1L) // the full 4-frame clip
+    qA1.processAllAvailable()
+    qB.processAllAvailable()
+    // crash window on the PRINTS stream only: its batch landed in the
+    // store but the checkpoint never committed — the clip stream keeps
+    // running through A's recovery replay
+    qA1.stop()
+    qA1.awaitTermination()
+    val commitDir = new java.io.File(s"$ckA/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    // compact under the live clip stream (writeLock serializes it
+    // against B's in-flight ingests)
+    store.compact(targetFileBytes = 1L)
+    memB.addData(2L) // the cut-out, against the stored full clip
+    val qA2 = startA()
+    memA.addData(3L, 50L)
+    qA2.processAllAvailable()
+    qB.processAllAvailable()
+    qA2.stop(); qB.stop()
+    qA2.awaitTermination(); qB.awaitTermination()
+    // prints plane: replay was a no-op, pairs equal from-scratch
+    assert(store.prints.count() == 4)
+    val wantPrints = Dedup.hammingPairs(
+      MediaStore.fingerprints((1L to 3L).map(MediaStoreSpec.image)
+        .:+(MediaStoreSpec.image(50L)).toDS()), maxHamming = 3,
+      blockCols = Seq("kind"))
+    assert(rows(store.pairs.drop("batch")) == rows(wantPrints))
+    // clip plane: alignment equals from-scratch over both clips
+    val seqs = MediaStore.frameSequences(
+      Seq(1L, 2L).map(MediaStoreSpec.video).toDS())
+    assert(store.clipFrames.count() == seqs.count())
+    assert(rows(store.clipPairs.drop("kind", "batch")) ==
+      rows(Multimodal.clipAlignment(seqs, maxHamming = 0)))
+    // sidecar isolation: each plane's accepted-id sidecars live in its
+    // own namespace (no cross-plane batch=N collision possible)
+    assert(new java.io.File(s"$dir/batches").exists())
+    assert(new java.io.File(s"$dir/batches_clips").exists())
+    graft.ScratchCache.releaseAll(spark)
+  }
 }
 
 object MediaStoreSpec {
