@@ -777,6 +777,25 @@ object ScaleRehearsal {
       val (clN, tCl) = timed(store.clusters().count())
       out += "embedstore_clusters" -> clN
       out += "embedstore_clusters_sec" -> tCl
+      // the STEADY-STATE cadence: 5 × 500-vector NOVEL micro-batches
+      // (deterministic xxhash floats, ids above every replica range)
+      // against the full stored corpus — the 5-second-trigger regime.
+      // These walls must track batch size + the batch's own candidate
+      // volume (~tables·n/2^bits stored collisions per row), NOT the
+      // 10-slice drive's 20k-vector batch walls. Runs AFTER the parity
+      // and fold reads so their targets stay the 10-slice corpus.
+      val smallWalls = (0 until 5).map { j =>
+        val tb = spark.range(500).select(
+          (col("id") + lit(10000000000L + j * 500L)).as("id"),
+          expr("transform(sequence(0, 63), i -> CAST(" +
+            "(pmod(xxhash64(concat(CAST(id AS STRING), '_', " +
+            "CAST(i AS STRING))), 2001) - 1000) / 1000.0 AS FLOAT))")
+            .as("embedding"))
+        val (_, t) = timed(store.ingest(tb, Some(10L + j)))
+        t
+      }
+      out += "embedstore_small_batch_secs" ->
+        smallWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
       ScratchCache.releaseAll(spark)
     }
 

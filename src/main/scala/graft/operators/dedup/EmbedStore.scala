@@ -29,9 +29,24 @@ import graft.operators.similarity.CosineSearch
   * equals a from-scratch [[CosineSearch.nearDupPairs]] over the
   * accumulated vectors — EmbedStoreSpec pins it, and the `q_embed_store`
   * gate drives two real batches through the composed `q_sim_neardup`
-  * oracle. The 100 TB posture: the stored probe side is a columnar
-  * scan of three longs per posting (id, tbl, bucket); candidate volume
-  * is ~ tables·n/2^bits per batch row, never corpus².
+  * oracle. The 100 TB posture, MEASURED (PLANS.md round 14, ×10/×100
+  * rehearsals): the stored probe side is a columnar scan of three
+  * longs per posting (id, tbl, bucket), and candidate volume is
+  * ~ tables·n/2^bits per batch row — never corpus² — but the exact-
+  * cosine VERIFICATION read is candidate-bound only while candidates
+  * are sparse: at the default bits = 8 a batch's candidates blanket
+  * all 2^8 buckets of any ≳10⁵-vector corpus, so the per-ingest vecs
+  * read is corpus-LINEAR with a small constant (measured steady-state
+  * 500-vector batches: ~9 s at 2·10⁴ stored vectors, ~17 s at 2·10⁵ —
+  * sub-linear growth over a flat multi-guard scheduling floor).
+  * Beyond ~10⁶ vectors, size `bits` to the corpus at store creation
+  * (it is pinned: 2^bits ≫ n·tables/batch keeps candIds a small
+  * corpus fraction) and opt into the id-hash vec bucketing
+  * (`stateBuckets`) so the bucket-pruned verification read turns the
+  * sparse candIds set into directory pruning — vectors are ~65×
+  * heavier per row than 64-bit prints, which is exactly the fat-row
+  * regime the round-13 print-store measurement found no use for the
+  * layout in.
   *
   * Tables ride the [[graft.store.DurableStore]] discipline shared with
   * [[ReleaseStore]]/[[MediaStore]] (commit markers, accepted-id

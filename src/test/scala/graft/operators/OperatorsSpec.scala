@@ -1090,6 +1090,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hammingPrefilter composed with the join is an identity, in every guard regime") {
+    import spark.implicits._
+    // three regimes: a micro probe (filter applies and prunes), a probe
+    // whose chunk values cover most of the 16-bit space (the
+    // selectivity guard skips — identity by returning `right` whole),
+    // and an empty probe (empty result). In each, hammingJoin over the
+    // prefiltered stored side must equal hammingJoin over the full
+    // stored side — the prefilter is an optimization, never a semantic.
+    val rnd = new scala.util.Random(7)
+    val stored = (0 until 4000).map(i =>
+      (i.toLong, rnd.nextLong()))
+    val storedDf = graft.ScratchCache.persist(stored.toDF("id", "sh"))
+    def joined(l: Seq[(Long, Long)], r: org.apache.spark.sql.DataFrame) =
+      Dedup.hammingJoin(l.toDF("id", "sh"), r, maxHamming = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // micro probe: 20 sketches sampled from stored (Hamming 0 planted)
+    val micro = (0 until 20).map(j => (10000L + j, stored(j * 7)._2))
+    val microPre = Dedup.hammingPrefilter(
+      micro.map(_._2).toArray, storedDf, chunks = 4)
+    assert(microPre.count() < 4000) // it actually prunes
+    assert(joined(micro, microPre) == joined(micro, storedDf))
+    // saturating probe: uniform randoms at ~half the chunk space — the
+    // expected-keep guard must skip (identity frame, zero predicates)
+    val big = (0 until 40000).map(j => (20000L + j, rnd.nextLong()))
+    val bigPre = Dedup.hammingPrefilter(
+      big.map(_._2).toArray, storedDf, chunks = 4)
+    assert(bigPre eq storedDf) // the guard returned `right` itself
+    // empty probe: empty stored side, so the join is empty
+    assert(Dedup.hammingPrefilter(Array.emptyLongArray, storedDf, 4)
+      .count() == 0)
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("video scenes: cuts surface at their frame index; first frame never a boundary") {
     import spark.implicits._
     val kA = 0x1234567890abL
