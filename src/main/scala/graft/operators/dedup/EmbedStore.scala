@@ -40,13 +40,13 @@ import graft.operators.similarity.CosineSearch
   * 500-vector batches: ~9 s at 2·10⁴ stored vectors, ~17 s at 2·10⁵ —
   * sub-linear growth over a flat multi-guard scheduling floor).
   * Beyond ~10⁶ vectors, size `bits` to the corpus at store creation
-  * (it is pinned: 2^bits ≫ n·tables/batch keeps candIds a small
-  * corpus fraction) and opt into the id-hash vec bucketing
-  * (`stateBuckets`) so the bucket-pruned verification read turns the
-  * sparse candIds set into directory pruning — vectors are ~65×
-  * heavier per row than 64-bit prints, which is exactly the fat-row
-  * regime the round-13 print-store measurement found no use for the
-  * layout in.
+  * (it is pinned: 2^bits ≫ n·tables/batch keeps the candidate JOIN
+  * volume per batch bounded); the verification read itself remains a
+  * corpus-linear columnar scan — embarrassingly parallel per-file on
+  * a real cluster (~50 GB of vecs at 10⁸×64 dims), and id-hash dir
+  * pruning (`stateBuckets`) only shortcuts it when the batch's
+  * candidate ids are FEWER than the bucket modulus (uniformly-hashed
+  * ids touch ~every dir otherwise).
   *
   * Tables ride the [[graft.store.DurableStore]] discipline shared with
   * [[ReleaseStore]]/[[MediaStore]] (commit markers, accepted-id
@@ -241,8 +241,12 @@ final class EmbedStore(protected val spark: SparkSession,
                 "left_anti")
               .select(col("id"), col("cv"), col("cv_n"))
           else bNorm.select(col("id"), col("cv"), col("cv_n")).limit(0)
-        val allV = bNorm.select(col("id"), col("cv"), col("cv_n"))
-          .unionByName(storedV)
+        // persisted: allV feeds BOTH sides of the verification join —
+        // unpersisted, the stored-vector scan (the ingest's fattest
+        // read: ~520 B/row vs 8 B prints) re-runs once per side
+        val allV = graft.ScratchCache.persist(
+          bNorm.select(col("id"), col("cv"), col("cv_n"))
+            .unionByName(storedV))
         val delta = graft.ScratchCache.persist(cand
           .join(allV.as("a"), col("id_a") === col("a.id"))
           .join(allV.as("b"), col("id_b") === col("b.id"))

@@ -29,6 +29,10 @@ class BucketedTablesSpec extends SparkSpec {
     def bucketSet(ids: DataFrame, c: String): Option[Seq[Int]] =
       bucketsOf(ids, c)
     def bucketCol(c: org.apache.spark.sql.Column) = bucketOf(c)
+    def guardAnti(pr: DataFrame, stored: DataFrame, keys: Seq[String],
+        table: String): DataFrame =
+      probeAntiJoin(pr, stored, keys, table)
+    def scanWidth(table: String): Int = plannedScanWidth(table)
   }
 
   private val logical = StructType(Seq(StructField("id", LongType)))
@@ -92,5 +96,60 @@ class BucketedTablesSpec extends SparkSpec {
       "id", s"$dir/t") // all-empty append: only _SUCCESS lands
     val df = probe.read("t", logical, Some(Seq(3)))
     assert(df.schema == logical && df.count() == 0)
+  }
+
+  test("replay-guard dispatch: small stores keep the plain anti-join, big stores invert") {
+    // the round-14 regime fix, pinned on the PLAN: under the broadcast
+    // threshold probeAntiJoin must produce exactly one join (the plain
+    // LEFT ANTI Catalyst broadcasts itself — zero extra driver
+    // actions); over it, the inversion's two joins (stored SEMI
+    // broadcast(probe), then probe ANTI broadcast(present)). Both
+    // paths must agree on the result.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val dir = Files.createTempDirectory("bt4").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 0)
+    spark.range(2000).select(col("id"))
+      .write.parquet(s"$dir/t")
+    val stored = spark.read.parquet(s"$dir/t")
+    val pr = spark.range(1500, 2500).select(col("id"))
+    def joins(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect { case j: LJoin => j }.size
+    val small = probe.guardAnti(pr, stored, Seq("id"), "t")
+    assert(joins(small) == 1, "small store must plan ONE plain anti-join")
+    assert(small.collect().map(_.getLong(0)).toSet ==
+      (2000L until 2500L).toSet)
+    // shrink the threshold so the same table counts as big → inversion
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val big = probe.guardAnti(pr, stored, Seq("id"), "t")
+      assert(joins(big) == 2, "big store must plan the two-join inversion")
+      assert(big.collect().map(_.getLong(0)).toSet ==
+        small.collect().map(_.getLong(0)).toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("plannedScanWidth divides by the divisor Spark uses (minPartitionNum aware)") {
+    // the ADVICE fix: with spark.sql.files.minPartitionNum configured
+    // BELOW defaultParallelism the real maxSplitBytes grows and the
+    // real scan narrows — the estimate must still err LOW (≤ the
+    // planned width), or a needed post-compact widen gets skipped.
+    val dir = Files.createTempDirectory("bt5").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 0)
+    // ~9 MB of incompressible longs in ONE file: big enough that
+    // total/minPartitionNum dominates the 4 MB open cost
+    spark.range(1150000).select(xxhash64(col("id")).as("id"))
+      .coalesce(1).write.parquet(s"$dir/t")
+    try {
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      val actual = spark.read.parquet(s"$dir/t").rdd.getNumPartitions
+      val est = probe.scanWidth("t")
+      assert(est <= actual,
+        s"estimate must err low: est=$est actual=$actual")
+      // pre-fix arithmetic (divide by defaultParallelism) would
+      // estimate ≥ 2 here while Spark plans 1 partition
+      assert(est == actual,
+        s"9 MB / minPartitionNum=1 plans one split: est=$est actual=$actual")
+    } finally spark.conf.unset("spark.sql.files.minPartitionNum")
   }
 }
