@@ -241,12 +241,13 @@ final class EmbedStore(protected val spark: SparkSession,
                 "left_anti")
               .select(col("id"), col("cv"), col("cv_n"))
           else bNorm.select(col("id"), col("cv"), col("cv_n")).limit(0)
-        // persisted: allV feeds BOTH sides of the verification join —
-        // unpersisted, the stored-vector scan (the ingest's fattest
-        // read: ~520 B/row vs 8 B prints) re-runs once per side
-        val allV = graft.ScratchCache.persist(
-          bNorm.select(col("id"), col("cv"), col("cv_n"))
-            .unionByName(storedV))
+        // NOT persisted although it feeds both sides of the
+        // verification join: Spark's exchange reuse already shares the
+        // one stored-vector scan between the two sides (measured at
+        // ×100 — persisting moved no wall), so a cache entry would be
+        // pure memory pressure at exactly the fat-read moment
+        val allV = bNorm.select(col("id"), col("cv"), col("cv_n"))
+          .unionByName(storedV)
         val delta = graft.ScratchCache.persist(cand
           .join(allV.as("a"), col("id_a") === col("a.id"))
           .join(allV.as("b"), col("id_b") === col("b.id"))
