@@ -96,6 +96,70 @@ private[graft] trait DurableStore {
     if (plannedScanWidth(table) < cores) df.repartition(cores) else df
   }
 
+  /** Whether `table` holds at most `cap` ROWS — exact parquet footer
+    * record counts, walked with an early exit at the cap, so a huge
+    * store reads one or two footers before bailing. Consulted only in
+    * the byte band where bytes cannot proxy rows ([[probeAntiJoin]]'s
+    * dispatch): a fat-array table (shingle sets, vectors) carries few
+    * rows per MB while a skinny key table carries ~10⁵ — and the cost
+    * the inversion avoids (the plain anti-join's forced shuffle+sort
+    * of the stored side) scales with ROWS, not bytes.
+    */
+  protected def storedRowsAtMost(table: String, cap: Long): Boolean = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return true
+    var rows = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        // parquet data files are immutable once visible (writes land
+        // under temp names and rename in), so a (length, mtime)-keyed
+        // count is safe to cache for the JVM's life — steady-state
+        // guards pay footers only for the files the LAST append added
+        val key = st.getPath.toString
+        val cached = DurableStore.footerRows.get(key)
+        val n =
+          if (cached != null && cached._1 == st.getLen &&
+              cached._2 == st.getModificationTime) cached._3
+          else {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val c = try r.getRecordCount finally r.close()
+            if (DurableStore.footerRows.size() > 100000)
+              DurableStore.footerRows.clear() // crude bound; re-warms
+            DurableStore.footerRows.put(key,
+              (st.getLen, st.getModificationTime, c))
+            c
+          }
+        rows += n
+        if (rows > cap) return false
+      }
+    }
+    true
+  }
+
+  /** No-footer byte ceiling for [[probeAntiJoin]]'s plain path: a
+    * table under this many bytes is small in ROWS at any plausible
+    * width (worst-case skinny parquet ≈ 8–16 B/row ⇒ ≲4–8M rows, a
+    * sub-second shuffle), so the plain anti-join is safe without
+    * opening a single footer. Overridable for tests.
+    */
+  protected def plainStoreBytes: Long = 64L * 1024 * 1024
+
+  /** The stored-row ceiling under which [[probeAntiJoin]] keeps the
+    * plain anti-join even when the table's BYTES exceed the broadcast
+    * threshold: shuffling ≤4M stored keys is sub-second at local[32]
+    * and bounded on a cluster, while the inversion's fixed overhead
+    * (an extra count action, a distinct, two joins) costs more than it
+    * saves — measured at ×10 release-store cadence (45k rows, fat
+    * 36 MB shingles: plain ~4 s/batch vs inverted ~7 s) against the
+    * 10⁸-print regime (plain ~100 s vs inverted ~5 s). Overridable
+    * for tests.
+    */
+  protected def invertStoreRows: Long = 4000000L
+
   /** Whether `table`'s data bytes are ≤ `cap` — one recursive listing
     * that stops as soon as the cap is exceeded, so a huge store pays a
     * bounded prefix of its file walk, never the whole listing. Missing
@@ -286,13 +350,17 @@ private[graft] trait DurableStore {
     * set, dispatched on the STORE's size (one cap-bounded file
     * listing, [[tableBytesAtMost]]):
     *
-    * SMALL store (data bytes ≤ `autoBroadcastJoinThreshold`): the
-    * plain `probe LEFT ANTI stored` — Catalyst broadcasts the small
-    * stored side itself, and the guard costs ZERO extra driver
-    * actions. This is the gate-scale / young-store regime; running
-    * the inversion here paid an extra count action, a distinct and
-    * two joins per guard per batch for nothing (the round-13
-    * durable-store bench regression, ~+18 s at sf0.1).
+    * SMALL store (data bytes ≤ `autoBroadcastJoinThreshold`, or any
+    * byte size whose exact footer row count stays ≤
+    * [[invertStoreRows]]): the plain `probe LEFT ANTI stored` —
+    * Catalyst broadcasts or cheaply shuffles the modest stored side
+    * itself, and the guard costs ZERO extra driver actions. This is
+    * the gate-scale / young-store regime AND the fat-array regime
+    * (a 36 MB shingle table holds 45k rows — its shuffle is trivial);
+    * running the inversion in either paid an extra count action, a
+    * distinct and two joins per guard per batch for nothing (the
+    * round-13 durable-store bench regression, ~+18 s at sf0.1, and
+    * the ×10 release cadence at ~7 s/batch vs ~4 plain).
     *
     * BIG store: `probe LEFT ANTI stored` hashes its RIGHT side, so
     * Catalyst cannot broadcast the store and plans a sort-merge join
@@ -320,8 +388,21 @@ private[graft] trait DurableStore {
       keys: Seq[String], storedTable: String,
       probeRows: Option[Long] = None,
       probeKeys: Option[DataFrame] = None): DataFrame = {
+    // dispatch in two gates: bytes ≤ max(broadcast threshold,
+    // plainStoreBytes) is cheap and sufficient (few bytes cannot hide
+    // many rows at any width); above it, bytes cannot distinguish a
+    // fat-array table with modest rows (where the plain join's stored
+    // shuffle is still trivial and the inversion's fixed overhead
+    // loses) from a skinny key table with 10⁸ rows (where the shuffle
+    // IS the 100 s cost) — so the byte band up to `invertStoreBytes`
+    // consults exact footer row counts (cached per immutable file,
+    // early-exited at [[invertStoreRows]]).
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    if (thr > 0 && tableBytesAtMost(storedTable, thr))
+    val storedSmall = thr > 0 && (
+      tableBytesAtMost(storedTable, math.max(thr, plainStoreBytes)) ||
+      (tableBytesAtMost(storedTable, DurableStore.invertStoreBytes) &&
+        storedRowsAtMost(storedTable, invertStoreRows)))
+    if (storedSmall)
       return probe.join(stored, keys, "left_anti")
     lazy val pk = probeKeys.getOrElse(
       probe.select(keys.map(col): _*).distinct())
@@ -447,6 +528,22 @@ private[graft] object DurableStore {
     * shuffle join, whose cost they amortize.
     */
   val probeInvertRows: Long = 5000000L
+
+  /** Byte ceiling above which [[DurableStore.probeAntiJoin]] inverts
+    * WITHOUT reading footers: 10 GiB cannot hold fewer than
+    * `invertStoreRows` rows at any plausible row width, so the footer
+    * walk is skipped for stores that are obviously huge.
+    */
+  val invertStoreBytes: Long = 10L * 1024 * 1024 * 1024
+
+  /** JVM-wide parquet footer row-count cache for
+    * [[DurableStore.storedRowsAtMost]], keyed by file path with
+    * (length, mtime) validity — parquet data files are immutable once
+    * visible, so entries only go stale when a path is REUSED by a
+    * compaction swap, which the (length, mtime) check catches.
+    */
+  private[store] val footerRows =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
   /** The one key=value parse of a `store.meta` shape pin — shared by
     * instance validation and operational reopen, so the two can never

@@ -16,11 +16,14 @@ import java.nio.file.Files
 class BucketedTablesSpec extends SparkSpec {
   import spark.implicits._
 
-  private class Probe(val s: SparkSession, val p: String, val mod: Int)
+  private class Probe(val s: SparkSession, val p: String, val mod: Int,
+      rowCeiling: Long = 4000000L, plainBytes: Long = 64L * 1024 * 1024)
       extends DurableStore with BucketedTables {
     protected def spark: SparkSession = s
     protected def path: String = p
     protected lazy val effectiveBuckets: Int = mod
+    protected override def invertStoreRows: Long = rowCeiling
+    protected override def plainStoreBytes: Long = plainBytes
     def read(table: String, logical: StructType,
         buckets: Option[Seq[Int]]): DataFrame =
       readTable(table, logical, buckets)
@@ -99,12 +102,14 @@ class BucketedTablesSpec extends SparkSpec {
   }
 
   test("replay-guard dispatch: small stores keep the plain anti-join, big stores invert") {
-    // the round-14 regime fix, pinned on the PLAN: under the broadcast
-    // threshold probeAntiJoin must produce exactly one join (the plain
-    // LEFT ANTI Catalyst broadcasts itself — zero extra driver
-    // actions); over it, the inversion's two joins (stored SEMI
-    // broadcast(probe), then probe ANTI broadcast(present)). Both
-    // paths must agree on the result.
+    // the round-14 regime fix, pinned on the PLAN: a store under the
+    // broadcast threshold — or over it in BYTES but under the row
+    // ceiling (the fat-array regime: footer row counts, not bytes,
+    // price the shuffle the inversion avoids) — must produce exactly
+    // one join (the plain LEFT ANTI Catalyst handles itself — zero
+    // extra driver actions); a genuinely big store, the inversion's
+    // two joins (stored SEMI broadcast(probe), then probe ANTI
+    // broadcast(present)). All paths must agree on the result.
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     val dir = Files.createTempDirectory("bt4").toFile.getAbsolutePath
     val probe = new Probe(spark, dir, 0)
@@ -118,11 +123,21 @@ class BucketedTablesSpec extends SparkSpec {
     assert(joins(small) == 1, "small store must plan ONE plain anti-join")
     assert(small.collect().map(_.getLong(0)).toSet ==
       (2000L until 2500L).toSet)
-    // shrink the threshold so the same table counts as big → inversion
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      // over the byte thresholds but under the row ceiling: STILL
+      // plain (2000 rows shuffle for free; the inversion's overhead
+      // loses) — footer row counts decide, not bytes
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
-      val big = probe.guardAnti(pr, stored, Seq("id"), "t")
+      val fatStore = new Probe(spark, dir, 0, plainBytes = 1024L)
+      val fat = fatStore.guardAnti(pr, stored, Seq("id"), "t")
+      assert(joins(fat) == 1,
+        "modest rows must keep the plain anti-join even over the " +
+        "byte thresholds")
+      // over the byte thresholds AND the row ceiling: invert
+      val bigStore = new Probe(spark, dir, 0, rowCeiling = 100L,
+        plainBytes = 1024L)
+      val big = bigStore.guardAnti(pr, stored, Seq("id"), "t")
       assert(joins(big) == 2, "big store must plan the two-join inversion")
       assert(big.collect().map(_.getLong(0)).toSet ==
         small.collect().map(_.getLong(0)).toSet)
