@@ -242,10 +242,16 @@ final class MediaStore(protected val spark: SparkSession,
       // (when under the cap) IS the accepted print count — threaded as
       // probeRows so a big-store replay guard schedules no extra count
       // job (ids are distinct in bPrints, so rows == ids). Only worth
-      // collecting against a BIG stored table: under the broadcast
-      // threshold the hammingJoin's stored side broadcasts whole and
-      // the replay guards take the plain anti-join (probeRows unused),
-      // so the collect would be a pure extra driver job per ingest
+      // collecting against a stored table over the BROADCAST threshold:
+      // under it the hammingJoin's stored side broadcasts whole and the
+      // prefilter buys nothing, so the collect would be a pure extra
+      // driver job per ingest. NOTE the gate is deliberately WIDER than
+      // probeAntiJoin's plain-path predicate (which also keeps the
+      // plain join up to plainStoreBytes / the footer row ceiling): in
+      // that byte band bRows is threaded but unconsumed — the collect
+      // is still paid there for the PREFILTER, whose stored-side prune
+      // starts mattering exactly when the stored side stops
+      // broadcasting whole
       val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
       val printsBig = !(thr > 0 && tableBytesAtMost("prints", thr))
       val bShs =

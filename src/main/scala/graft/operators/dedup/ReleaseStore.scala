@@ -826,9 +826,11 @@ final class ReleaseStore(protected val spark: SparkSession,
     }
     val hasMembers = collapseFront && fs.exists(hPath(s"$path/members"))
     val labels: DataFrame = writeLock.synchronized {
-      val unmarked = sc.where(col("batch") === -1L).limit(1).count() > 0 ||
-        (hasMembers &&
-          membersTable.where(col("batch") === -1L).limit(1).count() > 0)
+      // footer-stat fast path (batchAllMarked): the common all-id'd
+      // store decides from parquet min/max stats alone — zero driver
+      // jobs per products call at streaming cadence
+      val unmarked = hasUnmarkedRows("scored", sc) ||
+        (hasMembers && hasUnmarkedRows("members", membersTable))
       if (unmarked) {
         // no water mark exists for un-id'd rows — full CC, no cache write
         val base = jaccardPairs(sc.drop("batch"), threshold)

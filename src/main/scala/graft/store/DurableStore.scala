@@ -96,23 +96,23 @@ private[graft] trait DurableStore {
     if (plannedScanWidth(table) < cores) df.repartition(cores) else df
   }
 
-  /** Whether `table` holds at most `cap` ROWS — exact parquet footer
-    * record counts, walked with an early exit at the cap, so a huge
-    * store reads one or two footers before bailing. Consulted only in
-    * the byte band where bytes cannot proxy rows ([[probeAntiJoin]]'s
-    * dispatch): a fat-array table (shingle sets, vectors) carries few
-    * rows per MB while a skinny key table carries ~10⁵ — and the cost
-    * the inversion avoids (the plain anti-join's forced shuffle+sort
-    * of the stored side) scales with ROWS, not bytes.
+  /** Whether the files in `stats` hold at most `cap` ROWS — exact
+    * parquet footer record counts, walked with an early exit at the
+    * cap, so a huge store reads one or two footers before bailing.
+    * Consulted only in the byte band where bytes cannot proxy rows
+    * ([[probeAntiJoin]]'s dispatch): a fat-array table (shingle sets,
+    * vectors) carries few rows per MB while a skinny key table carries
+    * ~10⁵ — and the cost the inversion avoids (the plain anti-join's
+    * forced shuffle+sort of the stored side) scales with ROWS, not
+    * bytes. Takes the statuses the dispatch's byte walk already
+    * collected, so one listing serves both gates.
     */
-  protected def storedRowsAtMost(table: String, cap: Long): Boolean = {
-    val dir = hPath(s"$path/$table")
-    if (!fs.exists(dir)) return true
+  private def footerRowsAtMost(
+      stats: Seq[org.apache.hadoop.fs.LocatedFileStatus],
+      cap: Long): Boolean = {
     var rows = 0L
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+    stats.foreach { st =>
+      if (st.getPath.getName.endsWith(".parquet")) {
         // parquet data files are immutable once visible (writes land
         // under temp names and rename in), so a (length, mtime)-keyed
         // count is safe to cache for the JVM's life — steady-state
@@ -127,8 +127,6 @@ private[graft] trait DurableStore {
               .fromStatus(st, spark.sparkContext.hadoopConfiguration)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
             val c = try r.getRecordCount finally r.close()
-            if (DurableStore.footerRows.size() > 100000)
-              DurableStore.footerRows.clear() // crude bound; re-warms
             DurableStore.footerRows.put(key,
               (st.getLen, st.getModificationTime, c))
             c
@@ -181,6 +179,138 @@ private[graft] trait DurableStore {
     true
   }
 
+  /** [[probeAntiJoin]]'s size-regime dispatch: whether `table` is
+    * SMALL enough that the plain `probe LEFT ANTI stored` beats the
+    * broadcast inversion — bytes ≤ max(`autoBroadcastJoinThreshold`,
+    * [[plainStoreBytes]]), or any byte size in the footer band whose
+    * exact row count stays ≤ [[invertStoreRows]]. ONE recursive
+    * listing per dispatch (the byte gates and the footer walk share
+    * it — on an object store each extra walk is driver-side metadata
+    * latency at streaming cadence), early-exited at
+    * [[DurableStore.invertStoreBytes]] so an obviously-huge store
+    * pays a bounded listing prefix and zero footer reads.
+    */
+  protected def storedIsSmall(table: String): Boolean = {
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr <= 0) return false
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return true
+    val plainCap = math.max(thr, plainStoreBytes)
+    var bytes = 0L
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        bytes += st.getLen
+        // 10 GiB cannot hold ≤ invertStoreRows rows at any plausible
+        // row width: obviously huge, no footers, bounded listing
+        if (bytes > DurableStore.invertStoreBytes) return false
+        stats += st
+      }
+    }
+    bytes <= plainCap || footerRowsAtMost(stats.toSeq, invertStoreRows)
+  }
+
+  /** Whether every row of `table` carries a real (≥ 0) streaming batch
+    * id, decided from the parquet footers' min/max statistics of the
+    * `batch` column — ZERO Spark jobs in the common all-id'd case
+    * (the probe this replaces scheduled a `limit(1).count()` driver
+    * job per fold call at streaming cadence for a property footers
+    * already record). Some(false) as soon as a file provably contains
+    * a −1 (its min or max IS −1 — int64 footer stats are exact values
+    * present in the data), Some(true) when every file provably holds
+    * none (min > −1, or max < −1: backfill-only files), None when any
+    * file is undecidable (stats absent, or min < −1 < max — e.g. a
+    * compacted file mixing −2 backfill with id'd rows) — callers fall
+    * back to the one-row Spark probe. Per-file verdicts are cached
+    * like [[footerRowsAtMost]]'s counts (immutable-once-visible
+    * files), so steady-state folds pay footer reads only for the
+    * files the last append added.
+    */
+  protected def batchAllMarked(table: String): Option[Boolean] = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return Some(true)
+    var indeterminate = false
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val key = st.getPath.toString
+        val cached = DurableStore.footerBatchStats.get(key)
+        val mm =
+          if (cached != null && cached._1 == st.getLen &&
+              cached._2 == st.getModificationTime) cached._3
+          else {
+            val read = readBatchMinMax(st)
+            DurableStore.footerBatchStats.put(key,
+              (st.getLen, st.getModificationTime, read))
+            read
+          }
+        mm match {
+          case Some((mn, mx)) =>
+            if (mn == -1L || mx == -1L) return Some(false)
+            if (mn < -1L && mx > -1L) indeterminate = true
+          case None => indeterminate = true
+        }
+      }
+    }
+    if (indeterminate) None else Some(true)
+  }
+
+  /** One file's (min, max) of its `batch` column, combined across row
+    * groups from the footer alone; None when the column is missing or
+    * any row group lacks usable stats. A zero-row-group file returns
+    * the empty sentinel (min > max), which every caller reads as
+    * "contains nothing".
+    */
+  private def readBatchMinMax(
+      st: org.apache.hadoop.fs.LocatedFileStatus): Option[(Long, Long)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      val blocks = r.getFooter.getBlocks
+      var i = 0
+      while (i < blocks.size()) {
+        val cols = blocks.get(i).getColumns
+        var s: org.apache.parquet.column.statistics.Statistics[_] = null
+        var j = 0
+        while (j < cols.size()) {
+          val c = cols.get(j)
+          if (c.getPath.toDotString == "batch") s = c.getStatistics
+          j += 1
+        }
+        s match {
+          case ls: org.apache.parquet.column.statistics.LongStatistics
+              if !ls.isEmpty && ls.hasNonNullValue =>
+            mn = math.min(mn, ls.getMin)
+            mx = math.max(mx, ls.getMax)
+          case _ => return None
+        }
+        i += 1
+      }
+      Some((mn, mx))
+    } finally r.close()
+  }
+
+  /** The `unmarked` probe every incremental fold gates on: does
+    * `table` hold ANY batch = −1 rows (un-id'd ingests carry no water
+    * mark, so their presence falls back to full recomputation)?
+    * Footer-stat fast path first; the one-row Spark job only when the
+    * footers cannot decide.
+    */
+  protected def hasUnmarkedRows(table: String, df: => DataFrame): Boolean =
+    batchAllMarked(table) match {
+      case Some(marked) => !marked
+      case None =>
+        df.where(col("batch") === -1L).limit(1).count() > 0
+    }
+
   /** Heal a compact() that died between its two renames: the complete
     * table sits at `.compact.old` and nothing at the live path. This
     * MUST run before any table access, not just inside the next
@@ -194,10 +324,14 @@ private[graft] trait DurableStore {
     val dir = s"$path/$name"
     if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")))
       writeLock.synchronized {
-        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")) &&
-            !fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
-          throw new java.io.IOException(
-            s"cannot restore $name from .compact.old")
+        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old"))) {
+          if (!fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
+            throw new java.io.IOException(
+              s"cannot restore $name from .compact.old")
+          // same cache-staleness contract as installTable's swap: a
+          // cached plan listed over the missing dir must re-list
+          spark.catalog.refreshByPath(dir)
+        }
       }
   }
 
@@ -228,6 +362,18 @@ private[graft] trait DurableStore {
       throw new java.io.IOException(s"installTable: cannot install $dir")
     }
     fs.delete(hPath(old), true)
+    // a cached plan over `dir` created BEFORE the swap can hold a
+    // partially-built buffer whose unbuilt partitions still reference
+    // the replaced files (splits freeze at the entry's first physical
+    // planning — e.g. a bounded limit-collect builds only the
+    // partitions it touched): refresh re-lists the path for every
+    // matching cache entry so later plan substitutions rebuild from
+    // the installed files. DataFrameWriter APPENDS refresh the path
+    // automatically; a rename swap must do it by hand. (Surfaced when
+    // the fold's unmarked probe moved to footer stats — its full-table
+    // limit scan had been accidentally materializing every partition
+    // of the persisted pair frame ahead of each compact.)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Rewrite `name` to `targetBytes`-sized files via the
@@ -388,21 +534,17 @@ private[graft] trait DurableStore {
       keys: Seq[String], storedTable: String,
       probeRows: Option[Long] = None,
       probeKeys: Option[DataFrame] = None): DataFrame = {
-    // dispatch in two gates: bytes ≤ max(broadcast threshold,
-    // plainStoreBytes) is cheap and sufficient (few bytes cannot hide
-    // many rows at any width); above it, bytes cannot distinguish a
-    // fat-array table with modest rows (where the plain join's stored
-    // shuffle is still trivial and the inversion's fixed overhead
-    // loses) from a skinny key table with 10⁸ rows (where the shuffle
-    // IS the 100 s cost) — so the byte band up to `invertStoreBytes`
-    // consults exact footer row counts (cached per immutable file,
-    // early-exited at [[invertStoreRows]]).
-    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val storedSmall = thr > 0 && (
-      tableBytesAtMost(storedTable, math.max(thr, plainStoreBytes)) ||
-      (tableBytesAtMost(storedTable, DurableStore.invertStoreBytes) &&
-        storedRowsAtMost(storedTable, invertStoreRows)))
-    if (storedSmall)
+    // dispatch in two gates, ONE listing ([[storedIsSmall]]): bytes ≤
+    // max(broadcast threshold, plainStoreBytes) is cheap and
+    // sufficient (few bytes cannot hide many rows at any width);
+    // above it, bytes cannot distinguish a fat-array table with
+    // modest rows (where the plain join's stored shuffle is still
+    // trivial and the inversion's fixed overhead loses) from a skinny
+    // key table with 10⁸ rows (where the shuffle IS the 100 s cost) —
+    // so the byte band up to `invertStoreBytes` consults exact footer
+    // row counts (cached per immutable file, early-exited at
+    // [[invertStoreRows]]).
+    if (storedIsSmall(storedTable))
       return probe.join(stored, keys, "left_anti")
     lazy val pk = probeKeys.getOrElse(
       probe.select(keys.map(col): _*).distinct())
@@ -440,7 +582,7 @@ private[graft] trait DurableStore {
     val water = if (water0 >= 0 && !fs.exists(hPath(dir))) -1L else water0
     val top = markers.lastCommitted(pairsTable)
     writeLock.synchronized {
-      val unmarked = pr.where(col("batch") === -1L).limit(1).count() > 0
+      val unmarked = hasUnmarkedRows(pairsTable, pr)
       if (unmarked) {
         // no water mark exists for un-id'd rows — full CC, no cache
         graft.operators.dedup.Dedup.connectedComponents(
@@ -537,13 +679,34 @@ private[graft] object DurableStore {
   val invertStoreBytes: Long = 10L * 1024 * 1024 * 1024
 
   /** JVM-wide parquet footer row-count cache for
-    * [[DurableStore.storedRowsAtMost]], keyed by file path with
+    * [[DurableStore.footerRowsAtMost]], keyed by file path with
     * (length, mtime) validity — parquet data files are immutable once
     * visible, so entries only go stale when a path is REUSED by a
     * compaction swap, which the (length, mtime) check catches.
+    * Size-bounded by ACCESS-ORDER LRU eviction (a full clear at the
+    * cap made a long-lived many-small-files process re-pay every
+    * footer read on the next guard; evicting only the coldest entry
+    * keeps the steady-state working set warm).
     */
-  private[store] val footerRows =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+  private[store] val footerRows: java.util.Map[String, (Long, Long, Long)] =
+    lruCache[(Long, Long, Long)](100000)
+
+  /** JVM-wide per-file (min, max) footer statistics of a store
+    * table's `batch` column, for [[DurableStore.batchAllMarked]] —
+    * same key/validity discipline as [[footerRows]]. The value's
+    * Option is None when any row group lacks usable stats for the
+    * column (the conservative "can't tell" verdict).
+    */
+  private[store] val footerBatchStats
+      : java.util.Map[String, (Long, Long, Option[(Long, Long)])] =
+    lruCache[(Long, Long, Option[(Long, Long)])](100000)
+
+  private def lruCache[V](cap: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean = size() > cap
+      })
 
   /** The one key=value parse of a `store.meta` shape pin — shared by
     * instance validation and operational reopen, so the two can never

@@ -36,6 +36,9 @@ class BucketedTablesSpec extends SparkSpec {
         table: String): DataFrame =
       probeAntiJoin(pr, stored, keys, table)
     def scanWidth(table: String): Int = plannedScanWidth(table)
+    def allMarked(table: String): Option[Boolean] = batchAllMarked(table)
+    def unmarkedProbe(table: String, df: DataFrame): Boolean =
+      hasUnmarkedRows(table, df)
   }
 
   private val logical = StructType(Seq(StructField("id", LongType)))
@@ -142,6 +145,41 @@ class BucketedTablesSpec extends SparkSpec {
       assert(big.collect().map(_.getLong(0)).toSet ==
         small.collect().map(_.getLong(0)).toSet)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("the unmarked probe decides from footer batch stats; Spark job only when undecidable") {
+    // the fold-gating probe (does the table hold batch = −1 rows?)
+    // must resolve from parquet min/max footer stats without a Spark
+    // job whenever the footers can decide — including backfill-only
+    // (−2) files — and fall back to the one-row probe ONLY when a
+    // file's stats straddle −1 without containing it
+    val dir = Files.createTempDirectory("bt6").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 0)
+    def write(table: String, batches: Seq[Long]): Unit =
+      batches.toDF("batch").select(col("batch").cast(LongType))
+        .coalesce(1).write.mode("append").parquet(s"$dir/$table")
+    // all id'd: provably marked
+    write("m", Seq(0L, 1L, 7L))
+    assert(probe.allMarked("m") == Some(true))
+    assert(!probe.unmarkedProbe("m", spark.read.parquet(s"$dir/m")))
+    // a −1 anywhere: provably unmarked (min or max IS −1 — exact int64
+    // stats), even alongside id'd rows in the same file
+    write("u", Seq(-1L, 3L))
+    assert(probe.allMarked("u") == Some(false))
+    assert(probe.unmarkedProbe("u", spark.read.parquet(s"$dir/u")))
+    // backfill-only (−2) files are NOT unmarked
+    write("b", Seq(-2L, -2L))
+    assert(probe.allMarked("b") == Some(true))
+    // a compacted-style file straddling −1 (min −2, max 5, no −1):
+    // footers cannot decide — the fallback probe must answer false
+    write("s", Seq(-2L, 0L, 5L))
+    assert(probe.allMarked("s") == None)
+    assert(!probe.unmarkedProbe("s", spark.read.parquet(s"$dir/s")))
+    // …and the same straddle WITH a −1 present answers true
+    write("s2", Seq(-2L, -1L, 5L))
+    assert(probe.unmarkedProbe("s2", spark.read.parquet(s"$dir/s2")))
+    // a missing table holds nothing
+    assert(probe.allMarked("nope") == Some(true))
   }
 
   test("plannedScanWidth divides by the divisor Spark uses (minPartitionNum aware)") {
