@@ -754,10 +754,13 @@ object ScaleRehearsal {
       // the one-shot candidate volume the ingests amortized:
       // Σ c·(c−1)/2 over stored (tbl, bucket) occupancies — compare
       // against tables·n²/2^(bits+1) for the uniform-spread claim
+      // coalesce: sum over zero groups is null — a degenerate corpus
+      // argument must not NPE the rehearsal after the ingests completed
       out += "embedstore_candidate_volume" ->
         spark.read.parquet(s"$dir/postings")
           .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("c"))
-          .agg(sum(expr("(c * (c - 1)) div 2"))).head().getLong(0)
+          .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L)))
+          .head().getLong(0)
       val (pn, tRead) = timed(store.pairs.count())
       out += "embedstore_pairs" -> pn
       out += "embedstore_pairs_read_sec" -> tRead
@@ -796,6 +799,31 @@ object ScaleRehearsal {
       }
       out += "embedstore_small_batch_secs" ->
         smallWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
+      // the MIGRATION path: at replicated scales this corpus has
+      // outgrown bits = 8 (a batch's candidates blanket all 256
+      // buckets past ~10⁵ vectors — the measured corpus-linear
+      // verification regime), so rehash to the corpus-sized width
+      // (bitsFor) and re-run the steady-state cadence: the rebuild
+      // pays ONE corpus pass, and the per-batch candidate volume
+      // drops ~2^(newBits−8)-fold — these walls against the
+      // pre-rehash tail are the migration's measured payoff.
+      val nStored = spark.read.parquet(s"$dir/vecs").count()
+      val nb = EmbedStore.bitsFor(nStored)
+      val (_, tRehash) = timed(store.rehash(nb))
+      out += "embedstore_rehash_bits" -> nb
+      out += "embedstore_rehash_sec" -> tRehash
+      val rehashWalls = (0 until 3).map { j =>
+        val tb = spark.range(500).select(
+          (col("id") + lit(20000000000L + j * 500L)).as("id"),
+          expr("transform(sequence(0, 63), i -> CAST(" +
+            "(pmod(xxhash64(concat(CAST(id AS STRING), '_', " +
+            "CAST(i AS STRING))), 2001) - 1000) / 1000.0 AS FLOAT))")
+            .as("embedding"))
+        val (_, t) = timed(store.ingest(tb, Some(20L + j)))
+        t
+      }
+      out += "embedstore_rehash_batch_secs" ->
+        rehashWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
       ScratchCache.releaseAll(spark)
     }
 

@@ -40,8 +40,11 @@ import graft.operators.similarity.CosineSearch
   * 500-vector batches: ~9 s at 2·10⁴ stored vectors, ~17 s at 2·10⁵ —
   * sub-linear growth over a flat multi-guard scheduling floor).
   * Beyond ~10⁶ vectors, size `bits` to the corpus at store creation
-  * (it is pinned: 2^bits ≫ n·tables/batch keeps the candidate JOIN
-  * volume per batch bounded); the verification read itself remains a
+  * ([[EmbedStore.bitsFor]]: 2^bits ≫ n·tables/batch keeps the
+  * candidate JOIN volume per batch bounded) — and when a corpus
+  * OUTGROWS its creation-time pin, [[rehash]] migrates: postings are
+  * derived data, rebuilt from `vecs` at the new width and re-pinned
+  * without touching `pairs`. The verification read itself remains a
   * corpus-linear columnar scan — embarrassingly parallel per-file on
   * a real cluster (~50 GB of vecs at 10⁸×64 dims), and id-hash dir
   * pruning (`stateBuckets`) only shortcuts it when the batch's
@@ -58,7 +61,9 @@ import graft.operators.similarity.CosineSearch
   * persisted postings and pairs MEAN; all are pinned in `store.meta`
   * at first ingest, plus the data-derived embedding `dim` (signatures
   * of different dimensionalities never collide meaningfully — a batch
-  * at a different dim is refused).
+  * at a different dim is refused). `bits` alone is MIGRATABLE
+  * ([[rehash]]) because postings are the only table it shapes and
+  * they are recomputable; the rest stay immutable.
   */
 final class EmbedStore(protected val spark: SparkSession,
     protected val path: String,
@@ -69,6 +74,12 @@ final class EmbedStore(protected val spark: SparkSession,
     bits: Int = 8, tables: Int = 4, seed: Long = 7L,
     stateBuckets: Int = 0)
     extends graft.store.DurableStore with graft.store.BucketedTables {
+
+  /** The LIVE sign-LSH width: starts at the constructor's `bits`,
+    * moves only through a completed [[rehash]] (pin-wins like every
+    * shape field — a reopen must state the PINNED value).
+    */
+  private var liveBits: Int = bits
 
   private val vecsSchema = StructType(Seq(
     StructField("id", LongType),
@@ -120,7 +131,7 @@ final class EmbedStore(protected val spark: SparkSession,
   }
 
   private def shapeMap: Map[String, String] =
-    Map("thresholdE6" -> thresholdE6.toString, "bits" -> bits.toString,
+    Map("thresholdE6" -> thresholdE6.toString, "bits" -> liveBits.toString,
       "tables" -> tables.toString, "seed" -> seed.toString,
       "buckets" -> effectiveBuckets.toString)
 
@@ -148,6 +159,8 @@ final class EmbedStore(protected val spark: SparkSession,
       graft.ScratchCache.scoped {
       checkShape(pin = true)
       recoverTable("vecs"); recoverTable("postings"); recoverTable("pairs")
+      completeRehash() // a pending bits migration finishes before the
+                       // batch's postings are generated at liveBits
       // the embedding DIMENSION is a shape property derived from data:
       // postings of different dims never collide meaningfully, and a
       // mixed-dim corpus would silently never pair across the split —
@@ -180,7 +193,7 @@ final class EmbedStore(protected val spark: SparkSession,
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             StructType(postingsSchema.fields.dropRight(1)))
-        else CosineSearch.postingsOf(bNorm, dim, bits, tables, seed))
+        else CosineSearch.postingsOf(bNorm, dim, liveBits, tables, seed))
       markers.guarded("vecs", batchId) {
         val bv = bNorm.select(col("id"), col("cv"), col("cv_n"))
         val fresh =
@@ -317,6 +330,78 @@ final class EmbedStore(protected val spark: SparkSession,
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Migrate the store to a new sign-LSH width: re-derive `postings`
+    * from `vecs` at `newBits` (same pinned seed/tables) and re-pin
+    * `bits` — the exit from the measured scale trap (a store created
+    * at bits = 8 goes corpus-linear on every verification read past
+    * ~10⁵ vectors, because a batch's candidates blanket all 2^8
+    * buckets). Postings are DERIVED data, so the rebuild loses
+    * nothing; `pairs` and `vecs` are untouched (threshold/seed
+    * unchanged ⇒ verified pairs stay valid — `bits` only gates which
+    * CANDIDATES future ingests generate, so post-rehash ingests pair
+    * exactly as a from-scratch store created at `newBits` would:
+    * signatures are data-independent, EmbedStoreSpec pins the
+    * equality). The corpus pass is paid ONCE, not per ingest.
+    *
+    * CRASH SAFETY via an intent pin: `rehash_to` lands in `store.meta`
+    * first, the postings install rides the same move-aside swap as
+    * compaction (recoverTable heals its between-renames window), and
+    * the final pin (bits = newBits, intent dropped) commits the
+    * migration. An ingest against a store with a pending intent
+    * completes it before generating the batch's postings
+    * ([[completeRehash]] — idempotent: the rebuild is a deterministic
+    * function of `vecs`), so no batch can ever post at a width the pin
+    * doesn't describe.
+    */
+  def rehash(newBits: Int): Unit = writeLock.synchronized {
+    require(newBits >= 1 && newBits <= 62,
+      s"bits must be in [1, 62]: $newBits")
+    val meta = graft.store.DurableStore
+      .readMeta(fs, hPath(s"$path/store.meta"))
+      .getOrElse(throw new IllegalStateException(
+        s"no shape pin at $path/store.meta - a never-ingested store " +
+        "has no postings to migrate: construct with the desired bits " +
+        "instead"))
+    checkShape(pin = false)
+    if (meta.get("rehash_to").isEmpty && newBits == liveBits) return
+    writeShapePin(meta + ("rehash_to" -> newBits.toString))
+    completeRehash()
+  }
+
+  /** Finish a pending [[rehash]] intent: rebuild `postings` from
+    * `vecs` at the intent's width (batch lineage carried over — replay
+    * guards keep dispatching on the ids' original batches), install
+    * via the move-aside swap, commit the pin. Idempotent; a crash
+    * anywhere re-enters here on the next ingest or rehash call.
+    */
+  private def completeRehash(): Unit = {
+    val metaOpt = graft.store.DurableStore
+      .readMeta(fs, hPath(s"$path/store.meta"))
+    metaOpt.flatMap(_.get("rehash_to")).map(_.toInt).foreach { nb =>
+      val meta = metaOpt.get
+      recoverTable("vecs"); recoverTable("postings")
+      val dim = meta.get("dim").map(_.toInt).getOrElse(0)
+      if (dim > 0 && fs.exists(hPath(s"$path/vecs"))) {
+        val v = readTable("vecs", vecsSchema)
+        val posts = CosineSearch.postingsOf(
+            v.select(col("id"), col("cv"), col("cv_n")),
+            dim, nb, tables, seed)
+          .join(v.select(col("id"), col("batch")), Seq("id"))
+          .select(col("id"), col("tbl"), col("bucket"), col("batch"))
+        if (effectiveBuckets > 0)
+          installTable(s"$path/postings",
+            posts.withColumn("__bucket", bucketOf(col("id")))
+              .repartition(col("__bucket")),
+            ".compact", Seq("__bucket"))
+        else installTable(s"$path/postings",
+          posts.repartition(spark.sparkContext.defaultParallelism),
+          ".compact")
+      }
+      writeShapePin(meta - "rehash_to" + ("bits" -> nb.toString))
+      liveBits = nb
+    }
+  }
+
   /** Small-file compaction + sidecar pruning — the shared contract. */
   def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
     checkShape(pin = false)
@@ -329,6 +414,24 @@ final class EmbedStore(protected val spark: SparkSession,
 }
 
 object EmbedStore {
+  /** Advisory sign-LSH width for an expected corpus size: the smallest
+    * `bits` keeping the expected per-row candidate volume under a
+    * uniform spread (≈ tables·n/2^bits) at or under
+    * `perRowCandidates`, clamped to [8, 24]. Use at store creation —
+    * corpus size at creation is a prediction, so when the corpus
+    * outgrows it, feed the NEW size back here and [[EmbedStore.rehash]]
+    * to the result (e.g. bitsFor(1e5.toLong) = 16,
+    * bitsFor(1e8.toLong) = 24).
+    */
+  def bitsFor(expectedVectors: Long, tables: Int = 4,
+      perRowCandidates: Int = 8): Int = {
+    require(expectedVectors > 0 && tables > 0 && perRowCandidates > 0,
+      "bitsFor arguments must be positive")
+    val need = expectedVectors.toDouble * tables / perRowCandidates
+    math.min(24, math.max(8,
+      math.ceil(math.log(need) / math.log(2.0)).toInt))
+  }
+
   /** Reopen an existing store with its PINNED shape. Throws on a store
     * with no pin (never ingested): construct explicitly once to pin.
     */

@@ -113,6 +113,84 @@ class EmbedStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("rehash migrates bits: post-rehash ingests equal a from-scratch store at the new width") {
+    val dirA = Files.createTempDirectory("embrehA").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("embrehB").toFile.getAbsolutePath
+    val a = new EmbedStore(spark, dirA, thresholdE6 = T, bits = 4)
+    a.ingest(b0, batchId = Some(0L))
+    a.rehash(10)
+    a.ingest(b1, batchId = Some(1L))
+    a.ingest(b2, batchId = Some(2L))
+    val b = new EmbedStore(spark, dirB, thresholdE6 = T, bits = 10)
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (batch, i) =>
+      b.ingest(batch, batchId = Some(i.toLong)) }
+    // the rebuilt postings ARE a bits-10 store's postings (signatures
+    // are data-independent functions of (vec, bits, tables, seed), and
+    // the rehash carries each id's original batch lineage)
+    assert(rows(spark.read.parquet(s"$dirA/postings")) ==
+      rows(spark.read.parquet(s"$dirB/postings")))
+    // so post-rehash batches pair exactly as the from-scratch store
+    assert(rows(a.pairs.where(col("batch") >= 1L)) ==
+      rows(b.pairs.where(col("batch") >= 1L)))
+    // and the accumulated set still equals from-scratch nearDupPairs
+    // (scaled copies collide at ANY width — the planted recall holds)
+    assert(rows(a.pairs.drop("batch")) == rows(want))
+    // bits re-pinned: the OLD width is refused on reopen; open() works
+    val e = intercept[IllegalStateException] {
+      new EmbedStore(spark, dirA, thresholdE6 = T, bits = 4).pairs
+    }
+    assert(e.getMessage.contains("bits"))
+    assert(rows(EmbedStore.open(spark, dirA).pairs.drop("batch")) ==
+      rows(want))
+    // a never-ingested store has nothing to migrate
+    val fresh = new EmbedStore(spark,
+      Files.createTempDirectory("embreh0").toFile.getAbsolutePath,
+      thresholdE6 = T, bits = 4)
+    assert(intercept[IllegalStateException](fresh.rehash(10))
+      .getMessage.contains("construct"))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("an interrupted rehash (intent pinned, crash before rebuild) completes on the next ingest") {
+    val dirA = Files.createTempDirectory("embrehCrash").toFile.getAbsolutePath
+    val dirB = Files.createTempDirectory("embrehRef").toFile.getAbsolutePath
+    val a0 = new EmbedStore(spark, dirA, thresholdE6 = T, bits = 4)
+    a0.ingest(b0, batchId = Some(0L))
+    // the crash window right after rehash() pins its intent: plant
+    // rehash_to by hand, with the postings still at bits = 4
+    val metaF = new java.io.File(s"$dirA/store.meta")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+      "UTF-8")
+    java.nio.file.Files.write(metaF.toPath,
+      (txt + "rehash_to=10\n").getBytes("UTF-8"))
+    // the out-of-band edit invalidates LocalFileSystem's checksum
+    // sidecar — drop it (a real crash leaves a CONSISTENT pin; the
+    // raw edit is just the cheapest way to plant one)
+    new java.io.File(s"$dirA/.store.meta.crc").delete()
+    // a reopen reads the still-pinned bits = 4; the first ingest must
+    // finish the migration BEFORE posting the batch
+    val a = EmbedStore.open(spark, dirA)
+    a.ingest(b1, batchId = Some(1L))
+    val b = new EmbedStore(spark, dirB, thresholdE6 = T, bits = 10)
+    b.ingest(b0, batchId = Some(0L))
+    b.ingest(b1, batchId = Some(1L))
+    assert(rows(spark.read.parquet(s"$dirA/postings")) ==
+      rows(spark.read.parquet(s"$dirB/postings")))
+    assert(rows(a.pairs.drop("batch")) == rows(b.pairs.drop("batch")))
+    // the intent is gone and bits re-pinned
+    val meta = new String(java.nio.file.Files.readAllBytes(metaF.toPath),
+      "UTF-8")
+    assert(!meta.contains("rehash_to") && meta.contains("bits=10"))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("bitsFor sizes the width to the corpus") {
+    assert(EmbedStore.bitsFor(1000L) == 9)
+    assert(EmbedStore.bitsFor(100000L) == 16)
+    assert(EmbedStore.bitsFor(100000000L) == 24) // clamped ceiling
+    assert(EmbedStore.bitsFor(10L) == 8) // clamped floor
+  }
+
   test("soak: streaming ingest with kill before checkpoint commit + compaction between restarts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -142,6 +220,73 @@ class EmbedStoreSpec extends SparkSpec {
       .toDF("id", "embedding")
     assert(rows(store.pairs.drop("batch")) ==
       rows(CosineSearch.nearDupPairs(corpus, thresholdE6 = T)))
+    graft.ScratchCache.releaseAll(spark)
+  }
+  test("two-plane process soak: an EmbedStore stream and a MediaStore stream share one process") {
+    // the vector twin of MediaStoreSpec's two-plane soak: the
+    // per-thread ScratchCache scopes and per-store locks exist so two
+    // DIFFERENT stores' streams can share one process — prove it for
+    // the EmbedStore entry (its foreachBatch bodies contend with the
+    // media stream's for scheduler slots, scratch persists and the
+    // shared footer caches). Kill-before-checkpoint-commit on the
+    // embed stream, compact() on its store while the media stream
+    // stays LIVE; each plane's state must equal its from-scratch
+    // target afterward.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.dedup.MediaStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dirE = Files.createTempDirectory("twoplaneE").toFile.getAbsolutePath
+    val dirM = Files.createTempDirectory("twoplaneM").toFile.getAbsolutePath
+    val ckE = s"$dirE/_ck"
+    val ckM = s"$dirM/_ck"
+    val e = new EmbedStore(spark, dirE, thresholdE6 = T)
+    val m = new MediaStore(spark, dirM)
+    val memE = MemoryStream[Long]
+    val memM = MemoryStream[Long]
+    val trig = org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime("50 milliseconds")
+    def startE() = e.start(
+      memE.toDS().map(EmbedStoreSpec.row _).toDF("id", "embedding"),
+      ckE, trigger = trig)
+    val qM = m.start(memM.toDS().map(MediaStoreSpec.image _), ckM,
+      trigger = trig)
+    val qE1 = startE()
+    memE.addData(1L, 50L)
+    memM.addData(1L, 2L)
+    qE1.processAllAvailable()
+    qM.processAllAvailable()
+    // crash window on the EMBED stream only: its batch landed in the
+    // store but the checkpoint never committed — the media stream
+    // keeps running through E's recovery replay
+    qE1.stop()
+    qE1.awaitTermination()
+    val commitDir = new java.io.File(s"$ckE/commits")
+    val newest = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(commitDir, newest.toString).delete())
+    new java.io.File(commitDir, s".$newest.crc").delete()
+    // compact the embed store under the live media stream
+    e.compact(targetFileBytes = 1L)
+    memE.addData(2L, 51L)
+    memM.addData(3L, 50L)
+    val qE2 = startE()
+    qE2.processAllAvailable()
+    qM.processAllAvailable()
+    qE2.stop(); qM.stop()
+    qE2.awaitTermination(); qM.awaitTermination()
+    // embed plane: the replay was a no-op, pairs equal from-scratch
+    assert(e.vectors.count() == 4)
+    val corpus = Seq(1L, 50L, 2L, 51L).map(i => i -> EmbedStoreSpec.vec(i))
+      .toDF("id", "embedding")
+    assert(rows(e.pairs.drop("batch")) ==
+      rows(CosineSearch.nearDupPairs(corpus, thresholdE6 = T)))
+    // media plane: untouched by E's kill/compact window
+    assert(m.prints.count() == 4)
+    val wantPrints = Dedup.hammingPairs(
+      MediaStore.fingerprints(
+        Seq(1L, 2L, 3L, 50L).map(MediaStoreSpec.image).toDS()),
+      maxHamming = 3, blockCols = Seq("kind"))
+    assert(rows(m.pairs.drop("batch")) == rows(wantPrints))
     graft.ScratchCache.releaseAll(spark)
   }
 }
