@@ -31,6 +31,31 @@ object Bench {
       Tables.load(spark, sfDir, n).queryExecution.toRdd.count())
     warmOperatorShapes(spark, sfDir)
 
+    // Machine-drift calibration: a fixed synthetic shuffle+agg whose
+    // shape never changes round to round (generated input, constant
+    // row count and key space — no SF dependence, no parquet). Its
+    // wall calibrates THIS run's machine-day: cross-round totals
+    // divide by it before being read as regressions (round 14 burned
+    // a day proving r12's faster release-family numbers were a faster
+    // machine-day — this row ends that archaeology). Same min-of-N
+    // discipline as the queries; runs after warmup so it prices the
+    // machine, not JIT. Constant-shape only under the driver's fixed
+    // CPU count (shuffle width follows spark.sql.shuffle.partitions);
+    // compare calibrations only between runs at the same CPUS.
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum,
+      xxhash64}
+    def calibrationOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(4096)).as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec = (1 to 3).map(_ => calibrationOnce()).min
+    System.err.println(f"[bench] calibration $calibrationSec%.3f s")
+
     val only = args.toSet
     // min-of-N timing: the host shows ±2× wall-clock noise between runs
     // (CPU contention, page cache); the MINIMUM of independent repetitions
@@ -163,6 +188,7 @@ object Bench {
     val headlinePairs = results.filter { case (k, _) => headline(k) }
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
       s""","n_queries":${results.size},"reps":$reps""" +
+      s""","calibration_sec":${f"$calibrationSec%.3f"}""" +
       s""","gc_best_ms":$gcBestTotal,"gc_worst_ms":$gcWorstTotal""" +
       s""","heap_peak_mb":$peakMbMax,"contended_queries":$contendedN""" +
       s""","queries":${fmt(headlinePairs)}""" +
@@ -181,7 +207,9 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         (s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
-          s""","reps":$reps,"queries":${fmt(results)}""" +
+          s""","reps":$reps""" +
+          s""","calibration_sec":${f"$calibrationSec%.3f"}""" +
+          s""","queries":${fmt(results)}""" +
           s""","worst":${fmt(timed.map { case (n, _, w, _) => n -> w.sec })}""" +
           s""","gc_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.gcMs })}""" +
           s""","gc_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.gcMs })}""" +
