@@ -49,7 +49,10 @@ object Bench {
       spark.range(0L, 20000000L, 1L, 32)
         .select(xxhash64(col("id")).as("h"))
         .groupBy(pmod(col("h"), lit(4096)).as("k"))
-        .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
+        // summing bounded residues, not raw hashes — 20M raw 64-bit
+        // hashes overflow the ANSI long sum
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("h"), lit(1000000L))).as("s"))
         .queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }

@@ -161,6 +161,8 @@ final class EmbedStore(protected val spark: SparkSession,
       recoverTable("vecs"); recoverTable("postings"); recoverTable("pairs")
       completeRehash() // a pending bits migration finishes before the
                        // batch's postings are generated at liveBits
+      // micro-batch scheduling regime (see withSmallRegimeScheduling)
+      withSmallRegimeScheduling(Seq("vecs", "postings", "pairs")) {
       // the embedding DIMENSION is a shape property derived from data:
       // postings of different dims never collide meaningfully, and a
       // mixed-dim corpus would silently never pair across the split —
@@ -276,6 +278,7 @@ final class EmbedStore(protected val spark: SparkSession,
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
+      }
       }
       }
       freeAcceptedCheckpoint()

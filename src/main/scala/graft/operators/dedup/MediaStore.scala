@@ -232,6 +232,8 @@ final class MediaStore(protected val spark: SparkSession,
       graft.ScratchCache.scoped {
       checkShape(pin = true)
       recoverTable("prints"); recoverTable("pairs")
+      // micro-batch scheduling regime (see withSmallRegimeScheduling)
+      withSmallRegimeScheduling(Seq("prints", "pairs")) {
       val accepted = resolveAccepted(batch, "id", "prints", batchId)
       val bPrints = graft.ScratchCache.persist(batch
         .select(col("id"), col("sh"), col("kind")).dropDuplicates("id")
@@ -332,6 +334,7 @@ final class MediaStore(protected val spark: SparkSession,
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/pairs")
       }
       }
+      }
       freeAcceptedCheckpoint()
     }
 
@@ -410,6 +413,8 @@ final class MediaStore(protected val spark: SparkSession,
               + ("clipMaxFrames" -> clipMaxFrames.toString))
         }
       recoverTable("clipframes"); recoverTable("clippairs")
+      // micro-batch scheduling regime (see withSmallRegimeScheduling)
+      withSmallRegimeScheduling(Seq("clipframes", "clippairs")) {
       // the packing modulus is a SHAPE property: an index outside
       // [0, clipMaxFrames) would alias into another clip's packed key
       // and silently corrupt the diagonal vote — refuse the batch.
@@ -510,6 +515,7 @@ final class MediaStore(protected val spark: SparkSession,
           else delta
         appendBucketed(fresh.withColumn("batch",
           lit(batchId.getOrElse(-1L))), "id_a", s"$path/clippairs")
+      }
       }
       }
       freeAcceptedCheckpoint()

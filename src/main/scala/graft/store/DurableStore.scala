@@ -311,6 +311,35 @@ private[graft] trait DurableStore {
         df.where(col("batch") === -1L).limit(1).count() > 0
     }
 
+  /** Run `f` (one ingest's or compaction's write actions) with
+    * adaptive query execution SUSPENDED when every table in `tables`
+    * is in the small regime ([[storedIsSmall]] — the same gates that
+    * pick the plain anti-join): AQE materializes every exchange as a
+    * separately scheduled job, and at micro-batch scale its
+    * adaptations (post-shuffle coalescing, skew splits, runtime join
+    * switches) operate on stats that are uniformly "tiny" — the
+    * per-exchange job floor IS the measured scheduling cost of a
+    * composed store drive (q_store_collapse: 162 driver jobs with AQE
+    * vs 93 without, identical results). The moment any consulted
+    * table leaves the small regime, AQE stays on — the 10⁸-row
+    * regimes keep their adaptivity. A bulk-sized batch into a still-
+    * small store foregoes AQE for that one ingest (bounded: the
+    * tables cross the ceiling and the next ingest adapts again);
+    * bulk loads are the from-scratch pipelines' territory by the
+    * stores' own scaladoc. Suspension is a reference-counted
+    * session-conf toggle — concurrent ingests (two streams, one
+    * session) may overlap, and AQE-off is always CORRECT (execution
+    * granularity, not semantics), so an overlap at worst costs a
+    * concurrent big query its adaptivity for the window.
+    */
+  protected def withSmallRegimeScheduling[T](tables: Seq[String])
+      (f: => T): T =
+    if (!tables.forall(storedIsSmall)) f
+    else {
+      DurableStore.AdaptiveToggle.enter(spark)
+      try f finally DurableStore.AdaptiveToggle.exit(spark)
+    }
+
   /** Heal a compact() that died between its two renames: the complete
     * table sits at `.compact.old` and nothing at the live path. This
     * MUST run before any table access, not just inside the next
@@ -403,8 +432,16 @@ private[graft] trait DurableStore {
       if (bytes == 0L) return
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       val src = spark.read.parquet(dir)
+      // unpartitioned tables COALESCE instead of repartitioning:
+      // compaction only needs to concatenate small files into ≤k
+      // bigger ones, and coalesce does it with a narrow dependency —
+      // no shuffle of the whole table (at 100 TB the compaction
+      // shuffle would rewrite the table through the network twice),
+      // and no AQE stage jobs on the driver. Partitioned tables keep
+      // the clustering repartition: their contract is one file per
+      // live partition value, which needs the hash exchange.
       val repart =
-        if (partitionCols.isEmpty) src.repartition(k)
+        if (partitionCols.isEmpty) src.coalesce(k)
         else src.repartition(k, partitionCols.map(
           org.apache.spark.sql.functions.col): _*)
       installTable(dir, repart, ".compact", partitionCols)
@@ -452,7 +489,7 @@ private[graft] trait DurableStore {
         // marker committed but sidecar pruned = the batch is fully
         // committed in every table (prune's precondition), so an empty
         // membership is correct for this replay — never throw
-        if (fs.exists(hPath(side))) spark.read.parquet(side)
+        if (fs.exists(hPath(side))) localizeIfSmall(side)
         else batch.select(col(idColName).as("__bid")).limit(0)
       case None =>
         // eager materialization: the set must be pinned BEFORE the main
@@ -478,6 +515,35 @@ private[graft] trait DurableStore {
   protected def storedAcceptIds(idColName: String, table: String,
       batchIds: DataFrame): DataFrame =
     spark.read.parquet(s"$path/$table").select(col(idColName).as("__bid"))
+
+  /** The accepted-id sidecar as a driver-LOCAL relation when its
+    * parquet is small (one fs listing to decide, one collect job to
+    * load): an ingest consumes the accepted set through
+    * `broadcast(accepted)` in nearly every guard, and each guard is
+    * its own WRITE action, so a parquet-backed sidecar re-materializes
+    * its broadcast exchange as a separate scheduled job per action —
+    * at micro-batch cadence the accepted set alone was ~a third of an
+    * ingest's driver jobs. A LocalRelation broadcasts without
+    * scheduling anything (the exchange collects driver-side), so the
+    * one collect here replaces all of them. Big sidecars (over the
+    * byte cap ≈ hundreds of thousands of ids) stay distributed — the
+    * broadcast jobs they schedule are the price of not holding
+    * millions of boxed rows on the driver.
+    */
+  private def localizeIfSmall(side: String): DataFrame = {
+    val df = spark.read.parquet(side)
+    var bytes = 0L
+    val it = fs.listFiles(hPath(side), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        bytes += st.getLen
+    }
+    if (bytes > DurableStore.localAcceptBytes) df
+    else spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
 
   /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,
     * freed by [[freeAcceptedCheckpoint]] once the ingest's appends have
@@ -671,6 +737,12 @@ private[graft] object DurableStore {
     */
   val probeInvertRows: Long = 5000000L
 
+  /** Sidecar-byte ceiling for [[DurableStore.localizeIfSmall]]: ≈2 MB
+    * of parquet longs ≈ a few hundred thousand ids — bounded boxed-row
+    * driver residency; bigger accepted sets stay parquet-backed.
+    */
+  val localAcceptBytes: Long = 2L * 1024 * 1024
+
   /** Byte ceiling above which [[DurableStore.probeAntiJoin]] inverts
     * WITHOUT reading footers: 10 GiB cannot hold fewer than
     * `invertStoreRows` rows at any plausible row width, so the footer
@@ -707,6 +779,38 @@ private[graft] object DurableStore {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, V]): Boolean = size() > cap
       })
+
+  /** Reference-counted session-wide AQE suspension for
+    * [[DurableStore.withSmallRegimeScheduling]]: first enter saves
+    * the session's setting and disables, last exit restores — keyed
+    * per session so two stores on one session nest correctly.
+    */
+  private object AdaptiveToggle {
+    private val key = "spark.sql.adaptive.enabled"
+    private val state =
+      new java.util.IdentityHashMap[SparkSession, (Int, String)]()
+    def enter(spark: SparkSession): Unit = state.synchronized {
+      Option(state.get(spark)) match {
+        case None =>
+          val saved = spark.conf.get(key, "true")
+          spark.conf.set(key, "false")
+          state.put(spark, (1, saved))
+          ()
+        case Some((d, s)) =>
+          state.put(spark, (d + 1, s))
+          ()
+      }
+    }
+    def exit(spark: SparkSession): Unit = state.synchronized {
+      Option(state.get(spark)).foreach { case (d, s) =>
+        if (d <= 1) {
+          spark.conf.set(key, s)
+          state.remove(spark)
+        } else state.put(spark, (d - 1, s))
+        ()
+      }
+    }
+  }
 
   /** The one key=value parse of a `store.meta` shape pin — shared by
     * instance validation and operational reopen, so the two can never

@@ -39,6 +39,8 @@ class BucketedTablesSpec extends SparkSpec {
     def allMarked(table: String): Option[Boolean] = batchAllMarked(table)
     def unmarkedProbe(table: String, df: DataFrame): Boolean =
       hasUnmarkedRows(table, df)
+    def smallSched[T](tables: Seq[String])(f: => T): T =
+      withSmallRegimeScheduling(tables)(f)
   }
 
   private val logical = StructType(Seq(StructField("id", LongType)))
@@ -180,6 +182,43 @@ class BucketedTablesSpec extends SparkSpec {
     assert(probe.unmarkedProbe("s2", spark.read.parquet(s"$dir/s2")))
     // a missing table holds nothing
     assert(probe.allMarked("nope") == Some(true))
+  }
+
+  test("small-regime scheduling suspends AQE for the window (ref-counted) and big regimes keep it") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val dir = Files.createTempDirectory("bt7").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 0)
+    val before = spark.conf.get(aqeKey)
+    // small regime (a missing table is small): suspended for the
+    // window, nested entries ref-count, restored after
+    probe.smallSched(Seq("t")) {
+      assert(spark.conf.get(aqeKey) == "false")
+      probe.smallSched(Seq("t")) {
+        assert(spark.conf.get(aqeKey) == "false")
+      }
+      assert(spark.conf.get(aqeKey) == "false",
+        "inner exit must not restore while the outer window is open")
+    }
+    assert(spark.conf.get(aqeKey) == before)
+    // restored even when the body throws
+    intercept[RuntimeException] {
+      probe.smallSched(Seq("t"))(throw new RuntimeException("boom"))
+    }
+    assert(spark.conf.get(aqeKey) == before)
+    // big regime (over the byte thresholds AND the row ceiling, the
+    // same gates as the join dispatch): AQE untouched
+    spark.range(2000).select(col("id")).write.parquet(s"$dir/t")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val big = new Probe(spark, dir, 0, rowCeiling = 100L,
+        plainBytes = 1024L)
+      big.smallSched(Seq("t")) {
+        assert(spark.conf.get(aqeKey) == before,
+          "a big-regime ingest must keep its adaptivity")
+      }
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("plannedScanWidth divides by the divisor Spark uses (minPartitionNum aware)") {
