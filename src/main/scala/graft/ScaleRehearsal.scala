@@ -803,15 +803,34 @@ object ScaleRehearsal {
       // outgrown bits = 8 (a batch's candidates blanket all 256
       // buckets past ~10⁵ vectors — the measured corpus-linear
       // verification regime), so rehash to the corpus-sized width
-      // (bitsFor) and re-run the steady-state cadence: the rebuild
-      // pays ONE corpus pass, and the per-batch candidate volume
-      // drops ~2^(newBits−8)-fold — these walls against the
-      // pre-rehash tail are the migration's measured payoff.
+      // (bitsFor) and re-run the steady-state cadence. The payoff
+      // METER is the candidate stored-id count a novel batch's
+      // postings touch — that set IS the exact-cosine verification
+      // read — printed at the old and new widths; the batch WALL
+      // also carries the guard floor and the other corpus-linear
+      // scans, so it moves only by the verification share at this SF.
+      def candIdsTouched(bits: Int): Long = {
+        val tb = spark.range(500).select(
+          (col("id") + lit(30000000000L)).as("id"),
+          expr("transform(sequence(0, 63), i -> CAST(" +
+            "(pmod(xxhash64(concat(CAST(id AS STRING), '_', " +
+            "CAST(i AS STRING))), 2001) - 1000) / 1000.0 AS FLOAT))")
+            .as("embedding"))
+        val bPost = CosineSearch.postingsOf(
+          CosineSearch.normProjection(tb, "id", "embedding"),
+          dim = 64, bits = bits, tables = 4, seed = 7L)
+        spark.read.parquet(s"$dir/postings").as("s")
+          .join(bPost.as("b"), col("s.tbl") === col("b.tbl") &&
+            col("s.bucket") === col("b.bucket"))
+          .select(col("s.id")).distinct().count()
+      }
+      out += "embedstore_cand_ids_bits8" -> candIdsTouched(8)
       val nStored = spark.read.parquet(s"$dir/vecs").count()
       val nb = EmbedStore.bitsFor(nStored)
       val (_, tRehash) = timed(store.rehash(nb))
       out += "embedstore_rehash_bits" -> nb
       out += "embedstore_rehash_sec" -> tRehash
+      out += "embedstore_cand_ids_rehash" -> candIdsTouched(nb)
       val rehashWalls = (0 until 3).map { j =>
         val tb = spark.range(500).select(
           (col("id") + lit(20000000000L + j * 500L)).as("id"),
