@@ -494,5 +494,11 @@ final class FlowStore(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"swapIn: cannot install $tmp")
     }
     fs.delete(p(old), true)
+    // the DurableStore.installTable staleness contract: a cached plan
+    // over the table created BEFORE the swap can hold a partially-built
+    // buffer whose unbuilt partitions still reference the replaced
+    // files (splits freeze at the entry's first physical planning) —
+    // re-list the path for every matching cache entry
+    spark.catalog.refreshByPath(s"$root/$name")
   }
 }
