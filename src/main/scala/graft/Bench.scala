@@ -112,8 +112,28 @@ object Bench {
       } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => None }
     val cores = Runtime.getRuntime.availableProcessors.toLong
+    // Driver-JOB counter per repetition (the JobAudit lens, in the
+    // committed artifact): job counts are MACHINE-INVARIANT — identical
+    // plans schedule identical jobs regardless of machine-day — so a
+    // wall-clock move at an unchanged job count reads as machine drift
+    // (cross-checked against calibration_sec), while a job-count move
+    // is a plan/scheduling change by construction. The listener bus is
+    // async; each delta brackets with a bounded flush.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet()
+          ()
+        }
+      })
+    def jobsNow(): Int = {
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      jobCounter.get
+    }
     final case class Rep(sec: Double, rows: Long, gcMs: Long, peakMb: Long,
-        cpuMs: Long, extMs: Long, contended: Boolean)
+        cpuMs: Long, extMs: Long, contended: Boolean, jobs: Int)
     // bounded global retry budget: a persistently-loaded host must not
     // turn the suite into an unbounded wait — unresolved contention is
     // FLAGGED in the artifact instead
@@ -124,6 +144,7 @@ object Bench {
         val g0 = gcNowMs()
         val c0 = cpuNowMs().getOrElse(0L)
         val h0 = hostBusyMs()
+        val j0 = jobsNow()
         val t0 = System.nanoTime()
         // toRdd.count() materializes EVERY output column — a plain count()
         // would let Catalyst prune the projections being measured
@@ -132,6 +153,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val repJobs = jobsNow() - j0
         val repGc = gcNowMs() - g0
         val repCpu = cpuNowMs().map(_ - c0).getOrElse(-1L)
         val ext = (for { a <- h0; b <- hostBusyMs() if repCpu >= 0 }
@@ -142,7 +164,7 @@ object Bench {
         // release this query's scratch persists so cached partials never
         // carry into the next repetition or query (outside the timed window)
         ScratchCache.releaseAll(spark)
-        Rep(sec, n, repGc, peakHeapMb(), repCpu, ext, cont)
+        Rep(sec, n, repGc, peakHeapMb(), repCpu, ext, cont, repJobs)
       }
       var times = Vector.fill(reps)(()).map(_ => oneRep())
       // a failed repetition returns fast — its wall-clock must not become
@@ -163,6 +185,7 @@ object Bench {
       val worstRep = basis.maxBy(_.sec)
       System.err.println(
         f"[bench] $name%-22s ${bestRep.sec}%8.2f s  (worst ${worstRep.sec}%.2f, " +
+          f"jobs ${bestRep.jobs}, " +
           f"gc ${bestRep.gcMs}/${worstRep.gcMs} ms, " +
           f"cpu ${bestRep.cpuMs}/${worstRep.cpuMs} ms, " +
           f"ext ${bestRep.extMs} ms${if (bestRep.contended) " CONTENDED" else ""}, " +
@@ -189,12 +212,20 @@ object Bench {
     // query per major area) and dump the complete per-query map to
     // BENCH_DETAIL.json next to the build.
     val headlinePairs = results.filter { case (k, _) => headline(k) }
+    // per-drive driver-job counts for the expensive (≥3 s) drives go in
+    // the ONE-LINE artifact itself: with calibration_sec they are the
+    // two lenses that separate machine drift from plan changes in one
+    // read (jobs are machine-invariant; calibration prices the
+    // machine-day). The full map is in BENCH_DETAIL.
+    val jobPairs = timed.filter(_._2.sec >= 3.0)
+      .map { case (n, b, _, _) => n -> b.jobs.toLong }
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
       s""","n_queries":${results.size},"reps":$reps""" +
       s""","calibration_sec":${f"$calibrationSec%.3f"}""" +
       s""","gc_best_ms":$gcBestTotal,"gc_worst_ms":$gcWorstTotal""" +
       s""","heap_peak_mb":$peakMbMax,"contended_queries":$contendedN""" +
       s""","queries":${fmt(headlinePairs)}""" +
+      s""","jobs":${fmtL(jobPairs)}""" +
       s""","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // only a FULL run may refresh the committed per-query record — a
     // filtered smoke run ("Bench q_x") would silently clobber it with a
@@ -214,6 +245,7 @@ object Bench {
           s""","calibration_sec":${f"$calibrationSec%.3f"}""" +
           s""","queries":${fmt(results)}""" +
           s""","worst":${fmt(timed.map { case (n, _, w, _) => n -> w.sec })}""" +
+          s""","jobs":${fmtL(timed.map { case (n, b, _, _) => n -> b.jobs.toLong })}""" +
           s""","gc_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.gcMs })}""" +
           s""","gc_worst_ms":${fmtL(timed.map { case (n, _, w, _) => n -> w.gcMs })}""" +
           s""","cpu_ms":${fmtL(timed.map { case (n, b, _, _) => n -> b.cpuMs })}""" +

@@ -48,7 +48,8 @@ object JobAudit {
         .queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       ScratchCache.releaseAll(spark)
-      Thread.sleep(1000) // listener bus is async; let the counts drain
+      // listener bus is async; flush so the counts are complete
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
       println(f"""{"query":"$name","jobs":${jobs.get}""" +
         f""","stages":${stages.get},"tasks":${tasks.get}""" +
         f""","rows":$n,"sec":$sec%.2f}""")

@@ -282,7 +282,50 @@ final class EmbedStore(protected val spark: SparkSession,
       }
       }
       freeAcceptedCheckpoint()
+      // capacity watch (the rehash exists; this makes sure someone is
+      // WATCHING): the corpus row count is a zero-job footer-stat read
+      // — cache hits except the files this very batch appended — so
+      // every ingest can afford to check whether the corpus has
+      // outgrown the pinned LSH width and surface the advisory while
+      // the drift is one rehash away, instead of being discovered as a
+      // corpus-linear verification read at 10⁸ vectors
+      advise()
     }
+
+  /** The recommended sign-LSH width when the stored corpus has
+    * OUTGROWN the live pin by more than one doubling —
+    * `bitsFor(corpusRows) > liveBits + 1` (one doubling of headroom is
+    * noise; two means every future ingest pays measurably for the
+    * stale width). None while the live width is adequate, or when the
+    * corpus size is momentarily unknowable (a cold footer walk past
+    * its cap — never guess). Zero Spark jobs either way.
+    */
+  def widthAdvisory(): Option[Int] =
+    tableFooterRows("vecs") match {
+      case Some(rows) if rows > 0 =>
+        val rec = EmbedStore.bitsFor(rows, tables)
+        if (rec > liveBits + 1) Some(rec) else None
+      case _ => None
+    }
+
+  /** The advisory the LAST ingest surfaced (None when the width was
+    * adequate) — the structured observable behind the log line, so an
+    * operator's monitoring (and the spec) reads the watch's verdict
+    * instead of scraping logs.
+    */
+  @volatile private var _lastAdvisory: Option[Int] = None
+  def lastAdvisory: Option[Int] = _lastAdvisory
+
+  private def advise(): Unit = {
+    _lastAdvisory = widthAdvisory()
+    _lastAdvisory.foreach { rec =>
+      EmbedStore.log.warn(
+        s"EmbedStore at $path: corpus has outgrown the pinned LSH width " +
+        s"(bits=$liveBits, recommended=$rec) - candidate volume per " +
+        "ingest degrades toward corpus-linear; run rehash(" + rec + ") " +
+        "or compact(autoRehash = true) to migrate (one postings rebuild)")
+    }
+  }
 
   /** Start the continuous durable embedding dedup over a vector
     * stream (`id`, `embedding`): each micro-batch ingests exactly-once
@@ -405,9 +448,19 @@ final class EmbedStore(protected val spark: SparkSession,
     }
   }
 
-  /** Small-file compaction + sidecar pruning — the shared contract. */
-  def compact(targetFileBytes: Long = 256L * 1024 * 1024): Unit = {
+  /** Small-file compaction + sidecar pruning — the shared contract.
+    * `autoRehash` (opt-in) additionally migrates the LSH width when
+    * [[widthAdvisory]] says the corpus has outgrown the pin: compaction
+    * already owns the whole-table rewrite window, so the one postings
+    * rebuild rides the maintenance slot the operator scheduled anyway —
+    * equal to a manual `rehash(widthAdvisory().get)` (spec-pinned).
+    * Runs BEFORE the table compaction so the rebuilt postings are
+    * compacted in the same pass.
+    */
+  def compact(targetFileBytes: Long = 256L * 1024 * 1024,
+      autoRehash: Boolean = false): Unit = {
     checkShape(pin = false)
+    if (autoRehash) widthAdvisory().foreach(rehash)
     val layout = if (effectiveBuckets > 0) Seq("__bucket") else Nil
     Seq("vecs", "postings", "pairs")
       .foreach(compactTable(_, targetFileBytes, layout))
@@ -417,6 +470,9 @@ final class EmbedStore(protected val spark: SparkSession,
 }
 
 object EmbedStore {
+  private[dedup] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[EmbedStore])
+
   /** Advisory sign-LSH width for an expected corpus size: the smallest
     * `bits` keeping the expected per-row candidate volume under a
     * uniform spread (≈ tables·n/2^bits) at or under

@@ -113,30 +113,70 @@ private[graft] trait DurableStore {
     var rows = 0L
     stats.foreach { st =>
       if (st.getPath.getName.endsWith(".parquet")) {
-        // parquet data files are immutable once visible (writes land
-        // under temp names and rename in), so a (length, mtime)-keyed
-        // count is safe to cache for the JVM's life — steady-state
-        // guards pay footers only for the files the LAST append added
-        val key = st.getPath.toString
-        val cached = DurableStore.footerRows.get(key)
-        val n =
-          if (cached != null && cached._1 == st.getLen &&
-              cached._2 == st.getModificationTime) cached._3
-          else {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, spark.sparkContext.hadoopConfiguration)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val c = try r.getRecordCount finally r.close()
-            DurableStore.footerRows.put(key,
-              (st.getLen, st.getModificationTime, c))
-            c
-          }
-        rows += n
+        rows += footerRecordCount(st)
         if (rows > cap) return false
       }
     }
     true
   }
+
+  /** One parquet file's exact footer record count, cached JVM-wide:
+    * parquet data files are immutable once visible (writes land under
+    * temp names and rename in), so a (length, mtime)-keyed count is
+    * safe to cache for the JVM's life — steady-state guards pay
+    * footers only for the files the LAST append added.
+    */
+  private def footerRecordCount(
+      st: org.apache.hadoop.fs.LocatedFileStatus): Long = {
+    val key = st.getPath.toString
+    val cached = DurableStore.footerRows.get(key)
+    if (cached != null && cached._1 == st.getLen &&
+        cached._2 == st.getModificationTime) cached._3
+    else {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val c = try r.getRecordCount finally r.close()
+      DurableStore.footerRows.put(key,
+        (st.getLen, st.getModificationTime, c))
+      c
+    }
+  }
+
+  /** `table`'s exact row count from parquet footer record counts — the
+    * ZERO-JOB corpus-size read behind capacity advisories (EmbedStore's
+    * width watch): steady-state calls are all cache hits (only the last
+    * append's files are cold), and a cold pass is bounded by the same
+    * cap as [[batchAllMarked]] — None past it (callers treat "unknown"
+    * as "no advisory", never as a number). Some(0) for a missing table.
+    */
+  protected def tableFooterRows(table: String): Option[Long] = {
+    val dir = hPath(s"$path/$table")
+    if (!fs.exists(dir)) return Some(0L)
+    var rows = 0L
+    var coldReads = 0
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val key = st.getPath.toString
+        val cached = DurableStore.footerRows.get(key)
+        if (cached == null || cached._1 != st.getLen ||
+            cached._2 != st.getModificationTime) {
+          coldReads += 1
+          if (coldReads > footerColdReadCap) return None
+        }
+        rows += footerRecordCount(st)
+      }
+    }
+    Some(rows)
+  }
+
+  /** [[DurableStore.footerWalkMaxFiles]], overridable for tests. */
+  protected def footerWalkMaxFiles: Int = DurableStore.footerWalkMaxFiles
+
+  /** [[DurableStore.footerColdReadCap]], overridable for tests. */
+  protected def footerColdReadCap: Int = DurableStore.footerColdReadCap
 
   /** No-footer byte ceiling for [[probeAntiJoin]]'s plain path: a
     * table under this many bytes is small in ROWS at any plausible
@@ -197,6 +237,13 @@ private[graft] trait DurableStore {
     if (!fs.exists(dir)) return true
     val plainCap = math.max(thr, plainStoreBytes)
     var bytes = 0L
+    // statuses kept for the footer-row gate are COUNT-bounded: past
+    // the cap the buffer is dropped and the footer gate skipped — a
+    // many-tiny-file store between compactions could otherwise hold
+    // hundreds of thousands of LocatedFileStatus per guard dispatch
+    // on the driver, several times per ingest. Skipping only biases
+    // the dispatch toward the inversion (result-identical).
+    var statsOverflow = false
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.LocatedFileStatus]
     val it = fs.listFiles(dir, true)
@@ -205,13 +252,25 @@ private[graft] trait DurableStore {
       val n = st.getPath.getName
       if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
         bytes += st.getLen
-        // 10 GiB cannot hold ≤ invertStoreRows rows at any plausible
-        // row width: obviously huge, no footers, bounded listing
-        if (bytes > DurableStore.invertStoreBytes) return false
-        stats += st
+        // past max(plainCap, 10 GiB) neither gate can pass: the byte
+        // gate by definition, the footer gate because that many bytes
+        // cannot hold ≤ invertStoreRows rows at any plausible width
+        // (and keeping the band up to plainCap preserves the plain
+        // path under a pathological autoBroadcastJoinThreshold set
+        // ABOVE 10 GiB — the pre-round-15 dispatch band)
+        if (bytes > math.max(plainCap, DurableStore.invertStoreBytes))
+          return false
+        if (!statsOverflow) {
+          stats += st
+          if (stats.size > footerWalkMaxFiles) {
+            stats.clear()
+            statsOverflow = true
+          }
+        }
       }
     }
-    bytes <= plainCap || footerRowsAtMost(stats.toSeq, invertStoreRows)
+    bytes <= plainCap ||
+      (!statsOverflow && footerRowsAtMost(stats.toSeq, invertStoreRows))
   }
 
   /** Whether every row of `table` carries a real (≥ 0) streaming batch
@@ -234,6 +293,13 @@ private[graft] trait DurableStore {
     val dir = hPath(s"$path/$table")
     if (!fs.exists(dir)) return Some(true)
     var indeterminate = false
+    // cold footer reads are opened SEQUENTIALLY on the driver — free in
+    // the steady state (only the last append's files are uncached) but
+    // a first pass over a huge table would pay file-count × metadata
+    // latency serially, replacing what was one PARALLEL Spark probe.
+    // Past the cold-read cap, bail to None (the one-row Spark probe);
+    // the files read so far are cached, so repeated calls converge.
+    var coldReads = 0
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val st = it.next()
@@ -244,6 +310,8 @@ private[graft] trait DurableStore {
           if (cached != null && cached._1 == st.getLen &&
               cached._2 == st.getModificationTime) cached._3
           else {
+            coldReads += 1
+            if (coldReads > footerColdReadCap) return None
             val read = readBatchMinMax(st)
             DurableStore.footerBatchStats.put(key,
               (st.getLen, st.getModificationTime, read))
@@ -331,6 +399,16 @@ private[graft] trait DurableStore {
     * session) may overlap, and AQE-off is always CORRECT (execution
     * granularity, not semantics), so an overlap at worst costs a
     * concurrent big query its adaptivity for the window.
+    *
+    * DEPLOYMENT NOTE — session isolation: the toggle is scoped to THIS
+    * store's SparkSession, never the whole SparkContext. A long-lived
+    * serving deployment that multiplexes ad-hoc query traffic with
+    * store ingests should construct its stores on
+    * `spark.newSession()` (separate conf, shared context/catalog/
+    * cached data): a sibling session's `spark.sql.adaptive.enabled` —
+    * and with it skew-join mitigation for query traffic — is untouched
+    * while an ingest window is open (spec-pinned in
+    * BucketedTablesSpec).
     */
   protected def withSmallRegimeScheduling[T](tables: Seq[String])
       (f: => T): T =
@@ -750,6 +828,24 @@ private[graft] object DurableStore {
     */
   val invertStoreBytes: Long = 10L * 1024 * 1024 * 1024
 
+  /** File-count ceiling on the statuses [[DurableStore.storedIsSmall]]
+    * buffers for its footer-row gate: past it the buffer is dropped
+    * and the gate skipped (dispatch falls to the byte gates — perf
+    * only, never semantics). 16k statuses ≈ a few MB of driver heap;
+    * a store holding more data files than this between compactions is
+    * not in the regime where per-footer row counting is cheap anyway.
+    */
+  val footerWalkMaxFiles: Int = 16384
+
+  /** Cold-read ceiling per [[DurableStore.batchAllMarked]] call: at
+    * most this many UNCACHED footers are opened (sequentially, on the
+    * driver) before the verdict falls back to the one-row parallel
+    * Spark probe. Steady-state folds stay zero-job (only the last
+    * append's files are cold); a huge table's first fold pays one
+    * bounded walk — or the Spark job it always used to.
+    */
+  val footerColdReadCap: Int = 1024
+
   /** JVM-wide parquet footer row-count cache for
     * [[DurableStore.footerRowsAtMost]], keyed by file path with
     * (length, mtime) validity — parquet data files are immutable once
@@ -788,11 +884,20 @@ private[graft] object DurableStore {
   private object AdaptiveToggle {
     private val key = "spark.sql.adaptive.enabled"
     private val state =
-      new java.util.IdentityHashMap[SparkSession, (Int, String)]()
+      new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
     def enter(spark: SparkSession): Unit = state.synchronized {
       Option(state.get(spark)) match {
         case None =>
-          val saved = spark.conf.get(key, "true")
+          // capture presence, not just value: exit restores by UNSET
+          // when the session never set the key, so the window leaves
+          // no materialized explicit setting behind (and a session
+          // that was tracking the global default keeps tracking it).
+          // getOption can't detect presence (it surfaces the
+          // registered default), so presence = an explicitly-set
+          // session entry.
+          val saved =
+            if (spark.conf.getAll.contains(key)) Some(spark.conf.get(key))
+            else None
           spark.conf.set(key, "false")
           state.put(spark, (1, saved))
           ()
@@ -804,7 +909,10 @@ private[graft] object DurableStore {
     def exit(spark: SparkSession): Unit = state.synchronized {
       Option(state.get(spark)).foreach { case (d, s) =>
         if (d <= 1) {
-          spark.conf.set(key, s)
+          s match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
           state.remove(spark)
         } else state.put(spark, (d - 1, s))
         ()

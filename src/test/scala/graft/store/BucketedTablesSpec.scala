@@ -17,13 +17,17 @@ class BucketedTablesSpec extends SparkSpec {
   import spark.implicits._
 
   private class Probe(val s: SparkSession, val p: String, val mod: Int,
-      rowCeiling: Long = 4000000L, plainBytes: Long = 64L * 1024 * 1024)
+      rowCeiling: Long = 4000000L, plainBytes: Long = 64L * 1024 * 1024,
+      coldCap: Int = DurableStore.footerColdReadCap,
+      walkCap: Int = DurableStore.footerWalkMaxFiles)
       extends DurableStore with BucketedTables {
     protected def spark: SparkSession = s
     protected def path: String = p
     protected lazy val effectiveBuckets: Int = mod
     protected override def invertStoreRows: Long = rowCeiling
     protected override def plainStoreBytes: Long = plainBytes
+    protected override def footerColdReadCap: Int = coldCap
+    protected override def footerWalkMaxFiles: Int = walkCap
     def read(table: String, logical: StructType,
         buckets: Option[Seq[Int]]): DataFrame =
       readTable(table, logical, buckets)
@@ -41,6 +45,7 @@ class BucketedTablesSpec extends SparkSpec {
       hasUnmarkedRows(table, df)
     def smallSched[T](tables: Seq[String])(f: => T): T =
       withSmallRegimeScheduling(tables)(f)
+    def small(table: String): Boolean = storedIsSmall(table)
   }
 
   private val logical = StructType(Seq(StructField("id", LongType)))
@@ -219,6 +224,75 @@ class BucketedTablesSpec extends SparkSpec {
       }
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("AQE suspension is session-scoped: a sibling session keeps its adaptivity") {
+    // the deployment contract in withSmallRegimeScheduling's scaladoc:
+    // stores constructed on spark.newSession() can never cost query
+    // traffic on ANOTHER session its adaptivity — the toggle touches
+    // only the store's own session conf
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val dir = Files.createTempDirectory("bt8").toFile.getAbsolutePath
+    val ingestSession = spark.newSession()
+    val querySession = spark.newSession()
+    querySession.conf.set(aqeKey, "true")
+    val store = new Probe(ingestSession, dir, 0)
+    val testSessionBefore = spark.conf.get(aqeKey)
+    store.smallSched(Seq("t")) {
+      assert(ingestSession.conf.get(aqeKey) == "false")
+      assert(querySession.conf.get(aqeKey) == "true",
+        "a sibling session must keep AQE during an ingest window")
+      assert(spark.conf.get(aqeKey) == testSessionBefore,
+        "the test session itself is untouched")
+    }
+  }
+
+  test("AQE window restores by UNSET when the session never set the key") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val dir = Files.createTempDirectory("bt9").toFile.getAbsolutePath
+    val s2 = spark.newSession()
+    s2.conf.unset(aqeKey)
+    assume(!s2.conf.getAll.contains(aqeKey))
+    val store = new Probe(s2, dir, 0)
+    store.smallSched(Seq("t")) {
+      assert(s2.conf.get(aqeKey) == "false")
+    }
+    // no materialized explicit setting left behind: the session keeps
+    // tracking the registered default instead of a frozen "true"
+    assert(!s2.conf.getAll.contains(aqeKey),
+      "exit must unset, not materialize an explicit setting")
+    // …and an explicitly-set value round-trips exactly
+    s2.conf.set(aqeKey, "true")
+    store.smallSched(Seq("t"))(())
+    assert(s2.conf.getAll.get(aqeKey).contains("true"))
+  }
+
+  test("footer-walk caps: guard gates degrade to the conservative verdicts, never unbounded driver work") {
+    val dir = Files.createTempDirectory("bt10").toFile.getAbsolutePath
+    def write(table: String, batches: Seq[Long]): Unit =
+      batches.toDF("batch").select(col("batch").cast(LongType))
+        .coalesce(1).write.mode("append").parquet(s"$dir/$table")
+    // 3 id'd files: decidable when the cold cap allows, None past it
+    write("m", Seq(0L)); write("m", Seq(1L)); write("m", Seq(2L))
+    val capped = new Probe(spark, dir, 0, coldCap = 0)
+    assert(capped.allMarked("m") == None,
+      "past the cold-read cap the verdict falls back to the Spark probe")
+    assert(!capped.unmarkedProbe("m", spark.read.parquet(s"$dir/m")),
+      "the fallback probe still answers correctly")
+    val uncapped = new Probe(spark, dir, 0)
+    assert(uncapped.allMarked("m") == Some(true))
+    // storedIsSmall: over the byte gates with more files than the walk
+    // cap → the footer-row gate is skipped (dispatch says big), while
+    // the same table under a roomy cap stays small by row count
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val overflow = new Probe(spark, dir, 0, plainBytes = 1L, walkCap = 2)
+      assert(!overflow.small("m"),
+        "past the status-buffer cap the footer gate must be skipped")
+      val roomy = new Probe(spark, dir, 0, plainBytes = 1L)
+      assert(roomy.small("m"), "3 rows is small by footer count")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   test("plannedScanWidth divides by the divisor Spark uses (minPartitionNum aware)") {
