@@ -239,6 +239,121 @@ final class ReleaseStore(protected val spark: SparkSession,
   }
   private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
 
+  /** EXACT-FRONT SIDECARS (round-16), two independent accelerations,
+    * each dispatched on measurement:
+    *
+    * (1) `docids` — a narrow one-column sidecar mirroring `docs`' id
+    * set, maintained for EVERY exact-front store. Each id-guard
+    * anti-join consults it instead of the fat `docs` scan, so the
+    * consulted relation is statically SMALL — which is what lets
+    * [[ingest]]'s scheduling regime extend to the exact front (static
+    * planning cannot see column pruning on `docs`, so AQE suspension
+    * used to degrade the guards' runtime broadcasts to sort-merge
+    * joins of text-carrying frames — the measured ~2.8× CPU that kept
+    * the exact front on the AQE job floor). Consistency is NOT
+    * marker-split: docs appends FIRST and docids second inside the
+    * same guarded block, so `docids ⊆ docs` ids holds across every
+    * crash window; at ingest start [[ensureDocIds]] compares the two
+    * tables' parquet footer ROW COUNTS (zero Spark jobs, cached per
+    * immutable file) — given ⊆ and per-table id uniqueness, equal
+    * counts ⟺ equal sets — and rebuilds the sidecar from `docs`' id
+    * column (one narrow pass) after any mismatch (a crashed guard, a
+    * legacy store upgrading). When the footer walk cannot decide
+    * (cold cap), the ingest consults `docs` as before — the sidecar
+    * is a pure accelerator.
+    *
+    * (2) `shingles` state for the UNCAPPED exact front — the SAME
+    * table the LSH front maintains (identical
+    * [[Dedup.hashedShingles]] content, so a later lshFront upgrade
+    * backfills only bands/prefixes) — engaged only once the stored
+    * corpus crosses [[exactStateMinRows]] (or the table already
+    * exists: once created it is maintained forever). Below the
+    * threshold the recompute delta wins: the state path pays
+    * per-batch state writes plus multiple stored-array scans, and at
+    * gate scale that MEASURED 2× the recompute's CPU (70 s vs 26 s at
+    * sf0.01, counting-join shape, either AQE setting); above it the
+    * trade reverses — the recompute's per-batch corpus re-tokenize is
+    * the cost that grows with text volume, while the state path reads
+    * columnar (id, sh) longs. The crossover engages via
+    * [[ensureExactShingles]]' one-time backfill, exactly like the
+    * lshFront upgrade. A df-CAP store never persists state: the cap
+    * is a population property whose drift would invalidate stored
+    * prefixes/shingle survivorship (the documented
+    * [[Dedup.incrementalRelease]] contract).
+    */
+  private def exactDocIdsEnabled: Boolean = !lshFront
+
+  /** Stored-corpus row threshold above which the uncapped exact front
+    * maintains shingle state ([[storedExactDelta]]); below it the
+    * recompute delta is measured-cheaper (the class is final, so the
+    * spec override lives on the companion).
+    */
+  private def exactStateMinRows: Long =
+    ReleaseStore.exactStateMinRowsForTests.getOrElse(2000000L)
+
+  /** Whether THIS ingest maintains exact-front shingle state: uncapped
+    * exact front, and (already created) OR (corpus provably past the
+    * threshold — zero-job footer count; an undecidable walk defers).
+    */
+  private def exactShinglesLive: Boolean =
+    !lshFront && maxShingleDf.isEmpty && (
+      fs.exists(hPath(s"$path/shingles")) ||
+      tableFooterRows("docs").exists(_ >= exactStateMinRows))
+
+  /** Whether THIS ingest's id guards may consult the `docids` sidecar
+    * (set by [[ensureDocIds]] under the writeLock; single-writer per
+    * store by contract).
+    */
+  @volatile private var docIdsUsable: Boolean = false
+
+  /** Bucket-pruned accepted-id resolution, routed through the narrow
+    * `docids` sidecar when this ingest proved it consistent — the
+    * consulted scan is then statically small (one long column), so the
+    * plain anti-join broadcasts under static planning too (the regime
+    * suspends AQE).
+    */
+  protected override def storedAcceptIds(idColName: String, table: String,
+      batchIds: DataFrame): DataFrame =
+    if (table == "docs" && docIdsUsable)
+      readTable("docids",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            batchIds.schema("__bid").dataType))),
+        bucketsOf(batchIds, "__bid"))
+        .select(col("id").as("__bid"))
+    else super.storedAcceptIds(idColName, table, batchIds)
+
+  /** Prove (or restore) `docids` == `docs`' id set for this ingest:
+    * footer row counts equal → usable as-is (zero jobs; steady state
+    * pays footer reads only for the last append's files); unequal or
+    * sidecar missing → rebuild from `docs`' id column (ONE pruned
+    * columnar pass — heals any crash window and backfills legacy
+    * stores); undecidable (cold-cap) → consult `docs` this ingest.
+    */
+  private def ensureDocIds(): Unit = {
+    docIdsUsable = false
+    if (!exactDocIdsEnabled) return
+    if (!fs.exists(hPath(s"$path/docs"))) { docIdsUsable = true; return }
+    recoverTable("docids")
+    val docsRows = tableFooterRows("docs")
+    val sideRows =
+      if (fs.exists(hPath(s"$path/docids"))) tableFooterRows("docids")
+      else Some(-1L)
+    (docsRows, sideRows) match {
+      case (Some(d), Some(i)) if d == i => docIdsUsable = true
+      case (Some(_), _) =>
+        val ids = docs.select(col(idCol).as("id"))
+        if (effectiveBuckets > 0)
+          installTable(s"$path/docids",
+            ids.withColumn("__bucket", bucketOf(col("id")))
+              .repartition(col("__bucket")),
+            ".backfill", Seq("__bucket"))
+        else installTable(s"$path/docids", ids, ".backfill")
+        docIdsUsable = true
+      case _ => () // footer walk capped: docs stays the consulted scan
+    }
+  }
+
   /** Banded signatures in the store's pinned hash family. */
   private def bandsOf(sh: DataFrame): DataFrame =
     if (portable) Dedup.portableBands(sh, k, bands, seed)
@@ -387,22 +502,44 @@ final class ReleaseStore(protected val spark: SparkSession,
     checkShape(pin = true)
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
+    val exactState = exactShinglesLive // one footer walk per ingest
+    if (exactState) recoverTable("shingles")
+    ensureDocIds()
     // micro-batch scheduling regime: with every consulted table small,
     // the ingest's many write actions run non-adaptively (one job per
     // action instead of one per exchange — the drive's scheduling
-    // floor). LSH-FRONT stores only: their probes are hint-driven
-    // equi-joins where static planning equals adaptive (collapse-drive
-    // jobs 154 -> 94 at identical parity and cpu). The EXACT front
-    // keeps AQE everywhere: its plans scan the fat `docs` table, whose
-    // static size estimate cannot see column pruning, so suspension
-    // degraded its runtime broadcasts to sort-merge joins (measured
-    // ~2.8x the drive's CPU even with the scored join carved out).
+    // floor). LSH-front probes are hint-driven equi-joins where static
+    // planning equals adaptive (collapse-drive jobs 154 -> 94 at
+    // identical parity and cpu). The EXACT front joins the regime when
+    // its state is live (round 16): the scored delta reads stored
+    // shingle state instead of re-shingling the fat `docs` scan, and
+    // the id guards consult the statically-small `docids` sidecar —
+    // the two fat-scan-derived plans whose static size estimates used
+    // to degrade runtime broadcasts to sort-merge joins under
+    // suspension (the measured ~2.8–6x CPU regression). A capped
+    // store, or an ingest whose sidecar could not be proven
+    // consistent, keeps AQE.
     def regime[T](f: => T): T =
       if (lshFront) withSmallRegimeScheduling(Seq("docs", "scored") ++
         (if (stateEnabled) stateTables else Nil))(f)
       else f
-    val (accepted, bState) = regime {
-    val accepted = acceptedIds(batch, batchId)
+    // The exact front's AQE posture, settled by round-16 A/B
+    // measurement (sf0.01 gate, min-of-3, CPU self-attributed):
+    // suspending AQE across the whole ingest cost 105 s CPU vs the
+    // 26 s baseline (4× — the uncapped shingle index join is SKEWED
+    // on corpus-wide hot shingles and AQE's skew splits are
+    // load-bearing), and even guards-only suspension cost 51 s (the
+    // fat-batch shuffles lose adaptive coalescing). Only the NARROW
+    // actions — accepted-id resolution against the docids sidecar and
+    // the sidecar's own append — run non-adaptively: their plans
+    // consult statically-small scans where static == adaptive.
+    def narrowRegime[T](f: => T): T =
+      if (!lshFront && exactDocIdsEnabled && docIdsUsable &&
+          !ReleaseStore.exactRegimeOff)
+        withSmallRegimeScheduling(Seq("docids"))(f)
+      else f
+    val (accepted, bState, bShExact) = regime {
+    val accepted = narrowRegime(acceptedIds(batch, batchId))
     // the touched-bucket set (one tiny collect): every id-keyed
     // anti-join below prunes its stored-side scan to these partitions
     val batchBuckets = bucketsOf(accepted, "__bid")
@@ -415,10 +552,18 @@ final class ReleaseStore(protected val spark: SparkSession,
         ensureState(accepted)
         Some(appendState(batch, accepted, batchId, batchBuckets))
       } else None
+    val bShExact =
+      if (exactState) {
+        ensureExactShingles(accepted)
+        Some(appendExactShingles(batch, accepted, batchId, batchBuckets))
+      } else None
     markers.guarded("docs", batchId) {
       // anti-join against the LIVE table: a replay after a landed-but-
       // unmarked append finds its rows present and appends nothing
-      // (bucket-pruned: rows outside the batch's buckets cannot match)
+      // (bucket-pruned: rows outside the batch's buckets cannot match;
+      // consulted through the docids sidecar when proven consistent —
+      // a replay's landed rows are visible there too, because the
+      // footer-count gate already healed any docs/docids skew)
       val base = batch.dropDuplicates(idCol)
         .join(broadcast(accepted), col(idCol) === col("__bid"),
           "left_semi")
@@ -430,14 +575,22 @@ final class ReleaseStore(protected val spark: SparkSession,
             probeKeys = Some(accepted.select(col("__bid").as(idCol))))
         else base
       appendBucketed(fresh, idCol, s"$path/docs")
+      // the narrow id sidecar lands SECOND (docids ⊆ docs across any
+      // crash — the ensureDocIds invariant), via the idempotent
+      // anti-join append
+      if (exactDocIdsEnabled)
+        narrowRegime(dedupAppend(accepted.select(col("__bid").as("id")),
+          "docids", batchBuckets, accepted))
     }
-    (accepted, bState)
+    (accepted, bState, bShExact)
     }
     def scoredGuard(): Unit = markers.guarded("scored", batchId) {
-      val delta = bState match {
-        case Some((bsh, bBands, bPref)) =>
+      val delta = (bState, bShExact) match {
+        case (Some((bsh, bBands, bPref)), _) =>
           storedStateDelta(bsh, bBands, bPref)
-        case None =>
+        case (None, Some(bsh)) =>
+          storedExactDelta(bsh, accepted)
+        case _ =>
           // batch membership = the ACCEPTED ids (not "rows in this
           // batch"): identical on every replay, and a re-crawled
           // duplicate id never re-marks its previously-stored row
@@ -471,38 +624,124 @@ final class ReleaseStore(protected val spark: SparkSession,
     * stored ones (deterministic functions of the sidecar-pinned
     * accepted set).
     */
+  /** Idempotent state append: anti-join the table's stored ids first.
+    * Two replay windows need it: un-id'd ingests have NO marker
+    * protection (guarded(None) always writes), and even an ID'D batch
+    * can land a state append and die BEFORE its marker commits — the
+    * replay's guarded re-runs the write, and without the anti-join
+    * every state row would append a second time, durably corrupting
+    * the scored delta of every later batch. The recomputed rows are
+    * deterministic functions of the sidecar-pinned accepted set, so
+    * skipping already-present ids is exactly replay semantics, per
+    * table (a crash between the shingles and bands appends skips one
+    * and lands the other). An id in the frame that is already stored
+    * can ONLY be that window — re-crawled ids never reach a state
+    * append (the accepted set excludes them) — and the join's right
+    * side is one column-pruned id scan, bucket-pruned (the frame's ids
+    * are accepted ids, so stored rows outside the batch's buckets
+    * cannot collide) and probe-inverted when big: the probe key set IS
+    * the accepted ids — already materialized as the sidecar — so the
+    * store is streamed against a broadcast, never sorted.
+    */
+  private def dedupAppend(frame: DataFrame, table: String,
+      batchBuckets: Option[Seq[Int]], accepted: DataFrame): Unit = {
+    val fresh =
+      if (fs.exists(hPath(s"$path/$table")))
+        probeAntiJoin(frame,
+          readTable(table, frame.schema, batchBuckets).select(col("id")),
+          Seq("id"), table,
+          probeKeys = Some(accepted.select(col("__bid").as("id"))))
+      else frame
+    appendBucketed(fresh, "id", s"$path/$table")
+  }
+
+  /** Backfill the exact front's `shingles` state from the stored
+    * corpus (minus the current batch's accepted ids — the replay view,
+    * exactly [[ensureState]]'s discipline): a store whose docs predate
+    * the state pays the corpus pass ONCE, atomically, instead of
+    * re-shingling per increment forever.
+    */
+  private def ensureExactShingles(accepted: DataFrame): Unit = {
+    if (!fs.exists(hPath(s"$path/docs"))) return
+    if (fs.exists(hPath(s"$path/shingles"))) return
+    val base = docs.join(broadcast(accepted),
+      col(idCol) === col("__bid"), "left_anti")
+    val sh = Dedup.hashedShingles(base, idCol, textCol, portable)
+    if (effectiveBuckets > 0)
+      installTable(s"$path/shingles",
+        sh.withColumn("__bucket", bucketOf(col("id")))
+          .repartition(col("__bucket")),
+        ".backfill", Seq("__bucket"))
+    else installTable(s"$path/shingles", sh, ".backfill")
+  }
+
+  /** Shingle the batch's accepted rows and append them to the exact
+    * front's `shingles` state (marker-guarded, [[dedupAppend]]
+    * idempotent). Returns the batch-side frame — on a replay whose
+    * append is skipped, the recomputed frame equals the stored one
+    * (a deterministic function of the sidecar-pinned accepted set).
+    */
+  private def appendExactShingles(batch: DataFrame, accepted: DataFrame,
+      batchId: Option[Long],
+      batchBuckets: Option[Seq[Int]]): DataFrame = {
+    val bdocs = batch.dropDuplicates(idCol)
+      .join(accepted, col(idCol) === col("__bid"), "left_semi")
+    val bsh = Dedup.hashedShingles(bdocs, idCol, textCol, portable)
+    markers.guarded("shingles", batchId) {
+      dedupAppend(bsh, "shingles", batchBuckets, accepted)
+    }
+    bsh
+  }
+
+  /** The exact front's batch-touching scored delta from STORED shingle
+    * state — [[Dedup.incrementalScoredPairs]]' exact plan shape (the
+    * counting index join with map-side partial aggregation; only
+    * (id, s) long pairs ever shuffle, never shingle ARRAYS), with the
+    * corpus-side index read from the persisted (id, sh) state instead
+    * of re-tokenizing and re-shingling every stored document per batch
+    * (the exact front's former corpus-linear CPU). The first cut of
+    * this path scored candidates via array_intersect over the full
+    * sets ([[Dedup.scoreCandidates]]) — measured 3.5× the recompute's
+    * CPU at gate scale because both scoring joins shuffled the fat
+    * array column; the counting shape is the one that was already
+    * proven.
+    */
+  private def storedExactDelta(bsh: DataFrame,
+      accepted: DataFrame): DataFrame = {
+    val storedSh = widen("shingles", readTable("shingles", bsh.schema))
+    // corpus side = stored state MINUS the batch's accepted ids (their
+    // state rows were appended above; without the anti-join a
+    // batch-internal pair would count once from the self-join and once
+    // per member from the cross join)
+    val acc = accepted.select(col("__bid").as("id"))
+    val cSh = storedSh.join(broadcast(acc), Seq("id"), "left_anti")
+    val bIdx = bsh.select(col("id"), explode(col("sh")).as("s"))
+    val cIdx = cSh.select(col("id"), explode(col("sh")).as("s"))
+    // batch × corpus, canonicalized to (min, max); batch × batch via
+    // the ordered self-join — disjoint by construction
+    val bc = bIdx.as("a").join(cIdx.as("b"), col("a.s") === col("b.s"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val bb = bIdx.as("a").join(bIdx.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = bc.unionAll(bb)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    // sizes: narrow (id, n) over the stored state (the batch's rows
+    // are appended, so every pair member resolves)
+    val sizes = storedSh.select(col("id"), size(col("sh")).cast("long").as("n"))
+    pairs
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"))
+  }
+
   private def appendState(batch: DataFrame, accepted: DataFrame,
       batchId: Option[Long],
       batchBuckets: Option[Seq[Int]]): (DataFrame, DataFrame, DataFrame) = {
-    // Every state append anti-joins the table's stored ids first. Two
-    // replay windows need it: un-id'd ingests have NO marker protection
-    // (guarded(None) always writes), and even an ID'D batch can land a
-    // state append and die BEFORE its marker commits — the replay's
-    // guarded re-runs the write, and without the anti-join every state
-    // row would append a second time, durably corrupting the scored
-    // delta of every later batch. The recomputed rows are deterministic
-    // functions of the sidecar-pinned accepted set, so skipping
-    // already-present ids is exactly replay semantics, per table (a
-    // crash between the shingles and bands appends skips one and lands
-    // the other). An id in the frame that is already stored can ONLY be
-    // that window — re-crawled ids never reach appendState (the
-    // accepted set excludes them) — and the join's right side is one
-    // column-pruned id scan.
-    def dedupAppend(frame: DataFrame, table: String): Unit = {
-      val fresh =
-        if (fs.exists(hPath(s"$path/$table")))
-          // bucket-pruned (the frame's ids are accepted ids, so stored
-          // rows outside the batch's buckets cannot collide) and
-          // probe-inverted: the probe key set IS the accepted ids —
-          // already materialized as the sidecar — so the store is
-          // streamed against a broadcast, never sorted
-          probeAntiJoin(frame,
-            readTable(table, frame.schema, batchBuckets).select(col("id")),
-            Seq("id"), table,
-            probeKeys = Some(accepted.select(col("__bid").as("id"))))
-        else frame
-      appendBucketed(fresh, "id", s"$path/$table")
-    }
+    def dedupAppend(frame: DataFrame, table: String): Unit =
+      this.dedupAppend(frame, table, batchBuckets, accepted)
     val bdocs = batch.dropDuplicates(idCol)
       .join(accepted, col(idCol) === col("__bid"), "left_semi")
     val bshAll = Dedup.hashedShingles(bdocs, idCol, textCol, portable)
@@ -931,9 +1170,10 @@ final class ReleaseStore(protected val spark: SparkSession,
     // table (exact-front store, pre-state history, per-doc store
     // without members) is skipped
     val bucketed: Set[String] =
-      if (effectiveBuckets > 0) Set("docs", "members") ++ stateTables
+      if (effectiveBuckets > 0) Set("docs", "members", "docids") ++
+        stateTables
       else Set.empty
-    (Seq("docs", "scored", "members") ++ stateTables).foreach { t =>
+    (Seq("docs", "scored", "members", "docids") ++ stateTables).foreach { t =>
       compactTable(t, targetFileBytes,
         if (bucketed(t)) Seq("__bucket") else Nil)
     }
@@ -942,6 +1182,22 @@ final class ReleaseStore(protected val spark: SparkSession,
 }
 
 object ReleaseStore {
+  /** Measurement escape hatch (env var, visible through sbt's forked
+    * JVM): keep AQE for exact-front ingests even when the state path
+    * could suspend it — isolates "state path cost" from "scheduling
+    * regime cost" in A/B runs.
+    */
+  private[dedup] def exactRegimeOff: Boolean =
+    sys.env.get("GRAFT_EXACT_REGIME_OFF").exists(_.toBoolean)
+
+  /** Spec hook for the exact-state size dispatch ([[ReleaseStore]] is
+    * final): ReleaseStoreSpec lowers it to force the stored-state
+    * delta at fixture scale and pin its parity with the recompute
+    * path. Production never sets it.
+    */
+  @volatile private[operators] var exactStateMinRowsForTests
+      : Option[Long] = None
+
   // the key=value pin parse lives in graft.store.DurableStore.readMeta,
   // shared by instance validation (readShape) and the operational
   // reopen ([[open]]) so the two can never disagree about the same file

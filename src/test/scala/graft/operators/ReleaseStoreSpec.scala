@@ -475,7 +475,10 @@ class ReleaseStoreSpec extends SparkSpec {
   }
 
   test("an exact-front store upgrades to stored state by one-time backfill") {
-    // docs ingested before the state tables existed (exact front):
+    // docs ingested exact-front: the uncapped exact front maintains
+    // the narrow docids sidecar always, but shingle STATE only past
+    // the size dispatch (measured: below it the recompute delta is
+    // cheaper) — at fixture scale no state tables exist yet;
     // constructing an lshFront store over the same path backfills
     // shingles/bands/prefixes from the stored corpus once, and
     // increments proceed against stored state — products unchanged
@@ -483,7 +486,12 @@ class ReleaseStoreSpec extends SparkSpec {
     val exactStore = new ReleaseStore(spark, dir, "doc_id", "text")
     exactStore.ingest(b0, batchId = Some(0L))
     exactStore.ingest(b1, batchId = Some(1L))
-    assert(!new java.io.File(s"$dir/shingles").exists())
+    val preUpgrade = b0.unionByName(b1)
+    assert(!new java.io.File(s"$dir/shingles").exists(),
+      "below the size dispatch the exact front keeps the recompute path")
+    assert(spark.read.parquet(s"$dir/docids").count() ==
+      preUpgrade.count(),
+      "the exact front maintains the narrow id sidecar")
     val lshStore = new ReleaseStore(spark, dir, "doc_id", "text",
       lshFront = true)
     lshStore.ingest(b2, batchId = Some(2L))
@@ -502,6 +510,86 @@ class ReleaseStoreSpec extends SparkSpec {
     // joined 20's cluster (pre-state corpus)
     val cl = got.clusters.as[(Long, Long)].collect().toMap
     assert(cl(21L) == cl(20L))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("docids sidecar: consulted when consistent, healed by the footer-count gate after damage") {
+    // the narrow id sidecar mirrors docs' id set; any skew (here: the
+    // sidecar table deleted outright — a superset of every real crash
+    // window, since docids ⊆ docs always) is detected by the zero-job
+    // footer row-count comparison at the NEXT ingest and healed by one
+    // narrow rebuild — accepted-id resolution stays correct throughout
+    val dir = Files.createTempDirectory("reldocids").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    assert(spark.read.parquet(s"$dir/docids").count() == b0.count())
+    // damage: drop the sidecar (simulates the worst docs/docids skew)
+    val fsp = new org.apache.hadoop.fs.Path(s"$dir/docids")
+    fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsp, true)
+    // next ingest must rebuild it and STILL ignore re-crawled ids: b1
+    // plus a duplicate of b0's first doc (re-crawl, different text)
+    val dup = b0.limit(1).withColumn("text", lit("recrawled body"))
+    store.ingest(b1.unionByName(dup), batchId = Some(1L))
+    val all = b0.unionByName(b1)
+    assert(spark.read.parquet(s"$dir/docids").count() == all.count(),
+      "healed sidecar mirrors docs again")
+    assert(store.docs.count() == all.count(), "first write wins held")
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got = store.products(threshold = 0.5, quality = q)
+    val want = Dedup.releasePipeline(all, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.survivors) == rows(want.survivors))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
+  test("exact-front stored-state delta (past the size dispatch) equals the recompute lifecycle") {
+    // force the dispatch at fixture scale: the store maintains shingle
+    // state from the first ingest and scores increments from STORED
+    // state (no corpus re-shingle) — replay, re-crawl, mid-stream
+    // compaction and products must all equal the from-scratch release
+    ReleaseStore.exactStateMinRowsForTests = Some(1L)
+    try {
+      val dir = Files.createTempDirectory("relexst").toFile.getAbsolutePath
+      val store = new ReleaseStore(spark, dir, "doc_id", "text")
+      store.ingest(b0, batchId = Some(0L))
+      store.ingest(b0, batchId = Some(0L)) // at-least-once replay
+      assert(spark.read.parquet(s"$dir/shingles").count() == b0.count(),
+        "state maintained from the first ingest past the dispatch")
+      store.ingest(b1, batchId = Some(1L))
+      store.compact(targetFileBytes = 1L) // post-compact stored reads
+      // a re-crawled id (different text) is ignored mid-stream
+      val dup = b0.limit(1).withColumn("text", lit("recrawled body"))
+      store.ingest(b2.unionByName(dup), batchId = Some(2L))
+      val all = b0.unionByName(b1).unionByName(b2)
+      assert(spark.read.parquet(s"$dir/shingles").count() == all.count())
+      val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val got = store.products(threshold = 0.5, quality = q)
+      val want = Dedup.releasePipeline(all, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = None, quality = q)
+      assert(rows(got.pairs) == rows(want.pairs))
+      assert(rows(got.clusters) == rows(want.clusters))
+      assert(rows(got.keepers) == rows(want.keepers))
+      assert(rows(got.containment) == rows(want.containment))
+      assert(rows(got.survivors) == rows(want.survivors))
+      // a store that crossed the dispatch KEEPS its state even when a
+      // later reading says "below threshold" (exists-wins)
+      ReleaseStore.exactStateMinRowsForTests = Some(Long.MaxValue)
+      val late = doc(
+        (60L, "alpha beta gamma delta epsilon zeta"), // joins 1/2's group
+        (61L, "fresh words never seen anywhere before here"))
+      store.ingest(late, batchId = Some(3L))
+      assert(spark.read.parquet(s"$dir/shingles").count() ==
+        all.count() + late.count(), "existing state keeps appending")
+      val all4 = all.unionByName(late)
+      val q4 = all4.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val got4 = store.products(threshold = 0.5, quality = q4)
+      val want4 = Dedup.releasePipeline(all4, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = None, quality = q4)
+      assert(rows(got4.pairs) == rows(want4.pairs))
+      assert(rows(got4.survivors) == rows(want4.survivors))
+    } finally ReleaseStore.exactStateMinRowsForTests = None
     graft.ScratchCache.releaseAll(spark)
   }
 
