@@ -18,8 +18,9 @@ import graft.operators.text.{Dsir, TextAnalysis}
   * corpus under constant-cap / constant-cell-size settings. `sections`
   * is a comma-separated subset of
   * ngram,lsh,semdedup,dsir,release,eightpass,lshrelease,increleaselsh,
-  * increlease,collapse,storeincr,storescratch,storecollapse,annx,
-  * imagedup,avdup,mediastore,clipstore,embedstore,bucketregime,frontier
+  * increlease,collapse,storeincr,storescratch,storecollapse,exactstate,
+  * annx,imagedup,avdup,mediastore,clipstore,embedstore,bucketregime,
+  * frontier
   * (default:
   * all EXCEPT bucketregime, whose 10⁸-row synthetic seed is its own
   * workload — request it explicitly; storescratch is storeincr's
@@ -384,6 +385,59 @@ object ScaleRehearsal {
         out += "store_scratch_pairs" -> fullPairs
         out += "store_scratch_containment" -> fullCont
       }
+    }
+
+    if (run("exactstate")) {
+      // the EXACT front's per-batch cost shape, A/B at rehearsal
+      // scale: recompute delta (re-tokenize the whole stored corpus
+      // per batch) vs stored shingle state (columnar (id, sh) reads),
+      // identical 500-doc steady-state cadence — the measurement
+      // behind ReleaseStore.exactStateMinRows' dispatch (gate-scale
+      // A/B said recompute wins small; this section prices the
+      // crossover side). Pair parity between the two drives pins that
+      // the dispatch is execution-only.
+      def drive(name: String, forceState: Boolean): (Seq[Double], Long) = {
+        graft.operators.dedup.ReleaseStore.exactStateMinRowsForTests =
+          Some(if (forceState) 1L else Long.MaxValue)
+        try {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"exactstate_$name").toFile.getAbsolutePath
+          val store = new graft.operators.dedup.ReleaseStore(spark, dir,
+            "doc_id", "text", stateBuckets = storeBuckets)
+          val slices = 5
+          (0 until slices - 1).foreach { i =>
+            val b = docs.where(pmod(col("doc_id"), lit(slices)) === i)
+            store.ingest(b, batchId = Some(i.toLong))
+            if (i == slices / 2) store.compact(64L * 1024 * 1024)
+          }
+          val heldOut =
+            docs.where(pmod(col("doc_id"), lit(slices)) === slices - 1)
+          val walls = (0 until 5).map { j =>
+            val sb = heldOut
+              .where(pmod(xxhash64(col("doc_id")), lit(5)) === j)
+              .limit(500)
+            val (_, t) = timed(
+              store.ingest(sb, batchId = Some((slices + j).toLong)))
+            t
+          }
+          store.ingest(heldOut, batchId = Some(20L))
+          val q = docs.select(col("doc_id").as("id"),
+            col("n_chars").as("q"))
+          val pairs = store.products(0.5, q).pairs.count()
+          ScratchCache.releaseAll(spark)
+          (walls, pairs)
+        } finally
+          graft.operators.dedup.ReleaseStore
+            .exactStateMinRowsForTests = None
+      }
+      val (wR, pR) = drive("recomp", forceState = false)
+      val (wS, pS) = drive("state", forceState = true)
+      out += "exact_recompute_small_batch_secs" ->
+        wR.map(w => f"$w%.1f").mkString("[", ",", "]")
+      out += "exact_state_small_batch_secs" ->
+        wS.map(w => f"$w%.1f").mkString("[", ",", "]")
+      out += "exact_verified_pairs" -> pR
+      out += "exact_pair_parity" -> (pR == pS)
     }
 
     if (run("storecollapse")) {

@@ -285,11 +285,19 @@ final class ReleaseStore(protected val spark: SparkSession,
 
   /** Stored-corpus row threshold above which the uncapped exact front
     * maintains shingle state ([[storedExactDelta]]); below it the
-    * recompute delta is measured-cheaper (the class is final, so the
-    * spec override lives on the companion).
+    * recompute delta is measured-cheaper. MEASURED bracket (PLANS
+    * round 16): at the 5k-doc gate the recompute path costs half the
+    * state path's CPU (26 s vs 51+ s — state writes and extra stored
+    * scans dominate a corpus whose full re-tokenize is trivial); at
+    * the ×10 rehearsal's 50k docs the state path already wins and the
+    * gap WIDENS with the stored corpus (500-doc steady-state batch
+    * walls [4.5→5.7] s flat-ish vs [4.8→7.8] s corpus-linear, pair
+    * parity exact at 250,600). 50k is the measured win point; past it
+    * the recompute's per-batch corpus re-tokenize only grows. (The
+    * class is final, so the spec override lives on the companion.)
     */
   private def exactStateMinRows: Long =
-    ReleaseStore.exactStateMinRowsForTests.getOrElse(2000000L)
+    ReleaseStore.exactStateMinRowsForTests.getOrElse(50000L)
 
   /** Whether THIS ingest maintains exact-front shingle state: uncapped
     * exact front, and (already created) OR (corpus provably past the
@@ -1195,7 +1203,7 @@ object ReleaseStore {
     * delta at fixture scale and pin its parity with the recompute
     * path. Production never sets it.
     */
-  @volatile private[operators] var exactStateMinRowsForTests
+  @volatile private[graft] var exactStateMinRowsForTests
       : Option[Long] = None
 
   // the key=value pin parse lives in graft.store.DurableStore.readMeta,
