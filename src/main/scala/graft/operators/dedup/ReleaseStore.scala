@@ -510,8 +510,11 @@ final class ReleaseStore(protected val spark: SparkSession,
     checkShape(pin = true)
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
+    // heal a compact-crash window BEFORE the exists-wins read: a
+    // shingles table sitting at .compact.old must count as existing,
+    // or this ingest would silently abandon live state
+    if (exactDocIdsEnabled) recoverTable("shingles")
     val exactState = exactShinglesLive // one footer walk per ingest
-    if (exactState) recoverTable("shingles")
     ensureDocIds()
     // micro-batch scheduling regime: with every consulted table small,
     // the ingest's many write actions run non-adaptively (one job per

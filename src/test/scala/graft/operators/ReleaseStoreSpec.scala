@@ -784,6 +784,41 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a compact crash on exact-front SHINGLE state heals BEFORE the exists-wins read") {
+    // vicious variant of the table-aside window: exactShinglesLive
+    // decides the state path by fs.exists(shingles), so a compact
+    // dying between its renames (shingles at .compact.old, nothing
+    // live) must be healed BEFORE that read — otherwise the ingest
+    // silently abandons state while docs keeps growing, and a LATER
+    // read-path recovery resurrects a STALE shingles table whose
+    // missing rows drop scored pairs durably
+    ReleaseStore.exactStateMinRowsForTests = Some(1L)
+    try {
+      val dir = Files.createTempDirectory("relexheal").toFile.getAbsolutePath
+      val store = new ReleaseStore(spark, dir, "doc_id", "text")
+      store.ingest(b0, batchId = Some(0L))
+      store.ingest(b1, batchId = Some(1L)) // crosses the dispatch: state backfills
+      assert(new java.io.File(s"$dir/shingles").exists())
+      assert(new java.io.File(s"$dir/shingles")
+        .renameTo(new java.io.File(s"$dir/shingles.compact.old")))
+      // raise the dispatch so ONLY the healed exists-wins read can keep
+      // the state path live — the footer-count route cannot save it
+      ReleaseStore.exactStateMinRowsForTests = Some(Long.MaxValue)
+      store.ingest(b2, batchId = Some(2L))
+      assert(!new java.io.File(s"$dir/shingles.compact.old").exists())
+      val all = b0.unionByName(b1).unionByName(b2)
+      assert(spark.read.parquet(s"$dir/shingles").count() == all.count(),
+        "healed state kept appending through the crash window")
+      val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+      val got = store.products(threshold = 0.5, quality = q)
+      val want = Dedup.releasePipeline(all, "doc_id", "text",
+        threshold = 0.5, maxShingleDf = None, quality = q)
+      assert(rows(got.pairs) == rows(want.pairs))
+      assert(rows(got.survivors) == rows(want.survivors))
+    } finally ReleaseStore.exactStateMinRowsForTests = None
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("bucketed layout: the pin wins over a different constructor default, parity holds") {
     val dir = Files.createTempDirectory("relbuckets").toFile.getAbsolutePath
     val store = new ReleaseStore(spark, dir, "doc_id", "text",
