@@ -240,27 +240,33 @@ final class ReleaseStore(protected val spark: SparkSession,
   private def stateEnabled: Boolean = lshFront && maxShingleDf.isEmpty
 
   /** EXACT-FRONT SIDECARS (round-16), two independent accelerations,
-    * each dispatched on measurement:
+    * BOTH engaged by the same measured corpus-size dispatch
+    * ([[exactStateMinRows]], exists-wins — below it the store runs
+    * the round-15 shape exactly: recompute deltas, guards consulting
+    * `docs`, zero sidecar maintenance, which the gate-scale A/B
+    * measured cheapest at 5k docs; past it maintenance pays off and
+    * the gap widens with the corpus):
     *
     * (1) `docids` — a narrow one-column sidecar mirroring `docs`' id
-    * set, maintained for EVERY exact-front store. Each id-guard
-    * anti-join consults it instead of the fat `docs` scan, so the
-    * consulted relation is statically SMALL — which is what lets
-    * [[ingest]]'s scheduling regime extend to the exact front (static
-    * planning cannot see column pruning on `docs`, so AQE suspension
-    * used to degrade the guards' runtime broadcasts to sort-merge
-    * joins of text-carrying frames — the measured ~2.8× CPU that kept
-    * the exact front on the AQE job floor). Consistency is NOT
-    * marker-split: docs appends FIRST and docids second inside the
-    * same guarded block, so `docids ⊆ docs` ids holds across every
-    * crash window; at ingest start [[ensureDocIds]] compares the two
-    * tables' parquet footer ROW COUNTS (zero Spark jobs, cached per
-    * immutable file) — given ⊆ and per-table id uniqueness, equal
-    * counts ⟺ equal sets — and rebuilds the sidecar from `docs`' id
-    * column (one narrow pass) after any mismatch (a crashed guard, a
-    * legacy store upgrading). When the footer walk cannot decide
-    * (cold cap), the ingest consults `docs` as before — the sidecar
-    * is a pure accelerator.
+    * set. Each id-guard anti-join consults it instead of the fat
+    * `docs` scan, so the consulted relation is statically SMALL at
+    * ANY corpus size (at 10⁸ rows: ~1.6 GB of ids vs a multi-TB text
+    * table) — which is what lets [[ingest]]'s scheduling regime
+    * extend to the exact front (static planning cannot see column
+    * pruning on `docs`, so AQE suspension used to degrade the guards'
+    * runtime broadcasts to sort-merge joins of text-carrying frames —
+    * the measured ~2.8× CPU that kept the exact front on the AQE job
+    * floor). Consistency is NOT marker-split: docs appends FIRST and
+    * docids second inside the same guarded block, so `docids ⊆ docs`
+    * ids holds across every crash window; at ingest start
+    * [[ensureDocIds]] compares the two tables' parquet footer ROW
+    * COUNTS (zero Spark jobs, cached per immutable file) — given ⊆
+    * and per-table id uniqueness, equal counts ⟺ equal sets — and
+    * rebuilds the sidecar from `docs`' id column (one narrow pass)
+    * after any mismatch (a crashed guard, a legacy or
+    * threshold-crossing store backfilling). When the footer walk
+    * cannot decide (cold cap), the ingest consults `docs` as before —
+    * the sidecar is a pure accelerator.
     *
     * (2) `shingles` state for the UNCAPPED exact front — the SAME
     * table the LSH front maintains (identical
@@ -293,8 +299,12 @@ final class ReleaseStore(protected val spark: SparkSession,
     * gap WIDENS with the stored corpus (500-doc steady-state batch
     * walls [4.5→5.7] s flat-ish vs [4.8→7.8] s corpus-linear, pair
     * parity exact at 250,600). 50k is the measured win point; past it
-    * the recompute's per-batch corpus re-tokenize only grows. (The
-    * class is final, so the spec override lives on the companion.)
+    * the recompute's per-batch corpus re-tokenize only grows. The
+    * SAME threshold gates the `docids` sidecar (the gate A/B priced
+    * its maintenance at +15% CPU on a corpus whose fat scan is
+    * trivial — one dispatch, one story: past 50k rows the exact front
+    * flips BOTH maintenance paths on). (The class is final, so the
+    * spec override lives on the companion.)
     */
   private def exactStateMinRows: Long =
     ReleaseStore.exactStateMinRowsForTests.getOrElse(50000L)
@@ -314,6 +324,14 @@ final class ReleaseStore(protected val spark: SparkSession,
     */
   @volatile private var docIdsUsable: Boolean = false
 
+  /** Whether THIS ingest maintains the `docids` sidecar at all (set by
+    * [[ensureDocIds]]): the table exists (exists-wins), or the corpus
+    * provably crossed the shared size dispatch. Distinct from
+    * [[docIdsUsable]] — a capped footer walk can leave an existing
+    * sidecar maintained but unconsulted for one ingest.
+    */
+  @volatile private var docIdsLive: Boolean = false
+
   /** Bucket-pruned accepted-id resolution, routed through the narrow
     * `docids` sidecar when this ingest proved it consistent — the
     * consulted scan is then statically small (one long column), so the
@@ -331,22 +349,30 @@ final class ReleaseStore(protected val spark: SparkSession,
         .select(col("id").as("__bid"))
     else super.storedAcceptIds(idColName, table, batchIds)
 
-  /** Prove (or restore) `docids` == `docs`' id set for this ingest:
-    * footer row counts equal → usable as-is (zero jobs; steady state
-    * pays footer reads only for the last append's files); unequal or
-    * sidecar missing → rebuild from `docs`' id column (ONE pruned
-    * columnar pass — heals any crash window and backfills legacy
-    * stores); undecidable (cold-cap) → consult `docs` this ingest.
+  /** Decide the sidecar dispatch, then prove (or restore) `docids` ==
+    * `docs`' id set for this ingest. Dispatch (shared threshold with
+    * the shingle state, exists-wins): a store below
+    * [[exactStateMinRows]] with no sidecar skips maintenance entirely
+    * and its guards consult `docs` — the round-15 shape, measured
+    * cheapest at gate scale. Once live: footer row counts equal →
+    * usable as-is (zero jobs; steady state pays footer reads only for
+    * the last append's files); unequal or sidecar missing → rebuild
+    * from `docs`' id column (ONE pruned columnar pass — heals any
+    * crash window and backfills a legacy or threshold-crossing
+    * store); undecidable (cold-cap) → consult `docs` this ingest.
     */
   private def ensureDocIds(): Unit = {
     docIdsUsable = false
+    docIdsLive = false
     if (!exactDocIdsEnabled) return
-    if (!fs.exists(hPath(s"$path/docs"))) { docIdsUsable = true; return }
-    recoverTable("docids")
+    // first ingest: no corpus yet, so by definition below the dispatch
+    if (!fs.exists(hPath(s"$path/docs"))) return
+    recoverTable("docids") // heal a compact-crash aside BEFORE exists
     val docsRows = tableFooterRows("docs")
-    val sideRows =
-      if (fs.exists(hPath(s"$path/docids"))) tableFooterRows("docids")
-      else Some(-1L)
+    val exists = fs.exists(hPath(s"$path/docids"))
+    if (!exists && !docsRows.exists(_ >= exactStateMinRows)) return
+    docIdsLive = true
+    val sideRows = if (exists) tableFooterRows("docids") else Some(-1L)
     (docsRows, sideRows) match {
       case (Some(d), Some(i)) if d == i => docIdsUsable = true
       case (Some(_), _) =>
@@ -588,8 +614,8 @@ final class ReleaseStore(protected val spark: SparkSession,
       appendBucketed(fresh, idCol, s"$path/docs")
       // the narrow id sidecar lands SECOND (docids ⊆ docs across any
       // crash — the ensureDocIds invariant), via the idempotent
-      // anti-join append
-      if (exactDocIdsEnabled)
+      // anti-join append — only when the size dispatch keeps it live
+      if (docIdsLive)
         narrowRegime(dedupAppend(accepted.select(col("__bid").as("id")),
           "docids", batchBuckets, accepted))
     }

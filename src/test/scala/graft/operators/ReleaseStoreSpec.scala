@@ -475,10 +475,10 @@ class ReleaseStoreSpec extends SparkSpec {
   }
 
   test("an exact-front store upgrades to stored state by one-time backfill") {
-    // docs ingested exact-front: the uncapped exact front maintains
-    // the narrow docids sidecar always, but shingle STATE only past
-    // the size dispatch (measured: below it the recompute delta is
-    // cheaper) — at fixture scale no state tables exist yet;
+    // docs ingested exact-front: BOTH exact-front sidecars (docids +
+    // shingle state) sit behind the shared size dispatch (measured:
+    // below it the recompute delta and the plain docs-consulting
+    // guards are cheaper) — at fixture scale neither exists;
     // constructing an lshFront store over the same path backfills
     // shingles/bands/prefixes from the stored corpus once, and
     // increments proceed against stored state — products unchanged
@@ -486,12 +486,10 @@ class ReleaseStoreSpec extends SparkSpec {
     val exactStore = new ReleaseStore(spark, dir, "doc_id", "text")
     exactStore.ingest(b0, batchId = Some(0L))
     exactStore.ingest(b1, batchId = Some(1L))
-    val preUpgrade = b0.unionByName(b1)
     assert(!new java.io.File(s"$dir/shingles").exists(),
       "below the size dispatch the exact front keeps the recompute path")
-    assert(spark.read.parquet(s"$dir/docids").count() ==
-      preUpgrade.count(),
-      "the exact front maintains the narrow id sidecar")
+    assert(!new java.io.File(s"$dir/docids").exists(),
+      "below the size dispatch the id guards consult docs directly")
     val lshStore = new ReleaseStore(spark, dir, "doc_id", "text",
       lshFront = true)
     lshStore.ingest(b2, batchId = Some(2L))
@@ -518,20 +516,38 @@ class ReleaseStoreSpec extends SparkSpec {
     // sidecar table deleted outright — a superset of every real crash
     // window, since docids ⊆ docs always) is detected by the zero-job
     // footer row-count comparison at the NEXT ingest and healed by one
-    // narrow rebuild — accepted-id resolution stays correct throughout
+    // narrow rebuild — accepted-id resolution stays correct throughout.
+    // The dispatch is forced at fixture scale; the sidecar backfills
+    // on the first past-threshold ingest (no corpus exists before it)
+    ReleaseStore.exactStateMinRowsForTests = Some(1L)
+    try {
     val dir = Files.createTempDirectory("reldocids").toFile.getAbsolutePath
     val store = new ReleaseStore(spark, dir, "doc_id", "text")
     store.ingest(b0, batchId = Some(0L))
-    assert(spark.read.parquet(s"$dir/docids").count() == b0.count())
+    store.ingest(b2, batchId = Some(1L)) // corpus now past the dispatch
+    assert(spark.read.parquet(s"$dir/docids").count() ==
+      b0.count() + b2.count())
     // damage: drop the sidecar (simulates the worst docs/docids skew)
     val fsp = new org.apache.hadoop.fs.Path(s"$dir/docids")
     fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(fsp, true)
-    // next ingest must rebuild it and STILL ignore re-crawled ids: b1
-    // plus a duplicate of b0's first doc (re-crawl, different text)
+    // heal must survive the dispatch reading "below threshold" now:
+    // exists-wins is what keeps a damaged-but-created sidecar coming
+    // back, not the current corpus size
+    ReleaseStore.exactStateMinRowsForTests = Some(Long.MaxValue)
+    // next ingest: the sidecar is GONE and the corpus reads below the
+    // raised threshold, so this ingest legitimately consults docs and
+    // skips maintenance (dispatch-off equals the r15 shape) — then a
+    // re-lowered threshold rebuilds it in one narrow pass
     val dup = b0.limit(1).withColumn("text", lit("recrawled body"))
-    store.ingest(b1.unionByName(dup), batchId = Some(1L))
-    val all = b0.unionByName(b1)
+    store.ingest(b1.unionByName(dup), batchId = Some(2L))
+    assert(!new java.io.File(s"$dir/docids").exists(),
+      "a deleted sidecar below the dispatch stays off — no maintenance")
+    assert(store.docs.count() == 7, "docs after the dispatch-off ingest")
+    ReleaseStore.exactStateMinRowsForTests = Some(1L)
+    val dup2 = b1.limit(1).withColumn("text", lit("recrawled again"))
+    store.ingest(dup2, batchId = Some(3L)) // all ids known: rebuild only
+    val all = b0.unionByName(b1).unionByName(b2)
     assert(spark.read.parquet(s"$dir/docids").count() == all.count(),
       "healed sidecar mirrors docs again")
     assert(store.docs.count() == all.count(), "first write wins held")
@@ -541,6 +557,7 @@ class ReleaseStoreSpec extends SparkSpec {
       threshold = 0.5, maxShingleDf = None, quality = q)
     assert(rows(got.pairs) == rows(want.pairs))
     assert(rows(got.survivors) == rows(want.survivors))
+    } finally ReleaseStore.exactStateMinRowsForTests = None
     graft.ScratchCache.releaseAll(spark)
   }
 
