@@ -474,6 +474,19 @@ final class ReleaseStore(protected val spark: SparkSession,
     */
   def scored: DataFrame = { recoverTable("scored"); spark.read.parquet(s"$path/scored") }
 
+  /** Whether collapse-front membership EXISTS — healing a compact-crash
+    * aside first, exactly like the shingles exists-wins read: every
+    * decision that branches on "members present" must see a table
+    * sitting at `.compact.old` as present, or a collapse store's
+    * products would silently read REP-level scored rows as
+    * member-level (and an ingest would start a FRESH members table
+    * beside the aside one, losing membership durably).
+    */
+  private def membersLive: Boolean = collapseFront && {
+    recoverTable("members")
+    fs.exists(hPath(s"$path/members"))
+  }
+
   /** Collapse-front membership (id, rep, batch) — explicit schema so an
     * all-unique corpus's empty table still reads.
     */
@@ -495,7 +508,7 @@ final class ReleaseStore(protected val spark: SparkSession,
     * through.
     */
   private def expandedScored(sc: DataFrame): DataFrame =
-    if (!collapseFront || !fs.exists(hPath(s"$path/members"))) sc
+    if (!membersLive) sc
     else {
       recoverTable("shingles")
       // explicit schema (derived like storedStateDelta's): a shingles
@@ -536,6 +549,10 @@ final class ReleaseStore(protected val spark: SparkSession,
     checkShape(pin = true)
     recoverTable("docs"); recoverTable("scored")
     if (stateEnabled) stateTables.foreach(recoverTable)
+    // heal collapse membership BEFORE anything branches on its
+    // existence (the upgrade probe and dedupAppend's anti-join guard
+    // both do) — an unhealed aside would seed a FRESH members table
+    if (collapseFront) recoverTable("members")
     // heal a compact-crash window BEFORE the exists-wins read: a
     // shingles table sitting at .compact.old must count as existing,
     // or this ingest would silently abandon live state
@@ -1066,7 +1083,7 @@ final class ReleaseStore(protected val spark: SparkSession,
     // expansion itself remains lazy input to the output-sized products
     // (pairs/containment/overlap), which are inherently member-level.
     val labels =
-      if (collapseFront && fs.exists(hPath(s"$path/members"))) {
+      if (membersLive) {
         recoverTable("shingles")
         val shSchema = Dedup.hashedShingles(
           docs.limit(0), idCol, textCol, portable).schema
@@ -1118,7 +1135,7 @@ final class ReleaseStore(protected val spark: SparkSession,
       sinceExclusive.fold(me)(w => me.where(col("batch") > w))
         .select(col("id").as("id_a"), col("rep").as("id_b"))
     }
-    val hasMembers = collapseFront && fs.exists(hPath(s"$path/members"))
+    val hasMembers = membersLive
     val labels: DataFrame = writeLock.synchronized {
       // footer-stat fast path (batchAllMarked): the common all-id'd
       // store decides from parquet min/max stats alone — zero driver

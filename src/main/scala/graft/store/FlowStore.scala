@@ -116,10 +116,37 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   private def writePartitioned(df: DataFrame, name: String): Unit =
     writeLock.synchronized {
+      recoverSwap(name) // an append must NEVER seed a fresh table
       val dated = withDate(df)
       withBlooms(dated.repartition(col("p_date")).write, dated.columns.toSeq)
         .mode(SaveMode.Append).partitionBy("p_date").parquet(s"$root/$name")
     }
+
+  /** Heal a [[swapIn]] crash window: the two-rename install can die
+    * with the table at `.compact.old` and NOTHING at the live path.
+    * Restore the aside copy — the rewrite sitting at `.compact.tmp`
+    * is disposable (the next compaction re-derives it; swapIn's write
+    * overwrites it). Without this, the next micro-batch's
+    * `SaveMode.Append` would seed a FRESH table beside the aside one
+    * and the prior corpus would be silently orphaned — reads that
+    * threw loudly while the path was missing would quietly return
+    * only post-crash data forever after. A live table with leftover
+    * `.old`/`.tmp` needs no action (swapIn deletes both up front).
+    */
+  private def recoverSwap(name: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = p(s"$root/$name")
+    val old = p(s"$root/$name.compact.old")
+    if (!fs.exists(live) && fs.exists(old)) writeLock.synchronized {
+      if (!fs.exists(live) && fs.exists(old)) {
+        if (!fs.rename(old, live))
+          throw new java.io.IOException(
+            s"recoverSwap: cannot restore $name from .compact.old")
+        spark.catalog.refreshByPath(s"$root/$name")
+      }
+    }
+  }
 
   /** Rollup delta of one batch: truncate time, drop main-only columns,
     * partial-aggregate the measures (map-side combine does most of the
@@ -219,8 +246,10 @@ final class FlowStore(spark: SparkSession, root: String) {
   /** Scan one stored table (schema without the partition column). */
   def read(name: String): DataFrame = readTable(name)
 
-  private def readTable(name: String): DataFrame =
+  private def readTable(name: String): DataFrame = {
+    recoverSwap(name)
     spark.read.parquet(s"$root/$name").drop("p_date")
+  }
 
   /** Range-pruned scan: bound `p_date` (a yyyy-MM-dd string — lexical
     * order IS chronological order) so the parquet source prunes whole
@@ -230,6 +259,7 @@ final class FlowStore(spark: SparkSession, root: String) {
     */
   private def readRange(name: String, start: Timestamp,
       end: Timestamp): DataFrame = {
+    recoverSwap(name)
     def dateUtc(ms: Long): String =
       java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
         .toLocalDate.toString
@@ -260,6 +290,7 @@ final class FlowStore(spark: SparkSession, root: String) {
     * partition minmax metadata), instead of a full-table aggregation.
     */
   private def boundaryOf(name: String, newest: Boolean): Option[Timestamp] = {
+    recoverSwap(name)
     val dir = new java.io.File(s"$root/$name")
     if (!dir.isDirectory) return None
     val dates = dir.listFiles().map(_.getName)
@@ -382,6 +413,7 @@ final class FlowStore(spark: SparkSession, root: String) {
     import spark.implicits._
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(name) // a half-swapped table must compact its REAL copy
     if (!fs.exists(p(s"$root/$name"))) return
     val ks = fs.listStatus(p(s"$root/$name"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))

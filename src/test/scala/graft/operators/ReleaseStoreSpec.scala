@@ -836,6 +836,60 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("a compact crash on collapse MEMBERSHIP heals before every exists-branching path") {
+    // members is compacted, so it has the same two-rename crash window
+    // as every table — but three DECISIONS branch on its existence:
+    // products' rep-level expansion, productsCached's member-edge
+    // fold, and ingest's upgrade probe + dedupAppend guard. Unhealed,
+    // the window would (a) read rep-level scored rows as member-level,
+    // (b) persist fold labels missing every member edge, (c) seed a
+    // FRESH members table beside the aside one — durable loss
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val cA = doc((1L, t1), (2L, "alpha beta gamma delta epsilon eta"),
+      (50L, "totally unrelated text about completely different things"))
+    val cB = doc((3L, t1), (20L, "one two three four five six seven"))
+    val dir = Files.createTempDirectory("relmheal").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text",
+      lshFront = true, collapseFront = true)
+    store.ingest(cA, batchId = Some(0L))
+    store.ingest(cB, batchId = Some(1L))
+    def crashAside(): Unit = {
+      val live = new java.io.File(s"$dir/members")
+      assert(live.renameTo(new java.io.File(s"$dir/members.compact.old")))
+    }
+    val all = cA.unionByName(cB)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val want = Dedup.releasePipeline(all, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    // (a) products during the window: expansion must see membership
+    crashAside()
+    val got = store.products(threshold = 0.5, quality = q)
+    assert(rows(got.pairs) == rows(want.pairs))
+    assert(rows(got.clusters) == rows(want.clusters))
+    assert(!new java.io.File(s"$dir/members.compact.old").exists(),
+      "the read healed the aside table")
+    // (b) the cached fold during the window: member edges must ride
+    crashAside()
+    val cached = store.productsCached(threshold = 0.5, quality = q)
+    assert(rows(cached.clusters) == rows(want.clusters))
+    // (c) an ingest during the window: an all-dup batch appends
+    // membership to the HEALED table, never a fresh one
+    crashAside()
+    store.ingest(doc((4L, t1)), batchId = Some(2L))
+    val m = spark.read.parquet(s"$dir/members")
+    assert(m.count() == all.count() + 1,
+      "membership accumulated across the heal (not reseeded)")
+    assert(m.where(col("id") === 4L).select("rep").head().getLong(0) == 1L)
+    val all2 = all.unionByName(doc((4L, t1)))
+    val q2 = all2.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got2 = store.products(threshold = 0.5, quality = q2)
+    val want2 = Dedup.releasePipeline(all2, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q2)
+    assert(rows(got2.pairs) == rows(want2.pairs))
+    assert(rows(got2.clusters) == rows(want2.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("bucketed layout: the pin wins over a different constructor default, parity holds") {
     val dir = Files.createTempDirectory("relbuckets").toFile.getAbsolutePath
     val store = new ReleaseStore(spark, dir, "doc_id", "text",

@@ -307,6 +307,34 @@ class FlowStoreSpec extends SparkSpec {
       .where(col("p_date") === "2024-03-01").count() == 120)
   }
 
+  test("a compactFiles crash (table moved aside) heals on read AND on append") {
+    // swapIn's two-rename install can die with the whole table at
+    // .compact.old and nothing live. A read while the path is missing
+    // throws loudly — but the NEXT micro-batch's SaveMode.Append would
+    // seed a fresh table beside the aside one, silently orphaning the
+    // prior corpus forever. Both entry points must restore the aside
+    // copy first.
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new FlowStore(spark, root)
+    store.writeBatch(mkFlows("2024-03-01", 30), batchId = Some(0L))
+    def crashAside(): Unit = {
+      val live = new java.io.File(s"$root/flows")
+      assert(live.renameTo(new java.io.File(s"$root/flows.compact.old")))
+    }
+    crashAside()
+    assert(store.read("flows").count() == 30, "read restored the aside")
+    assert(!new java.io.File(s"$root/flows.compact.old").exists())
+    crashAside()
+    store.writeBatch(mkFlows("2024-03-02", 20), batchId = Some(1L))
+    assert(!new java.io.File(s"$root/flows.compact.old").exists())
+    assert(store.read("flows").count() == 50,
+      "the append landed in the HEALED table, not a fresh one")
+    // and the healed layout still compacts + prunes normally
+    store.compactFiles("flows")
+    assert(spark.read.parquet(s"$root/flows")
+      .where(col("p_date") === "2024-03-01").count() == 30)
+  }
+
   test("compacted files are time-clustered and internally time-sorted") {
     val root = java.nio.file.Files.createTempDirectory("store").toString
     val store = new FlowStore(spark, root)
