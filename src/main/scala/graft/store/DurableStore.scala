@@ -418,26 +418,41 @@ private[graft] trait DurableStore {
       try f finally DurableStore.AdaptiveToggle.exit(spark)
     }
 
-  /** Heal a compact() that died between its two renames: the complete
-    * table sits at `.compact.old` and nothing at the live path. This
-    * MUST run before any table access, not just inside the next
-    * compact(): an ingest against the missing dir would rebuild the
-    * table from one batch (accepting re-crawled ids, scoring no
-    * cross-batch pairs, all under committed markers), and the next
-    * compact() — seeing a live dir again — would delete the real table
-    * at `.old`.
+  /** Heal ANY [[installTable]]-family swap that died between its two
+    * renames: the complete table sits at `<dir><suffix>.old` and
+    * nothing at the live path. This MUST run before any table access,
+    * not just inside the interrupted operation's re-entry: an ingest
+    * against the missing dir would rebuild the table from one batch
+    * (accepting re-crawled ids, scoring no cross-batch pairs, all
+    * under committed markers), and the next install — seeing a live
+    * dir again — would delete the real table at `.old`. Restoring is
+    * always the safe move: every installer deletes its aside up front
+    * and fully re-derives its temp, so a restored table never collides
+    * with a resumed install, and every interrupted operation re-enters
+    * idempotently (compaction re-runs; backfills and upgrades
+    * re-detect their missing commit point; a restored pre-rehash
+    * postings table still matches the pinned width, and the intent pin
+    * re-enters the migration). `.compact.old` is the common case;
+    * `.backfill.old` covers state/sidecar installs — including the
+    * collapse upgrade's ACCUMULATED `scored` rewrite, which no re-entry
+    * could re-derive — `.kinds.old` the MediaStore kind migration, and
+    * `.old` the bare-suffix label installs.
     */
   protected def recoverTable(name: String): Unit = {
     val dir = s"$path/$name"
-    if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old")))
-      writeLock.synchronized {
-        if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir.compact.old"))) {
-          if (!fs.rename(hPath(s"$dir.compact.old"), hPath(dir)))
-            throw new java.io.IOException(
-              s"cannot restore $name from .compact.old")
-          // same cache-staleness contract as installTable's swap: a
-          // cached plan listed over the missing dir must re-list
-          spark.catalog.refreshByPath(dir)
+    if (fs.exists(hPath(dir))) return
+    DurableStore.asideSuffixes
+      .find(s => fs.exists(hPath(s"$dir$s")))
+      .foreach { s =>
+        writeLock.synchronized {
+          if (!fs.exists(hPath(dir)) && fs.exists(hPath(s"$dir$s"))) {
+            if (!fs.rename(hPath(s"$dir$s"), hPath(dir)))
+              throw new java.io.IOException(
+                s"cannot restore $name from $s")
+            // same cache-staleness contract as installTable's swap: a
+            // cached plan listed over the missing dir must re-list
+            spark.catalog.refreshByPath(dir)
+          }
         }
       }
   }
@@ -448,11 +463,11 @@ private[graft] trait DurableStore {
     * that rename fails), then drop the old copy. The write fully
     * materializes before either rename, so a source frame READ from
     * `dir` itself (compaction) is safe. A crash between the two renames
-    * leaves the complete table at `.old` and nothing live — each call
-    * site owns the healing contract for that window (backfill re-enters
-    * and rebuilds; label installs fall to the water guard's full
-    * rebuild; compaction restores via [[recoverTable]], which is why
-    * the suffixes stay distinct).
+    * leaves the complete table at `.old` and nothing live —
+    * [[recoverTable]] heals that window for EVERY suffix in
+    * [[DurableStore.asideSuffixes]] (a new suffix must join that list),
+    * and the interrupted operation re-enters idempotently on top of
+    * the restored copy.
     */
   protected def installTable(dir: String, df: DataFrame,
       suffix: String, partitionCols: Seq[String] = Nil): Unit = {
@@ -808,6 +823,15 @@ private[graft] trait DurableStore {
 }
 
 private[graft] object DurableStore {
+  /** Every aside suffix an installTable-family swap can strand a table
+    * under — the [[DurableStore.recoverTable]] heal set. Order is
+    * only a deterministic tiebreak; at most one can exist (an aside is
+    * created only by moving the live dir, and every entry point heals
+    * before installing).
+    */
+  val asideSuffixes: Seq[String] =
+    Seq(".compact.old", ".backfill.old", ".kinds.old", ".old")
+
   /** Probe-size ceiling for [[DurableStore.probeAntiJoin]]'s broadcast
     * inversion: 5M ids ≈ 40 MB broadcast — comfortably under driver
     * limits, far above any micro-batch; bigger probes take the plain

@@ -61,6 +61,26 @@ class MediaStoreSpec extends SparkSpec {
     assert(!p.exists { case (a, b) => a == 50L || b == 50L })
   }
 
+  test("a kind-migration crash (prints at .kinds.old) heals on a plain ingest") {
+    // backfillKinds installs via the move-aside swap; dying between its
+    // renames strands the WHOLE accumulated prints table at
+    // `.kinds.old`. Its own re-entry healed that — but the next
+    // operation is just as likely a plain ingest, whose append would
+    // seed a fresh prints table and silently orphan the corpus. The
+    // generic aside heal must cover it on every entry point.
+    val dir = Files.createTempDirectory("mediakheal").toFile.getAbsolutePath
+    val store = new MediaStore(spark, dir)
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    assert(new java.io.File(s"$dir/prints")
+      .renameTo(new java.io.File(s"$dir/prints.kinds.old")))
+    store.ingest(b2, batchId = Some(2L))
+    assert(!new java.io.File(s"$dir/prints.kinds.old").exists())
+    assert(store.prints.count() == allPrints.count(),
+      "the ingest appended to the HEALED corpus, not a fresh table")
+    assert(rows(store.pairs.drop("batch")) == rows(wantPairs))
+  }
+
   test("landed-but-unmarked appends do not duplicate on id'd replay") {
     // the crash window: prints/pairs parquet appends land, the JVM dies
     // BEFORE the markers commit, the batch replays — guarded re-runs

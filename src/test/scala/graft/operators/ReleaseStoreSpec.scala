@@ -836,6 +836,42 @@ class ReleaseStoreSpec extends SparkSpec {
     graft.ScratchCache.releaseAll(spark)
   }
 
+  test("an interrupted install heals from ANY aside suffix — including accumulated scored") {
+    // installTable strands the live table at <dir><suffix>.old when it
+    // dies between its two renames. For the collapse upgrade's scored
+    // rewrite the stranded copy is ACCUMULATED pair state no re-entry
+    // could re-derive — an unhealed window would let the next delta
+    // seed a fresh scored table and lose the corpus's pair history.
+    // recoverTable restores from every suffix in the family.
+    val dir = Files.createTempDirectory("relaside").toFile.getAbsolutePath
+    val store = new ReleaseStore(spark, dir, "doc_id", "text")
+    store.ingest(b0, batchId = Some(0L))
+    store.ingest(b1, batchId = Some(1L))
+    val all = b0.unionByName(b1)
+    val q = all.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val want = Dedup.releasePipeline(all, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q)
+    for (sfx <- Seq(".backfill.old", ".kinds.old", ".old")) {
+      assert(new java.io.File(s"$dir/scored")
+        .renameTo(new java.io.File(s"$dir/scored$sfx")), sfx)
+      val got = store.products(threshold = 0.5, quality = q)
+      assert(rows(got.pairs) == rows(want.pairs), sfx)
+      assert(!new java.io.File(s"$dir/scored$sfx").exists(), sfx)
+    }
+    // and an ingest across the window appends to the HEALED history
+    assert(new java.io.File(s"$dir/scored")
+      .renameTo(new java.io.File(s"$dir/scored.backfill.old")))
+    store.ingest(b2, batchId = Some(2L))
+    val all3 = all.unionByName(b2)
+    val q3 = all3.select(col("doc_id").as("id"), col("n_chars").as("q"))
+    val got3 = store.products(threshold = 0.5, quality = q3)
+    val want3 = Dedup.releasePipeline(all3, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = None, quality = q3)
+    assert(rows(got3.pairs) == rows(want3.pairs))
+    assert(rows(got3.clusters) == rows(want3.clusters))
+    graft.ScratchCache.releaseAll(spark)
+  }
+
   test("a compact crash on collapse MEMBERSHIP heals before every exists-branching path") {
     // members is compacted, so it has the same two-rename crash window
     // as every table — but three DECISIONS branch on its existence:
