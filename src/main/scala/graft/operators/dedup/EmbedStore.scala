@@ -100,6 +100,7 @@ final class EmbedStore(protected val spark: SparkSession,
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
       case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
       case None =>
+        recoverTable("vecs") // an aside must not blind the layout probe
         if (fs.exists(hPath(s"$path/vecs"))) {
           val bucketed = fs.listStatus(hPath(s"$path/vecs"))
             .exists(_.getPath.getName.startsWith("__bucket="))

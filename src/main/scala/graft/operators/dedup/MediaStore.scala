@@ -126,6 +126,7 @@ final class MediaStore(protected val spark: SparkSession,
     graft.store.DurableStore.readMeta(fs, hPath(s"$path/store.meta")) match {
       case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
       case None =>
+        recoverTable("prints") // an aside must not blind the layout probe
         if (fs.exists(hPath(s"$path/prints"))) {
           val bucketed = fs.listStatus(hPath(s"$path/prints"))
             .exists(_.getPath.getName.startsWith("__bucket="))

@@ -150,6 +150,7 @@ final class ReleaseStore(protected val spark: SparkSession,
   protected lazy val effectiveBuckets: Int = readShape() match {
     case Some(m) => m.get("buckets").map(_.toInt).getOrElse(0)
     case None =>
+      recoverTable("docs") // an aside must not blind the layout probe
       if (fs.exists(hPath(s"$path/docs"))) {
         val bucketed = fs.listStatus(hPath(s"$path/docs"))
           .exists(_.getPath.getName.startsWith("__bucket="))

@@ -250,6 +250,15 @@ class MediaStoreSpec extends SparkSpec {
       new MediaStore(spark, dir).ingest(b1, batchId = Some(2L))
     }
     assert(e.getMessage.contains("bucketed layout but no shape pin"))
+    // a compact-crash aside must not BLIND the layout probe into
+    // silently adopting the constructor default over the real modulus
+    assert(new java.io.File(s"$dir/prints")
+      .renameTo(new java.io.File(s"$dir/prints.compact.old")))
+    val eAside = intercept[IllegalStateException] {
+      new MediaStore(spark, dir).ingest(b1, batchId = Some(2L))
+    }
+    assert(eAside.getMessage.contains("bucketed layout but no shape pin"))
+    assert(!new java.io.File(s"$dir/prints.compact.old").exists())
     // a re-stated modulus is VALIDATED against the layout, not trusted:
     // 4 is refuted by the existing __bucket=7 dir; 16 passes the dir
     // range but the sampled dir's ids don't hash to it at that modulus
