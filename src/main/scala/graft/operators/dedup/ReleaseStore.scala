@@ -130,7 +130,16 @@ final class ReleaseStore(protected val spark: SparkSession,
       * genuinely need dir-level pruning; nothing in this repo
       * recommends setting it.
       */
-    stateBuckets: Int = 0) extends graft.store.DurableStore
+    stateBuckets: Int = 0,
+    /** Stored-corpus row count past which the EXACT front engages both
+      * its maintained sidecars ([[exactStateMinRows]]'s doc — the
+      * measured 50k default; exists-wins once created). A tuning knob,
+      * not a shape property: the sidecars' MEANING is
+      * threshold-independent, so it is not pinned and reopens may
+      * restate it (an already-created sidecar keeps maintaining
+      * regardless).
+      */
+    exactSidecarMinRows: Long = 50000L) extends graft.store.DurableStore
     with graft.store.BucketedTables {
 
   require(!collapseFront || (lshFront && maxShingleDf.isEmpty),
@@ -308,7 +317,7 @@ final class ReleaseStore(protected val spark: SparkSession,
     * spec override lives on the companion.)
     */
   private def exactStateMinRows: Long =
-    ReleaseStore.exactStateMinRowsForTests.getOrElse(50000L)
+    ReleaseStore.exactStateMinRowsForTests.getOrElse(exactSidecarMinRows)
 
   /** Whether THIS ingest maintains exact-front shingle state: uncapped
     * exact front, and (already created) OR (corpus provably past the

@@ -1286,6 +1286,23 @@ object Pipeline {
       releaseTags(storeDrive(s, docs(s, dir), store))
     }),
 
+    // the SAME lifecycle with the exact-front sidecar dispatch forced
+    // ON (exactSidecarMinRows = 1): every ingest maintains the docids
+    // sidecar + per-doc shingle state, the id guards consult the
+    // sidecar through the footer-count proof, and the scored deltas
+    // come from STORED state via the counting index join — the
+    // dispatch-on half of the exact front, which the gate SFs' small
+    // corpora (default threshold 50k) would otherwise never reach
+    // under the oracle. Stored-state scoring is exactly the recompute
+    // delta's pair set (ReleaseStoreSpec pins it across replay and
+    // compaction), so the same composed oracle applies verbatim.
+    "q_store_release_state" -> ((s, dir) => {
+      val store = new graft.operators.dedup.ReleaseStore(
+        s, storeScratchDir(s), "doc_id", "text",
+        exactSidecarMinRows = 1L)
+      releaseTags(storeDrive(s, docs(s, dir), store))
+    }),
+
     // the COLLAPSE-FRONT store, gated end to end: id-sliced batches
     // with a mid-stream compact(), but state keyed by distinct shingle
     // set, rep-level stored pairs expanded on read, and the PORTABLE
@@ -2220,6 +2237,7 @@ object Pipeline {
     // equals a from-scratch release's — both ride the composed oracle
     ("q_release_auto" -> oraclesBase("q_dedup_release")) +
     ("q_store_release" -> oraclesBase("q_dedup_release")) +
+    ("q_store_release_state" -> oraclesBase("q_dedup_release")) +
     // the media store's accumulated pair set == from-scratch
     // hammingPairs over the accumulated prints (union completeness:
     // every ≤-maxHamming pair is generated exactly once, by its later
