@@ -1,0 +1,21 @@
+#!/bin/bash
+# Run a graft main directly on the compiled classes + /opt/spark/jars,
+# bypassing sbt (same JVM flags as build.sbt's forked run). Usage:
+#   scripts/jrun.sh graft.Bench [args...]
+# Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM as usual.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$@"
