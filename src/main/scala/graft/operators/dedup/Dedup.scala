@@ -685,8 +685,13 @@ object Dedup {
     */
   private def portableHashedShingles(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // native md5-prefix: bit-identical to conv(substring(md5(s),1,12),
+    // 16,10).cast("long") (PortableHashSpec), ~zero per-shingle string
+    // churn (guide §1.2 "per-task work": the portable front's base hash
+    // runs per SHINGLE — the conv/substring/hex path was most of its
+    // CPU on top of the digest itself)
     def hash48(s: Column): Column =
-      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+      graft.expressions.PortableHash.md5Prefix48(s)
     graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         array_distinct(
@@ -1154,7 +1159,7 @@ object Dedup {
       .select(col(idCol).as("id"), isBatch.as("is_b"),
         (if (portable)
           array_distinct(transform(TextAnalysis.shingles(col(textCol)),
-            s => conv(substring(md5(s), 1, 12), 16, 10).cast("long")))
+            s => graft.expressions.PortableHash.md5Prefix48(s)))
         else
           array_distinct(transform(TextAnalysis.shingles(col(textCol)),
             s => xxhash64(s)))).as("sh"))
@@ -1695,7 +1700,7 @@ object Dedup {
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     def hash48(s: Column): Column =
-      conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+      graft.expressions.PortableHash.md5Prefix48(s)
     val withSim = graft.ScratchCache.persist(df
       .select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol)), hash48(_)).as("hs"))

@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object Curriculum {
 
   private def hash48(s: Column): Column =
-    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    graft.expressions.PortableHash.md5Prefix48(s)
 
   /** Stage assigned to rows whose `scoreCol` is null: they carry no
     * difficulty signal, so they get a deterministic out-of-band stage

@@ -28,7 +28,7 @@ object ExportManifest {
     * repo-wide portable hash convention (see `Dedup.minhashLshPortable`).
     */
   private def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    graft.expressions.PortableHash.md5Prefix48(c)
 
   /** Deterministic shard id in [0, nShards) from the document id. */
   def shardOf(id: Column, nShards: Int): Column =

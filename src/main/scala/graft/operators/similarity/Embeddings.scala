@@ -46,7 +46,8 @@ object Sampling {
     */
   def stratifiedKeep(key: Column, stratum: Column,
       rates16: Map[String, Int], defaultRate16: Int = 16): Column = {
-    val nibble = conv(substring(md5(key), 1, 1), 16, 10).cast("int")
+    val nibble =
+      graft.expressions.PortableHash.md5Prefix(key, 1).cast("int")
     rates16.foldLeft(when(lit(false), lit(false))) { case (acc, (s, r)) =>
       acc.when(stratum === s, nibble < r)
     }.otherwise(nibble < defaultRate16)
@@ -135,8 +136,8 @@ object Sampling {
     * redraws (epoch = salt). Pure projection — no shuffle.
     */
   def weightedKeep(key: Column, weightPpm: Column, salt: String = ""): Column = {
-    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 6),
-      16, 10).cast("long")
+    val h = graft.expressions.PortableHash.md5Prefix(
+      concat(key.cast("string"), lit(salt)), 6)
     h * 1000000L < weightPpm.cast("long") * 16777216L
   }
 
@@ -159,8 +160,8 @@ object Sampling {
       "weights must be non-negative")
     // 24-bit hash slice: compare h/2^24 < frac by cross-multiplying into
     // exact integer space (h·1e6 < frac_ppm·2^24)
-    val h = conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 6),
-      16, 10).cast("long")
+    val h = graft.expressions.PortableHash.md5Prefix(
+      concat(key.cast("string"), lit(salt)), 6)
     val w = weightsPpm.foldLeft(when(lit(false), lit(0L))) {
       case (acc, (s, p)) => acc.when(stratum === s, lit(p))
     }.otherwise(lit(defaultPpm))

@@ -34,7 +34,7 @@ object Kmv {
 
   /** Engine-portable 48-bit hash: md5 hex slice, exact in any engine. */
   def portableHash48(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    graft.expressions.PortableHash.md5Prefix48(c.cast("string"))
 
   /** Per-group KMV sketch rows: the k smallest distinct hashes of
     * `valueCol`, one row per kept hash — `(g, h, rk)` with `rk` the

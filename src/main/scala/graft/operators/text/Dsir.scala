@@ -37,7 +37,7 @@ object Dsir {
     * merges two feature buckets, which hashing does anyway).
     */
   private def hash48(s: Column): Column =
-    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    graft.expressions.PortableHash.md5Prefix48(s)
 
   /** Importance weights for every document: (doc_id, n_feats,
     * logw_bits). `logw_bits` is the integer-bit quantized

@@ -108,7 +108,8 @@ object TextAnalysis {
     * nibble buckets 0..15). `trainNibbles` of 16 go to train.
     */
   def splitLabel(text: Column, trainNibbles: Int = 13): Column =
-    when(conv(substring(md5(text), 1, 1), 16, 10).cast("int") < trainNibbles,
+    when(graft.expressions.PortableHash.md5Prefix(text, 1).cast("int")
+        < trainNibbles,
       "train").otherwise("eval")
 
   /** PII patterns: email addresses and a NANP-style phone shape. Plain
@@ -558,8 +559,8 @@ object TextAnalysis {
       .select(col("id"), (size(toks) - (k - 1)).as("ng"),
         explode(transform(sequence(lit(1), size(toks) - (k - 1)), i =>
           struct(i.as("pos"),
-            conv(substring(md5(array_join(slice(toks, i, lit(k)), " ")), 1, 12),
-              16, 10).cast("long").as("h")))).as("p"))
+            graft.expressions.PortableHash.md5Prefix48(
+              array_join(slice(toks, i, lit(k)), " ")).as("h")))).as("p"))
       .select(col("id"), col("ng"), col("p.pos"), col("p.h"))
     val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     grams
