@@ -11,9 +11,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // experiment knobs (A/B lanes for optimization work): defaults are
+    // the driver contract's exact values — an unset environment runs
+    // the same session the driver measures
+    val shufParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // sort-path shuffle writer for ALL widths (default bypass threshold
+    // is 200): the bypass writer opens one spill file PER (map task ×
+    // reduce partition), each with its own lz4 stream + 32k buffer —
+    // stack-sampling the composed release drives showed
+    // BypassMergeSortShuffleWriter/DiskBlockObjectWriter.initialize as
+    // the TOP executor CPU frames, on single-digit-KB shuffles
+    // (q_release_collapse CPU 156 s → ~110 s with the sort path alone;
+    // A/B lanes in OPTIMIZATION_r16.md). At production widths (>200
+    // reduce partitions on a cluster) the bypass path never fires, so
+    // this setting is a no-op at scale — it removes a small-shuffle
+    // artifact, not a scale behavior. Env-overridable for A/B.
+    val bypassThr =
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassThr)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,6 +22,9 @@ object JobTrace {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // mirror Bench's session (sort-path shuffle writer — see Bench)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -49,7 +52,13 @@ object JobTrace {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val si = s.stageInfo
         val jid = Option(stageToJob.get(si.stageId)).getOrElse(-1)
-        stages.add(Stg(jid, si.name, si.numTasks,
+        // first graft-owned frames of the stage's call site: the
+        // operation INSIDE the store drive this stage belongs to
+        // (every write action's short name is just "parquet at ...")
+        val where = si.details.linesIterator
+          .filter(l => l.contains("graft.") && !l.contains("JobTrace"))
+          .take(3).map(_.trim.stripPrefix("at ")).mkString(" <- ")
+        stages.add(Stg(jid, si.name + " | " + where, si.numTasks,
           si.taskMetrics.shuffleReadMetrics.totalBytesRead,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
           si.taskMetrics.inputMetrics.bytesRead,
@@ -58,10 +67,50 @@ object JobTrace {
         ()
       }
     })
+    // in-process stack sampler over the executor task threads (the
+    // sandbox blocks jcmd/jstack attach): every 20 ms, charge each
+    // RUNNABLE "Executor task launch worker" thread's topmost
+    // graft/spark-sql frame — a poor-man's async-profiler that answers
+    // "which operator is burning the CPU" without leaving the JVM.
+    val samples = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val all = Thread.getAllStackTraces()
+        all.forEach { (t, frames) =>
+          if (t.getName.startsWith("Executor task launch") &&
+              t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
+            val interesting = frames.find { f =>
+              val c = f.getClassName
+              (c.startsWith("graft.") ||
+               c.startsWith("org.apache.spark.sql.catalyst.expressions") ||
+               c.startsWith("org.apache.spark.sql.execution") ||
+               c.contains("GeneratedClass") ||
+               c.startsWith("org.apache.parquet") ||
+               c.startsWith("java.security") ||
+               c.startsWith("org.apache.spark.unsafe") ||
+               c.startsWith("org.apache.spark.shuffle") ||
+               c.startsWith("org.apache.spark.storage")) &&
+              !c.contains("JobTrace")
+            }.getOrElse(frames.head)
+            val key = interesting.getClassName + "." +
+              interesting.getMethodName
+            samples.computeIfAbsent(key,
+              _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+            ()
+          }
+        }
+        Thread.sleep(20)
+      }
+    }, "jobtrace-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    sampling = false
     ScratchCache.releaseAll(spark)
     org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
     import scala.jdk.CollectionConverters._
@@ -74,12 +123,16 @@ object JobTrace {
       byJob.getOrElse(j.id, Nil).sortBy(-_.execRunMs).take(3).foreach { s =>
         println(f"      stage exec=${s.execRunMs}%6d ms tasks=${s.tasks}%4d " +
           f"in=${s.input / 1024}%8d KB sr=${s.shuffleRead / 1024}%7d KB " +
-          f"sw=${s.shuffleWrite / 1024}%7d KB  ${s.name.take(90)}")
+          f"sw=${s.shuffleWrite / 1024}%7d KB  ${s.name.take(240)}")
       }
     }
     val tot = all.filter(_.end > 0).map(j => j.end - j.start).sum
     println(f"  sum(job walls) = ${tot}%d ms; gaps (driver-side) = " +
       f"${(sec * 1000).toLong - tot}%d ms")
+    println("  == executor-thread stack samples (top 25 frames) ==")
+    samples.asScala.toSeq.sortBy(-_._2.get).take(25).foreach {
+      case (frame, cnt) => println(f"   ${cnt.get}%6d  $frame")
+    }
     spark.stop()
   }
 }

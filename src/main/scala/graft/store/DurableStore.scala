@@ -230,11 +230,21 @@ private[graft] trait DurableStore {
     * [[DurableStore.invertStoreBytes]] so an obviously-huge store
     * pays a bounded listing prefix and zero footer reads.
     */
-  protected def storedIsSmall(table: String): Boolean = {
+  protected def storedIsSmall(table: String): Boolean =
+    storedSmallBytes(table).isDefined
+
+  /** [[storedIsSmall]] with the measured bytes attached: Some(bytes)
+    * when `table` is in the small regime (bytes exact — both small
+    * verdicts only fire when the bounded listing walked the whole
+    * table), None when it is big. The bytes feed the regime's
+    * shuffle-width derivation ([[withSmallRegimeScheduling]]) from the
+    * SAME single listing the dispatch already pays.
+    */
+  private def storedSmallBytes(table: String): Option[Long] = {
     val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-    if (thr <= 0) return false
+    if (thr <= 0) return None
     val dir = hPath(s"$path/$table")
-    if (!fs.exists(dir)) return true
+    if (!fs.exists(dir)) return Some(0L)
     val plainCap = math.max(thr, plainStoreBytes)
     var bytes = 0L
     // statuses kept for the footer-row gate are COUNT-bounded: past
@@ -259,7 +269,7 @@ private[graft] trait DurableStore {
         // path under a pathological autoBroadcastJoinThreshold set
         // ABOVE 10 GiB — the pre-round-15 dispatch band)
         if (bytes > math.max(plainCap, DurableStore.invertStoreBytes))
-          return false
+          return None
         if (!statsOverflow) {
           stats += st
           if (stats.size > footerWalkMaxFiles) {
@@ -269,8 +279,10 @@ private[graft] trait DurableStore {
         }
       }
     }
-    bytes <= plainCap ||
-      (!statsOverflow && footerRowsAtMost(stats.toSeq, invertStoreRows))
+    if (bytes <= plainCap ||
+      (!statsOverflow && footerRowsAtMost(stats.toSeq, invertStoreRows)))
+      Some(bytes)
+    else None
   }
 
   /** Whether every row of `table` carries a real (≥ 0) streaming batch
@@ -411,12 +423,46 @@ private[graft] trait DurableStore {
     * BucketedTablesSpec).
     */
   protected def withSmallRegimeScheduling[T](tables: Seq[String])
-      (f: => T): T =
-    if (!tables.forall(storedIsSmall)) f
+      (f: => T): T = {
+    val sizes = tables.map(storedSmallBytes)
+    if (sizes.exists(_.isEmpty)) f
     else {
-      DurableStore.AdaptiveToggle.enter(spark)
+      // shuffle width for the window, derived from the MEASURED bytes
+      // the regime dispatch just walked (guide §2.2 "fewer, larger
+      // partitions", done by the window instead of the suspended AQE):
+      // at micro-batch scale every exchange in these write actions
+      // carries KB–MB, and a session-default width (cores locally,
+      // hundreds on a cluster) makes the dominant cost the shuffle
+      // FILE MACHINERY itself — stack-sampled at gate scale: the top
+      // CPU frames of a composed store drive were
+      // DiskBlockObjectWriter.initialize / BypassMergeSortShuffle-
+      // Writer.writePartitionedDataWithChannel / HadoopOutputFile
+      // .create, i.e. one shuffle file per (map task × partition) and
+      // one parquet file per write partition, for single-digit-KB
+      // frames (q_store_collapse CPU 182 s → 69 s at width 8, wall
+      // 25.0 → 15.3 s, identical results — the A/B lanes in
+      // OPTIMIZATION_r16.md). Width grows with the measured bytes at
+      // the SAME advisory size AQE would use, so a store nearing the
+      // regime ceiling is back at the session default before the
+      // regime disengages — never a constant tuned to the local box.
+      val advisory = math.max(1L, spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val sessionParts = spark.sessionState.conf.numShufflePartitions
+      val width = math.min(sessionParts.toLong, math.max(
+        smallRegimeMinPartitions.toLong,
+        (sizes.map(_.get).sum + advisory - 1) / advisory)).toInt
+      DurableStore.AdaptiveToggle.enter(spark, width)
       try f finally DurableStore.AdaptiveToggle.exit(spark)
     }
+  }
+
+  /** Floor of the small-regime shuffle width: keeps the BATCH side of
+    * an ingest (whose bytes the stored-table dispatch cannot see)
+    * reasonably parallel when the store itself is near-empty, while
+    * still cutting the per-(task × partition) shuffle-file churn ~4×
+    * at the default session width. Overridable for tests.
+    */
+  protected def smallRegimeMinPartitions: Int = 8
 
   /** Heal ANY [[installTable]]-family swap that died between its two
     * renames: the complete table sits at `<dir><suffix>.old` and
@@ -907,9 +953,13 @@ private[graft] object DurableStore {
     */
   private object AdaptiveToggle {
     private val key = "spark.sql.adaptive.enabled"
-    private val state =
-      new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
-    def enter(spark: SparkSession): Unit = state.synchronized {
+    private val partsKey = "spark.sql.shuffle.partitions"
+    /** per-session: (depth, saved AQE, saved shuffle width) — the saves
+      * capture PRESENCE, not just value (see enter).
+      */
+    private val state = new java.util.IdentityHashMap[SparkSession,
+      (Int, Option[String], Option[String])]()
+    def enter(spark: SparkSession, parts: Int): Unit = state.synchronized {
       Option(state.get(spark)) match {
         case None =>
           // capture presence, not just value: exit restores by UNSET
@@ -919,26 +969,36 @@ private[graft] object DurableStore {
           // getOption can't detect presence (it surfaces the
           // registered default), so presence = an explicitly-set
           // session entry.
-          val saved =
-            if (spark.conf.getAll.contains(key)) Some(spark.conf.get(key))
+          def saved(k: String): Option[String] =
+            if (spark.conf.getAll.contains(k)) Some(spark.conf.get(k))
             else None
+          val savedAqe = saved(key)
+          val savedParts = saved(partsKey)
           spark.conf.set(key, "false")
-          state.put(spark, (1, saved))
+          // the window's shuffle width (derived from the regime's own
+          // measured bytes); the OUTERMOST window's width wins — a
+          // nested window shares its ingest's consulted tables
+          spark.conf.set(partsKey, parts.toString)
+          state.put(spark, (1, savedAqe, savedParts))
           ()
-        case Some((d, s)) =>
-          state.put(spark, (d + 1, s))
+        case Some((d, a, p)) =>
+          state.put(spark, (d + 1, a, p))
           ()
       }
     }
     def exit(spark: SparkSession): Unit = state.synchronized {
-      Option(state.get(spark)).foreach { case (d, s) =>
+      Option(state.get(spark)).foreach { case (d, a, p) =>
         if (d <= 1) {
-          s match {
+          a match {
             case Some(v) => spark.conf.set(key, v)
             case None => spark.conf.unset(key)
           }
+          p match {
+            case Some(v) => spark.conf.set(partsKey, v)
+            case None => spark.conf.unset(partsKey)
+          }
           state.remove(spark)
-        } else state.put(spark, (d - 1, s))
+        } else state.put(spark, (d - 1, a, p))
         ()
       }
     }

@@ -247,6 +247,61 @@ class BucketedTablesSpec extends SparkSpec {
     }
   }
 
+  test("small-regime window narrows the shuffle width from measured bytes and restores it") {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val dir = Files.createTempDirectory("btw").toFile.getAbsolutePath
+    val probe = new Probe(spark, dir, 0)
+    // the width clamps to the session default — raise it so the floor
+    // (8) is visible from the test session's 4
+    spark.conf.set(partsKey, "32")
+    val before = spark.conf.get(partsKey)
+    try {
+    // a near-empty store derives the FLOOR width (8)
+    probe.smallSched(Seq("t")) {
+      assert(spark.conf.get(partsKey) == "8",
+        "a KB-scale regime runs at the floor width")
+      probe.smallSched(Seq("t")) {
+        assert(spark.conf.get(partsKey) == "8")
+      }
+      assert(spark.conf.get(partsKey) == "8",
+        "inner exit must not restore while the outer window is open")
+    }
+    assert(spark.conf.get(partsKey) == before)
+    // restored even when the body throws
+    intercept[RuntimeException] {
+      probe.smallSched(Seq("t"))(throw new RuntimeException("boom"))
+    }
+    assert(spark.conf.get(partsKey) == before)
+    // width grows with the measured bytes at the AQE advisory size: a
+    // store measuring ~5 advisory units derives width 5 (above a floor
+    // of 1), capped at the session default
+    spark.range(4000).select(col("id")).coalesce(1)
+      .write.parquet(s"$dir/t")
+    val bytes = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val advBefore = spark.conf.get(adv)
+    try {
+      spark.conf.set(adv, math.max(1L, bytes / 5).toString)
+      val floored = new Probe(spark, dir, 0) {
+        override protected def smallRegimeMinPartitions: Int = 1
+      }
+      floored.smallSched(Seq("t")) {
+        val w = spark.conf.get(partsKey).toInt
+        assert(w >= 5 && w <= 6, s"width should track bytes/advisory: $w")
+      }
+      // …and is capped at the session default width
+      spark.conf.set(adv, "1")
+      floored.smallSched(Seq("t")) {
+        assert(spark.conf.get(partsKey) == before,
+          "a regime near its ceiling runs at the session default width")
+      }
+    } finally spark.conf.set(adv, advBefore)
+    assert(spark.conf.get(partsKey) == before)
+    } finally spark.conf.set(partsKey, "4")
+  }
+
   test("AQE window restores by UNSET when the session never set the key") {
     val aqeKey = "spark.sql.adaptive.enabled"
     val dir = Files.createTempDirectory("bt9").toFile.getAbsolutePath
