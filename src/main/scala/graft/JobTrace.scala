@@ -25,6 +25,14 @@ object JobTrace {
       // mirror Bench's session (sort-path shuffle writer — see Bench)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+      // raw local fs: the default checksummed LocalFileSystem shadows
+      // EVERY created file with a .crc twin (doubling create/rename/
+      // delete metadata ops on the store dirs); file: is a local-bench
+      // substrate only — production store paths are HDFS/object-store
+      // schemes where this key is inert. Env-overridable for A/B.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,11 +82,36 @@ object JobTrace {
     // "which operator is burning the CPU" without leaving the JVM.
     val samples = new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
+    // the DRIVER thread ("main") sampled separately: a composed store
+    // drive's wall between jobs is driver-side (planning, fs metadata,
+    // footer walks, codegen) and invisible to task metrics
+    val driverSamples = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
     @volatile var sampling = true
     val sampler = new Thread(() => {
       while (sampling) {
         val all = Thread.getAllStackTraces()
         all.forEach { (t, frames) =>
+          if (t.getName == "main" && frames.nonEmpty) {
+            // WAITING frames sampled too (prefixed by state): the gap
+            // between jobs is usually main BLOCKED on something — the
+            // deepest graft/spark frame says on what
+            val f = frames.find { fr =>
+              val c = fr.getClassName
+              c.startsWith("graft.") ||
+              c.startsWith("org.apache.spark.sql.catalyst") ||
+              c.startsWith("org.apache.spark.sql.execution") ||
+              c.startsWith("org.apache.spark.sql.classic") ||
+              c.startsWith("org.apache.hadoop") ||
+              c.startsWith("org.apache.parquet") ||
+              c.startsWith("java.io") || c.startsWith("sun.nio")
+            }.getOrElse(frames.head)
+            val tag = if (t.getState == Thread.State.RUNNABLE) "RUN " else "WAIT"
+            driverSamples.computeIfAbsent(
+              tag + " " + f.getClassName + "." + f.getMethodName,
+              _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+            ()
+          }
           if (t.getName.startsWith("Executor task launch") &&
               t.getState == Thread.State.RUNNABLE && frames.nonEmpty) {
             val interesting = frames.find { f =>
@@ -131,6 +164,10 @@ object JobTrace {
       f"${(sec * 1000).toLong - tot}%d ms")
     println("  == executor-thread stack samples (top 25 frames) ==")
     samples.asScala.toSeq.sortBy(-_._2.get).take(25).foreach {
+      case (frame, cnt) => println(f"   ${cnt.get}%6d  $frame")
+    }
+    println("  == driver-thread (main) stack samples (top 25 frames) ==")
+    driverSamples.asScala.toSeq.sortBy(-_._2.get).take(25).foreach {
       case (frame, cnt) => println(f"   ${cnt.get}%6d  $frame")
     }
     spark.stop()

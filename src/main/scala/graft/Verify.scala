@@ -13,6 +13,14 @@ object Verify {
       // mirror Bench's session (sort-path shuffle writer — see Bench)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+      // raw local fs: the default checksummed LocalFileSystem shadows
+      // EVERY created file with a .crc twin (doubling create/rename/
+      // delete metadata ops on the store dirs); file: is a local-bench
+      // substrate only — production store paths are HDFS/object-store
+      // schemes where this key is inert. Env-overridable for A/B.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS_IMPL",
+          "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
