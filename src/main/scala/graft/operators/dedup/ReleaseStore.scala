@@ -472,7 +472,7 @@ final class ReleaseStore(protected val spark: SparkSession,
 
   def docs: DataFrame = {
     recoverTable("docs")
-    spark.read.parquet(s"$path/docs").drop("__bucket")
+    readInferred(s"$path/docs").drop("__bucket")
   }
 
   // storedAcceptIds: the bucket-pruned override lives in
@@ -482,7 +482,7 @@ final class ReleaseStore(protected val spark: SparkSession,
     * generated each row (−1 for un-id'd batch calls) — the water mark
     * [[productsCached]]'s incremental clustering folds by.
     */
-  def scored: DataFrame = { recoverTable("scored"); spark.read.parquet(s"$path/scored") }
+  def scored: DataFrame = { recoverTable("scored"); readInferred(s"$path/scored") }
 
   /** Whether collapse-front membership EXISTS — healing a compact-crash
     * aside first, exactly like the shingles exists-wins read: every
@@ -1158,10 +1158,10 @@ final class ReleaseStore(protected val spark: SparkSession,
         Dedup.connectedComponents(
           if (hasMembers) base.unionAll(memberEdges(None)) else base)
       } else if (water >= top && fs.exists(hPath(dir))) {
-        spark.read.parquet(dir) // nothing new since the last fold
+        readInferred(dir) // nothing new since the last fold
       } else {
         val prior =
-          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
+          if (water >= 0 && fs.exists(hPath(dir))) readInferred(dir)
           else spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType(Seq(
@@ -1191,7 +1191,7 @@ final class ReleaseStore(protected val spark: SparkSession,
         // idempotently (star edges)
         installTable(dir, merged, "")
         markers.markCommitted(table, top)
-        spark.read.parquet(dir)
+        readInferred(dir)
       }
     }
     Dedup.productsOf(

@@ -484,6 +484,40 @@ private[graft] trait DurableStore {
     * could re-derive — `.kinds.old` the MediaStore kind migration, and
     * `.old` the bare-suffix label installs.
     */
+  /** Per-instance cache of INFERRED parquet schemas, for tables whose
+    * logical schema is caller-defined (`docs` carries arbitrary
+    * columns) or derived (label tables): a bare `spark.read.parquet`
+    * pays a schema-inference Spark JOB plus a footer read on EVERY
+    * call (measured: ~1 job + ~270 ms vs 0 jobs + ~60 ms with an
+    * explicit schema), and a composed store drive reads its tables
+    * dozens of times. Appends never change a stored table's schema
+    * (the idempotent-append discipline re-derives the same frame
+    * shape), so one inference per instance is sound; the rename-swap
+    * installers ([[installTable]]/[[recoverTable]]) invalidate their
+    * dir — the only paths that can rewrite a table wholesale.
+    */
+  @transient private lazy val inferredSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  /** Read `dir` with the cached inferred schema (inferring and caching
+    * on first use). Missing-path behavior identical to the bare read.
+    */
+  protected def readInferred(dir: String): DataFrame = {
+    val cached = inferredSchemas.get(dir)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      inferredSchemas.put(dir, df.schema)
+      df
+    }
+  }
+
+  protected def invalidateInferred(dir: String): Unit = {
+    inferredSchemas.remove(dir)
+    ()
+  }
+
   protected def recoverTable(name: String): Unit = {
     val dir = s"$path/$name"
     if (fs.exists(hPath(dir))) return
@@ -498,6 +532,7 @@ private[graft] trait DurableStore {
             // same cache-staleness contract as installTable's swap: a
             // cached plan listed over the missing dir must re-list
             spark.catalog.refreshByPath(dir)
+            invalidateInferred(dir)
           }
         }
       }
@@ -542,6 +577,7 @@ private[graft] trait DurableStore {
     // limit scan had been accidentally materializing every partition
     // of the persisted pair frame ahead of each compact.)
     spark.catalog.refreshByPath(dir)
+    invalidateInferred(dir)
   }
 
   /** Rewrite `name` to `targetBytes`-sized files via the
@@ -570,7 +606,7 @@ private[graft] trait DurableStore {
       }
       if (bytes == 0L) return
       val k = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      val src = spark.read.parquet(dir)
+      val src = readInferred(dir)
       // unpartitioned tables COALESCE instead of repartitioning:
       // compaction only needs to concatenate small files into ≤k
       // bigger ones, and coalesce does it with a narrow dependency —
@@ -627,8 +663,13 @@ private[graft] trait DurableStore {
         }
         // marker committed but sidecar pruned = the batch is fully
         // committed in every table (prune's precondition), so an empty
-        // membership is correct for this replay — never throw
-        if (fs.exists(hPath(side))) localizeIfSmall(side)
+        // membership is correct for this replay — never throw.
+        // Schema passed from the frame that WROTE the sidecar (one
+        // __bid column, the batch id's type) — a bare read would pay
+        // a schema-inference job per ingest
+        if (fs.exists(hPath(side)))
+          localizeIfSmall(side,
+            batch.select(col(idColName).as("__bid")).schema)
         else batch.select(col(idColName).as("__bid")).limit(0)
       case None =>
         // eager materialization: the set must be pinned BEFORE the main
@@ -653,7 +694,7 @@ private[graft] trait DurableStore {
     */
   protected def storedAcceptIds(idColName: String, table: String,
       batchIds: DataFrame): DataFrame =
-    spark.read.parquet(s"$path/$table").select(col(idColName).as("__bid"))
+    readInferred(s"$path/$table").select(col(idColName).as("__bid"))
 
   /** The accepted-id sidecar as a driver-LOCAL relation when its
     * parquet is small (one fs listing to decide, one collect job to
@@ -669,8 +710,9 @@ private[graft] trait DurableStore {
     * broadcast jobs they schedule are the price of not holding
     * millions of boxed rows on the driver.
     */
-  private def localizeIfSmall(side: String): DataFrame = {
-    val df = spark.read.parquet(side)
+  private def localizeIfSmall(side: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = spark.read.schema(schema).parquet(side)
     var bytes = 0L
     val it = fs.listFiles(hPath(side), true)
     while (it.hasNext) {
@@ -793,10 +835,10 @@ private[graft] trait DurableStore {
         graft.operators.dedup.Dedup.connectedComponents(
           pr.select(col("id_a"), col("id_b")))
       } else if (water >= top && fs.exists(hPath(dir))) {
-        spark.read.parquet(dir) // nothing new since the last fold
+        readInferred(dir) // nothing new since the last fold
       } else {
         val prior =
-          if (water >= 0 && fs.exists(hPath(dir))) spark.read.parquet(dir)
+          if (water >= 0 && fs.exists(hPath(dir))) readInferred(dir)
           else spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             StructType(Seq(StructField("id", LongType),
@@ -810,7 +852,7 @@ private[graft] trait DurableStore {
         // water guard's full rebuild heals
         installTable(dir, merged, "")
         markers.markCommitted("clusters", top)
-        spark.read.parquet(dir)
+        readInferred(dir)
       }
     }
   }

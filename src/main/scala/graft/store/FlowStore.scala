@@ -68,6 +68,27 @@ final class FlowStore(spark: SparkSession, root: String) {
   private val resolutions = Seq("flows_1m" -> 60L, "flows_5m" -> 300L,
     "flows_1h" -> 3600L)
 
+  /** Per-instance cache of inferred table schemas (the DurableStore
+    * readInferred discipline): a bare spark.read.parquet pays a
+    * schema-inference Spark job + footer read per call, and the query
+    * surface re-reads flows/rollups constantly. Appends and the slice
+    * compaction never change a table's schema; [[swapIn]] and
+    * [[recoverSwap]] invalidate their table on the rename swap.
+    */
+  private val inferredSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def readInferred(name: String): DataFrame = {
+    val cached = inferredSchemas.get(name)
+    if (cached != null) spark.read.schema(cached).parquet(s"$root/$name")
+    else {
+      val df = spark.read.parquet(s"$root/$name")
+      inferredSchemas.put(name, df.schema)
+      df
+    }
+  }
+
   private val mainOnly: Set[String] =
     graft.schema.FlowSchema.schema.columns.filter(_.mainOnly).map(_.name).toSet
 
@@ -144,6 +165,8 @@ final class FlowStore(spark: SparkSession, root: String) {
           throw new java.io.IOException(
             s"recoverSwap: cannot restore $name from .compact.old")
         spark.catalog.refreshByPath(s"$root/$name")
+        inferredSchemas.remove(name)
+        ()
       }
     }
   }
@@ -248,7 +271,7 @@ final class FlowStore(spark: SparkSession, root: String) {
 
   private def readTable(name: String): DataFrame = {
     recoverSwap(name)
-    spark.read.parquet(s"$root/$name").drop("p_date")
+    readInferred(name).drop("p_date")
   }
 
   /** Range-pruned scan: bound `p_date` (a yyyy-MM-dd string — lexical
@@ -266,7 +289,7 @@ final class FlowStore(spark: SparkSession, root: String) {
     val lo = dateUtc(start.getTime)
     // end is exclusive: the last ms that can match is end - 1
     val hi = dateUtc(math.max(start.getTime, end.getTime - 1))
-    spark.read.parquet(s"$root/$name")
+    readInferred(name)
       .where(col("p_date") >= lo && col("p_date") <= hi)
       .drop("p_date")
   }
@@ -297,7 +320,7 @@ final class FlowStore(spark: SparkSession, root: String) {
       .filter(_.startsWith("p_date=")).map(_.stripPrefix("p_date=")).sorted
     if (dates.isEmpty) return None
     val d = if (newest) dates.last else dates.head
-    val r = spark.read.parquet(s"$root/$name")
+    val r = readInferred(name)
       .where(col("p_date") === d)
       .agg(if (newest) max("TimeReceived") else min("TimeReceived"))
       .collect()(0)
@@ -434,7 +457,7 @@ final class FlowStore(spark: SparkSession, root: String) {
       else {
         val g = math.min(4096, math.max(64, 4 * maxK))
         val probs = (1 until g).map(_.toDouble / g).toArray
-        spark.read.parquet(s"$root/$name")
+        readInferred(name)
           .withColumn("p_date", col("p_date").cast("string"))
           .select(col("p_date"), col("TimeReceived").cast("long").as("__tl"))
           .groupBy("p_date")
@@ -456,7 +479,7 @@ final class FlowStore(spark: SparkSession, root: String) {
       bounds.get(d).map(_.length + 1).getOrElse(1)
     }.sum
     swapIn(name) { tmp =>
-      val sliced = spark.read.parquet(s"$root/$name")
+      val sliced = readInferred(name)
         // partition discovery may infer p_date as DATE; normalize back to
         // the stored string form so the join and the rewrite agree
         .withColumn("p_date", col("p_date").cast("string"))
@@ -532,5 +555,7 @@ final class FlowStore(spark: SparkSession, root: String) {
     // files (splits freeze at the entry's first physical planning) —
     // re-list the path for every matching cache entry
     spark.catalog.refreshByPath(s"$root/$name")
+    inferredSchemas.remove(name)
+    ()
   }
 }
