@@ -980,14 +980,31 @@ object Dedup {
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
   }
 
-  final case class ReleaseProducts(
-      pairs: DataFrame, clusters: DataFrame, keepers: DataFrame,
-      clusterSizes: DataFrame, survivors: DataFrame, split: DataFrame,
-      sourceOverlap: DataFrame, containment: DataFrame,
+  /** The eight release products. The four CLUSTER-derived members are
+    * lazy: [[connectedComponents]] is an EAGER computation (driver
+    * union-find collect, or the checkpointed iteration loop), so a
+    * caller that consumes only `scored` — the incremental cadence's
+    * prior release, which feeds `priorScored` and nothing else — must
+    * not pay the prior corpus's CC, its label materialization, or the
+    * verified-pair persist that feeds it. Field access is unchanged
+    * (`r.clusters` forces the one shared CC run on first touch).
+    */
+  final class ReleaseProducts(
+      val pairs: DataFrame,
+      clustersF: () => DataFrame, keepersF: () => DataFrame,
+      clusterSizesF: () => DataFrame, survivorsF: () => DataFrame,
+      splitF: () => DataFrame,
+      val sourceOverlap: DataFrame, val containment: DataFrame,
       /** the scored pair set every product derives from — persist-backed;
         * feed it to [[incrementalRelease]] as `priorScored` next cycle
         */
-      scored: DataFrame)
+      val scored: DataFrame) {
+    lazy val clusters: DataFrame = clustersF()
+    lazy val keepers: DataFrame = keepersF()
+    lazy val clusterSizes: DataFrame = clusterSizesF()
+    lazy val survivors: DataFrame = survivorsF()
+    lazy val split: DataFrame = splitF()
+  }
 
   /** The one-pass dedup release: every per-product DataFrame a corpus
     * release ships, derived from a SINGLE materialization of the scored
@@ -1489,16 +1506,20 @@ object Dedup {
     val contain = containmentOf(scored, containThreshold)
     // CC materializes its label table (localCheckpoint / driver-resolved
     // local relation) — the four cluster products below re-plan from
-    // that materialization, never from the pair pipeline
-    val clusters = clustersOverride.getOrElse(connectedComponents(pairs))
-    val keepers = clusterKeepers(clusters, quality)
-    val clusterSizes = clusters
+    // that materialization, never from the pair pipeline. LAZY: CC is
+    // eager work, deferred to the first cluster-product access so a
+    // scored-only consumer never runs it (ReleaseProducts scaladoc).
+    lazy val clusters = clustersOverride.getOrElse(connectedComponents(pairs))
+    def keepers = clusterKeepers(clusters, quality)
+    def clusterSizes = clusters
       .groupBy("cluster").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_clusters"))
-    val losers = clusters.where(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    val survivors = df.join(losers, Seq(idCol), "left_anti")
-    val split = df.select(col(idCol))
+    def survivors = {
+      val losers = clusters.where(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      df.join(losers, Seq(idCol), "left_anti")
+    }
+    def split = df.select(col(idCol))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("root", coalesce(col("cluster"), col(idCol)))
       .select(col(idCol),
@@ -1506,7 +1527,8 @@ object Dedup {
           .otherwise("eval").as("split"))
     val overlap = sourceOverlap(pairs,
       df.select(col(idCol).as("doc_id"), col(sourceCol).as("source")))
-    ReleaseProducts(pairs, clusters, keepers, clusterSizes, survivors, split,
+    new ReleaseProducts(pairs, () => clusters, () => keepers,
+      () => clusterSizes, () => survivors, () => split,
       overlap, contain, scored)
   }
 
