@@ -16,19 +16,24 @@ object Bench {
     // the same session the driver measures
     val shufParts =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    // sort-path shuffle writer for ALL widths (default bypass threshold
-    // is 200): the bypass writer opens one spill file PER (map task ×
-    // reduce partition), each with its own lz4 stream + 32k buffer —
-    // stack-sampling the composed release drives showed
-    // BypassMergeSortShuffleWriter/DiskBlockObjectWriter.initialize as
-    // the TOP executor CPU frames, on single-digit-KB shuffles
-    // (q_release_collapse CPU 156 s → ~110 s with the sort path alone;
-    // A/B lanes in OPTIMIZATION_r16.md). At production widths (>200
-    // reduce partitions on a cluster) the bypass path never fires, so
-    // this setting is a no-op at scale — it removes a small-shuffle
-    // artifact, not a scale behavior. Env-overridable for A/B.
+    // shuffle-writer choice: SPARK DEFAULT (200 → bypass writer below
+    // 200 reduce partitions). Round 16 shipped a session-wide sort-path
+    // default (threshold=1), validated on four store gates with a CPU
+    // lens — and the driver's wall ground truth falsified it: 17/24
+    // driver-bench queries regressed >10% (geomean 0.79), heap peak
+    // doubled, CPU rose 2–10× on untouched queries (per-task sorter
+    // setup + serialization + memory pages the bypass writer never
+    // pays, × every shuffle in 188 queries). The store gates' win came
+    // from the regime WIDTH (8 vs 32 — 4× fewer bypass files), not the
+    // writer: at width 8 the r16 A/B lanes read sort≈bypass (67.9 vs
+    // 69.4 CPU s on q_store_collapse). Scoping the sort writer to the
+    // store windows is mechanically impossible — SortShuffleManager
+    // .registerShuffle reads the threshold from its constructor
+    // SparkConf (the SparkEnv conf, immutable after context start;
+    // verified against the spark-core 4.1.2 bytecode), so no runtime
+    // session set can ever take effect. Env knob kept for A/B lanes.
     val bypassThr =
-      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1")
+      sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "200")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)

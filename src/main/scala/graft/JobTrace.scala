@@ -22,9 +22,9 @@ object JobTrace {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // mirror Bench's session (sort-path shuffle writer — see Bench)
+      // mirror Bench's session (Spark-default bypass writer — see Bench)
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "200"))
       // raw local fs: the default checksummed LocalFileSystem shadows
       // EVERY created file with a .crc twin (doubling create/rename/
       // delete metadata ops on the store dirs); file: is a local-bench
@@ -59,7 +59,9 @@ object JobTrace {
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val si = s.stageInfo
-        val jid = Option(stageToJob.get(si.stageId)).getOrElse(-1)
+        // getOrDefault, not Option(get): a missing Int key's null would
+        // unbox to 0 and mis-attribute orphan stages to job 0 (ADVICE r16)
+        val jid = stageToJob.getOrDefault(si.stageId, -1)
         // first graft-owned frames of the stage's call site: the
         // operation INSIDE the store drive this stage belongs to
         // (every write action's short name is just "parquet at ...")
@@ -139,10 +141,23 @@ object JobTrace {
     }, "jobtrace-sampler")
     sampler.setDaemon(true)
     sampler.start()
+    // codegen-compilation lens (VERDICT r16 item 5): Janino compiles
+    // recorded by the process-wide CodegenMetrics histogram — count =
+    // distinct generated classes actually compiled (cache misses),
+    // time = ms inside doCompile. A drive whose plans differ per batch
+    // only by literals recompiles per batch; this lens prices it.
+    val cgHist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    val cgCount0 = cgHist.getCount
+    val cgMs0 = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.compileTime / 1000000L
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    val cgCount = cgHist.getCount - cgCount0
+    val cgMs = org.apache.spark.sql.catalyst.expressions.codegen
+      .CodeGenerator.compileTime / 1000000L - cgMs0
     sampling = false
     ScratchCache.releaseAll(spark)
     org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
@@ -162,6 +177,8 @@ object JobTrace {
     val tot = all.filter(_.end > 0).map(j => j.end - j.start).sum
     println(f"  sum(job walls) = ${tot}%d ms; gaps (driver-side) = " +
       f"${(sec * 1000).toLong - tot}%d ms")
+    println(f"  codegen: $cgCount compiles, $cgMs ms compile time " +
+      "(process-wide counters; includes warmup only on the first drive)")
     println("  == executor-thread stack samples (top 25 frames) ==")
     samples.asScala.toSeq.sortBy(-_._2.get).take(25).foreach {
       case (frame, cnt) => println(f"   ${cnt.get}%6d  $frame")

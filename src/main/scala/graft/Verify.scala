@@ -10,9 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // mirror Bench's session (sort-path shuffle writer — see Bench)
+      // mirror Bench's session (Spark-default bypass writer — see Bench
+      // for why the r16 sort-path default was reverted)
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "200"))
       // raw local fs: the default checksummed LocalFileSystem shadows
       // EVERY created file with a .crc twin (doubling create/rename/
       // delete metadata ops on the store dirs); file: is a local-bench

@@ -15,7 +15,7 @@ object VerifySome {
       .config("spark.sql.shuffle.partitions", cpus)
       // mirror Bench/Verify's session (see Bench)
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "200"))
       .config("spark.hadoop.fs.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS_IMPL",
           "org.apache.hadoop.fs.RawLocalFileSystem"))

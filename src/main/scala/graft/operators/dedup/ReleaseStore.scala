@@ -964,8 +964,12 @@ final class ReleaseStore(protected val spark: SparkSession,
       }
       // cached label tables' water marks predate the rep-level rewrite
       // and the backfilled membership — drop tables AND markers so the
-      // next productsCached folds from scratch (one-time upgrade cost)
+      // next productsCached folds from scratch (one-time upgrade cost).
+      // The schema-cache contract (DurableStore.readInferred: only the
+      // installers may rewrite a table wholesale) covers this delete
+      // too — invalidate alongside it (ADVICE r16)
       fs.delete(hPath(s"$path/clusters"), true)
+      invalidateInferred(s"$path/clusters")
       val cDir = hPath(s"$path/_commits")
       if (fs.exists(cDir))
         fs.listStatus(cDir).map(_.getPath)

@@ -424,8 +424,17 @@ private[graft] trait DurableStore {
     */
   protected def withSmallRegimeScheduling[T](tables: Seq[String])
       (f: => T): T = {
-    val sizes = tables.map(storedSmallBytes)
-    if (sizes.exists(_.isEmpty)) f
+    // early-exit walk (ADVICE r16): the first BIG table disqualifies
+    // the regime — don't pay the remaining tables' bounded listings on
+    // the common big-store path
+    val sizes = new scala.collection.mutable.ArrayBuffer[Long](tables.size)
+    val it = tables.iterator
+    var big = false
+    while (it.hasNext && !big) storedSmallBytes(it.next()) match {
+      case Some(b) => sizes += b
+      case None => big = true
+    }
+    if (big) f
     else {
       // shuffle width for the window, derived from the MEASURED bytes
       // the regime dispatch just walked (guide §2.2 "fewer, larger
@@ -450,7 +459,7 @@ private[graft] trait DurableStore {
       val sessionParts = spark.sessionState.conf.numShufflePartitions
       val width = math.min(sessionParts.toLong, math.max(
         smallRegimeMinPartitions.toLong,
-        (sizes.map(_.get).sum + advisory - 1) / advisory)).toInt
+        (sizes.sum + advisory - 1) / advisory)).toInt
       DurableStore.AdaptiveToggle.enter(spark, width)
       try f finally DurableStore.AdaptiveToggle.exit(spark)
     }
@@ -722,8 +731,22 @@ private[graft] trait DurableStore {
         bytes += st.getLen
     }
     if (bytes > DurableStore.localAcceptBytes) df
-    else spark.createDataFrame(
+    else try spark.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
+    catch {
+      // type-mismatch safety net (ADVICE r16): the explicit schema comes
+      // from the REPLAYING batch's id column — if a replay ever presents
+      // the id with a different type than the session that wrote the
+      // sidecar (int vs long), the schema'd read can fail where the old
+      // self-describing read did not. Fall back to inference + cast so
+      // a drifted replay degrades to one inference job, never a crash.
+      case scala.util.control.NonFatal(_) =>
+        val inferred = spark.read.parquet(side)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        spark.createDataFrame(
+          java.util.Arrays.asList(inferred.collect(): _*), inferred.schema)
+    }
   }
 
   /** RDD ids of the current un-id'd ingest's accepted-set checkpoint,

@@ -465,4 +465,46 @@ class ReleaseSpec extends SparkSpec {
     assert(ovPlan.contains("InMemoryRelation"), ovPlan.take(2000))
     graft.ScratchCache.releaseAll(spark)
   }
+
+  test("a scored-only consumer schedules zero connected-components jobs") {
+    // the lazy-ReleaseProducts contract (the incremental cadence's prior
+    // release feeds priorScored and NOTHING else): consuming `scored`
+    // must never trigger connectedComponents — CC is EAGER on access
+    // (edge count + localCheckpoints + driver collect), so a scored-only
+    // consumer paying it would re-tax every incremental cycle with the
+    // prior corpus's full CC. Detection: a CC job's stages carry the
+    // submission stack in StageInfo.details (the JobTrace attribution
+    // mechanism — call-site local properties are not populated in this
+    // session), and every action inside CC submits from a frame naming
+    // connectedComponents.
+    val ccJobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (j.stageInfos.exists(_.details.contains("connectedComponents")))
+          ccJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d = corpus
+      val r = Dedup.releasePipeline(d, "doc_id", "text", threshold = 0.5,
+        maxShingleDf = None,
+        quality = d.select(col("doc_id").as("id"), col("n_chars").as("q")))
+      r.scored.queryExecution.toRdd.count()
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      assert(ccJobs.get() == 0,
+        s"scored-only consumption ran ${ccJobs.get()} CC job(s)")
+      // positive control: the detector actually sees CC jobs — first
+      // access of a cluster product forces the one shared CC run
+      r.clusters.queryExecution.toRdd.count()
+      org.apache.spark.graft.ListenerFlush.waitUntilEmpty(spark.sparkContext)
+      assert(ccJobs.get() > 0,
+        "detector saw no CC jobs even after forcing r.clusters")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.ScratchCache.releaseAll(spark)
+    }
+  }
 }
