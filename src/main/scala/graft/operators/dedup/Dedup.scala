@@ -156,10 +156,16 @@ object Dedup {
     */
   def incrementalScoredPairs(df: DataFrame, idCol: String, textCol: String,
       isBatch: Column, maxShingleDf: Option[Int] = None): DataFrame = {
-    val shingled = graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"), isBatch.as("is_b"),
-        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
-      .where(size(col("sh")) > 0))
+    // Spread.wide: the tokenize+shingle+hash projection runs ABOVE the
+    // corpus scan, before any exchange — spread a narrow file-backed
+    // scan so it parallelizes (identity at production file counts)
+    // empties filter outside the persist — see portableHashedShingles
+    val shingled = graft.ScratchCache.persist(
+      graft.operators.Spread.wideThenFold(df)(_
+        .select(col(idCol).as("id"), isBatch.as("is_b"),
+          transform(TextAnalysis.shingles(col(textCol)),
+            s => xxhash64(s)).as("sh"))))
+      .where(size(col("sh")) > 0)
     val idx = shingled.select(col("id"), col("is_b"), explode(col("sh")).as("s"))
     // df-cap over the FULL population (batch + corpus): a boilerplate
     // shingle is hot regardless of which side it lands on, and capping
@@ -210,10 +216,13 @@ object Dedup {
     // rows carry only the 8-byte shingle hashes (64-bit collisions are
     // negligible), not the shingle strings — ~20× less cached/shuffled
     // payload per document
-    val shingled = graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
-      .where(size(col("sh")) > 0))
+    // empties filter outside the persist — see portableHashedShingles
+    val shingled = graft.ScratchCache.persist(
+      graft.operators.Spread.wideThenFold(df)(_
+        .select(col(idCol).as("id"),
+          transform(TextAnalysis.shingles(col(textCol)),
+            s => xxhash64(s)).as("sh"))))
+      .where(size(col("sh")) > 0)
     // inverted index on the hashed shingles
     val idx = shingled.select(col("id"), explode(col("sh")).as("s"))
     val filtered = maxShingleDf match {
@@ -346,10 +355,11 @@ object Dedup {
     // verification; the persisted rows carry 8-byte shingle hashes, not
     // strings (64-bit collisions are negligible for both the signature
     // and the verification intersect)
-    val shingled = graft.ScratchCache.persist(df
+    // empties filter outside the persist — see portableHashedShingles
+    val shingled = graft.ScratchCache.persist(graft.operators.Spread.wide(df)
       .select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh"))
-      .where(size(col("sh")) > 0))
+        transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)).as("sh")))
+      .where(size(col("sh")) > 0)
     val cand = fastBandCandidates(shingled, k, bands, seed)
     // verify: exact Jaccard on the shingle sets, joined back by id
     val common = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -692,11 +702,18 @@ object Dedup {
     // CPU on top of the digest itself)
     def hash48(s: Column): Column =
       graft.expressions.PortableHash.md5Prefix48(s)
-    graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"),
-        array_distinct(
-          transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"))
-      .where(size(col("sh")) > 0))
+    // the empties filter lives OUTSIDE the persisted subtree: inside
+    // it, predicate pushdown substitutes the alias and drags the full
+    // shingle+hash transform below Spread's exchange — the expensive
+    // projection would run twice (once serially as the pushed filter,
+    // once parallel above). Over the cache it is a cheap size() check.
+    graft.ScratchCache.persist(
+      graft.operators.Spread.wideThenFold(df)(_
+        .select(col(idCol).as("id"),
+          array_distinct(
+            transform(TextAnalysis.shingles(col(textCol)),
+              hash48(_))).as("sh"))))
+      .where(size(col("sh")) > 0)
   }
 
   /** LSH candidate pairs (id_a < id_b, distinct) from banded portable
@@ -1087,12 +1104,14 @@ object Dedup {
   private[dedup] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       portable: Boolean): DataFrame =
     if (portable) portableHashedShingles(df, idCol, textCol)
-    else graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"),
-        array_distinct(
-          transform(TextAnalysis.shingles(col(textCol)), s => xxhash64(s)))
-          .as("sh"))
-      .where(size(col("sh")) > 0))
+    // empties filter outside the persist — see portableHashedShingles
+    else graft.ScratchCache.persist(
+      graft.operators.Spread.wideThenFold(df)(_
+        .select(col(idCol).as("id"),
+          array_distinct(
+            transform(TextAnalysis.shingles(col(textCol)),
+              s => xxhash64(s))).as("sh"))))
+      .where(size(col("sh")) > 0)
 
   /** (capped index, surviving sizes, candidate pairs) over an already
     * hashed-shingled population — the candidate core shared by the
@@ -1172,15 +1191,17 @@ object Dedup {
       k: Int = 128, bands: Int = 32, seed: Long = 42L,
       portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val flagged = graft.ScratchCache.persist(df
-      .select(col(idCol).as("id"), isBatch.as("is_b"),
-        (if (portable)
-          array_distinct(transform(TextAnalysis.shingles(col(textCol)),
-            s => graft.expressions.PortableHash.md5Prefix48(s)))
-        else
-          array_distinct(transform(TextAnalysis.shingles(col(textCol)),
-            s => xxhash64(s)))).as("sh"))
-      .where(size(col("sh")) > 0))
+    // empties filter outside the persist — see portableHashedShingles
+    val flagged = graft.ScratchCache.persist(
+      graft.operators.Spread.wideThenFold(df)(_
+        .select(col(idCol).as("id"), isBatch.as("is_b"),
+          (if (portable)
+            array_distinct(transform(TextAnalysis.shingles(col(textCol)),
+              s => graft.expressions.PortableHash.md5Prefix48(s)))
+          else
+            array_distinct(transform(TextAnalysis.shingles(col(textCol)),
+              s => xxhash64(s)))).as("sh"))))
+      .where(size(col("sh")) > 0)
     val shingled = flagged.select(col("id"), col("sh"))
     // Jaccard front: batch bands probe the full banded set
     val banded = graft.ScratchCache.persist(
@@ -1702,11 +1723,15 @@ object Dedup {
     // twin: an empty set's sketch is 0, so every short document would
     // otherwise share one bucket at Hamming 0 — m·(m−1)/2 false pairs and
     // a quadratic blocking join
-    val withSim = graft.ScratchCache.persist(df
+    // empties filter outside the persist (see portableHashedShingles);
+    // the cached rows carry the 8-byte sketch plus the set size so the
+    // filter never re-tokenizes — codegen subexpression elimination
+    // shares the one shingles() evaluation between the two columns
+    val withSim = graft.ScratchCache.persist(graft.operators.Spread.wide(df)
       .select(col(idCol).as("id"),
-        TextAnalysis.shingles(col(textCol)).as("sset"))
-      .where(size(col("sset")) > 0)
-      .select(col("id"), simhash(col("sset")).as("sh")))
+        simhash(TextAnalysis.shingles(col(textCol))).as("sh"),
+        size(TextAnalysis.shingles(col(textCol))).as("__n")))
+      .where(col("__n") > 0).select(col("id"), col("sh"))
     hammingPairs(withSim, maxHamming, chunks = 4)
   }
 
@@ -1723,11 +1748,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     def hash48(s: Column): Column =
       graft.expressions.PortableHash.md5Prefix48(s)
-    val withSim = graft.ScratchCache.persist(df
+    // empties filter outside the persist — see simhashPairs
+    val withSim = graft.ScratchCache.persist(graft.operators.Spread.wide(df)
       .select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol)), hash48(_)).as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("id"), Sketches.simhash64(col("hs")).as("sh")))
+        Sketches.simhash64(
+          transform(TextAnalysis.shingles(col(textCol)), hash48(_))).as("sh"),
+        size(TextAnalysis.shingles(col(textCol))).as("__n")))
+      .where(col("__n") > 0).select(col("id"), col("sh"))
     hammingPairs(withSim, maxHamming, chunks = 3, strictRecall = false)
   }
 
@@ -1775,7 +1802,10 @@ object Dedup {
     // tiny relative to the corpus, and union-find on ≤1M collected edges
     // beats N iteration jobs; the distributed loop below is the path for
     // graphs that don't fit
-    if (p0.count() <= driverEdgeLimit) {
+    val p0count = p0.count()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-debug] edges=$p0count driverPath=${p0count <= driverEdgeLimit}")
+    if (p0count <= driverEdgeLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap[Long, Long]()

@@ -553,7 +553,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, "k and w must be at least 1")
     val toks = col("w")
-    val grams = df
+    // Spread.wide: the positional-gram md5 projection runs above the
+    // corpus scan, before the per-doc window's exchange — spread a
+    // narrow file-backed scan so the expensive stage parallelizes
+    // (identity at production file counts)
+    val grams = graft.operators.Spread.wide(df)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .where(size(toks) >= k)
       .select(col("id"), (size(toks) - (k - 1)).as("ng"),
